@@ -1,0 +1,686 @@
+package graft.classify
+
+import graft.model.SqlParseError
+
+/** Classified-statement ADT + classifier for the PostgreSQL-dialect DDL
+  * shapes the analysis rules inspect.
+  *
+  * The reference uses the real PG parser (pg_query_go,
+  * `internal/parser/parser.go:18-33`); Spark's Catalyst parser cannot
+  * parse PG DDL (`VACUUM FULL`, `CREATE INDEX CONCURRENTLY`,
+  * `LOCK TABLE`, `NOT VALID`, ...). Per SURVEY.md §7.3 we build a
+  * *classifier*, not a grammar: a quote/comment/dollar-aware statement
+  * splitter plus a head-token matcher extracting exactly the attributes
+  * the nine rules need. Anything unrecognized classifies as
+  * [[OtherStmt]] — which every rule treats as safe, mirroring the
+  * reference rules ignoring other AST node types
+  * (e.g. `internal/analyzer/rules/rename.go:54`).
+  *
+  * Pure Scala (no Spark deps) so it can run driver-side or inside a
+  * `Dataset.flatMap` unchanged.
+  */
+object SqlClassifier {
+
+  /** `schema.table` or bare `table`; rendered like the reference's
+    * `TableName` (`internal/analyzer/rules.go:48-58`).
+    */
+  final case class QualifiedName(schema: Option[String], name: String) {
+    def render: String = schema.map(_ + ".").getOrElse("") + name
+  }
+
+  /** Default-expression shape for ADD COLUMN ... DEFAULT analysis
+    * (reference `isVolatileDefault`,
+    * `internal/analyzer/rules/alter_add_column.go:94-134`): constants and
+    * casts-of-constants are non-volatile; function calls and anything
+    * else are assumed volatile.
+    */
+  sealed trait DefaultExpr { def volatile: Boolean }
+  case object ConstantDefault extends DefaultExpr { val volatile = false }
+  case object CastConstantDefault extends DefaultExpr { val volatile = false }
+  final case class VolatileDefault(text: String) extends DefaultExpr {
+    val volatile = true
+  }
+
+  sealed trait ConstraintKind
+  case object CheckConstraint extends ConstraintKind
+  case object ForeignKeyConstraint extends ConstraintKind
+  case object UniqueConstraint extends ConstraintKind
+  case object PrimaryKeyConstraint extends ConstraintKind
+  case object OtherConstraint extends ConstraintKind
+
+  /** One command inside ALTER TABLE (PG allows a comma-separated list). */
+  sealed trait AlterCmd
+  final case class AddColumn(column: String, typeName: String,
+      default: Option[DefaultExpr], notNull: Boolean) extends AlterCmd
+  final case class AddConstraint(name: String, kind: ConstraintKind,
+      notValid: Boolean) extends AlterCmd
+  final case class AlterColumnType(column: String, newType: String)
+      extends AlterCmd
+  final case class SetNotNull(column: String) extends AlterCmd
+  final case class DropNotNull(column: String) extends AlterCmd
+  final case class OtherAlterCmd(text: String) extends AlterCmd
+
+  sealed trait RenameKind
+  case object RenameTable extends RenameKind
+  case object RenameColumn extends RenameKind
+  case object RenameIndex extends RenameKind
+  case object RenameOther extends RenameKind
+
+  /** A classified SQL statement. `sql` is the original statement text
+    * (trimmed, no trailing semicolon).
+    */
+  sealed trait Stmt { def sql: String }
+  final case class CreateTableStmt(table: QualifiedName, sql: String)
+      extends Stmt
+  final case class CreateIndexStmt(table: QualifiedName,
+      indexName: Option[String], unique: Boolean, concurrent: Boolean,
+      sql: String) extends Stmt
+  final case class DropIndexStmt(concurrent: Boolean, sql: String)
+      extends Stmt
+  final case class AlterTableStmt(table: QualifiedName, cmds: Seq[AlterCmd],
+      sql: String) extends Stmt
+  final case class RenameStmt(kind: RenameKind, table: QualifiedName,
+      from: String, to: String, sql: String) extends Stmt
+  final case class DropTableStmt(tables: Seq[QualifiedName],
+      ifExists: Boolean, sql: String) extends Stmt
+  final case class TruncateStmt(tables: Seq[QualifiedName], sql: String)
+      extends Stmt
+  final case class VacuumStmt(full: Boolean, table: Option[QualifiedName],
+      sql: String) extends Stmt
+  final case class LockStmt(tables: Seq[QualifiedName], mode: Option[String],
+      sql: String) extends Stmt
+  final case class OtherStmt(head: String, sql: String) extends Stmt
+
+  // ---------------------------------------------------------------------
+  // Statement splitting
+  // ---------------------------------------------------------------------
+
+  /** Split a multi-statement SQL string on top-level semicolons, honoring
+    * single-quoted strings (with '' escapes and E'\' escapes), double-
+    * quoted identifiers, line comments, nested block comments, and
+    * dollar-quoted bodies ($tag$ ... $tag$). Empty/whitespace-only input
+    * yields zero statements (parser.go:24-26 behavior).
+    */
+  def splitStatements(sql: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = sql.length
+    def flush(): Unit = {
+      val s = cur.toString.trim
+      if (s.nonEmpty) out += s
+      cur.clear()
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        case ';' => flush(); i += 1
+        case '\'' =>
+          // single-quoted literal; handle '' escape. (E'' backslash
+          // escapes: a backslash before ' also escapes inside E-strings;
+          // we conservatively honor backslash-escape always — harmless
+          // for standard strings where \ is literal but ' ends anyway.)
+          cur += c; i += 1
+          var done = false
+          while (i < n && !done) {
+            val d = sql.charAt(i)
+            cur += d
+            if (d == '\\' && i + 1 < n) { cur += sql.charAt(i + 1); i += 2 }
+            else if (d == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') { cur += '\''; i += 2 }
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+        case '"' =>
+          cur += c; i += 1
+          var done = false
+          while (i < n && !done) {
+            val d = sql.charAt(i); cur += d; i += 1
+            if (d == '"') {
+              if (i < n && sql.charAt(i) == '"') { cur += '"'; i += 1 }
+              else done = true
+            }
+          }
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          while (i < n && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          var depth = 1; i += 2
+          while (i < n && depth > 0) {
+            if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+              depth += 1; i += 2
+            } else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+              depth -= 1; i += 2
+            } else i += 1
+          }
+          cur += ' '
+        case '$' =>
+          // possible dollar-quote open: $tag$ where tag is [A-Za-z0-9_]*
+          var j = i + 1
+          while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+          if (j < n && sql.charAt(j) == '$') {
+            val tag = sql.substring(i, j + 1) // includes both $
+            val end = sql.indexOf(tag, j + 1)
+            val stop = if (end < 0) n else end + tag.length
+            cur ++= sql.substring(i, stop)
+            i = stop
+          } else { cur += c; i += 1 }
+        case _ => cur += c; i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // Tokenizer
+  // ---------------------------------------------------------------------
+
+  /** Token: WORD (identifier/keyword; quoted identifiers keep case, bare
+    * ones are matched case-insensitively), STR (literal), NUM, or PUNCT.
+    */
+  final case class Tok(text: String, kind: Int) {
+    def isKw(kw: String): Boolean = kind == Tok.Word && text.equalsIgnoreCase(kw)
+  }
+  object Tok {
+    val Word = 0; val Str = 1; val Num = 2; val Punct = 3
+  }
+
+  def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = s.charAt(i)
+          if (d == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { done = true; i += 1 }
+          } else { sb += d; i += 1 }
+        }
+        out += Tok(sb.toString, Tok.Str)
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = s.charAt(i)
+          if (d == '"') {
+            if (i + 1 < n && s.charAt(i + 1) == '"') { sb += '"'; i += 2 }
+            else { done = true; i += 1 }
+          } else { sb += d; i += 1 }
+        }
+        out += Tok(sb.toString, Tok.Word) // quoted identifier
+      } else if (c.isLetter || c == '_') {
+        val j0 = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '$')) i += 1
+        out += Tok(s.substring(j0, i), Tok.Word)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val j0 = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+            s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+            ((s.charAt(i) == '+' || s.charAt(i) == '-') && i > j0 &&
+              (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
+        out += Tok(s.substring(j0, i), Tok.Num)
+      } else if (c == ':' && i + 1 < n && s.charAt(i + 1) == ':') {
+        out += Tok("::", Tok.Punct); i += 2
+      } else {
+        out += Tok(c.toString, Tok.Punct); i += 1
+      }
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // Classification
+  // ---------------------------------------------------------------------
+
+  /** Parse + classify a (possibly multi-statement) SQL string.
+    * Empty / whitespace-only → Right(Nil). Structurally broken input
+    * (unterminated quote) → Left(SqlParseError).
+    */
+  def parse(sql: String): Either[SqlParseError, Seq[Stmt]] = {
+    // unterminated single-quote detection: count quote chars outside
+    // comments via a simplified scan — splitStatements already consumes
+    // them; detect by re-scanning: if a statement's tokenization consumed
+    // past end inside a string we can't tell, so do a direct scan here.
+    if (hasUnterminatedQuote(sql))
+      Left(SqlParseError("unterminated quoted string"))
+    else Right(splitStatements(sql).map(classify))
+  }
+
+  /** Classify, throwing on structural errors (Dataset-friendly). */
+  def parseOrThrow(sql: String): Seq[Stmt] =
+    parse(sql).fold(e => throw e, identity)
+
+  private def hasUnterminatedQuote(sql: String): Boolean = {
+    var i = 0; val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          while (i < n && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          var depth = 1; i += 2
+          while (i < n && depth > 0) {
+            if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') { depth += 1; i += 2 }
+            else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+            else i += 1
+          }
+          if (depth > 0) return true
+        case '\'' =>
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (sql.charAt(i) == '\'') {
+              if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+              else { closed = true; i += 1 }
+            } else i += 1
+          }
+          if (!closed) return true
+        case '"' =>
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (sql.charAt(i) == '"') { closed = true }
+            i += 1
+          }
+          if (!closed) return true
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  def classify(stmtSql: String): Stmt = {
+    val toks = tokenize(stmtSql)
+    if (toks.isEmpty) return OtherStmt("", stmtSql)
+    val t = new Cursor(toks)
+    val head = toks.head.text.toUpperCase
+    head match {
+      case "CREATE" => classifyCreate(t, stmtSql)
+      case "ALTER" if t.peekKw(1, "TABLE") => classifyAlterTable(t, stmtSql)
+      case "DROP" => classifyDrop(t, stmtSql)
+      case "TRUNCATE" => classifyTruncate(t, stmtSql)
+      case "VACUUM" => classifyVacuum(t, stmtSql)
+      case "LOCK" => classifyLock(t, stmtSql)
+      case _ => OtherStmt(head, stmtSql)
+    }
+  }
+
+  /** Token cursor with small lookahead helpers. */
+  private final class Cursor(val toks: Vector[Tok]) {
+    var pos = 0
+    def eof: Boolean = pos >= toks.length
+    def peek: Option[Tok] = if (eof) None else Some(toks(pos))
+    def peekKw(off: Int, kw: String): Boolean =
+      pos + off < toks.length && toks(pos + off).isKw(kw)
+    def curIsKw(kw: String): Boolean = peekKw(0, kw)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def skipKw(kw: String): Boolean =
+      if (curIsKw(kw)) { pos += 1; true } else false
+    def skipPunct(p: String): Boolean =
+      if (!eof && toks(pos).kind == Tok.Punct && toks(pos).text == p) {
+        pos += 1; true
+      } else false
+    /** Consume `IF EXISTS` / `IF NOT EXISTS`; returns true if consumed. */
+    def skipIfExists(): Boolean =
+      if (curIsKw("IF") && peekKw(1, "EXISTS")) { pos += 2; true }
+      else if (curIsKw("IF") && peekKw(1, "NOT") && peekKw(2, "EXISTS")) {
+        pos += 3; true
+      } else false
+    /** Parse `ident` or `schema.ident` (possibly catalog.schema.ident —
+      * keep last two parts like PG's RangeVar).
+      */
+    def qualifiedName(): QualifiedName = {
+      var parts = List(next().text)
+      while (skipPunct(".")) parts = next().text :: parts
+      parts match {
+        case name :: Nil => QualifiedName(None, name)
+        case name :: schema :: _ => QualifiedName(Some(schema), name)
+        case Nil => QualifiedName(None, "<unknown>")
+      }
+    }
+    /** Skip a parenthesized group, tracking nesting. Cursor must be at '('. */
+    def skipParens(): Unit = {
+      if (!skipPunct("(")) return
+      var depth = 1
+      while (!eof && depth > 0) {
+        val tk = next()
+        if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+        else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+      }
+    }
+  }
+
+  private def classifyCreate(t: Cursor, sql: String): Stmt = {
+    t.next() // CREATE
+    val unique = t.skipKw("UNIQUE")
+    if (t.skipKw("INDEX")) {
+      val concurrent = t.skipKw("CONCURRENTLY")
+      t.skipIfExists() // IF NOT EXISTS
+      // optional index name, then ON table
+      var indexName: Option[String] = None
+      if (!t.curIsKw("ON") && !t.eof && t.peek.get.kind == Tok.Word) {
+        indexName = Some(t.next().text)
+      }
+      if (t.skipKw("ON")) {
+        t.skipKw("ONLY")
+        val tbl = t.qualifiedName()
+        CreateIndexStmt(tbl, indexName, unique, concurrent, sql)
+      } else CreateIndexStmt(QualifiedName(None, "<unknown>"), indexName,
+        unique, concurrent, sql)
+    } else if (t.curIsKw("TABLE") ||
+        ((t.curIsKw("TEMP") || t.curIsKw("TEMPORARY") || t.curIsKw("UNLOGGED"))
+          && t.peekKw(1, "TABLE"))) {
+      t.skipKw("TEMP"); t.skipKw("TEMPORARY"); t.skipKw("UNLOGGED")
+      t.next() // TABLE
+      t.skipIfExists()
+      val tbl = t.qualifiedName()
+      CreateTableStmt(tbl, sql)
+    } else OtherStmt("CREATE", sql)
+  }
+
+  private def classifyDrop(t: Cursor, sql: String): Stmt = {
+    t.next() // DROP
+    if (t.skipKw("TABLE")) {
+      val ifExists = t.skipIfExists()
+      var tables = List(t.qualifiedName())
+      while (t.skipPunct(",")) tables = t.qualifiedName() :: tables
+      DropTableStmt(tables.reverse, ifExists, sql)
+    } else if (t.skipKw("INDEX")) {
+      val concurrent = t.skipKw("CONCURRENTLY")
+      DropIndexStmt(concurrent, sql)
+    } else OtherStmt("DROP", sql)
+  }
+
+  private def classifyTruncate(t: Cursor, sql: String): Stmt = {
+    t.next() // TRUNCATE
+    t.skipKw("TABLE")
+    t.skipKw("ONLY")
+    var tables = List(t.qualifiedName())
+    while (t.skipPunct(",")) { t.skipKw("ONLY"); tables = t.qualifiedName() :: tables }
+    TruncateStmt(tables.reverse, sql)
+  }
+
+  private def classifyVacuum(t: Cursor, sql: String): Stmt = {
+    t.next() // VACUUM
+    var full = false
+    // paren option list: VACUUM (FULL, ANALYZE) tbl
+    if (!t.eof && t.peek.get.kind == Tok.Punct && t.peek.get.text == "(") {
+      val start = t.pos
+      t.skipParens()
+      val opts = t.toks.slice(start, t.pos)
+      full = opts.exists(o => o.kind == Tok.Word && o.text.equalsIgnoreCase("FULL"))
+    } else {
+      // bare keyword options: VACUUM FULL [FREEZE] [VERBOSE] [ANALYZE]
+      var more = true
+      while (more) {
+        if (t.skipKw("FULL")) full = true
+        else if (t.skipKw("FREEZE") || t.skipKw("VERBOSE") || t.skipKw("ANALYZE")) ()
+        else more = false
+      }
+    }
+    val table =
+      if (!t.eof && t.peek.get.kind == Tok.Word) Some(t.qualifiedName())
+      else None
+    VacuumStmt(full, table, sql)
+  }
+
+  private def classifyLock(t: Cursor, sql: String): Stmt = {
+    t.next() // LOCK
+    t.skipKw("TABLE")
+    t.skipKw("ONLY")
+    var tables = List(t.qualifiedName())
+    while (t.skipPunct(",")) { t.skipKw("ONLY"); tables = t.qualifiedName() :: tables }
+    // IN <mode words> MODE
+    var mode: Option[String] = None
+    if (t.skipKw("IN")) {
+      val words = new StringBuilder
+      while (!t.eof && !t.curIsKw("MODE")) {
+        if (words.nonEmpty) words += ' '
+        words ++= t.next().text.toUpperCase
+      }
+      mode = Some(words.toString)
+    }
+    LockStmt(tables.reverse, mode, sql)
+  }
+
+  private def classifyAlterTable(t: Cursor, sql: String): Stmt = {
+    t.next(); t.next() // ALTER TABLE
+    t.skipIfExists()
+    t.skipKw("ONLY")
+    val tbl = t.qualifiedName()
+    // RENAME forms are separate statement kinds in the PG AST (RenameStmt)
+    if (t.curIsKw("RENAME")) {
+      t.next()
+      if (t.skipKw("TO")) {
+        val to = if (!t.eof) t.next().text else ""
+        return RenameStmt(RenameTable, tbl, tbl.name, to, sql)
+      }
+      if (t.skipKw("COLUMN")) {
+        val from = if (!t.eof) t.next().text else ""
+        t.skipKw("TO")
+        val to = if (!t.eof) t.next().text else ""
+        return RenameStmt(RenameColumn, tbl, from, to, sql)
+      }
+      if (t.skipKw("CONSTRAINT")) {
+        val from = if (!t.eof) t.next().text else ""
+        t.skipKw("TO")
+        val to = if (!t.eof) t.next().text else ""
+        return RenameStmt(RenameOther, tbl, from, to, sql)
+      }
+      // ALTER TABLE x RENAME col TO newcol (COLUMN keyword optional)
+      val from = if (!t.eof) t.next().text else ""
+      t.skipKw("TO")
+      val to = if (!t.eof) t.next().text else ""
+      return RenameStmt(RenameColumn, tbl, from, to, sql)
+    }
+    // comma-separated command list
+    val cmds = Vector.newBuilder[AlterCmd]
+    var more = true
+    while (more && !t.eof) {
+      cmds += parseAlterCmd(t)
+      more = t.skipPunct(",")
+    }
+    AlterTableStmt(tbl, cmds.result(), sql)
+  }
+
+  /** Parse one ALTER TABLE sub-command up to the next top-level comma. */
+  private def parseAlterCmd(t: Cursor): AlterCmd = {
+    val start = t.pos
+    def restText(): String = {
+      // consume to next top-level comma
+      var depth = 0
+      while (!t.eof && !(depth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+        val tk = t.next()
+        if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+        else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+      }
+      t.toks.slice(start, t.pos).map(_.text).mkString(" ")
+    }
+    if (t.skipKw("ADD")) {
+      if (t.skipKw("CONSTRAINT")) {
+        val name = if (!t.eof) t.next().text else ""
+        val kind =
+          if (t.curIsKw("CHECK")) CheckConstraint
+          else if (t.curIsKw("FOREIGN")) ForeignKeyConstraint
+          else if (t.curIsKw("UNIQUE")) UniqueConstraint
+          else if (t.curIsKw("PRIMARY")) PrimaryKeyConstraint
+          else OtherConstraint
+        // scan remainder of this command for NOT VALID at top level
+        val cmdStart = t.pos
+        var depth = 0
+        var notValid = false
+        while (!t.eof && !(depth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+          val tk = t.next()
+          if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+          else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+          else if (depth == 0 && tk.isKw("NOT") && !t.eof && t.peek.get.isKw("VALID")) {
+            t.next(); notValid = true
+          }
+        }
+        val _ = cmdStart
+        AddConstraint(name, kind, notValid)
+      } else if (t.curIsKw("CHECK") || t.curIsKw("FOREIGN") ||
+          t.curIsKw("UNIQUE") || t.curIsKw("PRIMARY")) {
+        // unnamed table constraint: ADD CHECK (...) / ADD FOREIGN KEY ...
+        val kind =
+          if (t.curIsKw("CHECK")) CheckConstraint
+          else if (t.curIsKw("FOREIGN")) ForeignKeyConstraint
+          else if (t.curIsKw("UNIQUE")) UniqueConstraint
+          else PrimaryKeyConstraint
+        var depth = 0
+        var notValid = false
+        while (!t.eof && !(depth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+          val tk = t.next()
+          if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+          else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+          else if (depth == 0 && tk.isKw("NOT") && !t.eof && t.peek.get.isKw("VALID")) {
+            t.next(); notValid = true
+          }
+        }
+        AddConstraint("", kind, notValid)
+      } else {
+        // ADD [COLUMN] [IF NOT EXISTS] name type [opts]
+        t.skipKw("COLUMN")
+        t.skipIfExists()
+        val col = if (!t.eof) t.next().text else ""
+        // type: words/parens until a recognized column-option keyword or
+        // top-level comma
+        val typeSb = new StringBuilder
+        var depth = 0
+        def atOption: Boolean = !t.eof && depth == 0 && {
+          val tk = t.peek.get
+          tk.isKw("DEFAULT") || tk.isKw("NOT") || tk.isKw("NULL") ||
+          tk.isKw("PRIMARY") || tk.isKw("UNIQUE") || tk.isKw("REFERENCES") ||
+          tk.isKw("CHECK") || tk.isKw("CONSTRAINT") || tk.isKw("GENERATED") ||
+          tk.isKw("COLLATE")
+        }
+        while (!t.eof && !atOption &&
+            !(depth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+          val tk = t.next()
+          if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+          else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+          if (typeSb.nonEmpty) typeSb += ' '
+          typeSb ++= tk.text
+        }
+        // options
+        var default: Option[DefaultExpr] = None
+        var notNull = false
+        var more = true
+        while (more && !t.eof &&
+            !(t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+          if (t.skipKw("DEFAULT")) default = Some(parseDefaultExpr(t))
+          else if (t.curIsKw("NOT") && t.peekKw(1, "NULL")) { t.pos += 2; notNull = true }
+          else if (t.skipKw("NULL")) ()
+          else { t.next() } // skip other option tokens (incl. paren groups one token at a time is fine at top level)
+          more = true
+        }
+        AddColumn(col, typeSb.toString, default, notNull)
+      }
+    } else if (t.skipKw("ALTER")) {
+      t.skipKw("COLUMN")
+      val col = if (!t.eof) t.next().text else ""
+      if (t.curIsKw("TYPE") || (t.curIsKw("SET") && t.peekKw(1, "DATA"))) {
+        if (t.skipKw("SET")) { t.skipKw("DATA") }
+        t.skipKw("TYPE")
+        val typeSb = new StringBuilder
+        var depth = 0
+        while (!t.eof &&
+            !(depth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",") &&
+            !(depth == 0 && t.peek.get.isKw("USING"))) {
+          val tk = t.next()
+          if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+          else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+          if (typeSb.nonEmpty) typeSb += ' '
+          typeSb ++= tk.text
+        }
+        // skip USING clause if present
+        while (!t.eof && !(t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) t.next()
+        AlterColumnType(col, typeSb.toString)
+      } else if (t.curIsKw("SET") && t.peekKw(1, "NOT") && t.peekKw(2, "NULL")) {
+        t.pos += 3
+        SetNotNull(col)
+      } else if (t.curIsKw("DROP") && t.peekKw(1, "NOT") && t.peekKw(2, "NULL")) {
+        t.pos += 3
+        DropNotNull(col)
+      } else OtherAlterCmd(restText())
+    } else OtherAlterCmd(restText())
+  }
+
+  /** DEFAULT expression volatility per the reference's isVolatileDefault:
+    * constant literal (string/number/TRUE/FALSE/NULL) → non-volatile;
+    * constant followed by ::cast or CAST(constant AS type) → non-volatile;
+    * anything else (function call like NOW(), expressions) → volatile.
+    */
+  private def parseDefaultExpr(t: Cursor): DefaultExpr = {
+    val start = t.pos
+    def collect(): String = {
+      var depth = 0
+      val sb = new StringBuilder
+      def stop: Boolean = !(!t.eof &&
+        !(depth == 0 && t.peek.get.kind == Tok.Punct &&
+          (t.peek.get.text == ",")) &&
+        !(depth == 0 && (t.peek.get.isKw("NOT") || t.peek.get.isKw("NULL") ||
+          t.peek.get.isKw("PRIMARY") || t.peek.get.isKw("UNIQUE") ||
+          t.peek.get.isKw("REFERENCES") || t.peek.get.isKw("CHECK") ||
+          t.peek.get.isKw("CONSTRAINT") || t.peek.get.isKw("COLLATE"))))
+      while (!stop) {
+        val tk = t.next()
+        if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+        else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+        if (sb.nonEmpty) sb += ' '
+        sb ++= tk.text
+      }
+      sb.toString
+    }
+    val text = collect()
+    val toks = t.toks.slice(start, t.pos)
+    classifyDefaultToks(toks, text)
+  }
+
+  private[classify] def classifyDefaultToks(toks: Vector[Tok], text: String): DefaultExpr = {
+    def isConstTok(tk: Tok): Boolean =
+      tk.kind == Tok.Str || tk.kind == Tok.Num ||
+        tk.isKw("TRUE") || tk.isKw("FALSE") || tk.isKw("NULL")
+    toks match {
+      case Vector(c) if isConstTok(c) => ConstantDefault
+      case Vector(c, cast, _*) if isConstTok(c) &&
+          cast.kind == Tok.Punct && cast.text == "::" => CastConstantDefault
+      // CAST ( const AS type )
+      case v if v.length >= 5 && v(0).isKw("CAST") &&
+          v(1).text == "(" && isConstTok(v(2)) && v(3).isKw("AS") =>
+        CastConstantDefault
+      // negative numeric literal: - 5
+      case Vector(m, nTok) if m.kind == Tok.Punct && m.text == "-" &&
+          nTok.kind == Tok.Num => ConstantDefault
+      case _ => VolatileDefault(text)
+    }
+  }
+
+  /** Fast prefilter + classification: does this SQL contain a
+    * CONCURRENTLY index operation? (reference:
+    * `internal/executor/concurrent.go:15-40` — cheap `contains` guard
+    * before the expensive parse, same pushdown idea.)
+    */
+  def containsConcurrentOp(sql: String): Boolean = {
+    if (!sql.toUpperCase.contains("CONCURRENTLY")) return false
+    parse(sql).toOption.exists(_.exists {
+      case s: CreateIndexStmt => s.concurrent
+      case s: DropIndexStmt   => s.concurrent
+      case _                  => false
+    })
+  }
+
+  /** Truncate statement text for display (reference `TruncateSQL`,
+    * `internal/analyzer/result.go:30-35`; cap 120 chars,
+    * `analyzer.go:10`).
+    */
+  def truncateSql(sql: String, maxLen: Int = 120): String =
+    if (sql.length <= maxLen) sql else sql.substring(0, maxLen - 3) + "..."
+}

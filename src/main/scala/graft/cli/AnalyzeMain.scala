@@ -1,0 +1,81 @@
+package graft.cli
+
+import graft.analyzer.Analyzer
+import graft.loader.MigrationLoader
+import graft.model.Severity
+import org.apache.spark.sql.SparkSession
+
+/** `analyze` command — the reference CLI's primary entry point
+  * (`internal/cli/analyze.go:14-68`): load a migrations directory, sort
+  * by version, run the rule analyzer, print severity-ranked findings.
+  *
+  * Usage: runMain graft.cli.AnalyzeMain <migrationsDir> [--pg-version N]
+  *        [--fail-on-high] [--format text|json]
+  */
+object AnalyzeMain {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: AnalyzeMain <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json]")
+      sys.exit(2)
+    }
+    val dir = args(0)
+    var pgVersion = 14
+    var failOnHigh = false
+    var format = "text"
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--pg-version" => pgVersion = args(i + 1).toInt; i += 2
+        case "--fail-on-high" => failOnHigh = true; i += 1
+        case "--format" => format = args(i + 1); i += 2
+        case other =>
+          System.err.println(s"unknown flag: $other"); sys.exit(2)
+      }
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-analyze")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val migrations = MigrationLoader.loadSorted(spark, dir)
+      val analyzer = new Analyzer(targetPgVersion = pgVersion)
+      val results = analyzer.analyzeDs(migrations).collect().sortBy(_.version)
+      var anyHigh = false
+      format match {
+        case "json" =>
+          def q(s: String) = "\"" + s.replace("\\", "\\\\")
+            .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+          val rows = results.map { r =>
+            val fs = r.findings.map { f =>
+              s"""{"rule":${q(f.rule)},"severity":${q(Severity.label(f.severity))},"table":${q(f.table)},"message":${q(f.message)},"suggestion":${q(f.suggestion)},"lock_type":${q(f.lockType)},"stmt_index":${f.stmtIndex}}"""
+            }.mkString("[", ",", "]")
+            s"""{"version":${q(r.version)},"name":${q(r.name)},"max_severity":${q(Severity.label(r.maxSeverity))},"findings":$fs}"""
+          }.mkString("[", ",", "]")
+          println(rows)
+        case _ =>
+          println(s"Analyzed ${results.length} migration(s) (target PostgreSQL $pgVersion)\n")
+          results.foreach { r =>
+            val marker = r.maxSeverity match {
+              case s if s >= Severity.High => "!!"
+              case Severity.Medium => " !"
+              case _ => "ok"
+            }
+            println(s"[$marker] ${r.version} ${r.name} — ${Severity.label(r.maxSeverity)}")
+            r.findings.foreach { f =>
+              println(s"     ${Severity.label(f.severity)} [${f.rule}] table=${f.table} lock=${f.lockType}")
+              println(s"       ${f.message}")
+              println(s"       -> ${f.suggestion}")
+            }
+          }
+          val nFindings = results.map(_.findings.length).sum
+          println(s"\n${results.count(_.maxSeverity >= Severity.High)} dangerous migration(s), $nFindings finding(s) total")
+      }
+      anyHigh = results.exists(_.hasHighOrCritical)
+      if (failOnHigh && anyHigh) sys.exit(1)
+    } finally spark.stop()
+  }
+}

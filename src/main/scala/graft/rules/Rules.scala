@@ -1,0 +1,229 @@
+package graft.rules
+
+import graft.classify.SqlClassifier._
+import graft.model.{Finding, Severity}
+
+/** Danger-detection rule registry.
+  *
+  * Reimplements the reference's nine analysis rules
+  * (`internal/analyzer/rules/registry.go:6-19`) over the classified-
+  * statement ADT. Each rule is a pure function
+  * `(Stmt, RuleContext) => Seq[Finding]` — they analyze *foreign* SQL
+  * text, not Spark plans, so no Catalyst involvement is needed
+  * (SURVEY.md §2.2); the analyzer runs them inside a Dataset flatMap.
+  */
+final case class RuleContext(targetPgVersion: Int, stmtIndex: Int)
+
+trait Rule extends Serializable {
+  def id: String
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding]
+  protected def finding(severity: Int, table: String, stmt: Stmt,
+      ctx: RuleContext, message: String, suggestion: String,
+      lockType: String): Finding =
+    Finding(id, severity, table, truncateSql(stmt.sql), ctx.stmtIndex,
+      message, suggestion, lockType)
+}
+
+/** R1 — CREATE INDEX without CONCURRENTLY takes a SHARE lock blocking
+  * writes for the whole build (reference:
+  * `internal/analyzer/rules/create_index.go:16-39`).
+  */
+object CreateIndexNotConcurrent extends Rule {
+  val id = "create-index-not-concurrent"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: CreateIndexStmt if !s.concurrent =>
+      Seq(finding(Severity.High, s.table.render, s, ctx,
+        "CREATE INDEX without CONCURRENTLY blocks writes to the table for the duration of the build",
+        "Use CREATE INDEX CONCURRENTLY (outside a transaction)",
+        "SHARE"))
+    case _ => Nil
+  }
+}
+
+/** R2 — ALTER TABLE ... ADD COLUMN with DEFAULT: full table rewrite on
+  * PG<11 for any default; on any version a volatile default (NOW(),
+  * random()) still rewrites (reference:
+  * `internal/analyzer/rules/alter_add_column.go:18-92`; version gate at
+  * :74-76, threshold const :9).
+  */
+object AddColumnVolatileDefault extends Rule {
+  val id = "add-column-volatile-default"
+  val pgVersionSafeNonVolatileDefault = 11
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case AddColumn(col, _, Some(d), _)
+            if d.volatile || ctx.targetPgVersion < pgVersionSafeNonVolatileDefault =>
+          val why =
+            if (d.volatile)
+              s"ADD COLUMN $col with a volatile DEFAULT forces a full table rewrite"
+            else
+              s"ADD COLUMN $col with DEFAULT forces a full table rewrite on PostgreSQL < $pgVersionSafeNonVolatileDefault"
+          finding(Severity.High, s.table.render, s, ctx, why,
+            "Add the column without DEFAULT, then backfill in batches and set the default afterwards",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R3 — ADD CONSTRAINT CHECK/FOREIGN KEY without NOT VALID validates the
+  * whole table under ACCESS EXCLUSIVE (reference:
+  * `internal/analyzer/rules/alter_add_constraint.go:16-75`; other
+  * constraint kinds ignored at :54-57).
+  */
+object AddConstraintWithoutNotValid extends Rule {
+  val id = "add-constraint-without-not-valid"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case AddConstraint(name, kind, false)
+            if kind == CheckConstraint || kind == ForeignKeyConstraint =>
+          val kindStr = if (kind == CheckConstraint) "CHECK" else "FOREIGN KEY"
+          finding(Severity.High, s.table.render, s, ctx,
+            s"ADD $kindStr constraint ${if (name.nonEmpty) name + " " else ""}without NOT VALID scans and validates the entire table while holding a lock",
+            "Add the constraint with NOT VALID, then VALIDATE CONSTRAINT in a separate transaction",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R4 — ALTER COLUMN ... TYPE rewrites the table and all its indexes
+  * (reference: `internal/analyzer/rules/alter_column_type.go:16-54`).
+  */
+object AlterColumnTypeRule extends Rule {
+  val id = "alter-column-type"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case AlterColumnType(col, newType) =>
+          finding(Severity.High, s.table.render, s, ctx,
+            s"ALTER COLUMN $col TYPE $newType rewrites the table and its indexes under ACCESS EXCLUSIVE lock",
+            "Stage it: add a new column, backfill in batches, swap with a rename, drop the old column",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R5 — SET NOT NULL: full table scan; HIGH on PG<12, MEDIUM on PG>=12
+  * where an existing CHECK constraint lets PG skip the scan (reference:
+  * `internal/analyzer/rules/alter_set_not_null.go:18-64`; version const
+  * :9, downgrade :47-50).
+  */
+object SetNotNullRule extends Rule {
+  val id = "set-not-null"
+  val pgVersionSafeSetNotNull = 12
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case SetNotNull(col) =>
+          val sev =
+            if (ctx.targetPgVersion >= pgVersionSafeSetNotNull) Severity.Medium
+            else Severity.High
+          finding(sev, s.table.render, s, ctx,
+            s"SET NOT NULL on $col requires a full table scan under ACCESS EXCLUSIVE lock",
+            "Add a CHECK (col IS NOT NULL) NOT VALID constraint, VALIDATE it, then SET NOT NULL (instant on PG >= 12)",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R6 — DROP TABLE / TRUNCATE destroy data irreversibly: CRITICAL, one
+  * finding per table (reference:
+  * `internal/analyzer/rules/drop_table.go:18-105`; multi-table name
+  * extraction :60-69,82-105).
+  */
+object DropTableRule extends Rule {
+  val id = "drop-table"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: DropTableStmt =>
+      s.tables.map { t =>
+        finding(Severity.Critical, t.render, s, ctx,
+          s"DROP TABLE ${t.render} permanently deletes the table and all its data",
+          "Ensure a verified backup exists; consider renaming the table first and dropping it later",
+          "ACCESS EXCLUSIVE")
+      }
+    case s: TruncateStmt =>
+      s.tables.map { t =>
+        finding(Severity.Critical, t.render, s, ctx,
+          s"TRUNCATE ${t.render} permanently deletes all rows",
+          "Ensure a verified backup exists; consider a soft-delete or batched DELETE instead",
+          "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R7 — VACUUM FULL rewrites the whole table under ACCESS EXCLUSIVE
+  * (reference: `internal/analyzer/rules/vacuum_full.go:16-71`; `full`
+  * option detection :43-56; `<all tables>` :58-71).
+  */
+object VacuumFullRule extends Rule {
+  val id = "vacuum-full"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: VacuumStmt if s.full =>
+      val tbl = s.table.map(_.render).getOrElse("<all tables>")
+      Seq(finding(Severity.High, tbl, s, ctx,
+        s"VACUUM FULL on $tbl rewrites the entire table under ACCESS EXCLUSIVE lock",
+        "Use plain VACUUM (or pg_repack for space reclamation without the exclusive lock)",
+        "ACCESS EXCLUSIVE"))
+    case _ => Nil
+  }
+}
+
+/** R8 — explicit LOCK TABLE blocks concurrent access; one finding per
+  * relation (reference: `internal/analyzer/rules/lock_table.go:16-50`).
+  */
+object LockTableRule extends Rule {
+  val id = "lock-table"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: LockStmt =>
+      s.tables.map { t =>
+        finding(Severity.High, t.render, s, ctx,
+          s"Explicit LOCK TABLE on ${t.render} blocks concurrent access until the transaction ends",
+          "Avoid explicit table locks in migrations; rely on DDL's implicit locking with lock_timeout set",
+          "EXPLICIT")
+      }
+    case _ => Nil
+  }
+}
+
+/** R9 — RENAME TABLE / RENAME COLUMN break running application code:
+  * MEDIUM; RENAME INDEX/constraint are safe (reference:
+  * `internal/analyzer/rules/rename.go:16-55`; safe fallthrough :54).
+  */
+object RenameRule extends Rule {
+  val id = "rename"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: RenameStmt if s.kind == RenameTable =>
+      Seq(finding(Severity.Medium, s.table.render, s, ctx,
+        s"RENAME TABLE ${s.from} TO ${s.to} breaks queries from running application versions",
+        "Stage it: create a view with the old name during the transition, or deploy code reading both names first",
+        "ACCESS EXCLUSIVE"))
+    case s: RenameStmt if s.kind == RenameColumn =>
+      Seq(finding(Severity.Medium, s.table.render, s, ctx,
+        s"RENAME COLUMN ${s.from} TO ${s.to} on ${s.table.render} breaks queries from running application versions",
+        "Stage it: add the new column, dual-write, backfill, then drop the old column after cutover",
+        "ACCESS EXCLUSIVE"))
+    case _ => Nil
+  }
+}
+
+/** Default registry — all nine rules, unique IDs (reference:
+  * `internal/analyzer/rules/registry.go:6-19`).
+  */
+object Registry {
+  val defaultRules: Seq[Rule] = Seq(
+    CreateIndexNotConcurrent,
+    AddColumnVolatileDefault,
+    AddConstraintWithoutNotValid,
+    AlterColumnTypeRule,
+    SetNotNullRule,
+    DropTableRule,
+    VacuumFullRule,
+    LockTableRule,
+    RenameRule)
+}

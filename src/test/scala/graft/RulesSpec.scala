@@ -1,0 +1,145 @@
+package graft
+
+import graft.analyzer.Analyzer
+import graft.model.{Migration, Severity}
+import graft.rules._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-rule tests — the case matrix from the reference's rule tests
+  * (`internal/analyzer/rules/` per-rule test files) plus the 12-fixture acceptance
+  * set (FIXTURES.md §1).
+  */
+class RulesSpec extends AnyFunSuite {
+
+  def analyze(sql: String, pg: Int = 14) =
+    new Analyzer(targetPgVersion = pg)
+      .analyze(Migration("001", "t", sql, "", "f.sql"))
+
+  // --- fixture acceptance set -------------------------------------------
+
+  val fixtureExpectations: Seq[(String, String, Int, Seq[String])] = Seq(
+    ("V001", "CREATE TABLE users (id BIGSERIAL PRIMARY KEY, email TEXT NOT NULL, created_at TIMESTAMPTZ DEFAULT NOW());",
+      Severity.Safe, Nil),
+    ("V002", "CREATE INDEX idx_users_email ON users (email);",
+      Severity.High, Seq("create-index-not-concurrent")),
+    ("V003", "ALTER TABLE users ADD COLUMN status TEXT DEFAULT 'active';",
+      Severity.Safe, Nil), // PG>=11 constant default
+    ("V004", "ALTER TABLE users ADD CONSTRAINT chk_email CHECK (email ~* '^.+@.+$');",
+      Severity.High, Seq("add-constraint-without-not-valid")),
+    ("V005", "ALTER TABLE users ALTER COLUMN email TYPE VARCHAR(255);",
+      Severity.High, Seq("alter-column-type")),
+    ("V006", "ALTER TABLE users ALTER COLUMN status SET NOT NULL;",
+      Severity.Medium, Seq("set-not-null")), // PG>=12
+    ("V007", "DROP TABLE users;", Severity.Critical, Seq("drop-table")),
+    ("V008", "VACUUM FULL users;", Severity.High, Seq("vacuum-full")),
+    ("V009", "LOCK TABLE users IN ACCESS EXCLUSIVE MODE;",
+      Severity.High, Seq("lock-table")),
+    ("V010", "ALTER TABLE users RENAME COLUMN email TO email_address;",
+      Severity.Medium, Seq("rename")),
+    ("V011", "CREATE INDEX CONCURRENTLY idx_users_status ON users (status);",
+      Severity.Safe, Nil),
+    ("V012", "ALTER TABLE users ADD COLUMN bio TEXT;", Severity.Safe, Nil))
+
+  for ((v, sql, expSev, expRules) <- fixtureExpectations)
+    test(s"fixture $v → ${Severity.label(expSev)}") {
+      val r = analyze(sql)
+      assert(r.maxSeverity == expSev,
+        s"severity mismatch for $sql: got ${r.findings}")
+      assert(r.findings.map(_.rule).distinct.sorted == expRules.sorted)
+    }
+
+  // --- version-dependent behavior ---------------------------------------
+
+  test("R2: constant DEFAULT flagged HIGH on PG<11, safe on PG>=11") {
+    val sql = "ALTER TABLE users ADD COLUMN status TEXT DEFAULT 'active';"
+    assert(analyze(sql, pg = 10).maxSeverity == Severity.High)
+    assert(analyze(sql, pg = 11).maxSeverity == Severity.Safe)
+  }
+
+  test("R2: volatile DEFAULT (NOW()) flagged HIGH on any version") {
+    val sql = "ALTER TABLE users ADD COLUMN ts TIMESTAMPTZ DEFAULT NOW();"
+    assert(analyze(sql, pg = 16).maxSeverity == Severity.High)
+    assert(analyze(sql, pg = 10).maxSeverity == Severity.High)
+  }
+
+  test("R2: cast-of-constant DEFAULT is non-volatile") {
+    val sql = "ALTER TABLE users ADD COLUMN s TEXT DEFAULT 'x'::text;"
+    assert(analyze(sql, pg = 14).maxSeverity == Severity.Safe)
+    assert(analyze(sql, pg = 10).maxSeverity == Severity.High)
+  }
+
+  test("R5: SET NOT NULL is HIGH on PG<12, MEDIUM on PG>=12") {
+    val sql = "ALTER TABLE users ALTER COLUMN c SET NOT NULL;"
+    assert(analyze(sql, pg = 11).maxSeverity == Severity.High)
+    assert(analyze(sql, pg = 12).maxSeverity == Severity.Medium)
+  }
+
+  // --- rule specifics ----------------------------------------------------
+
+  test("R1: unique and partial indexes still flagged; concurrent safe") {
+    assert(analyze("CREATE UNIQUE INDEX u ON t (a);").maxSeverity == Severity.High)
+    assert(analyze("CREATE INDEX p ON t (a) WHERE a > 0;").maxSeverity == Severity.High)
+    assert(analyze("CREATE UNIQUE INDEX CONCURRENTLY u ON t (a);").maxSeverity == Severity.Safe)
+  }
+
+  test("R1: schema-qualified table reported") {
+    val r = analyze("CREATE INDEX i ON myschema.users (a);")
+    assert(r.findings.head.table == "myschema.users")
+  }
+
+  test("R3: UNIQUE/PRIMARY KEY constraints are ignored") {
+    assert(analyze("ALTER TABLE t ADD CONSTRAINT u UNIQUE (a);").maxSeverity == Severity.Safe)
+    assert(analyze("ALTER TABLE t ADD CONSTRAINT p PRIMARY KEY (a);").maxSeverity == Severity.Safe)
+  }
+
+  test("R3: NOT VALID suppresses the finding") {
+    assert(analyze("ALTER TABLE t ADD CONSTRAINT c CHECK (a > 0) NOT VALID;").maxSeverity == Severity.Safe)
+    assert(analyze("ALTER TABLE t ADD CONSTRAINT f FOREIGN KEY (b) REFERENCES o(id) NOT VALID;").maxSeverity == Severity.Safe)
+  }
+
+  test("R6: one CRITICAL finding per dropped/truncated table") {
+    val r1 = analyze("DROP TABLE a, b;")
+    assert(r1.findings.length == 2 &&
+      r1.findings.forall(_.severity == Severity.Critical))
+    val r2 = analyze("TRUNCATE x, y;")
+    assert(r2.findings.map(_.table) == Seq("x", "y"))
+    assert(analyze("DROP TABLE IF EXISTS a;").maxSeverity == Severity.Critical)
+  }
+
+  test("R7: VACUUM without FULL is safe; paren form detected") {
+    assert(analyze("VACUUM users;").maxSeverity == Severity.Safe)
+    assert(analyze("VACUUM ANALYZE users;").maxSeverity == Severity.Safe)
+    assert(analyze("VACUUM (FULL) users;").maxSeverity == Severity.High)
+    assert(analyze("VACUUM FULL;").findings.head.table == "<all tables>")
+  }
+
+  test("R8: one finding per locked relation, lock type EXPLICIT") {
+    val r = analyze("LOCK TABLE a, b IN SHARE MODE;")
+    assert(r.findings.length == 2 && r.findings.forall(_.lockType == "EXPLICIT"))
+  }
+
+  test("R9: RENAME INDEX / CONSTRAINT are safe") {
+    assert(analyze("ALTER TABLE t RENAME CONSTRAINT a TO b;").maxSeverity == Severity.Safe)
+    assert(analyze("ALTER INDEX i RENAME TO j;").maxSeverity == Severity.Safe)
+    assert(analyze("ALTER TABLE t RENAME TO t2;").maxSeverity == Severity.Medium)
+  }
+
+  test("multi-statement migration: findings across statements with indexes") {
+    val r = analyze(
+      "CREATE INDEX i ON t (a); DROP TABLE old_t; SELECT 1;")
+    assert(r.maxSeverity == Severity.Critical)
+    assert(r.findings.map(f => (f.rule, f.stmtIndex)).toSet ==
+      Set(("create-index-not-concurrent", 0), ("drop-table", 1)))
+  }
+
+  test("registry: nine rules, unique ids") {
+    assert(Registry.defaultRules.length == 9)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 9)
+  }
+
+  test("hasHighOrCritical gate") {
+    assert(analyze("DROP TABLE t;").hasHighOrCritical)
+    assert(!analyze("ALTER TABLE t RENAME TO u;").hasHighOrCritical)
+    assert(!analyze("SELECT 1;").hasHighOrCritical)
+  }
+}
