@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared query: the Spark implementation plus (when the operator
+  * is SQL-expressible) the equivalent ANSI SQL the driver runs in DuckDB
+  * on the same parquet tables. Queries without oracle SQL get the
+  * driver's weaker rows-only check.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** headline queries run in Bench */
+    bench: Boolean = false)
+
+object Catalog {
+
+  /** Read one test table (parquet scan; filters/pruning push down).
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default — read it as nano longs and floor-convert to microsecond
+    * timestamps. The DuckDB oracles cast ts the same way
+    * (`cast(ts as timestamp)` truncates ns → µs), keeping both engines
+    * bit-identical.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema.find(_.name == "ts") match {
+        case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+          // integer `div`, not `/`: double division loses sub-µs precision
+          // at nanosecond-epoch magnitudes (> 2^53)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // --- determinism helpers ------------------------------------------------
+  // Double addition is not associative, and Spark's partition-parallel
+  // aggregation order differs from DuckDB's — so raw double sums/avgs are
+  // not reproducible bit-for-bit. Casting each addend to an exact decimal
+  // first makes the aggregate exact and order-independent in BOTH engines;
+  // the final cast back to double is then deterministic. Per-row double
+  // arithmetic (price * (1-discount)) IS deterministic (same IEEE ops on
+  // the same values) and needs no special handling.
+
+  /** Order-independent sum of a money-like column: decimal(18,2). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Same for per-row double products. Scale 6 exactly: a product of
+    * three 2-decimal factors has at most 6 true decimal digits, so the
+    * double→decimal(·,6) cast never hits a rounding-mode tie (scale 4
+    * CAN — x.xxxx5 exactly — and Spark HALF_UP vs DuckDB then disagree
+    * by 1e-4). And the sum's unscaled integer stays below 2^53 at the
+    * tested scale factors, so BOTH engines' final decimal→double cast
+    * is a single exact-int division — correctly rounded, bit-identical
+    * (at scale 10 the int exceeds 2^53 and DuckDB's two-step conversion
+    * drifts 1 ULP from Spark's correctly-rounded BigDecimal cast).
+    */
+  def dsum4(c: Column): Column = sum(c.cast(DecimalType(24, 6))).cast("double")
+
+  /** Order-independent average: exact decimal sum, then double division. */
+  def davg(c: Column): Column = (dsum(c) / count(c)).cast("double")
+
+  /** SQL twins (DuckDB syntax is ANSI here). */
+  def sqlDsum(e: String): String =
+    s"cast(sum(cast($e as decimal(18,2))) as double)"
+  def sqlDsum4(e: String): String =
+    s"cast(sum(cast($e as decimal(24,6))) as double)"
+  def sqlDavg(e: String): String =
+    "cast(" + sqlDsum(e) + " / count(" + e + ") as double)"
+
+  /** The full declared inventory (SURVEY.md §2.3 + training-data ops). */
+  def all: Seq[(String, Q)] =
+    Relational.queries ++ TextOps.queries ++ EventOps.queries ++
+      MigrationOps.queries
+}

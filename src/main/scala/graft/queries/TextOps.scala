@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Catalog._
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding cosine), similarity search (brute-force + LSH-bucketed
+  * ANN), and text analysis (token stats, quality scoring, language ID,
+  * fingerprinting).
+  *
+  * Scale posture: everything row-local runs as codegen'd higher-order
+  * functions (transform/aggregate/filter) — no UDFs, no driver loops.
+  * Pairwise stages never do data × data cross joins at scale: MinHash/
+  * SimHash/LSH band-bucket joins produce candidates first; the exact
+  * all-pairs variants exist for oracle verification on the bounded
+  * document corpus (500 docs — the corpus does not grow with sf).
+  */
+object TextOps {
+
+  /** Whitespace-token array (both-engine-reproducible normalization). */
+  private def words(c: Column): Column =
+    split(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+")
+
+  /** Distinct 3-word shingles — the dedup feature set. Word *sets* are
+    * useless on a small vocabulary (every doc shares most words);
+    * position-bearing shingles discriminate real near-duplicates.
+    */
+  def shingles3(wordsCol: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(wordsCol) - 3), i =>
+      concat_ws(" ", element_at(wordsCol, i + 1), element_at(wordsCol, i + 2),
+        element_at(wordsCol, i + 3))))
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * (zip_with product + aggregate sum — all codegen'd, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) =>
+        p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** 64-permutation MinHash signature of a word array: for permutation
+    * i, min over words of xxhash64(i, word). Row-local, codegen'd.
+    */
+  def minhashSig(wordsCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(wordsCol, w => xxhash64(i, w))))
+
+  /** Column-bits variants of shiftleft/shiftright (the Scala API only
+    * accepts literal Int bit counts; the SQL functions accept columns).
+    */
+  private def shl(x: Column, bits: Column): Column =
+    call_function("shiftleft", x, bits)
+  private def shr(x: Column, bits: Column): Column =
+    call_function("shiftright", x, bits)
+
+  /** 64-bit SimHash of a word array: bit b is set iff the sum over
+    * words of sign(bit b of xxhash64(word)) is positive.
+    */
+  def simhash64(wordsCol: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(wordsCol, lit(0),
+          (s2, w) => s2 + when(shr(xxhash64(w), b)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        acc.bitwiseOR(when(bitSum > 0, shl(lit(1L), b)).otherwise(0L))
+      })
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------------------------
+    // Text analysis: token counts + distinct words.
+    // ------------------------------------------------------------------
+    "x01_token_stats" -> Q(
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          size(words(col("text"))).cast("bigint").as("n_tokens"),
+          size(array_distinct(words(col("text")))).cast("bigint")
+            .as("n_distinct"),
+          length(col("text")).cast("bigint").as("n_chars_obs"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        cast(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) as bigint) AS n_tokens,
+        cast(len(list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) as bigint) AS n_distinct,
+        cast(length(text) as bigint) AS n_chars_obs
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Text analysis: quality scoring (length / punctuation / stopword
+    // ratios — per-row double arithmetic, bit-reproducible).
+    // ------------------------------------------------------------------
+    "x02_quality_score" -> Q(
+      (s, d) => {
+        val w = words(col("text"))
+        val nTok = size(w).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+        val stops = size(filter(w, x =>
+          x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+        val avgWordLen =
+          length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+        docs(s, d).select(
+          col("doc_id"),
+          round(punct / nChars, 6).as("punct_ratio"),
+          round(stops / nTok, 6).as("stopword_ratio"),
+          round(avgWordLen, 6).as("avg_word_len"),
+          round(
+            (stops / nTok) * 0.4 +
+              (lit(1.0) - punct / nChars) * 0.3 +
+              when(avgWordLen >= 3 && avgWordLen <= 8, 0.3).otherwise(0.0),
+            6).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            cast(len(w) as double) AS n_tok,
+            cast(length(text) as double) AS n_chars,
+            cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) as double) AS punct,
+            cast(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) as double) AS stops,
+            cast(length(regexp_replace(text, '\s+', '', 'g')) as double) / cast(len(w) as double) AS awl
+          FROM d)
+        SELECT doc_id,
+          round(punct / n_chars, 6) AS punct_ratio,
+          round(stops / n_tok, 6) AS stopword_ratio,
+          round(awl, 6) AS avg_word_len,
+          round((stops / n_tok) * 0.4 + (1.0 - punct / n_chars) * 0.3 +
+                CASE WHEN awl >= 3 AND awl <= 8 THEN 0.3 ELSE 0.0 END, 6) AS quality
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Document fingerprint: md5 of case/whitespace-normalized text —
+    // the canonical-form dedup key.
+    // ------------------------------------------------------------------
+    "x03_fingerprint" -> Q(
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " "))
+            .as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Language ID: n-gram/charset heuristic scorer (pure Scala inside
+    // codegen'd SQL via when-chains is impractical — this is the one
+    // place a typed map is the right tool). Rows-only check.
+    // ------------------------------------------------------------------
+    "x04_lang_id" -> Q(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        docs(s, d).select(col("doc_id"), col("text"), col("lang"))
+          .as[(Long, String, String)]
+          .map { case (id, text, lang) =>
+            (id, graft.text.LangId.detect(text), lang)
+          }
+          .toDF("doc_id", "lang_pred", "lang_label")
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Exact dedup: group by normalized-content fingerprint, keep the
+    // lowest doc_id as representative (hash-groupBy; one shuffle on the
+    // fingerprint — the 100 TB-safe exact-dedup shape).
+    // ------------------------------------------------------------------
+    "d01_exact_dedup" -> Q(
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("rep_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy(col("fp")),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        min(doc_id) AS rep_doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY fp""")),
+
+    // ------------------------------------------------------------------
+    // N-gram (word-set) Jaccard near-dup pairs, exact all-pairs variant
+    // for oracle verification (the corpus is bounded; the scale path is
+    // d03's MinHash+LSH banding).
+    // ------------------------------------------------------------------
+    "d02_jaccard_pairs" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), shingles3(words(col("text"))).as("w"))
+        val a = base.select(col("doc_id").as("doc_a"), col("w").as("wa"))
+        val b = base.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              size(array_union(col("wa"), col("wb"))).cast("double"))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+            .as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(cast(len(list_intersect(a.w, b.w)) as double) /
+                cast(len(list_distinct(list_concat(a.w, b.w))) as double), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.w, b.w)) as double) /
+              cast(len(list_distinct(list_concat(a.w, b.w))) as double) >= 0.4
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH banded near-dup: 64-perm signatures, 16 bands × 4
+    // rows, band-bucket join produces candidates, exact Jaccard
+    // verifies. This is the linear-shuffle scale path (no all-pairs).
+    // Rows-only check (hash permutations aren't SQL-portable).
+    // ------------------------------------------------------------------
+    "d03_minhash_lsh" -> Q(
+      (s, d) => {
+        val bands = 16
+        val rowsPerBand = 4
+        val base = docs(s, d)
+          .select(col("doc_id"), shingles3(words(col("text"))).as("w"))
+          .withColumn("sig", minhashSig(col("w")))
+        val banded = base.select(col("doc_id"), col("w"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
+            xxhash64(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand))
+              .cast("string"), bi))))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "band_hash")
+        val l = banded.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_a"), col("w").as("wa"))
+        val r = banded.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_b"), col("w").as("wb"))
+        l.join(r, Seq("band", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("wa"), col("wb")).distinct()
+          .withColumn("jaccard",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              size(array_union(col("wa"), col("wb"))).cast("double"))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+            .as("jaccard"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None,
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup: 64-bit signatures, candidates via 4×16-bit
+    // band equality (a doc pair within Hamming distance 3 shares at
+    // least one exact 16-bit quarter), verified by bit_count(xor).
+    // Rows-only check.
+    // ------------------------------------------------------------------
+    "d04_simhash" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), simhash64(words(col("text"))).as("sh"))
+        val banded = base.select(col("doc_id"), col("sh"),
+          posexplode(transform(sequence(lit(0), lit(3)), q =>
+            shr(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL)))))
+          .withColumnRenamed("pos", "quarter")
+          .withColumnRenamed("col", "qhash")
+        val l = banded.select(col("quarter"), col("qhash"),
+          col("doc_id").as("doc_a"), col("sh").as("sha"))
+        val r = banded.select(col("quarter"), col("qhash"),
+          col("doc_id").as("doc_b"), col("sh").as("shb"))
+        l.join(r, Seq("quarter", "qhash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Embedding cosine near-dup pairs (exact; double-precision dot).
+    // ------------------------------------------------------------------
+    "d05_embedding_neardup" -> Q(
+      (s, d) => {
+        val base = emb(s, d)
+        val a = base.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"))
+        val b = base.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("cos", cosine(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round(list_dot_product(a.v, b.v) / a.nrm / b.nrm, 4) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
+        ORDER BY vec_a, vec_b""")),
+
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-k: 10 nearest neighbors of vec_id 0.
+    // ------------------------------------------------------------------
+    "s01_cosine_topk" -> Q(
+      (s, d) => {
+        val base = emb(s, d)
+        val query = base.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(query))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+        SELECT n.vec_id,
+          round(list_dot_product(n.v, q.qv) / n.nrm / q.qnrm, 4) AS cos
+        FROM n, q
+        WHERE n.vec_id <> 0
+        ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC, n.vec_id
+        LIMIT 10"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed ANN (the 100 TB scale path): 16 deterministic random
+    // hyperplanes → 16-bit bucket; search the query's bucket only.
+    // Hyperplane components derive from xxhash64(plane, dim) — seeded,
+    // reproducible. Rows-only check (vs s01 recall in tests).
+    // ------------------------------------------------------------------
+    "s02_ann_lsh" -> Q(
+      (s, d) => {
+        val planes = 6
+        def bucket(v: Column): Column =
+          aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+            val proj = aggregate(
+              zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+                x.cast("double") *
+                  (pmod(xxhash64(p, i), lit(1000L)).cast("double") / 500.0
+                    - 1.0)),
+              lit(0.0), (a2, x) => a2 + x)
+            acc.bitwiseOR(when(proj > 0, shl(lit(1L), p)).otherwise(0L))
+          })
+        val base = emb(s, d).withColumn("bkt", bucket(col("embedding")))
+        val query = base.filter(col("vec_id") === 0)
+          .select(col("bkt").as("qbkt"), col("embedding").as("qe"))
+        base.join(broadcast(query), col("bkt") === col("qbkt"))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Grouped text rollup: per (lang, source) corpus stats — the
+    // "dataset card" aggregation.
+    // ------------------------------------------------------------------
+    "x05_corpus_stats" -> Q(
+      (s, d) =>
+        docs(s, d)
+          .select(col("lang"), col("source"), col("n_chars"),
+            size(words(col("text"))).cast("bigint").as("n_tokens"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+        sum(n_chars) AS total_chars,
+        sum(cast(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) as bigint)) AS total_tokens,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source""")))
+}
