@@ -1,0 +1,134 @@
+package graft.cli
+
+import graft.exec._
+import graft.loader.MigrationLoader
+import graft.model._
+import graft.tracker.ParquetTracker
+import org.apache.spark.sql.SparkSession
+
+/** `apply` / `rollback` commands (reference:
+  * `internal/cli/apply.go:30-176`, `internal/cli/rollback.go:17-120`).
+  *
+  * Usage:
+  *   runMain graft.cli.ApplyMain <migrationsDir> <trackerDir>
+  *     [--dry-run] [--force] [--pg-version N] [--jdbc-url URL]
+  *   runMain graft.cli.RollbackMain <migrationsDir> <trackerDir>
+  *     (--steps N | --target V) [--jdbc-url URL]
+  *
+  * Without --jdbc-url, SQL executes against Spark-managed tables
+  * (SparkSqlRunner); with it, passthrough over JDBC with the
+  * reference's transaction/timeout envelope.
+  */
+object ApplyMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { usage(); sys.exit(2) }
+    val (dir, trackerDir) = (args(0), args(1))
+    var dryRun = false; var force = false; var jdbcUrl = ""
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "--dry-run" => dryRun = true; i += 1
+        case "--force" => force = true; i += 1
+        case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
+        case "--pg-version" => i += 2 // analyzer default 14
+        case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
+      }
+    }
+    val spark = CliSpark.session("graft-apply")
+    try {
+      val migrations = MigrationLoader.loadLocal(dir)
+      val cfg = EngineConfig()
+      val runner: SqlRunner =
+        if (jdbcUrl.nonEmpty)
+          new JdbcRunner(jdbcUrl, cfg.lockTimeoutMs, cfg.statementTimeoutMs)
+        else new SparkSqlRunner(spark)
+      val ex = new Executor(
+        new ParquetTracker(spark, trackerDir), runner,
+        new FileLock(s"$trackerDir/_LOCK"),
+        dryRun = dryRun, force = force, onProgress = printProgress)
+      val r = ex.apply(migrations)
+      println(s"applied ${r.applied.length}, skipped ${r.skipped.length}")
+    } catch {
+      case e: EngineError =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+    } finally spark.stop()
+  }
+
+  def usage(): Unit = System.err.println(
+    "usage: ApplyMain <migrationsDir> <trackerDir> [--dry-run] [--force] [--jdbc-url URL]")
+
+  def printProgress(p: Progress): Unit = p match {
+    case Starting(m) => println(s"  applying ${m.version} ${m.name} ...")
+    case Completed(m, ms) => println(s"  applied ${m.version} (${ms}ms)")
+    case Skipped(m) => println(s"  skipped ${m.version} (already applied or dry-run)")
+    case Failed(m, e) => println(s"  FAILED ${m.version}: ${e.getMessage}")
+    case RollingBack(m) => println(s"  rolling back ${m.version} ...")
+    case RolledBack(m, ms) => println(s"  rolled back ${m.version} (${ms}ms)")
+  }
+}
+
+object RollbackMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) { usage(); sys.exit(2) }
+    val (dir, trackerDir) = (args(0), args(1))
+    var steps = -1; var target = ""; var jdbcUrl = ""
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "--steps" => steps = args(i + 1).toInt; i += 2
+        case "--target" => target = args(i + 1); i += 2
+        case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
+        case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
+      }
+    }
+    // --steps and --target are mutually exclusive (rollback.go:28)
+    if ((steps >= 0) == target.nonEmpty) { usage(); sys.exit(2) }
+    val spark = CliSpark.session("graft-rollback")
+    try {
+      val migrations = MigrationLoader.loadLocal(dir)
+      val cfg = EngineConfig()
+      val runner: SqlRunner =
+        if (jdbcUrl.nonEmpty)
+          new JdbcRunner(jdbcUrl, cfg.lockTimeoutMs, cfg.statementTimeoutMs)
+        else new SparkSqlRunner(spark)
+      val ex = new Executor(
+        new ParquetTracker(spark, trackerDir), runner,
+        new FileLock(s"$trackerDir/_LOCK"),
+        onProgress = ApplyMain.printProgress)
+      val r =
+        if (steps >= 0) ex.rollback(migrations, steps)
+        else ex.rollbackToVersion(migrations, target)
+      println(s"rolled back ${r.rolledBack.length}")
+    } catch {
+      case e: EngineError =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+    } finally spark.stop()
+  }
+
+  def usage(): Unit = System.err.println(
+    "usage: RollbackMain <migrationsDir> <trackerDir> (--steps N | --target V) [--jdbc-url URL]")
+}
+
+object CliSpark {
+  /** CLI session with a Hive (embedded Derby) metastore so Spark-managed
+    * tables created by one `apply` invocation are visible to later
+    * invocations — migrations are meaningless if the catalog forgets the
+    * tables between processes. Set GRAFT_WAREHOUSE to relocate the
+    * warehouse + metastore (defaults to ./graft-warehouse).
+    */
+  def session(app: String): SparkSession = {
+    val wh = sys.env.getOrElse("GRAFT_WAREHOUSE", "graft-warehouse")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$wh/tables")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+      .enableHiveSupport()
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
