@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query profiler: runMain graft.QProf <name> [sfDir] —
+  * times one catalog query and prints its formatted physical plan.
+  */
+object QProf {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (sys.env.contains("QPROF_EXPLAIN")) df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"QPROF $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val t1 = System.nanoTime()
+    df.count()
+    println(f"QPROF $name second run=${(System.nanoTime() - t1) / 1e9}%.3f s")
+    spark.stop()
+  }
+}

@@ -1,0 +1,186 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` columns with typed metadata structs —
+  * the lakehouse-standard layout (same shape as Spark's `binaryFile`
+  * source: path, length, content). Decode / feature-extraction /
+  * resize / frame-sampling run as *batched partition-local* transforms
+  * (`mapPartitions` with explicit batch grouping — the JVM twin of
+  * Python's `mapInPandas` batch shape): one codec/model instance per
+  * partition, amortized over a batch, never per row.
+  *
+  * ── STUB BOUNDARY ────────────────────────────────────────────────────
+  * This container has no image/audio codecs, so [[StubCodec]] is a
+  * clearly-marked deterministic fake: it "decodes" a 16-byte synthetic
+  * header (magic, width, height, frames) that [[synthesizeMedia]]
+  * writes. Swapping in a real codec changes ONLY StubCodec — the
+  * schema, partitioning, batching, and column plumbing around it are
+  * real and tested.
+  * ─────────────────────────────────────────────────────────────────────
+  *
+  * Scale posture: media bytes dominate storage; metadata extraction
+  * projects the binary column away as early as possible, and
+  * `repartitionByBytes` sizes partitions by payload bytes (not row
+  * count) so a 100 TB corpus of skewed file sizes still yields
+  * even executor work.
+  */
+object Multimodal {
+
+  final case class MediaRecord(media_id: Long, uri: String, mime: String,
+      content: Array[Byte])
+  final case class MediaMeta(media_id: Long, mime: String, width: Int,
+      height: Int, n_frames: Int, content_len: Long)
+  final case class MediaFeature(media_id: Long, feature: Array[Float])
+
+  /** The deterministic fake codec (see STUB BOUNDARY above). */
+  object StubCodec extends Serializable {
+    val Magic: Byte = 0x47 // 'G'
+
+    /** Real impl: image decoder returning (width, height, frames). */
+    def decodeHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+      require(bytes.length >= 16 && bytes(0) == Magic,
+        "not a graft synthetic media blob")
+      def i32(off: Int): Int =
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      (i32(4), i32(8), i32(12))
+    }
+
+    /** Real impl: pixel decode + model forward pass. Fake: a 16-bin
+      * byte histogram, L1-normalized — deterministic, right shape.
+      */
+    def extractFeature(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = 16
+      while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1f; i += 1 }
+      val total = math.max(1f, bytes.length - 16f)
+      hist.map(_ / total)
+    }
+
+    /** Real impl: resample pixels. Fake: rewrite the header dims and
+      * truncate payload proportionally (deterministic).
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val (ow, oh, fr) = decodeHeader(bytes)
+      val scale = math.min(1.0, (w.toLong * h).toDouble / math.max(1L, ow.toLong * oh))
+      val payloadLen = ((bytes.length - 16) * scale).toInt
+      val out = new Array[Byte](16 + payloadLen)
+      System.arraycopy(bytes, 0, out, 0, math.min(bytes.length, out.length))
+      writeHeader(out, w, h, fr)
+      out
+    }
+
+    def writeHeader(out: Array[Byte], w: Int, h: Int, frames: Int): Unit = {
+      out(0) = Magic; out(1) = 0; out(2) = 0; out(3) = 1
+      def put(off: Int, v: Int): Unit = {
+        out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+        out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+      }
+      put(4, w); put(8, h); put(12, frames)
+    }
+  }
+
+  /** Synthesize a media corpus from the documents table: deterministic
+    * binary blobs (header + text bytes) standing in for
+    * `spark.read.format("binaryFile")` on a real media lake.
+    */
+  def synthesizeMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val payload = text.getBytes("UTF-8")
+        val bytes = new Array[Byte](16 + payload.length)
+        StubCodec.writeHeader(bytes,
+          w = (64 + id % 192).toInt, h = (64 + (id * 7) % 192).toInt,
+          frames = (1 + id % 30).toInt)
+        System.arraycopy(payload, 0, bytes, 16, payload.length)
+        val mime = (id % 3) match {
+          case 0 => "image/png"
+          case 1 => "audio/wav"
+          case _ => "video/mp4"
+        }
+        MediaRecord(id, s"synth://media/$id", mime, bytes)
+      }
+  }
+
+  /** Batched partition-local metadata decode. `batchSize` models the
+    * vectorized-decode batch (mapInPandas' batch shape): a real codec
+    * initializes once per partition, then processes batches.
+    */
+  def decodeMeta(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE (codec/model handle, one per task)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, fr) = StubCodec.decodeHeader(r.content)
+          MediaMeta(r.media_id, r.mime, w, h, fr, r.content.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Batched feature extraction → Array[Float] embedding column,
+    * ready for the [[graft.queries.TextOps.cosine]] similarity path.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(r => MediaFeature(r.media_id,
+          StubCodec.extractFeature(r.content)))
+      }
+    }
+  }
+
+  /** Binary→binary resize (thumbnailing). */
+  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+      r.copy(content = StubCodec.resize(r.content, w, h))))
+  }
+
+  /** Frame sampling: video records explode into every-nth-frame stubs
+    * (real impl: container demux per partition). Output is one record
+    * per sampled frame with a frame-index-suffixed id.
+    */
+  def sampleFrames(media: Dataset[MediaRecord],
+      everyNth: Int = 10): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.mime.startsWith("video/")).mapPartitions(_.flatMap { r =>
+      val (w, h, frames) = StubCodec.decodeHeader(r.content)
+      (0 until frames by everyNth).map { f =>
+        val frameBytes = new Array[Byte](16)
+        StubCodec.writeHeader(frameBytes, w, h, 1)
+        MediaRecord(r.media_id * 1000 + f, s"${r.uri}#frame=$f",
+          "image/png", frameBytes)
+      }
+    })
+  }
+
+  /** Partition by payload bytes, not rows: media files are wildly
+    * skewed (a 4 KB icon vs a 4 GB video); byte-budget partitioning is
+    * what keeps 1000 executors evenly loaded.
+    */
+  def repartitionByBytes(media: Dataset[MediaRecord],
+      targetBytesPerPartition: Long = 128L << 20): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val totalBytes = media.map(_.content.length.toLong)
+      .reduce(_ + _)
+    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+}

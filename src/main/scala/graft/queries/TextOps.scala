@@ -28,12 +28,31 @@ object TextOps {
     * position-bearing shingles discriminate real near-duplicates.
     */
   def shingles3(wordsCol: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(wordsCol) - 3), i =>
-      concat_ws(" ", element_at(wordsCol, i + 1), element_at(wordsCol, i + 2),
-        element_at(wordsCol, i + 3))))
+    // guard: sequence(0, n-3) on n<3 DESCENDS ([0,-1]) instead of being
+    // empty, driving element_at to index 0 → error. Short docs get an
+    // empty shingle set.
+    when(size(wordsCol) >= 3,
+      array_distinct(transform(sequence(lit(0), size(wordsCol) - 3), i =>
+        concat_ws(" ", element_at(wordsCol, i + 1),
+          element_at(wordsCol, i + 2), element_at(wordsCol, i + 3)))))
+      .otherwise(array().cast("array<string>"))
 
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+
+  /** documents with the shingle set materialized as a column.
+    *
+    * The intermediate `toks` projection is load-bearing: without it the
+    * `split()` expression inlines into every `element_at` of shingles3
+    * and the regex tokenization re-runs per shingle element — O(n²·regex)
+    * per row (observed as a 100× slowdown). A multiply-referenced,
+    * non-cheap alias survives CollapseProject, so `toks` is evaluated
+    * once per row.
+    */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .select(col("doc_id"), shingles3(col("toks")).as("w"))
 
   private def emb(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
@@ -208,8 +227,7 @@ object TextOps {
     // ------------------------------------------------------------------
     "d02_jaccard_pairs" -> Q(
       (s, d) => {
-        val base = docs(s, d)
-          .select(col("doc_id"), shingles3(words(col("text"))).as("w"))
+        val base = docShingles(s, d)
         val a = base.select(col("doc_id").as("doc_a"), col("w").as("wa"))
         val b = base.select(col("doc_id").as("doc_b"), col("w").as("wb"))
         a.join(b, col("doc_a") < col("doc_b"))
@@ -248,29 +266,41 @@ object TextOps {
       (s, d) => {
         val bands = 16
         val rowsPerBand = 4
-        val base = docs(s, d)
-          .select(col("doc_id"), shingles3(words(col("text"))).as("w"))
-          .withColumn("sig", minhashSig(col("w")))
-        val banded = base.select(col("doc_id"), col("w"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
-            xxhash64(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand))
-              .cast("string"), bi))))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "band_hash")
-        val l = banded.select(col("band"), col("band_hash"),
-          col("doc_id").as("doc_a"), col("w").as("wa"))
-        val r = banded.select(col("band"), col("band_hash"),
-          col("doc_id").as("doc_b"), col("w").as("wb"))
-        l.join(r, Seq("band", "band_hash"))
+        val base = docShingles(s, d)
+        // banded rows carry ONLY (band, band_hash, doc_id): the shingle
+        // arrays must not ride through the band shuffle, and candidate
+        // dedup happens on bare (doc_a, doc_b) id pairs — array-typed
+        // shuffle keys were a 20× slowdown here.
+        // custom Catalyst expression: one-pass shingle+signature loop,
+        // bit-identical to minhashSig(shingles) but ~50× faster (nested
+        // higher-order lambdas don't codegen; see ShingleMinHash docs).
+        // It consumes raw tokens, so band hashing reads docs directly.
+        val banded = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .withColumn("sig",
+            graft.functions.ShingleMinHash.shingleMinhash(col("toks")))
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
+              xxhash64(slice(col("sig"), bi * rowsPerBand + 1,
+                lit(rowsPerBand)).cast("string"), bi))))
+          .select(col("doc_id"), col("pos").as("band"),
+            col("col").as("band_hash"))
+        val cand = banded.as("l")
+          .join(banded.as("r"), Seq("band", "band_hash"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("wa"), col("wb")).distinct()
+          .distinct()
+        cand
+          .join(base.select(col("doc_id").as("doc_a"), col("w").as("wa")),
+            Seq("doc_a"))
+          .join(base.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+            Seq("doc_b"))
           .withColumn("jaccard",
             size(array_intersect(col("wa"), col("wb"))).cast("double") /
               size(array_union(col("wa"), col("wb"))).cast("double"))
           .filter(col("jaccard") >= 0.4)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
             .as("jaccard"))
-          .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None,

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table — the
+  * streaming twins of [[graft.queries.EventOps]]'s batch queries (the
+  * reference is batch-only; its progress callbacks E12 are the closest
+  * analogue, SURVEY.md §2.3 declares the streaming surface as the
+  * scale extension).
+  *
+  * Design: every transform is defined once against an unbounded
+  * DataFrame and works identically under `readStream` (incremental,
+  * watermarked state eviction) and `read` (batch backfill) — the
+  * standard kappa-architecture posture. Watermarks bound state at
+  * 100 TB/day event volumes; without them windowed state grows without
+  * limit.
+  */
+object EventStreams {
+
+  /** events schema (ts already micros — the nanos conversion happens at
+    * ingest, mirroring Catalog.t).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet (each file =
+    * one micro-batch in tests; in production a Kafka source drops in —
+    * same downstream plan).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark:
+    * counts + value sums per (window, event_type); late events beyond
+    * the watermark are dropped, closed windows emit once (append mode).
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Session windows (30-minute gap) per user under a watermark. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Exactly-once event dedup: drop duplicate event_ids arriving within
+    * the watermark horizon (at-least-once sources re-deliver; state is
+    * bounded by the watermark).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // --- custom state: per-user anomaly tracking ---------------------------
+
+  final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserState(nEvents: Long, nErrors: Long,
+      totalValue: Double)
+  final case class UserAlert(user_id: Long, nEvents: Long, nErrors: Long,
+      errorRate: Double)
+
+  /** Stateful per-user error-rate monitor via flatMapGroupsWithState:
+    * keeps a running (events, errors, value) per user, emits an alert
+    * row whenever the updated error rate exceeds `threshold` with at
+    * least `minEvents` observed. State lives per key across
+    * micro-batches — the KeyValueGroupedDataset custom-state surface.
+    */
+  def errorRateAlerts(events: Dataset[UserEvent], threshold: Double = 0.5,
+      minEvents: Long = 5): Dataset[UserAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent],
+         state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0L, 0.0))
+          batch.foreach { e =>
+            s = UserState(s.nEvents + 1,
+              s.nErrors + (if (e.event_type == "error") 1 else 0),
+              s.totalValue + e.value)
+          }
+          state.update(s)
+          val rate =
+            if (s.nEvents == 0) 0.0 else s.nErrors.toDouble / s.nEvents
+          if (s.nEvents >= minEvents && rate > threshold)
+            Iterator(UserAlert(userId, s.nEvents, s.nErrors, rate))
+          else Iterator.empty
+      }
+  }
+}

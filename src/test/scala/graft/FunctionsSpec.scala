@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.ShingleMinHash
+import graft.queries.TextOps
+import org.apache.spark.sql.functions._
+
+/** Custom-expression tests: the Catalyst ShingleMinHash must be
+  * bit-identical to the composable higher-order form it replaces.
+  */
+class FunctionsSpec extends SparkFunSuite {
+
+  test("ShingleMinHash matches the composable minhashSig(shingles3) form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark group query row data slow small filter"),
+      (3L, "a b c"), // exactly one shingle
+      (4L, "one two"), // zero shingles
+      (5L, "x y z x y z x y z")) // repeated shingles
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val fast = docs.select(col("doc_id"),
+      ShingleMinHash.shingleMinhash(toks).as("sig"))
+    val slow = docs.select(col("doc_id"),
+      TextOps.minhashSig(TextOps.shingles3(toks)).as("sig"))
+    val f = fast.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val s = slow.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getSeq[Long](1))))
+    f.zip(s).foreach { case ((idF, sigF), (idS, sigSOpt)) =>
+      assert(idF == idS)
+      sigSOpt match {
+        case Some(sigS) if !sigS.contains(null) =>
+          assert(sigF == sigS, s"signature mismatch for doc $idF")
+        case _ =>
+          // composable form yields nulls for zero shingles; the custom
+          // expression yields Long.MaxValue sentinels — both mean
+          // "no shingles", only the custom one is join-safe
+          assert(sigF.forall(_ == Long.MaxValue))
+      }
+    }
+  }
+
+  test("identical texts share signatures; different texts differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here my friend"))
+      .toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      ShingleMinHash.shingleMinhash(split(col("text"), " ")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+}
