@@ -665,6 +665,82 @@ object Relational {
     // ------------------------------------------------------------------
     // unionByName over differently-ordered projections.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // explode/unnest: corpus word frequencies, top 20. The explode is
+    // the generator surface (SURVEY §2.3 array functions); partial
+    // aggregation keeps the shuffle to distinct words.
+    // ------------------------------------------------------------------
+    "q29_wordcount_topk" -> Q(
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(regexp_replace(col("text"),
+            "^\\s+|\\s+$", ""), "\\s+")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20),
+      Some("""SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS word
+              FROM documents) w
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // from_json: typed JSON parsing of the props column (the schema-ful
+    // twin of e04's get_json_object) + struct field access.
+    // ------------------------------------------------------------------
+    "q30_from_json" -> Q(
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType)))).as("p"))
+          .select(col("event_id"), col("p.k").as("k"))
+          .filter(col("k") >= 50)
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        cast(json_extract_string(props, '$.k') as bigint) AS k
+        FROM events
+        WHERE cast(json_extract_string(props, '$.k') as bigint) >= 50
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // collect_list / array_agg: grouped collection, deterministically
+    // sorted, joined into a string (array column wire formats differ
+    // between engines; the joined string is byte-comparable).
+    // ------------------------------------------------------------------
+    "q31_collect_list" -> Q(
+      (s, d) =>
+        t(s, d, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy(col("n_regionkey")),
+      Some("""SELECT n_regionkey,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        count(*) AS n
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey""")),
+
+    // ------------------------------------------------------------------
+    // approx_count_distinct (HLL++): sketch cardinalities are
+    // engine-specific → rows-only check; the test suite bounds the
+    // relative error against exact counts instead.
+    // ------------------------------------------------------------------
+    "q32_approx_distinct" -> Q(
+      (s, d) =>
+        t(s, d, "lineitem").agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders")),
+      None),
+
     "q28_union_by_name" -> Q(
       (s, d) => {
         val a = t(s, d, "customer").filter(col("c_acctbal") > 9990)

@@ -315,7 +315,8 @@ object TextOps {
     "d04_simhash" -> Q(
       (s, d) => {
         val base = docs(s, d)
-          .select(col("doc_id"), simhash64(words(col("text"))).as("sh"))
+          .select(col("doc_id"),
+            graft.functions.SimHash64.simhash64(words(col("text"))).as("sh"))
         val banded = base.select(col("doc_id"), col("sh"),
           posexplode(transform(sequence(lit(0), lit(3)), q =>
             shr(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL)))))

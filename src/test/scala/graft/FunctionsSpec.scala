@@ -41,6 +41,24 @@ class FunctionsSpec extends SparkFunSuite {
     }
   }
 
+  test("SimHash64 matches the composable nested-aggregate form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark group query row data slow small filter"),
+      (3L, "one"),
+      (4L, "x y z x y z"))
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val fast = docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(toks).as("sh"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val slow = docs.select(col("doc_id"),
+      TextOps.simhash64(toks).as("sh"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.toSeq == slow.toSeq)
+  }
+
   test("identical texts share signatures; different texts differ") {
     import spark.implicits._
     val docs = Seq(
