@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SparkSessionExtensions registration for graft's custom Catalyst
+  * expressions, making them callable from SQL:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or spark.sql.extensions=graft.functions.GraftExtensions
+  * spark.sql("SELECT shingle_minhash(split(text, ' '), 64, 3) FROM docs")
+  * spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  * }}}
+  *
+  * For sessions created without extensions, [[GraftExtensions.register]]
+  * installs the same functions on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.shingleMinhashDesc)
+    e.injectFunction(GraftExtensions.simhash64Desc)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private[functions] val shingleMinhashDesc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_minhash"),
+    new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(words) => ShingleMinHash(words, 64, 3)
+        case Seq(words, k) => ShingleMinHash(words, intArg(k, "k"), 3)
+        case Seq(words, k, n) =>
+          ShingleMinHash(words, intArg(k, "k"), intArg(n, "n"))
+        case _ => throw new IllegalArgumentException(
+          "shingle_minhash(words[, numHashes[, shingleLen]])")
+      }
+    })
+
+  private[functions] val simhash64Desc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(words) => SimHash64(words)
+        case _ => throw new IllegalArgumentException("simhash64(words)")
+      }
+    })
+
+  /** Register on an existing session (temp-function registry). */
+  def register(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.registerFunction(shingleMinhashDesc._1, shingleMinhashDesc._2,
+      shingleMinhashDesc._3)
+    reg.registerFunction(simhash64Desc._1, simhash64Desc._2,
+      simhash64Desc._3)
+  }
+}

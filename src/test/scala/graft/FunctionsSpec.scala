@@ -59,6 +59,23 @@ class FunctionsSpec extends SparkFunSuite {
     assert(fast.toSeq == slow.toSeq)
   }
 
+  test("custom expressions are SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+      .createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql(
+      """SELECT shingle_minhash(split(text, ' '), 64, 3) AS sig,
+        |       simhash64(split(text, ' ')) AS sh
+        |FROM fn_docs""".stripMargin).head()
+    val viaApi = spark.table("fn_docs").select(
+      ShingleMinHash.shingleMinhash(split(col("text"), " ")).as("sig"),
+      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("sh"))
+      .head()
+    assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+  }
+
   test("identical texts share signatures; different texts differ") {
     import spark.implicits._
     val docs = Seq(
