@@ -107,6 +107,36 @@ object EventOps {
         ORDER BY event_type, k_bucket""")),
 
     // ------------------------------------------------------------------
+    // As-of (point-in-time) join: each event matched to the same
+    // customer's most recent order at-or-before the event — the
+    // single-shuffle union+window implementation (AsOfJoin), verified
+    // against DuckDB's native ASOF JOIN.
+    // ------------------------------------------------------------------
+    "e06_asof_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val ords = t(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("last_order"))
+        graft.operators.AsOfJoin.leftAsOf(ev, ords,
+          leftTs = "ts", rightTs = "o_orderdate",
+          keyLeft = "user_id", keyRight = "o_custkey",
+          payload = Seq("last_order"))
+          .select(col("event_id"), col("user_id"), col("last_order"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+                          FROM events),
+             ords AS (SELECT o_custkey, o_orderdate,
+                        max(o_orderkey) AS last_order
+                      FROM orders GROUP BY 1, 2)
+        SELECT ev.event_id, ev.user_id, o.last_order
+        FROM ev ASOF LEFT JOIN ords o
+          ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Event dedup within a time window (batch twin of
     // dropDuplicatesWithinWatermark): first event per (user, type,
     // minute bucket).

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{AsOfJoin, SkewJoin}
+import org.apache.spark.sql.functions._
+
+/** AsOfJoin / SkewJoin operator tests: semantics vs brute force, and
+  * salted-join equivalence to the plain join.
+  */
+class OperatorsSpec extends SparkFunSuite {
+
+  test("leftAsOf picks the latest right row at-or-before, per key") {
+    import spark.implicits._
+    val quotes = Seq( // (key, ts, price)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qts", "price")
+    val trades = Seq( // (key, ts, qty)
+      ("A", 9L, 100L), // before any quote → null
+      ("A", 10L, 200L), // exactly at quote 10 → inclusive match 1.0
+      ("A", 25L, 300L), // between 20 and 30 → 2.0
+      ("A", 99L, 400L), // after all → 3.0
+      ("B", 20L, 500L), // → 9.0
+      ("C", 5L, 600L)) // unknown key → null
+      .toDF("sym", "tts", "qty")
+    val got = AsOfJoin.leftAsOf(trades, quotes, "tts", "qts", "sym", "sym",
+      Seq("price"))
+      .select("sym", "tts", "qty", "price")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toSet
+    assert(got == Set(
+      ("A", 9L, 100L, None),
+      ("A", 10L, 200L, Some(1.0)),
+      ("A", 25L, 300L, Some(2.0)),
+      ("A", 99L, 400L, Some(3.0)),
+      ("B", 20L, 500L, Some(9.0)),
+      ("C", 5L, 600L, None)))
+  }
+
+  test("leftAsOf matches the brute-force definition on real data") {
+    // events carry ns ts → go through Catalog.t's conversion
+    val events = graft.queries.Catalog.t(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).limit(200)
+    val ords = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_order"))
+    val fast = AsOfJoin.leftAsOf(events, ords, "ts", "o_orderdate",
+      "user_id", "o_custkey", Seq("last_order"))
+      .select("event_id", "last_order")
+    // brute force: theta join + max per event
+    val brute = events.join(ords,
+      events("user_id") === ords("o_custkey") &&
+        events("ts") >= ords("o_orderdate"), "left")
+      .groupBy("event_id")
+      .agg(max_by(col("last_order"), struct(col("o_orderdate"),
+        col("last_order"))).as("last_order"))
+    val f = fast.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val b = brute.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(f == b)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    // skewed large side: 90% of rows on key 1
+    val large = (1 to 1000).map(i =>
+      (if (i <= 900) 1 else i % 50, s"row$i")).toDF("k", "v")
+    val small = (0 to 49).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = large.join(small, "k")
+    val salted = SkewJoin.saltedInnerJoin(large, small, "k", saltBuckets = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "name").except(
+      plain.select("k", "v", "name")).isEmpty)
+    assert(plain.select("k", "v", "name").except(
+      salted.select("k", "v", "name")).isEmpty)
+  }
+}
