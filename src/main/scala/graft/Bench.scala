@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // test tables are single parquet files; the default 128 MB split
+      // size would scan each on ONE core. 2 MB splits spread the scan
+      // across the local threads — the local-mode analogue of sizing
+      // maxPartitionBytes to the cluster's core count.
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.benchQueries

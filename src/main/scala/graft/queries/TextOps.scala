@@ -201,6 +201,52 @@ object TextOps {
       None),
 
     // ------------------------------------------------------------------
+    // BPE-ish subword token counting: the GPT-2 pretokenizer regex
+    // (contractions | letter-runs | digit-runs | punctuation-runs),
+    // counted with regexp_extract_all — the standard cheap token-count
+    // estimator for training-data budgeting.
+    // ------------------------------------------------------------------
+    "x06_bpe_tokens" -> Q(
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+            .cast("bigint").as("n_bpe_tokens"),
+          size(words(col("text"))).cast("bigint").as("n_ws_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        cast(len(regexp_extract_all(text,
+          '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) as bigint)
+          AS n_bpe_tokens,
+        cast(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) as bigint) AS n_ws_tokens
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Winnowing (rolling-hash) fingerprints: substring-level near-dup
+    // keys. Rows-only check (custom expression; the FunctionsSpec
+    // asserts the guarantee: shared ≥(w+k-1)-char substrings ⇒ shared
+    // fingerprints). The scale path explodes fingerprints and
+    // equi-joins — candidates without any all-pairs comparison.
+    // ------------------------------------------------------------------
+    "x07_winnow_fingerprints" -> Q(
+      (s, d) => {
+        val fps = docs(s, d).select(col("doc_id"),
+          graft.functions.Winnow.winnowFingerprint(
+            regexp_replace(lower(col("text")), "\\s+", " ")).as("fps"))
+        // fingerprint-sharing doc pairs via explode + self equi-join
+        val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+        exploded.as("a").join(exploded.as("b"), Seq("fp"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared_fps"))
+          .filter(col("shared_fps") >= 8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // Exact dedup: group by normalized-content fingerprint, keep the
     // lowest doc_id as representative (hash-groupBy; one shuffle on the
     // fingerprint — the 100 TB-safe exact-dedup shape).

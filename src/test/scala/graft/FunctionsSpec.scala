@@ -76,6 +76,32 @@ class FunctionsSpec extends SparkFunSuite {
     assert(viaSql.getLong(1) == viaApi.getLong(1))
   }
 
+  test("winnowing: shared long substrings guarantee shared fingerprints") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"completely different lead-in text $common and another tail"),
+      (3L, "nothing in common with the others at all zzz qqq www"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      graft.functions.Winnow.winnowFingerprint(col("text"), 8, 16).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // guarantee: any shared substring of length >= w+k-1 (=23) shares
+    // at least one fingerprint; `common` is 60 chars
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // determinism
+    val fps2 = docs.select(col("doc_id"),
+      graft.functions.Winnow.winnowFingerprint(col("text"), 8, 16).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps == fps2)
+    // short text → degenerate single-min fingerprint, no crash
+    val tiny = Seq((9L, "abc")).toDF("doc_id", "text")
+      .select(graft.functions.Winnow.winnowFingerprint(col("text"), 8, 16))
+      .head().getSeq[Long](0)
+    assert(tiny.isEmpty)
+  }
+
   test("identical texts share signatures; different texts differ") {
     import spark.implicits._
     val docs = Seq(
