@@ -459,6 +459,9 @@ object Relational {
             regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
             regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
             lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+            instr(col("p_name"), "a").cast("bigint").as("first_a_pos"),
+            trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+            element_at(split(col("p_type"), " "), 1).as("type_head"),
             when(length(col("p_name")) > 20,
               concat(substring(col("p_name"), 1, 17), lit("...")))
               .otherwise(col("p_name")).as("display_name"),
@@ -477,6 +480,9 @@ object Relational {
         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
         lpad(cast(p_partkey as varchar), 8, '0') AS padded_key,
+        cast(instr(p_name, 'a') as bigint) AS first_a_pos,
+        trim(concat('  ', p_brand, '  ')) AS trimmed,
+        string_split(p_type, ' ')[1] AS type_head,
         CASE WHEN length(p_name) > 20
              THEN concat(substring(p_name, 1, 17), '...')
              ELSE p_name END AS display_name,
@@ -504,7 +510,12 @@ object Relational {
             dayofmonth(col("o_orderdate")).cast("bigint").as("order_day"),
             datediff(lit("2002-01-01").cast("date"),
               col("o_orderdate").cast("date")).cast("bigint").as("days_to_2002"),
-            date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
+            date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+            // parquet yields TIMESTAMP_NTZ; session tz is UTC, so the
+            // cast is a pure reinterpretation matching DuckDB epoch_ms
+            unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"),
+            to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+              "yyyy-MM-dd").as("roundtrip_ts"))
           .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey,
         date_trunc('month', o_orderdate) AS order_month,
@@ -512,7 +523,9 @@ object Relational {
         cast(month(o_orderdate) as bigint) AS order_month_num,
         cast(day(o_orderdate) as bigint) AS order_day,
         cast(date_diff('day', cast(o_orderdate as date), DATE '2002-01-01') as bigint) AS days_to_2002,
-        cast(o_orderdate as date) + 30 AS due_date
+        cast(o_orderdate as date) + 30 AS due_date,
+        epoch_ms(o_orderdate) AS epoch_ms,
+        strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS roundtrip_ts
         FROM orders
         WHERE o_orderkey <= 500
         ORDER BY o_orderkey""")),
