@@ -49,6 +49,45 @@ object MigrationOps {
         Analyzer.summaryDf(s, MigrationLoader.load(s, fixturesDir)),
       None),
 
+    // Statement-type census via an explicit udf() over the classifier —
+    // the scalar-UDF surface (SURVEY §2.3 UDF/UDAF row). Kept off data-
+    // scale hot paths by policy; migration metadata is where a UDF
+    // around existing Scala logic is the right tool.
+    "m05_stmt_types" -> Q(
+      (s, _) => {
+        val classify = udf((sql: String) =>
+          graft.classify.SqlClassifier.parseOrThrow(sql)
+            .map(_.getClass.getSimpleName.stripSuffix("$")))
+        MigrationLoader.load(s, fixturesDir)
+          .select(col("version"), explode(classify(col("upSql")))
+            .as("stmt_type"))
+          .groupBy(col("stmt_type"))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_set(col("version"))).as("versions"))
+          .orderBy(col("stmt_type"))
+      },
+      None),
+
+    // Typed Aggregator[IN, BUF, OUT]: worst finding per migration with
+    // the causing rule as payload (the UDAF surface).
+    "m06_worst_finding" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val a = new graft.analyzer.Analyzer()
+        val findings = MigrationLoader.load(s, fixturesDir)
+          .flatMap { m =>
+            val r = a.analyze(m)
+            if (r.findings.isEmpty) Seq((m.version, graft.model.Severity.Safe, ""))
+            else r.findings.map(f => (m.version, f.severity, f.rule))
+          }
+        findings.groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(new graft.functions.MaxSeverityAgg().toColumn.name("worst"))
+          .toDF("version", "worst")
+          .orderBy(col("version"))
+      },
+      None),
+
     // Pending-set: migrations not yet applied — the left-anti join the
     // executor runs before applying (E3). Tracker state is a literal
     // 6-row table here; in production it's the parquet tracker.

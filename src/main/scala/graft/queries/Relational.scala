@@ -754,6 +754,81 @@ object Relational {
           countDistinct(col("l_orderkey")).as("exact_orders")),
       None),
 
+    // ------------------------------------------------------------------
+    // Right outer join (the left join's mirror; Catalyst plans either
+    // side as build depending on stats).
+    // ------------------------------------------------------------------
+    "q33_right_outer" -> Q(
+      (s, d) => {
+        val ord = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+        val cust = t(s, d, "customer")
+        ord.join(cust, col("o_custkey") === col("c_custkey"), "right")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_big_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_big_orders
+        FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Struct / map / json construction: to_json(struct), to_json(map),
+    // array aggregate + array_max — JSON text as the cross-engine wire
+    // format (struct/map wire formats differ; JSON is byte-comparable).
+    // ------------------------------------------------------------------
+    "q34_struct_map_json" -> Q(
+      (s, d) =>
+        t(s, d, "nation")
+          .select(
+            col("n_nationkey"),
+            to_json(struct(col("n_name").as("name"),
+              col("n_regionkey").as("region"))).as("as_json"),
+            to_json(map_from_entries(array(
+              struct(lit("nation").as("key"), col("n_name").as("value")))))
+              .as("map_json"),
+            aggregate(sequence(lit(1), col("n_nationkey") + 1), lit(0L),
+              (acc, x) => acc + x).as("key_series_sum"),
+            array_max(array(col("n_nationkey"), col("n_regionkey"),
+              lit(7))).cast("bigint").as("max_of_three"))
+          .orderBy(col("n_nationkey")),
+      Some("""SELECT n_nationkey,
+        to_json(struct_pack(name := n_name, region := n_regionkey)) AS as_json,
+        to_json(map_from_entries([{'k': 'nation', 'v': n_name}])) AS map_json,
+        cast(list_aggregate(range(1, n_nationkey + 2), 'sum') as bigint) AS key_series_sum,
+        cast(list_aggregate([n_nationkey, n_regionkey, 7], 'max') as bigint) AS max_of_three
+        FROM nation
+        ORDER BY n_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // argmax (max_by/min_by) with deterministic struct tiebreak; the
+    // oracle expresses the identical semantics as a window query.
+    // ------------------------------------------------------------------
+    "q35_argmax" -> Q(
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            max_by(col("o_orderkey"),
+              struct(col("o_totalprice"), col("o_orderkey")))
+              .as("priciest_order"),
+            min_by(col("o_orderkey"),
+              struct(col("o_totalprice"), col("o_orderkey")))
+              .as("cheapest_order"))
+          .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey,
+          max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
+          max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order
+        FROM (SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+              FROM orders) x
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
     "q28_union_by_name" -> Q(
       (s, d) => {
         val a = t(s, d, "customer").filter(col("c_acctbal") > 9990)
