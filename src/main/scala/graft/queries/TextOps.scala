@@ -336,11 +336,17 @@ object TextOps {
           .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
           .distinct()
+        // verification: shingle arrays only materialize for candidate
+        // docs (semi-join prune first) — at scale candidates ≪ corpus,
+        // so the expensive per-doc shingling is O(candidates)
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val candShingles = base.join(candDocs, Seq("doc_id"), "left_semi")
         cand
-          .join(base.select(col("doc_id").as("doc_a"), col("w").as("wa")),
-            Seq("doc_a"))
-          .join(base.select(col("doc_id").as("doc_b"), col("w").as("wb")),
-            Seq("doc_b"))
+          .join(candShingles.select(col("doc_id").as("doc_a"),
+            col("w").as("wa")), Seq("doc_a"))
+          .join(candShingles.select(col("doc_id").as("doc_b"),
+            col("w").as("wb")), Seq("doc_b"))
           .withColumn("jaccard",
             size(array_intersect(col("wa"), col("wb"))).cast("double") /
               size(array_union(col("wa"), col("wb"))).cast("double"))

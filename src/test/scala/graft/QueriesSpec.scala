@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.{Catalog, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the rows-only queries (those the DuckDB oracle
+  * can't express) plus the driver's entry smoke.
+  */
+class QueriesSpec extends SparkFunSuite {
+
+  def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every catalog query name is unique and every oracle has a query") {
+    val names = Catalog.all.map(_._1)
+    assert(names.distinct.length == names.length)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q32: approx_count_distinct within 5% of exact") {
+    val r = q("q32_approx_distinct").head()
+    val (ap, ao, ep, eo) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(ap - ep).toDouble / ep < 0.05, s"parts: $ap vs $ep")
+    assert(math.abs(ao - eo).toDouble / eo < 0.05, s"orders: $ao vs $eo")
+  }
+
+  test("s02 ANN candidates carry true cosine values (subset of s01 space)") {
+    val ann = q("s02_ann_lsh").collect()
+    assert(ann.nonEmpty)
+    // recompute each candidate's cosine brute-force and compare
+    val emb = Catalog.t(spark, sf0001, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val brute = emb.crossJoin(query)
+      .select(col("vec_id"), round(TextOps.cosine(col("embedding"),
+        col("qe")), 4).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { r =>
+      assert(brute(r.getLong(0)) == r.getDouble(1),
+        s"cosine mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("d04 simhash pairs match the brute-force hamming computation") {
+    val got = q("d04_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())).toSet
+    val base = Catalog.t(spark, sf0001, "documents")
+      .select(col("doc_id"), graft.functions.SimHash64.simhash64(
+        split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+"))
+        .as("sh"))
+    val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())).toSet
+    assert(got == brute,
+      s"missing=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
+  }
+
+  test("x04 language predictions are valid codes and deterministic") {
+    val preds = q("x04_lang_id").collect()
+    assert(preds.length == 500)
+    val valid = Set("en", "de", "fr", "es", "zh", "und")
+    preds.foreach(r => assert(valid(r.getString(1))))
+    val again = q("x04_lang_id").collect()
+    assert(preds.map(_.getString(1)).toSeq == again.map(_.getString(1)).toSeq)
+  }
+
+  test("x07 winnow pairs are symmetric-free and thresholded") {
+    val rows = q("x07_winnow_fingerprints").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical pair order
+      assert(r.getLong(2) >= 8) // threshold respected
+    }
+  }
+}

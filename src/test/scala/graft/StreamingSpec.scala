@@ -82,6 +82,28 @@ class StreamingSpec extends SparkFunSuite {
       s"expected $distinct deduped events, got $n")
   }
 
+  test("foreachBatch sink: per-microbatch parquet apply loop") {
+    // the streaming analogue of the executor's ordered apply fold
+    // (SURVEY E1/E12): each micro-batch lands atomically, with batch ids
+    // observable for exactly-once bookkeeping
+    val outDir = Files.createTempDirectory("graft-febatch").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = EventStreams.readEventStream(spark, stagedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        seen.add(id)
+        batch.groupBy(col("event_type")).count()
+          .write.mode("append").parquet(s"$outDir/agg")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(!seen.isEmpty)
+    val agg = spark.read.parquet(s"$outDir/agg")
+      .groupBy("event_type").sum("count")
+    assert(agg.count() == 5) // five event types
+  }
+
   test("flatMapGroupsWithState error-rate alerts fire for noisy users") {
     import spark.implicits._
     val events = spark.read.parquet(stagedDir)
