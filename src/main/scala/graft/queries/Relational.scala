@@ -65,9 +65,13 @@ object Relational {
             col("o_totalprice") > 150000 &&
             col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            col("o_orderpriority"))
+            col("o_orderpriority"),
+            col("o_orderpriority").like("1-%").as("is_urgent"),
+            col("o_orderstatus").eqNullSafe(lit("O")).as("status_open"))
           .orderBy(col("o_orderkey")),
-      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+          o_orderpriority LIKE '1-%' AS is_urgent,
+          o_orderstatus IS NOT DISTINCT FROM 'O' AS status_open
         FROM orders
         WHERE o_orderstatus = 'O' AND o_totalprice > 150000
           AND o_orderpriority IN ('1-URGENT', '2-HIGH')

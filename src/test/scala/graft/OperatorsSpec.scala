@@ -57,6 +57,31 @@ class OperatorsSpec extends SparkFunSuite {
     assert(f == b)
   }
 
+  test("intervalJoin matches the pure range-predicate join") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val points = Seq((1, ts(5)), (1, ts(65)), (1, ts(200)), (2, ts(10)))
+      .toDF("k", "pts")
+    val intervals = Seq(
+      (1, ts(0), ts(60), "i1"), // contains 5
+      (1, ts(60), ts(120), "i2"), // contains 65
+      (2, ts(0), ts(30), "i3"), // contains 10
+      (1, ts(300), ts(400), "i4")) // contains nothing
+      .toDF("ik", "istart", "iend", "iname")
+    val got = graft.operators.AsOfJoin.intervalJoin(points, intervals,
+      "pts", "istart", "iend", "k", "ik", bucketMs = 15 * 60000L)
+      .select("k", "pts", "iname")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getString(2)))
+      .toSet
+    val brute = points.join(intervals,
+      col("k") === col("ik") && col("pts") >= col("istart") &&
+        col("pts") < col("iend"))
+      .select("k", "pts", "iname")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getString(2)))
+      .toSet
+    assert(got == brute && got.map(_._3) == Set("i1", "i2", "i3"))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     import spark.implicits._
     // skewed large side: 90% of rows on key 1
