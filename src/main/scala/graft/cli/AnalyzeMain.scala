@@ -20,19 +20,29 @@ object AnalyzeMain {
       sys.exit(2)
     }
     val dir = args(0)
-    var pgVersion = 14
+    var configPath = ""
+    var pgVersionFlag: Option[Int] = None
     var failOnHigh = false
-    var format = "text"
+    var formatFlag: Option[String] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
-        case "--pg-version" => pgVersion = args(i + 1).toInt; i += 2
+        case "--config" => configPath = args(i + 1); i += 2
+        case "--pg-version" => pgVersionFlag = Some(args(i + 1).toInt); i += 2
         case "--fail-on-high" => failOnHigh = true; i += 1
-        case "--format" => format = args(i + 1); i += 2
+        case "--format" => formatFlag = Some(args(i + 1)); i += 2
         case other =>
           System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
     }
+    // precedence: flag > MIGRATE_* env > config file > default
+    val cfg = graft.config.ConfigLoader.load(
+      if (configPath.nonEmpty) configPath else "migrate.yml",
+      allowMissing = configPath.isEmpty,
+      flags = graft.config.ConfigLoader.Overrides(
+        targetPgVersion = pgVersionFlag, format = formatFlag))
+    val pgVersion = cfg.targetPgVersion
+    val format = cfg.format
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-analyze")
