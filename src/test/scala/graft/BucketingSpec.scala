@@ -12,12 +12,18 @@ class BucketingSpec extends SparkFunSuite {
 
   test("join of same-bucketed tables plans with no shuffle exchange") {
     val s = spark // default in-memory catalog + ./spark-warehouse
+    // unique names: the in-memory catalog forgets tables between JVMs
+    // but warehouse dirs persist, so a reused name hits
+    // LOCATION_ALREADY_EXISTS
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val tOrd = s"b_orders_$tag"
+    val tLi = s"b_lineitem_$tag"
     val ord = s.read.parquet(s"$sf0001/orders.parquet")
     val li = s.read.parquet(s"$sf0001/lineitem.parquet")
-    Bucketing.writeBucketed(ord, "b_orders", "o_orderkey", 8)
-    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
-    val joined = s.table("b_lineitem")
-      .join(s.table("b_orders"),
+    Bucketing.writeBucketed(ord, tOrd, "o_orderkey", 8)
+    Bucketing.writeBucketed(li, tLi, "l_orderkey", 8)
+    val joined = s.table(tLi)
+      .join(s.table(tOrd),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
@@ -37,5 +43,7 @@ class BucketingSpec extends SparkFunSuite {
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == plain)
+    s.sql(s"DROP TABLE IF EXISTS $tOrd")
+    s.sql(s"DROP TABLE IF EXISTS $tLi")
   }
 }
