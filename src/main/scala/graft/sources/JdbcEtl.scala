@@ -115,6 +115,28 @@ object MigrationValidate {
       dstOnlyRows = dst.join(src, cols, "left_anti").count())
   }
 
+  /** Snapshot-to-snapshot change capture (CDC-lite): classify target
+    * rows as inserts / updates / deletes by key + row-hash comparison.
+    * Two shuffles on the key — no full-row sort, no driver data. The
+    * incremental-sync primitive when the source offers no changelog.
+    */
+  def incrementalDiff(prev: DataFrame, cur: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame) = df.select(
+      keys.map(col) :+
+        xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*).as("__rh"): _*)
+    val p = hashed(prev).withColumnRenamed("__rh", "__rh_prev")
+    val c = hashed(cur).withColumnRenamed("__rh", "__rh_cur")
+    val joined = c.join(p, keys, "full_outer")
+    joined.select(
+      keys.map(col) :+
+        when(col("__rh_prev").isNull, "insert")
+          .when(col("__rh_cur").isNull, "delete")
+          .when(col("__rh_prev") =!= col("__rh_cur"), "update")
+          .as("change"): _*)
+      .filter(col("change").isNotNull)
+  }
+
   /** O(1)-shuffle content fingerprint: xor-aggregate of xxhash64 row
     * hashes — order- and partitioning-independent (and overflow-free
     * under ANSI mode, unlike a sum); equal tables ⇒ equal fingerprints

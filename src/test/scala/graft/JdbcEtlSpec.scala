@@ -73,6 +73,21 @@ class JdbcEtlSpec extends SparkFunSuite {
       MigrationValidate.contentFingerprint(dst))
   }
 
+  test("incrementalDiff classifies inserts, updates, deletes") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "amt")
+    val cur = Seq((1L, "a", 10.0), // unchanged
+      (2L, "b", 25.0), // updated
+      (4L, "d", 40.0)) // inserted; 3 deleted
+      .toDF("id", "name", "amt")
+    val changes = MigrationValidate.incrementalDiff(prev, cur, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+  }
+
   test("validation detects divergence") {
     seeded
     val src = JdbcEtl.extract(spark, dbUrl, "src_orders", "id", 2)
