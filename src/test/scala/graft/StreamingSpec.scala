@@ -82,6 +82,26 @@ class StreamingSpec extends SparkFunSuite {
       s"expected $distinct deduped events, got $n")
   }
 
+  test("parseWithQuarantine routes corrupt props to the dead-letter side") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, """{"k": 42}"""), // good
+      (2L, """{"k": 7}"""), // good
+      (3L, """not json at all"""), // quarantine
+      (4L, """{"other": 1}""")) // parseable but no k → all-null struct
+      .toDF("event_id", "props")
+    val (good, bad) = EventStreams.parseWithQuarantine(mixed)
+    assert(good.select("event_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    val badRows = bad.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(badRows.keySet == Set(3L, 4L))
+    assert(badRows(3L) == "not json at all") // raw payload preserved
+    // the full real corpus parses clean
+    val (g2, b2) = EventStreams.parseWithQuarantine(
+      graft.queries.Catalog.t(spark, sf0001, "events"))
+    assert(b2.count() == 0 && g2.count() == 1000)
+  }
+
   test("foreachBatch sink: per-microbatch parquet apply loop") {
     // the streaming analogue of the executor's ordered apply fold
     // (SURVEY E1/E12): each micro-batch lands atomically, with batch ids
