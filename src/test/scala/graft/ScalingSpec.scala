@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.Catalog
+import org.apache.spark.sql.functions._
+
+/** Scale-up invariance: aggregates built on the decimal-exact helpers
+  * must be *exactly* linear in data volume and invariant to
+  * partitioning — the property that makes results stable when the same
+  * query runs on 32 local threads or 1000 executors. (Raw double sums
+  * would drift in the last bits under every repartitioning; these must
+  * not drift at all.)
+  */
+class ScalingSpec extends SparkFunSuite {
+
+  test("8x-duplicated data yields exactly 8x decimal-exact sums, any partitioning") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val li8 = (1 to 8).map(_ => li).reduce(_ union _)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"))
+        .agg(Catalog.dsum(col("l_quantity")).as("q"),
+          Catalog.dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+    val base = agg(li)
+    val scaled = agg(li8)
+    val scaledWeird = agg(li8.repartition(13)) // adversarial partitioning
+    base.foreach { case (flag, (q, rev)) =>
+      assert(scaled(flag)._1 == q * 8, s"$flag qty not exactly 8x")
+      assert(scaled(flag)._2 == rev * 8, s"$flag revenue not exactly 8x")
+    }
+    assert(scaled == scaledWeird, "partitioning changed aggregate values")
+  }
+
+  test("content fingerprint is partitioning-invariant") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val f1 = graft.sources.MigrationValidate.contentFingerprint(li)
+    val f2 = graft.sources.MigrationValidate.contentFingerprint(
+      li.repartition(17))
+    val f3 = graft.sources.MigrationValidate.contentFingerprint(
+      li.orderBy(col("l_extendedprice")))
+    assert(f1 == f2 && f1 == f3)
+  }
+}
