@@ -544,7 +544,7 @@ object Relational {
           .filter(col("l_orderkey") <= 200)
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice") * col("l_discount"), 2).as("disc_amt"),
+            round(col("l_extendedprice") * col("l_discount"), 6).as("disc_amt"),
             abs(col("l_quantity") - 25).as("qty_dev"),
             floor(col("l_extendedprice") / 1000).cast("bigint").as("price_kfloor"),
             ceil(col("l_quantity") / 7).cast("bigint").as("qty_ceil7"),
@@ -554,7 +554,7 @@ object Relational {
             least(col("l_tax"), col("l_discount")).as("min_rate"))
           .orderBy(col("l_orderkey"), col("l_linenumber")),
       Some("""SELECT l_orderkey, l_linenumber,
-        round(l_extendedprice * l_discount, 2) AS disc_amt,
+        round(l_extendedprice * l_discount, 6) AS disc_amt,
         abs(l_quantity - 25) AS qty_dev,
         cast(floor(l_extendedprice / 1000) as bigint) AS price_kfloor,
         cast(ceil(l_quantity / 7) as bigint) AS qty_ceil7,

@@ -134,14 +134,13 @@ object TextOps {
           length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
         docs(s, d).select(
           col("doc_id"),
-          round(punct / nChars, 6).as("punct_ratio"),
-          round(stops / nTok, 6).as("stopword_ratio"),
-          round(avgWordLen, 6).as("avg_word_len"),
-          round(
-            (stops / nTok) * 0.4 +
-              (lit(1.0) - punct / nChars) * 0.3 +
-              when(avgWordLen >= 3 && avgWordLen <= 8, 0.3).otherwise(0.0),
-            6).as("quality"))
+          (punct / nChars).as("punct_ratio"),
+          (stops / nTok).as("stopword_ratio"),
+          avgWordLen.as("avg_word_len"),
+          ((stops / nTok) * 0.4 +
+            (lit(1.0) - punct / nChars) * 0.3 +
+            when(avgWordLen >= 3 && avgWordLen <= 8, 0.3).otherwise(0.0))
+            .as("quality"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (
@@ -157,11 +156,11 @@ object TextOps {
             cast(length(regexp_replace(text, '\s+', '', 'g')) as double) / cast(len(w) as double) AS awl
           FROM d)
         SELECT doc_id,
-          round(punct / n_chars, 6) AS punct_ratio,
-          round(stops / n_tok, 6) AS stopword_ratio,
-          round(awl, 6) AS avg_word_len,
-          round((stops / n_tok) * 0.4 + (1.0 - punct / n_chars) * 0.3 +
-                CASE WHEN awl >= 3 AND awl <= 8 THEN 0.3 ELSE 0.0 END, 6) AS quality
+          punct / n_chars AS punct_ratio,
+          stops / n_tok AS stopword_ratio,
+          awl AS avg_word_len,
+          (stops / n_tok) * 0.4 + (1.0 - punct / n_chars) * 0.3 +
+                CASE WHEN awl >= 3 AND awl <= 8 THEN 0.3 ELSE 0.0 END AS quality
         FROM m
         ORDER BY doc_id""")),
 
@@ -281,8 +280,7 @@ object TextOps {
             size(array_intersect(col("wa"), col("wb"))).cast("double") /
               size(array_union(col("wa"), col("wb"))).cast("double"))
           .filter(col("jaccard") >= 0.4)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
-            .as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("""WITH t0 AS (
@@ -295,8 +293,8 @@ object TextOps {
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
           FROM t0)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          round(cast(len(list_intersect(a.w, b.w)) as double) /
-                cast(len(list_distinct(list_concat(a.w, b.w))) as double), 6) AS jaccard
+          cast(len(list_intersect(a.w, b.w)) as double) /
+                cast(len(list_distinct(list_concat(a.w, b.w))) as double) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE cast(len(list_intersect(a.w, b.w)) as double) /
               cast(len(list_distinct(list_concat(a.w, b.w))) as double) >= 0.4
@@ -351,8 +349,7 @@ object TextOps {
             size(array_intersect(col("wa"), col("wb"))).cast("double") /
               size(array_union(col("wa"), col("wb"))).cast("double"))
           .filter(col("jaccard") >= 0.4)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
-            .as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None,
@@ -401,13 +398,13 @@ object TextOps {
         a.join(b, col("vec_a") < col("vec_b"))
           .withColumn("cos", cosine(col("ea"), col("eb")))
           .filter(col("cos") >= 0.4)
-          .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+          .select(col("vec_a"), col("vec_b"), col("cos"))
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          round(list_dot_product(a.v, b.v) / a.nrm / b.nrm, 4) AS cos
+          list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
         ORDER BY vec_a, vec_b""")),
@@ -423,7 +420,7 @@ object TextOps {
         base.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(query))
           .withColumn("cos", cosine(col("embedding"), col("qe")))
-          .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+          .select(col("vec_id"), col("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
       },
@@ -431,7 +428,7 @@ object TextOps {
         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
         q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
         SELECT n.vec_id,
-          round(list_dot_product(n.v, q.qv) / n.nrm / q.qnrm, 4) AS cos
+          list_dot_product(n.v, q.qv) / n.nrm / q.qnrm AS cos
         FROM n, q
         WHERE n.vec_id <> 0
         ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC, n.vec_id
@@ -463,7 +460,7 @@ object TextOps {
         base.join(broadcast(query), col("bkt") === col("qbkt"))
           .filter(col("vec_id") =!= 0)
           .withColumn("cos", cosine(col("embedding"), col("qe")))
-          .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+          .select(col("vec_id"), col("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
       },

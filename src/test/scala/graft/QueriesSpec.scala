@@ -36,8 +36,8 @@ class QueriesSpec extends SparkFunSuite {
     val emb = Catalog.t(spark, sf0001, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val brute = emb.crossJoin(query)
-      .select(col("vec_id"), round(TextOps.cosine(col("embedding"),
-        col("qe")), 4).as("cos"))
+      .select(col("vec_id"), TextOps.cosine(col("embedding"),
+        col("qe")).as("cos"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ann.foreach { r =>
       assert(brute(r.getLong(0)) == r.getDouble(1),
