@@ -670,11 +670,13 @@ object SqlClassifier {
     */
   def containsConcurrentOp(sql: String): Boolean = {
     if (!sql.toUpperCase.contains("CONCURRENTLY")) return false
-    parse(sql).toOption.exists(_.exists {
+    // Propagate parse failures (reference aborts rather than falling back
+    // to a transactional run of broken SQL, internal/executor/concurrent.go)
+    parseOrThrow(sql).exists {
       case s: CreateIndexStmt => s.concurrent
       case s: DropIndexStmt   => s.concurrent
       case _                  => false
-    })
+    }
   }
 
   /** Truncate statement text for display (reference `TruncateSQL`,

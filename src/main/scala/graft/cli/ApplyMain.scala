@@ -24,19 +24,27 @@ object ApplyMain {
     if (args.length < 2) { usage(); sys.exit(2) }
     val (dir, trackerDir) = (args(0), args(1))
     var dryRun = false; var force = false; var jdbcUrl = ""
+    var pgVersionFlag: Option[Int] = None
     var i = 2
     while (i < args.length) {
       args(i) match {
         case "--dry-run" => dryRun = true; i += 1
         case "--force" => force = true; i += 1
         case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
-        case "--pg-version" => i += 2 // analyzer default 14
+        case "--pg-version" => pgVersionFlag = Some(args(i + 1).toInt); i += 2
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
     }
     val spark = CliSpark.session("graft-apply")
     try {
       val migrations = MigrationLoader.loadLocal(dir)
+      // Resolve target PG version via config-file/env/flag precedence so the
+      // danger gate severitizes for the version actually targeted
+      // (reference: internal/cli/apply.go wires the configured version
+      // through to the analyzer; flags win over env over file).
+      val loaded = graft.config.ConfigLoader.load(
+        "migrate.yml", allowMissing = true,
+        flags = graft.config.ConfigLoader.Overrides(targetPgVersion = pgVersionFlag))
       val cfg = EngineConfig()
       val runner: SqlRunner =
         if (jdbcUrl.nonEmpty)
@@ -45,6 +53,7 @@ object ApplyMain {
       val ex = new Executor(
         new ParquetTracker(spark, trackerDir), runner,
         new FileLock(s"$trackerDir/_LOCK"),
+        analyzer = new graft.analyzer.Analyzer(targetPgVersion = loaded.targetPgVersion),
         dryRun = dryRun, force = force, onProgress = printProgress)
       val r = ex.apply(migrations)
       println(s"applied ${r.applied.length}, skipped ${r.skipped.length}")

@@ -174,9 +174,13 @@ final class Executor(
     }
   }
 
-  /** E8: roll back the most recent `steps` applied migrations. */
+  /** E8: roll back the most recent `steps` applied migrations.
+    * `steps <= 0` is a successful no-op (reference executor.go:144-146),
+    * not a NothingToRollback error.
+    */
   def rollback(migrations: Seq[Migration], steps: Int): RollbackResult =
-    withRollbackLock(migrations) { applied =>
+    if (steps <= 0) RollbackResult(Nil)
+    else withRollbackLock(migrations) { applied =>
       applied.sortBy(_.version).reverse.take(steps)
     }
 
@@ -206,14 +210,17 @@ final class Executor(
         val m = lookup.getOrElse(am.version,
           throw MigrationFileMissing(am.version)) // E11 missing file
         if (m.downSql.isEmpty) throw NoDownSql(m.version)
-        onProgress(RollingBack(m))
-        if (!dryRun) {
+        if (dryRun) {
+          // dry-run: reference emits Skipped and does not count the version
+          onProgress(Skipped(m))
+        } else {
+          onProgress(RollingBack(m))
           val t0 = System.nanoTime()
           runSql(m.downSql)
           tracker.recordRolledBack(m.version)
           onProgress(RolledBack(m, (System.nanoTime() - t0) / 1000000))
+          done += m.version
         }
-        done += m.version
       }
       RollbackResult(done.result())
     }

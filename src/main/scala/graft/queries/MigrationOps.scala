@@ -44,9 +44,12 @@ object MigrationOps {
       None),
 
     // Per-migration rollup: max severity + rule set (§3.1 pipeline).
+    // Arrays are emitted comma-joined: the verify harness round-trips
+    // results through pandas, where array cells are unhashable/unsortable.
     "m03_analysis_summary" -> Q(
       (s, _) =>
-        Analyzer.summaryDf(s, MigrationLoader.load(s, fixturesDir)),
+        Analyzer.summaryDf(s, MigrationLoader.load(s, fixturesDir))
+          .withColumn("rules", array_join(col("rules"), ",")),
       None),
 
     // Statement-type census via an explicit udf() over the classifier —
@@ -63,7 +66,8 @@ object MigrationOps {
             .as("stmt_type"))
           .groupBy(col("stmt_type"))
           .agg(count(lit(1)).as("n"),
-            sort_array(collect_set(col("version"))).as("versions"))
+            array_join(sort_array(collect_set(col("version"))), ",")
+              .as("versions"))
           .orderBy(col("stmt_type"))
       },
       None),

@@ -489,8 +489,8 @@ object TextOps {
             max(col("n_chars")).as("max_chars"))
           .orderBy(col("lang"), col("source")),
       Some("""SELECT lang, source, count(*) AS n_docs,
-        sum(n_chars) AS total_chars,
-        sum(cast(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) as bigint)) AS total_tokens,
+        cast(sum(n_chars) as bigint) AS total_chars,
+        cast(sum(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) as bigint) AS total_tokens,
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM documents
         GROUP BY lang, source

@@ -148,6 +148,8 @@ object MigrationValidate {
     val row = hashed.agg(
       call_function("bit_xor", col("h")).as("hxor"),
       count(lit(1)).as("n")).head()
-    row.getLong(0) * 31 + row.getLong(1)
+    // bit_xor over zero rows aggregates to NULL — fingerprint empty as 0
+    val hxor = if (row.isNullAt(0)) 0L else row.getLong(0)
+    hxor * 31 + row.getLong(1)
   }
 }

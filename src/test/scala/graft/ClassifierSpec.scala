@@ -196,6 +196,12 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!SqlClassifier.containsConcurrentOp(
       "INSERT INTO log VALUES ('CONCURRENTLY')"))
     assert(!SqlClassifier.containsConcurrentOp("SELECT 1"))
+    // broken SQL mentioning CONCURRENTLY propagates the parse error
+    // instead of silently classifying as transactional (concurrent.go)
+    intercept[graft.model.SqlParseError] {
+      SqlClassifier.containsConcurrentOp(
+        "CREATE INDEX CONCURRENTLY i ON t (a); SELECT 'unterminated")
+    }
   }
 
   test("truncateSql caps at 120 chars with ellipsis") {

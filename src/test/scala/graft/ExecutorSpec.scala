@@ -95,6 +95,16 @@ class ExecutorSpec extends AnyFunSuite {
     newExec(dryRun = true).apply(Seq(dangerous))
   }
 
+  test("danger gate respects the configured target PG version") {
+    // ADD COLUMN with constant DEFAULT: safe on PG>=11, HIGH below
+    val m = mig("001", up = "ALTER TABLE t ADD COLUMN c int DEFAULT 0;")
+    val old = new Executor(new InMemoryTracker, new RecordingRunner,
+      new NoopLock, analyzer = new graft.analyzer.Analyzer(targetPgVersion = 10))
+    intercept[DangerousMigrations] { old.apply(Seq(m)) }
+    // default target (14): passes the gate
+    assert(newExec().apply(Seq(m)).applied == Seq("001"))
+  }
+
   test("CONCURRENTLY migrations run non-transactionally") {
     val rn = new RecordingRunner
     newExec(runner = rn, force = true).apply(Seq(
@@ -146,6 +156,26 @@ class ExecutorSpec extends AnyFunSuite {
     intercept[NothingToRollback.type] {
       newExec().rollback(Seq(mig("001")), steps = 1)
     }
+  }
+
+  test("rollback with steps <= 0 is a successful no-op (executor.go:144-146)") {
+    assert(newExec().rollback(Seq(mig("001")), steps = 0).rolledBack.isEmpty)
+    assert(newExec().rollback(Seq(mig("001")), steps = -3).rolledBack.isEmpty)
+  }
+
+  test("dry-run rollback emits Skipped, runs no SQL, counts nothing") {
+    val tr = new InMemoryTracker
+    val rn = new RecordingRunner
+    val ms = Seq(mig("001"), mig("002"))
+    newExec(tr, rn).apply(ms)
+    val events = scala.collection.mutable.Buffer[Progress]()
+    val ex = newExec(tr, rn, dryRun = true, onProgress = events.append(_))
+    val r = ex.rollback(ms, steps = 2)
+    assert(r.rolledBack.isEmpty)
+    assert(events.collect { case Skipped(m) => m.version } == Seq("002", "001"))
+    assert(!events.exists(_.isInstanceOf[RollingBack]))
+    assert(rn.ran.length == 2) // only the two applies, no down SQL
+    assert(tr.getApplied().map(_.version) == Seq("001", "002"))
   }
 
   test("rollback to version: target stays applied, later ones roll back") {

@@ -73,6 +73,15 @@ class JdbcEtlSpec extends SparkFunSuite {
       MigrationValidate.contentFingerprint(dst))
   }
 
+  test("contentFingerprint of an empty table is defined (bit_xor null guard)") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    assert(MigrationValidate.contentFingerprint(empty) == 0L)
+    assert(MigrationValidate.contentFingerprint(empty.limit(0)) == 0L)
+  }
+
   test("incrementalDiff classifies inserts, updates, deletes") {
     import org.apache.spark.sql.SparkSession
     val s: SparkSession = spark
