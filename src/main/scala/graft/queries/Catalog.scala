@@ -76,6 +76,6 @@ object Catalog {
 
   /** The full declared inventory (SURVEY.md §2.3 + training-data ops). */
   def all: Seq[(String, Q)] =
-    Relational.queries ++ TextOps.queries ++ EventOps.queries ++
-      MigrationOps.queries
+    Relational.queries ++ Relational2.queries ++ TextOps.queries ++
+      EventOps.queries ++ MigrationOps.queries
 }

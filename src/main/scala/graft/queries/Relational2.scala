@@ -1,0 +1,455 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import Catalog._
+
+/** Second tranche of the relational inventory (SURVEY.md §2.3 widening):
+  * pivot/unpivot, exact percentiles, moment statistics, correlated
+  * EXISTS, RANGE window frames, ntile/distribution functions,
+  * first/last/nth window values, GROUPING SETS, posexplode, higher-order
+  * array functions, regexp_extract_all, extended string functions,
+  * filtered aggregation, and null-handling functions.
+  *
+  * Determinism contract is the same as [[Relational]]: every query ends
+  * in a full-tiebreak ORDER BY; double aggregates go through exact
+  * decimal sums (see Catalog); derived double math is written with the
+  * SAME expression shape on both engines so IEEE evaluation is
+  * bit-identical.
+  */
+object Relational2 {
+
+  /** Exact sum for per-row products of two 2-decimal factors: scale 4
+    * covers the product's full 4 decimal digits (no rounding, so no
+    * rounding-mode ties), and at the tested scale factors the unscaled
+    * sum stays far below 2^53 for the small-magnitude columns this is
+    * used on (quantity <= 50, discount <= 0.1).
+    */
+  private def dsumP4(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(24, 4))).cast("double")
+  private def sqlDsumP4(e: String): String =
+    s"cast(sum(cast($e as decimal(24,4))) as double)"
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------------------------
+    // Pivot: order counts per year x priority. Spark's relational pivot
+    // with explicit value list (one pass, no per-value scans); the
+    // oracle is the equivalent conditional aggregation.
+    // ------------------------------------------------------------------
+    "q36_pivot" -> Q(
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn("yr", year(col("o_orderdate")))
+          .groupBy(col("yr"))
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .withColumnRenamed("1-URGENT", "n_urgent")
+          .withColumnRenamed("2-HIGH", "n_high")
+          .withColumnRenamed("3-MEDIUM", "n_medium")
+          .withColumnRenamed("4-NOT SPECIFIED", "n_unspec")
+          .withColumnRenamed("5-LOW", "n_low")
+          .orderBy(col("yr")),
+      Some("""SELECT year(o_orderdate) AS yr,
+        count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_unspec,
+        count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        FROM orders GROUP BY yr ORDER BY yr""")),
+
+    // ------------------------------------------------------------------
+    // Unpivot (melt): wide per-flag status counts back to long form.
+    // ------------------------------------------------------------------
+    "q37_unpivot" -> Q(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(when(col("l_linestatus") === "O", 1)).as("open_n"),
+            count(when(col("l_linestatus") === "F", 1)).as("finished_n"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("open_n"), col("finished_n")), "metric", "n")
+          .orderBy(col("l_returnflag"), col("metric")),
+      Some("""WITH w AS (
+          SELECT l_returnflag,
+            count(*) FILTER (WHERE l_linestatus = 'O') AS open_n,
+            count(*) FILTER (WHERE l_linestatus = 'F') AS finished_n
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'open_n' AS metric, open_n AS n FROM w
+        UNION ALL
+        SELECT l_returnflag, 'finished_n' AS metric, finished_n AS n FROM w
+        ORDER BY l_returnflag, metric""")),
+
+    // ------------------------------------------------------------------
+    // Exact percentiles (PERCENTILE_CONT semantics: pos = p*(n-1),
+    // linear interpolation). l_quantity is integral and the requested
+    // fractions are quarters, so the interpolated doubles are exact and
+    // engine-independent.
+    // ------------------------------------------------------------------
+    "q38_percentiles" -> Q(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("q50"),
+            expr("percentile(l_quantity, 0.75)").as("q75"),
+            min(col("l_quantity")).as("qmin"),
+            max(col("l_quantity")).as("qmax"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75,
+        min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Moment statistics (variance/stddev/correlation) built from exact
+    // decimal sums, NOT the engines' native streaming moments — native
+    // stddev/corr accumulate doubles in partition order and are not
+    // cross-engine (or even run-to-run) bit-reproducible. From exact
+    // sums, the double formula below is evaluated with the same IEEE
+    // ops on both engines.
+    // ------------------------------------------------------------------
+    "q39_stats_moments" -> Q(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            dsum(col("l_quantity")).as("sx"),
+            dsum(col("l_discount")).as("sy"),
+            dsumP4(col("l_quantity") * col("l_quantity")).as("sxx"),
+            dsumP4(col("l_discount") * col("l_discount")).as("syy"),
+            dsumP4(col("l_quantity") * col("l_discount")).as("sxy"))
+          .select(col("l_returnflag"),
+            col("n").cast("bigint").as("n_rows"),
+            (col("sx") / col("n")).as("mean_qty"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)).as("var_qty"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)).as("std_qty"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_disc"))
+          .orderBy(col("l_returnflag")),
+      Some(s"""WITH m AS (
+          SELECT l_returnflag,
+            cast(count(*) as double) AS n,
+            ${sqlDsum("l_quantity")} AS sx,
+            ${sqlDsum("l_discount")} AS sy,
+            ${sqlDsumP4("l_quantity * l_quantity")} AS sxx,
+            ${sqlDsumP4("l_discount * l_discount")} AS syy,
+            ${sqlDsumP4("l_quantity * l_discount")} AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, cast(n as bigint) AS n_rows,
+          sx / n AS mean_qty,
+          (sxx - sx * sx / n) / (n - 1) AS var_qty,
+          sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            AS corr_qty_disc
+        FROM m ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Correlated EXISTS subquery through the SQL entry point (Catalyst
+    // rewrites it to a left-semi join — same physical plan as q05, but
+    // exercising the subquery-decorrelation path).
+    // ------------------------------------------------------------------
+    "q40_exists_subquery" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey, c_name FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > 300000)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // RANGE window frame (value-based, not row-based): per supplier,
+    // how many lineitems fall within 10000 below this one's price, and
+    // their exact revenue. Frame membership is value-determined, so
+    // order-by ties don't affect the result.
+    // ------------------------------------------------------------------
+    "q41_range_frame" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_suppkey, l_orderkey, l_linenumber,
+            count(*) OVER w AS n_in_range,
+            cast(sum(cast(l_extendedprice as decimal(18,2))) OVER w
+                 as double) AS sum_in_range
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice
+                       RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+          ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+          count(*) OVER w AS n_in_range,
+          cast(sum(cast(l_extendedprice as decimal(18,2))) OVER w
+               as double) AS sum_in_range
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice
+                     RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    // The window order is a total order (price, then key), so bucket
+    // boundaries and rank ratios are deterministic.
+    // ------------------------------------------------------------------
+    "q42_ntile_dist" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("tile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+          ntile(4) OVER w AS tile,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // first_value / last_value / nth_value with explicit frames —
+    // first line's part, last line's part, and the second line's part
+    // per order (full-partition frame for the latter two).
+    // ------------------------------------------------------------------
+    "q43_first_last_nth" -> Q(
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // the window order needs the full tiebreak to be total, or
+        // first/last/nth are nondeterministic.
+        val ord = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+        val running = ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val full = ord.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            first(col("l_partkey")).over(running).as("first_part"),
+            last(col("l_partkey")).over(full).as("last_part"),
+            nth_value(col("l_partkey"), 2).over(full).as("second_part"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          first_value(l_partkey) OVER w AS first_part,
+          last_value(l_partkey) OVER wf AS last_part,
+          nth_value(l_partkey, 2) OVER wf AS second_part
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // GROUPING SETS with grouping() markers — finer-grained than
+    // rollup/cube (q17/q18): an explicit set list, via the SQL surface.
+    // ------------------------------------------------------------------
+    "q44_grouping_sets" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        t(s, d, "nation").createOrReplaceTempView("nation")
+        t(s, d, "region").createOrReplaceTempView("region")
+        s.sql(s"""SELECT r_name, n_name,
+            cast(grouping(r_name) as int) AS g_r,
+            cast(grouping(n_name) as int) AS g_n,
+            count(*) AS n_customers,
+            ${sqlDsum("c_acctbal")} AS total_acctbal
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+          ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")
+      },
+      Some(s"""SELECT r_name, n_name,
+          cast(grouping(r_name) as int) AS g_r,
+          cast(grouping(n_name) as int) AS g_n,
+          count(*) AS n_customers,
+          ${sqlDsum("c_acctbal")} AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
+    // posexplode (generator with ordinality) — the UDTF-shaped surface.
+    // ------------------------------------------------------------------
+    "q45_posexplode" -> Q(
+      (s, d) =>
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            posexplode(split(col("p_name"), " ")))
+          .toDF("p_partkey", "pos", "word")
+          .orderBy(col("p_partkey"), col("pos")),
+      Some("""SELECT p_partkey, i - 1 AS pos, w[i] AS word
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
+        LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+        ORDER BY p_partkey, pos""")),
+
+    // ------------------------------------------------------------------
+    // Higher-order array functions: transform / filter / exists /
+    // aggregate / array_sort / slice, all over a generated int array —
+    // these run inside codegen'd projections, no UDFs.
+    // ------------------------------------------------------------------
+    "q46_array_hof" -> Q(
+      (s, d) =>
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            expr("aggregate(transform(sequence(1, p_size), x -> x * x)," +
+              " cast(0 as bigint), (acc, x) -> acc + x)").as("sum_sq"),
+            expr("size(filter(sequence(1, p_size), x -> x % 3 = 0))")
+              .as("n_div3"),
+            expr("exists(sequence(1, p_size), x -> x * x = p_size)")
+              .as("has_sqrt"),
+            expr("array_join(slice(sequence(1, p_size), 1, 3), '-')")
+              .as("first3"),
+            expr("array_join(array_sort(split(p_name, ' ')), ',')")
+              .as("sorted_words"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+          cast(list_sum(list_transform(generate_series(1, p_size),
+               x -> x * x)) as bigint) AS sum_sq,
+          cast(len(list_filter(generate_series(1, p_size),
+               x -> x % 3 = 0)) as int) AS n_div3,
+          len(list_filter(generate_series(1, p_size),
+              x -> x * x = p_size)) > 0 AS has_sqrt,
+          array_to_string((generate_series(1, p_size))[1:3], '-') AS first3,
+          array_to_string(list_sort(string_split(p_name, ' ')), ',')
+            AS sorted_words
+        FROM part ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // regexp_extract_all: every 5-letter lowercase word per document
+    // (bounded slice of the corpus), joined for cross-engine compare.
+    // ------------------------------------------------------------------
+    "q47_regexp_extract_all" -> Q(
+      (s, d) =>
+        t(s, d, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            array_join(regexp_extract_all(col("text"),
+              lit("\\b[a-z]{5}\\b"), lit(0)), ",").as("five_letter"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          array_to_string(regexp_extract_all(text, '\b[a-z]{5}\b'), ',')
+            AS five_letter
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Extended string functions: translate / repeat / reverse / left /
+    // right / rpad / levenshtein.
+    // ------------------------------------------------------------------
+    "q48_string_funcs2" -> Q(
+      (s, d) =>
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            translate(col("p_type"), "AEIOU", "aeiou").as("devoweled"),
+            expr("repeat(p_brand, 2)").as("brand2"),
+            reverse(col("p_name")).as("rev_name"),
+            expr("left(p_name, 4)").as("name_l4"),
+            expr("right(p_name, 4)").as("name_r4"),
+            rpad(col("p_brand"), 12, ".").as("brand_pad"),
+            levenshtein(col("p_brand"), col("p_type")).as("lev"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+          translate(p_type, 'AEIOU', 'aeiou') AS devoweled,
+          repeat(p_brand, 2) AS brand2,
+          reverse(p_name) AS rev_name,
+          left(p_name, 4) AS name_l4,
+          right(p_name, 4) AS name_r4,
+          rpad(p_brand, 12, '.') AS brand_pad,
+          levenshtein(p_brand, p_type) AS lev
+        FROM part ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // Filtered / boolean aggregation: count_if, bool_and, bool_or, and
+    // a conditional exact sum (the FILTER-clause surface).
+    // ------------------------------------------------------------------
+    "q49_filtered_agg" -> Q(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("count_if(l_discount > 0.05)").as("n_discounted"),
+            expr("bool_and(l_quantity > 0)").as("all_positive"),
+            expr("bool_or(l_tax > 0.07)").as("any_high_tax"),
+            dsum(when(col("l_discount") > 0.05, col("l_extendedprice")))
+              .as("discounted_revenue"))
+          .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+          count_if(l_discount > 0.05) AS n_discounted,
+          bool_and(l_quantity > 0) AS all_positive,
+          bool_or(l_tax > 0.07) AS any_high_tax,
+          cast(sum(cast(l_extendedprice as decimal(18,2)))
+               FILTER (WHERE l_discount > 0.05) as double)
+            AS discounted_revenue
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Null-handling functions over a left join's null side: coalesce /
+    // nullif / ifnull / greatest / least.
+    // ------------------------------------------------------------------
+    "q50_null_funcs" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_acctbal"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_spend"))
+          .select(col("c_custkey"),
+            coalesce(col("total_spend"), lit(0.0)).as("spend0"),
+            nullif(col("n_orders"), lit(0)).as("orders_or_null"),
+            expr("ifnull(total_spend, -1.0)").as("spend_m1"),
+            greatest(col("c_acctbal"), col("total_spend"), lit(0.0))
+              .as("hi"),
+            least(col("c_acctbal"), col("total_spend")).as("lo"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH j AS (
+          SELECT c_custkey, c_acctbal,
+            count(o_orderkey) AS n_orders,
+            cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+              AS total_spend
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_acctbal)
+        SELECT c_custkey,
+          coalesce(total_spend, 0.0) AS spend0,
+          nullif(n_orders, 0) AS orders_or_null,
+          ifnull(total_spend, -1.0) AS spend_m1,
+          greatest(c_acctbal, total_spend, 0.0) AS hi,
+          least(c_acctbal, total_spend) AS lo
+        FROM j ORDER BY c_custkey"""))
+  )
+}
