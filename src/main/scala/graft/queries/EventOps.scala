@@ -153,5 +153,85 @@ object EventOps {
         min(event_id) AS first_event_id, count(*) AS n_in_bucket
         FROM (SELECT event_id, cast(ts as timestamp) AS ts, user_id, event_type, value, props FROM events) ev
         GROUP BY 1, 2, 3
-        ORDER BY user_id, event_type, minute""")))
+        ORDER BY user_id, event_type, minute""")),
+
+    // ------------------------------------------------------------------
+    // Conversion funnel: users who viewed, then purchased at/after their
+    // first view, then purchased within 2 hours of it. One aggregation
+    // per side + a broadcast-size join on user_id — no event x event
+    // blowup, so the plan scales linearly in events.
+    // ------------------------------------------------------------------
+    "e07_funnel" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        views.join(purchases, col("user_id") === col("p_user"), "left")
+          .groupBy(col("user_id"), col("first_view"))
+          .agg(
+            max(when(col("p_ts") >= col("first_view"), 1).otherwise(0))
+              .as("converted"),
+            max(when(col("p_ts") >= col("first_view") &&
+              col("p_ts") <= col("first_view") + expr("INTERVAL 2 HOURS"),
+              1).otherwise(0)).as("converted_2h"))
+          .agg(count(lit(1)).as("n_viewers"),
+            sum(col("converted")).cast("bigint").as("n_converted"),
+            sum(col("converted_2h")).cast("bigint").as("n_converted_2h"))
+          .withColumn("conversion_rate",
+            col("n_converted").cast("double") /
+              col("n_viewers").cast("double"))
+          .orderBy(col("n_viewers"))
+      },
+      Some("""WITH ev AS (SELECT event_id, cast(ts as timestamp) AS ts, user_id, event_type, value, props FROM events),
+        v AS (SELECT user_id, min(ts) AS first_view FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        p AS (SELECT user_id AS p_user, ts AS p_ts FROM ev
+              WHERE event_type = 'purchase'),
+        u AS (SELECT user_id, first_view,
+            max(CASE WHEN p_ts >= first_view THEN 1 ELSE 0 END)
+              AS converted,
+            max(CASE WHEN p_ts >= first_view
+                      AND p_ts <= first_view + INTERVAL 2 HOUR
+                     THEN 1 ELSE 0 END) AS converted_2h
+          FROM v LEFT JOIN p ON user_id = p_user
+          GROUP BY user_id, first_view)
+        SELECT count(*) AS n_viewers,
+          cast(sum(converted) as bigint) AS n_converted,
+          cast(sum(converted_2h) as bigint) AS n_converted_2h,
+          cast(cast(sum(converted) as bigint) as double) /
+            cast(count(*) as double) AS conversion_rate
+        FROM u ORDER BY n_viewers""")),
+
+    // ------------------------------------------------------------------
+    // Late-data audit (the batch twin of watermarking): an event is late
+    // if it arrives (event_id order = arrival order) more than 1 hour
+    // behind the maximum event time seen so far. Streaming's
+    // withWatermark("ts", "1 hour") drops exactly these rows.
+    // ------------------------------------------------------------------
+    "e08_late_data" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        t(s, d, "events")
+          .withColumn("max_seen", max(col("ts")).over(w))
+          .withColumn("is_late",
+            col("ts") < col("max_seen") - expr("INTERVAL 1 HOUR"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            expr("count_if(is_late)").as("n_late"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_id, cast(ts as timestamp) AS ts, user_id, event_type, value, props FROM events),
+        m AS (SELECT event_type, ts,
+            max(ts) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS max_seen
+          FROM ev)
+        SELECT event_type, count(*) AS n_events,
+          cast(count_if(ts < max_seen - INTERVAL 1 HOUR) as bigint) AS n_late
+        FROM m GROUP BY event_type ORDER BY event_type""")))
 }

@@ -408,7 +408,7 @@ object Relational2 {
               .as("discounted_revenue"))
           .orderBy(col("l_returnflag")),
       Some(s"""SELECT l_returnflag,
-          count_if(l_discount > 0.05) AS n_discounted,
+          cast(count_if(l_discount > 0.05) as bigint) AS n_discounted,
           bool_and(l_quantity > 0) AS all_positive,
           bool_or(l_tax > 0.07) AS any_high_tax,
           cast(sum(cast(l_extendedprice as decimal(18,2)))

@@ -494,5 +494,124 @@ object TextOps {
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM documents
         GROUP BY lang, source
-        ORDER BY lang, source""")))
+        ORDER BY lang, source""")),
+
+    // ------------------------------------------------------------------
+    // Shingle containment (asymmetric near-dup: how much of the SMALLER
+    // doc is inside the pair): |A∩B| / min(|A|,|B|). Catches
+    // subset/quotation duplication that symmetric Jaccard dilutes.
+    // Bounded exact variant (oracle); the scale path is d03's LSH.
+    // ------------------------------------------------------------------
+    "d06_containment" -> Q(
+      (s, d) => {
+        val base = docShingles(s, d)
+          .filter(col("doc_id") < 1000 && size(col("w")) > 0)
+        val a = base.select(col("doc_id").as("doc_a"), col("w").as("wa"))
+        val b = base.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("containment",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              least(size(col("wa")), size(col("wb"))).cast("double"))
+          .filter(col("containment") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("containment"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents WHERE doc_id < 1000),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          cast(len(list_intersect(a.w, b.w)) as double) /
+            cast(least(len(a.w), len(b.w)) as double) AS containment
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.w, b.w)) as double) /
+              cast(least(len(a.w), len(b.w)) as double) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // Document-length histogram: fixed-width buckets + share of corpus.
+    // Integer `div` (not /) so both engines floor identically.
+    // ------------------------------------------------------------------
+    "x08_len_histogram" -> Q(
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(expr("n_chars div 200").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share", col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()).cast("double"))
+          .orderBy(col("bucket")),
+      Some("""WITH h AS (
+          SELECT n_chars // 200 AS bucket, count(*) AS n
+          FROM documents GROUP BY bucket)
+        SELECT bucket, n,
+          cast(n as double) / cast(sum(n) OVER () as double) AS share
+        FROM h ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // IVF-style ANN (the scale path for similarity search): assign every
+    // vector to its nearest of 8 deterministic centroids (vec_id 0-7 as
+    // the "trained" codebook), then search only the 2 centroids nearest
+    // the query. At 100 TB the assignment is one broadcast-join pass and
+    // each probe touches ~2/8 of the corpus; recall is tested in
+    // TextOpsSpec against s01's exact top-k.
+    // ------------------------------------------------------------------
+    "s03_ivf_ann" -> Q(
+      (s, d) => {
+        val base = emb(s, d)
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        // nearest centroid per vector (argmax cosine, centroid id ties
+        // broken ascending)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))
+        val assigned = base.crossJoin(broadcast(cents))
+          .withColumn("csim", cosine(col("embedding"), col("ce")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+        // the query's 2 nearest centroids
+        val q = base.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val probe = cents.crossJoin(broadcast(q))
+          .withColumn("qsim", cosine(col("ce"), col("qe")))
+          .orderBy(col("qsim").desc, col("cent_id"))
+          .limit(2)
+          .select(col("cent_id").as("probe_cent"))
+        assigned
+          .join(broadcast(probe), col("cent_id") === col("probe_cent"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .select(col("vec_id"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, v, nrm, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC, cent_id)
+              AS rn
+          FROM n, c),
+        assigned AS (SELECT vec_id, v, nrm, cent_id FROM asgn WHERE rn = 1),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        probe AS (
+          SELECT cent_id FROM c, q
+          ORDER BY list_dot_product(cv, qv) / cnrm / qnrm DESC, cent_id
+          LIMIT 2)
+        SELECT a.vec_id,
+          list_dot_product(a.v, q.qv) / a.nrm / q.qnrm AS cos
+        FROM assigned a JOIN probe p ON a.cent_id = p.cent_id, q
+        WHERE a.vec_id <> 0
+        ORDER BY cos DESC, a.vec_id
+        LIMIT 10""")))
 }

@@ -45,6 +45,30 @@ class QueriesSpec extends SparkFunSuite {
     }
   }
 
+  test("s03 IVF ANN: results are true cosines with reasonable recall vs s01") {
+    val exact = q("s01_cosine_topk").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = q("s03_ivf_ann").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty)
+    // every IVF result carries its true cosine (no approximation of the
+    // similarity itself — only the candidate set is pruned)
+    val emb = Catalog.t(spark, sf0001, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val brute = emb.crossJoin(query)
+      .select(col("vec_id"),
+        TextOps.cosine(col("embedding"), col("qe")).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { case (id, cos) =>
+      assert(brute(id) == cos, s"cosine mismatch for vec $id")
+    }
+    // 2-of-8 probes must still find a decent share of the exact top-10
+    val recall = exact.keySet.intersect(ivf.keySet).size.toDouble /
+      exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("d04 simhash pairs match the brute-force hamming computation") {
     val got = q("d04_simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1),
