@@ -323,8 +323,14 @@ object TextOps {
         // bit-identical to minhashSig(shingles) but ~50× faster (nested
         // higher-order lambdas don't codegen; see ShingleMinHash docs).
         // It consumes raw tokens, so band hashing reads docs directly.
+        // docs with <3 words have an EMPTY shingle set → all-identical
+        // signatures → they collide with each other in every band (n²
+        // candidate pairs) yet their Jaccard is 0/0 = NaN and never
+        // passes the threshold. Prune them before banding: semantics
+        // identical, and the degenerate-key blowup disappears at scale.
         val banded = docs(s, d)
           .select(col("doc_id"), words(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
           .withColumn("sig",
             graft.functions.ShingleMinHash.shingleMinhash(col("toks")))
           .select(col("doc_id"),
@@ -333,21 +339,28 @@ object TextOps {
                 lit(rowsPerBand)).cast("string"), bi))))
           .select(col("doc_id"), col("pos").as("band"),
             col("col").as("band_hash"))
+        // candidate pairs: banded self-join on (band, band_hash). Both
+        // join inputs are the same canonical subplan shuffled on the
+        // same keys, so ReuseExchange materializes the scan+minhash
+        // once (verified in the formatted plan). A groupBy+collect_list
+        // pair-expansion variant was tried and is ~1.7× slower — the
+        // nested pair-enumeration lambda doesn't codegen.
         val cand = banded.as("l")
           .join(banded.as("r"), Seq("band", "band_hash"))
           .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
           .distinct()
-        // verification: shingle arrays only materialize for candidate
-        // docs (semi-join prune first) — at scale candidates ≪ corpus,
-        // so the expensive per-doc shingling is O(candidates)
-        val candDocs = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val candShingles = base.join(candDocs, Seq("doc_id"), "left_semi")
+        // verification: join the candidate pairs straight back to the
+        // shingle table on each side. (An earlier semi-join "prune"
+        // computed candDocs = union of two selects of cand, which made
+        // Catalyst evaluate the whole scan+minhash+join subtree three
+        // times — the prune cost more than the shingling it saved. The
+        // small candidate side broadcasts, so no shingle arrays ride a
+        // shuffle.)
         cand
-          .join(candShingles.select(col("doc_id").as("doc_a"),
+          .join(base.select(col("doc_id").as("doc_a"),
             col("w").as("wa")), Seq("doc_a"))
-          .join(candShingles.select(col("doc_id").as("doc_b"),
+          .join(base.select(col("doc_id").as("doc_b"),
             col("w").as("wb")), Seq("doc_b"))
           .withColumn("jaccard",
             size(array_intersect(col("wa"), col("wb"))).cast("double") /
