@@ -102,6 +102,37 @@ class StreamingSpec extends SparkFunSuite {
     assert(b2.count() == 0 && g2.count() == 1000)
   }
 
+  test("watermark drops late data across microbatches (e08's streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val events = ms.toDF()
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val agg = EventStreams.tumblingHourly(events)
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("late_drop").start()
+    // batch 1: events at 10:05 and 12:00 → watermark advances to 11:50
+    ms.addData((1L, ts(10, 5), "view", 1.0), (2L, ts(12, 0), "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: 10:30 is 80 min behind the watermark → DROPPED;
+    // 12:30 is on time → its window updates
+    ms.addData((3L, ts(10, 30), "view", 1.0), (4L, ts(12, 30), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_drop")
+      .groupBy("ws").agg(max("n").as("n")).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 10:00 window saw ONLY the batch-1 event; the late 10:30 event
+    // never updated it
+    assert(out("2026-01-01 10:00:00.0") == 1L, s"late event not dropped: $out")
+    // the 12:00 window includes both on-time events
+    assert(out("2026-01-01 12:00:00.0") == 2L, s"on-time event missing: $out")
+  }
+
   test("foreachBatch sink: per-microbatch parquet apply loop") {
     // the streaming analogue of the executor's ordered apply fold
     // (SURVEY E1/E12): each micro-batch lands atomically, with batch ids
