@@ -450,6 +450,49 @@ object Relational2 {
           ifnull(total_spend, -1.0) AS spend_m1,
           greatest(c_acctbal, total_spend, 0.0) AS hi,
           least(c_acctbal, total_spend) AS lo
-        FROM j ORDER BY c_custkey"""))
+        FROM j ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Source/sink formats: write orders out as CSV / JSON / ORC, read
+    // it back with an explicit schema, and aggregate. The oracle
+    // aggregates the original parquet — equal results prove the
+    // roundtrip is lossless (doubles survive because Spark writes
+    // shortest-roundtrip representations; timestamps get an explicit
+    // micro-precision format).
+    // ------------------------------------------------------------------
+    "q51_csv_roundtrip" -> Q(
+      (s, d) => roundtripAgg(s, d, "csv"), Some(roundtripOracle)),
+    "q52_json_roundtrip" -> Q(
+      (s, d) => roundtripAgg(s, d, "json"), Some(roundtripOracle)),
+    "q53_orc_roundtrip" -> Q(
+      (s, d) => roundtripAgg(s, d, "orc"), Some(roundtripOracle))
   )
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def roundtripAgg(s: SparkSession, d: String,
+      fmt: String): DataFrame = {
+    val src = t(s, d, "orders")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_$fmt"
+    src.write.mode("overwrite").format(fmt)
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .save(path)
+    s.read.format(fmt).schema(src.schema)
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .load(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val roundtripOracle: String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+      ${sqlDsum("o_totalprice")} AS total,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      max(o_orderdate) AS last_date
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }
