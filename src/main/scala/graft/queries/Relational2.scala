@@ -465,7 +465,98 @@ object Relational2 {
     "q52_json_roundtrip" -> Q(
       (s, d) => roundtripAgg(s, d, "json"), Some(roundtripOracle)),
     "q53_orc_roundtrip" -> Q(
-      (s, d) => roundtripAgg(s, d, "orc"), Some(roundtripOracle))
+      (s, d) => roundtripAgg(s, d, "orc"), Some(roundtripOracle)),
+
+    // ------------------------------------------------------------------
+    // try_cast: fallible parsing without job-killing exceptions (ANSI
+    // mode makes plain cast throw — try_cast is the 100 TB-safe form).
+    // ------------------------------------------------------------------
+    "q54_try_cast" -> Q(
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            expr("try_cast(left(o_orderpriority, 1) AS INT)")
+              .as("priority_num"),
+            expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+            expr("try_cast(o_totalprice AS STRING)").as("price_str"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+          try_cast(left(o_orderpriority, 1) AS INT) AS priority_num,
+          try_cast(o_orderstatus AS INT) AS status_num,
+          try_cast(o_totalprice AS VARCHAR) AS price_str
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Calendar functions: add_months (end-of-month clamping), last_day,
+    // day-of-week, quarter, ISO week, day name. DuckDB's dayofweek is
+    // Sunday=0 where Spark's is Sunday=1 — offset in the oracle.
+    // ------------------------------------------------------------------
+    "q55_calendar_funcs" -> Q(
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
+            last_day(col("o_orderdate").cast("date")).as("month_end"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            quarter(col("o_orderdate")).as("qtr"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            date_format(col("o_orderdate"), "EEEE").as("day_name"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+          cast(cast(o_orderdate as date) + INTERVAL 1 MONTH as date)
+            AS next_month,
+          last_day(cast(o_orderdate as date)) AS month_end,
+          dayofweek(o_orderdate) + 1 AS dow,
+          quarter(o_orderdate) AS qtr,
+          weekofyear(o_orderdate) AS iso_week,
+          dayname(o_orderdate) AS day_name
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Ordered string aggregation (LISTAGG / string_agg): nations per
+    // region, sorted inside the aggregate for determinism.
+    // ------------------------------------------------------------------
+    "q56_string_agg" -> Q(
+      (s, d) => {
+        val nat = t(s, d, "nation")
+        val reg = t(s, d, "region")
+        nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name,
+          string_agg(n_name, ',' ORDER BY n_name) AS nations,
+          count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ------------------------------------------------------------------
+    // Hive-style partitioned write + partition-pruned read: events
+    // written partitionBy(event_type), then one partition's worth read
+    // back. The filter prunes at the DIRECTORY level (PartitionFilters
+    // in the scan, no data files of other types touched) — the layout
+    // that makes selective reads at 100 TB cheap. Oracle filters the
+    // original table.
+    // ------------------------------------------------------------------
+    "q57_partition_pruned" -> Q(
+      (s, d) => {
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
+        t(s, d, "events").write.mode("overwrite")
+          .partitionBy("event_type").parquet(path)
+        s.read.parquet(path)
+          .filter(col("event_type") === "click")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy(col("day"))
+      },
+      Some(s"""SELECT date_trunc('day', cast(ts as timestamp)) AS day,
+          count(*) AS n, ${sqlDsum("value")} AS total_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY day ORDER BY day"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
