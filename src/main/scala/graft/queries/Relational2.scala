@@ -156,7 +156,8 @@ object Relational2 {
           (n * sxy - sx * sy) /
             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
             AS corr_qty_disc
-        FROM m ORDER BY l_returnflag""")),
+        FROM m ORDER BY l_returnflag"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // Correlated EXISTS subquery through the SQL entry point (Catalyst

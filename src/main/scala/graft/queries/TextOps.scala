@@ -626,5 +626,6 @@ object TextOps {
         FROM assigned a JOIN probe p ON a.cent_id = p.cent_id, q
         WHERE a.vec_id <> 0
         ORDER BY cos DESC, a.vec_id
-        LIMIT 10""")))
+        LIMIT 10"""),
+      bench = true))
 }
