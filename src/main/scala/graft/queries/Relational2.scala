@@ -557,7 +557,28 @@ object Relational2 {
       Some(s"""SELECT date_trunc('day', cast(ts as timestamp)) AS day,
           count(*) AS n, ${sqlDsum("value")} AS total_value
         FROM events WHERE event_type = 'click'
-        GROUP BY day ORDER BY day"""))
+        GROUP BY day ORDER BY day""")),
+
+    // ------------------------------------------------------------------
+    // Bitwise aggregates: and/or/xor folds (order-independent, exact —
+    // the same xor-fold backs contentFingerprint in the ETL validator).
+    // ------------------------------------------------------------------
+    "q58_bit_aggs" -> Q(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("bit_and(l_linenumber)").as("band"),
+            expr("bit_or(l_linenumber)").as("bor"),
+            expr("bit_xor(l_linenumber)").as("bxor"),
+            expr("bit_xor(l_orderkey)").as("key_fingerprint"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          bit_and(l_linenumber) AS band,
+          bit_or(l_linenumber) AS bor,
+          bit_xor(l_linenumber) AS bxor,
+          bit_xor(l_orderkey) AS key_fingerprint
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
