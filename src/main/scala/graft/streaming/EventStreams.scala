@@ -70,6 +70,28 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: views matched to the same user's
+    * purchases within the following hour. Both sides carry watermarks so
+    * the join state is bounded — a view older than watermark+1h can
+    * never match a future purchase and is evicted; the time-range
+    * predicate is what makes state eviction possible at all (an
+    * unbounded-condition stream-stream join would grow state forever).
+    * Inner-join matches emit immediately, so batch and stream agree
+    * exactly (the kappa check in StreamingSpec).
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    v.join(p, expr("""p_user = user_id
+        AND purchase_ts >= view_ts
+        AND purchase_ts <= view_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"),
+        col("value"))
+  }
+
   /** Parse-with-quarantine (dead-letter routing): typed JSON parse of
     * the props column; rows whose props fail to parse land in the
     * quarantine side with the raw payload preserved, good rows carry

@@ -102,6 +102,26 @@ class StreamingSpec extends SparkFunSuite {
     assert(b2.count() == 0 && g2.count() == 1000)
   }
 
+  test("stream-stream interval join matches the batch join exactly") {
+    val src = EventStreams.readEventStream(spark, stagedDir)
+    val joined = EventStreams.viewPurchaseJoin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"))
+    runToMemory(joined, "vp_join")
+    val streamed = spark.table("vp_join").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getDouble(3))).sorted
+    val batchSrc = spark.read.parquet(stagedDir)
+    val batch = EventStreams.viewPurchaseJoin(
+      batchSrc.filter(col("event_type") === "view"),
+      batchSrc.filter(col("event_type") === "purchase")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getDouble(3))).sorted
+    assert(batch.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.length} rows vs batch ${batch.length}")
+  }
+
   test("watermark drops late data across microbatches (e08's streaming twin)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
