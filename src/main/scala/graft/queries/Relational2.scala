@@ -578,7 +578,48 @@ object Relational2 {
           bit_or(l_linenumber) AS bor,
           bit_xor(l_linenumber) AS bxor,
           bit_xor(l_orderkey) AS key_fingerprint
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Bucketed co-located join: both fact tables written bucketBy the
+    // join key, so the join plans with NO exchange on either side — the
+    // write-once-shuffle layout for repeated fact⋈fact joins at 100 TB
+    // (shuffle-freedom itself is asserted in BucketingSpec). The oracle
+    // computes the same join/agg from the original tables.
+    // ------------------------------------------------------------------
+    "q59_bucketed_join" -> Q(
+      (s, d) => {
+        val tOrd = "graft_q59_orders"
+        val tLi = "graft_q59_lineitem"
+        // the in-memory catalog forgets tables between JVMs but the
+        // warehouse dirs persist → clear both layers before rewriting
+        Seq(tOrd, tLi).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val wh = new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath
+          val p = java.nio.file.Paths.get(wh, tbl)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.delete)
+          }
+        }
+        graft.sources.Bucketing.writeBucketed(
+          t(s, d, "orders"), tOrd, "o_orderkey", 8)
+        graft.sources.Bucketing.writeBucketed(
+          t(s, d, "lineitem"), tLi, "l_orderkey", 8)
+        s.table(tLi)
+          .join(s.table(tOrd), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("o_orderstatus"), col("l_returnflag"))
+      },
+      Some(s"""SELECT o_orderstatus, l_returnflag, count(*) AS n,
+          ${sqlDsum("l_extendedprice")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus, l_returnflag
+        ORDER BY o_orderstatus, l_returnflag"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
