@@ -156,6 +156,43 @@ object EventOps {
         ORDER BY user_id, event_type, minute""")),
 
     // ------------------------------------------------------------------
+    // Interval (range) join through the bucketized operator: events
+    // matched to every same-customer order whose 7-day window contains
+    // the event. The operator turns the pure range predicate into an
+    // equi-join on a time bucket (bucket size ≥ window length → each
+    // window explodes to ≤2 bucket rows), so the plan is a hash join,
+    // not a broadcast-nested-loop — the difference between O(n·m) and
+    // O(n+m) at 100 TB. Verified against DuckDB's native range join.
+    // ------------------------------------------------------------------
+    "e09_interval_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // parquet stores o_orderdate as TIMESTAMP_NTZ; unix_millis in
+        // the bucketizer needs TIMESTAMP — session is pinned UTC so the
+        // cast is a no-op semantically
+        val ords = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("o_orderdate"))
+          .withColumn("window_end",
+            col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        graft.operators.AsOfJoin.intervalJoin(ev, ords,
+          leftTs = "ts", rightStart = "o_orderdate",
+          rightEnd = "window_end",
+          keyLeft = "user_id", keyRight = "o_custkey",
+          bucketMs = 7L * 24 * 3600 * 1000)
+          .select(col("event_id"), col("o_orderkey"))
+          .orderBy(col("event_id"), col("o_orderkey"))
+      },
+      Some("""SELECT event_id, o_orderkey
+        FROM (SELECT event_id, user_id, cast(ts as timestamp) AS ts
+              FROM events) ev
+        JOIN orders ON user_id = o_custkey
+          AND ts >= o_orderdate
+          AND ts < o_orderdate + INTERVAL 7 DAY
+        ORDER BY event_id, o_orderkey""")),
+
+    // ------------------------------------------------------------------
     // Conversion funnel: users who viewed, then purchased at/after their
     // first view, then purchased within 2 hours of it. One aggregation
     // per side + a broadcast-size join on user_id — no event x event
