@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.mm.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: the binary-payload plumbing (synthesize →
+  * batched partition-local decode) exposed in the declared inventory.
+  * The stub codec's header fields are pure functions of doc_id, and the
+  * payload is the document's UTF-8 bytes — so the END-TO-END pipeline
+  * (Dataset.map synthesis, 16-byte header pack, mapPartitions batched
+  * decode) is hash-verifiable against a DuckDB oracle that recomputes
+  * the same fields arithmetically. A real codec swaps into StubCodec
+  * without touching the verified plumbing.
+  */
+object MediaOps {
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    "mm01_media_meta" -> Q(
+      (s, d) =>
+        Multimodal.decodeMeta(Multimodal.synthesizeMedia(s, d))
+          .toDF()
+          .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                          WHEN 1 THEN 'audio/wav'
+                          ELSE 'video/mp4' END AS mime,
+          cast(64 + doc_id % 192 as int) AS width,
+          cast(64 + (doc_id * 7) % 192 as int) AS height,
+          cast(1 + doc_id % 30 as int) AS n_frames,
+          cast(16 + octet_length(encode(text)) as bigint) AS content_len
+        FROM documents ORDER BY media_id"""))
+  )
+}
