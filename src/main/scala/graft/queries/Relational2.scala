@@ -619,7 +619,27 @@ object Relational2 {
           ${sqlDsum("l_extendedprice")} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus, l_returnflag
-        ORDER BY o_orderstatus, l_returnflag"""))
+        ORDER BY o_orderstatus, l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Join-strategy hints: force a shuffle-hash join (no sort, build a
+    // hash map per partition — wins when one side is much smaller but
+    // too big to broadcast). Results must equal the unhinted plan's;
+    // only the physical strategy changes.
+    // ------------------------------------------------------------------
+    "q60_join_hint" -> Q(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders").hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("total_qty"))
+          .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+          ${sqlDsum("l_quantity")} AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
