@@ -639,7 +639,43 @@ object Relational2 {
       Some(s"""SELECT o_orderpriority, count(*) AS n,
           ${sqlDsum("l_quantity")} AS total_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // Multiset set-ops: INTERSECT ALL / EXCEPT ALL preserve duplicate
+    // cardinality (q19 covers the DISTINCT forms). Ship-mode-less
+    // synthetic multisets: per-key status rows with repeats.
+    // ------------------------------------------------------------------
+    "q61_set_ops_all" -> Q(
+      (s, d) => {
+        val a = t(s, d, "lineitem")
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_returnflag"))
+        val b = t(s, d, "lineitem")
+          .filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey"), col("l_returnflag"))
+        a.intersectAll(b).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_intersect"))
+          .join(
+            a.exceptAll(b).groupBy(col("l_returnflag"))
+              .agg(count(lit(1)).as("n_except")),
+            Seq("l_returnflag"), "full_outer")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem
+                         WHERE l_orderkey < 2000),
+             b AS (SELECT l_orderkey, l_returnflag FROM lineitem
+                   WHERE l_orderkey < 1000),
+             i AS (SELECT l_returnflag, count(*) AS n_intersect
+                   FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+                   GROUP BY l_returnflag),
+             e AS (SELECT l_returnflag, count(*) AS n_except
+                   FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+                   GROUP BY l_returnflag)
+        SELECT coalesce(i.l_returnflag, e.l_returnflag) AS l_returnflag,
+               n_intersect, n_except
+        FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
+        ORDER BY l_returnflag"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
