@@ -60,6 +60,12 @@ object ApplyMain {
     } catch {
       case e: EngineError =>
         System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+      case scala.util.control.NonFatal(e) =>
+        // runner/SQL failures (already reported via Failed progress)
+        // exit cleanly like the reference CLI, not with a stack trace
+        System.err.println(s"error: ${e.getMessage.linesIterator
+          .find(_.nonEmpty).getOrElse(e.getClass.getSimpleName)}")
+        sys.exit(1)
     } finally spark.stop()
   }
 
@@ -111,6 +117,10 @@ object RollbackMain {
     } catch {
       case e: EngineError =>
         System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"error: ${e.getMessage.linesIterator
+          .find(_.nonEmpty).getOrElse(e.getClass.getSimpleName)}")
+        sys.exit(1)
     } finally spark.stop()
   }
 
