@@ -7,14 +7,41 @@ import Catalog._
 
 /** The migration engine's own dataflow exposed as queries — loader,
   * analyzer, pending-set computation (SURVEY.md §2.2 S1-S3, R1-R9, E3).
-  * These read the repo's SQL fixture corpus, not the sf parquet tables,
-  * so they carry no DuckDB oracle (rows-only checks); their semantics
-  * are covered by the ScalaTest suites against the reference's expected
-  * findings.
+  * These read the repo's SQL fixture corpus, not the sf parquet tables.
+  * The loader-shaped ones (m01, m04) ARE oracle-verified — DuckDB
+  * re-derives version/name/checksum/pairing from the same files via
+  * read_text + regexp + sha256. The analyzer/classifier ones embed the
+  * rule engine and stay rows-only, covered by the ScalaTest suites
+  * against the reference's expected findings.
   */
 object MigrationOps {
 
   val fixturesDir = "/root/repo/fixtures/migrations"
+
+  /** Shared oracle CTE: filename→(version, name, direction) parse +
+    * whitespace trim + up/down pivot, mirroring MigrationLoader exactly
+    * (same regex, same \s trim, orphan .down skipped).
+    */
+  private val loaderCte: String = {
+    val re = "^(?:V(\\d+)|(\\d{14}))_(.+)\\.(up|down)\\.sql$"
+    s"""WITH f AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname, content
+        FROM read_text('$fixturesDir/*.sql')),
+      p AS (
+        SELECT
+          CASE WHEN regexp_extract(fname, '$re', 1) <> ''
+               THEN regexp_extract(fname, '$re', 1)
+               ELSE regexp_extract(fname, '$re', 2) END AS version,
+          regexp_extract(fname, '$re', 3) AS name,
+          regexp_extract(fname, '$re', 4) AS direction,
+          regexp_replace(content, '^\\s+|\\s+$$', '', 'g') AS c
+        FROM f WHERE regexp_extract(fname, '$re', 4) <> ''),
+      piv AS (
+        SELECT version, name,
+          max(CASE WHEN direction = 'up' THEN c END) AS up_sql,
+          max(CASE WHEN direction = 'down' THEN c END) AS down_sql
+        FROM p GROUP BY version, name)"""
+  }
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -26,7 +53,12 @@ object MigrationOps {
             (col("downSql") =!= "").as("has_down"),
             length(col("upSql")).as("up_len"))
           .orderBy(col("version")),
-      None),
+      Some(s"""$loaderCte
+        SELECT version, name, sha256(up_sql) AS checksum,
+          down_sql IS NOT NULL AND down_sql <> '' AS has_down,
+          cast(strlen(up_sql) as int) AS up_len
+        FROM piv WHERE up_sql IS NOT NULL
+        ORDER BY version""")),
 
     // Analyzer findings: statements × rules flatMap (R1-R9).
     "m02_findings" -> Q(
@@ -104,5 +136,9 @@ object MigrationOps {
           .select(col("version"), col("name"))
           .orderBy(col("version"))
       },
-      None))
+      Some(s"""$loaderCte
+        SELECT version, name FROM piv
+        WHERE up_sql IS NOT NULL
+          AND version NOT IN ('001', '002', '003')
+        ORDER BY version""")))
 }
