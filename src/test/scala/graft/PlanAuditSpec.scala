@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Automated plan lint over the ENTIRE query catalog: no query may plan
+  * a CartesianProduct or BroadcastNestedLoopJoin unless it is on the
+  * explicit allowlist (cross/theta joins by design, or all-pairs oracle
+  * variants that are bounded to a fixed window and documented as
+  * verification twins of the LSH/IVF scale paths). A new query that
+  * accidentally introduces an unbounded data×data nested-loop join —
+  * THE scale killer at 100 TB — fails this suite instead of shipping.
+  */
+class PlanAuditSpec extends SparkFunSuite {
+
+  /** Queries allowed to contain a nested-loop/cartesian operator, and
+    * why. Everything else must plan hash/merge joins only.
+    */
+  val nlAllowlist: Map[String, String] = Map(
+    "q09_cross_join" -> "cross join by definition (dim×dim, 25 rows)",
+    "q10_theta_join" -> "non-equi theta join (dim×dim by design rule)",
+    "q26_scalar_subquery" -> "uncorrelated scalar broadcast (1 row)",
+    "d02_jaccard_pairs" -> "bounded all-pairs oracle twin of d03 LSH",
+    "d05_embedding_neardup" -> "bounded all-pairs oracle twin of s02",
+    "d06_containment" -> "bounded all-pairs oracle twin of d03 LSH",
+    "s01_cosine_topk" -> "1-row query vector broadcast",
+    "s02_ann_lsh" -> "1-row query vector broadcast",
+    "s03_ivf_ann" -> "codebook (8 rows) + query vector broadcasts",
+    "e06_asof_join" -> ("as-of union+window plan (no NL; listed for the "
+      + "scalar-subquery guard only)"),
+    "e08_late_data" -> ("global arrival-order audit window (documented "
+      + "sequential batch twin; streaming watermark is the scale path)"))
+
+  test("no query plans an unlisted CartesianProduct / nested-loop join") {
+    val offenders = Catalog.all.flatMap { case (name, q) =>
+      try {
+        val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+        val hasNl = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (hasNl && !nlAllowlist.contains(name)) Some(name) else None
+      } catch {
+        case e: Throwable => Some(s"$name (plan failed: ${e.getMessage})")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries with unlisted nested-loop plans: ${offenders.mkString(", ")}")
+  }
+
+  test("every fact-table scan prunes its read schema (no SELECT *)") {
+    // lineitem has 11 columns; a query that reads it must not scan all
+    // of them unless it genuinely projects the full row (q51-q53
+    // roundtrips and q59's bucketed write legitimately materialize
+    // every column; e09's bucketizer touches a 3-column slice of
+    // events, listed for clarity).
+    val fullScanAllowed = Set("q51_csv_roundtrip", "q52_json_roundtrip",
+      "q53_orc_roundtrip", "q57_partition_pruned", "q59_bucketed_join")
+    val offenders = Catalog.all.flatMap { case (name, q) =>
+      if (fullScanAllowed.contains(name)) None
+      else try {
+        val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+        // a lineitem scan listing every one of its 11 columns means
+        // pruning failed
+        val all = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+        if (all.forall(plan.contains)) Some(name) else None
+      } catch { case _: Throwable => None }
+    }
+    assert(offenders.isEmpty,
+      s"queries scanning all lineitem columns: ${offenders.mkString(", ")}")
+  }
+}
