@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.shingleMinhashDesc)
     e.injectFunction(GraftExtensions.simhash64Desc)
+    e.injectFunction(GraftExtensions.winnowDesc)
   }
 }
 
@@ -59,6 +60,21 @@ object GraftExtensions {
       }
     })
 
+  private[functions] val winnowDesc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fingerprint"),
+    new ExpressionInfo(classOf[Winnow].getName, "winnow_fingerprint"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(text) => Winnow(text, 8, 16)
+        case Seq(text, k) => Winnow(text, intArg(k, "k"), 16)
+        case Seq(text, k, w) =>
+          Winnow(text, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprint(text[, k[, w]])")
+      }
+    })
+
   /** Register on an existing session (temp-function registry). */
   def register(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -66,5 +82,6 @@ object GraftExtensions {
       shingleMinhashDesc._3)
     reg.registerFunction(simhash64Desc._1, simhash64Desc._2,
       simhash64Desc._3)
+    reg.registerFunction(winnowDesc._1, winnowDesc._2, winnowDesc._3)
   }
 }

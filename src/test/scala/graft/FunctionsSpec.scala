@@ -66,14 +66,17 @@ class FunctionsSpec extends SparkFunSuite {
       .createOrReplaceTempView("fn_docs")
     val viaSql = spark.sql(
       """SELECT shingle_minhash(split(text, ' '), 64, 3) AS sig,
-        |       simhash64(split(text, ' ')) AS sh
+        |       simhash64(split(text, ' ')) AS sh,
+        |       winnow_fingerprint(text, 8, 16) AS fps
         |FROM fn_docs""".stripMargin).head()
     val viaApi = spark.table("fn_docs").select(
       ShingleMinHash.shingleMinhash(split(col("text"), " ")).as("sig"),
-      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("sh"))
+      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("sh"),
+      graft.functions.Winnow.winnowFingerprint(col("text"), 8, 16).as("fps"))
       .head()
     assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
     assert(viaSql.getLong(1) == viaApi.getLong(1))
+    assert(viaSql.getSeq[Long](2) == viaApi.getSeq[Long](2))
   }
 
   test("winnowing: shared long substrings guarantee shared fingerprints") {
