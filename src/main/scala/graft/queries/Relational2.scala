@@ -675,7 +675,31 @@ object Relational2 {
         SELECT coalesce(i.l_returnflag, e.l_returnflag) AS l_returnflag,
                n_intersect, n_except
         FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // CORRELATED scalar subquery in the SELECT list (q26 covers the
+    // uncorrelated form): Catalyst decorrelates it into a left outer
+    // aggregate join — the rewrite that turns per-row O(n) lookups
+    // into one shuffle.
+    // ------------------------------------------------------------------
+    "q62_correlated_scalar" -> Q(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey,
+            (SELECT max(o_totalprice) FROM orders
+             WHERE o_custkey = c_custkey) AS max_order,
+            (SELECT count(*) FROM orders
+             WHERE o_custkey = c_custkey) AS n_orders
+          FROM customer ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey,
+          (SELECT max(o_totalprice) FROM orders
+           WHERE o_custkey = c_custkey) AS max_order,
+          (SELECT count(*) FROM orders
+           WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer ORDER BY c_custkey"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"

@@ -102,6 +102,28 @@ class StreamingSpec extends SparkFunSuite {
     assert(b2.count() == 0 && g2.count() == 1000)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    // the static dim is read once and broadcast into every microbatch —
+    // the standard streaming-enrichment shape (no state, no watermark)
+    import spark.implicits._
+    val dim = Seq(("view", "engagement"), ("click", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val enriched = EventStreams.readEventStream(spark, stagedDir)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+      .groupBy("category")
+      .count()
+    val q = enriched.writeStream.outputMode("complete").format("memory")
+      .queryName("enriched").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(stagedDir).join(dim, "event_type")
+      .groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && batch.values.sum == 1000L)
+  }
+
   test("stream-stream interval join matches the batch join exactly") {
     val src = EventStreams.readEventStream(spark, stagedDir)
     val joined = EventStreams.viewPurchaseJoin(
