@@ -699,7 +699,37 @@ object Relational2 {
            WHERE o_custkey = c_custkey) AS max_order,
           (SELECT count(*) FROM orders
            WHERE o_custkey = c_custkey) AS n_orders
-        FROM customer ORDER BY c_custkey"""))
+        FROM customer ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Forward fill (last observation carried forward) via IGNORE NULLS:
+    // non-purchase events get NULL value, then each event carries the
+    // user's most recent purchase value forward — the gap-filling
+    // primitive for sparse event/sensor streams.
+    // ------------------------------------------------------------------
+    "q63_forward_fill" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("purchase_value",
+            when(col("event_type") === "purchase", col("value")))
+          .select(col("event_id"), col("user_id"),
+            last(col("purchase_value"), ignoreNulls = true).over(w)
+              .as("last_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+          last_value(purchase_value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_purchase_value
+        FROM (SELECT event_id, user_id, cast(ts as timestamp) AS ts,
+                CASE WHEN event_type = 'purchase' THEN value END
+                  AS purchase_value
+              FROM events) ev
+        ORDER BY event_id"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
