@@ -729,7 +729,37 @@ object Relational2 {
                 CASE WHEN event_type = 'purchase' THEN value END
                   AS purchase_value
               FROM events) ev
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic stratified systematic sampling: every 20th row per
+    // stratum under a total order. Unlike TABLESAMPLE/rand(), this is
+    // reproducible across engines, runs, and partitionings — the
+    // property a training-data pipeline needs for auditable subsets.
+    // ------------------------------------------------------------------
+    "q64_stratified_sample" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        t(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") % 20 === 1)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_sampled"),
+            dsum(col("l_quantity")).as("sample_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH numbered AS (
+          SELECT l_returnflag, l_quantity,
+            row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                       l_extendedprice) AS rn
+          FROM lineitem)
+        SELECT l_returnflag, count(*) AS n_sampled,
+          ${sqlDsum("l_quantity")} AS sample_qty
+        FROM numbered WHERE rn % 20 = 1
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
