@@ -510,6 +510,47 @@ object TextOps {
         ORDER BY lang, source""")),
 
     // ------------------------------------------------------------------
+    // Filter-yield report: x02's quality signals composed into keep/drop
+    // decisions, rolled up per (lang, source) — the dataset-curation
+    // step a training pipeline runs before tokenization, with the yield
+    // numbers a data card publishes. Map-only signals + one small-key
+    // aggregation; scales linearly.
+    // ------------------------------------------------------------------
+    "x09_filter_yield" -> Q(
+      (s, d) => {
+        val w = words(col("text"))
+        val nTok = size(w).cast("double")
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+        val punctRatio = punct / length(col("text")).cast("double")
+        val keep = nTok >= 5 && nTok <= 5000 && punctRatio < lit(0.1)
+        docs(s, d)
+          .withColumn("keep", keep)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("cast(count_if(keep) as bigint)").as("n_kept"),
+            (expr("cast(count_if(keep) as bigint)").cast("double") /
+              count(lit(1)).cast("double")).as("yield_rate"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH m AS (
+          SELECT lang, source,
+            cast(len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) as double) AS n_tok,
+            cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) as double)
+              / cast(length(text) as double) AS punct_ratio
+          FROM documents),
+        k AS (
+          SELECT lang, source,
+            n_tok >= 5 AND n_tok <= 5000 AND punct_ratio < 0.1 AS keep
+          FROM m)
+        SELECT lang, source, count(*) AS n_docs,
+          cast(count_if(keep) as bigint) AS n_kept,
+          cast(cast(count_if(keep) as bigint) as double)
+            / cast(count(*) as double) AS yield_rate
+        FROM k GROUP BY lang, source
+        ORDER BY lang, source""")),
+
+    // ------------------------------------------------------------------
     // Shingle containment (asymmetric near-dup: how much of the SMALLER
     // doc is inside the pair): |A∩B| / min(|A|,|B|). Catches
     // subset/quotation duplication that symmetric Jaccard dilutes.
