@@ -8,11 +8,12 @@ import Catalog._
 /** The migration engine's own dataflow exposed as queries — loader,
   * analyzer, pending-set computation (SURVEY.md §2.2 S1-S3, R1-R9, E3).
   * These read the repo's SQL fixture corpus, not the sf parquet tables.
-  * The loader-shaped ones (m01, m04) ARE oracle-verified — DuckDB
-  * re-derives version/name/checksum/pairing from the same files via
-  * read_text + regexp + sha256. The analyzer/classifier ones embed the
-  * rule engine and stay rows-only, covered by the ScalaTest suites
-  * against the reference's expected findings.
+  * ALL of them are oracle-verified: DuckDB re-derives
+  * version/name/checksum/pairing from the same files via read_text +
+  * regexp + sha256 (m01, m04), and the analyzer/classifier outputs
+  * (m02/m03/m05/m06) against an independent SQL re-implementation of the
+  * nine danger rules over the same files (`findingsCte`), cross-checked
+  * by the ScalaTest suites against the reference's expected findings.
   */
 object MigrationOps {
 
@@ -42,6 +43,87 @@ object MigrationOps {
           max(CASE WHEN direction = 'down' THEN c END) AS down_sql
         FROM p GROUP BY version, name)"""
   }
+
+  /** Oracle mini-rule-engine: DuckDB re-derives the analyzer findings
+    * independently — regexp classification of each fixture statement plus
+    * the nine danger rules (R1-R9) expressed as SQL predicates at
+    * targetPgVersion=14 (so R2 fires only on volatile defaults and R5 is
+    * MEDIUM, matching `alter_add_column.go:74-76` /
+    * `alter_set_not_null.go:47-50`). The fixture corpus is one statement
+    * per file, so stmt_index is 0; multi-table DROP/TRUNCATE/LOCK still
+    * unnest a split table list like the reference's name extraction
+    * (`drop_table.go:60-69`).
+    */
+  private val findingsCte: String = s"""$loaderCte,
+      stmts AS (
+        SELECT version, name, 0 AS stmt_index,
+          regexp_replace(regexp_replace(up_sql, ';\\s*$$', ''), '\\s+', ' ', 'g') AS s
+        FROM piv WHERE up_sql IS NOT NULL),
+      findings AS (
+        SELECT version, name, stmt_index,
+          'create-index-not-concurrent' AS rule, 3 AS severity,
+          regexp_extract(s, '(?i)\\bON\\s+(?:ONLY\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1) AS table_name,
+          'SHARE' AS lock_type
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\b')
+          AND NOT regexp_matches(s, '(?i)\\bCONCURRENTLY\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'add-column-volatile-default', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)\\bADD\\s+COLUMN\\s+.*\\bDEFAULT\\b')
+          AND regexp_matches(s, '(?i)\\bDEFAULT\\s+(NOW|RANDOM|CLOCK_TIMESTAMP|TIMEOFDAY|GEN_RANDOM_UUID|UUID_GENERATE_V4|NEXTVAL)\\s*\\(')
+        UNION ALL
+        SELECT version, name, stmt_index, 'add-constraint-without-not-valid', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)\\bADD\\s+CONSTRAINT\\s+\\S+\\s+(CHECK|FOREIGN\\s+KEY)\\b')
+          AND NOT regexp_matches(s, '(?i)\\bNOT\\s+VALID\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'alter-column-type', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)\\bALTER\\s+COLUMN\\s+\\S+\\s+(SET\\s+DATA\\s+)?TYPE\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'set-not-null', 2,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)\\bALTER\\s+COLUMN\\s+\\S+\\s+SET\\s+NOT\\s+NULL\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'drop-table', 4,
+          trim(regexp_replace(t.tname, '(?i)\\s+(CASCADE|RESTRICT)\\s*$$', '')),
+          'ACCESS EXCLUSIVE'
+        FROM stmts, unnest(string_split(
+          regexp_extract(s, '(?i)^\\s*(?:DROP\\s+TABLE|TRUNCATE(?:\\s+TABLE)?)\\s+(?:IF\\s+EXISTS\\s+)?(?:ONLY\\s+)?(.*)$$', 1),
+          ',')) AS t(tname)
+        WHERE regexp_matches(s, '(?i)^\\s*(DROP\\s+TABLE|TRUNCATE)\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'vacuum-full', 3,
+          coalesce(nullif(regexp_extract(s,
+            '(?i)^\\s*VACUUM\\s+(?:\\([^)]*\\)\\s+)?FULL\\s+(?:FREEZE\\s+)?(?:VERBOSE\\s+)?(?:ANALYZE\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1), ''),
+            '<all tables>'),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*VACUUM\\b') AND regexp_matches(s, '(?i)\\bFULL\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'lock-table', 3, trim(t.tname), 'EXPLICIT'
+        FROM stmts, unnest(string_split(regexp_replace(
+          regexp_extract(s, '(?i)^\\s*LOCK\\s+(?:TABLE\\s+)?(?:ONLY\\s+)?(.*)$$', 1),
+          '(?i)\\s+IN\\s+.*MODE\\s*(NOWAIT)?\\s*$$', ''), ',')) AS t(tname)
+        WHERE regexp_matches(s, '(?i)^\\s*LOCK\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'rename', 2,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND NOT regexp_matches(s, '(?i)\\bRENAME\\s+(CONSTRAINT|INDEX)\\b')
+          AND (regexp_matches(s, '(?i)\\bRENAME\\s+TO\\b')
+               OR regexp_matches(s, '(?i)\\bRENAME\\s+(COLUMN\\s+)?[A-Za-z_][A-Za-z0-9_]*\\s+TO\\b')))"""
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -73,7 +155,10 @@ object MigrationOps {
             col("finding.stmtIndex").as("stmt_index"))
           .orderBy(col("version"), col("rule"))
       },
-      None),
+      Some(s"""$findingsCte
+        SELECT version, rule, severity, table_name, lock_type, stmt_index
+        FROM findings
+        ORDER BY version, rule""")),
 
     // Per-migration rollup: max severity + rule set (§3.1 pipeline).
     // Arrays are emitted comma-joined: the verify harness round-trips
@@ -82,7 +167,15 @@ object MigrationOps {
       (s, _) =>
         Analyzer.summaryDf(s, MigrationLoader.load(s, fixturesDir))
           .withColumn("rules", array_join(col("rules"), ",")),
-      None),
+      Some(s"""$findingsCte
+        SELECT p.version, p.name,
+          coalesce(max(f.severity), 0) AS max_severity,
+          cast(count(f.rule) AS bigint) AS n_findings,
+          coalesce(string_agg(DISTINCT f.rule, ',' ORDER BY f.rule), '') AS rules
+        FROM piv p LEFT JOIN findings f USING (version)
+        WHERE p.up_sql IS NOT NULL
+        GROUP BY p.version, p.name
+        ORDER BY p.version""")),
 
     // Statement-type census via an explicit udf() over the classifier —
     // the scalar-UDF surface (SURVEY §2.3 UDF/UDAF row). Kept off data-
@@ -102,7 +195,26 @@ object MigrationOps {
               .as("versions"))
           .orderBy(col("stmt_type"))
       },
-      None),
+      Some(s"""$findingsCte,
+        cls AS (
+          SELECT version, CASE
+            WHEN regexp_matches(s, '(?i)^\\s*CREATE\\s+TABLE\\b') THEN 'CreateTableStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\b') THEN 'CreateIndexStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*DROP\\s+INDEX\\b') THEN 'DropIndexStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*DROP\\s+TABLE\\b') THEN 'DropTableStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*TRUNCATE\\b') THEN 'TruncateStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*VACUUM\\b') THEN 'VacuumStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*LOCK\\b') THEN 'LockStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+                 AND regexp_matches(s, '(?i)\\bRENAME\\b')
+                 AND NOT regexp_matches(s, '(?i)\\bRENAME\\s+(CONSTRAINT|INDEX)\\b')
+              THEN 'RenameStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b') THEN 'AlterTableStmt'
+            ELSE 'OtherStmt' END AS stmt_type
+          FROM stmts)
+        SELECT stmt_type, cast(count(*) AS bigint) AS n,
+          string_agg(DISTINCT version, ',' ORDER BY version) AS versions
+        FROM cls GROUP BY stmt_type ORDER BY stmt_type""")),
 
     // Typed Aggregator[IN, BUF, OUT]: worst finding per migration with
     // the causing rule as payload (the UDAF surface).
@@ -122,7 +234,21 @@ object MigrationOps {
           .toDF("version", "worst")
           .orderBy(col("version"))
       },
-      None),
+      Some(s"""$findingsCte,
+        ws AS (SELECT version, max(severity) AS sev FROM findings GROUP BY version),
+        wr AS (
+          SELECT f.version, w.sev, max(f.rule) AS rule
+          FROM findings f JOIN ws w ON f.version = w.version AND f.severity = w.sev
+          GROUP BY f.version, w.sev)
+        SELECT p.version,
+          coalesce(
+            (CASE wr.sev WHEN 4 THEN 'CRITICAL' WHEN 3 THEN 'HIGH'
+                         WHEN 2 THEN 'MEDIUM' WHEN 1 THEN 'LOW'
+                         ELSE 'SAFE' END) || '(' || wr.rule || ')',
+            'SAFE') AS worst
+        FROM piv p LEFT JOIN wr USING (version)
+        WHERE p.up_sql IS NOT NULL
+        ORDER BY p.version""")),
 
     // Pending-set: migrations not yet applied — the left-anti join the
     // executor runs before applying (E3). Tracker state is a literal
