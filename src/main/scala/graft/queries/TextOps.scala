@@ -620,16 +620,34 @@ object TextOps {
         val base = emb(s, d)
         val cents = base.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        // nearest centroid per vector (argmax cosine, centroid id ties
-        // broken ascending)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id"))
-        val assigned = base.crossJoin(broadcast(cents))
-          .withColumn("csim", cosine(col("embedding"), col("ce")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id"))
+        // The codebook is metadata-scale (k=8 rows) — collect it to a
+        // LITERAL array so nearest-centroid assignment is a row-local
+        // argmax fold in one projection: zero shuffle, zero row blowup.
+        // (The previous shape — crossJoin(broadcast(cents)) + row_number
+        // over Window.partitionBy(vec_id) — shuffled the 8×-inflated
+        // corpus by vec_id; at 100 TB that exchange IS the job.)
+        // Fold iterates cent_id ascending with strict `>`, so ties pick
+        // the smallest cent_id — same selection as the old row_number
+        // ordering (csim DESC, cent_id ASC), with bit-identical cosines.
+        val centArr = array(
+          cents.select(col("cent_id"), col("ce")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+            .sortBy(_._1)
+            .map { case (id, v) =>
+              struct(lit(id).as("cent_id"),
+                array(v.map(lit(_)).toIndexedSeq: _*).as("ce"))
+            }.toIndexedSeq: _*)
+        val assigned = base
+          .select(col("vec_id"), col("embedding"),
+            aggregate(centArr,
+              struct(lit(-2.0).as("sim"), lit(-1L).as("cent_id")),
+              (acc, c) => {
+                val sim = cosine(col("embedding"), c.getField("ce"))
+                when(sim > acc.getField("sim"),
+                  struct(sim.as("sim"),
+                    c.getField("cent_id").as("cent_id")))
+                  .otherwise(acc)
+              }).getField("cent_id").as("cent_id"))
         // the query's 2 nearest centroids
         val q = base.filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
