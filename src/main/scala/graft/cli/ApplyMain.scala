@@ -50,9 +50,14 @@ object ApplyMain {
         if (jdbcUrl.nonEmpty)
           new JdbcRunner(jdbcUrl, cfg.lockTimeoutMs, cfg.statementTimeoutMs)
         else new SparkSqlRunner(spark)
+      // JDBC mode: single-writer exclusion must hold ACROSS hosts, so
+      // the lock lives in the target database (pg_try_advisory_lock /
+      // lock-table fallback), not on a local filesystem.
+      val lock: MigrationLock =
+        if (jdbcUrl.nonEmpty) new JdbcLock(jdbcUrl, cfg.lockTimeoutMs)
+        else new FileLock(s"$trackerDir/_LOCK")
       val ex = new Executor(
-        new ParquetTracker(spark, trackerDir), runner,
-        new FileLock(s"$trackerDir/_LOCK"),
+        new ParquetTracker(spark, trackerDir), runner, lock,
         analyzer = new graft.analyzer.Analyzer(targetPgVersion = loaded.targetPgVersion),
         dryRun = dryRun, force = force, onProgress = printProgress)
       val r = ex.apply(migrations)
@@ -106,9 +111,11 @@ object RollbackMain {
         if (jdbcUrl.nonEmpty)
           new JdbcRunner(jdbcUrl, cfg.lockTimeoutMs, cfg.statementTimeoutMs)
         else new SparkSqlRunner(spark)
+      val lock: MigrationLock =
+        if (jdbcUrl.nonEmpty) new JdbcLock(jdbcUrl, cfg.lockTimeoutMs)
+        else new FileLock(s"$trackerDir/_LOCK")
       val ex = new Executor(
-        new ParquetTracker(spark, trackerDir), runner,
-        new FileLock(s"$trackerDir/_LOCK"),
+        new ParquetTracker(spark, trackerDir), runner, lock,
         onProgress = ApplyMain.printProgress)
       val r =
         if (steps >= 0) ex.rollback(migrations, steps)

@@ -44,12 +44,20 @@ final class JdbcRunner(url: String, lockTimeoutMs: Long,
   def run(sql: String, transactional: Boolean): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
+      // The SET envelope is PostgreSQL dialect (the reference's only
+      // target); on other databases fall back to the portable JDBC
+      // query timeout so the statement bound still holds.
+      val isPg = conn.getMetaData.getDatabaseProductName
+        .toLowerCase(java.util.Locale.ROOT).contains("postgres")
       if (transactional) {
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
-          st.execute(s"SET lock_timeout = '${lockTimeoutMs}ms'")
-          st.execute(s"SET statement_timeout = '${statementTimeoutMs}ms'")
+          if (isPg) {
+            st.execute(s"SET lock_timeout = '${lockTimeoutMs}ms'")
+            st.execute(s"SET statement_timeout = '${statementTimeoutMs}ms'")
+          } else st.setQueryTimeout(
+            math.max(1, statementTimeoutMs / 1000).toInt)
           st.execute(sql)
           conn.commit()
         } catch {
@@ -58,7 +66,11 @@ final class JdbcRunner(url: String, lockTimeoutMs: Long,
       } else {
         conn.setAutoCommit(true)
         val st = conn.createStatement()
-        try st.execute(sql) finally st.close()
+        try {
+          if (!isPg) st.setQueryTimeout(
+            math.max(1, statementTimeoutMs / 1000).toInt)
+          st.execute(sql)
+        } finally st.close()
       }
     } finally conn.close()
   }
@@ -96,6 +108,92 @@ final class FileLock(path: String) extends MigrationLock {
 final class NoopLock extends MigrationLock {
   def acquire(): Unit = ()
   def release(): Unit = ()
+}
+
+/** DB-backed single-writer lock for JDBC mode — excludes concurrent
+  * `apply` drivers across HOSTS, which [[FileLock]] (same-filesystem
+  * only) cannot (reference: `internal/database/advisory_lock.go:12-65`).
+  *
+  * A dedicated connection is held for the lock's lifetime. On
+  * PostgreSQL it takes the reference's session-level
+  * `pg_try_advisory_lock(123456789)` (non-blocking; loser gets
+  * [[LockNotAcquired]]); on other databases it falls back to an
+  * open-transaction INSERT into a single-row lock table — the
+  * uncommitted row's exclusive lock is held until release (rollback)
+  * and, like a session advisory lock, auto-releases if the holding
+  * process dies, because the transaction dies with its connection.
+  */
+final class JdbcLock(url: String,
+    lockTimeoutMs: Long = 5000,
+    lockId: Long = JdbcLock.MigrationLockId) extends MigrationLock {
+  private var conn: java.sql.Connection = _
+
+  def acquire(): Unit = {
+    if (conn != null) return // re-entrant no-op while held
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val isPg = c.getMetaData.getDatabaseProductName
+        .toLowerCase(java.util.Locale.ROOT).contains("postgres")
+      if (isPg) {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT pg_try_advisory_lock($lockId)")
+          rs.next()
+          if (!rs.getBoolean(1)) throw LockNotAcquired
+        } finally st.close()
+      } else {
+        ensureLockTable(c)
+        c.setAutoCommit(false)
+        val ps = c.prepareStatement(
+          "INSERT INTO graft_migration_lock (id) VALUES (?)")
+        try {
+          // a competing holder's uncommitted row blocks this insert;
+          // bound the wait so the loser errors instead of queueing
+          ps.setQueryTimeout(math.max(1, (lockTimeoutMs / 1000)).toInt)
+          ps.setLong(1, lockId)
+          ps.executeUpdate() // NOT committed — the row lock IS the lock
+        } catch {
+          case _: java.sql.SQLException =>
+            try c.rollback() finally c.close()
+            throw LockNotAcquired
+        } finally ps.close()
+      }
+      conn = c
+    } catch {
+      case e: Throwable =>
+        if (conn == null && !c.isClosed) c.close()
+        throw e
+    }
+  }
+
+  def release(): Unit = if (conn != null) {
+    try {
+      if (conn.getAutoCommit) { // PG advisory path
+        val st = conn.createStatement()
+        try st.execute(s"SELECT pg_advisory_unlock($lockId)")
+        finally st.close()
+      } else conn.rollback() // fallback path: drop the uncommitted row
+    } finally {
+      conn.close()
+      conn = null
+    }
+  }
+
+  /** Create the one-row lock table if missing (own autocommit step —
+    * DDL must not join the lock transaction).
+    */
+  private def ensureLockTable(c: java.sql.Connection): Unit = {
+    val st = c.createStatement()
+    try st.execute(
+      "CREATE TABLE graft_migration_lock (id BIGINT PRIMARY KEY)")
+    catch { case _: java.sql.SQLException => () } // already exists
+    finally st.close()
+  }
+}
+
+object JdbcLock {
+  /** Reference: `internal/database/advisory_lock.go:12` */
+  val MigrationLockId: Long = 123456789L
 }
 
 /** Progress events (reference: `internal/executor/executor.go:19-32`). */

@@ -245,4 +245,65 @@ class ExecutorSpec extends AnyFunSuite {
       mig("20240101120000"), mig("002"), mig("001")))
     assert(r.applied == Seq("001", "002", "20240101120000"))
   }
+
+  // --- JdbcLock: DB-backed cross-host single-writer (E13 parity with
+  // the reference's pg advisory lock, advisory_lock.go:12-65; exclusion
+  // scenario mirrors integration/lifecycle_test.go:382-416). Embedded
+  // Derby exercises the generic lock-table fallback path.
+
+  private def derbyUrl(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lockdb").resolve("db")
+    val url = s"jdbc:derby:$dir;create=true"
+    // Bound Derby's lock wait (default 60 s) so the losing acquire()
+    // errors promptly — in production the driver's queryTimeout plus
+    // the DB's own lock-wait bound play this role.
+    val c = java.sql.DriverManager.getConnection(url)
+    val st = c.createStatement()
+    try st.execute(
+      "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.locks.waitTimeout', '2')")
+    finally { st.close(); c.close() }
+    url
+  }
+
+  test("JdbcLock: second driver on the same DB is excluded until release") {
+    val url = derbyUrl()
+    val a = new JdbcLock(url, lockTimeoutMs = 1000)
+    val b = new JdbcLock(url, lockTimeoutMs = 1000)
+    a.acquire()
+    intercept[LockNotAcquired.type] { b.acquire() }
+    a.release()
+    b.acquire() // freed — the loser can now take it
+    intercept[LockNotAcquired.type] { a.acquire() }
+    b.release()
+    a.release() // release when not held is a no-op
+  }
+
+  test("JdbcLock: lock auto-releases when the holder's connection dies") {
+    val url = derbyUrl()
+    val holder = new JdbcLock(url, lockTimeoutMs = 1000)
+    holder.acquire()
+    // simulate a crashed driver: sever the connection ungracefully
+    // (abort(), not close() — embedded Derby refuses a graceful close
+    // mid-transaction, but a crash is never graceful)
+    val f = classOf[JdbcLock].getDeclaredField("conn")
+    f.setAccessible(true)
+    f.get(holder).asInstanceOf[java.sql.Connection]
+      .abort((command: Runnable) => command.run())
+    val other = new JdbcLock(url, lockTimeoutMs = 1000)
+    other.acquire() // the dead holder's txn rolled back with it
+    other.release()
+  }
+
+  test("two executors with JdbcLock: loser fails, winner applies") {
+    val url = derbyUrl()
+    val tr = new InMemoryTracker
+    val winnerLock = new JdbcLock(url, lockTimeoutMs = 1000)
+    winnerLock.acquire() // winner mid-apply holds the DB lock
+    val loser = newExec(tr, lock = new JdbcLock(url, lockTimeoutMs = 1000))
+    intercept[LockNotAcquired.type] { loser.apply(Seq(mig("001"))) }
+    winnerLock.release()
+    val r = loser.apply(Seq(mig("001")))
+    assert(r.applied == Seq("001"))
+  }
 }
