@@ -57,6 +57,36 @@ object TextOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
 
+  /** Fingerprint-sharing candidate pairs from exploded (doc_id, fp)
+    * rows, WITHOUT a self-join: group the doc list per fingerprint,
+    * prune hot fingerprints, and expand each surviving list's ordered
+    * pairs row-locally. One shuffle on fp + one on the pair key; the
+    * expensive fingerprint computation runs exactly once (a self-join
+    * re-evaluates the input subtree per side once AQE broadcasts one of
+    * them — non-identical exchanges don't reuse).
+    *
+    * A fingerprint shared by k documents yields k² candidate pairs, and
+    * boilerplate (license headers, templates) makes hot fingerprints
+    * common in real corpora — so fingerprints with document frequency
+    * > `maxDf` are dropped (df-style pruning: a near-universal
+    * fingerprint carries no near-dup signal anyway), which also bounds
+    * the expansion blowup and the pair-skew a single hot key would
+    * otherwise concentrate on one reducer.
+    */
+  def winnowCandidatePairs(exploded: DataFrame, minShared: Int = 8,
+      maxDf: Int = 1000): DataFrame =
+    exploded
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Cosine similarity of two float-array columns, computed in double
     * (zip_with product + aggregate sum — all codegen'd, no UDF).
     */
@@ -234,14 +264,8 @@ object TextOps {
         val fps = docs(s, d).select(col("doc_id"),
           graft.functions.Winnow.winnowFingerprint(
             regexp_replace(lower(col("text")), "\\s+", " ")).as("fps"))
-        // fingerprint-sharing doc pairs via explode + self equi-join
-        val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-        exploded.as("a").join(exploded.as("b"), Seq("fp"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("shared_fps"))
-          .filter(col("shared_fps") >= 8)
-          .orderBy(col("doc_a"), col("doc_b"))
+        winnowCandidatePairs(
+          fps.select(col("doc_id"), explode(col("fps")).as("fp")))
       },
       None),
 

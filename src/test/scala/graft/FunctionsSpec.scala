@@ -118,4 +118,24 @@ class FunctionsSpec extends SparkFunSuite {
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
+
+  test("winnow candidates: hot fingerprints are df-pruned before the self-join") {
+    import spark.implicits._
+    // fp 999 is "boilerplate": shared by 300 docs — naively 300² ≈ 45k
+    // candidate rows. fps 1-8 are a genuine near-dup signal between
+    // docs 1 and 2 (8 shared = minShared).
+    val hot = (1L to 300L).map(id => (id, 999L))
+    val signal = (1L to 8L).flatMap(fp => Seq((1L, fp), (2L, fp)))
+    val exploded = (hot ++ signal).toDF("doc_id", "fp")
+    val pairs = TextOps.winnowCandidatePairs(exploded, minShared = 8,
+      maxDf = 100)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 2L)))
+    // and with the cap above the hot fp's df, the hot pairs come back
+    // (shared_fps=1 each, still below minShared — but the candidate set
+    // is the k² blowup the cap exists to avoid)
+    val uncapped = TextOps.winnowCandidatePairs(exploded, minShared = 1,
+      maxDf = 1000)
+    assert(uncapped.count() == 300L * 299L / 2)
+  }
 }
