@@ -211,23 +211,45 @@ object TextOps {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
-    // Language ID: n-gram/charset heuristic scorer (pure Scala inside
-    // codegen'd SQL via when-chains is impractical — this is the one
-    // place a typed map is the right tool). Rows-only check.
+    // Language ID: function-word + charset heuristic, expressed with
+    // built-in expressions (no typed Dataset.map — the scan stays in
+    // the codegen path with no serde boundary; LangIdSpec asserts
+    // parity with the Scala scorer). DuckDB re-derives the same
+    // heuristic independently, so this is hash-verified.
     // ------------------------------------------------------------------
     "x04_lang_id" -> Q(
-      (s, d) => {
-        val spark = s
-        import spark.implicits._
+      (s, d) =>
         docs(s, d).select(col("doc_id"), col("text"), col("lang"))
-          .as[(Long, String, String)]
-          .map { case (id, text, lang) =>
-            (id, graft.text.LangId.detect(text), lang)
-          }
-          .toDF("doc_id", "lang_pred", "lang_label")
-          .orderBy(col("doc_id"))
-      },
-      None),
+          .withColumn("toks", graft.text.LangId.tokens(col("text")))
+          .select(col("doc_id"),
+            graft.text.LangId.detectFromTokens(col("text"), col("toks"))
+              .as("lang_pred"),
+            col("lang").as("lang_label"))
+          .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+          SELECT doc_id, text, lang,
+            list_filter(string_split_regex(lower(text), '\s+'),
+              t -> t <> '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang,
+            cast(length(regexp_replace(text, '\s+', '', 'g')) as double) AS total,
+            cast(len(regexp_extract_all(text, '[\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}]')) as double) AS cjk,
+            len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','was','with','on','as','are','this'))) AS s_en,
+            len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','sich','den','von','für','im','zu'))) AS s_de,
+            len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que','pour','pas','des','du','avec'))) AS s_fr,
+            len(list_filter(toks, t -> t IN ('el','la','los','las','de','que','es','en','un','una','por','con','para','no','se'))) AS s_es
+          FROM d)
+        SELECT doc_id,
+          CASE WHEN total > 0 AND cjk / total > 0.3 THEN 'zh'
+               WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+               ELSE 'es' END AS lang_pred,
+          lang AS lang_label
+        FROM m
+        ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // BPE-ish subword token counting: the GPT-2 pretokenizer regex

@@ -1,10 +1,18 @@
 package graft.text
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Heuristic language identification: function-word hits + charset
   * ranges, highest score wins (deterministic; ties break by fixed
   * language order). Designed for pipeline filtering, not linguistic
   * accuracy — the standard n-gram-profile approach scaled down to a
-  * dependency-free scorer usable inside Dataset.map.
+  * dependency-free scorer.
+  *
+  * Two forms: [[detect]] (plain Scala, for driver-side use and as the
+  * test reference) and [[tokens]]/[[detectFromTokens]] (built-in
+  * Catalyst expressions — no typed Dataset.map, so the scan stays in
+  * the columnar/codegen path with no serialize/deserialize boundary).
   */
 object LangId extends Serializable {
 
@@ -46,5 +54,36 @@ object LangId extends Serializable {
       if (score > bestScore) { best = lang; bestScore = score }
     }
     best
+  }
+
+  /** Lowercased whitespace tokens of `text` as an array column. Alias
+    * this behind its OWN projection before passing it to
+    * [[detectFromTokens]] — it is referenced once per language profile,
+    * and an inlined split would re-tokenize per reference.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+
+  /** Expression form of [[detect]]: same CJK-charset shortcut, same
+    * per-profile function-word counts, same strictly-greater /
+    * first-language-wins tie-break (the when-chain tests languages in
+    * profile order against the running max, which is exactly the
+    * sequential `score > bestScore` fold).
+    */
+  def detectFromTokens(text: Column, toks: Column): Column = {
+    val total = length(regexp_replace(text, "\\s+", "")).cast("double")
+    // CJK_UNIFIED_IDEOGRAPHS (U+4E00-U+9FFF) + EXTENSION_A
+    // (U+3400-U+4DBF), the two blocks detect() tests
+    val cjk = size(regexp_extract_all(text,
+      lit("[\\u3400-\\u4dbf\\u4e00-\\u9fff]"), lit(0))).cast("double")
+    val scores = profiles.map { case (lang, stops) =>
+      lang -> size(filter(toks, t => t.isin(stops.toSeq.sorted: _*)))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    val byScore = scores.init.foldLeft(
+      when(m.isNull || m <= 0, "und")) { case (acc, (lang, sc)) =>
+        acc.when(sc === m, lang)
+      }.otherwise(scores.last._1)
+    when(total > 0 && cjk / total > 0.3, "zh").otherwise(byScore)
   }
 }
