@@ -16,13 +16,14 @@ object AnalyzeMain {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: AnalyzeMain <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json]")
+        "usage: AnalyzeMain <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json] [--verbose]")
       sys.exit(2)
     }
     val dir = args(0)
     var configPath = ""
     var pgVersionFlag: Option[Int] = None
     var failOnHigh = false
+    var verbose = false
     var formatFlag: Option[String] = None
     var i = 1
     while (i < args.length) {
@@ -30,6 +31,7 @@ object AnalyzeMain {
         case "--config" => configPath = args(i + 1); i += 2
         case "--pg-version" => pgVersionFlag = Some(args(i + 1).toInt); i += 2
         case "--fail-on-high" => failOnHigh = true; i += 1
+        case "--verbose" => verbose = true; i += 1
         case "--format" => formatFlag = Some(args(i + 1)); i += 2
         case other =>
           System.err.println(s"unknown flag: $other"); sys.exit(2)
@@ -43,6 +45,17 @@ object AnalyzeMain {
         targetPgVersion = pgVersionFlag, format = formatFlag))
     val pgVersion = cfg.targetPgVersion
     val format = cfg.format
+    // Color when writing to a terminal; NO_COLOR always wins,
+    // FORCE_COLOR forces (for piped/test runs).
+    val useColor = !sys.env.contains("NO_COLOR") &&
+      (System.console() != null || sys.env.contains("FORCE_COLOR"))
+    if (verbose) {
+      println(s"config: migrationsDir=$dir targetPgVersion=$pgVersion " +
+        s"format=$format failOnHigh=$failOnHigh")
+      if (cfg.databaseUrl.nonEmpty)
+        println(s"config: databaseUrl=${
+          graft.model.EngineConfig.redactUrl(cfg.databaseUrl)}")
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-analyze")
@@ -74,9 +87,10 @@ object AnalyzeMain {
               case Severity.Medium => " !"
               case _ => "ok"
             }
-            println(s"[$marker] ${r.version} ${r.name} — ${Severity.label(r.maxSeverity)}")
+            println(s"[$marker] ${r.version} ${r.name} — ${
+              Severity.coloredLabel(r.maxSeverity, useColor)}")
             r.findings.foreach { f =>
-              println(s"     ${Severity.label(f.severity)} [${f.rule}] table=${f.table} lock=${f.lockType}")
+              println(s"     ${Severity.coloredLabel(f.severity, useColor)} [${f.rule}] table=${f.table} lock=${f.lockType}")
               println(s"       ${f.message}")
               println(s"       -> ${f.suggestion}")
             }

@@ -24,12 +24,14 @@ object ApplyMain {
     if (args.length < 2) { usage(); sys.exit(2) }
     val (dir, trackerDir) = (args(0), args(1))
     var dryRun = false; var force = false; var jdbcUrl = ""
+    var verbose = false
     var pgVersionFlag: Option[Int] = None
     var i = 2
     while (i < args.length) {
       args(i) match {
         case "--dry-run" => dryRun = true; i += 1
         case "--force" => force = true; i += 1
+        case "--verbose" => verbose = true; i += 1
         case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
         case "--pg-version" => pgVersionFlag = Some(args(i + 1).toInt); i += 2
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
@@ -46,6 +48,13 @@ object ApplyMain {
         "migrate.yml", allowMissing = true,
         flags = graft.config.ConfigLoader.Overrides(targetPgVersion = pgVersionFlag))
       val cfg = EngineConfig()
+      if (verbose) {
+        println(s"config: migrationsDir=$dir trackerDir=$trackerDir " +
+          s"targetPgVersion=${loaded.targetPgVersion} dryRun=$dryRun force=$force")
+        if (jdbcUrl.nonEmpty)
+          // never print credentials (reference redact.go:10-52)
+          println(s"config: jdbcUrl=${EngineConfig.redactUrl(jdbcUrl)}")
+      }
       val runner: SqlRunner =
         if (jdbcUrl.nonEmpty)
           new JdbcRunner(jdbcUrl, cfg.lockTimeoutMs, cfg.statementTimeoutMs)
@@ -75,7 +84,7 @@ object ApplyMain {
   }
 
   def usage(): Unit = System.err.println(
-    "usage: ApplyMain <migrationsDir> <trackerDir> [--dry-run] [--force] [--jdbc-url URL]")
+    "usage: ApplyMain <migrationsDir> <trackerDir> [--dry-run] [--force] [--verbose] [--jdbc-url URL]")
 
   def printProgress(p: Progress): Unit = p match {
     case Starting(m) => println(s"  applying ${m.version} ${m.name} ...")
@@ -92,11 +101,13 @@ object RollbackMain {
     if (args.length < 3) { usage(); sys.exit(2) }
     val (dir, trackerDir) = (args(0), args(1))
     var steps = -1; var target = ""; var jdbcUrl = ""
+    var verbose = false
     var i = 2
     while (i < args.length) {
       args(i) match {
         case "--steps" => steps = args(i + 1).toInt; i += 2
         case "--target" => target = args(i + 1); i += 2
+        case "--verbose" => verbose = true; i += 1
         case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
@@ -107,6 +118,12 @@ object RollbackMain {
     try {
       val migrations = MigrationLoader.loadLocal(dir)
       val cfg = EngineConfig()
+      if (verbose) {
+        println(s"config: migrationsDir=$dir trackerDir=$trackerDir " +
+          s"steps=$steps target=$target")
+        if (jdbcUrl.nonEmpty)
+          println(s"config: jdbcUrl=${EngineConfig.redactUrl(jdbcUrl)}")
+      }
       val runner: SqlRunner =
         if (jdbcUrl.nonEmpty)
           new JdbcRunner(jdbcUrl, cfg.lockTimeoutMs, cfg.statementTimeoutMs)
@@ -132,7 +149,7 @@ object RollbackMain {
   }
 
   def usage(): Unit = System.err.println(
-    "usage: RollbackMain <migrationsDir> <trackerDir> (--steps N | --target V) [--jdbc-url URL]")
+    "usage: RollbackMain <migrationsDir> <trackerDir> (--steps N | --target V) [--verbose] [--jdbc-url URL]")
 }
 
 object CliSpark {

@@ -59,6 +59,24 @@ object Severity {
     case Critical => "CRITICAL"
     case _        => "UNKNOWN"
   }
+
+  /** ANSI color code for terminal output (reference:
+    * `internal/analyzer/severity.go:38-53`).
+    */
+  def color(s: Int): String = s match {
+    case Safe     => "\u001b[32m" // green
+    case Low      => "\u001b[36m" // cyan
+    case Medium   => "\u001b[33m" // yellow
+    case High     => "\u001b[31m" // red
+    case Critical => "\u001b[91m" // bright red
+    case _        => Reset
+  }
+
+  val Reset = "\u001b[0m"
+
+  /** `label` wrapped in its severity color when `enabled`. */
+  def coloredLabel(s: Int, enabled: Boolean): String =
+    if (enabled) color(s) + label(s) + Reset else label(s)
 }
 
 /** One analysis finding: a rule fired on one statement of one migration. */

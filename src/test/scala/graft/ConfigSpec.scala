@@ -76,4 +76,17 @@ class ConfigSpec extends AnyFunSuite {
       "postgres://host/db") // no password → unchanged
     assert(EngineConfig.redactUrl("") == "")
   }
+
+  test("severity ANSI colors match the reference table (severity.go:38-53)") {
+    import graft.model.Severity._
+    assert(color(Safe) == "\u001b[32m")
+    assert(color(Low) == "\u001b[36m")
+    assert(color(Medium) == "\u001b[33m")
+    assert(color(High) == "\u001b[31m")
+    assert(color(Critical) == "\u001b[91m")
+    assert(color(99) == "\u001b[0m") // unknown → reset
+    assert(coloredLabel(Critical, enabled = true) ==
+      "\u001b[91mCRITICAL\u001b[0m")
+    assert(coloredLabel(Critical, enabled = false) == "CRITICAL")
+  }
 }
