@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for scale-proof benchmarking: replicates an
+  * existing sf directory `factor`× with disjoint key ranges per copy, so
+  * join fan-outs and group cardinalities grow the way a larger TPC-H-ish
+  * scale factor would (dimension tables region/nation stay fixed,
+  * fact/entity keys are offset per copy). Used to validate that the
+  * bench plans scale near-linearly beyond the largest driver-provided
+  * sf — see SCALE.md.
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <dstDir> [factor]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // in-JVM reuse (tests): getOrCreate returns the live session — don't
+    // stop a session this main didn't create
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-genscale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame =
+      spark.read.parquet(s"$src/$t.parquet")
+
+    /** `factor` copies of `df`, with each key column in `keys` offset by
+      * copy × (max(key)+1) so copies reference within themselves only.
+      */
+    def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val spans = keys.map { k =>
+        k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+      }
+      val copies = explode(sequence(lit(0L), lit(factor - 1L))).as("__copy")
+      keys.foldLeft(df.select(copies, col("*"))) { case (acc, k) =>
+        val span = spans.toMap.apply(k)
+        acc.withColumn(k, col(k) + col("__copy") * span)
+      }.drop("__copy")
+    }
+
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"wrote $t")
+    }
+
+    // fixed dimensions: copy as-is
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    // entities/facts: disjoint key ranges per copy; foreign keys offset
+    // by the SAME span as their parent so referential joins stay intact
+    write(replicate(read("customer"), Seq("c_custkey")), "customer")
+    write(replicate(read("part"), Seq("p_partkey")), "part")
+    write(replicate(read("supplier"), Seq("s_suppkey")), "supplier")
+    val orders = read("orders")
+    val custSpan = read("customer").agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    val ordSpan = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    write(read("orders")
+      .select(explode(sequence(lit(0L), lit(factor - 1L))).as("__copy"), col("*"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * ordSpan)
+      .withColumn("o_custkey", col("o_custkey") + col("__copy") * custSpan)
+      .drop("__copy"), "orders")
+    val li = read("lineitem")
+    val partSpan = read("part").agg(max(col("p_partkey"))).head().getLong(0) + 1L
+    val suppSpan = read("supplier").agg(max(col("s_suppkey"))).head().getLong(0) + 1L
+    write(li
+      .select(explode(sequence(lit(0L), lit(factor - 1L))).as("__copy"), col("*"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * ordSpan)
+      .withColumn("l_partkey", col("l_partkey") + col("__copy") * partSpan)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__copy") * suppSpan)
+      .drop("__copy"), "lineitem")
+    // events: new ids/users, same time range (density grows with sf)
+    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+    write(replicate(read("documents"), Seq("doc_id")), "documents")
+    write(replicate(read("embeddings"), Seq("vec_id")), "embeddings")
+    if (!preExisting) spark.stop()
+  }
+}

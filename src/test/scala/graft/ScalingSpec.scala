@@ -43,4 +43,28 @@ class ScalingSpec extends SparkFunSuite {
       li.orderBy(col("l_extendedprice")))
     assert(f1 == f2 && f1 == f3)
   }
+
+  test("GenScale replication preserves referential integrity at Nx rows") {
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-genscale").toString
+    GenScale.main(Array(sf0001, dst, "3"))
+    def cnt(t: String) = spark.read.parquet(s"$dst/$t.parquet").count()
+    val src = (t: String) =>
+      spark.read.parquet(s"$sf0001/$t.parquet").count()
+    Seq("customer", "part", "supplier", "orders", "lineitem",
+      "documents", "embeddings").foreach { t =>
+      assert(cnt(t) == 3 * src(t), t)
+    }
+    assert(cnt("nation") == src("nation")) // dimensions stay fixed
+    // no orphaned foreign keys after per-copy offsetting
+    val orders = spark.read.parquet(s"$dst/orders.parquet")
+    val cust = spark.read.parquet(s"$dst/customer.parquet")
+    assert(orders.join(cust,
+      orders("o_custkey") === cust("c_custkey"), "left_anti").count() == 0)
+    val li = spark.read.parquet(s"$dst/lineitem.parquet")
+    assert(li.join(orders,
+      li("l_orderkey") === orders("o_orderkey"), "left_anti").count() == 0)
+    // copies are disjoint: key cardinality scales with rows
+    assert(orders.select("o_orderkey").distinct().count() == cnt("orders"))
+  }
 }
