@@ -351,6 +351,54 @@ object TextOps {
         ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
+    // Dup CLUSTERS from dup pairs: connected components over the d02
+    // near-dup graph via iterative min-label propagation (the step that
+    // turns pairwise candidates into "keep one per cluster" dedup).
+    // DuckDB re-derives components independently with a recursive
+    // transitive-closure CTE — tractable on the bounded oracle window,
+    // while the Spark loop is the shape that scales.
+    // ------------------------------------------------------------------
+    "d07_dup_clusters" -> Q(
+      (s, d) => {
+        val base = docShingles(s, d).filter(col("doc_id") < 1000)
+        val a = base.select(col("doc_id").as("doc_a"), col("w").as("wa"))
+        val b = base.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+        val pairs = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              size(array_union(col("wa"), col("wb"))).cast("double"))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.ConnectedComponents.components(pairs)
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents WHERE doc_id < 1000),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE cast(len(list_intersect(a.w, b.w)) as double) /
+                cast(len(list_distinct(list_concat(a.w, b.w))) as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // MinHash + LSH banded near-dup: 64-perm signatures, 16 bands × 4
     // rows, band-bucket join produces candidates, exact Jaccard
     // verifies. This is the linear-shuffle scale path (no all-pairs).

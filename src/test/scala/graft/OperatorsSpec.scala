@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, SkewJoin}
+import graft.operators.{AsOfJoin, ConnectedComponents, SkewJoin}
 import org.apache.spark.sql.functions._
 
 /** AsOfJoin / SkewJoin operator tests: semantics vs brute force, and
@@ -80,6 +80,24 @@ class OperatorsSpec extends SparkFunSuite {
       .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getString(2)))
       .toSet
     assert(got == brute && got.map(_._3) == Set("i1", "i2", "i3"))
+  }
+
+  test("connected components: chains, separate clusters, pair dedup") {
+    import spark.implicits._
+    // component A: a 6-node chain (forces multiple propagation rounds);
+    // component B: a triangle with duplicate/reversed edges;
+    // component C: a single pair
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (20L, 21L), (21L, 20L),
+      (30L, 31L))
+      .toDF("a", "b")
+    val got = ConnectedComponents.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 15L).forall(got(_) == 10L))
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 11)
   }
 
   test("salted join returns exactly the plain join's rows") {
