@@ -645,6 +645,78 @@ object TextOps {
         ORDER BY lang, source""")),
 
     // ------------------------------------------------------------------
+    // Gopher-style repetition/symbol quality signals: mean word length,
+    // symbol-to-token ratio, numeric-token fraction, and the fraction of
+    // 2-grams occupied by the single most frequent 2-gram (the
+    // repetition filter that catches keyword-stuffed / boilerplate-
+    // looping docs). All row-local HOFs over an aliased token array —
+    // the per-row cost is bounded by document length, so the filter is
+    // scan-shaped at any corpus size.
+    // ------------------------------------------------------------------
+    "x10_gopher_quality" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), col("text"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), col("toks"),
+            when(size(col("toks")) >= 2,
+              transform(sequence(lit(1), size(col("toks")) - 1), i =>
+                concat_ws(" ", element_at(col("toks"), i),
+                  element_at(col("toks"), i + 1))))
+              .otherwise(array().cast("array<string>")).as("g2"))
+        val nTok = size(col("toks")).cast("double")
+        val top2 = when(size(col("g2")) > 0,
+          array_max(transform(col("g2"), g =>
+            size(filter(col("g2"), x => x === g)))).cast("double") /
+            size(col("g2")).cast("double"))
+          .otherwise(lit(0.0))
+        val mwl = length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / nTok
+        val sym = size(regexp_extract_all(col("text"),
+          lit("#|\\.\\.\\."), lit(0))).cast("double") / nTok
+        val num = size(filter(col("toks"),
+          t => t.rlike("^[0-9]+$"))).cast("double") / nTok
+        base.select(col("doc_id"),
+            mwl.as("mean_word_len"), sym.as("symbol_ratio"),
+            num.as("numeric_frac"), top2.as("top_bigram_frac"))
+          .withColumn("keep",
+            col("mean_word_len").between(3.0, 10.0) &&
+              col("symbol_ratio") < 0.1 &&
+              col("numeric_frac") < 0.3 &&
+              col("top_bigram_frac") < 0.2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, text,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, text, toks,
+            list_transform(range(1, len(toks)), i ->
+              toks[i] || ' ' || toks[i+1]) AS g2
+          FROM t),
+        m AS (
+          SELECT doc_id,
+            cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
+              / cast(len(toks) as double) AS mean_word_len,
+            cast(len(regexp_extract_all(text, '#|\.\.\.')) as double)
+              / cast(len(toks) as double) AS symbol_ratio,
+            cast(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) as double)
+              / cast(len(toks) as double) AS numeric_frac,
+            CASE WHEN len(g2) > 0 THEN
+              cast(list_max(list_transform(g2, y ->
+                len(list_filter(g2, x -> x = y)))) as double)
+                / cast(len(g2) as double)
+            ELSE 0.0 END AS top_bigram_frac
+          FROM g)
+        SELECT doc_id, mean_word_len, symbol_ratio, numeric_frac,
+          top_bigram_frac,
+          mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio < 0.1 AND numeric_frac < 0.3
+            AND top_bigram_frac < 0.2 AS keep
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Shingle containment (asymmetric near-dup: how much of the SMALLER
     // doc is inside the pair): |A∩B| / min(|A|,|B|). Catches
     // subset/quotation duplication that symmetric Jaccard dilutes.

@@ -22,6 +22,8 @@ class PlanAuditSpec extends SparkFunSuite {
     "d02_jaccard_pairs" -> "bounded all-pairs oracle twin of d03 LSH",
     "d05_embedding_neardup" -> "bounded all-pairs oracle twin of s02",
     "d06_containment" -> "bounded all-pairs oracle twin of d03 LSH",
+    "d07_dup_clusters" -> ("bounded all-pairs pair-gen (d02 oracle twin); "
+      + "the CC label-propagation loop itself is the scale path"),
     "s01_cosine_topk" -> "1-row query vector broadcast",
     "s02_ann_lsh" -> "1-row query vector broadcast",
     "s03_ivf_ann" -> "codebook (8 rows) + query vector broadcasts",
