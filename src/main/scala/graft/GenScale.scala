@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * bench plans scale near-linearly beyond the largest driver-provided
   * sf — see SCALE.md.
   *
+  * Scaled directories are BENCH-ONLY, not oracle inputs: events.ts is
+  * read under `nanosAsLong=true` (a plain INT64), so the rewritten
+  * parquet loses its TIMESTAMP(NANOS) logical annotation and DuckDB's
+  * `cast(ts as timestamp)` oracle SQL no longer applies. Spark-side
+  * queries are unaffected (they already treat ts as nanos-long via
+  * Catalog.t).
+  *
   * Usage: runMain graft.GenScale <srcSfDir> <dstDir> [factor]
   */
 object GenScale {
@@ -36,13 +43,21 @@ object GenScale {
     def read(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
 
+    /** max(key)+1 as Long regardless of the column's integral width
+      * (INT32 parquet keys would make getLong throw), erroring clearly
+      * on an empty table instead of an NPE.
+      */
+    def span(df: DataFrame, k: String): Long = {
+      val row = df.agg(max(col(k).cast("long"))).head()
+      require(!row.isNullAt(0), s"cannot scale empty table (key $k)")
+      row.getLong(0) + 1L
+    }
+
     /** `factor` copies of `df`, with each key column in `keys` offset by
       * copy × (max(key)+1) so copies reference within themselves only.
       */
     def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
-      val spans = keys.map { k =>
-        k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
-      }
+      val spans = keys.map(k => k -> span(df, k))
       val copies = explode(sequence(lit(0L), lit(factor - 1L))).as("__copy")
       keys.foldLeft(df.select(copies, col("*"))) { case (acc, k) =>
         val span = spans.toMap.apply(k)
@@ -64,16 +79,16 @@ object GenScale {
     write(replicate(read("part"), Seq("p_partkey")), "part")
     write(replicate(read("supplier"), Seq("s_suppkey")), "supplier")
     val orders = read("orders")
-    val custSpan = read("customer").agg(max(col("c_custkey"))).head().getLong(0) + 1L
-    val ordSpan = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    val custSpan = span(read("customer"), "c_custkey")
+    val ordSpan = span(orders, "o_orderkey")
     write(read("orders")
       .select(explode(sequence(lit(0L), lit(factor - 1L))).as("__copy"), col("*"))
       .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * ordSpan)
       .withColumn("o_custkey", col("o_custkey") + col("__copy") * custSpan)
       .drop("__copy"), "orders")
     val li = read("lineitem")
-    val partSpan = read("part").agg(max(col("p_partkey"))).head().getLong(0) + 1L
-    val suppSpan = read("supplier").agg(max(col("s_suppkey"))).head().getLong(0) + 1L
+    val partSpan = span(read("part"), "p_partkey")
+    val suppSpan = span(read("supplier"), "s_suppkey")
     write(li
       .select(explode(sequence(lit(0L), lit(factor - 1L))).as("__copy"), col("*"))
       .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * ordSpan)

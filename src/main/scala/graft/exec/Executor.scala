@@ -38,9 +38,20 @@ final class SparkSqlRunner(spark: org.apache.spark.sql.SparkSession)
   * transaction + lock/statement timeouts (E5/E7), or autocommit for
   * CONCURRENTLY ops (E6). Timeout SQL is PostgreSQL dialect, matching
   * the reference (`internal/executor/safety.go:14-46`).
+  *
+  * Non-PostgreSQL fallback: JDBC's portable bound is
+  * `Statement.setQueryTimeout` (whole seconds), so `statementTimeoutMs`
+  * is rounded UP to the next whole second — the tightest enforceable
+  * bound that still covers the configured window (never silently
+  * truncating e.g. 1500ms to 1s). `lockTimeoutMs` is NOT separately
+  * enforced — JDBC has no portable lock-wait bound; the statement
+  * timeout caps the total wait, locks included.
   */
 final class JdbcRunner(url: String, lockTimeoutMs: Long,
     statementTimeoutMs: Long) extends SqlRunner {
+  /** ms → whole seconds, rounded up, min 1 (setQueryTimeout(0)=∞). */
+  private def ceilSeconds(ms: Long): Int =
+    math.max(1L, (ms + 999) / 1000).toInt
   def run(sql: String, transactional: Boolean): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
@@ -56,8 +67,7 @@ final class JdbcRunner(url: String, lockTimeoutMs: Long,
           if (isPg) {
             st.execute(s"SET lock_timeout = '${lockTimeoutMs}ms'")
             st.execute(s"SET statement_timeout = '${statementTimeoutMs}ms'")
-          } else st.setQueryTimeout(
-            math.max(1, statementTimeoutMs / 1000).toInt)
+          } else st.setQueryTimeout(ceilSeconds(statementTimeoutMs))
           st.execute(sql)
           conn.commit()
         } catch {
@@ -67,8 +77,7 @@ final class JdbcRunner(url: String, lockTimeoutMs: Long,
         conn.setAutoCommit(true)
         val st = conn.createStatement()
         try {
-          if (!isPg) st.setQueryTimeout(
-            math.max(1, statementTimeoutMs / 1000).toInt)
+          if (!isPg) st.setQueryTimeout(ceilSeconds(statementTimeoutMs))
           st.execute(sql)
         } finally st.close()
       }
@@ -149,7 +158,8 @@ final class JdbcLock(url: String,
         try {
           // a competing holder's uncommitted row blocks this insert;
           // bound the wait so the loser errors instead of queueing
-          ps.setQueryTimeout(math.max(1, (lockTimeoutMs / 1000)).toInt)
+          // (ceil to whole seconds — JDBC's portable granularity)
+          ps.setQueryTimeout(math.max(1L, (lockTimeoutMs + 999) / 1000).toInt)
           ps.setLong(1, lockId)
           ps.executeUpdate() // NOT committed — the row lock IS the lock
         } catch {
@@ -180,14 +190,32 @@ final class JdbcLock(url: String,
   }
 
   /** Create the one-row lock table if missing (own autocommit step —
-    * DDL must not join the lock transaction).
+    * DDL must not join the lock transaction). Only a table-already-
+    * exists failure is benign; anything else (permission denied,
+    * connection dead, …) must propagate now rather than resurface later
+    * as a misleading [[LockNotAcquired]] from the INSERT.
     */
   private def ensureLockTable(c: java.sql.Connection): Unit = {
     val st = c.createStatement()
     try st.execute(
       "CREATE TABLE graft_migration_lock (id BIGINT PRIMARY KEY)")
-    catch { case _: java.sql.SQLException => () } // already exists
+    catch {
+      case e: java.sql.SQLException =>
+        // Derby signals duplicate DDL as SQLState X0Y32; other engines
+        // vary, so fall back to asking the catalog whether the table is
+        // actually there. If it isn't, the CREATE failed for a real
+        // reason — rethrow it.
+        if (e.getSQLState != "X0Y32" && !lockTableExists(c)) throw e
+    }
     finally st.close()
+  }
+
+  private def lockTableExists(c: java.sql.Connection): Boolean = {
+    // identifier case differs by engine (Derby folds up, PG folds down)
+    Seq("GRAFT_MIGRATION_LOCK", "graft_migration_lock").exists { n =>
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
   }
 }
 

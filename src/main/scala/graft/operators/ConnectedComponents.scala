@@ -29,6 +29,12 @@ object ConnectedComponents {
     * @param pairs (a, b) pairs, any orientation, any duplicates
     * @return (id, cluster) for every endpoint, cluster = min id in its
     *         component
+    * @throws IllegalStateException if the propagation has not reached a
+    *         fixpoint within `maxIter` rounds — partially-propagated
+    *         labels are WRONG clusters, so truncation must never be
+    *         silent. maxIter bounds the component diameter, not size;
+    *         raise it (or switch to large-star/small-star) for
+    *         path-shaped graphs.
     */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val Seq(aCol, bCol) = pairs.columns.toSeq.take(2).map(col)
@@ -61,6 +67,11 @@ object ConnectedComponents {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds; " +
+          "labels would be partially propagated (wrong clusters) — raise " +
+          "maxIter for high-diameter graphs")
     labels.select(col("id"), col("label").as("cluster"))
   }
 }

@@ -153,12 +153,13 @@ object MigrationOps {
             col("finding.table").as("table_name"),
             col("finding.lockType").as("lock_type"),
             col("finding.stmtIndex").as("stmt_index"))
-          .orderBy(col("version"), col("rule"))
+          .orderBy(col("version"), col("rule"), col("table_name"),
+            col("stmt_index"))
       },
       Some(s"""$findingsCte
         SELECT version, rule, severity, table_name, lock_type, stmt_index
         FROM findings
-        ORDER BY version, rule""")),
+        ORDER BY version, rule, table_name NULLS FIRST, stmt_index""")),
 
     // Per-migration rollup: max severity + rule set (§3.1 pipeline).
     // Arrays are emitted comma-joined: the verify harness round-trips

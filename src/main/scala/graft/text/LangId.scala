@@ -26,6 +26,18 @@ object LangId extends Serializable {
     "es" -> Set("el", "la", "los", "las", "de", "que", "es", "en", "un",
       "una", "por", "con", "para", "no", "se"))
 
+  /** Exactly the characters Java-regex `\s` matches (space, \t, \n,
+    * vertical tab, \f, \r). Both [[detect]] and [[detectFromTokens]] count
+    * whitespace with THIS class — not `Character.isWhitespace`, whose
+    * extra members (U+001C-1F, U+2028/29, U+3000, …) would let the two
+    * forms disagree on the CJK-ratio denominator near the 0.3 zh
+    * threshold. The DuckDB oracle's `\s` (RE2) also lacks those, so
+    * regex-\s is the one definition all three engines share.
+    */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
   /** Detect the language of `text`. Returns a 2-letter code or "und". */
   def detect(text: String): String = {
     if (text == null || text.isEmpty) return "und"
@@ -35,7 +47,7 @@ object LangId extends Serializable {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (!c.isWhitespace) {
+      if (!isRegexSpace(c)) {
         total += 1
         val block = Character.UnicodeBlock.of(c)
         if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||

@@ -26,7 +26,13 @@ class LangIdSpec extends SparkFunSuite {
       7L -> "   \t  ", // whitespace-only → und
       8L -> "xyzzy plugh qwerty asdf", // no hits → und
       9L -> "de la de la", // fr/es tie on shared words → first wins
-      10L -> "  the   spaced    tokens the  ")
+      10L -> "  the   spaced    tokens the  ",
+      // isWhitespace-but-not-regex-\s chars (ideographic space U+3000,
+      // line/para separators U+2028/29): both forms must count them in
+      // the CJK-ratio denominator identically (regex-\s semantics), or
+      // they'd disagree near the 0.3 zh threshold
+      11L -> "中文　文本　の and text here",
+      12L -> "中　　　the and of to in")
     val df = cases.toDF("doc_id", "text")
     val got = predict(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     cases.foreach { case (id, text) =>

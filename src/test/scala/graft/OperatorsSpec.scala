@@ -100,6 +100,23 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got.size == 11)
   }
 
+  test("connected components: non-convergence throws, never returns partial labels") {
+    import spark.implicits._
+    // a 6-node chain needs ~3 min-propagation rounds; maxIter=1 cannot
+    // finish — the contract is to fail loudly, not hand back wrong
+    // clusters
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the same graph converges fine with headroom
+    val ok = ConnectedComponents.components(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 15L).forall(ok(_) == 10L))
+  }
+
   test("salted join returns exactly the plain join's rows") {
     import spark.implicits._
     // skewed large side: 90% of rows on key 1
