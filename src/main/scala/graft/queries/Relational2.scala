@@ -759,7 +759,85 @@ object Relational2 {
         SELECT l_returnflag, count(*) AS n_sampled,
           ${sqlDsum("l_quantity")} AS sample_qty
         FROM numbered WHERE rn % 20 = 1
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Bloom-filter semi-join pruning — Spark's AQE runtime row-level
+    // filter made explicit with the engine's own BloomFilterAggregate /
+    // BloomFilterMightContain expressions. The filtered dim's keys fold
+    // into one ~100 KB bloom (driver-side scalar, like a runtime
+    // filter's subquery result); the fact scan drops non-matching rows
+    // ROW-LOCALLY before the join exchange, so at 100 TB the shuffle
+    // carries only ~the matching fraction. False positives are removed
+    // by the exact semi join that follows — the bloom is pure pruning,
+    // never semantics — which is why this oracle-checks against a plain
+    // IN-subquery.
+    // ------------------------------------------------------------------
+    "q65_bloom_semi_prune" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val bf = dim.select(toCol(
+          new BloomFilterAggregate(toExpr(xxhash64(col("o_orderkey"))),
+            CatLit(200000L)).toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val mightContain = toCol(BloomFilterMightContain(
+          CatLit.create(bf, org.apache.spark.sql.types.BinaryType),
+          toExpr(xxhash64(col("l_orderkey")))))
+        t(s, d, "lineitem")
+          .filter(mightContain)
+          .join(dim.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+          ${sqlDsum4("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // LATERAL correlated subquery join (SQL surface): per-order top-2
+    // lineitems — the "top-k per key over a driving row set" idiom
+    // without a global window. Spark decorrelates the LIMIT subquery
+    // into a ranked join under the hood; the driving set is top-10
+    // orders, so the probe side is metadata-scale.
+    // ------------------------------------------------------------------
+    "q66_lateral_topk" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q66_orders")
+        t(s, d, "lineitem").createOrReplaceTempView("q66_lineitem")
+        s.sql("""
+          SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+          FROM (SELECT o_orderkey FROM q66_orders
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o,
+          LATERAL (
+            SELECT l_linenumber, l_extendedprice
+            FROM q66_lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber
+            LIMIT 2) l
+          ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber
+        """)
+      },
+      Some("""SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM (SELECT o_orderkey FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2) l
+        ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber"""))
   )
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"

@@ -87,6 +87,26 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** PII pattern classes, deliberately restricted to syntax shared by
+    * Java regex and RE2 (the oracle engine): character classes, bounded
+    * repetition, `\b`/`\d` — no lookarounds, no backrefs. Redaction
+    * applies them in THIS order (later patterns see earlier
+    * replacements), so both engines transform identically.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** `text` with every [[piiPatterns]] match replaced by its class tag
+    * (`<email>`, …). Row-local codegen'd regexp_replace chain.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"<$name>")
+    }
+
   /** Cosine similarity of two float-array columns, computed in double
     * (zip_with product + aggregate sum — all codegen'd, no UDF).
     */
@@ -852,5 +872,221 @@ object TextOps {
         WHERE a.vec_id <> 0
         ORDER BY cos DESC, a.vec_id
         LIMIT 10"""),
-      bench = true))
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // Full-corpus EXACT near-dup via an inverted shingle index — the
+    // scalable exact middle path between d02 (all-pairs, bounded to an
+    // oracle window) and d03 (probabilistic LSH). Candidates come from
+    // the posting-list join: explode shingles, drop hot shingles
+    // (df > 50 — boilerplate carries no near-dup signal and a hot key
+    // would concentrate df² pair rows on one reducer), expand each
+    // surviving posting list's pairs row-locally, then verify exact
+    // Jaccard on the true shingle sets. One data-sized shuffle (on
+    // shingle) + metadata-sized pair joins; no data × data cross join
+    // anywhere, so the same plan runs at 100 TB. The df cap is part of
+    // the operator's semantics (a pair sharing ONLY ubiquitous shingles
+    // is not a near-dup) and is mirrored in the oracle.
+    // ------------------------------------------------------------------
+    "d08_posting_jaccard" -> Q(
+      (s, d) => {
+        val sh = docShingles(s, d).filter(size(col("w")) > 0)
+        val posts = sh.select(col("doc_id"), explode(col("w")).as("fp"))
+        val cand = winnowCandidatePairs(posts, minShared = 1, maxDf = 50)
+          .select(col("doc_a"), col("doc_b"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("w").as("wa"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+        cand.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              size(array_union(col("wa"), col("wb"))).cast("double"))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        posts AS (SELECT doc_id, unnest(w) AS fp FROM sh),
+        ok_fp AS (
+          SELECT fp FROM posts GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 50),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM posts a
+          JOIN ok_fp f ON a.fp = f.fp
+          JOIN posts b ON b.fp = a.fp AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+          cast(len(list_intersect(x.w, y.w)) as double) /
+            cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+            AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+        WHERE cast(len(list_intersect(x.w, y.w)) as double) /
+              cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+              >= 0.4
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // TF-IDF top terms per document (linear idf = N/df — a ratio of
+    // exact integers, so the score is one correctly-rounded double
+    // division in both engines; log-idf would rank identically but
+    // libm log() is not bit-portable). Two vocabulary-keyed aggregates
+    // + one join on term (vocabulary-scale, not corpus-scale) + a
+    // per-doc top-k window: every shuffle key is either `term` or
+    // `doc_id`, both well-distributed at 100 TB. N comes from a
+    // metadata-scale count() (one scan of parquet footers' row counts).
+    // ------------------------------------------------------------------
+    "x11_tfidf_topterms" -> Q(
+      (s, d) => {
+        val nDocs = docs(s, d).count()
+        val tf = docs(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfc, "term")
+          .withColumn("score",
+            (col("tf") * lit(nDocs)).cast("double") /
+              col("df").cast("double"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, cast(count(*) as bigint) AS tf
+          FROM toks GROUP BY doc_id, term),
+        dfc AS (
+          SELECT term, cast(count(*) as bigint) AS df
+          FROM tf GROUP BY term),
+        n AS (SELECT cast(count(*) as bigint) AS nd FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+            cast(tf * nd as double) / cast(df as double) AS score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY cast(tf * nd as double) / cast(df as double) DESC,
+                term) AS rank
+          FROM tf JOIN dfc USING (term), n)
+        SELECT doc_id, rank, term, tf, df, score
+        FROM scored WHERE rank <= 3
+        ORDER BY doc_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // PII scan + redaction: per-doc match counts for the standard
+    // pattern classes (email / phone / IPv4 / SSN) and the redacted
+    // length. Row-local regex work (codegen'd regexp_extract_all /
+    // regexp_replace — no UDF), so it scales as a pure map. The synthetic
+    // corpus is PII-free (all counts 0, redacted_len = original), which
+    // the oracle hash-verifies; FunctionsSpec drives the same patterns
+    // over crafted PII strings to prove they actually fire.
+    // ------------------------------------------------------------------
+    "x12_pii_redact" -> Q(
+      (s, d) => {
+        val counted = piiPatterns.foldLeft(
+          docs(s, d).select(col("doc_id"), col("text"))) {
+          case (acc, (name, pat)) =>
+            acc.withColumn(s"n_$name",
+              size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+                .cast("bigint"))
+        }
+        counted
+          .withColumn("redacted_len",
+            length(redactPii(col("text"))).cast("bigint"))
+          .withColumn("is_clean",
+            piiPatterns.map(p => col(s"n_${p._1}") === 0L).reduce(_ && _))
+          .drop("text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id,
+            cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) AS n_email,
+            cast(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) as bigint) AS n_phone,
+            cast(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as bigint) AS n_ipv4,
+            cast(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) as bigint) AS n_ssn,
+            cast(length(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<phone>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g'),
+                '\b\d{3}-\d{2}-\d{4}\b', '<ssn>', 'g')) as bigint)
+              AS redacted_len
+          FROM documents)
+        SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn, redacted_len,
+          n_email = 0 AND n_phone = 0 AND n_ipv4 = 0 AND n_ssn = 0
+            AS is_clean
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Bigram novelty — a corpus-statistics quality signal: the fraction
+    // of a document's distinct bigrams seen in no other document
+    // (doc-frequency 1). High novelty = fresh text; low novelty =
+    // template/boilerplate. Corpus model build = one aggregate keyed by
+    // bigram (vocabulary-scale); scoring = one join on bigram + one
+    // per-doc aggregate. The novelty ratio is a single division of
+    // exact integers — bit-identical across engines. Docs with no
+    // bigram (< 2 tokens) are out of scope on both sides.
+    // ------------------------------------------------------------------
+    "x13_bigram_novelty" -> Q(
+      (s, d) => {
+        val perDoc = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"),
+            when(size(col("toks")) >= 2,
+              array_distinct(
+                transform(sequence(lit(1), size(col("toks")) - 1), i =>
+                  concat_ws(" ", element_at(col("toks"), i),
+                    element_at(col("toks"), i + 1)))))
+              .otherwise(array().cast("array<string>")).as("bgs"))
+          .filter(size(col("bgs")) > 0)
+        val posts = perDoc
+          .select(col("doc_id"), explode(col("bgs")).as("bg"))
+        val dfc = posts.groupBy(col("bg"))
+          .agg(count(lit(1)).as("bg_df"))
+        posts.join(dfc, "bg")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            count(when(col("bg_df") === 1L, 1)).as("n_novel"))
+          .withColumn("novelty", col("n_novel").cast("double") /
+            col("n_bigrams").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks)), i ->
+              toks[i] || ' ' || toks[i+1])) AS bgs
+          FROM t WHERE len(toks) >= 2),
+        posts AS (
+          SELECT doc_id, unnest(bgs) AS bg FROM b WHERE len(bgs) > 0),
+        dfc AS (
+          SELECT bg, cast(count(*) as bigint) AS bg_df
+          FROM posts GROUP BY bg)
+        SELECT p.doc_id,
+          cast(count(*) as bigint) AS n_bigrams,
+          cast(count(*) FILTER (WHERE d.bg_df = 1) as bigint) AS n_novel,
+          cast(count(*) FILTER (WHERE d.bg_df = 1) as double) /
+            cast(count(*) as double) AS novelty
+        FROM posts p JOIN dfc d USING (bg)
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id""")))
 }

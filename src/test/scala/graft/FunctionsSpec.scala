@@ -138,4 +138,25 @@ class FunctionsSpec extends SparkFunSuite {
       maxDf = 1000)
     assert(uncapped.count() == 300L * 299L / 2)
   }
+
+  test("PII patterns fire on real PII and leave clean text untouched") {
+    import spark.implicits._
+    // the oracle corpus is PII-free, so the x12 hash check proves the
+    // zero case; this proves the patterns actually match their classes
+    val rows = Seq(
+      (1L, "contact alice.smith+tag@ex-ample.co.uk today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "host 192.168.0.1 and 10.0.255.13"),
+      (4L, "ssn 123-45-6789 on file"),
+      (5L, "no pii here, just words and 42"))
+      .toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact <email> today")
+    assert(got(2L) == "call <phone> or <phone> now")
+    assert(got(3L) == "host <ipv4> and <ipv4>")
+    assert(got(4L) == "ssn <ssn> on file")
+    assert(got(5L) == "no pii here, just words and 42")
+  }
 }
