@@ -39,24 +39,35 @@ object Bench {
       try qmap(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // 3 timed runs per query, report the min — a single sample mixes
-    // scheduler/GC noise into round-over-round comparisons; the min is
-    // the stable estimate of the plan's actual cost.
+    // 3 timed runs per query; the MIN is the headline (the stable
+    // estimate of the plan's actual cost), and min/median/max ride
+    // along in "spread" so a round-over-round blip is classifiable
+    // from the artifact alone: plans regress in the min, machine load
+    // shows as a fat max over an unchanged min.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = names.map { name =>
       val times = (1 to runs).map { _ =>
+        // queries may persist intermediates (d08): every iteration
+        // starts cold so the min measures the plan, not a cache hit
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { qmap(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def f3(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(ts.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + "\":{\"min\":" + f3(ts.head) +
+        ",\"med\":" + f3(ts(ts.size / 2)) +
+        ",\"max\":" + f3(ts.last) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -211,9 +211,16 @@ final class JdbcLock(url: String,
   }
 
   private def lockTableExists(c: java.sql.Connection): Boolean = {
+    // scope the lookup to the connection's current catalog/schema: with
+    // null (= any) a same-named table in ANOTHER schema would mask a
+    // real CREATE failure (e.g. permission denied), which would then
+    // resurface later as a misleading LockNotAcquired. Fall back to
+    // null only when the driver reports no current catalog/schema.
+    val cat = try c.getCatalog catch { case _: java.sql.SQLException => null }
+    val sch = try c.getSchema catch { case _: java.sql.SQLException => null }
     // identifier case differs by engine (Derby folds up, PG folds down)
     Seq("GRAFT_MIGRATION_LOCK", "graft_migration_lock").exists { n =>
-      val rs = c.getMetaData.getTables(null, null, n, null)
+      val rs = c.getMetaData.getTables(cat, sch, n, null)
       try rs.next() finally rs.close()
     }
   }

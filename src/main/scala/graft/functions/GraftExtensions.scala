@@ -9,7 +9,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * SparkSession.builder().withExtensions(new GraftExtensions)...
   * // or spark.sql.extensions=graft.functions.GraftExtensions
   * spark.sql("SELECT shingle_minhash(split(text, ' '), 64, 3) FROM docs")
-  * spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  * spark.sql("SELECT simhash60(split(text, ' ')) FROM docs")
   * }}}
   *
   * For sessions created without extensions, [[GraftExtensions.register]]
@@ -18,7 +18,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.shingleMinhashDesc)
-    e.injectFunction(GraftExtensions.simhash64Desc)
+    e.injectFunction(GraftExtensions.simhash60Desc)
     e.injectFunction(GraftExtensions.winnowDesc)
   }
 }
@@ -49,14 +49,14 @@ object GraftExtensions {
       }
     })
 
-  private[functions] val simhash64Desc
+  private[functions] val simhash60Desc
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("simhash64"),
-    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    FunctionIdentifier("simhash60"),
+    new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
     { args: Seq[Expression] =>
       args match {
-        case Seq(words) => SimHash64(words)
-        case _ => throw new IllegalArgumentException("simhash64(words)")
+        case Seq(words) => SimHash60(words)
+        case _ => throw new IllegalArgumentException("simhash60(words)")
       }
     })
 
@@ -80,8 +80,8 @@ object GraftExtensions {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.registerFunction(shingleMinhashDesc._1, shingleMinhashDesc._2,
       shingleMinhashDesc._3)
-    reg.registerFunction(simhash64Desc._1, simhash64Desc._2,
-      simhash64Desc._3)
+    reg.registerFunction(simhash60Desc._1, simhash60Desc._2,
+      simhash60Desc._3)
     reg.registerFunction(winnowDesc._1, winnowDesc._2, winnowDesc._3)
   }
 }

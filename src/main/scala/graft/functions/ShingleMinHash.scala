@@ -1,29 +1,31 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.Platform
-import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature over n-word shingles as a single Catalyst
-  * expression.
+  * expression, built entirely from the portable [[PortableHash]]
+  * arithmetic so a DuckDB oracle re-derives signatures bit-for-bit:
+  *
+  *   hp      = h60(shingle) mod P            (P = 2^31-1)
+  *   sig_i   = min over shingles of (permA(i)*hp + permB(i)) mod P
   *
   * Semantically identical to the composable form
   * `transform(sequence(0,k-1), i -> array_min(transform(shingles3(w),
-  * s -> xxhash64(i, s))))` — same XXH64 seeds/chaining as Spark's
-  * `xxhash64` (seed 42, per-argument chaining), so signatures and the
-  * downstream LSH band hashes are bit-identical. The composable form,
-  * however, evaluates nested interpreted lambdas (higher-order
-  * functions don't participate in whole-stage codegen): k×n lambda
-  * frames plus an `element_at`+`concat_ws` tree per shingle — measured
-  * ~35 s for 5 000 docs. This expression makes one pass per row in a
-  * tight loop: build each shingle's bytes once, update all k mins.
+  * s -> (A[i]*(h60(s)%P)+B[i])%P)))` (parity-tested in FunctionsSpec),
+  * but the composable form evaluates nested interpreted lambdas
+  * (higher-order functions don't participate in whole-stage codegen):
+  * k×n lambda frames plus an `element_at`+`concat_ws` tree per shingle.
+  * This expression makes one pass per row: build each shingle's bytes
+  * once, one MD5, then k multiply-mods updating the running mins.
   *
   * Duplicate shingles need no dedup — the min is unaffected by
-  * multiplicity.
+  * multiplicity. Rows with no shingles (fewer than `shingleLen` words)
+  * return the Long.MaxValue sentinel signature, which joins safely
+  * (callers prune them before banding — see d03).
   */
 final case class ShingleMinHash(child: Expression, numHashes: Int,
     shingleLen: Int)
@@ -33,16 +35,18 @@ final case class ShingleMinHash(child: Expression, numHashes: Int,
 
   override def prettyName: String = "shingle_minhash"
 
+  // permutation coefficients are instance constants derived from the
+  // documented tags — the oracle recomputes them with the same formula
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(PortableHash.permA)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(PortableHash.permB)
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val n = words.numElements()
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    // seeds are loop-invariant: seed_i = xxh64(i: int, 42) — hashInt,
-    // matching XxHash64Function's IntegerType dispatch exactly
-    val seeds = new Array[Long](numHashes)
-    var h = 0
-    while (h < numHashes) { seeds(h) = XXH64.hashInt(h, 42L); h += 1 }
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i + shingleLen <= n) {
@@ -54,11 +58,12 @@ final case class ShingleMinHash(child: Expression, numHashes: Int,
         if (w != null) sb.append(w.toString)
         j += 1
       }
-      val bytes = UTF8String.fromString(sb.toString).getBytes
-      h = 0
+      val hp = PortableHash.h60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
+        PortableHash.P
+      var h = 0
       while (h < numHashes) {
-        val v = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, seeds(h))
+        val v = (as(h) * hp + bs(h)) % PortableHash.P
         if (v < sig(h)) sig(h) = v
         h += 1
       }

@@ -7,18 +7,26 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Winnowing document fingerprint (the rolling-hash fingerprinting
-  * scheme from the document-fingerprinting literature, e.g. MOSS):
-  * Karp–Rabin rolling hashes over all k-char grams, then the minimum
-  * hash of each sliding window of w grams (rightmost on ties), distinct
-  * and sorted. Any match of length ≥ w+k-1 between two documents is
-  * guaranteed to share a fingerprint — substring-level near-dup
-  * detection, robust to edits outside the match, cheap to join on
-  * (explode + equi-join on the fingerprint value at scale).
+/** Winnowing document fingerprint (the fingerprinting scheme from the
+  * document-fingerprinting literature, e.g. MOSS): hash every k-char
+  * gram, then keep the minimum hash of each sliding window of w grams,
+  * distinct and sorted. Any match of length ≥ w+k-1 between two
+  * documents is guaranteed to share a fingerprint — substring-level
+  * near-dup detection, robust to edits outside the match, cheap to
+  * join on (explode + equi-join on the fingerprint value at scale).
   *
-  * One O(n) eval pass per row: the rolling hash reuses the previous
-  * gram's value (subtract-shift-add), the window minimum uses a simple
-  * rescan-on-evict (window sizes are small constants).
+  * Gram hashes are [[PortableHash.h60]] of the gram text (not a
+  * wrapping-arithmetic rolling hash — 64-bit wraparound isn't
+  * portable to engines whose integer ops error on overflow), so a
+  * DuckDB oracle re-derives the exact fingerprint set:
+  * `list_min` over `('0x'||substr(md5(gram),1,15))::BIGINT` windows.
+  * The winnowing guarantee only needs equal grams ⇒ equal hashes;
+  * rolling-ness was a constant-factor optimization, and at ~16 bytes
+  * per gram one MD5 per position is still linear in document size.
+  *
+  * Window minima take the smallest VALUE per window (ties in position
+  * are irrelevant because only the value set is emitted, and value
+  * ties are ~impossible at 60 bits).
   */
 final case class Winnow(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -27,42 +35,31 @@ final case class Winnow(child: Expression, k: Int, w: Int)
 
   override def prettyName: String = "winnow_fingerprint"
 
-  private val Base = 1000003L
-
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val n = text.length
     if (n < k) return ArrayData.toArrayData(Array.empty[Long])
-    // rolling Karp–Rabin over k-grams
     val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
-    var pow = 1L
     var i = 0
-    while (i < k - 1) { pow *= Base; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * Base + text.charAt(i); i += 1 }
-    hashes(0) = h
-    i = 1
     while (i < nGrams) {
-      h = (h - text.charAt(i - 1) * pow) * Base + text.charAt(i + k - 1)
-      hashes(i) = h
+      hashes(i) = PortableHash.h60(text.substring(i, i + k))
       i += 1
     }
     if (nGrams <= w) {
       var min = hashes(0)
       i = 1
-      while (i < nGrams) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+      while (i < nGrams) { if (hashes(i) < min) min = hashes(i); i += 1 }
       return ArrayData.toArrayData(Array(min))
     }
-    // winnow: min of each window of w gram hashes, rightmost on ties
+    // winnow: min of each window of w gram hashes
     val selected = new java.util.TreeSet[java.lang.Long]()
     i = 0
     while (i + w <= nGrams) {
       var min = hashes(i)
       var j = i + 1
       while (j < i + w) {
-        if (hashes(j) <= min) min = hashes(j)
+        if (hashes(j) < min) min = hashes(j)
         j += 1
       }
       selected.add(min)

@@ -84,6 +84,87 @@ object Multimodal {
     }
   }
 
+  /** REAL codec (no stub): 24-bit uncompressed Windows BMP, encoded and
+    * decoded in pure Scala — BITMAPFILEHEADER (14 bytes) +
+    * BITMAPINFOHEADER (40 bytes), bottom-up rows, BGR byte order, rows
+    * padded to 4-byte multiples. Chosen because the format needs no
+    * external libraries (zero-egress container), yet exercises every
+    * classic codec trap: little-endian headers, padded strides,
+    * bottom-up row order, channel order. mm02 hash-verifies the full
+    * encode→decode→stats path against an oracle that recomputes pixel
+    * sums analytically — a BGR swap or stride bug is a hash mismatch.
+    */
+  object BmpCodec extends Serializable {
+    private def rowSize(w: Int): Int = (w * 3 + 3) & ~3
+
+    /** Encode w×h pixels; `rgb(idx)` returns the (r,g,b) of the
+      * row-major top-down pixel idx = y*w + x, each 0..255.
+      */
+    def encode(w: Int, h: Int, rgb: Int => (Int, Int, Int)): Array[Byte] = {
+      val stride = rowSize(w)
+      val dataSize = stride * h
+      val fileSize = 54 + dataSize
+      val out = new Array[Byte](fileSize)
+      def p16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xFF).toByte
+        out(off + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      def p32(off: Int, v: Int): Unit = {
+        p16(off, v & 0xFFFF); p16(off + 2, (v >>> 16) & 0xFFFF)
+      }
+      out(0) = 'B'.toByte; out(1) = 'M'.toByte
+      p32(2, fileSize); p32(10, 54) // pixel data offset
+      p32(14, 40) // BITMAPINFOHEADER size
+      p32(18, w); p32(22, h) // positive height = bottom-up
+      p16(26, 1); p16(28, 24) // one plane, 24 bpp
+      p32(30, 0) // BI_RGB (uncompressed)
+      p32(34, dataSize)
+      var y = 0
+      while (y < h) {
+        val rowOff = 54 + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = rgb(y * w + x)
+          val o = rowOff + x * 3
+          out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Decode to (width, height, packed 0xRRGGBB row-major top-down). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte &&
+        bytes(1) == 'M'.toByte, "not a BMP")
+      def g16(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      def g32(off: Int): Int = g16(off) | (g16(off + 2) << 16)
+      val dataOff = g32(10)
+      val w = g32(18)
+      val h = g32(22)
+      require(w > 0 && h > 0, "top-down or degenerate BMP unsupported")
+      require(g16(28) == 24 && g32(30) == 0, "only 24-bit uncompressed")
+      val stride = rowSize(w)
+      require(bytes.length >= dataOff + stride * h, "truncated BMP")
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val rowOff = dataOff + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val o = rowOff + x * 3
+          px(y * w + x) = ((bytes(o + 2) & 0xFF) << 16) |
+            ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, px)
+    }
+  }
+
   /** Synthesize a media corpus from the documents table: deterministic
     * binary blobs (header + text bytes) standing in for
     * `spark.read.format("binaryFile")` on a real media lake.
@@ -107,6 +188,65 @@ object Multimodal {
         }
         MediaRecord(id, s"synth://media/$id", mime, bytes)
       }
+  }
+
+  final case class PixelStats(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Synthesize a REAL BMP image per document, pixels derived
+    * deterministically from the text: for row-major pixel idx of a
+    * (8 + id%24) × (8 + id·7%24) image with n = char-length(text),
+    *
+    *   ch = codepoint(text[idx mod n]),   r = ch mod 256,
+    *   g  = (idx·31 + id) mod 256,        b = (idx + r) mod 256.
+    *
+    * The formula is computable from the raw text alone, which is what
+    * lets the mm02 oracle verify the whole encode→decode round trip
+    * without ever seeing a byte of the image.
+    */
+  def synthesizeBmp(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.length
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 7) % 24).toInt
+        val bytes = BmpCodec.encode(w, h, { idx =>
+          val ch = if (n == 0) 0 else text.charAt(idx % n).toInt
+          val r = ch % 256
+          val g = ((idx.toLong * 31 + id) % 256).toInt
+          val b = (idx + r) % 256
+          (r, g, b)
+        })
+        MediaRecord(id, s"synth://bmp/$id", "image/bmp", bytes)
+      }
+  }
+
+  /** Batched partition-local pixel statistics over real decoded BMPs:
+    * per-channel sums + dimensions. Binary column projected away after
+    * the decode; exact integer sums (no float accumulation order).
+    */
+  def pixelStats(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, px) = BmpCodec.decode(rec.content)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            i += 1
+          }
+          PixelStats(rec.media_id, w, h, sr, sg, sb)
+        }
+      }
+    }
   }
 
   /** Batched partition-local metadata decode. `batchSize` models the

@@ -29,6 +29,38 @@ object MediaOps {
           cast(64 + (doc_id * 7) % 192 as int) AS height,
           cast(1 + doc_id % 30 as int) AS n_frames,
           cast(16 + octet_length(encode(text)) as bigint) AS content_len
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // REAL-codec pixel statistics: text → 24-bit BMP encode → decode →
+    // per-channel integer sums, through the batched mapPartitions
+    // plumbing. The oracle recomputes the sums analytically from the
+    // pixel formula (see Multimodal.synthesizeBmp docs) — it never sees
+    // the image bytes, so a stride/BGR/row-order codec bug is a hash
+    // mismatch, not a silent pass.
+    // ------------------------------------------------------------------
+    "mm02_bmp_pixel_stats" -> Q(
+      (s, d) =>
+        Multimodal.pixelStats(Multimodal.synthesizeBmp(s, d))
+          .toDF()
+          .orderBy(col("media_id")),
+      Some("""WITH p AS (
+          SELECT doc_id,
+            cast(8 + doc_id % 24 as int) AS width,
+            cast(8 + (doc_id * 7) % 24 as int) AS height,
+            length(text) AS n, text
+          FROM documents)
+        SELECT doc_id AS media_id, width, height,
+          cast(list_sum(list_transform(range(0, width*height), idx ->
+            CASE WHEN n = 0 THEN 0
+                 ELSE unicode(substr(text, cast(idx % n as int) + 1, 1)) % 256
+            END)) as bigint) AS sum_r,
+          cast(list_sum(list_transform(range(0, width*height), idx ->
+            (idx * 31 + doc_id) % 256)) as bigint) AS sum_g,
+          cast(list_sum(list_transform(range(0, width*height), idx ->
+            (idx + CASE WHEN n = 0 THEN 0
+                        ELSE unicode(substr(text, cast(idx % n as int) + 1, 1)) % 256
+                   END) % 256)) as bigint) AS sum_b
+        FROM p ORDER BY media_id"""))
   )
 }

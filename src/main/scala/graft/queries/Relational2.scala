@@ -774,29 +774,7 @@ object Relational2 {
     // IN-subquery.
     // ------------------------------------------------------------------
     "q65_bloom_semi_prune" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        val dim = t(s, d, "orders")
-          .filter(col("o_orderpriority") === "1-URGENT")
-        val bf = dim.select(toCol(
-          new BloomFilterAggregate(toExpr(xxhash64(col("o_orderkey"))),
-            CatLit(200000L)).toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        val mightContain = toCol(BloomFilterMightContain(
-          CatLit.create(bf, org.apache.spark.sql.types.BinaryType),
-          toExpr(xxhash64(col("l_orderkey")))))
-        t(s, d, "lineitem")
-          .filter(mightContain)
-          .join(dim.select(col("o_orderkey")),
-            col("l_orderkey") === col("o_orderkey"), "left_semi")
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"),
-            dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .as("revenue"))
-          .orderBy(col("l_returnflag"))
-      },
+      (s, d) => bloomSemiPrune(s, d, "1-URGENT"),
       Some(s"""SELECT l_returnflag, count(*) AS n,
           ${sqlDsum4("l_extendedprice * (1 - l_discount)")} AS revenue
         FROM lineitem
@@ -839,6 +817,58 @@ object Relational2 {
           LIMIT 2) l
         ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber"""))
   )
+
+  /** q65's body: bloom-filter runtime pruning ahead of an exact semi
+    * join (the bloom is pure pruning, never semantics — false
+    * positives are removed by the semi join, so correctness never
+    * depends on the internal API below).
+    *
+    * PINNED Catalyst-internal coupling: `BloomFilterAggregate` /
+    * `BloomFilterMightContain` constructor shapes are as of Spark
+    * 4.1 (verified against /opt/spark/jars); they are private API and
+    * free to change across minor versions. Two explicit escape
+    * hatches, both yielding the identical result via the exact semi
+    * join alone:
+    *   - construction throws (LinkageError family after an upgrade,
+    *     or any analysis error) → skip the bloom;
+    *   - the dim side is EMPTY → the aggregate returns a null bloom,
+    *     and `might_contain(null, x)` is a null predicate (row-drop
+    *     by accident, not by design) → skip the bloom explicitly.
+    *
+    * The bloom build is a driver-side job at plan-BUILD time: Bench
+    * timings for q65 include it by design (it is part of the query's
+    * cost, exactly like a broadcast build).
+    */
+  private[graft] def bloomSemiPrune(s: SparkSession, d: String,
+      priority: String): DataFrame = {
+    val dim = t(s, d, "orders")
+      .filter(col("o_orderpriority") === priority)
+    val li = t(s, d, "lineitem")
+    val pruned =
+      try {
+        import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val bf = dim.select(toCol(
+          new BloomFilterAggregate(toExpr(xxhash64(col("o_orderkey"))),
+            CatLit(200000L)).toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        if (bf == null) li // empty dim → no bloom, semi join only
+        else li.filter(toCol(BloomFilterMightContain(
+          CatLit.create(bf, org.apache.spark.sql.types.BinaryType),
+          toExpr(xxhash64(col("l_orderkey"))))))
+      } catch {
+        case _: LinkageError => li // Spark upgrade moved the internals
+      }
+    pruned
+      .join(dim.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 

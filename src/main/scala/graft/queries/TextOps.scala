@@ -77,12 +77,17 @@ object TextOps {
       maxDf: Int = 1000): DataFrame =
     exploded
       .groupBy(col("fp"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-      .select(explode(flatten(transform(col("ds"), a =>
-        transform(filter(col("ds"), b => b > a), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      // ordered-pair expansion as two chained Generates + a filter —
+      // all whole-stage codegen. (The nested transform/filter/struct
+      // lambda tower produced the same df² rows but ran interpreted:
+      // ~10 s of pure lambda-frame overhead at sf0.1; this form is
+      // sub-second for the same output.)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_b") > col("doc_a"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -117,12 +122,22 @@ object TextOps {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
-  /** 64-permutation MinHash signature of a word array: for permutation
-    * i, min over words of xxhash64(i, word). Row-local, codegen'd.
+  /** 64-permutation MinHash signature of a word array with the
+    * portable arithmetic of [[graft.functions.PortableHash]]: for
+    * permutation i, min over words of (A(i)·(h60(w) mod P)+B(i)) mod P.
+    * This is the composable higher-order twin of the fast
+    * ShingleMinHash expression (parity-tested in FunctionsSpec) and
+    * the exact formula the DuckDB oracles re-derive.
     */
-  def minhashSig(wordsCol: Column, k: Int = 64): Column =
+  def minhashSig(wordsCol: Column, k: Int = 64): Column = {
+    import graft.functions.PortableHash.{P, h60col, permA, permB}
+    val as = typedLit((0 until k).map(permA))
+    val bs = typedLit((0 until k).map(permB))
     transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(wordsCol, w => xxhash64(i, w))))
+      array_min(transform(wordsCol, w =>
+        pmod(element_at(as, i + 1) * pmod(h60col(w), lit(P)) +
+          element_at(bs, i + 1), lit(P)))))
+  }
 
   /** Column-bits variants of shiftleft/shiftright (the Scala API only
     * accepts literal Int bit counts; the SQL functions accept columns).
@@ -132,16 +147,18 @@ object TextOps {
   private def shr(x: Column, bits: Column): Column =
     call_function("shiftright", x, bits)
 
-  /** 64-bit SimHash of a word array: bit b is set iff the sum over
-    * words of sign(bit b of xxhash64(word)) is positive.
+  /** 60-bit SimHash of a word array: bit b is set iff the sum over
+    * words of sign(bit b of h60(word)) is positive — the composable
+    * twin of the fast SimHash60 expression and the DuckDB oracle
+    * formula (60 portable bits; see SimHash60 docs for why not 64).
     */
-  def simhash64(wordsCol: Column): Column =
+  def simhash60(wordsCol: Column): Column =
     aggregate(
-      sequence(lit(0), lit(63)),
+      sequence(lit(0), lit(59)),
       lit(0L),
       (acc, b) => {
         val bitSum = aggregate(wordsCol, lit(0),
-          (s2, w) => s2 + when(shr(xxhash64(w), b)
+          (s2, w) => s2 + when(shr(graft.functions.PortableHash.h60col(w), b)
             .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
         acc.bitwiseOR(when(bitSum > 0, shl(lit(1L), b)).otherwise(0L))
       })
@@ -295,21 +312,50 @@ object TextOps {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
-    // Winnowing (rolling-hash) fingerprints: substring-level near-dup
-    // keys. Rows-only check (custom expression; the FunctionsSpec
-    // asserts the guarantee: shared ≥(w+k-1)-char substrings ⇒ shared
-    // fingerprints). The scale path explodes fingerprints and
-    // equi-joins — candidates without any all-pairs comparison.
+    // Winnowing fingerprints: substring-level near-dup keys (k=8-char
+    // grams, w=16 windows; FunctionsSpec asserts the guarantee: shared
+    // ≥(w+k-1)-char substrings ⇒ shared fingerprints). The scale path
+    // explodes fingerprints and equi-joins — candidates without any
+    // all-pairs comparison. Hash-verified: gram hashes are portable
+    // h60(md5), so the oracle recomputes the full winnow + posting-list
+    // pipeline from the raw text.
     // ------------------------------------------------------------------
     "x07_winnow_fingerprints" -> Q(
       (s, d) => {
-        val fps = docs(s, d).select(col("doc_id"),
-          graft.functions.Winnow.winnowFingerprint(
-            regexp_replace(lower(col("text")), "\\s+", " ")).as("fps"))
-        winnowCandidatePairs(
-          fps.select(col("doc_id"), explode(col("fps")).as("fp")))
+        // FAST generate shape (see d08): the winnow expression feeds
+        // explode directly instead of through an aliased array column
+        val exploded = docs(s, d).select(col("doc_id"),
+          explode(graft.functions.Winnow.winnowFingerprint(
+            regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+        winnowCandidatePairs(exploded)
       },
-      None),
+      Some("""WITH norm AS (
+          SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+            list_transform(range(1, length(t) - 8 + 2), i ->
+              ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT) AS h
+          FROM norm WHERE length(t) >= 8),
+        fpl AS (
+          SELECT doc_id,
+            CASE WHEN len(h) <= 16 THEN [list_min(h)]
+                 ELSE list_distinct(list_transform(range(1, len(h) - 16 + 2),
+                   j -> list_min(h[j : j + 15]))) END AS fps
+          FROM grams),
+        posts AS (SELECT doc_id, unnest(fps) AS fp FROM fpl),
+        ok_fp AS (
+          SELECT fp FROM posts GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 1000),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM posts a
+          JOIN ok_fp f ON a.fp = f.fp
+          JOIN posts b ON b.fp = a.fp AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, cast(count(*) as bigint) AS shared_fps
+        FROM pairs GROUP BY doc_a, doc_b
+        HAVING count(*) >= 8
+        ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
     // Exact dedup: group by normalized-content fingerprint, keep the
@@ -422,7 +468,8 @@ object TextOps {
     // MinHash + LSH banded near-dup: 64-perm signatures, 16 bands × 4
     // rows, band-bucket join produces candidates, exact Jaccard
     // verifies. This is the linear-shuffle scale path (no all-pairs).
-    // Rows-only check (hash permutations aren't SQL-portable).
+    // Hash-verified: signatures/bands use PortableHash's mod-p
+    // arithmetic, which the DuckDB oracle re-derives from scratch.
     // ------------------------------------------------------------------
     "d03_minhash_lsh" -> Q(
       (s, d) => {
@@ -448,9 +495,17 @@ object TextOps {
           .withColumn("sig",
             graft.functions.ShingleMinHash.shingleMinhash(col("toks")))
           .select(col("doc_id"),
+            // band hash = mod-p polynomial fold of the band's 4 sig
+            // values (acc*FoldBase+v mod P, acc0=0) — portable to the
+            // oracle; a band collision only creates a false candidate
+            // that the exact-Jaccard verification below discards.
             posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
-              xxhash64(slice(col("sig"), bi * rowsPerBand + 1,
-                lit(rowsPerBand)).cast("string"), bi))))
+              aggregate(
+                slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)),
+                lit(0L),
+                (acc, v) => pmod(
+                  acc * graft.functions.PortableHash.FoldBase + v,
+                  lit(graft.functions.PortableHash.P))))))
           .select(col("doc_id"), col("pos").as("band"),
             col("col").as("band_hash"))
         // candidate pairs: banded self-join on (band, band_hash). Both
@@ -483,23 +538,70 @@ object TextOps {
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None,
+      Some("""WITH perms AS (
+          SELECT
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT % 2147483646 + 1) AS pa,
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT % 2147483647) AS pb),
+        t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        hs AS (
+          SELECT doc_id,
+            list_transform(w, s ->
+              ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id,
+            list_transform(range(0, 64), i ->
+              list_min(list_transform(h, x ->
+                (pa[i+1] * x + pb[i+1]) % 2147483647))) AS sig
+          FROM hs, perms),
+        banded AS (
+          SELECT doc_id, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 16) t(b)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id)
+        SELECT c.doc_a, c.doc_b,
+          cast(len(list_intersect(x.w, y.w)) as double) /
+            cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+            AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+        WHERE cast(len(list_intersect(x.w, y.w)) as double) /
+              cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+              >= 0.4
+        ORDER BY doc_a, doc_b"""),
       bench = true),
 
     // ------------------------------------------------------------------
-    // SimHash near-dup: 64-bit signatures, candidates via 4×16-bit
+    // SimHash near-dup: 60-bit signatures, candidates via 4×15-bit
     // band equality (a doc pair within Hamming distance 3 shares at
-    // least one exact 16-bit quarter), verified by bit_count(xor).
-    // Rows-only check.
+    // least one exact 15-bit quarter — pigeonhole over 4 bands),
+    // verified by bit_count(xor). Hash-verified: the signature is
+    // portable h60 bit arithmetic the oracle re-derives.
     // ------------------------------------------------------------------
     "d04_simhash" -> Q(
       (s, d) => {
         val base = docs(s, d)
           .select(col("doc_id"),
-            graft.functions.SimHash64.simhash64(words(col("text"))).as("sh"))
+            graft.functions.SimHash60.simhash60(words(col("text"))).as("sh"))
         val banded = base.select(col("doc_id"), col("sh"),
           posexplode(transform(sequence(lit(0), lit(3)), q =>
-            shr(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL)))))
+            shr(col("sh"), q * 15).bitwiseAND(lit(0x7FFFL)))))
           .withColumnRenamed("pos", "quarter")
           .withColumnRenamed("col", "qhash")
         val l = banded.select(col("quarter"), col("qhash"),
@@ -514,7 +616,36 @@ object TextOps {
           .filter(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        hs AS (
+          SELECT doc_id,
+            list_transform(w, x ->
+              ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+          FROM t0),
+        sig AS (
+          SELECT doc_id,
+            cast(list_sum(list_transform(range(0, 60), b ->
+              CASE WHEN cast(list_sum(list_transform(h, v ->
+                  CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) as bigint) > 0
+                THEN 1::BIGINT << b ELSE 0::BIGINT END)) as bigint) AS sh
+          FROM hs),
+        banded AS (
+          SELECT doc_id, sh, q AS quarter,
+            (sh >> cast(q*15 as int)) & 32767 AS qhash
+          FROM sig, range(0, 4) t(q)),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+            cast(bit_count(xor(l.sh, r.sh)) as int) AS hamming
+          FROM banded l JOIN banded r
+            ON l.quarter = r.quarter AND l.qhash = r.qhash
+              AND l.doc_id < r.doc_id)
+        SELECT doc_a, doc_b, hamming
+        FROM pairs
+        WHERE hamming <= 3
+        ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
     // Embedding cosine near-dup pairs (exact; double-precision dot).
@@ -569,21 +700,29 @@ object TextOps {
       bench = true),
 
     // ------------------------------------------------------------------
-    // LSH-bucketed ANN (the 100 TB scale path): 16 deterministic random
-    // hyperplanes → 16-bit bucket; search the query's bucket only.
-    // Hyperplane components derive from xxhash64(plane, dim) — seeded,
-    // reproducible. Rows-only check (vs s01 recall in tests).
+    // LSH-bucketed ANN (the 100 TB scale path): 6 deterministic random
+    // hyperplanes → 64-bucket partitioning; search the query's bucket
+    // only. Hyperplane component (p,i) = (h60("p_i") mod 1000)/500 - 1
+    // — the portable PortableHash formula, materialized driver-side as
+    // a literal matrix (the dimension comes from one metadata-scale
+    // head(); the matrix is data-independent, so this costs one row).
+    // Hash-verified: the oracle re-derives the same planes with md5()
+    // and replays bucketing + cosine top-k from scratch.
     // ------------------------------------------------------------------
     "s02_ann_lsh" -> Q(
       (s, d) => {
         val planes = 6
+        val dim = emb(s, d).select(size(col("embedding"))).head.getInt(0)
+        val mat: Seq[Seq[Double]] = (0 until planes).map(p =>
+          (0 until dim).map(i =>
+            (graft.functions.PortableHash.h60(s"${p}_${i}") % 1000L)
+              .toDouble / 500.0 - 1.0))
+        val matC = typedLit(mat)
         def bucket(v: Column): Column =
           aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
             val proj = aggregate(
-              zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-                x.cast("double") *
-                  (pmod(xxhash64(p, i), lit(1000L)).cast("double") / 500.0
-                    - 1.0)),
+              zip_with(v, element_at(matC, p + 1), (x, c) =>
+                x.cast("double") * c),
               lit(0.0), (a2, x) => a2 + x)
             acc.bitwiseOR(when(proj > 0, shl(lit(1L), p)).otherwise(0L))
           })
@@ -597,7 +736,33 @@ object TextOps {
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
       },
-      None),
+      Some("""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        dim AS (SELECT max(len(v)) AS d FROM e),
+        planes AS (
+          SELECT p, list_transform(range(0, d), i ->
+            cast(('0x' || substr(md5(p || '_' || i), 1, 15))::BIGINT % 1000
+              as double) / 500.0 - 1.0) AS pv
+          FROM range(0, 6) t(p), dim),
+        pl AS (SELECT list(pv ORDER BY p) AS pvs FROM planes),
+        b AS (
+          SELECT vec_id, v,
+            cast(list_sum(list_transform(range(0, 6), p ->
+              CASE WHEN list_dot_product(v, pvs[p+1]) > 0
+                THEN (1::BIGINT << p) ELSE 0::BIGINT END)) as bigint) AS bkt
+          FROM e, pl),
+        n AS (
+          SELECT vec_id, v, bkt,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM b),
+        q AS (SELECT bkt AS qbkt, v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+        SELECT n.vec_id,
+          list_dot_product(n.v, q.qv) / n.nrm / q.qnrm AS cos
+        FROM n, q
+        WHERE n.bkt = q.qbkt AND n.vec_id <> 0
+        ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC, n.vec_id
+        LIMIT 10""")),
 
     // ------------------------------------------------------------------
     // Grouped text rollup: per (lang, source) corpus stats — the
@@ -877,29 +1042,47 @@ object TextOps {
     // ------------------------------------------------------------------
     // Full-corpus EXACT near-dup via an inverted shingle index — the
     // scalable exact middle path between d02 (all-pairs, bounded to an
-    // oracle window) and d03 (probabilistic LSH). Candidates come from
-    // the posting-list join: explode shingles, drop hot shingles
-    // (df > 50 — boilerplate carries no near-dup signal and a hot key
-    // would concentrate df² pair rows on one reducer), expand each
-    // surviving posting list's pairs row-locally, then verify exact
-    // Jaccard on the true shingle sets. One data-sized shuffle (on
-    // shingle) + metadata-sized pair joins; no data × data cross join
-    // anywhere, so the same plan runs at 100 TB. The df cap is part of
-    // the operator's semantics (a pair sharing ONLY ubiquitous shingles
-    // is not a near-dup) and is mirrored in the oracle.
+    // oracle window) and d03 (probabilistic LSH). Explode shingles,
+    // drop hot shingles (df > 50 — boilerplate carries no near-dup
+    // signal and a hot key would concentrate df² pair rows on one
+    // reducer), expand each surviving posting list's pairs row-locally,
+    // and compute Jaccard over the df-pruned shingle universe FROM
+    // COUNTS alone: |A∩B| is the pair's shared-posting count and
+    // |A∪B| = |A'| + |B'| − |A∩B| — so after the one data-sized
+    // shuffle on shingle, everything downstream is count arithmetic
+    // joined against a per-doc size table; no shingle ARRAY ever rides
+    // a shuffle and there is no verify join carrying sets. (An earlier
+    // version verified against the full shingle sets via an array
+    // join — inconsistent with the df-pruned candidate universe AND
+    // the dominant cost at sf0.1: 1.1M candidate pairs × 300-string
+    // array intersections.) The df cap is part of the operator's
+    // semantics and is mirrored exactly in the oracle.
     // ------------------------------------------------------------------
     "d08_posting_jaccard" -> Q(
       (s, d) => {
-        val sh = docShingles(s, d).filter(size(col("w")) > 0)
-        val posts = sh.select(col("doc_id"), explode(col("w")).as("fp"))
-        val cand = winnowCandidatePairs(posts, minShared = 1, maxDf = 50)
-          .select(col("doc_a"), col("doc_b"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("w").as("wa"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("w").as("wb"))
-        cand.join(a, "doc_a").join(b, "doc_b")
-          .withColumn("jaccard",
-            size(array_intersect(col("wa"), col("wb"))).cast("double") /
-              size(array_union(col("wa"), col("wb"))).cast("double"))
+        // FAST generate shape — explode of the shingle EXPRESSION over
+        // a once-aliased token array. Never explode an aliased
+        // expensive array column: the generator re-evaluates the array
+        // expression per OUTPUT ELEMENT (~50× per row here — measured
+        // 35 s vs 0.6 s at sf0.1).
+        val posts = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), explode(shingles3(col("toks"))).as("fp"))
+        val dfc = posts.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        val okPosts = posts.join(dfc.filter(col("df") <= 50), "fp")
+          .select(col("doc_id"), col("fp"))
+        // |A'|: the doc's shingle count within the df-pruned universe
+        val sizes = okPosts.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("sz"))
+        val shared = winnowCandidatePairs(okPosts, minShared = 1,
+          maxDf = 50)
+        shared
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("sz").as("sz_b")), "doc_b")
+          .withColumn("jaccard", col("shared_fps").cast("double") /
+            (col("sz_a") + col("sz_b") - col("shared_fps")).cast("double"))
           .filter(col("jaccard") >= 0.4)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -914,25 +1097,29 @@ object TextOps {
               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
           FROM t0 WHERE len(w) >= 3),
         posts AS (SELECT doc_id, unnest(w) AS fp FROM sh),
-        ok_fp AS (
-          SELECT fp FROM posts GROUP BY fp
-          HAVING count(*) BETWEEN 2 AND 50),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM posts a
-          JOIN ok_fp f ON a.fp = f.fp
-          JOIN posts b ON b.fp = a.fp AND a.doc_id < b.doc_id)
-        SELECT c.doc_a, c.doc_b,
-          cast(len(list_intersect(x.w, y.w)) as double) /
-            cast(len(list_distinct(list_concat(x.w, y.w))) as double)
-            AS jaccard
-        FROM cand c
-        JOIN sh x ON x.doc_id = c.doc_a
-        JOIN sh y ON y.doc_id = c.doc_b
-        WHERE cast(len(list_intersect(x.w, y.w)) as double) /
-              cast(len(list_distinct(list_concat(x.w, y.w))) as double)
-              >= 0.4
-        ORDER BY doc_a, doc_b""")),
+        dfc AS (SELECT fp, count(*) AS df FROM posts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM posts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        sizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT s.doc_a, s.doc_b,
+          cast(s.shared_fps as double) /
+            cast(x.sz + y.sz - s.shared_fps as double) AS jaccard
+        FROM shared s
+        JOIN sizes x ON x.doc_id = s.doc_a
+        JOIN sizes y ON y.doc_id = s.doc_b
+        WHERE cast(s.shared_fps as double) /
+              cast(x.sz + y.sz - s.shared_fps as double) >= 0.4
+        ORDER BY doc_a, doc_b"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // TF-IDF top terms per document (linear idf = N/df — a ratio of
@@ -985,7 +1172,8 @@ object TextOps {
           FROM tf JOIN dfc USING (term), n)
         SELECT doc_id, rank, term, tf, df, score
         FROM scored WHERE rank <= 3
-        ORDER BY doc_id, rank""")),
+        ORDER BY doc_id, rank"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // PII scan + redaction: per-doc match counts for the standard
@@ -1045,18 +1233,22 @@ object TextOps {
     // ------------------------------------------------------------------
     "x13_bigram_novelty" -> Q(
       (s, d) => {
-        val perDoc = docs(s, d)
+        // FAST generate shape (see d08): explode of the bigram
+        // expression over once-aliased toks — an aliased bgs column
+        // here re-evaluated the whole bigram build per exploded
+        // element (40 s vs ~1 s at sf0.1). No size>0 filter either:
+        // explode drops empty arrays, and a pre-filter is pushed below
+        // the projection where it re-evaluates the expression again.
+        val bigrams =
+          when(size(col("toks")) >= 2,
+            array_distinct(
+              transform(sequence(lit(1), size(col("toks")) - 1), i =>
+                concat_ws(" ", element_at(col("toks"), i),
+                  element_at(col("toks"), i + 1)))))
+            .otherwise(array().cast("array<string>"))
+        val posts = docs(s, d)
           .select(col("doc_id"), words(col("text")).as("toks"))
-          .select(col("doc_id"),
-            when(size(col("toks")) >= 2,
-              array_distinct(
-                transform(sequence(lit(1), size(col("toks")) - 1), i =>
-                  concat_ws(" ", element_at(col("toks"), i),
-                    element_at(col("toks"), i + 1)))))
-              .otherwise(array().cast("array<string>")).as("bgs"))
-          .filter(size(col("bgs")) > 0)
-        val posts = perDoc
-          .select(col("doc_id"), explode(col("bgs")).as("bg"))
+          .select(col("doc_id"), explode(bigrams).as("bg"))
         val dfc = posts.groupBy(col("bg"))
           .agg(count(lit(1)).as("bg_df"))
         posts.join(dfc, "bg")
@@ -1088,5 +1280,61 @@ object TextOps {
             cast(count(*) as double) AS novelty
         FROM posts p JOIN dfc d USING (bg)
         GROUP BY p.doc_id
-        ORDER BY p.doc_id""")))
+        ORDER BY p.doc_id"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // PII redaction cross-engine fixture: x12 hash-verifies the
+    // zero-match case (the corpus is PII-free), so Java-vs-RE2
+    // divergence on \b or class semantics could hide there. This query
+    // runs the SAME pattern chain over an inline corpus of synthetic
+    // PII (every class, plus near-miss negatives) in BOTH engines and
+    // hash-compares counts and the redacted text itself.
+    // ------------------------------------------------------------------
+    "x14_pii_fixture" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val fixture = piiFixture.toDF("doc_id", "text")
+        val counted = piiPatterns.foldLeft(fixture) {
+          case (acc, (name, pat)) =>
+            acc.withColumn(s"n_$name",
+              size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+                .cast("bigint"))
+        }
+        counted
+          .withColumn("redacted", redactPii(col("text")))
+          .drop("text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fixture(doc_id, text) AS (VALUES
+          ${piiFixture.map { case (id, t) =>
+            s"(cast($id as bigint), '${t.replace("'", "''")}')"
+          }.mkString(",\n          ")})
+        SELECT doc_id,
+          cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint) AS n_email,
+          cast(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) as bigint) AS n_phone,
+          cast(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) as bigint) AS n_ipv4,
+          cast(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) as bigint) AS n_ssn,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'),
+            '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<phone>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<ipv4>', 'g'),
+            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ssn>', 'g') AS redacted
+        FROM fixture
+        ORDER BY doc_id""")))
+
+  /** Synthetic-PII fixture rows for x14: one per pattern class, mixed
+    * and multi-match cases, and near-miss negatives that probe exactly
+    * where Java regex and RE2 could diverge (`\b` adjacency, dot
+    * semantics inside classes, bounded repetition).
+    */
+  val piiFixture: Seq[(Long, String)] = Seq(
+    1L -> "contact alice.smith+tag@ex-ample.co.uk or bob@x.io today",
+    2L -> "call 555-123-4567 or 555.987.6543 now",
+    3L -> "hosts 192.168.0.1 10.0.255.13 and 8.8.8.8",
+    4L -> "ssn 123-45-6789 on file",
+    5L -> "mixed: a@b.co, 111-222-3333, 1.2.3.4, 999-88-7777 done",
+    6L -> "near misses: not@an@email 12-345-6789 1234-56-7890 1.2.3 555-12-34567",
+    7L -> "boundaries:x123-45-6789y 123-45-6789. (555-123-4567)",
+    8L -> "no pii here, just words and 42")
 }

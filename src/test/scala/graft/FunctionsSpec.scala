@@ -41,7 +41,7 @@ class FunctionsSpec extends SparkFunSuite {
     }
   }
 
-  test("SimHash64 matches the composable nested-aggregate form") {
+  test("SimHash60 matches the composable nested-aggregate form") {
     import spark.implicits._
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -51,10 +51,10 @@ class FunctionsSpec extends SparkFunSuite {
       .toDF("doc_id", "text")
     val toks = split(col("text"), " ")
     val fast = docs.select(col("doc_id"),
-      graft.functions.SimHash64.simhash64(toks).as("sh"))
+      graft.functions.SimHash60.simhash60(toks).as("sh"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val slow = docs.select(col("doc_id"),
-      TextOps.simhash64(toks).as("sh"))
+      TextOps.simhash60(toks).as("sh"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(fast.toSeq == slow.toSeq)
   }
@@ -66,12 +66,12 @@ class FunctionsSpec extends SparkFunSuite {
       .createOrReplaceTempView("fn_docs")
     val viaSql = spark.sql(
       """SELECT shingle_minhash(split(text, ' '), 64, 3) AS sig,
-        |       simhash64(split(text, ' ')) AS sh,
+        |       simhash60(split(text, ' ')) AS sh,
         |       winnow_fingerprint(text, 8, 16) AS fps
         |FROM fn_docs""".stripMargin).head()
     val viaApi = spark.table("fn_docs").select(
       ShingleMinHash.shingleMinhash(split(col("text"), " ")).as("sig"),
-      graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("sh"),
+      graft.functions.SimHash60.simhash60(split(col("text"), " ")).as("sh"),
       graft.functions.Winnow.winnowFingerprint(col("text"), 8, 16).as("fps"))
       .head()
     assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))

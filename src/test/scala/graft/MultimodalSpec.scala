@@ -68,4 +68,47 @@ class MultimodalSpec extends SparkFunSuite {
     assert(rp.rdd.getNumPartitions >= 2)
     assert(rp.count() == 500)
   }
+
+  test("BmpCodec: encode/decode round-trips every pixel exactly, " +
+      "including padded odd widths and channel order") {
+    // widths 7/9 force nonzero row padding (stride 24 for w=7, 28 for
+    // w=9); pixel values hit the byte edges (0, 127, 255)
+    for ((w, h) <- Seq((7, 3), (9, 5), (8, 8), (1, 1))) {
+      val expect = Array.tabulate(w * h) { idx =>
+        val r = (idx * 37) % 256; val g = (255 - idx * 11 % 256) % 256
+        val b = Seq(0, 127, 255)(idx % 3)
+        (r << 16) | (g << 8) | b
+      }
+      val bytes = BmpCodec.encode(w, h, { idx =>
+        val p = expect(idx); ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      })
+      val (gw, gh, px) = BmpCodec.decode(bytes)
+      assert(gw == w && gh == h)
+      assert(px.toSeq == expect.toSeq, s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("mm02 path: synthesized BMPs decode to the analytic pixel sums") {
+    val stats = Multimodal.pixelStats(Multimodal.synthesizeBmp(spark, sf0001))
+      .collect().map(s => s.media_id -> s).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stats.size == docs.size)
+    docs.foreach { case (id, text) =>
+      val n = text.length
+      val w = (8 + id % 24).toInt; val h = (8 + (id * 7) % 24).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      (0 until w * h).foreach { idx =>
+        val ch = if (n == 0) 0 else text.charAt(idx % n).toInt
+        sr += ch % 256
+        sg += (idx.toLong * 31 + id) % 256
+        sb += (idx + ch % 256) % 256
+      }
+      val s = stats(id)
+      assert(s.width == w && s.height == h)
+      assert(s.sum_r == sr && s.sum_g == sg && s.sum_b == sb,
+        s"channel sums mismatch for media $id")
+    }
+  }
 }

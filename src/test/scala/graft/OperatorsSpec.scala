@@ -117,6 +117,63 @@ class OperatorsSpec extends SparkFunSuite {
     assert((10L to 15L).forall(ok(_) == 10L))
   }
 
+  test("connected components: 200-node path converges within the default " +
+      "round budget (pointer-jumping gives O(log diameter) rounds)") {
+    import spark.implicits._
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    // diameter 199: plain min-propagation needs ~199 rounds; with the
+    // per-round compression step the covered distance doubles each
+    // round (~9 rounds here), so the default maxIter=25 has ample
+    // headroom. This also exercises the per-round localCheckpoint.
+    val res = ConnectedComponents.components(path)
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L))
+    // lineage is truncated: the result reads a checkpointed RDD, not a
+    // 9-round nested join chain
+    val lineageDepth = res.rdd.toDebugString.linesIterator.size
+    assert(lineageDepth <= 10,
+      s"lineage not truncated: depth $lineageDepth (an untruncated " +
+        "9-round chain is dozens of lines)")
+  }
+
+  test("connected components round adds only label-sized exchanges " +
+      "(edge partitioning is reused, never reshuffled)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bct = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // static plans so exchange counting is deterministic (AQE hides
+      // exchanges behind query stages; broadcast would skip them)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct().repartition(col("dst")).persist()
+      val labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).repartition(col("id")).persist()
+      edges.count(); labels.count() // materialize the round inputs
+      val (stepped, cand) = ConnectedComponents.propagateOnce(edges, labels)
+      val round = stepped.repartition(col("id"))
+      val exchanges = round.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // one per round for groupBy(src), one for the compression join's
+      // label side, one for the repartition back to id — and none of
+      // them edge-sized or edge-keyed: the cached edges partitioning
+      // is reused every round
+      assert(exchanges.size <= 3,
+        s"round plan has ${exchanges.size} exchanges:\n" +
+          round.queryExecution.executedPlan.toString)
+      cand.unpersist(); edges.unpersist(); labels.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bct)
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     import spark.implicits._
     // skewed large side: 90% of rows on key 1

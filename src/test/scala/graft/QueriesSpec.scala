@@ -21,6 +21,13 @@ class QueriesSpec extends SparkFunSuite {
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("q65 fallback: an empty dim side skips the bloom (null-bloom " +
+      "guard) and the semi join still returns the correct empty result") {
+    val out = graft.queries.Relational2
+      .bloomSemiPrune(spark, sf0001, "NO-SUCH-PRIORITY")
+    assert(out.collect().isEmpty)
+  }
+
   test("q32: approx_count_distinct within 5% of exact") {
     val r = q("q32_approx_distinct").head()
     val (ap, ao, ep, eo) =
@@ -74,7 +81,7 @@ class QueriesSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1),
         r.getAs[Number](2).longValue())).toSet
     val base = Catalog.t(spark, sf0001, "documents")
-      .select(col("doc_id"), graft.functions.SimHash64.simhash64(
+      .select(col("doc_id"), graft.functions.SimHash60.simhash60(
         split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+"))
         .as("sh"))
     val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
