@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-process tests for the unified `graft` root command: the CLI
+  * mains own (and stop) their SparkSession, so they must run in their
+  * own JVM — exactly how a user invokes them.
+  */
+class CliRootSpec extends AnyFunSuite {
+
+  /** Run GraftMain in a fresh JVM; returns (exitCode, stdout+stderr). */
+  private def graft(args: String*): (Int, String) = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.cli.GraftMain") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val code = p.waitFor()
+    (code, out)
+  }
+
+  test("graft --version exits 0 without starting Spark") {
+    val (code, out) = graft("--version")
+    assert(code == 0)
+    assert(out.contains("graft 0.1.0"))
+  }
+
+  test("graft with no / unknown command exits 2 with usage") {
+    val (c1, o1) = graft()
+    assert(c1 == 2 && o1.contains("usage: graft"))
+    val (c2, o2) = graft("frobnicate")
+    assert(c2 == 2 && o2.contains("unknown command"))
+  }
+
+  test("graft analyze dispatches with persistent flags in any position " +
+      "and per-command flags intact") {
+    val (code, out) = graft("--verbose", "analyze",
+      "/root/repo/fixtures/migrations", "--pg-version", "10")
+    assert(code == 0, s"analyze failed:\n$out")
+    // verbose banner from the shared flag, with the flag-provided
+    // pg version surviving the translation
+    assert(out.contains("targetPgVersion=10"))
+    // the fixture corpus's known verdicts (ClassifierSpec's matrix):
+    // drop_table is CRITICAL, safe_concurrent_index is SAFE
+    assert(out.contains("drop_table"))
+    assert(out.contains("CRITICAL"))
+  }
+
+  test("graft status runs against --migrations-dir from the persistent " +
+      "flag (no positional dir)") {
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-cli-tracker").toString
+    val (code, out) = graft("--migrations-dir",
+      "/root/repo/fixtures/migrations", "status", tracker)
+    assert(code == 0, s"status failed:\n$out")
+    assert(out.contains("Pending"))
+  }
+}
