@@ -1128,23 +1128,28 @@ object TextOps {
     // libm log() is not bit-portable). Two vocabulary-keyed aggregates
     // + one join on term (vocabulary-scale, not corpus-scale) + a
     // per-doc top-k window: every shuffle key is either `term` or
-    // `doc_id`, both well-distributed at 100 TB. N comes from a
-    // metadata-scale count() (one scan of parquet footers' row counts).
+    // `doc_id`, both well-distributed at 100 TB. N rides in as a
+    // 1-row broadcast cross join derived from the tf aggregate itself
+    // (count of distinct doc_ids), so the whole query is ONE job — no
+    // separate driver-side count() action.
     // ------------------------------------------------------------------
     "x11_tfidf_topterms" -> Q(
       (s, d) => {
-        val nDocs = docs(s, d).count()
         val tf = docs(s, d)
           .select(col("doc_id"), explode(words(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // every doc has ≥1 token in this corpus, so distinct doc_ids in
+        // tf = N; the 1-row frame broadcasts
+        val n = tf.select(countDistinct(col("doc_id")).as("nd"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))
         tf.join(dfc, "term")
+          .crossJoin(broadcast(n))
           .withColumn("score",
-            (col("tf") * lit(nDocs)).cast("double") /
+            (col("tf") * col("nd")).cast("double") /
               col("df").cast("double"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
@@ -1321,7 +1326,227 @@ object TextOps {
             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<ipv4>', 'g'),
             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ssn>', 'g') AS redacted
         FROM fixture
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Dedup KEEP-LIST — the end product a curation pipeline actually
+    // consumes: every document with its cluster representative and a
+    // keep/drop verdict (keep = the cluster's min doc_id; singletons
+    // keep themselves). Composes d07's clustering with a left join back
+    // to the corpus. Pair-gen is the bounded all-pairs oracle twin
+    // (window doc_id < 1000, same as d07); at scale candidates come
+    // from d03/d08 and the rest of this plan is unchanged.
+    // ------------------------------------------------------------------
+    "d09_dedup_keeplist" -> Q(
+      (s, d) => {
+        val base = docShingles(s, d).filter(col("doc_id") < 1000)
+        val a = base.select(col("doc_id").as("doc_a"), col("w").as("wa"))
+        val b = base.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+        val pairs = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              size(array_union(col("wa"), col("wb"))).cast("double"))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.components(pairs)
+        docs(s, d).filter(col("doc_id") < 1000).select(col("doc_id"))
+          .join(cc, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("keep", col("doc_id") === col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents WHERE doc_id < 1000),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE cast(len(list_intersect(a.w, b.w)) as double) /
+                cast(len(list_distinct(list_concat(a.w, b.w))) as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        cc AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src)
+        SELECT d.doc_id,
+          coalesce(cc.cluster, d.doc_id) AS cluster,
+          d.doc_id = coalesce(cc.cluster, d.doc_id) AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+        LEFT JOIN cc ON cc.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Benchmark DECONTAMINATION — the n-gram-overlap check run before
+    // training: count each corpus document's distinct 8-word grams that
+    // also appear in a benchmark set (here: the deterministic pseudo-
+    // benchmark doc_id % 97 = 0), and flag contamination. The benchmark
+    // n-gram set is tiny and broadcasts; the corpus side is one explode
+    // (fast generate shape) + doc_id-keyed aggregates — linear at
+    // 100 TB. Both explodes use the expression-input generate shape.
+    // ------------------------------------------------------------------
+    "x15_decontamination" -> Q(
+      (s, d) => {
+        def grams8(toks: Column): Column =
+          when(size(toks) >= 8,
+            array_distinct(transform(sequence(lit(0), size(toks) - 8), i =>
+              concat_ws(" ", (0 until 8).map(o =>
+                element_at(toks, i + o + 1)): _*))))
+            .otherwise(array().cast("array<string>"))
+        val benchNg = docs(s, d).filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(explode(grams8(col("toks"))).as("ng"))
+          .distinct()
+        val corpusPosts = docs(s, d).filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), explode(grams8(col("toks"))).as("ng"))
+        val perDoc = corpusPosts.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"))
+        val contaminated = corpusPosts.join(benchNg, "ng")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        docs(s, d).filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+          .withColumn("contamination_rate",
+            when(col("n_ngrams") > 0,
+              col("n_contaminated").cast("double") /
+                col("n_ngrams").cast("double")).otherwise(lit(0.0)))
+          .withColumn("contaminated",
+            col("n_contaminated") >= 5 || col("contamination_rate") > 0.1)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        ng AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 8 THEN
+              list_distinct(list_transform(range(1, len(w) - 6),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                  w[i+4], w[i+5], w[i+6], w[i+7])))
+            ELSE [] END AS ngs
+          FROM tok),
+        bench AS (
+          SELECT DISTINCT unnest(ngs) AS ng FROM ng WHERE doc_id % 97 = 0),
+        posts AS (
+          SELECT doc_id, unnest(ngs) AS ng FROM ng WHERE doc_id % 97 <> 0),
+        per_doc AS (
+          SELECT doc_id, cast(count(*) as bigint) AS n_ngrams
+          FROM posts GROUP BY doc_id),
+        contam AS (
+          SELECT p.doc_id, cast(count(*) as bigint) AS n_contaminated
+          FROM posts p JOIN bench b ON p.ng = b.ng
+          GROUP BY p.doc_id)
+        SELECT d.doc_id,
+          coalesce(pd.n_ngrams, 0) AS n_ngrams,
+          coalesce(c.n_contaminated, 0) AS n_contaminated,
+          CASE WHEN coalesce(pd.n_ngrams, 0) > 0 THEN
+            cast(coalesce(c.n_contaminated, 0) as double) /
+              cast(pd.n_ngrams as double)
+          ELSE 0.0 END AS contamination_rate,
+          coalesce(c.n_contaminated, 0) >= 5 OR
+            (CASE WHEN coalesce(pd.n_ngrams, 0) > 0 THEN
+              cast(coalesce(c.n_contaminated, 0) as double) /
+                cast(pd.n_ngrams as double)
+            ELSE 0.0 END) > 0.1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+        LEFT JOIN contam c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Data-mixture PLAN — the sampling-rate computation a training run
+    // does before reading anything: given target language shares and a
+    // token/doc budget (half the corpus here), derive each language's
+    // sampling rate min(1, share·budget/n) and expected yield. One
+    // language-keyed aggregate + a literal targets table + a 1-row
+    // broadcast total; all the arithmetic is exact-integer-ratio
+    // doubles, so the plan is bit-identical cross-engine.
+    // ------------------------------------------------------------------
+    "x16_mixture_plan" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val targets = Seq(("en", 0.5), ("zh", 0.2), ("de", 0.1),
+          ("fr", 0.1), ("es", 0.1)).toDF("lang", "target_share")
+        val counts = docs(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val total = counts.agg(sum(col("n_docs")).as("n_total"))
+        counts.join(targets, "lang")
+          .crossJoin(broadcast(total))
+          .withColumn("budget", col("n_total").cast("double") * 0.5)
+          .withColumn("rate",
+            least(lit(1.0), col("target_share") * col("budget") /
+              col("n_docs").cast("double")))
+          .withColumn("expected_docs",
+            floor(col("rate") * col("n_docs").cast("double")).cast("bigint"))
+          .select(col("lang"), col("n_docs"), col("target_share"),
+            col("rate"), col("expected_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH targets(lang, target_share) AS (VALUES
+          ('en', 0.5), ('zh', 0.2), ('de', 0.1), ('fr', 0.1), ('es', 0.1)),
+        counts AS (
+          SELECT lang, cast(count(*) as bigint) AS n_docs
+          FROM documents GROUP BY lang),
+        total AS (SELECT cast(sum(n_docs) as bigint) AS n_total FROM counts)
+        SELECT c.lang, c.n_docs,
+          cast(t.target_share as double) AS target_share,
+          least(1.0, cast(t.target_share as double) *
+            (cast(n_total as double) * 0.5) / cast(c.n_docs as double))
+            AS rate,
+          cast(floor(least(1.0, cast(t.target_share as double) *
+            (cast(n_total as double) * 0.5) / cast(c.n_docs as double)) *
+            cast(c.n_docs as double)) as bigint) AS expected_docs
+        FROM counts c JOIN targets t USING (lang), total
+        ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic TRAIN/VAL/TEST split — assignment by portable hash
+    // of the doc id (h60 mod 100: <90 train, <95 val, else test), so
+    // the split is stable across runs, engines and repartitions; output
+    // is the per-(split, lang) census. Row-local hash + one small-key
+    // aggregate; nothing here changes shape at 100 TB.
+    // ------------------------------------------------------------------
+    "x17_hash_split" -> Q(
+      (s, d) => {
+        val bucket = pmod(graft.functions.PortableHash.h60col(
+          concat(lit("split_"), col("doc_id"))), lit(100L))
+        docs(s, d)
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "val")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH b AS (
+          SELECT lang,
+            ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100
+              AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+          lang, cast(count(*) as bigint) AS n_docs
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY split, lang""")))
 
   /** Synthetic-PII fixture rows for x14: one per pattern class, mixed
     * and multi-match cases, and near-miss negatives that probe exactly

@@ -24,7 +24,11 @@ class PlanAuditSpec extends SparkFunSuite {
     "d06_containment" -> "bounded all-pairs oracle twin of d03 LSH",
     "d07_dup_clusters" -> ("bounded all-pairs pair-gen (d02 oracle twin); "
       + "the CC label-propagation loop itself is the scale path"),
+    "d09_dedup_keeplist" -> ("same bounded pair-gen as d07; keep-list "
+      + "join + CC loop are the scale path"),
     "s01_cosine_topk" -> "1-row query vector broadcast",
+    "x11_tfidf_topterms" -> "1-row corpus-size (N) broadcast",
+    "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "s02_ann_lsh" -> "1-row query vector broadcast",
     "s03_ivf_ann" -> "codebook (8 rows) + query vector broadcasts",
     "e06_asof_join" -> ("as-of union+window plan (no NL; listed for the "
