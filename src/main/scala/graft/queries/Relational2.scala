@@ -815,7 +815,55 @@ object Relational2 {
           WHERE l_orderkey = o.o_orderkey
           ORDER BY l_extendedprice DESC, l_linenumber
           LIMIT 2) l
-        ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber"""))
+        ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // KMV approximate distinct — the cross-engine-DETERMINISTIC sketch
+    // (contrast q32: native HLL is rows-only because its internals are
+    // engine-specific). The k-th smallest distinct h60 hash of the key
+    // is computed by a bounded-state typed Aggregator (map-side partial
+    // with a ≤k-long sorted buffer — no data-sized shuffle, unlike a
+    // distinct+sort formulation), and the estimate (k-1)·2^60/h_k is
+    // plain double arithmetic the oracle reproduces bit-for-bit by
+    // sorting the same hashes. Exact distinct rides along for the
+    // error column.
+    // ------------------------------------------------------------------
+    "q67_kmv_distinct" -> Q(
+      (s, d) => {
+        val k = 256
+        val kmv = udaf(new graft.functions.KmvKthMin(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val two60 = 1152921504606846976.0 // 2^60, exact as a double
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("kmv_"), col("l_orderkey"))).as("h"))
+          .agg(kmv(col("h")).as("hk"),
+            countDistinct(col("l_orderkey")).as("n_exact"))
+          .select(col("hk"), col("n_exact"),
+            (lit((k - 1).toDouble) * lit(two60) /
+              col("hk").cast("double")).as("est_distinct"),
+            (abs(lit((k - 1).toDouble) * lit(two60) /
+              col("hk").cast("double") - col("n_exact").cast("double")) /
+              col("n_exact").cast("double")).as("rel_err"))
+      },
+      Some("""WITH hs AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5('kmv_' || l_orderkey), 1, 15))::BIGINT AS h
+          FROM lineitem),
+        kth AS (
+          SELECT max(h) AS hk
+          FROM (SELECT h FROM hs ORDER BY h LIMIT 256)),
+        ex AS (
+          SELECT cast(count(DISTINCT l_orderkey) as bigint) AS n_exact
+          FROM lineitem)
+        SELECT kth.hk, ex.n_exact,
+          255.0 * 1152921504606846976.0 / cast(kth.hk as double)
+            AS est_distinct,
+          abs(255.0 * 1152921504606846976.0 / cast(kth.hk as double) -
+              cast(ex.n_exact as double)) / cast(ex.n_exact as double)
+            AS rel_err
+        FROM kth, ex"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

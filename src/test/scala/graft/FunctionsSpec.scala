@@ -139,6 +139,22 @@ class FunctionsSpec extends SparkFunSuite {
     assert(uncapped.count() == 300L * 299L / 2)
   }
 
+  test("KmvKthMin: bounded buffer, duplicate collapse, under-k fallback") {
+    val a = new graft.functions.KmvKthMin(4)
+    // duplicates collapse (KMV is over the distinct hash set)
+    val buf = Seq(9L, 3L, 9L, 7L, 1L, 3L).foldLeft(a.zero)(a.reduce)
+    assert(buf.toSeq == Seq(1L, 3L, 7L, 9L))
+    // buffer never exceeds k; a new small value evicts the largest
+    val buf2 = a.reduce(buf, 2L)
+    assert(buf2.toSeq == Seq(1L, 2L, 3L, 7L))
+    // merge = sorted distinct union truncated to k
+    val merged = a.merge(buf2, Seq(0L, 3L, 8L).foldLeft(a.zero)(a.reduce))
+    assert(merged.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(a.finish(merged) == 3L) // k-th smallest
+    // fewer than k distincts → -1 sentinel (fall back to exact)
+    assert(a.finish(Seq(5L, 6L).foldLeft(a.zero)(a.reduce)) == -1L)
+  }
+
   test("PII patterns fire on real PII and leave clean text untouched") {
     import spark.implicits._
     // the oracle corpus is PII-free, so the x12 hash check proves the
