@@ -77,5 +77,6 @@ object Catalog {
   /** The full declared inventory (SURVEY.md §2.3 + training-data ops). */
   def all: Seq[(String, Q)] =
     Relational.queries ++ Relational2.queries ++ TextOps.queries ++
-      EventOps.queries ++ MigrationOps.queries ++ MediaOps.queries
+      EventOps.queries ++ MigrationOps.queries ++ MediaOps.queries ++
+      GraphOps.queries
 }

@@ -863,7 +863,56 @@ object Relational2 {
           abs(255.0 * 1152921504606846976.0 / cast(kth.hk as double) -
               cast(ex.n_exact as double)) / cast(ex.n_exact as double)
             AS rel_err
-        FROM kth, ex"""))
+        FROM kth, ex""")),
+
+    // ------------------------------------------------------------------
+    // Robust outlier detection: per-group median + MAD (median absolute
+    // deviation), flagging rows with adev > 1.8·MAD. Exact medians via
+    // percentile() — deterministic interpolation in both engines (q38's
+    // pairing) — then per-row double arithmetic only, so the whole
+    // thing hash-verifies. Two aggregation passes over the fact table
+    // is the honest cost of an exact MAD; at 100 TB both medians become
+    // approx_percentile (one-pass sketch) and the second scan reuses
+    // the first's broadcast medians. The 3-row median/MAD tables
+    // broadcast; threshold 1.8 flags the expected ~10% tail of the
+    // synthetic uniform prices (k=3 on uniform data flags nothing —
+    // MAD = range/4 bounds adev/MAD at 2).
+    // ------------------------------------------------------------------
+    "q68_mad_outliers" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+        val dev = li.join(broadcast(med), "l_returnflag")
+          .withColumn("adev",
+            abs(col("l_extendedprice") - col("med_price")))
+        val mad = dev.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("adev") > lit(1.8) * col("mad"), 1))
+              .as("n_outliers"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH med AS (
+          SELECT l_returnflag, median(l_extendedprice) AS med_price
+          FROM lineitem GROUP BY l_returnflag),
+        dev AS (
+          SELECT l.l_returnflag, l.l_extendedprice,
+            abs(l.l_extendedprice - m.med_price) AS adev
+          FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag),
+        mad AS (
+          SELECT l_returnflag, median(adev) AS mad
+          FROM dev GROUP BY l_returnflag)
+        SELECT d.l_returnflag,
+          cast(count(*) as bigint) AS n,
+          cast(count(*) FILTER (d.adev > 1.8 * m.mad) as bigint)
+            AS n_outliers
+        FROM dev d JOIN mad m ON m.l_returnflag = d.l_returnflag
+        GROUP BY d.l_returnflag
+        ORDER BY d.l_returnflag"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

@@ -57,6 +57,42 @@ object TextOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
 
+  /** Every embedding with its nearest codebook centroid:
+    * `(vec_id, embedding, cent_id)`. The codebook is the deterministic
+    * 8-vector "training" set (vec_id < 8) collected to a LITERAL array,
+    * so assignment is a row-local argmax fold in one projection: zero
+    * shuffle, zero row blowup. (The alternative — crossJoin(broadcast)
+    * + row_number over Window.partitionBy(vec_id) — shuffles the
+    * 8×-inflated corpus by vec_id; at 100 TB that exchange IS the job.)
+    * Fold iterates cent_id ascending with strict `>`, so ties pick the
+    * smallest cent_id — the same selection as a row_number over
+    * (csim DESC, cent_id ASC), with bit-identical cosines. Shared by
+    * s03 (IVF probe) and d10 (semantic near-dup clustering).
+    */
+  private def assignToCodebook(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d)
+    val cents = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val centArr = array(
+      cents.select(col("cent_id"), col("ce")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+        .map { case (id, v) =>
+          struct(lit(id).as("cent_id"),
+            array(v.map(lit(_)).toIndexedSeq: _*).as("ce"))
+        }.toIndexedSeq: _*)
+    base.select(col("vec_id"), col("embedding"),
+      aggregate(centArr,
+        struct(lit(-2.0).as("sim"), lit(-1L).as("cent_id")),
+        (acc, c) => {
+          val sim = cosine(col("embedding"), c.getField("ce"))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"),
+              c.getField("cent_id").as("cent_id")))
+            .otherwise(acc)
+        }).getField("cent_id").as("cent_id"))
+  }
+
   /** Fingerprint-sharing candidate pairs from exploded (doc_id, fp)
     * rows, WITHOUT a self-join: group the doc list per fingerprint,
     * prune hot fingerprints, and expand each surviving list's ordered
@@ -971,34 +1007,8 @@ object TextOps {
         val base = emb(s, d)
         val cents = base.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        // The codebook is metadata-scale (k=8 rows) — collect it to a
-        // LITERAL array so nearest-centroid assignment is a row-local
-        // argmax fold in one projection: zero shuffle, zero row blowup.
-        // (The previous shape — crossJoin(broadcast(cents)) + row_number
-        // over Window.partitionBy(vec_id) — shuffled the 8×-inflated
-        // corpus by vec_id; at 100 TB that exchange IS the job.)
-        // Fold iterates cent_id ascending with strict `>`, so ties pick
-        // the smallest cent_id — same selection as the old row_number
-        // ordering (csim DESC, cent_id ASC), with bit-identical cosines.
-        val centArr = array(
-          cents.select(col("cent_id"), col("ce")).collect()
-            .map(r => (r.getLong(0), r.getSeq[Float](1)))
-            .sortBy(_._1)
-            .map { case (id, v) =>
-              struct(lit(id).as("cent_id"),
-                array(v.map(lit(_)).toIndexedSeq: _*).as("ce"))
-            }.toIndexedSeq: _*)
-        val assigned = base
-          .select(col("vec_id"), col("embedding"),
-            aggregate(centArr,
-              struct(lit(-2.0).as("sim"), lit(-1L).as("cent_id")),
-              (acc, c) => {
-                val sim = cosine(col("embedding"), c.getField("ce"))
-                when(sim > acc.getField("sim"),
-                  struct(sim.as("sim"),
-                    c.getField("cent_id").as("cent_id")))
-                  .otherwise(acc)
-              }).getField("cent_id").as("cent_id"))
+        // row-local literal-codebook argmax (see assignToCodebook)
+        val assigned = assignToCodebook(s, d)
         // the query's 2 nearest centroids
         val q = base.filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
@@ -1068,8 +1078,18 @@ object TextOps {
         val posts = docs(s, d)
           .select(col("doc_id"), words(col("text")).as("toks"))
           .select(col("doc_id"), explode(shingles3(col("toks"))).as("fp"))
-        val dfc = posts.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        val okPosts = posts.join(dfc.filter(col("df") <= 50), "fp")
+        // df-cap as a count over a window BY fp — not a groupBy+join
+        // back: AQE broadcasts the small df side of that join, so the
+        // two posts subtrees get non-identical exchanges and the
+        // expensive shingle generate runs once per side. The window
+        // form gives BOTH downstream consumers (sizes, pair expansion)
+        // the same hash-partitioning-by-fp exchange over the same
+        // subtree, which ReuseExchange dedupes — the tokenize+shingle
+        // scan runs exactly once (verified in the formatted plan).
+        val okPosts = posts
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .filter(col("df") <= 50)
           .select(col("doc_id"), col("fp"))
         // |A'|: the doc's shingle count within the df-pruned universe
         val sizes = okPosts.groupBy(col("doc_id"))
@@ -1546,7 +1566,276 @@ object TextOps {
           lang, cast(count(*) as bigint) AS n_docs
         FROM b
         GROUP BY 1, 2
-        ORDER BY split, lang""")))
+        ORDER BY split, lang""")),
+
+    // ------------------------------------------------------------------
+    // SEMANTIC near-dup (SemDeDup-style): assign every embedding to its
+    // nearest codebook centroid — the row-local zero-shuffle argmax of
+    // assignToCodebook — then exact pairwise cosine ONLY within a
+    // cluster. Clustering shrinks the pair space ~k-fold (15.5k of the
+    // 125k all-pairs at sf0.01) at a measurable recall cost against the
+    // exact d05 (20 of its 59 τ=0.4 pairs here — random centroids over
+    // near-uniform synthetic vectors; real embedding spaces cluster far
+    // tighter, and recall rises with k). The equi-join on cent_id keeps
+    // the plan free of any data×data cross join; at 100 TB each cluster
+    // sub-buckets again with s02's hyperplane LSH before pairing.
+    // ------------------------------------------------------------------
+    "d10_semantic_neardup" -> Q(
+      (s, d) => {
+        val assigned = assignToCodebook(s, d)
+        val a = assigned.select(col("cent_id"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"))
+        val b = assigned.select(col("cent_id"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("cent_id"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cos", cosine(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("cent_id"), col("vec_a"), col("vec_b"), col("cos"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, v, nrm, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC, cent_id)
+              AS rn
+          FROM n, c),
+        assigned AS (SELECT vec_id, v, nrm, cent_id FROM asgn WHERE rn = 1),
+        pairs AS (
+          SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
+          FROM assigned a
+          JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+        SELECT cent_id, vec_a, vec_b, cos FROM pairs
+        WHERE cos >= 0.4
+        ORDER BY vec_a, vec_b"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // Within-document REPETITION signals (the Gopher repetition
+    // filters): duplicate-word fraction, duplicate-5-gram fraction and
+    // top-word share, each an exact integer ratio (int→double casts are
+    // exact, the division is correctly rounded — bit-identical in both
+    // engines). Entirely row-local higher-order functions: no shuffle,
+    // no UDF — the per-document cost is O(words²) on ≤~120-word docs
+    // and the operator's shape is unchanged at 100 TB.
+    // ------------------------------------------------------------------
+    "x18_repetition_signals" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+        // g5 aliased behind its own projection: multi-referenced below
+        // (size + array_distinct), and an inlined transform would
+        // re-evaluate per reference
+        val g = base.select(
+          col("doc_id"), col("toks"),
+          when(size(col("toks")) >= 5,
+            transform(sequence(lit(0), size(col("toks")) - 5), i =>
+              concat_ws(" ", (0 until 5).map(o =>
+                element_at(col("toks"), i + o + 1)): _*)))
+            .otherwise(array().cast("array<string>")).as("g5"))
+        g.select(
+          col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_words"),
+          ((size(col("toks")) - size(array_distinct(col("toks"))))
+            .cast("double") / size(col("toks")).cast("double"))
+            .as("dup_word_frac"),
+          when(size(col("g5")) > 0,
+            (size(col("g5")) - size(array_distinct(col("g5"))))
+              .cast("double") / size(col("g5")).cast("double"))
+            .otherwise(lit(0.0)).as("dup_5gram_frac"),
+          (array_max(transform(array_distinct(col("toks")), w =>
+            size(filter(col("toks"), t => t === w))))
+            .cast("double") / size(col("toks")).cast("double"))
+            .as("top_word_frac"))
+          .withColumn("flagged",
+            col("dup_5gram_frac") > 0.10 || col("top_word_frac") > 0.20)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id, w,
+            CASE WHEN len(w) >= 5 THEN
+              list_transform(range(1, len(w) - 3), i ->
+                concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+            ELSE [] END AS g5
+          FROM t0),
+        sig AS (
+          SELECT doc_id,
+            cast(len(w) as bigint) AS n_words,
+            cast(len(w) - len(list_distinct(w)) as double) /
+              cast(len(w) as double) AS dup_word_frac,
+            CASE WHEN len(g5) > 0 THEN
+              cast(len(g5) - len(list_distinct(g5)) as double) /
+                cast(len(g5) as double)
+            ELSE 0.0 END AS dup_5gram_frac,
+            cast(list_max(list_transform(list_distinct(w), x ->
+              len(list_filter(w, y -> y = x)))) as double) /
+              cast(len(w) as double) AS top_word_frac
+          FROM g)
+        SELECT doc_id, n_words, dup_word_frac, dup_5gram_frac,
+          top_word_frac,
+          dup_5gram_frac > 0.10 OR top_word_frac > 0.20 AS flagged
+        FROM sig
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Count-min-sketch heavy hitters — the third member of the sketch
+    // family (q32 HLL distinct, q67 KMV distinct): a depth-4 ×
+    // width-1024 CMS over the token stream, probed with the exact
+    // top-20 words so the oracle verifies estimate ≥ exact and the
+    // overcount. Hash rows are the portable h60/mod-P arithmetic
+    // (PortableHash), so DuckDB re-derives the whole sketch.
+    //
+    // Shape: the sketch is built FROM the per-word exact counts, not
+    // from raw token occurrences — CMS cells are additive, so bucketing
+    // the aggregated counts yields the identical sketch with ONE
+    // tokenize pass and one data-sized shuffle (on w); everything after
+    // is vocabulary-scale, and both consumers of `counts` (sketch and
+    // top-k) share the same groupBy exchange (ReuseExchange). Sketch
+    // state is 4096 rows regardless of corpus size and cells merge by
+    // addition — the property that makes CMS the 100 TB tool.
+    // ------------------------------------------------------------------
+    "x19_cms_heavy_hitters" -> Q(
+      (s, d) => {
+        import graft.functions.PortableHash.{P, h60, h60col}
+        val width = 1024L
+        val depth = 4
+        val as = (0 until depth).map(i => h60("cms_a_" + i) % (P - 1) + 1)
+        val bs = (0 until depth).map(i => h60("cms_b_" + i) % P)
+        def buckets(hw: Column): Column = array((0 until depth).map(i =>
+          struct(lit(i).as("i"),
+            pmod(pmod(lit(as(i)) * hw + lit(bs(i)), lit(P)), lit(width))
+              .as("bucket"))): _*)
+        val counts = docs(s, d)
+          .select(explode(words(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        // hw aliased behind its own projection (md5 is expensive and
+        // referenced by all 4 bucket rows)
+        val sketch = counts
+          .select(col("cnt"), pmod(h60col(col("w")), lit(P)).as("hw"))
+          .select(col("cnt"), explode(buckets(col("hw"))).as("ib"))
+          .groupBy(col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+          .agg(sum(col("cnt")).as("c"))
+        val top = counts
+          .orderBy(col("cnt").desc, col("w")).limit(20)
+          .select(col("w"), col("cnt").as("exact_cnt"),
+            pmod(h60col(col("w")), lit(P)).as("hw"))
+          .select(col("w"), col("exact_cnt"),
+            explode(buckets(col("hw"))).as("ib"))
+          .select(col("w"), col("exact_cnt"),
+            col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+        sketch.join(broadcast(top), Seq("i", "bucket"))
+          .groupBy(col("w"), col("exact_cnt"))
+          .agg(min(col("c")).as("cms_cnt"))
+          .select(col("w").as("word"), col("exact_cnt"), col("cms_cnt"),
+            (col("cms_cnt") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+          FROM documents),
+        counts AS (
+          SELECT w, cast(count(*) as bigint) AS cnt FROM tok GROUP BY w),
+        params AS (
+          SELECT i,
+            ('0x' || substr(md5('cms_a_' || i), 1, 15))::BIGINT
+              % 2147483646 + 1 AS a,
+            ('0x' || substr(md5('cms_b_' || i), 1, 15))::BIGINT
+              % 2147483647 AS b
+          FROM range(4) t(i)),
+        sketch AS (
+          SELECT i,
+            ((a * (('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647)
+              + b) % 2147483647) % 1024 AS bucket,
+            cast(sum(cnt) as bigint) AS c
+          FROM counts, params
+          GROUP BY 1, 2),
+        top AS (
+          SELECT w, cnt AS exact_cnt FROM counts
+          ORDER BY cnt DESC, w LIMIT 20),
+        est AS (
+          SELECT t.w, t.exact_cnt, min(s.c) AS cms_cnt
+          FROM top t, params p
+          JOIN sketch s ON s.i = p.i AND s.bucket =
+            ((p.a * (('0x' || substr(md5(t.w), 1, 15))::BIGINT
+              % 2147483647) + p.b) % 2147483647) % 1024
+          GROUP BY t.w, t.exact_cnt)
+        SELECT w AS word, exact_cnt, cms_cnt,
+          cms_cnt - exact_cnt AS overcount
+        FROM est
+        ORDER BY exact_cnt DESC, word"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // APPLY the x16 mixture plan: x16 computes per-language sampling
+    // rates; this query actually samples with them — keep doc iff
+    // h60("mix_"+doc_id) mod 1e6 < floor(rate·1e6) — and reports the
+    // per-language realized yield. The deterministic hash gate (same
+    // family as x17's split) means the sample is stable across runs,
+    // engines and repartitions: rerunning the pipeline on a grown
+    // corpus keeps previously-kept documents kept (rates aside), which
+    // is what makes incremental recuration possible at 100 TB. Rates
+    // ride a 5-row broadcast; one aggregate over the corpus.
+    // ------------------------------------------------------------------
+    "x20_mixture_apply" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val targets = Seq(("en", 0.5), ("zh", 0.2), ("de", 0.1),
+          ("fr", 0.1), ("es", 0.1)).toDF("lang", "target_share")
+        val counts = docs(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val total = counts.agg(sum(col("n_docs")).as("n_total"))
+        val rates = counts.join(targets, "lang")
+          .crossJoin(broadcast(total))
+          .withColumn("rate",
+            least(lit(1.0), col("target_share") *
+              (col("n_total").cast("double") * 0.5) /
+              col("n_docs").cast("double")))
+          .select(col("lang"), col("n_docs"), col("rate"))
+        val kept = docs(s, d).select(col("lang"), col("doc_id"))
+          .join(broadcast(rates.select(col("lang"), col("rate"))), "lang")
+          .groupBy(col("lang"))
+          .agg(count(when(
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("mix_"), col("doc_id"))), lit(1000000L)) <
+              floor(col("rate") * 1000000), 1)).as("n_kept"))
+        rates.join(kept, "lang")
+          .select(col("lang"), col("n_docs"), col("rate"), col("n_kept"),
+            (col("n_kept").cast("double") / col("n_docs").cast("double"))
+              .as("realized_rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH targets(lang, target_share) AS (VALUES
+          ('en', 0.5), ('zh', 0.2), ('de', 0.1), ('fr', 0.1), ('es', 0.1)),
+        counts AS (
+          SELECT lang, cast(count(*) as bigint) AS n_docs
+          FROM documents GROUP BY lang),
+        total AS (SELECT cast(sum(n_docs) as bigint) AS n_total FROM counts),
+        rates AS (
+          SELECT c.lang, c.n_docs,
+            least(1.0, cast(t.target_share as double) *
+              (cast(n_total as double) * 0.5) / cast(c.n_docs as double))
+              AS rate
+          FROM counts c JOIN targets t USING (lang), total),
+        kept AS (
+          SELECT d.lang, count(*) FILTER (
+            ('0x' || substr(md5('mix_' || d.doc_id), 1, 15))::BIGINT
+              % 1000000 < cast(floor(r.rate * 1000000) as bigint))
+              AS n_kept
+          FROM documents d JOIN rates r ON r.lang = d.lang
+          GROUP BY d.lang)
+        SELECT r.lang, r.n_docs, r.rate, cast(k.n_kept as bigint) AS n_kept,
+          cast(k.n_kept as double) / cast(r.n_docs as double)
+            AS realized_rate
+        FROM rates r JOIN kept k ON k.lang = r.lang
+        ORDER BY r.lang""")))
 
   /** Synthetic-PII fixture rows for x14: one per pattern class, mixed
     * and multi-match cases, and near-miss negatives that probe exactly

@@ -188,4 +188,48 @@ class OperatorsSpec extends SparkFunSuite {
     assert(plain.select("k", "v", "name").except(
       salted.select("k", "v", "name")).isEmpty)
   }
+
+  test("PageRank: symmetric ring is rank-uniform, star concentrates on hub") {
+    import spark.implicits._
+    // undirected 6-ring: perfect symmetry → every node's rank identical
+    val ring = (0 until 6).flatMap(i => Seq(
+      (i.toLong, ((i + 1) % 6).toLong),
+      (((i + 1) % 6).toLong, i.toLong))).toDF("src", "dst")
+    val rr = graft.operators.PageRank.run(ring).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rr.length == 6)
+    assert(rr.map(_._2).toSet.size == 1)
+    // star (hub 0 ↔ leaves 1-5): hub rank strictly dominates, leaves equal
+    val star = (1 to 5).flatMap(i =>
+      Seq((0L, i.toLong), (i.toLong, 0L))).toDF("src", "dst")
+    val sr = graft.operators.PageRank.run(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sr.size == 6)
+    val leaves = (1 to 5).map(i => sr(i.toLong))
+    assert(leaves.toSet.size == 1)
+    assert(sr(0L) > leaves.head * 3)
+  }
+
+  test("PageRank: mass conserved up to floor-division truncation, " +
+    "deterministic across runs") {
+    import spark.implicits._
+    // irregular graph: ring + chords → mixed degrees
+    val chords = Seq((0L, 3L), (3L, 0L), (1L, 4L), (4L, 1L), (0L, 2L),
+      (2L, 0L))
+    val ring = (0 until 8).flatMap(i => Seq(
+      (i.toLong, ((i + 1) % 8).toLong),
+      (((i + 1) % 8).toLong, i.toLong)))
+    val edges = (ring ++ chords).toDF("src", "dst")
+    val scale = 1000000000000L
+    val r1 = graft.operators.PageRank.run(edges, 5, scale).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // each round truncates < 100 per node (div 100) + 1 per in-edge
+    // (div outdeg): total loss after 5 rounds is ppm-scale vs 1e12
+    val total = r1.map(_._2).sum
+    assert(total <= scale)
+    assert(total > scale - scale / 1000)
+    val r2 = graft.operators.PageRank.run(edges, 5, scale).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(r1 == r2)
+  }
 }

@@ -29,6 +29,8 @@ class PlanAuditSpec extends SparkFunSuite {
     "s01_cosine_topk" -> "1-row query vector broadcast",
     "x11_tfidf_topterms" -> "1-row corpus-size (N) broadcast",
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
+    "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
+    "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",
     "s02_ann_lsh" -> "1-row query vector broadcast",
     "s03_ivf_ann" -> "codebook (8 rows) + query vector broadcasts",
     "e06_asof_join" -> ("as-of union+window plan (no NL; listed for the "

@@ -112,4 +112,25 @@ class QueriesSpec extends SparkFunSuite {
       assert(r.getLong(2) >= 8) // threshold respected
     }
   }
+
+  test("d10 semantic near-dup pairs are a subset of the exact d05 pairs") {
+    // cluster-then-pair can only LOSE pairs vs all-pairs at the same
+    // threshold (the SemDeDup recall tradeoff), never invent them
+    val exact = q("d05_embedding_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = q("d10_semantic_neardup").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(clustered.nonEmpty)
+    clustered.foreach(p => assert(exact(p), s"pair $p not in exact set"))
+  }
+
+  test("x19 CMS estimates are one-sided: estimate >= exact, every row") {
+    val rows = q("x19_cms_heavy_hitters").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), // cms_cnt >= exact_cnt
+        s"CMS undercounted ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
 }
