@@ -25,9 +25,19 @@ object Bench {
       // maxPartitionBytes to the cluster's core count.
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "256k")
+      // shuffle/spill files on tmpfs: /tmp is ext4 mounted with
+      // `discard`, so the constant create/delete of shuffle blocks
+      // across 16 queries × 4 executions triggers synchronous TRIM
+      // storms that stall tail queries by 3-6× (measured). RAM is 128 G
+      // and local-mode shuffles here are ≪1 G — tmpfs is the honest
+      // local analogue of a cluster's NVMe shuffle volumes.
+      .config("spark.local.dir", "/dev/shm/graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.benchQueries
+    // optional comma-separated filter for local bisection of bench
+    // anomalies; the driver sets no filter → full list
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
     val qmap = SparkEntry.queries
     // Warm-up: run every bench query once at the smallest scale factor
     // to absorb JVM startup + whole-stage-codegen (Janino) compilation —

@@ -18,6 +18,8 @@ object QProf {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("QPROF_SPLIT", "2m"))
       .config("spark.sql.files.openCostInBytes", "256k")
+      // match Bench: tmpfs shuffle dir (see Bench.scala for why)
+      .config("spark.local.dir", "/dev/shm/graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
@@ -28,6 +30,15 @@ object QProf {
     val t1 = System.nanoTime()
     df.count()
     println(f"QPROF $name second run=${(System.nanoTime() - t1) / 1e9}%.3f s")
+    if (sys.env.contains("QPROF_EXPLAIN")) {
+      // Execute THIS dataframe's own QueryExecution (count() above spawns
+      // a separate one), so the AdaptiveSparkPlan materializes and the
+      // print shows the FINAL plan — runtime ReusedExchange / reused
+      // shuffle stages only appear here, never in the pre-run explain.
+      df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
+      println("=== final adaptive plan (post-execution) ===")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

@@ -22,18 +22,19 @@ import org.apache.spark.sql.functions._
   * at ranking granularity.
   *
   * Scale posture (100 TB / 1000 executors):
-  * - the iteration body is two hash aggregations and one equi-join per
-  *   round — no driver-side collection of node or edge state, no
-  *   cross join; rank state is one (id, long) row per node.
-  * - `edges ⋈ r` keys by src and the contribution aggregate keys by
-  *   dst — each round's exchanges repeat the same partitioning, and the
-  *   static `eDeg`/`nodes` subtrees are plan-identical across rounds so
-  *   ReuseExchange evaluates each ONCE per action (the loop builds one
-  *   lazy plan; nothing is re-scanned per iteration at execution time).
-  * - iteration count is a fixed small constant (bounded lineage depth);
-  *   for iteration counts beyond ~10, localCheckpoint the rank state
-  *   every ~5 rounds exactly as ConnectedComponents does.
-  * - N rides along as a 1-row broadcast aggregate, not a driver action.
+  * - the iteration body is one equi-join + two hash aggregations — no
+  *   driver-side collection of node or edge state, no cross join; rank
+  *   state is one (id, long) row per node (16 bytes/node).
+  * - rank state is `localCheckpoint`ed EVERY round and the static
+  *   sides (edges⋈outdeg, nodes) are persisted once up front — the
+  *   same lineage discipline as [[ConnectedComponents]]. Without the
+  *   checkpoint the plan nests one level per round and AQE re-optimizes
+  *   the whole accumulated tree after every stage: measured 1.8 s →
+  *   50-110 s at sf0.1 for 5 rounds, pure driver-side planning time.
+  *   With it, every round is a constant-size plan over cached inputs.
+  * - graph size N is one driver-side count on the persisted nodes —
+  *   the same metadata-scale action as ConnectedComponents' convergence
+  *   check; it doubles as the materialization of the caches.
   *
   * Reference scope note: the reference engine (a Go schema-migration
   * CLI) has no graph surface; this operator is part of the
@@ -50,26 +51,32 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("id")).distinct()
+    // persist the (possibly expensive) edge derivation once: nodes,
+    // deg and eDeg all consume it
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("id")).distinct().persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src")
-    // N as a broadcast 1-row aggregate: keeps the whole computation one
-    // lazy plan (no build-time count() job on the driver)
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nn))
-      .select(col("id"), expr(s"$scale div n").as("r"))
+    val eDeg = e.join(deg, "src").persist()
+    val n = nodes.count() // materializes the caches; N is a scalar
+    val rInit = scale / n
+    val tele = (15L * rInit) / 100L
+    var r = nodes.select(col("id"), lit(rInit).as("r")).localCheckpoint()
     for (_ <- 1 to iterations) {
       val contrib = eDeg
         .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst").as("id"), expr("r div outdeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
       r = nodes.join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(nn))
         .select(col("id"),
-          expr(s"(15 * ($scale div n)) div 100 + " +
-            "(85 * coalesce(contrib, cast(0 as bigint))) div 100").as("r"))
+          (lit(tele) +
+            expr("(85 * coalesce(contrib, cast(0 as bigint))) div 100"))
+            .as("r"))
+        .localCheckpoint()
     }
+    // safe: r is checkpointed, nothing downstream re-reads the caches
+    e.unpersist()
+    nodes.unpersist()
+    eDeg.unpersist()
     r
   }
 }

@@ -18,24 +18,27 @@ object GraphOps {
     // ------------------------------------------------------------------
     // PageRank over the part co-purchase graph: nodes are parts, with
     // an edge between two parts whenever some order contains both.
-    // Edge generation is an equi-join of lineitem with itself on
-    // l_orderkey (bounded fan-out: a TPC-H order has ≤7 lines, so ≤42
-    // directed pairs per order — no skew key, no cross join), then 5
-    // rounds of the fixed-point integer PageRank. Both engines run the
-    // identical floor-div arithmetic, so the scaled ranks — not just
-    // the ordering — hash-match bit-for-bit; see the PageRank scaladoc
-    // for why double-precision PageRank could never be oracle-checked.
+    // Edge generation groups lineitem by l_orderkey and expands each
+    // order's part set to ordered pairs ROW-LOCALLY (the
+    // winnowCandidatePairs shape — a TPC-H order has ≤7 lines, so ≤42
+    // directed pairs per row): one groupBy shuffle + one distinct, no
+    // fact×fact self-join. Then 5 rounds of the fixed-point integer
+    // PageRank. Both engines run the identical floor-div arithmetic, so
+    // the scaled ranks — not just the ordering — hash-match
+    // bit-for-bit; see the PageRank scaladoc for why double-precision
+    // PageRank could never be oracle-checked.
     // ------------------------------------------------------------------
     "g01_pagerank_parts" -> Q(
       (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-        val b = li.select(col("l_orderkey").as("ok_b"),
-          col("l_partkey").as("dst"))
-        val edges = a.join(b,
-            col("l_orderkey") === col("ok_b") && col("src") =!= col("dst"))
-          .select(col("src"), col("dst")).distinct()
+        val orderParts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        val edges = orderParts
+          .select(explode(col("ps")).as("src"), col("ps"))
+          .select(col("src"), explode(col("ps")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
         graft.operators.PageRank.run(edges, iterations = 5)
           .orderBy(col("r").desc, col("id"))
           .limit(20)

@@ -1582,14 +1582,24 @@ object TextOps {
     // ------------------------------------------------------------------
     "d10_semantic_neardup" -> Q(
       (s, d) => {
+        def dot(x: Column, y: Column): Column =
+          aggregate(zip_with(x, y, (p, q) =>
+            p.cast("double") * q.cast("double")), lit(0.0),
+            (acc, v) => acc + v)
+        // norm hoisted to once-per-VECTOR (the oracle's own shape:
+        // dot/nrm_a/nrm_b) — computing cosine(ea, eb) per pair would
+        // re-derive both norms per PAIR, tripling the dominant
+        // interpreted-HOF cost (measured 7.0 s → 3.6 s at sf0.1)
         val assigned = assignToCodebook(s, d)
+          .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
         val a = assigned.select(col("cent_id"), col("vec_id").as("vec_a"),
-          col("embedding").as("ea"))
+          col("embedding").as("ea"), col("nrm").as("nrm_a"))
         val b = assigned.select(col("cent_id"), col("vec_id").as("vec_b"),
-          col("embedding").as("eb"))
+          col("embedding").as("eb"), col("nrm").as("nrm_b"))
         a.join(b, Seq("cent_id"))
           .filter(col("vec_a") < col("vec_b"))
-          .withColumn("cos", cosine(col("ea"), col("eb")))
+          .withColumn("cos",
+            dot(col("ea"), col("eb")) / col("nrm_a") / col("nrm_b"))
           .filter(col("cos") >= 0.4)
           .select(col("cent_id"), col("vec_a"), col("vec_b"), col("cos"))
           .orderBy(col("vec_a"), col("vec_b"))
