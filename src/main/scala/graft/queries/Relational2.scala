@@ -912,7 +912,45 @@ object Relational2 {
             AS n_outliers
         FROM dev d JOIN mad m ON m.l_returnflag = d.l_returnflag
         GROUP BY d.l_returnflag
-        ORDER BY d.l_returnflag"""))
+        ORDER BY d.l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Schema evolution: two parquet generations of the same table — a
+    // legacy write WITHOUT o_orderpriority and a current write with
+    // it — read together via mergeSchema (footer-schema union; legacy
+    // rows surface NULL for the added column), then aggregated by
+    // coalesced priority. The 100 TB reality this demos: datasets
+    // accrete columns over years, and the reader — not a rewrite of
+    // old files — absorbs the drift. mergeSchema costs a footer read
+    // per file at planning; on a long-lived table, pin the merged
+    // schema in a catalog instead of re-inferring per query.
+    // ------------------------------------------------------------------
+    "q69_schema_evolution" -> Q(
+      (s, d) => {
+        val src = t(s, d, "orders")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_evo"
+        src.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$root/v1")
+        src.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$root/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$root/v1", s"$root/v2")
+          .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("priority"))
+      },
+      Some(s"""SELECT
+          CASE WHEN o_orderkey % 2 = 0 THEN '<legacy>'
+               ELSE o_orderpriority END AS priority,
+          cast(count(*) as bigint) AS n,
+          ${sqlDsum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY 1
+        ORDER BY priority"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi
