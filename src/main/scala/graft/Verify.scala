@@ -19,6 +19,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tmpfs shuffle dir — /tmp is ext4+discard and the shuffle churn
+      // of 120 queries triggers TRIM stalls (see Bench.scala)
+      .config("spark.local.dir", "/dev/shm/graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
