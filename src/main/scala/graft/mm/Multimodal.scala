@@ -283,6 +283,34 @@ object Multimodal {
     }
   }
 
+  /** REAL binary→binary nearest-neighbor 2× downsample through the BMP
+    * codec: decode, keep every even-indexed row/column
+    * (out(x,y) = in(2x,2y), out dims ⌈w/2⌉×⌈h/2⌉), re-encode. Because
+    * each surviving pixel keeps its original channel values, the mm03
+    * oracle can verify the FULL decode→subsample→encode→decode chain by
+    * evaluating the synthesis formula at the subsampled source indices —
+    * no image bytes ever cross to the oracle side.
+    */
+  def resizeBmpHalf(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, px) = BmpCodec.decode(rec.content)
+          val wo = (w + 1) / 2
+          val ho = (h + 1) / 2
+          val out = BmpCodec.encode(wo, ho, { idx =>
+            val p = px((2 * (idx / wo)) * w + 2 * (idx % wo))
+            ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+          })
+          rec.copy(content = out)
+        }
+      }
+    }
+  }
+
   /** Binary→binary resize (thumbnailing). */
   def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession

@@ -61,6 +61,55 @@ object MediaOps {
             (idx + CASE WHEN n = 0 THEN 0
                         ELSE unicode(substr(text, cast(idx % n as int) + 1, 1)) % 256
                    END) % 256)) as bigint) AS sum_b
-        FROM p ORDER BY media_id"""))
+        FROM p ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // REAL-codec resize: decode → nearest-neighbor 2× downsample →
+    // re-encode → decode → stats, all through the batched plumbing.
+    // Each output pixel keeps its source pixel's channels, so the
+    // oracle evaluates the synthesis formula at the subsampled indices
+    // idx = 2y·w + 2x — verifying the whole 4-stage codec chain
+    // (including the second encode's stride padding and row order)
+    // without seeing a byte of either image.
+    // ------------------------------------------------------------------
+    "mm03_bmp_resize_stats" -> Q(
+      (s, d) =>
+        Multimodal.pixelStats(
+          Multimodal.resizeBmpHalf(Multimodal.synthesizeBmp(s, d)))
+          .toDF()
+          .orderBy(col("media_id")),
+      Some("""WITH p AS (
+          SELECT doc_id,
+            cast(8 + doc_id % 24 as int) AS w,
+            cast(8 + (doc_id * 7) % 24 as int) AS h,
+            length(text) AS n, text
+          FROM documents),
+        q AS (
+          SELECT doc_id, w, h, n, text,
+            cast((w + 1) // 2 as int) AS wo,
+            cast((h + 1) // 2 as int) AS ho
+          FROM p),
+        s AS (
+          SELECT doc_id, wo, ho,
+            list_transform(range(0, wo*ho), i ->
+              (2 * (i // wo)) * w + 2 * (i % wo)) AS src
+          FROM q),
+        c AS (
+          SELECT s.doc_id, s.wo, s.ho,
+            list_transform(s.src, idx ->
+              CASE WHEN q.n = 0 THEN 0
+                   ELSE unicode(substr(q.text, cast(idx % q.n as int) + 1, 1)) % 256
+              END) AS rs,
+            list_transform(s.src, idx -> (idx * 31 + s.doc_id) % 256) AS gs,
+            list_transform(s.src, idx ->
+              (idx + CASE WHEN q.n = 0 THEN 0
+                          ELSE unicode(substr(q.text, cast(idx % q.n as int) + 1, 1)) % 256
+                     END) % 256) AS bs
+          FROM s JOIN q ON q.doc_id = s.doc_id)
+        SELECT doc_id AS media_id, wo AS width, ho AS height,
+          cast(list_sum(rs) as bigint) AS sum_r,
+          cast(list_sum(gs) as bigint) AS sum_g,
+          cast(list_sum(bs) as bigint) AS sum_b
+        FROM c ORDER BY media_id"""))
   )
 }

@@ -111,4 +111,27 @@ class MultimodalSpec extends SparkFunSuite {
         s"channel sums mismatch for media $id")
     }
   }
+
+  test("BmpCodec half-resize: picks exactly the even-indexed pixels, " +
+    "odd dims round up") {
+    // 5×3 image with idx-identifying channels: out should be 3×2 of
+    // source pixels (0,0),(2,0),(4,0),(0,2),(2,2),(4,2) = idx 0,2,4,10,12,14
+    val bytes = Multimodal.BmpCodec.encode(5, 3,
+      idx => (idx, (idx * 2) % 256, (idx * 3) % 256))
+    val (w2, h2, px) = Multimodal.BmpCodec.decode(
+      Multimodal.BmpCodec.encode(3, 2, { i =>
+        val (w, _, src) = Multimodal.BmpCodec.decode(bytes)
+        val p = src((2 * (i / 3)) * w + 2 * (i % 3))
+        ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      }))
+    assert((w2, h2) == (3, 2))
+    assert(px.map(p => (p >> 16) & 0xFF).toSeq == Seq(0, 2, 4, 10, 12, 14))
+    // and the Dataset-level operator agrees end-to-end
+    import spark.implicits._
+    val rec = Multimodal.MediaRecord(7L, "synth://t", "image/bmp", bytes)
+    val out = Multimodal.resizeBmpHalf(Seq(rec).toDS()).collect().head
+    val (wo, ho, opx) = Multimodal.BmpCodec.decode(out.content)
+    assert((wo, ho) == (3, 2))
+    assert(opx.map(p => (p >> 16) & 0xFF).toSeq == Seq(0, 2, 4, 10, 12, 14))
+  }
 }
