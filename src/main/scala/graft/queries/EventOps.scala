@@ -270,5 +270,43 @@ object EventOps {
           FROM ev)
         SELECT event_type, count(*) AS n_events,
           cast(count_if(ts < max_seen - INTERVAL 1 HOUR) as bigint) AS n_late
-        FROM m GROUP BY event_type ORDER BY event_type""")))
+        FROM m GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Cohort retention — the product-analytics staple: cohort a user by
+    // their first active day, then count distinct users active again N
+    // days later (offsets 0-7). Two linear aggregations and one
+    // user-keyed join: activity dedup shuffles on (user, day), cohort
+    // is a users-sized table, the retention matrix is
+    // days × offsets — tiny. At 100 TB both the activity dedup and the
+    // cohort join key by user_id; bucketing the event lake by user_id
+    // makes the whole query exchange-light (BucketingSpec's layout).
+    // ------------------------------------------------------------------
+    "e10_cohort_retention" -> Q(
+      (s, d) => {
+        val activity = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohort = activity.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        activity.join(cohort, "user_id")
+          .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+          .filter(col("day_offset") <= 7)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH a AS (
+          SELECT DISTINCT user_id,
+            cast(cast(ts as timestamp) as date) AS day
+          FROM events),
+        c AS (
+          SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+        SELECT c.cohort_day,
+          cast(datediff('day', c.cohort_day, a.day) as int) AS day_offset,
+          cast(count(DISTINCT a.user_id) as bigint) AS n_users
+        FROM a JOIN c ON c.user_id = a.user_id
+        WHERE datediff('day', c.cohort_day, a.day) <= 7
+        GROUP BY 1, 2
+        ORDER BY cohort_day, day_offset""")))
 }
