@@ -128,6 +128,53 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** d08's inverted-index exact near-dup pipeline, factored for reuse
+    * (d08 = these pairs ordered; d11 = these pairs joined with the x17
+    * split): (doc_a, doc_b, jaccard) with jaccard ≥ 0.4 over the
+    * df-pruned shingle universe.
+    *
+    * Shapes that matter at 100 TB (measured rationale in the scaladoc
+    * of winnowCandidatePairs and the d08 query comment):
+    * - FAST generate shape — explode of the shingle EXPRESSION over a
+    *   once-aliased token array; exploding an aliased expensive array
+    *   column re-evaluates the array per OUTPUT ELEMENT (~50× here,
+    *   35 s vs 0.6 s at sf0.1).
+    * - df-cap as a count over a window BY fp, not a groupBy+join-back:
+    *   AQE broadcasts the small df side of that join, so the two posts
+    *   subtrees get non-identical exchanges and the expensive shingle
+    *   generate runs once per side. The window form gives BOTH
+    *   downstream consumers (sizes, pair expansion) the same
+    *   hash-partitioning-by-fp exchange over the same subtree, which
+    *   ReuseExchange dedupes — the tokenize+shingle scan runs exactly
+    *   once (verified in the final adaptive plan).
+    * - jaccard from COUNTS alone: |A∩B| = shared-posting count,
+    *   |A∪B| = |A'|+|B'|−|A∩B| — no shingle ARRAY ever rides a
+    *   shuffle and there is no verify join carrying sets.
+    */
+  private def postingJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val posts = docs(s, d)
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles3(col("toks"))).as("fp"))
+    val okPosts = posts
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= 50)
+      .select(col("doc_id"), col("fp"))
+    // |A'|: the doc's shingle count within the df-pruned universe
+    val sizes = okPosts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    val shared = winnowCandidatePairs(okPosts, minShared = 1, maxDf = 50)
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", col("shared_fps").cast("double") /
+        (col("sz_a") + col("sz_b") - col("shared_fps")).cast("double"))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** PII pattern classes, deliberately restricted to syntax shared by
     * Java regex and RE2 (the oracle engine): character classes, bounded
     * repetition, `\b`/`\d` — no lookarounds, no backrefs. Redaction
@@ -1069,44 +1116,8 @@ object TextOps {
     // semantics and is mirrored exactly in the oracle.
     // ------------------------------------------------------------------
     "d08_posting_jaccard" -> Q(
-      (s, d) => {
-        // FAST generate shape — explode of the shingle EXPRESSION over
-        // a once-aliased token array. Never explode an aliased
-        // expensive array column: the generator re-evaluates the array
-        // expression per OUTPUT ELEMENT (~50× per row here — measured
-        // 35 s vs 0.6 s at sf0.1).
-        val posts = docs(s, d)
-          .select(col("doc_id"), words(col("text")).as("toks"))
-          .select(col("doc_id"), explode(shingles3(col("toks"))).as("fp"))
-        // df-cap as a count over a window BY fp — not a groupBy+join
-        // back: AQE broadcasts the small df side of that join, so the
-        // two posts subtrees get non-identical exchanges and the
-        // expensive shingle generate runs once per side. The window
-        // form gives BOTH downstream consumers (sizes, pair expansion)
-        // the same hash-partitioning-by-fp exchange over the same
-        // subtree, which ReuseExchange dedupes — the tokenize+shingle
-        // scan runs exactly once (verified in the formatted plan).
-        val okPosts = posts
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-          .filter(col("df") <= 50)
-          .select(col("doc_id"), col("fp"))
-        // |A'|: the doc's shingle count within the df-pruned universe
-        val sizes = okPosts.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("sz"))
-        val shared = winnowCandidatePairs(okPosts, minShared = 1,
-          maxDf = 50)
-        shared
-          .join(sizes.select(col("doc_id").as("doc_a"),
-            col("sz").as("sz_a")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"),
-            col("sz").as("sz_b")), "doc_b")
-          .withColumn("jaccard", col("shared_fps").cast("double") /
-            (col("sz_a") + col("sz_b") - col("shared_fps")).cast("double"))
-          .filter(col("jaccard") >= 0.4)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => postingJaccardPairs(s, d)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH t0 AS (
           SELECT doc_id,
             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
@@ -1623,6 +1634,75 @@ object TextOps {
         WHERE cos >= 0.4
         ORDER BY vec_a, vec_b"""),
       bench = true),
+
+    // ------------------------------------------------------------------
+    // Train/test SPLIT-LEAKAGE audit — the eval-integrity check a
+    // curation pipeline must run: near-duplicate pairs (d08's exact
+    // posting-index detector) that straddle x17's deterministic hash
+    // split. A test document with a train near-twin inflates eval —
+    // the fix is dedup-BEFORE-split (d09's keep-list), and this query
+    // is the regression check that proves it happened. Adds only two
+    // row-local h60 projections and a filter on top of d08's plan.
+    // ------------------------------------------------------------------
+    "d11_split_leakage" -> Q(
+      (s, d) => {
+        def split(c: Column): Column = {
+          val bucket = pmod(graft.functions.PortableHash.h60col(
+            concat(lit("split_"), c)), lit(100L))
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test")
+        }
+        postingJaccardPairs(s, d)
+          .withColumn("split_a", split(col("doc_a")))
+          .withColumn("split_b", split(col("doc_b")))
+          .filter(col("split_a") =!= col("split_b"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        posts AS (SELECT doc_id, unnest(w) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM posts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM posts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        sizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT s.doc_a, s.doc_b,
+            cast(s.shared_fps as double) /
+              cast(x.sz + y.sz - s.shared_fps as double) AS jaccard
+          FROM shared s
+          JOIN sizes x ON x.doc_id = s.doc_a
+          JOIN sizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        tagged AS (
+          SELECT doc_a, doc_b, jaccard,
+            CASE WHEN ('0x' || substr(md5('split_' || doc_a), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                 WHEN ('0x' || substr(md5('split_' || doc_a), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split_a,
+            CASE WHEN ('0x' || substr(md5('split_' || doc_b), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                 WHEN ('0x' || substr(md5('split_' || doc_b), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split_b
+          FROM pairs)
+        SELECT doc_a, doc_b, jaccard, split_a, split_b
+        FROM tagged
+        WHERE split_a <> split_b
+        ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
     // Within-document REPETITION signals (the Gopher repetition
