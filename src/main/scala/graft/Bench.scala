@@ -30,8 +30,9 @@ object Bench {
       // across 16 queries × 4 executions triggers synchronous TRIM
       // storms that stall tail queries by 3-6× (measured). RAM is 128 G
       // and local-mode shuffles here are ≪1 G — tmpfs is the honest
-      // local analogue of a cluster's NVMe shuffle volumes.
-      .config("spark.local.dir", "/dev/shm/graft-bench")
+      // local analogue of a cluster's NVMe shuffle volumes. Unique
+      // per-run subdir + stale sweep: see LocalDirs.
+      .config("spark.local.dir", LocalDirs.scratch())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated filter for local bisection of bench
@@ -49,6 +50,23 @@ object Bench {
       try qmap(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    // Calibration microbenchmark: a fixed-size in-memory aggregation —
+    // no I/O, no dependence on sfDir or the query set — timed at session
+    // start and end. A healthy session posts ~constant values round over
+    // round (~0.1 s here), so a sick driver environment (round 5: med ≫
+    // min on every query, 2232 s wall for 60 s of query time) is
+    // classifiable from the BENCH artifact alone: plans regress in the
+    // query mins, a poisoned machine regresses the calibration number.
+    def calibrate(): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1, cpus.toInt)
+          .selectExpr("sum(id * 3 % 7) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+    val calPre = calibrate()
     // 3 timed runs per query; the MIN is the headline (the stable
     // estimate of the plan's actual cost), and min/median/max ride
     // along in "spread" so a round-over-round blip is classifiable
@@ -76,8 +94,9 @@ object Bench {
         ",\"max\":" + f3(ts.last) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
+    val calPost = calibrate()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

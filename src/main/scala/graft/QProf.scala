@@ -18,8 +18,8 @@ object QProf {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("QPROF_SPLIT", "2m"))
       .config("spark.sql.files.openCostInBytes", "256k")
-      // match Bench: tmpfs shuffle dir (see Bench.scala for why)
-      .config("spark.local.dir", "/dev/shm/graft-bench")
+      // match Bench: per-run tmpfs shuffle dir (see Bench/LocalDirs)
+      .config("spark.local.dir", LocalDirs.scratch())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)

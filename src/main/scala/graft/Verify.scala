@@ -11,6 +11,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
       case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+        sys.exit(2)
     }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,9 +22,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // tmpfs shuffle dir — /tmp is ext4+discard and the shuffle churn
-      // of 120 queries triggers TRIM stalls (see Bench.scala)
-      .config("spark.local.dir", "/dev/shm/graft-bench")
+      // per-run unique tmpfs shuffle dir — /tmp is ext4+discard and the
+      // shuffle churn of 120 queries triggers TRIM stalls (see
+      // Bench.scala); uniqueness + stale-sweep rationale in LocalDirs
+      .config("spark.local.dir", LocalDirs.scratch())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

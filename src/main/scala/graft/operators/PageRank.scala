@@ -58,6 +58,7 @@ object PageRank {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src").persist()
     val n = nodes.count() // materializes the caches; N is a scalar
+    require(n > 0, "PageRank needs a non-empty edge list (0 nodes)")
     val rInit = scale / n
     val tele = (15L * rInit) / 100L
     var r = nodes.select(col("id"), lit(rInit).as("r")).localCheckpoint()

@@ -28,6 +28,25 @@ class QueriesSpec extends SparkFunSuite {
     assert(out.collect().isEmpty)
   }
 
+  test("g01/d07: iterative (localCheckpoint) queries are run-to-run " +
+      "deterministic — fresh plans, identical values (r5 red-row guard)") {
+    // the two catalog queries that iterate via localCheckpoint; a red
+    // driver hash row for g01 in round 5 (judge re-runs green) demanded
+    // an in-harness guard that the full pipeline — collect_set → pair
+    // explosion → 5 rounds — yields bit-identical values across runs
+    for (name <- Seq("g01_pagerank_parts", "d07_dup_clusters")) {
+      def run(): Seq[Seq[Any]] = {
+        spark.catalog.clearCache()
+        SparkEntry.queries(name)(spark, sf0001).collect()
+          .map(_.toSeq.toVector).sortBy(_.mkString("|")).toSeq
+      }
+      val first = run()
+      val second = run()
+      assert(first.nonEmpty, s"$name returned no rows")
+      assert(first == second, s"$name not deterministic across runs")
+    }
+  }
+
   test("q32: approx_count_distinct within 5% of exact") {
     val r = q("q32_approx_distinct").head()
     val (ap, ao, ep, eo) =
