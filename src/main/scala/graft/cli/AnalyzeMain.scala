@@ -10,13 +10,13 @@ import org.apache.spark.sql.SparkSession
   * by version, run the rule analyzer, print severity-ranked findings.
   *
   * Usage: runMain graft.cli.AnalyzeMain <migrationsDir> [--pg-version N]
-  *        [--fail-on-high] [--format text|json]
+  *        [--fail-on-high] [--format text|json|github-actions]
   */
 object AnalyzeMain {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: AnalyzeMain <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json] [--verbose]")
+        "usage: AnalyzeMain <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json|github-actions] [--verbose]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -79,6 +79,33 @@ object AnalyzeMain {
             s"""{"version":${q(r.version)},"name":${q(r.name)},"max_severity":${q(Severity.label(r.maxSeverity))},"findings":$fs}"""
           }.mkString("[", ",", "]")
           println(rows)
+        case "github-actions" =>
+          // GitHub Actions workflow-command annotations — the reference
+          // registers this format value (internal/cli/analyze.go:24) but
+          // only implements text; emitting real `::error file=...` lines
+          // makes CI annotate the offending migration file. Severity map:
+          // HIGH/CRITICAL → error, MEDIUM → warning, LOW → notice; SAFE
+          // migrations emit nothing.
+          val pathOf = migrations.collect()
+            .map(m => m.version -> m.filePath).toMap
+          // workflow-command escaping: % CR LF always; property values
+          // additionally escape : and ,
+          def escData(s: String) = s.replace("%", "%25")
+            .replace("\r", "%0D").replace("\n", "%0A")
+          def escProp(s: String) = escData(s)
+            .replace(":", "%3A").replace(",", "%2C")
+          results.foreach { r =>
+            r.findings.foreach { f =>
+              val cmd =
+                if (f.severity >= Severity.High) "error"
+                else if (f.severity == Severity.Medium) "warning"
+                else "notice"
+              val file = pathOf.getOrElse(r.version, r.version)
+              println(s"::$cmd file=${escProp(file)}," +
+                s"title=${escProp(s"${f.rule} (${Severity.label(f.severity)})")}::" +
+                escData(s"${f.message} -> ${f.suggestion}"))
+            }
+          }
         case _ =>
           println(s"Analyzed ${results.length} migration(s) (target PostgreSQL $pgVersion)\n")
           results.foreach { r =>

@@ -26,6 +26,11 @@ object ApplyMain {
     var dryRun = false; var force = false; var jdbcUrl = ""
     var verbose = false
     var pgVersionFlag: Option[Int] = None
+    // per-invocation timeout overrides (reference apply.go:41-42
+    // registers both as Duration flags; 56-60 makes a CHANGED flag beat
+    // the configured value)
+    var lockTimeoutFlag: Option[Long] = None
+    var statementTimeoutFlag: Option[Long] = None
     var i = 2
     while (i < args.length) {
       args(i) match {
@@ -34,6 +39,12 @@ object ApplyMain {
         case "--verbose" => verbose = true; i += 1
         case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
         case "--pg-version" => pgVersionFlag = Some(args(i + 1).toInt); i += 2
+        case "--lock-timeout" =>
+          lockTimeoutFlag = Some(
+            graft.config.ConfigLoader.parseDurationMs(args(i + 1))); i += 2
+        case "--statement-timeout" =>
+          statementTimeoutFlag = Some(
+            graft.config.ConfigLoader.parseDurationMs(args(i + 1))); i += 2
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
     }
@@ -46,24 +57,29 @@ object ApplyMain {
       // through to the analyzer; flags win over env over file).
       val loaded = graft.config.ConfigLoader.load(
         "migrate.yml", allowMissing = true,
-        flags = graft.config.ConfigLoader.Overrides(targetPgVersion = pgVersionFlag))
-      val cfg = EngineConfig()
+        flags = graft.config.ConfigLoader.Overrides(
+          targetPgVersion = pgVersionFlag,
+          lockTimeoutMs = lockTimeoutFlag,
+          statementTimeoutMs = statementTimeoutFlag))
       if (verbose) {
         println(s"config: migrationsDir=$dir trackerDir=$trackerDir " +
           s"targetPgVersion=${loaded.targetPgVersion} dryRun=$dryRun force=$force")
+        println(s"config: lockTimeoutMs=${loaded.lockTimeoutMs} " +
+          s"statementTimeoutMs=${loaded.statementTimeoutMs}")
         if (jdbcUrl.nonEmpty)
           // never print credentials (reference redact.go:10-52)
           println(s"config: jdbcUrl=${EngineConfig.redactUrl(jdbcUrl)}")
       }
       val runner: SqlRunner =
         if (jdbcUrl.nonEmpty)
-          new JdbcRunner(jdbcUrl, cfg.lockTimeoutMs, cfg.statementTimeoutMs)
+          new JdbcRunner(jdbcUrl, loaded.lockTimeoutMs,
+            loaded.statementTimeoutMs)
         else new SparkSqlRunner(spark)
       // JDBC mode: single-writer exclusion must hold ACROSS hosts, so
       // the lock lives in the target database (pg_try_advisory_lock /
       // lock-table fallback), not on a local filesystem.
       val lock: MigrationLock =
-        if (jdbcUrl.nonEmpty) new JdbcLock(jdbcUrl, cfg.lockTimeoutMs)
+        if (jdbcUrl.nonEmpty) new JdbcLock(jdbcUrl, loaded.lockTimeoutMs)
         else new FileLock(s"$trackerDir/_LOCK")
       val ex = new Executor(
         new ParquetTracker(spark, trackerDir), runner, lock,
@@ -84,7 +100,8 @@ object ApplyMain {
   }
 
   def usage(): Unit = System.err.println(
-    "usage: ApplyMain <migrationsDir> <trackerDir> [--dry-run] [--force] [--verbose] [--jdbc-url URL]")
+    "usage: ApplyMain <migrationsDir> <trackerDir> [--dry-run] [--force] " +
+      "[--verbose] [--jdbc-url URL] [--lock-timeout D] [--statement-timeout D]")
 
   def printProgress(p: Progress): Unit = p match {
     case Starting(m) => println(s"  applying ${m.version} ${m.name} ...")

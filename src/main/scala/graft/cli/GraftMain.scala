@@ -36,8 +36,9 @@ object GraftMain {
       |             <command> [args]
       |
       |commands:
-      |  analyze  <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json]
+      |  analyze  <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json|github-actions]
       |  apply    <migrationsDir> <trackerDir> [--dry-run] [--force] [--pg-version N]
+      |           [--lock-timeout D] [--statement-timeout D]   (D like 10s, 1m, 250ms)
       |  rollback <migrationsDir> <trackerDir> (--steps N | --target V)
       |  plan     <migrationsDir> <trackerDir> [--pg-version N]
       |  status   <migrationsDir> <trackerDir>""".stripMargin
@@ -99,6 +100,17 @@ object GraftMain {
       // inject the config's pg version unless the subcommand flag wins
       if (flags.contains("--pg-version")) Vector.empty
       else Vector("--pg-version", cfg.targetPgVersion.toString)
+    def timeoutFlags(flags: Vector[String]): Vector[String] = {
+      // root-config timeouts reach apply unless its own flags win
+      // (reference apply.go:56-60: a CHANGED flag beats the config)
+      val lt =
+        if (flags.contains("--lock-timeout")) Vector.empty
+        else Vector("--lock-timeout", s"${cfg.lockTimeoutMs}ms")
+      val st =
+        if (flags.contains("--statement-timeout")) Vector.empty
+        else Vector("--statement-timeout", s"${cfg.statementTimeoutMs}ms")
+      lt ++ st
+    }
 
     cmd match {
       case "analyze" =>
@@ -114,7 +126,7 @@ object GraftMain {
         val (pos, flags) = splitPositional(2)
         ApplyMain.main(
           (pos.take(2) ++ verboseFlag ++ jdbcFlag ++ pgFlag(flags) ++
-            flags).toArray)
+            timeoutFlags(flags) ++ flags).toArray)
       case "rollback" =>
         val (pos, flags) = splitPositional(2)
         RollbackMain.main((pos.take(2) ++ jdbcFlag ++ flags).toArray)

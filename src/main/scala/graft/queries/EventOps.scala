@@ -156,41 +156,43 @@ object EventOps {
         ORDER BY user_id, event_type, minute""")),
 
     // ------------------------------------------------------------------
-    // Interval (range) join through the bucketized operator: events
-    // matched to every same-customer order whose 7-day window contains
-    // the event. The operator turns the pure range predicate into an
-    // equi-join on a time bucket (bucket size ≥ window length → each
-    // window explodes to ≤2 bucket rows), so the plan is a hash join,
-    // not a broadcast-nested-loop — the difference between O(n·m) and
-    // O(n+m) at 100 TB. Verified against DuckDB's native range join.
+    // Interval (range) join through the bucketized operator: every
+    // purchase event opens a 1-hour attribution window, and each
+    // same-user event inside the window (the purchase itself included)
+    // is attributed to it. The operator turns the pure range predicate
+    // into an equi-join on a time bucket (bucket size ≥ window length →
+    // each window explodes to ≤2 bucket rows), so the plan is a hash
+    // join, not a broadcast-nested-loop — the difference between O(n·m)
+    // and O(n+m) at 100 TB. Both sides come from `events` so the oracle
+    // always compares matched rows (the round-5 events×orders pairing
+    // had disjoint year ranges: 0==0 passed vacuously).
     // ------------------------------------------------------------------
     "e09_interval_join" -> Q(
       (s, d) => {
         val ev = t(s, d, "events")
           .select(col("event_id"), col("user_id"), col("ts"))
-        // parquet stores o_orderdate as TIMESTAMP_NTZ; unix_millis in
-        // the bucketizer needs TIMESTAMP — session is pinned UTC so the
-        // cast is a no-op semantically
-        val ords = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderdate").cast("timestamp").as("o_orderdate"))
-          .withColumn("window_end",
-            col("o_orderdate") + expr("INTERVAL 7 DAYS"))
-        graft.operators.AsOfJoin.intervalJoin(ev, ords,
-          leftTs = "ts", rightStart = "o_orderdate",
-          rightEnd = "window_end",
-          keyLeft = "user_id", keyRight = "o_custkey",
-          bucketMs = 7L * 24 * 3600 * 1000)
-          .select(col("event_id"), col("o_orderkey"))
-          .orderBy(col("event_id"), col("o_orderkey"))
+        val windows = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("w_start"))
+          .withColumn("w_end", col("w_start") + expr("INTERVAL 1 HOUR"))
+        graft.operators.AsOfJoin.intervalJoin(ev, windows,
+          leftTs = "ts", rightStart = "w_start", rightEnd = "w_end",
+          keyLeft = "user_id", keyRight = "p_user",
+          bucketMs = 3600L * 1000)
+          .select(col("event_id"), col("purchase_id"))
+          .orderBy(col("event_id"), col("purchase_id"))
       },
-      Some("""SELECT event_id, o_orderkey
-        FROM (SELECT event_id, user_id, cast(ts as timestamp) AS ts
-              FROM events) ev
-        JOIN orders ON user_id = o_custkey
-          AND ts >= o_orderdate
-          AND ts < o_orderdate + INTERVAL 7 DAY
-        ORDER BY event_id, o_orderkey""")),
+      Some("""WITH ev AS (SELECT event_id, user_id,
+                cast(ts as timestamp) AS ts FROM events),
+          w AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                  cast(ts as timestamp) AS w_start,
+                  cast(ts as timestamp) + INTERVAL 1 HOUR AS w_end
+                FROM events WHERE event_type = 'purchase')
+        SELECT ev.event_id, w.purchase_id
+        FROM ev JOIN w ON ev.user_id = w.p_user
+          AND ev.ts >= w.w_start AND ev.ts < w.w_end
+        ORDER BY event_id, purchase_id""")),
 
     // ------------------------------------------------------------------
     // Conversion funnel: users who viewed, then purchased at/after their

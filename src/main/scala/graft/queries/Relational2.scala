@@ -32,6 +32,13 @@ object Relational2 {
   private def sqlDsumP4(e: String): String =
     s"cast(sum(cast($e as decimal(24,4))) as double)"
 
+  /** q69 scratch roots that already have a JVM-exit cleanup hook —
+    * computeIfAbsent keys the hook registration (once per root even if
+    * q69 runs many times in one session, e.g. Bench's warm+timed runs).
+    */
+  private val evoCleanup =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -928,7 +935,18 @@ object Relational2 {
     "q69_schema_evolution" -> Q(
       (s, d) => {
         val src = t(s, d, "orders")
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_evo"
+        // scratch keyed by the session's applicationId: two concurrent
+        // sbt sessions (judge re-run beside a Verify) must not race on
+        // one shared path; Spark deletes nothing here itself, so also
+        // register a JVM-exit cleanup once per session
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+          s.sparkContext.applicationId
+        evoCleanup.computeIfAbsent(root, { r =>
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            org.apache.commons.io.FileUtils
+              .deleteQuietly(new java.io.File(r))))
+          java.lang.Boolean.TRUE
+        })
         src.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .write.mode("overwrite").parquet(s"$root/v1")

@@ -59,6 +59,46 @@ class CliRootSpec extends AnyFunSuite {
     assert(out.contains("CRITICAL"))
   }
 
+  test("graft apply: --lock-timeout flag beats config while the config " +
+      "still supplies --statement-timeout (apply.go:56-60 precedence)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-cfg")
+    val cfg = dir.resolve("migrate.yml")
+    java.nio.file.Files.writeString(cfg,
+      "lock_timeout: 30s\nstatement_timeout: 45s\n")
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-cli-tracker-to").toString
+    val (code, out) = graft("--config", cfg.toString, "apply",
+      "/root/repo/fixtures/migrations", tracker,
+      "--dry-run", "--force", "--verbose", "--lock-timeout", "7s")
+    assert(code == 0, s"apply failed:\n$out")
+    // flag wins over the file's 30s; the file's statement_timeout
+    // flows through the root untouched
+    assert(out.contains("lockTimeoutMs=7000"), out)
+    assert(out.contains("statementTimeoutMs=45000"), out)
+  }
+
+  test("graft analyze --format github-actions emits workflow-command " +
+      "annotations with severity-mapped levels") {
+    val (code, out) = graft("analyze", "/root/repo/fixtures/migrations",
+      "--format", "github-actions")
+    assert(code == 0, s"analyze failed:\n$out")
+    val lines = out.linesIterator.filter(_.startsWith("::")).toSeq
+    assert(lines.nonEmpty, s"no annotations:\n$out")
+    // every annotation names its migration file and carries a title
+    lines.foreach { l =>
+      assert(l.matches("^::(error|warning|notice) file=[^,]+,title=.+::.+$"), l)
+    }
+    // known fixture verdicts: drop_table is CRITICAL → ::error on the
+    // V007 file; set_not_null is MEDIUM → ::warning on V006
+    assert(lines.exists(l => l.startsWith("::error") &&
+      l.contains("007_drop_table")), lines.mkString("\n"))
+    assert(lines.exists(l => l.startsWith("::warning") &&
+      l.contains("006_set_not_null")), lines.mkString("\n"))
+    // SAFE migrations emit nothing
+    assert(!out.contains("011_safe_concurrent_index") ||
+      !lines.exists(_.contains("011_safe_concurrent_index")))
+  }
+
   test("graft status runs against --migrations-dir from the persistent " +
       "flag (no positional dir)") {
     val tracker = java.nio.file.Files
