@@ -59,19 +59,25 @@ object TextOps {
 
   /** Every embedding with its nearest codebook centroid:
     * `(vec_id, embedding, cent_id)`. The codebook is the deterministic
-    * 8-vector "training" set (vec_id < 8) collected to a LITERAL array,
-    * so assignment is a row-local argmax fold in one projection: zero
-    * shuffle, zero row blowup. (The alternative — crossJoin(broadcast)
-    * + row_number over Window.partitionBy(vec_id) — shuffles the
-    * 8×-inflated corpus by vec_id; at 100 TB that exchange IS the job.)
+    * k-vector "training" set (vec_id < k, default 8) collected to a
+    * LITERAL array, so assignment is a row-local argmax fold in one
+    * projection: zero shuffle, zero row blowup. (The alternative —
+    * crossJoin(broadcast) + row_number over Window.partitionBy(vec_id)
+    * — shuffles the k×-inflated corpus by vec_id; at 100 TB that
+    * exchange IS the job.)
     * Fold iterates cent_id ascending with strict `>`, so ties pick the
     * smallest cent_id — the same selection as a row_number over
     * (csim DESC, cent_id ASC), with bit-identical cosines. Shared by
     * s03 (IVF probe) and d10 (semantic near-dup clustering).
+    * Literal codebooks stop scaling around k ≈ 100 (the plan carries
+    * k·dim literals); past that use d12's shape — the codebook as a
+    * one-row BROADCAST relation (data, not plan) with a two-level
+    * coarse→fine argmax, O(√k) per row instead of O(k).
     */
-  private def assignToCodebook(s: SparkSession, d: String): DataFrame = {
+  private def assignToCodebook(s: SparkSession, d: String,
+      k: Int = 8): DataFrame = {
     val base = emb(s, d)
-    val cents = base.filter(col("vec_id") < 8)
+    val cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val centArr = array(
       cents.select(col("cent_id"), col("ce")).collect()
@@ -1703,6 +1709,212 @@ object TextOps {
         FROM tagged
         WHERE split_a <> split_b
         ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // SEMANTIC near-dup, SCALED (d10's dial turned): the fix for d10's
+    // fixed-k quadratic (sf1 decade 55× — k=8 means in-cluster
+    // all-pairs is O(N²/8)). Three changes, each mirrored exactly in
+    // the oracle so the whole scaled path stays hash-verified:
+    //   1. k ∝ corpus: k = max(16, N/64) centroids (the first k
+    //      vectors), so expected cluster size is a CONSTANT ~64 and
+    //      total in-cluster pair work is linear in N.
+    //   2. The codebook is a one-row BROADCAST relation, not plan
+    //      literals (assignToCodebook's literal array carries k·dim
+    //      literals — fine at k=8, plan-explosion at k=300+), and
+    //      assignment is two-level: argmax over √k coarse centroids,
+    //      then argmax over the picked cell's fine centroids — O(√k)
+    //      dot products per row instead of O(k). The per-row fold is
+    //      still zero-shuffle; the only data movement for assignment
+    //      is one broadcast of the codebook row.
+    //   3. Inside each cluster, candidates sub-bucket with h60-derived
+    //      hyperplane LSH (4 tables × 4 planes, OR-construction like
+    //      d03's bands): pairing joins on (cent_id, table, band), so
+    //      bucket population — not cluster population — bounds the
+    //      per-doc pair work. Candidate pairs then dedup on bare ids
+    //      and join back to the plain scan for the exact cosine (no
+    //      arrays ride the pair shuffle; d03's discipline).
+    // Recall vs the exact d05 is the LSH tradeoff (a τ=0.4 pair crosses
+    // 4 random hyperplanes with p≈0.16 per table → ~0.5 for 4 tables;
+    // tight near-dups ≥0.9 are caught with p→1), the same contract as
+    // s02/d03. Centroid derivation (fine×coarse argmax) is a
+    // metadata-scale k×√k cross join — allowlisted in PlanAuditSpec.
+    // ------------------------------------------------------------------
+    "d12_semantic_scaled" -> Q(
+      (s, d) => {
+        def dot(x: Column, y: Column): Column =
+          aggregate(zip_with(x, y, (p, q) =>
+            p.cast("double") * q.cast("double")), lit(0.0),
+            (acc, v) => acc + v)
+        val bandTables = 4
+        val planes = 4
+        val nVecs = emb(s, d).count() // metadata-scale scalar, like g01's N
+        val k = math.max(16L, nVecs / 64L)
+        val kc = math.ceil(math.sqrt(k.toDouble)).toLong
+        val dim = emb(s, d).select(size(col("embedding"))).head.getInt(0)
+
+        val base = emb(s, d)
+          .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        val fine = base.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+            col("nrm").as("cnrm"))
+        val coarse = fine.filter(col("cent_id") < kc)
+          .select(col("cent_id").as("coarse_id"), col("ce").as("cce"),
+            col("cnrm").as("ccnrm"))
+
+        // fine centroid -> coarse cell: argmax cosine, tie -> smallest
+        // coarse_id (row_number mirrors the folds' strict-> semantics)
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cent_id"))
+          .orderBy(col("fc_cos").desc, col("coarse_id"))
+        val f2c = fine.crossJoin(coarse)
+          .withColumn("fc_cos",
+            dot(col("ce"), col("cce")) / col("cnrm") / col("ccnrm"))
+          .withColumn("rn", row_number().over(wf))
+          .filter(col("rn") === 1)
+          .select(col("coarse_id"), col("cent_id"), col("ce"), col("cnrm"))
+
+        // ONE codebook row: sorted coarse array + map coarse_id -> its
+        // cell's sorted fine centroids. collect_list order is
+        // nondeterministic but array_sort on (unique id, ...) structs
+        // restores a canonical order, and map lookup is order-blind.
+        val cellsAgg = f2c
+          .groupBy(col("coarse_id"))
+          .agg(array_sort(collect_list(struct(col("cent_id"), col("ce"),
+            col("cnrm")))).as("cell"))
+          .agg(map_from_entries(collect_list(struct(col("coarse_id"),
+            col("cell")))).as("cells"))
+        val coarseAgg = coarse
+          .agg(array_sort(collect_list(struct(col("coarse_id"),
+            col("cce"), col("ccnrm")))).as("coarse_arr"))
+        val codebook = coarseAgg.crossJoin(cellsAgg)
+
+        // two-level row-local assignment over the broadcast codebook
+        val assigned = base.crossJoin(broadcast(codebook))
+          .withColumn("coarse_pick",
+            aggregate(col("coarse_arr"),
+              struct(lit(-2.0).as("sim"), lit(-1L).as("id")),
+              (acc, c) => {
+                val sim = dot(col("embedding"), c.getField("cce")) /
+                  col("nrm") / c.getField("ccnrm")
+                when(sim > acc.getField("sim"),
+                  struct(sim.as("sim"), c.getField("coarse_id").as("id")))
+                  .otherwise(acc)
+              }).getField("id"))
+          .withColumn("cent_id",
+            aggregate(element_at(col("cells"), col("coarse_pick")),
+              struct(lit(-2.0).as("sim"), lit(-1L).as("id")),
+              (acc, c) => {
+                val sim = dot(col("embedding"), c.getField("ce")) /
+                  col("nrm") / c.getField("cnrm")
+                when(sim > acc.getField("sim"),
+                  struct(sim.as("sim"), c.getField("cent_id").as("id")))
+                  .otherwise(acc)
+              }).getField("id"))
+          .select(col("vec_id"), col("cent_id"), col("embedding"))
+
+        // in-cluster LSH sub-buckets: per band table, r sign bits of
+        // h60-derived hyperplane projections (s02's construction, one
+        // matrix per table). Banded rows carry ONLY ids + band key.
+        val mat: Seq[Seq[Seq[Double]]] = (0 until bandTables).map(bt =>
+          (0 until planes).map(p =>
+            (0 until dim).map(i =>
+              (graft.functions.PortableHash.h60(s"d12_${bt}_${p}_${i}")
+                % 1000L).toDouble / 500.0 - 1.0)))
+        val matC = typedLit(mat)
+        val banded = assigned
+          .select(col("vec_id"), col("cent_id"),
+            posexplode(transform(sequence(lit(0), lit(bandTables - 1)),
+              bt => {
+                val tmat = element_at(matC, bt + 1)
+                aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+                  (acc, p) => {
+                    val proj = aggregate(
+                      zip_with(col("embedding"), element_at(tmat, p + 1),
+                        (x, c) => x.cast("double") * c),
+                      lit(0.0), (a2, x) => a2 + x)
+                    acc.bitwiseOR(
+                      when(proj > 0, shl(lit(1L), p)).otherwise(0L))
+                  })
+              })))
+          .select(col("vec_id"), col("cent_id"), col("pos").as("btab"),
+            col("col").as("bkt"))
+        val cand = banded.as("l")
+          .join(banded.as("r"), Seq("cent_id", "btab", "bkt"))
+          .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+          .filter(col("vec_a") < col("vec_b"))
+          .distinct()
+
+        // exact cosine only for the deduped candidates, vectors fetched
+        // from the plain scan (never through the pair shuffle)
+        val vecs = base.select(col("vec_id"), col("embedding"), col("nrm"))
+        cand
+          .join(vecs.select(col("vec_id").as("vec_a"),
+            col("embedding").as("ea"), col("nrm").as("nrm_a")), Seq("vec_a"))
+          .join(vecs.select(col("vec_id").as("vec_b"),
+            col("embedding").as("eb"), col("nrm").as("nrm_b")), Seq("vec_b"))
+          .withColumn("cos",
+            dot(col("ea"), col("eb")) / col("nrm_a") / col("nrm_b"))
+          .filter(col("cos") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), col("cos"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        params AS (SELECT greatest(16, count(*) // 64) AS k,
+            cast(ceil(sqrt(greatest(16, count(*) // 64))) as bigint) AS kc
+          FROM embeddings),
+        dim AS (SELECT max(len(v)) AS d FROM e),
+        fine AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n, params WHERE vec_id < k),
+        coarse AS (SELECT cent_id AS coarse_id, cv AS ccv, cnrm AS ccnrm
+          FROM fine, params WHERE cent_id < kc),
+        f2c AS (
+          SELECT coarse_id, cent_id, cv, cnrm FROM (
+            SELECT c.coarse_id, f.cent_id, f.cv, f.cnrm,
+              row_number() OVER (PARTITION BY f.cent_id
+                ORDER BY list_dot_product(f.cv, c.ccv) / f.cnrm / c.ccnrm
+                  DESC, c.coarse_id) AS rn
+            FROM fine f, coarse c) WHERE rn = 1),
+        ac AS (
+          SELECT vec_id, coarse_id FROM (
+            SELECT n.vec_id, c.coarse_id,
+              row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.ccv) / n.nrm / c.ccnrm
+                  DESC, c.coarse_id) AS rn
+            FROM n, coarse c) WHERE rn = 1),
+        assigned AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT n.vec_id, f.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, f.cv) / n.nrm / f.cnrm
+                  DESC, f.cent_id) AS rn
+            FROM n JOIN ac ON ac.vec_id = n.vec_id
+            JOIN f2c f ON f.coarse_id = ac.coarse_id) WHERE rn = 1),
+        mat AS (
+          SELECT t, p, list_transform(range(0, d), i ->
+            cast(('0x' || substr(md5('d12_' || t || '_' || p || '_' || i), 1, 15))::BIGINT % 1000
+              as double) / 500.0 - 1.0) AS pv
+          FROM range(0, 4) tt(t), range(0, 4) pp(p), dim),
+        pl AS (SELECT t, list(pv ORDER BY p) AS pvs FROM mat GROUP BY t),
+        bnd AS (
+          SELECT a.vec_id, a.cent_id, pl.t,
+            cast(list_sum(list_transform(range(0, 4), p ->
+              CASE WHEN list_dot_product(n.v, pvs[p+1]) > 0
+                THEN (1::BIGINT << p) ELSE 0::BIGINT END)) as bigint) AS bkt
+          FROM assigned a JOIN n ON n.vec_id = a.vec_id, pl),
+        cand AS (
+          SELECT DISTINCT la.vec_id AS vec_a, lb.vec_id AS vec_b
+          FROM bnd la JOIN bnd lb
+            ON la.cent_id = lb.cent_id AND la.t = lb.t
+              AND la.bkt = lb.bkt AND la.vec_id < lb.vec_id)
+        SELECT c.vec_a, c.vec_b,
+          list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
+        FROM cand c
+        JOIN n a ON a.vec_id = c.vec_a
+        JOIN n b ON b.vec_id = c.vec_b
+        WHERE list_dot_product(a.v, b.v) / a.nrm / b.nrm >= 0.4
+        ORDER BY vec_a, vec_b"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // Within-document REPETITION signals (the Gopher repetition

@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkFunSuite {
     "e06_asof_join" -> ("as-of union+window plan (no NL; listed for the "
       + "scalar-subquery guard only)"),
     "e08_late_data" -> ("global arrival-order audit window (documented "
-      + "sequential batch twin; streaming watermark is the scale path)"))
+      + "sequential batch twin; streaming watermark is the scale path)"),
+    "d12_semantic_scaled" -> ("1-row broadcast codebook + metadata-scale "
+      + "fine×coarse centroid argmax (k×√k rows); the corpus-sized side "
+      + "is row-local folds + hash joins only"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>

@@ -143,6 +143,18 @@ class QueriesSpec extends SparkFunSuite {
     clustered.foreach(p => assert(exact(p), s"pair $p not in exact set"))
   }
 
+  test("d12 scaled semantic pairs are a subset of the exact d05 pairs") {
+    // the scaled path (k ∝ N codebook + in-cluster LSH bands) trades
+    // recall exactly like d10: it may LOSE τ-pairs, never invent them,
+    // and every reported cosine is the true one
+    val exact = q("d05_embedding_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = q("d12_semantic_scaled").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(scaled.nonEmpty)
+    scaled.foreach(p => assert(exact(p), s"pair $p not in exact set"))
+  }
+
   test("x19 CMS estimates are one-sided: estimate >= exact, every row") {
     val rows = q("x19_cms_heavy_hitters").collect()
     assert(rows.length == 20)
