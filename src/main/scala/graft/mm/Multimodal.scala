@@ -165,6 +165,92 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec (no stub): 16-bit PCM RIFF/WAVE, encoded and
+    * decoded in pure Scala — the audio twin of [[BmpCodec]]. RIFF
+    * header + `fmt ` chunk (PCM, 16-bit) + `data` chunk, little-endian
+    * throughout, interleaved channel frames. The decoder WALKS the
+    * chunk list (skipping unknown chunks, honoring the odd-length pad
+    * byte) rather than assuming the 44-byte canonical layout — the
+    * classic WAV parsing trap. mm04 hash-verifies the full
+    * encode→decode→decimate→encode→decode chain against an oracle that
+    * recomputes sample sums analytically from the synthesis formula.
+    */
+  object WavCodec extends Serializable {
+
+    /** Encode interleaved 16-bit samples (`samples.length` must be a
+      * multiple of `channels`).
+      */
+    def encode(sampleRate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && sampleRate > 0, "bad wav params")
+      require(samples.length % channels == 0,
+        "samples not a whole number of frames")
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def p16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xFF).toByte
+        out(off + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      def p32(off: Int, v: Int): Unit = {
+        p16(off, v & 0xFFFF); p16(off + 2, (v >>> 16) & 0xFFFF)
+      }
+      def tag(off: Int, s: String): Unit = {
+        var i = 0
+        while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+      }
+      tag(0, "RIFF"); p32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); p32(16, 16)
+      p16(20, 1) // PCM
+      p16(22, channels)
+      p32(24, sampleRate)
+      p32(28, sampleRate * channels * 2) // byte rate
+      p16(32, channels * 2) // block align
+      p16(34, 16) // bits per sample
+      tag(36, "data"); p32(40, dataLen)
+      var i = 0
+      while (i < samples.length) { p16(44 + i * 2, samples(i) & 0xFFFF); i += 1 }
+      out
+    }
+
+    /** Decode to (sampleRate, channels, interleaved samples). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      def g16(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      def g32(off: Int): Int = g16(off) | (g16(off + 2) << 16)
+      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE file")
+      var off = 12
+      var sr = -1; var ch = -1
+      var samples: Array[Short] = null
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val len = g32(off + 4)
+        require(off + 8 + len <= bytes.length, s"truncated chunk $id")
+        id match {
+          case "fmt " =>
+            require(g16(off + 8) == 1, "only PCM (format 1) supported")
+            ch = g16(off + 10)
+            sr = g32(off + 12)
+            require(g16(off + 22) == 16, "only 16-bit samples supported")
+          case "data" =>
+            samples = new Array[Short](len / 2)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = g16(off + 8 + i * 2).toShort
+              i += 1
+            }
+          case _ => () // LIST/INFO/cue — skip
+        }
+        off += 8 + len + (len & 1) // chunks are padded to even length
+      }
+      require(sr > 0 && ch > 0, "missing fmt chunk")
+      require(samples != null, "missing data chunk")
+      require(samples.length % ch == 0, "data not whole frames")
+      (sr, ch, samples)
+    }
+  }
+
   /** Synthesize a media corpus from the documents table: deterministic
     * binary blobs (header + text bytes) standing in for
     * `spark.read.format("binaryFile")` on a real media lake.
@@ -222,6 +308,98 @@ object Multimodal {
         })
         MediaRecord(id, s"synth://bmp/$id", "image/bmp", bytes)
       }
+  }
+
+  /** Synthesize a REAL 16-bit PCM WAV per document, samples derived
+    * deterministically from the text: channels = 1 + id%2 (mono and
+    * stereo both exercised), sample rate = 8000 + (id%4)·4000, frames
+    * = 32 + id%96, and interleaved sample i of a doc with
+    * n = char-length(text):
+    *
+    *   cp = codepoint(text[i mod n]) mod 256   (0 when n = 0)
+    *   v  = (cp·131 + i·7 + id) mod 65536 − 32768
+    *
+    * Like [[synthesizeBmp]]'s pixel formula, v is computable from the
+    * raw text alone — the mm04 oracle re-derives every sample without
+    * seeing a byte of audio.
+    */
+  def synthesizeWav(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.length
+        val channels = (1 + id % 2).toInt
+        val sampleRate = (8000 + (id % 4) * 4000).toInt
+        val frames = (32 + id % 96).toInt
+        val samples = new Array[Short](frames * channels)
+        var i = 0
+        while (i < samples.length) {
+          val cp = if (n == 0) 0L else (text.charAt(i % n).toInt % 256).toLong
+          samples(i) = ((cp * 131L + i * 7L + id) % 65536L - 32768L).toShort
+          i += 1
+        }
+        MediaRecord(id, s"synth://wav/$id", "audio/wav",
+          WavCodec.encode(sampleRate, channels, samples))
+      }
+  }
+
+  final case class AudioStats(media_id: Long, sample_rate: Int,
+      channels: Int, n_frames: Int, sum_samples: Long, sum_squares: Long)
+
+  /** Batched partition-local audio statistics over real decoded WAVs:
+    * exact integer sample sums (sum and sum-of-squares — the integer
+    * core of DC offset + RMS energy), dims from the fmt chunk. Binary
+    * column projected away after the decode.
+    */
+  def audioStats(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (sr, ch, samples) = WavCodec.decode(rec.content)
+          var s = 0L; var sq = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            s += v; sq += v * v
+            i += 1
+          }
+          AudioStats(rec.media_id, sr, ch, samples.length / ch, s, sq)
+        }
+      }
+    }
+  }
+
+  /** REAL binary→binary audio decimation through the WAV codec: decode,
+    * keep every even-indexed FRAME (all channels of frame 2f), re-encode
+    * at the same rate — the audio twin of [[resizeBmpHalf]]. Output
+    * frame count ⌈frames/2⌉; each surviving sample keeps its original
+    * value, so the mm04 oracle evaluates the synthesis formula at the
+    * decimated source indices i = 2·(j div ch)·ch + (j mod ch).
+    */
+  def decimateWavHalf(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (sr, ch, samples) = WavCodec.decode(rec.content)
+          val framesOut = (samples.length / ch + 1) / 2
+          val out = new Array[Short](framesOut * ch)
+          var j = 0
+          while (j < out.length) {
+            out(j) = samples(2 * (j / ch) * ch + j % ch)
+            j += 1
+          }
+          rec.copy(content = WavCodec.encode(sr, ch, out))
+        }
+      }
+    }
   }
 
   /** Batched partition-local pixel statistics over real decoded BMPs:

@@ -110,6 +110,52 @@ object MediaOps {
           cast(list_sum(rs) as bigint) AS sum_r,
           cast(list_sum(gs) as bigint) AS sum_g,
           cast(list_sum(bs) as bigint) AS sum_b
+        FROM c ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // REAL-codec audio: text → 16-bit PCM WAV encode → chunk-walk
+    // decode → even-frame decimation → re-encode → decode → integer
+    // sample stats, all through the batched mapPartitions plumbing —
+    // the audio twin of mm03's image chain. The oracle evaluates the
+    // synthesis formula at the decimated interleaved indices
+    // i = 2·(j div ch)·ch + (j mod ch); an endianness, chunk-offset,
+    // channel-interleave, or pad-byte bug anywhere in the two
+    // encode/decode round trips is a hash mismatch.
+    // ------------------------------------------------------------------
+    "mm04_wav_audio_stats" -> Q(
+      (s, d) =>
+        Multimodal.audioStats(
+          Multimodal.decimateWavHalf(Multimodal.synthesizeWav(s, d)))
+          .toDF()
+          .orderBy(col("media_id")),
+      Some("""WITH p AS (
+          SELECT doc_id,
+            cast(1 + doc_id % 2 as int) AS ch,
+            cast(8000 + (doc_id % 4) * 4000 as int) AS sr,
+            cast(32 + doc_id % 96 as int) AS fr,
+            length(text) AS n, text
+          FROM documents),
+        q AS (
+          SELECT doc_id, ch, sr, n, text,
+            cast((fr + 1) // 2 as int) AS fo
+          FROM p),
+        s AS (
+          SELECT doc_id, ch, sr, fo,
+            list_transform(range(0, fo*ch), j ->
+              2 * (j // ch) * ch + (j % ch)) AS src
+          FROM q),
+        c AS (
+          SELECT s.doc_id, s.ch, s.sr, s.fo,
+            list_transform(s.src, i ->
+              ((CASE WHEN q.n = 0 THEN 0
+                     ELSE unicode(substr(q.text, cast(i % q.n as int) + 1, 1)) % 256
+                END * 131 + i * 7 + s.doc_id) % 65536) - 32768) AS vs
+          FROM s JOIN q ON q.doc_id = s.doc_id)
+        SELECT doc_id AS media_id, sr AS sample_rate, ch AS channels,
+          fo AS n_frames,
+          cast(list_sum(vs) as bigint) AS sum_samples,
+          cast(list_sum(list_transform(vs, v -> v * v)) as bigint)
+            AS sum_squares
         FROM c ORDER BY media_id"""))
   )
 }

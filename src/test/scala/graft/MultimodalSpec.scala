@@ -88,6 +88,59 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("WavCodec: encode/decode round-trips samples exactly; decoder " +
+      "walks past unknown chunks with odd-length padding") {
+    for ((ch, frames) <- Seq((1, 7), (2, 5), (2, 1))) {
+      val samples = Array.tabulate[Short](frames * ch)(i =>
+        (i * 12345 - 32768 + (i % 3) * 31111).toShort)
+      val bytes = WavCodec.encode(22050, ch, samples)
+      val (sr, gch, got) = WavCodec.decode(bytes)
+      assert(sr == 22050 && gch == ch)
+      assert(got.toSeq == samples.toSeq, s"sample mismatch ch=$ch")
+    }
+    // splice an odd-length LIST chunk between fmt and data: a decoder
+    // that assumes the canonical 44-byte layout (or forgets the RIFF
+    // pad byte) misparses this
+    val base = WavCodec.encode(8000, 1, Array[Short](100, -200, 32767))
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    val (sr2, ch2, got2) = WavCodec.decode(spliced)
+    assert(sr2 == 8000 && ch2 == 1)
+    assert(got2.toSeq == Seq[Short](100, -200, 32767))
+    // 16-bit edge values survive the signed/unsigned round trip
+    val edge = Array[Short](Short.MinValue, Short.MaxValue, 0, -1)
+    assert(WavCodec.decode(WavCodec.encode(8000, 2, edge))._3.toSeq ==
+      edge.toSeq)
+  }
+
+  test("mm04 path: decimated WAVs decode to the analytic sample stats") {
+    val stats = Multimodal.audioStats(
+      Multimodal.decimateWavHalf(Multimodal.synthesizeWav(spark, sf0001)))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == 500)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute-force the synthesis formula at the decimated indices for a
+    // handful of docs spanning mono/stereo and all sample rates
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 42L)) {
+      val text = docs(id); val n = text.length
+      val ch = (1 + id % 2).toInt
+      val frames = (32 + id % 96).toInt
+      val fo = (frames + 1) / 2
+      val vs = (0 until fo * ch).map { j =>
+        val i = 2 * (j / ch) * ch + j % ch
+        val cp = if (n == 0) 0L else (text.charAt(i % n).toInt % 256).toLong
+        (cp * 131L + i * 7L + id) % 65536L - 32768L
+      }
+      val st = stats(id)
+      assert(st.sample_rate == 8000 + (id % 4) * 4000, s"sr for $id")
+      assert(st.channels == ch && st.n_frames == fo, s"dims for $id")
+      assert(st.sum_samples == vs.sum, s"sum for $id")
+      assert(st.sum_squares == vs.map(v => v * v).sum, s"sumsq for $id")
+    }
+  }
+
   test("mm02 path: synthesized BMPs decode to the analytic pixel sums") {
     val stats = Multimodal.pixelStats(Multimodal.synthesizeBmp(spark, sf0001))
       .collect().map(s => s.media_id -> s).toMap
