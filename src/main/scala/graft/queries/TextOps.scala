@@ -157,9 +157,18 @@ object TextOps {
     *   |A∪B| = |A'|+|B'|−|A∩B| — no shingle ARRAY ever rides a
     *   shuffle and there is no verify join carrying sets.
     */
-  private def postingJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val posts = docs(s, d)
-      .select(col("doc_id"), words(col("text")).as("toks"))
+  private def postingJaccardPairs(s: SparkSession, d: String): DataFrame =
+    postingJaccardPairsFrom(docs(s, d)
+      .select(col("doc_id"), words(col("text")).as("toks")))
+
+  /** [[postingJaccardPairs]] over an arbitrary tokenized corpus slice
+    * (`doc_id`, `toks`) — what lets p01 run the detector on a
+    * PIPELINE STAGE's survivors instead of the raw table. The df≤50
+    * cap is then a frequency semantic of the corpus being deduped,
+    * which is the composition a real run wants.
+    */
+  private def postingJaccardPairsFrom(tokd: DataFrame): DataFrame = {
+    val posts = tokd
       .select(col("doc_id"), explode(shingles3(col("toks"))).as("fp"))
     val okPosts = posts
       .withColumn("df", count(lit(1)).over(
@@ -2137,7 +2146,242 @@ object TextOps {
           cast(k.n_kept as double) / cast(r.n_docs as double)
             AS realized_rate
         FROM rates r JOIN kept k ON k.lang = r.lang
-        ORDER BY r.lang""")))
+        ORDER BY r.lang""")),
+
+    // ------------------------------------------------------------------
+    // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
+    // chains, composed in ONE query with ONE oracle (each stage is
+    // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:
+    // every stage consumes the previous stage's survivors, not the raw
+    // corpus):
+    //   1. x02 quality gate (keep quality ≥ 0.62 — inside the corpus's
+    //      0.60-0.69 score range, so the gate actually bites: ~60%
+    //      survive; the cut is safe to compare cross-engine because
+    //      x02's score doubles are bit-identical),
+    //   2. dedup keep-list over d08's posting-index candidate pairs —
+    //      NOT the bounded all-pairs oracle twin: the whole pipeline
+    //      runs on the full corpus with no window and no data×data
+    //      join, because the detector itself is the at-scale one (the
+    //      df-capped inverted index). CC clusters the pairs; cluster
+    //      representatives (min doc_id) survive,
+    //   3. x15 decontamination (drop benchmark-overlapping docs; the
+    //      benchmark n-gram set comes from the FULL corpus, and bench
+    //      members are excluded from training),
+    //   4. x20 mixture gate — with sampling rates derived from the
+    //      SURVIVING corpus (the composition point: a rate computed on
+    //      the raw corpus would over-sample languages the earlier
+    //      stages depleted),
+    //   5. x17 deterministic hash split.
+    // Output: the per-(split, lang) census of what a training run would
+    // actually read. Everything rides h60, so the oracle re-derives all
+    // five stages bit-for-bit.
+    // ------------------------------------------------------------------
+    "p01_curation_pipeline" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // stage 1: quality gate (x02's exact arithmetic); tokens
+        // aliased once behind their own projection
+        val tokd = docs(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            words(col("text")).as("w"))
+        val nTok = size(col("w")).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+        val stops = size(filter(col("w"), x =>
+          x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+        val avgWordLen =
+          length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+        val q1 = tokd.withColumn("quality",
+          (stops / nTok) * 0.4 +
+            (lit(1.0) - punct / nChars) * 0.3 +
+            when(avgWordLen >= 3 && avgWordLen <= 8, 0.3).otherwise(0.0))
+          .filter(col("quality") >= 0.62)
+          .select(col("doc_id"), col("lang"), col("w"))
+
+        // stage 2: dedup keep-list on stage-1 survivors, candidates
+        // from d08's df-capped posting index (no all-pairs, no window)
+        val dupPairs = postingJaccardPairsFrom(
+          q1.select(col("doc_id"), col("w").as("toks")))
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.components(dupPairs)
+        val q2 = q1.join(cc, col("doc_id") === col("id"), "left")
+          .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+          // bench members never train (x15's corpus-side exclusion)
+          .filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("lang"), col("w"))
+
+        // stage 3: decontamination of stage-2 survivors vs the full
+        // corpus's benchmark docs (x15's gram-8 overlap rule)
+        def grams8(toks: Column): Column =
+          when(size(toks) >= 8,
+            array_distinct(transform(sequence(lit(0), size(toks) - 8), i =>
+              concat_ws(" ", (0 until 8).map(o =>
+                element_at(toks, i + o + 1)): _*))))
+            .otherwise(array().cast("array<string>"))
+        val benchNg = docs(s, d).filter(col("doc_id") % 97 === 0)
+          .select(words(col("text")).as("toks"))
+          .select(explode(grams8(col("toks"))).as("ng"))
+          .distinct()
+        val posts = q2.select(col("doc_id"),
+          explode(grams8(col("w"))).as("ng"))
+        val perDoc = posts.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"))
+        val contam = posts.join(benchNg, "ng").groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        val q3 = q2.select(col("doc_id"), col("lang"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("ngc", coalesce(col("n_ngrams"), lit(0L)))
+          .withColumn("cnc", coalesce(col("n_contaminated"), lit(0L)))
+          .filter(!(col("cnc") >= 5 ||
+            (col("ngc") > 0 && col("cnc").cast("double") /
+              col("ngc").cast("double") > 0.1)))
+          .select(col("doc_id"), col("lang"))
+
+        // stage 4: mixture gate with rates from the SURVIVING corpus
+        val targets = Seq(("en", 0.5), ("zh", 0.2), ("de", 0.1),
+          ("fr", 0.1), ("es", 0.1)).toDF("lang", "target_share")
+        val counts = q3.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val total = counts.agg(sum(col("n_docs")).as("n_total"))
+        val rates = counts.join(targets, "lang")
+          .crossJoin(broadcast(total))
+          .withColumn("rate",
+            least(lit(1.0), col("target_share") *
+              (col("n_total").cast("double") * 0.5) /
+              col("n_docs").cast("double")))
+          .select(col("lang"), col("rate"))
+        val q4 = q3.join(broadcast(rates), "lang")
+          .filter(pmod(graft.functions.PortableHash.h60col(
+            concat(lit("mix_"), col("doc_id"))), lit(1000000L)) <
+            floor(col("rate") * 1000000))
+
+        // stage 5: deterministic split + census (x17)
+        val bucket = pmod(graft.functions.PortableHash.h60col(
+          concat(lit("split_"), col("doc_id"))), lit(100L))
+        q4.withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH RECURSIVE w0 AS (
+          SELECT doc_id, lang, text,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        q1 AS (
+          SELECT doc_id, lang, w FROM (
+            SELECT doc_id, lang, w,
+              (cast(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) as double) / cast(len(w) as double)) * 0.4 +
+              (1.0 - cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) as double) / cast(length(text) as double)) * 0.3 +
+              CASE WHEN (cast(length(regexp_replace(text, '\s+', '', 'g')) as double) / cast(len(w) as double)) >= 3
+                    AND (cast(length(regexp_replace(text, '\s+', '', 'g')) as double) / cast(len(w) as double)) <= 8
+                   THEN 0.3 ELSE 0.0 END AS quality
+            FROM w0) WHERE quality >= 0.62),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sw
+          FROM q1 WHERE len(w) >= 3),
+        dposts AS (SELECT doc_id, unnest(sw) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM dposts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM dposts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        dsizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        prs AS (
+          SELECT s.doc_a, s.doc_b
+          FROM shared s
+          JOIN dsizes x ON x.doc_id = s.doc_a
+          JOIN dsizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        ccx AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src),
+        q2 AS (
+          SELECT q1.doc_id, q1.lang, q1.w FROM q1
+          LEFT JOIN ccx ON ccx.doc_id = q1.doc_id
+          WHERE coalesce(ccx.cluster, q1.doc_id) = q1.doc_id
+            AND q1.doc_id % 97 <> 0),
+        ng AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 8 THEN
+              list_distinct(list_transform(range(1, len(w) - 6),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                  w[i+4], w[i+5], w[i+6], w[i+7])))
+            ELSE [] END AS ngs
+          FROM q2),
+        benchng AS (
+          SELECT DISTINCT unnest(
+            CASE WHEN len(w) >= 8 THEN
+              list_distinct(list_transform(range(1, len(w) - 6),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                  w[i+4], w[i+5], w[i+6], w[i+7])))
+            ELSE [] END) AS ng
+          FROM (SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+                FROM documents WHERE doc_id % 97 = 0)),
+        posts AS (SELECT doc_id, unnest(ngs) AS ng FROM ng),
+        per_doc AS (
+          SELECT doc_id, cast(count(*) as bigint) AS n_ngrams
+          FROM posts GROUP BY doc_id),
+        contam AS (
+          SELECT p.doc_id, cast(count(*) as bigint) AS n_contaminated
+          FROM posts p JOIN benchng b ON p.ng = b.ng GROUP BY p.doc_id),
+        q3 AS (
+          SELECT q2.doc_id, q2.lang FROM q2
+          LEFT JOIN per_doc pd ON pd.doc_id = q2.doc_id
+          LEFT JOIN contam c ON c.doc_id = q2.doc_id
+          WHERE NOT (coalesce(c.n_contaminated, 0) >= 5 OR
+            (coalesce(pd.n_ngrams, 0) > 0 AND
+             cast(coalesce(c.n_contaminated, 0) as double) /
+               cast(pd.n_ngrams as double) > 0.1))),
+        targets(lang, target_share) AS (VALUES
+          ('en', 0.5), ('zh', 0.2), ('de', 0.1), ('fr', 0.1), ('es', 0.1)),
+        counts AS (
+          SELECT lang, cast(count(*) as bigint) AS n_docs
+          FROM q3 GROUP BY lang),
+        total AS (SELECT cast(sum(n_docs) as bigint) AS n_total FROM counts),
+        rates AS (
+          SELECT c.lang,
+            least(1.0, cast(t.target_share as double) *
+              (cast(n_total as double) * 0.5) / cast(c.n_docs as double))
+              AS rate
+          FROM counts c JOIN targets t USING (lang), total),
+        q4 AS (
+          SELECT q3.doc_id, q3.lang FROM q3 JOIN rates r ON r.lang = q3.lang
+          WHERE ('0x' || substr(md5('mix_' || q3.doc_id), 1, 15))::BIGINT
+              % 1000000 < cast(floor(r.rate * 1000000) as bigint)),
+        b AS (
+          SELECT lang,
+            ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100
+              AS bucket
+          FROM q4)
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+          lang, cast(count(*) as bigint) AS n_docs
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY split, lang"""),
+      bench = true))
 
   /** Synthetic-PII fixture rows for x14: one per pattern class, mixed
     * and multi-match cases, and near-miss negatives that probe exactly

@@ -39,7 +39,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "sequential batch twin; streaming watermark is the scale path)"),
     "d12_semantic_scaled" -> ("1-row broadcast codebook + metadata-scale "
       + "fine×coarse centroid argmax (k×√k rows); the corpus-sized side "
-      + "is row-local folds + hash joins only"))
+      + "is row-local folds + hash joins only"),
+    "p01_curation_pipeline" -> ("x20's 1-row corpus-total broadcast; "
+      + "dedup candidates come from d08's posting index (no all-pairs)"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
