@@ -211,12 +211,14 @@ object TextOps {
     }
 
   /** Cosine similarity of two float-array columns, computed in double
-    * (zip_with product + aggregate sum — all codegen'd, no UDF).
+    * over [[graft.functions.VectorDot]] (a fused codegen'd loop — no
+    * UDF, no interpreted lambda frames).
     */
   def cosine(a: Column, b: Column): Column = {
+    // codegen'd fused loop, bit-identical to the aggregate(zip_with(..))
+    // composable form (see VectorDot scaladoc; parity in FunctionsSpec)
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) =>
-        p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorDot.dot(x, y)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
@@ -818,10 +820,8 @@ object TextOps {
         val matC = typedLit(mat)
         def bucket(v: Column): Column =
           aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
-            val proj = aggregate(
-              zip_with(v, element_at(matC, p + 1), (x, c) =>
-                x.cast("double") * c),
-              lit(0.0), (a2, x) => a2 + x)
+            val proj = graft.functions.VectorDot.dot(v,
+              element_at(matC, p + 1))
             acc.bitwiseOR(when(proj > 0, shl(lit(1L), p)).otherwise(0L))
           })
         val base = emb(s, d).withColumn("bkt", bucket(col("embedding")))
@@ -1609,13 +1609,12 @@ object TextOps {
     "d10_semantic_neardup" -> Q(
       (s, d) => {
         def dot(x: Column, y: Column): Column =
-          aggregate(zip_with(x, y, (p, q) =>
-            p.cast("double") * q.cast("double")), lit(0.0),
-            (acc, v) => acc + v)
+          graft.functions.VectorDot.dot(x, y)
         // norm hoisted to once-per-VECTOR (the oracle's own shape:
         // dot/nrm_a/nrm_b) — computing cosine(ea, eb) per pair would
         // re-derive both norms per PAIR, tripling the dominant
-        // interpreted-HOF cost (measured 7.0 s → 3.6 s at sf0.1)
+        // per-pair dot cost (measured 7.0 s → 3.6 s at sf0.1 in the
+        // interpreted-HOF era; VectorDot keeps the same shape fused)
         val assigned = assignToCodebook(s, d)
           .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
         val a = assigned.select(col("cent_id"), col("vec_id").as("vec_a"),
@@ -1751,9 +1750,7 @@ object TextOps {
     "d12_semantic_scaled" -> Q(
       (s, d) => {
         def dot(x: Column, y: Column): Column =
-          aggregate(zip_with(x, y, (p, q) =>
-            p.cast("double") * q.cast("double")), lit(0.0),
-            (acc, v) => acc + v)
+          graft.functions.VectorDot.dot(x, y)
         val bandTables = 4
         val planes = 4
         val nVecs = emb(s, d).count() // metadata-scale scalar, like g01's N
@@ -1837,10 +1834,8 @@ object TextOps {
                 val tmat = element_at(matC, bt + 1)
                 aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
                   (acc, p) => {
-                    val proj = aggregate(
-                      zip_with(col("embedding"), element_at(tmat, p + 1),
-                        (x, c) => x.cast("double") * c),
-                      lit(0.0), (a2, x) => a2 + x)
+                    val proj = graft.functions.VectorDot.dot(
+                      col("embedding"), element_at(tmat, p + 1))
                     acc.bitwiseOR(
                       when(proj > 0, shl(lit(1L), p)).otherwise(0L))
                   })

@@ -41,6 +41,43 @@ class FunctionsSpec extends SparkFunSuite {
     }
   }
 
+  test("VectorDot matches the aggregate(zip_with) composable form " +
+      "bit-for-bit, including float/double mixes and null semantics") {
+    import spark.implicits._
+    import graft.functions.VectorDot
+    // adversarial values: denormal-adjacent, sign-of-zero, large/small
+    // magnitude mixes where accumulation ORDER changes the last bits —
+    // equality here proves the op sequence is identical, not just close
+    val vecs = Seq(
+      (1L, Seq(1.5f, -2.25f, 3.125f, 0.1f), Seq(0.3f, 1e30f, -1e-30f, 7f)),
+      (2L, Seq(0.0f, -0.0f, 1e-38f, 3e38f), Seq(-0.0f, 0.0f, 1e38f, 1e-9f)),
+      (3L, Seq.fill(64)(0.1f), Seq.fill(64)(-0.3f)),
+      (4L, Seq.empty[Float], Seq.empty[Float]))
+      .toDF("id", "a", "b")
+    def slow(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) =>
+        p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val rows = vecs.select(col("id"),
+      VectorDot.dot(col("a"), col("b")).as("fast"),
+      slow(col("a"), col("b")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"dot mismatch for id ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // float × double-literal mix (the s02/d12 hyperplane shape)
+    val planes = typedLit(Seq(0.5, -1.25, 2.0, 0.125))
+    val mixed = vecs.filter(col("id") === 1).select(
+      VectorDot.dot(col("a"), planes).as("fast"),
+      slow(col("a"), planes).as("slow")).head()
+    assert(mixed.getDouble(0) == mixed.getDouble(1))
+    // length mismatch → NULL (zip_with pads with null and poisons the sum)
+    val lm = vecs.filter(col("id") === 1).select(
+      VectorDot.dot(col("a"), typedLit(Seq(1.0, 2.0))).as("fast"),
+      slow(col("a"), typedLit(Seq(1.0, 2.0))).as("slow")).head()
+    assert(lm.isNullAt(0) && lm.isNullAt(1))
+  }
+
   test("SimHash60 matches the composable nested-aggregate form") {
     import spark.implicits._
     val docs = Seq(
