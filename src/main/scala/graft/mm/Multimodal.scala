@@ -402,6 +402,125 @@ object Multimodal {
     }
   }
 
+  /** REAL video container (the demux is real; only the pixel synthesis
+    * is the deterministic stand-in): a minimal packetized stream — a
+    * 16-byte [[StubCodec]]-layout header (magic, width, height, frame
+    * count) followed by `frame count` complete [[BmpCodec]] images
+    * back-to-back. The demuxer WALKS the packet list, reading each
+    * frame's length from the BMP's own little-endian file-size field
+    * (bytes 2-5) — variable-length packet walking, the discipline a
+    * real MP4/MKV demux needs — rather than assuming a fixed frame
+    * stride. Packets are sliced without decoding, so a frame-sampling
+    * consumer pays pixel-decode cost only for the frames it keeps.
+    */
+  object VideoContainer extends Serializable {
+
+    def mux(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new Array[Byte](16 + frames.iterator.map(_.length).sum)
+      StubCodec.writeHeader(out, w, h, frames.length)
+      var off = 16
+      frames.foreach { f =>
+        System.arraycopy(f, 0, out, off, f.length); off += f.length
+      }
+      out
+    }
+
+    /** Demux to (width, height, undecoded frame packets). */
+    def demux(bytes: Array[Byte]): (Int, Int, IndexedSeq[Array[Byte]]) = {
+      val (w, h, nf) = StubCodec.decodeHeader(bytes)
+      def g16(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      var off = 16
+      val frames = (0 until nf).map { _ =>
+        require(off + 6 <= bytes.length && bytes(off) == 'B'.toByte &&
+          bytes(off + 1) == 'M'.toByte, s"bad frame packet at offset $off")
+        val len = g16(off + 2) | (g16(off + 4) << 16)
+        require(len > 6 && off + len <= bytes.length,
+          s"truncated frame packet at offset $off")
+        val f = java.util.Arrays.copyOfRange(bytes, off, off + len)
+        off += len
+        f
+      }
+      require(off == bytes.length, "trailing bytes after the last frame")
+      (w, h, frames)
+    }
+  }
+
+  /** Synthesize a REAL multi-frame video per document: nf = 2 + id%10
+    * frames of a (4 + id%8) × (4 + id·3%8) raster, each frame a real
+    * [[BmpCodec]] image muxed into the [[VideoContainer]] packet
+    * stream. Pixel (frame f, row-major idx) with n = char-length(text):
+    *
+    *   cp = codepoint(text[(f + idx) mod n])   (0 when n = 0)
+    *   r = cp mod 256,  g = (idx·31 + f·7 + id) mod 256,
+    *   b = (idx + f + r) mod 256
+    *
+    * — computable from the raw text alone, so the mm05 oracle verifies
+    * the whole mux → demux → frame-sample → per-frame BMP decode chain
+    * without seeing a byte of video.
+    */
+  def synthesizeVideo(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.length
+        val w = (4 + id % 8).toInt
+        val h = (4 + (id * 3) % 8).toInt
+        val nf = (2 + id % 10).toInt
+        val frames = (0 until nf).map { f =>
+          BmpCodec.encode(w, h, { idx =>
+            val cp = if (n == 0) 0 else text.charAt((f + idx) % n).toInt
+            val r = cp % 256
+            val g = ((idx.toLong * 31 + f * 7 + id) % 256).toInt
+            val b = (idx + f + r) % 256
+            (r, g, b)
+          })
+        }
+        MediaRecord(id, s"synth://video/$id", "video/x-graft",
+          VideoContainer.mux(w, h, frames))
+      }
+  }
+
+  final case class VideoStats(media_id: Long, width: Int, height: Int,
+      n_frames: Int, n_sampled: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Batched partition-local frame sampling: demux the container, keep
+    * every `everyNth`-th frame (0, n, 2n, …), BMP-decode ONLY the kept
+    * frames (unsampled packets are skipped by length — the point of
+    * keyframe sampling when video dominates a 100 TB lake), and sum the
+    * decoded channels. Binary column projected away after the decode.
+    */
+  def sampleFrameStats(media: Dataset[MediaRecord], everyNth: Int = 3,
+      batchSize: Int = 64): Dataset[VideoStats] = {
+    require(everyNth > 0, "everyNth must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, packets) = VideoContainer.demux(rec.content)
+          var sr = 0L; var sg = 0L; var sb = 0L; var ns = 0
+          var f = 0
+          while (f < packets.length) {
+            val (fw, fh, px) = BmpCodec.decode(packets(f))
+            require(fw == w && fh == h, "frame dims disagree with header")
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+            ns += 1
+            f += everyNth
+          }
+          VideoStats(rec.media_id, w, h, packets.length, ns, sr, sg, sb)
+        }
+      }
+    }
+  }
+
   /** Batched partition-local pixel statistics over real decoded BMPs:
     * per-channel sums + dimensions. Binary column projected away after
     * the decode; exact integer sums (no float accumulation order).

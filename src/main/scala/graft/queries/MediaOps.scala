@@ -156,6 +156,55 @@ object MediaOps {
           cast(list_sum(vs) as bigint) AS sum_samples,
           cast(list_sum(list_transform(vs, v -> v * v)) as bigint)
             AS sum_squares
-        FROM c ORDER BY media_id"""))
+        FROM c ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // REAL-container video frame sampling: per-doc multi-frame video
+    // (real BMP frames muxed into a packetized container) → demux →
+    // keep every 3rd frame → decode ONLY the kept frames → channel
+    // sums. The oracle evaluates the per-frame pixel formula at the
+    // sampled frame indices (0, 3, 6, …) — a packet-length walk bug,
+    // off-by-one in the sampling stride, or any BMP decode fault is a
+    // hash mismatch, and it never sees a byte of the container.
+    // ------------------------------------------------------------------
+    "mm05_video_frame_sample" -> Q(
+      (s, d) =>
+        Multimodal.sampleFrameStats(Multimodal.synthesizeVideo(s, d))
+          .toDF()
+          .orderBy(col("media_id")),
+      Some("""WITH p AS (
+          SELECT doc_id,
+            cast(4 + doc_id % 8 as int) AS w,
+            cast(4 + (doc_id * 3) % 8 as int) AS h,
+            cast(2 + doc_id % 10 as int) AS nf,
+            length(text) AS n, text
+          FROM documents),
+        f AS (
+          SELECT doc_id, w, h, nf, n, text,
+            unnest(range(0, nf, 3)) AS fr
+          FROM p),
+        c AS (
+          SELECT doc_id, w, h, nf,
+            list_sum(list_transform(range(0, w*h), idx ->
+              CASE WHEN n = 0 THEN 0
+                   ELSE unicode(substr(text, cast((fr + idx) % n as int) + 1, 1)) % 256
+              END)) AS sr,
+            list_sum(list_transform(range(0, w*h), idx ->
+              (idx * 31 + fr * 7 + doc_id) % 256)) AS sg,
+            list_sum(list_transform(range(0, w*h), idx ->
+              (idx + fr +
+               CASE WHEN n = 0 THEN 0
+                    ELSE unicode(substr(text, cast((fr + idx) % n as int) + 1, 1)) % 256
+               END) % 256)) AS sb
+          FROM f)
+        SELECT doc_id AS media_id, w AS width, h AS height,
+          nf AS n_frames,
+          cast(count(*) as int) AS n_sampled,
+          cast(sum(sr) as bigint) AS sum_r,
+          cast(sum(sg) as bigint) AS sum_g,
+          cast(sum(sb) as bigint) AS sum_b
+        FROM c
+        GROUP BY doc_id, w, h, nf
+        ORDER BY media_id"""))
   )
 }

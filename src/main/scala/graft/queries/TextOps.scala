@@ -1112,6 +1112,113 @@ object TextOps {
       bench = true),
 
     // ------------------------------------------------------------------
+    // ANN quality evaluation: recall@10 of the IVF 2-probe path (s03's
+    // index shape) against exact brute-force ground truth, batched over
+    // the 10 query vectors vec_id < 10 — the measurement a production
+    // similarity-search deployment runs before trusting an index. The
+    // ground-truth side is the expensive one and is bounded by the
+    // query batch (10 × corpus row-local cosines, one broadcast of the
+    // 10-vector batch — no shuffle grows with the corpus); the IVF side
+    // reuses the same row-local literal-codebook argmax as s03. Exact
+    // and approximate top-10 sets are intersected per query; ties
+    // broken by vec_id on BOTH sides and in the oracle, so recall is
+    // hash-stable, not approximately-equal.
+    // ------------------------------------------------------------------
+    "s04_ann_recall" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = emb(s, d)
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        // exact ground truth: top-10 per query by cosine
+        val exact = base.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("vec_id"))
+        // IVF side: each query probes its 2 nearest centroids
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val probes = cents.crossJoin(broadcast(queries))
+          .withColumn("qsim", cosine(col("ce"), col("qe")))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("qsim").desc, col("cent_id"))))
+          .filter(col("rn") <= 2)
+          .select(col("q_id").as("pq_id"), col("cent_id").as("probe_cent"))
+        val approx = assignToCodebook(s, d)
+          .join(broadcast(probes), col("cent_id") === col("probe_cent"))
+          .join(broadcast(queries), col("pq_id") === col("q_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("q_id").as("aq_id"), col("vec_id").as("a_vec"))
+        exact.join(approx,
+            col("q_id") === col("aq_id") && col("vec_id") === col("a_vec"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_vec")).as("n_hits"))
+          .withColumn("recall", col("n_hits").cast("double") / lit(10.0))
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+              WHERE vec_id < 10),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, n.vec_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC,
+                  n.vec_id) AS rn
+            FROM n, q WHERE n.vec_id <> q.q_id)
+          WHERE rn <= 10),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+              WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT n.vec_id, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / n.nrm / c.cnrm DESC,
+                  c.cent_id) AS rn
+            FROM n, c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT q_id, cent_id FROM (
+            SELECT q.q_id, c.cent_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY list_dot_product(c.cv, q.qv) / c.cnrm / q.qnrm DESC,
+                  c.cent_id) AS rn
+            FROM c, q)
+          WHERE rn <= 2),
+        approx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT p.q_id, a.vec_id,
+              row_number() OVER (PARTITION BY p.q_id
+                ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC,
+                  a.vec_id) AS rn
+            FROM asgn a
+            JOIN probes p ON a.cent_id = p.cent_id
+            JOIN n ON n.vec_id = a.vec_id
+            JOIN q ON q.q_id = p.q_id
+            WHERE a.vec_id <> p.q_id)
+          WHERE rn <= 10)
+        SELECT e.q_id, cast(count(a.vec_id) as bigint) AS n_hits,
+          cast(count(a.vec_id) as double) / 10.0 AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        GROUP BY e.q_id
+        ORDER BY e.q_id""")),
+
+    // ------------------------------------------------------------------
     // Full-corpus EXACT near-dup via an inverted shingle index — the
     // scalable exact middle path between d02 (all-pairs, bounded to an
     // oracle window) and d03 (probabilistic LSH). Explode shingles,

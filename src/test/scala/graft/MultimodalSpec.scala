@@ -165,6 +165,54 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("VideoContainer: mux/demux walks variable-length packets exactly") {
+    // frames of different dims would break a fixed-stride walker; here
+    // all frames share dims (the container contract) but lengths still
+    // come from each BMP's own file-size field — corrupt it and the
+    // demux must fail loudly rather than resynchronize by accident
+    val frames = (0 until 4).map(f =>
+      BmpCodec.encode(5, 3, idx => ((idx + f) % 256, f, idx % 256)))
+    val muxed = VideoContainer.mux(5, 3, frames)
+    val (w, h, got) = VideoContainer.demux(muxed)
+    assert(w == 5 && h == 3 && got.length == 4)
+    got.zip(frames).foreach { case (g, e) => assert(g.toSeq == e.toSeq) }
+    val corrupt = muxed.clone()
+    corrupt(16 + 2) = (corrupt(16 + 2) + 1).toByte // first frame's length
+    intercept[IllegalArgumentException](VideoContainer.demux(corrupt))
+  }
+
+  test("mm05 path: frame-sampled video stats match the analytic formula") {
+    val stats = Multimodal.sampleFrameStats(
+      Multimodal.synthesizeVideo(spark, sf0001))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == 500)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute-force the per-frame pixel formula at the sampled frame
+    // indices for docs spanning frame counts 2..11
+    for (id <- Seq(0L, 1L, 5L, 9L, 13L, 42L, 101L)) {
+      val text = docs(id); val n = text.length
+      val w = (4 + id % 8).toInt; val h = (4 + (id * 3) % 8).toInt
+      val nf = (2 + id % 10).toInt
+      val sampled = 0 until nf by 3
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (f <- sampled; idx <- 0 until w * h) {
+        val cp = if (n == 0) 0 else text.charAt((f + idx) % n).toInt
+        val r = cp % 256
+        sr += r
+        sg += (idx.toLong * 31 + f * 7 + id) % 256
+        sb += (idx + f + r) % 256
+      }
+      val s = stats(id)
+      assert(s.width == w && s.height == h && s.n_frames == nf,
+        s"dims for $id")
+      assert(s.n_sampled == sampled.size, s"sample count for $id")
+      assert(s.sum_r == sr && s.sum_g == sg && s.sum_b == sb,
+        s"channel sums mismatch for video $id")
+    }
+  }
+
   test("BmpCodec half-resize: picks exactly the even-indexed pixels, " +
     "odd dims round up") {
     // 5×3 image with idx-identifying channels: out should be 3×2 of

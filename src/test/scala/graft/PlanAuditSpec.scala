@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkFunSuite {
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",
     "s02_ann_lsh" -> "1-row query vector broadcast",
     "s03_ivf_ann" -> "codebook (8 rows) + query vector broadcasts",
+    "s04_ann_recall" -> ("10-row query-batch broadcast on both the "
+      + "ground-truth and probe sides; corpus side stays hash-joined"),
     "e06_asof_join" -> ("as-of union+window plan (no NL; listed for the "
       + "scalar-subquery guard only)"),
     "e08_late_data" -> ("global arrival-order audit window (documented "

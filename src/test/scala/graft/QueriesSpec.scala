@@ -47,6 +47,22 @@ class QueriesSpec extends SparkFunSuite {
     }
   }
 
+  test("s04 ANN recall: one row per query vector, recall well-formed " +
+      "and consistent with the s03/s01 intersection for vec 0") {
+    val rows = q("s04_ann_recall").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val (hits, rec) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 10 && rec == hits / 10.0)
+    }
+    // vec 0 is exactly s03's query: its recall must equal the measured
+    // s01∩s03 top-10 overlap
+    val exact0 = q("s01_cosine_topk").collect().map(_.getLong(0)).toSet
+    val ivf0 = q("s03_ivf_ann").collect().map(_.getLong(0)).toSet
+    val hit0 = rows.find(_.getLong(0) == 0L).get.getLong(1)
+    assert(hit0 == exact0.intersect(ivf0).size.toLong)
+  }
+
   test("q32: approx_count_distinct within 5% of exact") {
     val r = q("q32_approx_distinct").head()
     val (ap, ao, ep, eo) =
