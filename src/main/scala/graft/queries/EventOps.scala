@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import Catalog._
 
@@ -310,5 +311,60 @@ object EventOps {
         FROM a JOIN c ON c.user_id = a.user_id
         WHERE datediff('day', c.cohort_day, a.day) <= 7
         GROUP BY 1, 2
-        ORDER BY cohort_day, day_offset""")))
+        ORDER BY cohort_day, day_offset""")),
+
+    // ------------------------------------------------------------------
+    // Z-order (Morton) layout clustering over (user_id, event-minute) —
+    // the data-layout operator behind multi-dimension file skipping in
+    // every serious lakehouse. Sorting 100 TB of events by time alone
+    // makes user_id-predicate scans read everything (and vice versa);
+    // sorting by the bit-interleaved Z-value gives every file a TIGHT
+    // min/max envelope on BOTH dimensions, so either predicate prunes.
+    // The query computes the 32-bit Z-value row-locally (pure codegen'd
+    // bit ops — the same expression a repartitionByRange(z) writer
+    // would sort by), buckets on the top 10 Z-bits (= 1024 would-be
+    // files), and emits each bucket's per-dimension envelope: the
+    // min/max stats a parquet footer would carry. Narrow envelopes on
+    // both dims at once IS the Z-order guarantee — an interleaved
+    // recursive quadrant decomposition — and the oracle re-derives the
+    // interleave bit-for-bit. One shuffle (the bucket agg).
+    // ------------------------------------------------------------------
+    "e11_zorder_layout" -> Q(
+      (s, d) => {
+        def interleave(c: Column, offset: Int): Column =
+          (0 until 16).map { i =>
+            shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + offset)
+          }.reduce(_ bitwiseOR _)
+        val ev = t(s, d, "events")
+          .select(pmod(col("user_id"), lit(65536L)).as("ux"),
+            pmod(expr("unix_seconds(ts) div 60"), lit(65536L)).as("my"))
+        ev.select(col("ux"), col("my"),
+            interleave(col("ux"), 0).bitwiseOR(interleave(col("my"), 1))
+              .as("z"))
+          .groupBy(shiftright(col("z"), 22).as("z_bucket"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ux")).as("min_user"), max(col("ux")).as("max_user"),
+            min(col("my")).as("min_minute"),
+            max(col("my")).as("max_minute"))
+          .orderBy(col("z_bucket"))
+      },
+      Some {
+        val xBits = (0 until 16)
+          .map(i => s"(((ux >> $i) & 1) << ${2 * i})").mkString(" | ")
+        val yBits = (0 until 16)
+          .map(i => s"(((my >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+        s"""WITH ev AS (
+          SELECT user_id % 65536 AS ux,
+            (cast(floor(epoch(cast(ts as timestamp))) as bigint) // 60)
+              % 65536 AS my
+          FROM events),
+        z AS (
+          SELECT ux, my, ($xBits) | ($yBits) AS z FROM ev)
+        SELECT z >> 22 AS z_bucket, count(*) AS n_events,
+          min(ux) AS min_user, max(ux) AS max_user,
+          min(my) AS min_minute, max(my) AS max_minute
+        FROM z
+        GROUP BY 1
+        ORDER BY z_bucket"""
+      }))
 }

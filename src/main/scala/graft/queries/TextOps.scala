@@ -2251,6 +2251,87 @@ object TextOps {
         ORDER BY r.lang""")),
 
     // ------------------------------------------------------------------
+    // Corpus-trained bigram language-model score — the CCNet/Gopher
+    // "perplexity filter" stage: score each document by how predictable
+    // its bigrams are under a bigram MLE model trained on the corpus
+    // itself. Classic KenLM filtering is float log-prob; that can never
+    // hash-match across engines, so the score is the integer-exact
+    // analog: per bigram occurrence, p_scaled = (1e6·c2) div c1 where
+    // c2 = corpus count of the bigram and c1 = corpus count of bigrams
+    // starting with its first word (so p_scaled ≈ 1e6·P(w2|w1)); the
+    // document score is the integer mean over its bigram occurrences.
+    // Template/boilerplate text scores high, novel text scores low —
+    // the inverse of x13's novelty, but trained, not df-thresholded.
+    //
+    // Scale shape: ONE tokenize pass. Doc-bigram occurrence counts
+    // (shuffle on (doc_id, bg)) feed BOTH the model (c2 = sum n by bg;
+    // c1 re-aggregated from c2 by prefix — the model is derived, never
+    // re-scans the corpus) and the scoring join (model joined back on
+    // bg — a keyed hash join, NOT a broadcast: at 100 TB the bigram
+    // vocabulary is data-sized). Zipf skew on hot bigrams lands on the
+    // (doc_id, bg) pre-aggregation, which spreads any hot bigram across
+    // its documents' partitions before the bg-keyed exchange.
+    // ------------------------------------------------------------------
+    "x21_bigram_lm_score" -> Q(
+      (s, d) => {
+        val bigrams =
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>"))
+        // explode of the bigram expression over once-aliased toks (the
+        // d08/x13 fast generate shape); NO array_distinct — the LM
+        // needs occurrence multiplicity
+        val occ = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), explode(bigrams).as("bg"))
+          .groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("n"))
+        val c2 = occ.groupBy(col("bg")).agg(sum(col("n")).as("c2"))
+        val c1 = c2
+          .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+          .agg(sum(col("c2")).as("c1"))
+        val model = c2
+          .withColumn("w1", element_at(split(col("bg"), " "), 1))
+          .join(c1, "w1")
+          .select(col("bg"),
+            expr("(1000000 * c2) div c1").as("p_scaled"))
+        occ.join(model, "bg")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_bigrams"),
+            sum(col("n") * col("p_scaled")).as("total_scaled"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("total_scaled div n_bigrams").as("lm_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS MATERIALIZED (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        occ AS MATERIALIZED (
+          SELECT doc_id, bg, cast(count(*) as bigint) AS n FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+              toks[i] || ' ' || toks[i+1])) AS bg
+            FROM t WHERE len(toks) >= 2) u
+          GROUP BY doc_id, bg),
+        c2 AS MATERIALIZED (
+          SELECT bg, cast(sum(n) as bigint) AS c2 FROM occ GROUP BY bg),
+        c1 AS MATERIALIZED (
+          SELECT string_split(bg, ' ')[1] AS w1,
+            cast(sum(c2) as bigint) AS c1
+          FROM c2 GROUP BY 1),
+        model AS (
+          SELECT c2.bg, (1000000 * c2.c2) // c1.c1 AS p_scaled
+          FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+        SELECT o.doc_id, cast(sum(o.n) as bigint) AS n_bigrams,
+          cast(sum(o.n * m.p_scaled) // sum(o.n) as bigint) AS lm_score
+        FROM occ o JOIN model m USING (bg)
+        GROUP BY o.doc_id
+        ORDER BY o.doc_id"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:
