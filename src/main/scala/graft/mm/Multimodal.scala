@@ -546,6 +546,58 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Batched perceptual average-hash (aHash) over real decoded BMPs —
+    * the image-side analog of SimHash: images that look alike get
+    * nearby 64-bit hashes, so image NEAR-dup detection becomes the
+    * same band-bucketed pipeline as text near-dup (d04), never an
+    * image×image comparison. All-integer and deterministic, hence
+    * oracle-hashable:
+    *   - nearest-neighbor resample to 8×8: source pixel for cell
+    *     (x, y) is (x·w div 8, y·h div 8) — floor, matching the mm03
+    *     NN convention;
+    *   - integer grayscale (r+g+b) div 3;
+    *   - threshold each cell against the integer mean of all 64 cells
+    *     (sum div 64), strict >;
+    *   - bit i (little-endian, i = y·8+x) set iff cell i is above
+    *     mean.
+    * aHash is brightness-shift tolerant by construction (the mean
+    * moves with any constant offset), which is exactly the invariance
+    * needed here: duplicate TEXTS synthesize images whose g-channel
+    * differs by a near-constant id offset.
+    */
+  def aHash64(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, px) = BmpCodec.decode(rec.content)
+          val gray = new Array[Int](64)
+          var sum = 0
+          var i = 0
+          while (i < 64) {
+            val sx = (i % 8) * w / 8
+            val sy = (i / 8) * h / 8
+            val p = px(sy * w + sx)
+            val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+            gray(i) = g; sum += g; i += 1
+          }
+          val mean = sum / 64
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (gray(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          ImageHash(rec.media_id, hash)
+        }
+      }
+    }
+  }
+
   /** Batched partition-local metadata decode. `batchSize` models the
     * vectorized-decode batch (mapInPandas' batch shape): a real codec
     * initializes once per partition, then processes batches.

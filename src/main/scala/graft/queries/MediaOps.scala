@@ -205,6 +205,95 @@ object MediaOps {
           cast(sum(sb) as bigint) AS sum_b
         FROM c
         GROUP BY doc_id, w, h, nf
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // IMAGE near-dup via perceptual hashing — dedup for the multimodal
+    // half of a 100 TB lake. Real decode → 8×8 NN aHash (batched
+    // partition-local, see Multimodal.aHash64) → the SAME band-bucketed
+    // candidate pipeline as text SimHash (d04): 4×16-bit bands through
+    // winnowCandidatePairs (groupBy expansion, df-capped — never an
+    // image×image join), then exact hamming ≤ 12 on the candidates.
+    // The pairs found are VISUALLY similar images (same raster dims +
+    // template-similar pixel content); note they are deliberately not
+    // d08's shingle near-dups — two near-identical texts synthesize to
+    // different-sized rasters, and a resized raster reads different
+    // text characters per cell, so image-space similarity is a
+    // different (complementary) signal from shingle-space similarity.
+    // The oracle re-derives every hash analytically from the synthesis
+    // formula — resample indices, integer grayscale, mean threshold,
+    // band split, xor popcount — without decoding a byte.
+    // ------------------------------------------------------------------
+    "mm06_image_phash_neardup" -> Q(
+      (s, d) => {
+        val hashes = Multimodal.aHash64(Multimodal.synthesizeBmp(s, d))
+          .toDF()
+        val bands = hashes.select(col("media_id").as("doc_id"),
+          explode(array((0 until 4).map { j =>
+            (shiftright(col("ahash"), 16 * j).bitwiseAND(lit(65535L)) +
+              lit(j * 65536L)).cast("long")
+          }: _*)).as("fp"))
+        val cand = TextOps.winnowCandidatePairs(bands, minShared = 1,
+            maxDf = 1000)
+          .select(col("doc_a"), col("doc_b"))
+        cand
+          .join(hashes.select(col("media_id").as("doc_a"),
+            col("ahash").as("ha")), "doc_a")
+          .join(hashes.select(col("media_id").as("doc_b"),
+            col("ahash").as("hb")), "doc_b")
+          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+          .filter(col("hamming") <= 12)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, length(text) AS n, text,
+            cast(8 + doc_id % 24 as bigint) AS w,
+            cast(8 + (doc_id * 7) % 24 as bigint) AS h
+          FROM documents),
+        s AS (
+          SELECT doc_id, n, text,
+            list_transform(range(0, 64), i ->
+              ((i % 8) * w // 8) + (((i // 8) * h // 8) * w)) AS src
+          FROM p),
+        g AS (
+          SELECT doc_id,
+            list_transform(src, si ->
+              ((CASE WHEN n = 0 THEN 0
+                  ELSE unicode(substr(text, cast(si % n as int) + 1, 1))
+                    % 256 END)
+               + ((si * 31 + doc_id) % 256)
+               + ((si + (CASE WHEN n = 0 THEN 0
+                    ELSE unicode(substr(text, cast(si % n as int) + 1, 1))
+                      % 256 END)) % 256)) // 3) AS grays
+          FROM s),
+        m AS (SELECT doc_id, grays,
+            cast(list_sum(grays) as bigint) // 64 AS mean FROM g),
+        hsh AS (SELECT doc_id,
+            cast(list_sum(list_transform(range(0, 64), i ->
+              CASE WHEN grays[cast(i as int) + 1] > mean
+                THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                     ELSE 1::BIGINT << cast(i as int) END
+                ELSE 0 END)) as bigint) AS ahash
+          FROM m),
+        bands AS (
+          SELECT doc_id,
+            j * 65536 + ((ahash >> cast(16 * j as int)) & 65535) AS fp
+          FROM hsh, (SELECT unnest(range(0, 4)) AS j) jj),
+        fpok AS (
+          SELECT fp FROM bands GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN fpok f ON f.fp = a.fp
+          JOIN bands b ON b.fp = a.fp AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+          cast(bit_count(xor(x.ahash, y.ahash)) as int) AS hamming
+        FROM cand c
+        JOIN hsh x ON x.doc_id = c.doc_a
+        JOIN hsh y ON y.doc_id = c.doc_b
+        WHERE bit_count(xor(x.ahash, y.ahash)) <= 12
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -213,6 +213,28 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("aHash64: brightness-shift invariant, structure-sensitive") {
+    import spark.implicits._
+    def mk(id: Long, f: Int => (Int, Int, Int)) =
+      MediaRecord(id, s"synth://t/$id", "image/bmp",
+        BmpCodec.encode(16, 16, f))
+    // +40 on every channel shifts each integer gray by exactly 40
+    // ((r+g+b+120) div 3 = gray+40), and the mean shifts with it, so
+    // the thresholded bits — hence the hash — are identical
+    val base = mk(0, idx => (idx % 200, (idx * 3) % 200, (idx * 7) % 200))
+    val bright = mk(1, idx =>
+      (idx % 200 + 40, (idx * 3) % 200 + 40, (idx * 7) % 200 + 40))
+    val reversed = mk(2, idx => ((255 - idx) % 200,
+      ((255 - idx) * 3) % 200, ((255 - idx) * 7) % 200))
+    val hashes = Multimodal.aHash64(
+        spark.createDataset(Seq(base, bright, reversed)))
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hashes(0) == hashes(1),
+      "brightness shift must not change the hash")
+    assert(java.lang.Long.bitCount(hashes(0) ^ hashes(2)) > 10,
+      "structurally different image must be far in hamming space")
+  }
+
   test("BmpCodec half-resize: picks exactly the even-indexed pixels, " +
     "odd dims round up") {
     // 5×3 image with idx-identifying channels: out should be 3×2 of
