@@ -21,8 +21,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * would pay. Insert is binary-search + memmove, and after warm-up
   * almost every row short-circuits on `h >= max`.
   */
-final class KmvKthMin(k: Int)
-    extends Aggregator[Long, Array[Long], Long] {
+sealed abstract class KmvBuffer[OUT](k: Int)
+    extends Aggregator[Long, Array[Long], OUT] {
   require(k >= 2, "k must be >= 2")
 
   def zero: Array[Long] = Array.empty[Long]
@@ -58,6 +58,12 @@ final class KmvKthMin(k: Int)
     if (o == out.length) out else java.util.Arrays.copyOf(out, o)
   }
 
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+final class KmvKthMin(k: Int) extends KmvBuffer[Long](k) {
+
   /** The k-th smallest distinct hash, or -1 when fewer than k distinct
     * values were seen (caller should fall back to exact counting —
     * below k the "sketch" IS the exact distinct set).
@@ -65,8 +71,20 @@ final class KmvKthMin(k: Int)
   def finish(buf: Array[Long]): Long =
     if (buf.length < k) -1L else buf(k - 1)
 
-  def bufferEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** The full sorted min-set, not just its k-th element — the MERGEABLE
+  * form of the sketch. Two min-sets support the whole distinct-set
+  * algebra without revisiting the data: union = k smallest of the
+  * merged sets; intersection via the Jaccard fraction of the merged
+  * min-set that appears in both inputs (Beyer et al., "On synopses for
+  * distinct-value estimation under multiset operations", SIGMOD'07).
+  * This is what per-partition / per-day sketch columns store so that
+  * any ad-hoc slice union can be answered from sketches alone.
+  */
+final class KmvMinSet(k: Int) extends KmvBuffer[Array[Long]](k) {
+  def finish(buf: Array[Long]): Array[Long] = buf
+  def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -366,5 +366,50 @@ object EventOps {
         FROM z
         GROUP BY 1
         ORDER BY z_bucket"""
-      }))
+      }),
+
+    // ------------------------------------------------------------------
+    // Incremental rollup maintenance — materialized-view algebra. A
+    // 100 TB deployment never recomputes a daily rollup from scratch;
+    // it keeps PARTIAL aggregates (count + exact decimal sum — both
+    // associative and commutative) and folds each day's delta in. The
+    // query runs that maintenance path: partials over the base window
+    // (Jan 1-20), partials over the late-arriving delta (Jan 21+),
+    // union, re-aggregate — and the oracle computes the rollup in one
+    // direct pass, so the hash match IS the proof that merge(partials)
+    // ≡ recompute. This is exactly why doubles are banned from
+    // aggregates here (CLAUDE.md invariant): a double sum would make
+    // merged-vs-direct differ in the last ulp and the algebra would
+    // only hold approximately. AVG rides along as merged_sum/merged_n,
+    // derived — never stored — state.
+    // ------------------------------------------------------------------
+    "e12_incremental_rollup" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value"))
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(
+                org.apache.spark.sql.types.DataTypes
+                  .createDecimalType(18, 2))).as("sv"))
+        val base = partials(ev.filter(col("day") < lit("2024-01-21")))
+        val delta = partials(ev.filter(col("day") >= lit("2024-01-21")))
+        base.unionByName(delta)
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("sv")).cast("double").as("total_value"))
+          .withColumn("avg_value",
+            col("total_value") / col("n_events").cast("double"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some(s"""SELECT cast(cast(ts as timestamp) as date) AS day,
+          event_type,
+          count(*) AS n_events,
+          ${sqlDsum("value")} AS total_value,
+          ${sqlDsum("value")} / cast(count(*) as double) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type""")))
 }

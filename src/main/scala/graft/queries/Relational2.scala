@@ -873,6 +873,104 @@ object Relational2 {
         FROM kth, ex""")),
 
     // ------------------------------------------------------------------
+    // KMV set-operation algebra — the reason sketch COLUMNS beat
+    // sketch SCALARS at 100 TB: store each segment's full k-min-set
+    // and any ad-hoc union/intersection across segments is answerable
+    // from the sketches alone, no second scan (Beyer et al.,
+    // SIGMOD'07). Here: per-event-type KMV min-sets (k = 64, bounded
+    // additive state via the KmvMinSet Aggregator — map-side partials,
+    // never a data-sized distinct), then pure array algebra on the
+    // two-row result: union sketch = k smallest of the merged sets
+    // (hash-join-free HOFs on 64-element arrays), intersection via the
+    // Jaccard fraction of the merged min-set present in both inputs.
+    // Exact counts computed alongside; every estimate is h60-derived
+    // and bit-reproducible in DuckDB. Not-full fallback (CASE n < k):
+    // below k the min-set IS the exact distinct set.
+    // ------------------------------------------------------------------
+    "q71_kmv_setops" -> Q(
+      (s, d) => {
+        val k = 64
+        val kmvset = udaf(new graft.functions.KmvMinSet(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val two60 = 1152921504606846976.0 // 2^60, exact as a double
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), col("user_id"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("kmvu_"), col("user_id"))).as("h"))
+        val sk = ev.groupBy(col("event_type"))
+          .agg(kmvset(col("h")).as("mins"))
+        val a = sk.filter(col("event_type") === "click")
+          .select(col("mins").as("ma"))
+        val b = sk.filter(col("event_type") === "purchase")
+          .select(col("mins").as("mb"))
+        val exact = ev.groupBy(col("user_id"))
+          .agg(countDistinct(col("event_type")).as("nt"))
+          .agg(count(lit(1)).as("n_union_exact"),
+            count(when(col("nt") === 2, 1)).as("n_inter_exact"))
+        val estUnion = when(size(col("merged")) < k,
+            size(col("merged")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(two60) /
+            col("hk").cast("double"))
+        val estInter = when(size(col("merged")) < k,
+            col("shared_minvals").cast("double"))
+          .otherwise(col("shared_minvals").cast("double") /
+            lit(k.toDouble) * (lit((k - 1).toDouble) * lit(two60) /
+              col("hk").cast("double")))
+        a.crossJoin(b).crossJoin(exact)
+          .withColumn("merged",
+            slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+          .withColumn("hk",
+            element_at(col("merged"),
+              least(lit(k), size(col("merged"))).cast("int")))
+          .withColumn("shared_minvals",
+            size(filter(col("merged"), x =>
+              array_contains(col("ma"), x) &&
+                array_contains(col("mb"), x))).cast("long"))
+          .select(lit(k.toLong).as("k"),
+            col("n_union_exact"), estUnion.as("est_union"),
+            col("n_inter_exact"), estInter.as("est_inter"),
+            col("shared_minvals"))
+      },
+      Some("""WITH ev AS MATERIALIZED (
+          SELECT event_type, user_id,
+            ('0x' || substr(md5('kmvu_' || user_id), 1, 15))::BIGINT AS h
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        ma AS MATERIALIZED (
+          SELECT h FROM (SELECT DISTINCT h FROM ev
+            WHERE event_type = 'click') x ORDER BY h LIMIT 64),
+        mb AS MATERIALIZED (
+          SELECT h FROM (SELECT DISTINCT h FROM ev
+            WHERE event_type = 'purchase') x ORDER BY h LIMIT 64),
+        merged AS MATERIALIZED (
+          SELECT h FROM (
+            SELECT DISTINCT h FROM (
+              SELECT h FROM ma UNION ALL SELECT h FROM mb) u) x
+          ORDER BY h LIMIT 64),
+        msz AS (SELECT cast(count(*) as int) AS n, max(h) AS hk
+          FROM merged),
+        sh AS (SELECT cast(count(*) as bigint) AS ns FROM merged m
+          WHERE m.h IN (SELECT h FROM ma)
+            AND m.h IN (SELECT h FROM mb)),
+        exact AS (
+          SELECT cast(count(*) as bigint) AS n_union_exact,
+            cast(count(*) FILTER (WHERE nt = 2) as bigint)
+              AS n_inter_exact
+          FROM (SELECT user_id, count(DISTINCT event_type) AS nt
+                FROM ev GROUP BY user_id) g)
+        SELECT 64::BIGINT AS k, e.n_union_exact,
+          CASE WHEN m.n < 64 THEN cast(m.n as double)
+               ELSE 63.0 * 1152921504606846976.0 / cast(m.hk as double)
+          END AS est_union,
+          e.n_inter_exact,
+          CASE WHEN m.n < 64 THEN cast(s.ns as double)
+               ELSE cast(s.ns as double) / 64.0 *
+                 (63.0 * 1152921504606846976.0 / cast(m.hk as double))
+          END AS est_inter,
+          s.ns AS shared_minvals
+        FROM msz m, sh s, exact e""")),
+
+    // ------------------------------------------------------------------
     // Robust outlier detection: per-group median + MAD (median absolute
     // deviation), flagging rows with adev > 1.8·MAD. Exact medians via
     // percentile() — deterministic interpolation in both engines (q38's

@@ -192,6 +192,33 @@ class FunctionsSpec extends SparkFunSuite {
     assert(a.finish(Seq(5L, 6L).foldLeft(a.zero)(a.reduce)) == -1L)
   }
 
+  test("KmvMinSet: set algebra estimates real partial overlap") {
+    // q71's sf0.01 fixture is degenerate (every user does every event
+    // type, Jaccard 1), so the partial-overlap arm of the estimator is
+    // exercised here: two 60-bit-hashed sets of 2000 ids overlapping
+    // on 1000 (ids 0-1999 vs 1000-2999)
+    val k = 64
+    val agg = new graft.functions.KmvMinSet(k)
+    def sketch(ids: Range): Array[Long] =
+      ids.map(i => graft.functions.PortableHash.h60(s"kmvtest_$i"))
+        .foldLeft(agg.zero)(agg.reduce)
+    val ma = sketch(0 until 2000)
+    val mb = sketch(1000 until 3000)
+    assert(ma.length == k && mb.length == k)
+    val merged = agg.merge(ma, mb) // union sketch: k smallest of both
+    val hk = merged(k - 1)
+    val estUnion = (k - 1).toDouble * 1152921504606846976.0 / hk.toDouble
+    val shared = merged.count(h =>
+      ma.contains(h) && mb.contains(h)).toDouble
+    val estInter = shared / k * estUnion
+    assert(math.abs(estUnion - 3000) / 3000 < 0.35,
+      s"union estimate $estUnion far from 3000")
+    assert(math.abs(estInter - 1000) / 1000 < 0.5,
+      s"intersection estimate $estInter far from 1000")
+    // merge is order-insensitive (the mergeability contract)
+    assert(agg.merge(mb, ma).toSeq == merged.toSeq)
+  }
+
   test("PII patterns fire on real PII and leave clean text untouched") {
     import spark.implicits._
     // the oracle corpus is PII-free, so the x12 hash check proves the

@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkFunSuite {
     "s03_ivf_ann" -> "codebook (8 rows) + query vector broadcasts",
     "s04_ann_recall" -> ("10-row query-batch broadcast on both the "
       + "ground-truth and probe sides; corpus side stays hash-joined"),
+    "q71_kmv_setops" -> ("three 1-row frames (two sketches + exact "
+      + "counts) cross-joined; the data-sized work is the bounded "
+      + "KmvMinSet aggregation"),
     "e06_asof_join" -> ("as-of union+window plan (no NL; listed for the "
       + "scalar-subquery guard only)"),
     "e08_late_data" -> ("global arrival-order audit window (documented "
