@@ -458,6 +458,74 @@ object TextOps {
         ORDER BY doc_a, doc_b""")),
 
     // ------------------------------------------------------------------
+    // Per-doc duplicated-span coverage — the "deduplicate SUBSTRINGS,
+    // not documents" signal (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): what fraction of a document's
+    // character positions sit inside a 20-gram that also occurs in
+    // ANOTHER document. x07 finds the near-dup pairs; this is the
+    // per-document coverage number a curation run thresholds on (or
+    // uses to strip the duplicated spans). Cross-doc-ness is
+    // df ≥ 2 over DISTINCT documents, so within-doc repetition (x18's
+    // signal) does not count. Shapes: one gram-keyed shuffle for df
+    // (the per-(doc, gram) pre-dedup spreads hot template grams across
+    // their docs' partitions first), one join back, one per-doc agg —
+    // the d08/x13 posting-index family at character level.
+    // ------------------------------------------------------------------
+    "d13_dup_span_fraction" -> Q(
+      (s, d) => {
+        val L = 20
+        // gram-hash array fed straight to explode over the once-aliased
+        // normalized text (the d08/x13 fast generate shape)
+        val grams =
+          when(length(col("t")) >= L,
+            transform(sequence(lit(0), length(col("t")) - L), i =>
+              graft.functions.PortableHash.h60col(
+                col("t").substr(i + 1, lit(L)))))
+            .otherwise(array().cast("array<long>"))
+        val posts = docs(s, d)
+          .select(col("doc_id"),
+            regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
+          .select(col("doc_id"), explode(grams).as("g"))
+        val perDocGram = posts.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("n"))
+        val df = perDocGram.groupBy(col("g"))
+          .agg(count(lit(1)).as("gdf"))
+        perDocGram.join(df, "g")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_grams"),
+            sum(when(col("gdf") >= 2, col("n"))
+              .otherwise(lit(0L))).as("n_shared"))
+          .withColumn("dup_frac", col("n_shared").cast("double") /
+            col("n_grams").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH norm AS (
+          SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+          FROM documents),
+        posts AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, length(t) - 20 + 2), i ->
+              ('0x' || substr(md5(substr(t, i, 20)), 1, 15))::BIGINT))
+              AS g
+          FROM norm WHERE length(t) >= 20),
+        pdg AS (
+          SELECT doc_id, g, cast(count(*) as bigint) AS n
+          FROM posts GROUP BY doc_id, g),
+        df AS (
+          SELECT g, cast(count(*) as bigint) AS gdf
+          FROM pdg GROUP BY g)
+        SELECT p.doc_id,
+          cast(sum(p.n) as bigint) AS n_grams,
+          cast(sum(CASE WHEN d.gdf >= 2 THEN p.n ELSE 0 END) as bigint)
+            AS n_shared,
+          cast(sum(CASE WHEN d.gdf >= 2 THEN p.n ELSE 0 END) as double) /
+            cast(sum(p.n) as double) AS dup_frac
+        FROM pdg p JOIN df d USING (g)
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
     // Exact dedup: group by normalized-content fingerprint, keep the
     // lowest doc_id as representative (hash-groupBy; one shuffle on the
     // fingerprint — the 100 TB-safe exact-dedup shape).
