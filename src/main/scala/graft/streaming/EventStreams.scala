@@ -153,4 +153,39 @@ object EventStreams {
           else Iterator.empty
       }
   }
+
+  final case class TypeSketch(event_type: String, mins: Array[Long])
+
+  /** Streaming KMV distinct-user sketch per event type — the streaming
+    * face of q71's mergeable-sketch algebra. The per-key state IS the
+    * KmvMinSet buffer (a bounded sorted array of ≤ k longs), folded
+    * incrementally via the same `reduce` the batch Aggregator uses, so
+    * the snapshot after ANY prefix of micro-batches equals the batch
+    * sketch of the same rows — that is the mergeability contract made
+    * operational: batch backfill and streaming ingestion produce
+    * bit-identical sketches, and a downstream q71-style union/
+    * intersection works on either. State per key is k·8 bytes,
+    * regardless of stream length — no watermark needed because the
+    * state is a bounded summary, not a row buffer.
+    */
+  def distinctUserSketch(events: Dataset[UserEvent],
+      k: Int = 64): Dataset[TypeSketch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.KmvMinSet(k)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Long], TypeSketch](
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[UserEvent],
+         state: GroupState[Array[Long]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          batch.foreach { e =>
+            buf = agg.reduce(buf,
+              graft.functions.PortableHash.h60(s"kmvu_${e.user_id}"))
+          }
+          state.update(buf)
+          TypeSketch(tpe, buf)
+      }
+  }
 }

@@ -227,4 +227,48 @@ class StreamingSpec extends SparkFunSuite {
       s"users ${expected.diff(alerted)} should have alerted")
     assert(got.nonEmpty)
   }
+
+  test("streaming KMV sketch over micro-batches equals the batch sketch") {
+    import spark.implicits._
+    // 4 files + maxFilesPerTrigger=1 → 4 genuine micro-batches, so the
+    // per-key state really accumulates across batches
+    val splitDir = Files.createTempDirectory("graft-events-4").toString
+    spark.read.parquet(stagedDir).repartition(4)
+      .write.mode("overwrite").parquet(splitDir)
+    val streamEvents = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[UserEvent]
+    val k = 16 // sf0.001 has few users; k=16 keeps the sketch sketching
+    runToMemory(EventStreams.distinctUserSketch(streamEvents, k).toDF(),
+      "kmvstream", mode = "update")
+    val rows = spark.table("kmvstream").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+    // update mode emits one snapshot per (type, batch); KMV state is
+    // monotone under refinement (size nondecreasing, values pointwise
+    // nonincreasing), so the FINAL snapshot per type is the one with
+    // (max size, then minimal value sum)
+    val finalSnap = rows.groupBy(_._1).map { case (tpe, snaps) =>
+      tpe -> snaps.map(_._2).minBy(a => (-a.length, a.sum))
+    }
+    val agg = new graft.functions.KmvMinSet(k)
+    val batchSketch = spark.read.parquet(stagedDir)
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+      .collect()
+      .groupBy(_._1).map { case (tpe, rs) =>
+        tpe -> rs.map(r =>
+            graft.functions.PortableHash.h60(s"kmvu_${r._2}"))
+          .foldLeft(agg.zero)(agg.reduce)
+      }
+    assert(finalSnap.keySet == batchSketch.keySet)
+    finalSnap.foreach { case (tpe, mins) =>
+      assert(mins.toSeq == batchSketch(tpe).toSeq,
+        s"streaming sketch for $tpe diverges from batch")
+    }
+    // and the snapshots per type really came from >1 micro-batch
+    assert(rows.groupBy(_._1).values.exists(_.length > 1),
+      "expected multiple per-batch snapshots (multi-batch execution)")
+  }
 }
