@@ -82,4 +82,48 @@ object Winnow {
     */
   def winnowFingerprint(text: Column, k: Int = 8, w: Int = 16): Column =
     GraftColumnBridge.column(Winnow(GraftColumnBridge.expression(text), k, w))
+
+  /** Column API: all k-gram h60 hashes of `text`, in position order
+    * (with multiplicity — [[GramHashes]]).
+    */
+  def gramHashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(GramHashes(GraftColumnBridge.expression(text), k))
+}
+
+/** All k-char-gram h60 hashes of a string, in position order and WITH
+  * multiplicity — the building block [[Winnow]] computes internally,
+  * exposed for consumers that need every gram (d13's duplicated-span
+  * coverage counts positions, so it can't use the winnowed subset).
+  *
+  * Exists for the same reason ShingleMinHash does: the composable
+  * `transform(sequence(...), i -> conv(substr(md5(substr(text,...)))))`
+  * form evaluates an interpreted lambda frame plus an md5 → hex-string
+  * → conv parse chain PER GRAM; this expression runs one tight loop
+  * per row with a thread-local digest and direct byte→long extraction.
+  * Values are bit-identical to the composable form (FunctionsSpec) and
+  * to the oracle's `('0x' || substr(md5(substr(t, i, k)), 1, 15))`.
+  */
+final case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "gram length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length
+    if (n < k) return ArrayData.toArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = PortableHash.h60(text.substring(i, i + k))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
 }

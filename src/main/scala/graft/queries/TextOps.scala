@@ -475,13 +475,11 @@ object TextOps {
       (s, d) => {
         val L = 20
         // gram-hash array fed straight to explode over the once-aliased
-        // normalized text (the d08/x13 fast generate shape)
-        val grams =
-          when(length(col("t")) >= L,
-            transform(sequence(lit(0), length(col("t")) - L), i =>
-              graft.functions.PortableHash.h60col(
-                col("t").substr(i + 1, lit(L)))))
-            .otherwise(array().cast("array<long>"))
+        // normalized text (the d08/x13 fast generate shape); GramHashes
+        // is the tight-loop Catalyst expression — the composable
+        // transform+h60col tower pays an interpreted lambda frame and
+        // an md5→hex→conv parse per gram (bit-parity in FunctionsSpec)
+        val grams = graft.functions.Winnow.gramHashes(col("t"), L)
         val posts = docs(s, d)
           .select(col("doc_id"),
             regexp_replace(lower(col("text")), "\\s+", " ").as("t"))

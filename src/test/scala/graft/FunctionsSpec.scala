@@ -192,6 +192,32 @@ class FunctionsSpec extends SparkFunSuite {
     assert(a.finish(Seq(5L, 6L).foldLeft(a.zero)(a.reduce)) == -1L)
   }
 
+  test("GramHashes matches the composable transform+h60col form") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz 0123456789"),
+      (2L, "short"), (3L, ""), (4L, "exactly twenty chars"),
+      (5L, "ünïcödé multibyte grams stress the byte/char offset split"))
+      .toDF("doc_id", "t")
+    val L = 20
+    val fast = docs.select(col("doc_id"),
+      graft.functions.Winnow.gramHashes(col("t"), L).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val slow = docs.select(col("doc_id"),
+      when(length(col("t")) >= L,
+        transform(sequence(lit(0), length(col("t")) - L), i =>
+          graft.functions.PortableHash.h60col(
+            col("t").substr(i + 1, lit(L)))))
+        .otherwise(array().cast("array<long>")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (id, g) =>
+      assert(g == slow(id), s"gram hashes differ for doc $id")
+    }
+    // "exactly twenty chars" (20 chars) has exactly one gram
+    assert(fast(4L).length == 1)
+    assert(fast(2L).isEmpty && fast(3L).isEmpty)
+  }
+
   test("KmvMinSet: set algebra estimates real partial overlap") {
     // q71's sf0.01 fixture is degenerate (every user does every event
     // type, Jaccard 1), so the partial-overlap arm of the estimator is
