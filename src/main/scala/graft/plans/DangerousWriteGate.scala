@@ -63,6 +63,8 @@ object DangerousWriteGate extends Rule[LogicalPlan] {
 /** `spark.sql.extensions` entry point registering the gate. */
 class GraftPlanExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DangerousWriteGate)
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.model.DangerousWrite
 import graft.plans.DangerousWriteGate
+import graft.queries.Catalog
 import java.nio.file.Files
 import org.apache.spark.sql.SaveMode
 
@@ -67,5 +68,58 @@ class PlanGateSpec extends SparkFunSuite {
       sampleDf.write.mode(SaveMode.Overwrite).parquet(s"$dir/t")
       assert(spark.read.parquet(s"$dir/t").count() == 2)
     } finally spark.conf.unset(DangerousWriteGate.ProtectedPathsKey)
+  }
+
+  def withApprox(k: Int)(body: => Unit): Unit = {
+    graft.plans.ApproxDistinctRewrite.install(spark)
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.EnabledKey, "true")
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.KKey, k.toString)
+    try body
+    finally {
+      graft.plans.ApproxDistinctRewrite.uninstall(spark)
+      spark.conf.unset(graft.plans.ApproxDistinctRewrite.EnabledKey)
+      spark.conf.unset(graft.plans.ApproxDistinctRewrite.KKey)
+    }
+  }
+
+  test("approx-distinct rewrite: same query, flag decides exactness, " +
+      "estimate is the deterministic KMV value") {
+    import org.apache.spark.sql.functions._
+    val li = Catalog.t(spark, sf0001, "lineitem")
+    val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val k = 64
+    withApprox(k) {
+      val q = li.agg(countDistinct(col("l_orderkey")).as("n"))
+      // the physical plan must carry the sketch aggregate, not a
+      // distinct expand
+      assert(q.queryExecution.executedPlan.toString
+        .toLowerCase.contains("kmv_estimate"))
+      val est = q.head().getLong(0)
+      // deterministic oracle: fold the same h60 stream through the
+      // same aggregator
+      val agg = new graft.functions.KmvEstimate(k)
+      val expected = agg.finish(
+        li.select(graft.functions.PortableHash.h60col(
+            col("l_orderkey").cast("string")).as("h"))
+          .collect().map(_.getLong(0))
+          .foldLeft(agg.zero)(agg.reduce))
+      assert(est == expected, s"estimate $est != deterministic $expected")
+      assert(math.abs(est - exact).toDouble / exact < 3.0 / math.sqrt(k),
+        s"estimate $est too far from exact $exact")
+      // grouped distinct rewrites too, exact below k per group
+      val grouped = li.groupBy(col("l_linestatus"))
+        .agg(countDistinct(col("l_returnflag")).as("nf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val groupedExact = li.groupBy(col("l_linestatus"))
+        .agg(collect_set(col("l_returnflag")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).size).toMap
+      groupedExact.foreach { case (g, n) =>
+        assert(grouped(g) == n.toLong,
+          s"below-k distinct for group $g must be exact")
+      }
+    }
+    // flag off (uninstalled): identical query is exact again
+    val after = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(after == exact)
   }
 }
