@@ -1285,6 +1285,136 @@ object TextOps {
         ORDER BY e.q_id""")),
 
     // ------------------------------------------------------------------
+    // TRAINED codebook: 2 unrolled Lloyd iterations of k-means over
+    // QUANTIZED embeddings — the training step the IVF/semantic
+    // operators' codebooks come from (s03/d10 seed from raw vectors;
+    // d12 scales k; this TRAINS the centroids). Float k-means can never
+    // hash-match across engines (mean = order-dependent float sums), so
+    // the state is integer fixed-point — the same portability trick as
+    // PageRank: vectors quantize to floor(x·1000) (a float's 24-bit
+    // mantissa times 1000 is exact in a double, so quantization is
+    // bit-identical in both engines), distances are integer L2,
+    // centroid updates are per-dimension floor-div means, ties argmin
+    // to the smallest cent_id. Empty clusters keep their previous
+    // centroid (both engines).
+    //
+    // Scale shape per iteration: assignment is a row-local fold over k
+    // LITERAL centroids (zero shuffle — d10's codebook shape); the
+    // update is one (cid, pos)-keyed aggregation of k·dim rows; the
+    // driver-side collect is k·dim longs (metadata, the PageRank-style
+    // per-round action). At large k the assignment swaps to d12's
+    // broadcast-relation two-level argmax — the dial is the same.
+    // Output: per-cluster size, inertia (sum of round-2 assignment
+    // distances), and the trained-centroid checksum.
+    // ------------------------------------------------------------------
+    "s05_kmeans_quantized" -> Q(
+      (s, d) => {
+        val k = 8
+        val quant = transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+        val base = emb(s, d).select(col("vec_id"), quant.as("qv"))
+        def centArray(cents: Seq[(Long, Seq[Long])]): Column =
+          array(cents.sortBy(_._1).map { case (id, v) =>
+            struct(lit(id).as("cid"),
+              array(v.map(lit(_)).toIndexedSeq: _*).as("cv"))
+          }.toIndexedSeq: _*)
+        // nearest centroid by integer L2; fold ascends cid with strict
+        // <, so ties pick the smallest cid (= row_number over
+        // (dist, cid) in the oracle)
+        def assign(cents: Seq[(Long, Seq[Long])]) =
+          base.select(col("vec_id"), col("qv"),
+            aggregate(centArray(cents),
+              struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
+              (acc, c) => {
+                val dist = aggregate(
+                  zip_with(col("qv"), c.getField("cv"),
+                    (a, b) => (a - b) * (a - b)),
+                  lit(0L), (s2, x) => s2 + x)
+                when(dist < acc.getField("dist"),
+                  struct(dist.as("dist"), c.getField("cid").as("cid")))
+                  .otherwise(acc)
+              }).as("best"))
+            .select(col("vec_id"), col("qv"),
+              col("best.cid").as("cid"), col("best.dist").as("dist"))
+        def step(prev: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
+          val sums = assign(prev)
+            .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+            .groupBy(col("cid"), col("pos"))
+            .agg(expr("sum(v) div count(1)").as("c"))
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          val byCid = sums.groupBy(_._1).map { case (cid, rs) =>
+            cid -> rs.sortBy(_._2).map(_._3).toSeq
+          }
+          prev.map { case (cid, old) => cid -> byCid.getOrElse(cid, old) }
+        }
+        val init = base.filter(col("vec_id") < k)
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+          .sortBy(_._1).toSeq
+        val trained = step(init)
+        val centDf = s.createDataFrame(
+          trained.map { case (cid, v) => (cid, v.sum) })
+          .toDF("cid", "centroid_sum")
+        centDf
+          .join(assign(trained).groupBy(col("cid"))
+              .agg(count(lit(1)).as("n_vectors"),
+                sum(col("dist")).as("inertia")),
+            Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+            coalesce(col("inertia"), lit(0L)).as("inertia"),
+            col("centroid_sum"))
+          .orderBy(col("cid"))
+      },
+      Some("""WITH e AS MATERIALIZED (
+          SELECT vec_id,
+            list_transform(embedding, x ->
+              cast(floor(cast(x as double) * 1000) as bigint)) AS qv
+          FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < 8),
+        a1 AS MATERIALIZED (
+          SELECT vec_id, qv, cid, dist FROM (
+            SELECT e.vec_id, e.qv, c.cid,
+              list_sum(list_transform(range(1, 65), p ->
+                (e.qv[p] - c.cv[p]) * (e.qv[p] - c.cv[p]))) AS dist,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(range(1, 65), p ->
+                  (e.qv[p] - c.cv[p]) * (e.qv[p] - c.cv[p]))), c.cid)
+                AS rn
+            FROM e, c0 c) x WHERE rn = 1),
+        s1 AS (
+          SELECT cid, pos, sum(v) // count(*) AS c FROM (
+            SELECT a.cid, p.pos, a.qv[p.pos] AS v
+            FROM a1 a, (SELECT unnest(range(1, 65)) AS pos) p) y
+          GROUP BY cid, pos),
+        c1l AS (SELECT cid, list(c ORDER BY pos) AS cv
+          FROM s1 GROUP BY cid),
+        c1 AS MATERIALIZED (
+          SELECT c0.cid, coalesce(l.cv, c0.cv) AS cv
+          FROM c0 LEFT JOIN c1l l ON l.cid = c0.cid),
+        a2 AS MATERIALIZED (
+          SELECT vec_id, cid, dist FROM (
+            SELECT e.vec_id, c.cid,
+              list_sum(list_transform(range(1, 65), p ->
+                (e.qv[p] - c.cv[p]) * (e.qv[p] - c.cv[p]))) AS dist,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(range(1, 65), p ->
+                  (e.qv[p] - c.cv[p]) * (e.qv[p] - c.cv[p]))), c.cid)
+                AS rn
+            FROM e, c1 c) x WHERE rn = 1),
+        agg AS (
+          SELECT cid, cast(count(*) as bigint) AS n_vectors,
+            cast(sum(dist) as bigint) AS inertia
+          FROM a2 GROUP BY cid),
+        csum AS (
+          SELECT cid, cast(list_sum(cv) as bigint) AS centroid_sum
+          FROM c1)
+        SELECT s.cid, coalesce(a.n_vectors, 0) AS n_vectors,
+          coalesce(a.inertia, 0) AS inertia, s.centroid_sum
+        FROM csum s LEFT JOIN agg a USING (cid)
+        ORDER BY s.cid""")),
+
+    // ------------------------------------------------------------------
     // Full-corpus EXACT near-dup via an inverted shingle index — the
     // scalable exact middle path between d02 (all-pairs, bounded to an
     // oracle window) and d03 (probabilistic LSH). Explode shingles,

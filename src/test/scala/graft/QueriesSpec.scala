@@ -64,6 +64,29 @@ class QueriesSpec extends SparkFunSuite {
     assert(hit0 == exact0.intersect(ivf0).size.toLong)
   }
 
+  test("s05: trained codebook beats the seed codebook on total inertia") {
+    val rows = q("s05_kmeans_quantized").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == 500L, "every vector assigned")
+    val trainedInertia = rows.map(_.getLong(2)).sum
+    // driver-side oracle for the SEED assignment: quantize exactly as
+    // the query does, assign to the vec_id<8 raw centroids, sum min-L2
+    val vecs = graft.queries.Catalog.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f =>
+          math.floor(f.toDouble * 1000.0).toLong).toArray)
+    val seeds = vecs.filter(_._1 < 8).map(_._2)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seedInertia = vecs.map { case (_, v) => seeds.map(d2(v, _)).min }.sum
+    assert(trainedInertia <= seedInertia,
+      s"training must not increase inertia: $trainedInertia > $seedInertia")
+  }
+
   test("q32: approx_count_distinct within 5% of exact") {
     val r = q("q32_approx_distinct").head()
     val (ap, ao, ep, eo) =
