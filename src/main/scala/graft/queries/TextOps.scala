@@ -2528,6 +2528,85 @@ object TextOps {
       bench = true),
 
     // ------------------------------------------------------------------
+    // Heaps-law vocabulary-growth census over the bigram vocabulary —
+    // the corpus statistic that answers "is more data still adding new
+    // language?" (vocab growth flattening is the classic
+    // diminishing-returns signal for a training corpus; the word-level
+    // vocabulary here is synthetic-tiny at 31 types, the bigram
+    // vocabulary at ~900 types actually grows). Every bigram position
+    // gets a GLOBAL stream index (doc offset = running sum of per-doc
+    // bigram counts in doc_id order + position in doc); a type's first
+    // occurrence is min(global index); the census buckets first
+    // occurrences per 2000-position stretch with a cumulative vocab
+    // size. Buckets where no new type appears are absent (documented,
+    // mirrored). The offset prefix-sum is a window over PER-DOC summary
+    // rows — metadata-scale next to the token stream; at 100 TB the
+    // same number comes from a two-level block prefix sum. Everything
+    // else is the one bigram-keyed min-aggregation.
+    // ------------------------------------------------------------------
+    "x22_vocab_growth" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 2000L
+        val tokd = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            greatest(size(col("toks")).cast("long") - 1L, lit(0L))
+              .as("n"))
+        val offW = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = tokd.withColumn("off",
+          coalesce(sum(col("n")).over(offW), lit(0L)))
+        val bigramArr =
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>"))
+        val cumW = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        offs
+          .select(col("off"), posexplode(bigramArr).as(Seq("pos", "bg")))
+          .select(col("bg"), (col("off") + col("pos")).as("gpos"))
+          .groupBy(col("bg")).agg(min(col("gpos")).as("first_pos"))
+          .groupBy(expr(s"first_pos div $B").as("bucket"))
+          .agg(count(lit(1)).as("n_new_types"))
+          .withColumn("bucket_start", col("bucket") * lit(B))
+          .withColumn("vocab_size", sum(col("n_new_types")).over(cumW))
+          .select(col("bucket"), col("bucket_start"),
+            col("n_new_types"), col("vocab_size"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks,
+            greatest(cast(len(toks) as bigint) - 1, 0) AS n FROM t),
+        o AS (SELECT doc_id, toks,
+            coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS off
+          FROM n),
+        p AS (
+          SELECT unnest(list_transform(
+            range(1, greatest(cast(len(toks) as int), 1)), i ->
+              struct_pack(gpos := off + i - 1,
+                bg := toks[cast(i as int)] || ' ' ||
+                  toks[cast(i as int) + 1]))) AS u
+          FROM o WHERE len(toks) >= 2),
+        f AS (SELECT u.bg AS bg, min(u.gpos) AS first_pos
+          FROM p GROUP BY u.bg),
+        b AS (SELECT first_pos // 2000 AS bucket,
+            cast(count(*) as bigint) AS n_new_types
+          FROM f GROUP BY 1)
+        SELECT bucket, bucket * 2000 AS bucket_start, n_new_types,
+          cast(sum(n_new_types) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+            AS vocab_size
+        FROM b ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:
