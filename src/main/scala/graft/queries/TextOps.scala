@@ -2528,6 +2528,131 @@ object TextOps {
       bench = true),
 
     // ------------------------------------------------------------------
+    // Product quantization + asymmetric-distance scan (the
+    // Jégou/Douze/Schmid PQ-ADC scheme) — the memory side of
+    // production ANN: a 64-dim vector compresses to 8 subspace codes
+    // (one 4-bit-ish code per 8-dim slice against a 16-entry subspace
+    // codebook), and query-time distance is 8 LOOKUPS into a
+    // per-query table instead of 64 multiplies against raw floats. At
+    // 100 TB the raw embeddings don't fit hot storage; the codes do
+    // (64 dims × 4 bytes → 8 bytes/vector), and the scan touches only
+    // them. Integer-exact throughout (s05's floor(x·1000)
+    // quantization), so assignment, LUT, and the ADC sum are all
+    // bit-reproducible: codebook = the vec_id<16 seed slices, the
+    // query's 8×16 lookup table is computed driver-side and enters the
+    // plan as LITERALS — the whole scan is one row-local fold, zero
+    // shuffle, TakeOrdered top-10. exact_dist rides along to show the
+    // approximation against ground truth on the same rows. Measured
+    // honestly: with SEED (untrained) codebooks on the near-uniform
+    // synthetic embeddings, top-10 overlap vs exact is 2/10 — random
+    // vectors have no cluster structure for 16 cells to exploit; the
+    // production dial is s05's trainer run per subspace (and real
+    // embedding corpora cluster). The oracle verifies the MECHANISM
+    // bit-for-bit (codes, LUT, ADC sums), which is what makes the dial
+    // safe to turn.
+    // ------------------------------------------------------------------
+    "s06_pq_adc" -> Q(
+      (s, d) => {
+        val nSub = 8; val subDim = 8; val kCent = 16
+        val quant = transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+        val base = emb(s, d).select(col("vec_id"), quant.as("qv"))
+        val seeds = base.filter(col("vec_id") < kCent)
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+          .sortBy(_._1)
+        val qVec = base.filter(col("vec_id") === 0)
+          .head().getSeq[Long](1)
+        def sliceD2(a: Seq[Long], b: Seq[Long], sub: Int): Long = {
+          var s2 = 0L; var j = 0
+          while (j < subDim) {
+            val dd = a(sub * subDim + j) - b(sub * subDim + j)
+            s2 += dd * dd; j += 1
+          }
+          s2
+        }
+        // per-query LUT: lut(sub)(cid) = |q_sub - cent_cid_sub|²,
+        // driver-side integers straight into the plan as literals
+        val lut = Array.tabulate(nSub, kCent)((sub, c) =>
+          sliceD2(qVec, seeds(c)._2, sub))
+        // per-row: for each subspace, argmin over the 16 literal
+        // centroid slices (ties → smallest cid), then ADC = Σ lut[sub][code]
+        val approxDist = (0 until nSub).map { sub =>
+          val centSlices = array(seeds.map { case (cid, v) =>
+            struct(lit(cid).as("cid"),
+              array((0 until subDim).map(j =>
+                lit(v(sub * subDim + j))).toIndexedSeq: _*).as("cv"))
+          }.toIndexedSeq: _*)
+          val qSlice = array((0 until subDim).map(j =>
+            col("qv").getItem(sub * subDim + j)).toIndexedSeq: _*)
+          val code = aggregate(centSlices,
+            struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
+            (acc, c) => {
+              val dist = aggregate(
+                zip_with(qSlice, c.getField("cv"),
+                  (a, b) => (a - b) * (a - b)),
+                lit(0L), (s2, x) => s2 + x)
+              when(dist < acc.getField("dist"),
+                struct(dist.as("dist"), c.getField("cid").as("cid")))
+                .otherwise(acc)
+            }).getField("cid")
+          element_at(
+            array(lut(sub).map(lit(_)).toIndexedSeq: _*),
+            (code + 1).cast("int"))
+        }.reduce(_ + _)
+        val qLit = array(qVec.map(lit(_)).toIndexedSeq: _*)
+        val exactDist = aggregate(
+          zip_with(col("qv"), qLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (s2, x) => s2 + x)
+        base.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), approxDist.as("approx_dist"),
+            exactDist.as("exact_dist"))
+          .orderBy(col("approx_dist"), col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS MATERIALIZED (
+          SELECT vec_id,
+            list_transform(embedding, x ->
+              cast(floor(cast(x as double) * 1000) as bigint)) AS qv
+          FROM embeddings),
+        q AS (SELECT qv AS quv FROM e WHERE vec_id = 0),
+        cb AS MATERIALIZED (
+          SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < 16),
+        subs AS (SELECT unnest(range(0, 8)) AS sub),
+        codes AS MATERIALIZED (
+          SELECT vec_id, sub, cid AS code FROM (
+            SELECT e.vec_id, s.sub, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id, s.sub ORDER BY
+                list_sum(list_transform(range(1, 9), j ->
+                  (e.qv[cast(s.sub * 8 + j as int)] -
+                   c.cv[cast(s.sub * 8 + j as int)]) *
+                  (e.qv[cast(s.sub * 8 + j as int)] -
+                   c.cv[cast(s.sub * 8 + j as int)]))), c.cid) AS rn
+            FROM e, subs s, cb c) x WHERE rn = 1),
+        lut AS MATERIALIZED (
+          SELECT s.sub, c.cid,
+            list_sum(list_transform(range(1, 9), j ->
+              (q.quv[cast(s.sub * 8 + j as int)] -
+               c.cv[cast(s.sub * 8 + j as int)]) *
+              (q.quv[cast(s.sub * 8 + j as int)] -
+               c.cv[cast(s.sub * 8 + j as int)]))) AS d
+          FROM subs s, cb c, q),
+        ad AS (
+          SELECT codes.vec_id, cast(sum(l.d) as bigint) AS approx_dist
+          FROM codes JOIN lut l
+            ON l.sub = codes.sub AND l.cid = codes.code
+          GROUP BY codes.vec_id),
+        ex AS (
+          SELECT e.vec_id,
+            cast(list_sum(list_transform(range(1, 65), p ->
+              (e.qv[p] - q.quv[p]) * (e.qv[p] - q.quv[p]))) as bigint)
+              AS exact_dist
+          FROM e, q)
+        SELECT a.vec_id, a.approx_dist, x.exact_dist
+        FROM ad a JOIN ex x ON x.vec_id = a.vec_id
+        WHERE a.vec_id <> 0
+        ORDER BY a.approx_dist, a.vec_id LIMIT 10""")),
+
+    // ------------------------------------------------------------------
     // Heaps-law vocabulary-growth census over the bigram vocabulary —
     // the corpus statistic that answers "is more data still adding new
     // language?" (vocab growth flattening is the classic
