@@ -411,5 +411,74 @@ object EventOps {
           ${sqlDsum("value")} / cast(count(*) as double) AS avg_value
         FROM events
         GROUP BY 1, 2
-        ORDER BY day, event_type""")))
+        ORDER BY day, event_type""")),
+
+    // ------------------------------------------------------------------
+    // SCD2 history compaction — the slowly-changing-dimension builder
+    // every warehouse ETL (and every migration backfill) needs: from
+    // the raw event stream, each user's "current state" per day (the
+    // day's LAST event_type; latest ts, event_id tiebreak), collapsed
+    // into validity ranges [valid_from, valid_to] per contiguous run of
+    // equal state — gaps-and-islands via a lag() change flag and a
+    // running-sum island id. Everything is user_id-partitioned windows
+    // over per-(user, day) summary rows (≤ users×days, far below event
+    // count), so the shuffle is dimension-scale, and the window state
+    // per user is a sort run — spillable. Deterministic end to end:
+    // integer/date ops and a total tiebreak on the daily-last pick.
+    // ------------------------------------------------------------------
+    "e13_scd2_history" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("ts"), col("event_id"), col("event_type"))
+        val lastW = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val daily = ev
+          .withColumn("rn", row_number().over(lastW))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"),
+            col("event_type").as("state"))
+        val seqW = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        daily
+          .withColumn("chg",
+            when(lag(col("state"), 1).over(seqW).isNull ||
+              lag(col("state"), 1).over(seqW) =!= col("state"), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("chg")).over(
+            seqW.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("grp"), col("state"))
+          .agg(min(col("day")).as("valid_from"),
+            max(col("day")).as("valid_to"),
+            count(lit(1)).as("n_days"))
+          .select(col("user_id"), col("valid_from"), col("valid_to"),
+            col("state"), col("n_days"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, cast(cast(ts as timestamp) as date) AS day,
+            cast(ts as timestamp) AS tts, event_id, event_type
+          FROM events),
+        daily AS (
+          SELECT user_id, day, event_type AS state FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, day
+              ORDER BY tts DESC, event_id DESC) AS rn FROM ev) x
+          WHERE rn = 1),
+        flagged AS (
+          SELECT user_id, day, state,
+            CASE WHEN lag(state) OVER w IS NULL
+                   OR lag(state) OVER w <> state
+              THEN 1 ELSE 0 END AS chg
+          FROM daily
+          WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        grouped AS (
+          SELECT user_id, day, state,
+            sum(chg) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM flagged)
+        SELECT user_id, min(day) AS valid_from, max(day) AS valid_to,
+          state, cast(count(*) as bigint) AS n_days
+        FROM grouped
+        GROUP BY user_id, grp, state
+        ORDER BY user_id, valid_from""")))
 }
