@@ -87,6 +87,35 @@ class QueriesSpec extends SparkFunSuite {
       s"training must not increase inertia: $trainedInertia > $seedInertia")
   }
 
+  test("e12 algebra: the merged rollup is cutoff-invariant") {
+    // the mergeability property behind e12: splitting the stream at
+    // ANY day and merging partials must equal the direct rollup —
+    // exercised at three cutoffs (everything-in-base, mid, and
+    // everything-in-delta) against the catalog query's fixed cutoff
+    import org.apache.spark.sql.types.DataTypes
+    val ev = graft.queries.Catalog.t(spark, sf0001, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("value"))
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DataTypes.createDecimalType(18, 2)))
+            .as("sv"))
+    def merged(cutoff: String) =
+      partials(ev.filter(col("day") < lit(cutoff)))
+        .unionByName(partials(ev.filter(col("day") >= lit(cutoff))))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+        .collect().map(_.toSeq).toSeq
+    val reference = merged("2024-01-21")
+    for (cutoff <- Seq("2023-01-01", "2024-01-10", "2025-01-01")) {
+      assert(merged(cutoff) == reference,
+        s"merge(partials) must be cutoff-invariant, failed at $cutoff")
+    }
+  }
+
   test("q32: approx_count_distinct within 5% of exact") {
     val r = q("q32_approx_distinct").head()
     val (ap, ao, ep, eo) =
