@@ -40,7 +40,7 @@ object GraftMain {
       |  apply    <migrationsDir> <trackerDir> [--dry-run] [--force] [--pg-version N]
       |           [--lock-timeout D] [--statement-timeout D]   (D like 10s, 1m, 250ms)
       |  rollback <migrationsDir> <trackerDir> (--steps N | --target V)
-      |  plan     <migrationsDir> <trackerDir> [--pg-version N]
+      |  plan     <migrationsDir> <trackerDir> [--pg-version N] [--pending-only]
       |  status   <migrationsDir> <trackerDir>""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -15,21 +15,28 @@ import graft.tracker.ParquetTracker
   * will reach.
   *
   * Usage: runMain graft.cli.PlanMain <migrationsDir> <trackerDir>
-  *        [--pg-version N]
+  *        [--pg-version N] [--pending-only]
+  *
+  * `--pending-only` implements the flag the reference registers on the
+  * stub (`plan.go:19`): by default the plan lists EVERY migration (the
+  * applied ones as one-line status rows), with the flag it restricts
+  * to pending — the view a CI gate wants.
   */
 object PlanMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: PlanMain <migrationsDir> <trackerDir> [--pg-version N]")
+        "usage: PlanMain <migrationsDir> <trackerDir> [--pg-version N] [--pending-only]")
       sys.exit(2)
     }
     val (dir, trackerDir) = (args(0), args(1))
     var pgVersion = 14
+    var pendingOnly = false
     var i = 2
     while (i < args.length) {
       args(i) match {
         case "--pg-version" => pgVersion = args(i + 1).toInt; i += 2
+        case "--pending-only" => pendingOnly = true; i += 1
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
     }
@@ -44,6 +51,10 @@ object PlanMain {
       println(s"Plan: ${pending.length} pending migration(s) " +
         s"(${appliedSet.size} already applied; target PostgreSQL $pgVersion)\n")
       var anyBlocked = false
+      if (!pendingOnly) migrations.filter(m => appliedSet(m.version))
+        .foreach { m =>
+          println(s"${m.version} ${m.name} — already applied")
+        }
       pending.foreach { m =>
         val result = analyzer.analyze(m)
         val stmts = SqlClassifier.parseOrThrow(m.upSql)
