@@ -41,7 +41,7 @@ object GraftMain {
       |           [--lock-timeout D] [--statement-timeout D]   (D like 10s, 1m, 250ms)
       |  rollback <migrationsDir> <trackerDir> (--steps N | --target V)
       |  plan     <migrationsDir> <trackerDir> [--pg-version N] [--pending-only]
-      |  status   <migrationsDir> <trackerDir>""".stripMargin
+      |  status   <migrationsDir> <trackerDir> [--format text|json]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // split persistent flags (anywhere) from subcommand + its args

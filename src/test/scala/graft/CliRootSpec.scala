@@ -118,6 +118,22 @@ class CliRootSpec extends AnyFunSuite {
       "pending-only must not emit applied status rows")
   }
 
+  test("graft status --format json emits machine-readable state " +
+      "(status.go:18's registered value, implemented)") {
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-cli-status-json").toString
+    val (code, out) = graft("status", "/root/repo/fixtures/migrations",
+      tracker, "--format", "json")
+    assert(code == 0, s"status --format json failed:\n$out")
+    val json = out.linesIterator.find(_.startsWith("{")).getOrElse(
+      fail(s"no JSON line in:\n$out"))
+    assert(json.contains("\"applied\":[]"))
+    assert(json.contains("\"pending\":[{\"version\":\"001\""))
+    // parseable by a strict parser (scala.util.parsing not available;
+    // spot-check balanced braces/quotes via a JSON-ish sanity count)
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+  }
+
   test("graft status runs against --migrations-dir from the persistent " +
       "flag (no positional dir)") {
     val tracker = java.nio.file.Files
