@@ -218,5 +218,90 @@ object GraphOps {
           UNION ALL SELECT w AS id FROM tri) z
         GROUP BY id
         ORDER BY triangles DESC, id LIMIT 20"""),
-      bench = true))
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // k-core peeling (k = 80, 3 synchronous rounds) over the
+    // co-purchase graph — the degeneracy-based filter link-graph
+    // pipelines use to separate a corpus's well-connected core from
+    // peripheral noise. Semantics are FIXED-ROUND synchronous peeling
+    // (each round drops every node whose degree in the CURRENT
+    // subgraph is < k, then the edges touching them), not
+    // run-to-fixpoint — bounded rounds are what a scheduled job runs,
+    // and the emitted n_below_k column reports exactly how
+    // unconverged the result still is (7 nodes at sf0.01, after
+    // rounds that bite 97/25/13). Each round is one degree
+    // aggregation + two semi-join-shaped edge filters; edges shrink
+    // monotonically, and the per-round localCheckpoint keeps the plan
+    // constant-size across rounds (the g01 lesson). At 100 TB: k-core
+    // rounds are the same degree-agg + filter the CC/PageRank loops
+    // already run — node-keyed shuffles, no pair explosion anywhere.
+    // ------------------------------------------------------------------
+    "g03_kcore_peel" -> Q(
+      (s, d) => {
+        val k = 80
+        val orderParts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        val canon = orderParts
+          .select(explode(col("ps")).as("a"), col("ps"))
+          .select(col("a"), explode(col("ps")).as("b"))
+          .filter(col("a") < col("b"))
+          .distinct()
+          .localCheckpoint()
+        def degOf(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("a").as("id"))
+            .union(e.select(col("b").as("id")))
+            .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        def peel(e: org.apache.spark.sql.DataFrame) = {
+          val keep = degOf(e).filter(col("deg") >= k).select(col("id"))
+          e.join(keep.select(col("id").as("a")), "a")
+            .join(keep.select(col("id").as("b")), "b")
+            .select(col("a"), col("b"))
+            .localCheckpoint()
+        }
+        val core = peel(peel(peel(canon)))
+        val degF = degOf(core).localCheckpoint()
+        val below = degF
+          .agg(count(when(col("deg") < k, 1)).as("n_below_k"))
+        degF.orderBy(col("deg").desc, col("id")).limit(20)
+          .crossJoin(below)
+          .select(col("id").as("part_id"), col("deg").as("core_deg"),
+            col("n_below_k"))
+          .orderBy(col("core_deg").desc, col("part_id"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        canon AS MATERIALIZED (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        d0 AS (SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+          ) u GROUP BY id),
+        k1 AS (SELECT id FROM d0 WHERE d >= 80),
+        e1 AS MATERIALIZED (SELECT a, b FROM canon
+          JOIN k1 x ON x.id = canon.a JOIN k1 y ON y.id = canon.b),
+        d1 AS (SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM e1 UNION ALL SELECT b AS id FROM e1
+          ) u GROUP BY id),
+        k2 AS (SELECT id FROM d1 WHERE d >= 80),
+        e2 AS MATERIALIZED (SELECT a, b FROM e1
+          JOIN k2 x ON x.id = e1.a JOIN k2 y ON y.id = e1.b),
+        d2 AS (SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM e2 UNION ALL SELECT b AS id FROM e2
+          ) u GROUP BY id),
+        k3 AS (SELECT id FROM d2 WHERE d >= 80),
+        e3 AS MATERIALIZED (SELECT a, b FROM e2
+          JOIN k3 x ON x.id = e2.a JOIN k3 y ON y.id = e2.b),
+        df AS MATERIALIZED (SELECT id, cast(count(*) as bigint) AS d
+          FROM (
+            SELECT a AS id FROM e3 UNION ALL SELECT b AS id FROM e3
+          ) u GROUP BY id),
+        below AS (SELECT cast(count(*) FILTER (WHERE d < 80) as bigint)
+            AS n_below_k FROM df)
+        SELECT t.id AS part_id, t.d AS core_deg, below.n_below_k
+        FROM (SELECT id, d FROM df ORDER BY d DESC, id LIMIT 20) t, below
+        ORDER BY core_deg DESC, part_id""")))
 }

@@ -38,6 +38,8 @@ class PlanAuditSpec extends SparkFunSuite {
     "q71_kmv_setops" -> ("three 1-row frames (two sketches + exact "
       + "counts) cross-joined; the data-sized work is the bounded "
       + "KmvMinSet aggregation"),
+    "g03_kcore_peel" -> ("1-row convergence-census broadcast onto the "
+      + "20-row top-k; peeling rounds are node-keyed joins"),
     "e06_asof_join" -> ("as-of union+window plan (no NL; listed for the "
       + "scalar-subquery guard only)"),
     "e08_late_data" -> ("global arrival-order audit window (documented "
