@@ -36,9 +36,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated filter for local bisection of bench
-    // anomalies; the driver sets no filter → full list
+    // anomalies; the driver sets no filter → full bench list. The
+    // filter selects from the WHOLE catalog (not just bench-flagged
+    // queries) so any query can be timed end-to-end — QProf's
+    // construct-then-time split excludes eager work (localCheckpoint
+    // rounds, driver-side codebook collects), this timer doesn't.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val names = SparkEntry.benchQueries.filter(n => only.forall(_.contains(n)))
+    val names = only match {
+      case Some(sel) => SparkEntry.queries.keys.toSeq.filter(sel).sorted
+      case None => SparkEntry.benchQueries
+    }
     val qmap = SparkEntry.queries
     // Warm-up: run every bench query once at the smallest scale factor
     // to absorb JVM startup + whole-stage-codegen (Janino) compilation —
