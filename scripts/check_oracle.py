@@ -18,6 +18,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    print(f"duckdb {duckdb.__version__}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -37,7 +38,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
             n_fail += 1
             continue
-        ok, msg = compare(spark_df, duck_df)
+        # STRICT native-type gate first: the driver's hash is
+        # type-sensitive (DuckDB HUGEINT from sum()-over-BIGINT hashed
+        # g01/x22 red in r6 while the pandas-stringified compare below
+        # stayed green). Exact DuckDB-type equality is the local stand-in.
+        ok, msg = typecheck(con, out_dir, name, sql)
+        if ok:
+            ok, msg = compare(spark_df, duck_df)
         if ok:
             print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
@@ -47,6 +54,21 @@ def main(sf_dir, out_dir):
     print(f"\n{n_pass} passed, {n_fail} failed, "
           f"{len(oracle)} oracle queries total")
     return 1 if n_fail else 0
+
+
+def typecheck(con, out_dir, name, sql):
+    duck = dict(zip(*[con.sql(f"DESCRIBE ({sql})").df()[c]
+                      for c in ("column_name", "column_type")]))
+    spark = dict(zip(*[
+        con.sql(f"DESCRIBE (SELECT * FROM read_parquet("
+                f"'{out_dir}/{name}/*.parquet'))").df()[c]
+        for c in ("column_name", "column_type")]))
+    bad = [f"{c}: spark={spark.get(c)} duck={duck.get(c)}"
+           for c in sorted(set(duck) | set(spark))
+           if duck.get(c) != spark.get(c)]
+    if bad:
+        return False, "native type mismatch — " + "; ".join(bad)
+    return True, ""
 
 
 def compare(a, b):
@@ -77,9 +99,11 @@ def compare(a, b):
         else:
             eq = av.astype(str).eq(bv.astype(str))
             if not eq.all():
-                i = int(eq.idxmin())
-                return False, (f"col {c}: mismatch at row {i}: "
-                               f"spark={av[i]!r} duck={bv[i]!r}")
+                idx = list(eq[~eq].index[:10])
+                rows = "; ".join(f"[{i}] spark={av[i]!r} duck={bv[i]!r}"
+                                 for i in idx)
+                return False, (f"col {c}: {int((~eq).sum())} mismatching "
+                               f"rows, first {len(idx)}: {rows}")
     return True, ""
 
 

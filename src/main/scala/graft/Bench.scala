@@ -73,7 +73,26 @@ object Bench {
       }
       times.min
     }
+    // Shuffle leg of the calibration: the CPU-only microbench above
+    // declared the r6 driver session healthy while shuffle-heavy
+    // queries ran 2-5× slower than judge re-runs — it never touched
+    // spark.local.dir. This one forces a real exchange (1M rows,
+    // 100k keys) through the same shuffle volume, so sick disk/TRIM
+    // shows up in the artifact even when raw CPU is fine.
+    def calibrateShuffle(): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 1000000L, 1, cpus.toInt)
+          .selectExpr("id % 100000 AS k", "id AS v")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+          .selectExpr("sum(s) AS t").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
     val calPre = calibrate()
+    val calShufPre = calibrateShuffle()
     // 3 timed runs per query; the MIN is the headline (the stable
     // estimate of the plan's actual cost), and min/median/max ride
     // along in "spread" so a round-over-round blip is classifiable
@@ -102,8 +121,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val calPost = calibrate()
+    val calShufPost = calibrateShuffle()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,11 +28,15 @@ object AnalyzeMain {
     var i = 1
     while (i < args.length) {
       args(i) match {
-        case "--config" => configPath = args(i + 1); i += 2
-        case "--pg-version" => pgVersionFlag = Some(args(i + 1).toInt); i += 2
+        case "--config" =>
+          configPath = CliArgs.value(args, i, "--config"); i += 2
+        case "--pg-version" =>
+          pgVersionFlag = Some(CliArgs.value(args, i, "--pg-version").toInt)
+          i += 2
         case "--fail-on-high" => failOnHigh = true; i += 1
         case "--verbose" => verbose = true; i += 1
-        case "--format" => formatFlag = Some(args(i + 1)); i += 2
+        case "--format" =>
+          formatFlag = Some(CliArgs.value(args, i, "--format")); i += 2
         case other =>
           System.err.println(s"unknown flag: $other"); sys.exit(2)
       }

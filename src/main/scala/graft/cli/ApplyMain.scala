@@ -37,14 +37,19 @@ object ApplyMain {
         case "--dry-run" => dryRun = true; i += 1
         case "--force" => force = true; i += 1
         case "--verbose" => verbose = true; i += 1
-        case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
-        case "--pg-version" => pgVersionFlag = Some(args(i + 1).toInt); i += 2
+        case "--jdbc-url" =>
+          jdbcUrl = CliArgs.value(args, i, "--jdbc-url"); i += 2
+        case "--pg-version" =>
+          pgVersionFlag = Some(CliArgs.value(args, i, "--pg-version").toInt)
+          i += 2
         case "--lock-timeout" =>
           lockTimeoutFlag = Some(
-            graft.config.ConfigLoader.parseDurationMs(args(i + 1))); i += 2
+            graft.config.ConfigLoader.parseDurationMs(
+              CliArgs.value(args, i, "--lock-timeout"))); i += 2
         case "--statement-timeout" =>
           statementTimeoutFlag = Some(
-            graft.config.ConfigLoader.parseDurationMs(args(i + 1))); i += 2
+            graft.config.ConfigLoader.parseDurationMs(
+              CliArgs.value(args, i, "--statement-timeout"))); i += 2
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
     }
@@ -122,10 +127,13 @@ object RollbackMain {
     var i = 2
     while (i < args.length) {
       args(i) match {
-        case "--steps" => steps = args(i + 1).toInt; i += 2
-        case "--target" => target = args(i + 1); i += 2
+        case "--steps" =>
+          steps = CliArgs.value(args, i, "--steps").toInt; i += 2
+        case "--target" =>
+          target = CliArgs.value(args, i, "--target"); i += 2
         case "--verbose" => verbose = true; i += 1
-        case "--jdbc-url" => jdbcUrl = args(i + 1); i += 2
+        case "--jdbc-url" =>
+          jdbcUrl = CliArgs.value(args, i, "--jdbc-url"); i += 2
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
     }
@@ -167,6 +175,21 @@ object RollbackMain {
 
   def usage(): Unit = System.err.println(
     "usage: RollbackMain <migrationsDir> <trackerDir> (--steps N | --target V) [--verbose] [--jdbc-url URL]")
+}
+
+object CliArgs {
+  /** `args(i + 1)` with the usage-error exit the reference CLIs use: a
+    * flag given without its value must land on the exit-2 path, not an
+    * ArrayIndexOutOfBoundsException (Cobra prints "flag needs an
+    * argument" and exits non-zero).
+    */
+  def value(args: Array[String], i: Int, flag: String): String = {
+    if (i + 1 >= args.length) {
+      System.err.println(s"$flag requires a value")
+      sys.exit(2)
+    }
+    args(i + 1)
+  }
 }
 
 object CliSpark {

@@ -53,9 +53,12 @@ object GraftMain {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--config" => configPath = args(i + 1); i += 2
-        case "--database-url" => databaseUrl = args(i + 1); i += 2
-        case "--migrations-dir" => migrationsDir = args(i + 1); i += 2
+        case "--config" =>
+          configPath = CliArgs.value(args, i, "--config"); i += 2
+        case "--database-url" =>
+          databaseUrl = CliArgs.value(args, i, "--database-url"); i += 2
+        case "--migrations-dir" =>
+          migrationsDir = CliArgs.value(args, i, "--migrations-dir"); i += 2
         case "--verbose" => verbose = true; i += 1
         case "--version" => println(s"graft $Version"); return
         case "--help" | "-h" => println(usageText); return

@@ -35,7 +35,8 @@ object PlanMain {
     var i = 2
     while (i < args.length) {
       args(i) match {
-        case "--pg-version" => pgVersion = args(i + 1).toInt; i += 2
+        case "--pg-version" =>
+          pgVersion = CliArgs.value(args, i, "--pg-version").toInt; i += 2
         case "--pending-only" => pendingOnly = true; i += 1
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }

@@ -28,7 +28,8 @@ object StatusMain {
     var i = 2
     while (i < args.length) {
       args(i) match {
-        case "--format" => format = args(i + 1); i += 2
+        case "--format" =>
+          format = CliArgs.value(args, i, "--format"); i += 2
         case other => System.err.println(s"unknown flag: $other"); sys.exit(2)
       }
     }

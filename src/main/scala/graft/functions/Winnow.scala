@@ -37,15 +37,10 @@ final case class Winnow(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val n = text.length
-    if (n < k) return ArrayData.toArrayData(Array.empty[Long])
-    val nGrams = n - k + 1
-    val hashes = new Array[Long](nGrams)
+    val hashes = Winnow.gramHashArray(text, k)
+    val nGrams = hashes.length
+    if (nGrams == 0) return ArrayData.toArrayData(Array.empty[Long])
     var i = 0
-    while (i < nGrams) {
-      hashes(i) = PortableHash.h60(text.substring(i, i + k))
-      i += 1
-    }
     if (nGrams <= w) {
       var min = hashes(0)
       i = 1
@@ -88,6 +83,37 @@ object Winnow {
     */
   def gramHashes(text: Column, k: Int): Column =
     GraftColumnBridge.column(GramHashes(GraftColumnBridge.expression(text), k))
+
+  /** h60 of every k-gram of `text` in position order, WITH multiplicity,
+    * where grams are k CODE POINTS — not UTF-16 code units. Spark's
+    * `substring`/`length`, DuckDB's `substr`/`length`, and therefore
+    * both the composable h60col+substring tower and the oracles count
+    * code points; indexing by code unit would split surrogate pairs on
+    * any non-BMP character (emoji, rare CJK) and silently break the
+    * bit-parity contract. For BMP-only text the offset table is the
+    * identity and the hashes are byte-identical to the old code-unit
+    * loop (parity incl. an astral-plane case: FunctionsSpec).
+    */
+  private[functions] def gramHashArray(text: String, k: Int): Array[Long] = {
+    val nChars = text.length
+    val offs = new Array[Int](nChars + 1)
+    var cp = 0
+    var ci = 0
+    while (ci < nChars) {
+      offs(cp) = ci
+      ci += Character.charCount(text.codePointAt(ci))
+      cp += 1
+    }
+    offs(cp) = nChars
+    if (cp < k) return Array.empty[Long]
+    val out = new Array[Long](cp - k + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = PortableHash.h60(text.substring(offs(i), offs(i + k)))
+      i += 1
+    }
+    out
+  }
 }
 
 /** All k-char-gram h60 hashes of a string, in position order and WITH
@@ -111,18 +137,9 @@ final case class GramHashes(child: Expression, k: Int)
 
   override def prettyName: String = "gram_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val n = text.length
-    if (n < k) return ArrayData.toArrayData(Array.empty[Long])
-    val out = new Array[Long](n - k + 1)
-    var i = 0
-    while (i < out.length) {
-      out(i) = PortableHash.h60(text.substring(i, i + k))
-      i += 1
-    }
-    ArrayData.toArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(
+      Winnow.gramHashArray(input.asInstanceOf[UTF8String].toString, k))
 
   override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)

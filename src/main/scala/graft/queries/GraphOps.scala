@@ -64,7 +64,8 @@ object GraphOps {
         it0 AS (SELECT id, (SELECT r_init FROM tele) AS r FROM nodes),
         it1 AS MATERIALIZED (
           SELECT n0.id,
-            (SELECT t FROM tele) + (85 * coalesce(s.contrib, 0)) // 100 AS r
+            cast((SELECT t FROM tele)
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
           FROM nodes n0
           LEFT JOIN (
             SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib
@@ -73,7 +74,8 @@ object GraphOps {
             GROUP BY e.dst) s ON s.id = n0.id),
         it2 AS MATERIALIZED (
           SELECT n0.id,
-            (SELECT t FROM tele) + (85 * coalesce(s.contrib, 0)) // 100 AS r
+            cast((SELECT t FROM tele)
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
           FROM nodes n0
           LEFT JOIN (
             SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib
@@ -82,7 +84,8 @@ object GraphOps {
             GROUP BY e.dst) s ON s.id = n0.id),
         it3 AS MATERIALIZED (
           SELECT n0.id,
-            (SELECT t FROM tele) + (85 * coalesce(s.contrib, 0)) // 100 AS r
+            cast((SELECT t FROM tele)
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
           FROM nodes n0
           LEFT JOIN (
             SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib
@@ -91,7 +94,8 @@ object GraphOps {
             GROUP BY e.dst) s ON s.id = n0.id),
         it4 AS MATERIALIZED (
           SELECT n0.id,
-            (SELECT t FROM tele) + (85 * coalesce(s.contrib, 0)) // 100 AS r
+            cast((SELECT t FROM tele)
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
           FROM nodes n0
           LEFT JOIN (
             SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib
@@ -100,7 +104,8 @@ object GraphOps {
             GROUP BY e.dst) s ON s.id = n0.id),
         it5 AS MATERIALIZED (
           SELECT n0.id,
-            (SELECT t FROM tele) + (85 * coalesce(s.contrib, 0)) // 100 AS r
+            cast((SELECT t FROM tele)
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
           FROM nodes n0
           LEFT JOIN (
             SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib

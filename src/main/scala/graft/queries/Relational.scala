@@ -268,7 +268,7 @@ object Relational {
             col("o_totalprice"))
           .orderBy(col("o_custkey"), col("rn"))
       },
-      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice
+      Some("""SELECT o_custkey, cast(rn as integer) AS rn, o_orderkey, o_totalprice
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                 row_number() OVER (PARTITION BY o_custkey
                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -338,8 +338,8 @@ object Relational {
           .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
       },
       Some("""SELECT p_brand, p_partkey, p_size,
-        rank() OVER w AS rnk,
-        dense_rank() OVER w AS drnk,
+        cast(rank() OVER w as integer) AS rnk,
+        cast(dense_rank() OVER w as integer) AS drnk,
         min(p_size) OVER w2 AS min_size,
         max(p_size) OVER w2 AS max_size
         FROM part
@@ -522,7 +522,8 @@ object Relational {
               "yyyy-MM-dd").as("roundtrip_ts"))
           .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey,
-        date_trunc('month', o_orderdate) AS order_month,
+        cast(date_trunc('month', o_orderdate) as timestamp)
+          AS order_month,
         cast(year(o_orderdate) as bigint) AS order_year,
         cast(month(o_orderdate) as bigint) AS order_month_num,
         cast(day(o_orderdate) as bigint) AS order_day,
@@ -798,8 +799,10 @@ object Relational {
               lit(7))).cast("bigint").as("max_of_three"))
           .orderBy(col("n_nationkey")),
       Some("""SELECT n_nationkey,
-        to_json(struct_pack(name := n_name, region := n_regionkey)) AS as_json,
-        to_json(map_from_entries([{'k': 'nation', 'v': n_name}])) AS map_json,
+        cast(to_json(struct_pack(name := n_name, region := n_regionkey))
+          as varchar) AS as_json,
+        cast(to_json(map_from_entries([{'k': 'nation', 'v': n_name}]))
+          as varchar) AS map_json,
         cast(list_aggregate(range(1, n_nationkey + 2), 'sum') as bigint) AS key_series_sum,
         cast(list_aggregate([n_nationkey, n_regionkey, 7], 'max') as bigint) AS max_of_three
         FROM nation

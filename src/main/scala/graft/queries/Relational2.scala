@@ -61,7 +61,7 @@ object Relational2 {
           .withColumnRenamed("4-NOT SPECIFIED", "n_unspec")
           .withColumnRenamed("5-LOW", "n_low")
           .orderBy(col("yr")),
-      Some("""SELECT year(o_orderdate) AS yr,
+      Some("""SELECT cast(year(o_orderdate) as integer) AS yr,
         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
         count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
         count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
@@ -231,7 +231,7 @@ object Relational2 {
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_orderpriority,
-          ntile(4) OVER w AS tile,
+          cast(ntile(4) OVER w as integer) AS tile,
           percent_rank() OVER w AS pr,
           cume_dist() OVER w AS cd
         FROM orders
@@ -320,7 +320,7 @@ object Relational2 {
             posexplode(split(col("p_name"), " ")))
           .toDF("p_partkey", "pos", "word")
           .orderBy(col("p_partkey"), col("pos")),
-      Some("""SELECT p_partkey, i - 1 AS pos, w[i] AS word
+      Some("""SELECT p_partkey, cast(i - 1 as integer) AS pos, w[i] AS word
         FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
         LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
         ORDER BY p_partkey, pos""")),
@@ -397,7 +397,7 @@ object Relational2 {
           left(p_name, 4) AS name_l4,
           right(p_name, 4) AS name_r4,
           rpad(p_brand, 12, '.') AS brand_pad,
-          levenshtein(p_brand, p_type) AS lev
+          cast(levenshtein(p_brand, p_type) as integer) AS lev
         FROM part ORDER BY p_partkey""")),
 
     // ------------------------------------------------------------------
@@ -514,9 +514,9 @@ object Relational2 {
           cast(cast(o_orderdate as date) + INTERVAL 1 MONTH as date)
             AS next_month,
           last_day(cast(o_orderdate as date)) AS month_end,
-          dayofweek(o_orderdate) + 1 AS dow,
-          quarter(o_orderdate) AS qtr,
-          weekofyear(o_orderdate) AS iso_week,
+          cast(dayofweek(o_orderdate) + 1 as integer) AS dow,
+          cast(quarter(o_orderdate) as integer) AS qtr,
+          cast(weekofyear(o_orderdate) as integer) AS iso_week,
           dayname(o_orderdate) AS day_name
         FROM orders ORDER BY o_orderkey""")),
 
@@ -561,7 +561,8 @@ object Relational2 {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
           .orderBy(col("day"))
       },
-      Some(s"""SELECT date_trunc('day', cast(ts as timestamp)) AS day,
+      Some(s"""SELECT cast(date_trunc('day', cast(ts as timestamp)) as timestamp)
+            AS day,
           count(*) AS n, ${sqlDsum("value")} AS total_value
         FROM events WHERE event_type = 'click'
         GROUP BY day ORDER BY day""")),
@@ -900,10 +901,18 @@ object Relational2 {
               concat(lit("kmvu_"), col("user_id"))).as("h"))
         val sk = ev.groupBy(col("event_type"))
           .agg(kmvset(col("h")).as("mins"))
-        val a = sk.filter(col("event_type") === "click")
-          .select(col("mins").as("ma"))
-        val b = sk.filter(col("event_type") === "purchase")
-          .select(col("mins").as("mb"))
+        // fold the 0-2 per-type rows into ONE row with empty-array
+        // defaults: a global agg yields a row even over empty input, so
+        // an absent segment becomes an empty sketch instead of an empty
+        // cross-join wiping the output (the oracle's aggregate CTEs
+        // always produce their row — rows_match would diverge)
+        val sides = sk.agg(
+          coalesce(first(when(col("event_type") === "click",
+            col("mins")), ignoreNulls = true),
+            array().cast("array<long>")).as("ma"),
+          coalesce(first(when(col("event_type") === "purchase",
+            col("mins")), ignoreNulls = true),
+            array().cast("array<long>")).as("mb"))
         val exact = ev.groupBy(col("user_id"))
           .agg(countDistinct(col("event_type")).as("nt"))
           .agg(count(lit(1)).as("n_union_exact"),
@@ -917,12 +926,16 @@ object Relational2 {
           .otherwise(col("shared_minvals").cast("double") /
             lit(k.toDouble) * (lit((k - 1).toDouble) * lit(two60) /
               col("hk").cast("double")))
-        a.crossJoin(b).crossJoin(exact)
+        sides.crossJoin(exact)
           .withColumn("merged",
             slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+          // guarded: element_at(_, 0) is an ANSI error; an empty merged
+          // set only occurs when both segments are empty, where the
+          // size<k arms never read hk
           .withColumn("hk",
-            element_at(col("merged"),
-              least(lit(k), size(col("merged"))).cast("int")))
+            when(size(col("merged")) >= 1,
+              element_at(col("merged"),
+                least(lit(k), size(col("merged"))).cast("int"))))
           .withColumn("shared_minvals",
             size(filter(col("merged"), x =>
               array_contains(col("ma"), x) &&

@@ -190,6 +190,66 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** One integer-exact Lloyd update of the per-subspace PQ codebooks:
+    * s05's fixed-point k-means applied independently in each of the
+    * nSub subDim-wide slices, in ONE distributed pass (not one job per
+    * subspace — that would scan the embeddings nSub times). Rows
+    * posexplode to (sub, slice); assignment is a row-local argmin
+    * against the nSub×k LITERAL seed slices (zero shuffle, ties to the
+    * smallest cid — the s05/s06 oracle convention); the update is one
+    * (sub, cid, pos)-keyed aggregation whose collect is nSub·k·subDim
+    * longs (codebook metadata, the PageRank-style per-round action).
+    * Centroid means are `sum div count` — both engines truncate
+    * integer division toward zero, so the trained cells are
+    * bit-identical to the oracle's `//` re-derivation. Empty cells
+    * keep their seed centroid.
+    */
+  private def trainPqCodebooks(base: DataFrame, nSub: Int, subDim: Int,
+      seeds: Seq[(Long, Seq[Long])])
+      : IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]] = {
+    val seedSlices = IndexedSeq.tabulate(nSub) { sub =>
+      seeds.map { case (cid, v) =>
+        (cid, IndexedSeq.tabulate(subDim)(j => v(sub * subDim + j)))
+      }.toIndexedSeq
+    }
+    val centsBySub = array(seedSlices.map { subCents =>
+      array(subCents.map { case (cid, cv) =>
+        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*)
+    }: _*)
+    val rows = base
+      .select(col("qv"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"))
+      .select(col("sub"),
+        slice(col("qv"), col("sub") * lit(subDim) + lit(1),
+          lit(subDim)).as("sv"))
+    val assigned = rows.select(col("sub"), col("sv"),
+      aggregate(element_at(centsBySub, col("sub") + 1),
+        struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val dist = aggregate(zip_with(col("sv"), c.getField("cv"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (s2, x) => s2 + x)
+          when(dist < acc.getField("dist"),
+            struct(dist.as("dist"), c.getField("cid").as("cid")))
+            .otherwise(acc)
+        }).getField("cid").as("cid"))
+    val means = assigned
+      .select(col("sub"), col("cid"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("c"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+      .groupBy(_._1)
+      .map { case (key, rs) =>
+        key -> rs.map(_._2).sortBy(_._1).map(_._2).toIndexedSeq
+      }
+    IndexedSeq.tabulate(nSub) { sub =>
+      seedSlices(sub).map { case (cid, cv) =>
+        cid -> means.getOrElse((sub, cid), cv)
+      }
+    }
+  }
+
   /** PII pattern classes, deliberately restricted to syntax shared by
     * Java regex and RE2 (the oracle engine): character classes, bounded
     * repetition, `\b`/`\d` — no lookarounds, no backrefs. Redaction
@@ -468,8 +528,13 @@ object TextOps {
     // df ≥ 2 over DISTINCT documents, so within-doc repetition (x18's
     // signal) does not count. Shapes: one gram-keyed shuffle for df
     // (the per-(doc, gram) pre-dedup spreads hot template grams across
-    // their docs' partitions first), one join back, one per-doc agg —
-    // the d08/x13 posting-index family at character level.
+    // their docs' partitions first), then gdf as a COUNT OVER A WINDOW
+    // BY g — not a groupBy+join-back, whose two consumers of the
+    // tokenize+pre-agg subtree got non-identical exchanges and ran the
+    // expensive gram scan twice (the d08 lesson, re-flagged by the r6
+    // plan audit); the window form makes the plan LINEAR, so the scan
+    // runs once by construction. One per-doc agg closes it — the
+    // d08/x13 posting-index family at character level.
     // ------------------------------------------------------------------
     "d13_dup_span_fraction" -> Q(
       (s, d) => {
@@ -486,9 +551,9 @@ object TextOps {
           .select(col("doc_id"), explode(grams).as("g"))
         val perDocGram = posts.groupBy(col("doc_id"), col("g"))
           .agg(count(lit(1)).as("n"))
-        val df = perDocGram.groupBy(col("g"))
-          .agg(count(lit(1)).as("gdf"))
-        perDocGram.join(df, "g")
+        perDocGram
+          .withColumn("gdf", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
           .groupBy(col("doc_id"))
           .agg(sum(col("n")).as("n_grams"),
             sum(when(col("gdf") >= 2, col("n"))
@@ -1520,9 +1585,9 @@ object TextOps {
         scored AS (
           SELECT doc_id, term, tf, df,
             cast(tf * nd as double) / cast(df as double) AS score,
-            row_number() OVER (PARTITION BY doc_id
+            cast(row_number() OVER (PARTITION BY doc_id
               ORDER BY cast(tf * nd as double) / cast(df as double) DESC,
-                term) AS rank
+                term) as integer) AS rank
           FROM tf JOIN dfc USING (term), n)
         SELECT doc_id, rank, term, tf, df, score
         FROM scored WHERE rank <= 3
@@ -2464,7 +2529,14 @@ object TextOps {
     // c1 re-aggregated from c2 by prefix — the model is derived, never
     // re-scans the corpus) and the scoring join (model joined back on
     // bg — a keyed hash join, NOT a broadcast: at 100 TB the bigram
-    // vocabulary is data-sized). Zipf skew on hot bigrams lands on the
+    // vocabulary is data-sized). occ and c2 are localCheckpointed (the
+    // g02/g03 materialization pattern) because each has TWO consumers
+    // whose exchanges are non-identical — without it the tokenize
+    // subtree executed twice (r6 plan-audit flag). A window-by-key form
+    // would be linear but ships every occurrence of a Zipf-hot bigram
+    // (c2) or first-word (c1) to ONE window partition; the
+    // checkpointed aggregation tree keeps partial aggregation, so hot
+    // keys combine map-side. Zipf skew on hot bigrams lands on the
     // (doc_id, bg) pre-aggregation, which spreads any hot bigram across
     // its documents' partitions before the bg-keyed exchange.
     // ------------------------------------------------------------------
@@ -2484,7 +2556,9 @@ object TextOps {
           .select(col("doc_id"), explode(bigrams).as("bg"))
           .groupBy(col("doc_id"), col("bg"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val c2 = occ.groupBy(col("bg")).agg(sum(col("n")).as("c2"))
+          .localCheckpoint()
         val c1 = c2
           .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
           .agg(sum(col("c2")).as("c1"))
@@ -2538,18 +2612,22 @@ object TextOps {
     // (64 dims × 4 bytes → 8 bytes/vector), and the scan touches only
     // them. Integer-exact throughout (s05's floor(x·1000)
     // quantization), so assignment, LUT, and the ADC sum are all
-    // bit-reproducible: codebook = the vec_id<16 seed slices, the
-    // query's 8×16 lookup table is computed driver-side and enters the
-    // plan as LITERALS — the whole scan is one row-local fold, zero
-    // shuffle, TakeOrdered top-10. exact_dist rides along to show the
-    // approximation against ground truth on the same rows. Measured
-    // honestly: with SEED (untrained) codebooks on the near-uniform
-    // synthetic embeddings, top-10 overlap vs exact is 2/10 — random
-    // vectors have no cluster structure for 16 cells to exploit; the
-    // production dial is s05's trainer run per subspace (and real
-    // embedding corpora cluster). The oracle verifies the MECHANISM
-    // bit-for-bit (codes, LUT, ADC sums), which is what makes the dial
-    // safe to turn.
+    // bit-reproducible: codebook = the vec_id<16 seed slices put
+    // through ONE Lloyd update of [[trainPqCodebooks]] (s05's
+    // fixed-point trainer, per subspace, one distributed pass — the
+    // r6 "wire the trainer in" ask); the query's 8×16 lookup table is
+    // computed driver-side and enters the plan as LITERALS — the
+    // whole scan is one row-local fold, zero shuffle, TakeOrdered
+    // top-10. exact_dist rides along to show the approximation
+    // against ground truth on the same rows. Measured honestly: on
+    // the near-uniform synthetic embeddings training lifts top-10
+    // overlap vs exact only marginally (random vectors have little
+    // cluster structure for 16 cells to exploit); on a CLUSTERED
+    // fixture the trained codebooks recover the true neighbors where
+    // seeds don't — measured in QueriesSpec ("s06 trained PQ
+    // recall"), which is the honest recall claim. The oracle verifies
+    // the MECHANISM bit-for-bit (training update, codes, LUT, ADC
+    // sums).
     // ------------------------------------------------------------------
     "s06_pq_adc" -> Q(
       (s, d) => {
@@ -2559,29 +2637,29 @@ object TextOps {
         val base = emb(s, d).select(col("vec_id"), quant.as("qv"))
         val seeds = base.filter(col("vec_id") < kCent)
           .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
-          .sortBy(_._1)
+          .sortBy(_._1).toSeq
         val qVec = base.filter(col("vec_id") === 0)
           .head().getSeq[Long](1)
-        def sliceD2(a: Seq[Long], b: Seq[Long], sub: Int): Long = {
+        val trained = trainPqCodebooks(base, nSub, subDim, seeds)
+        def sliceD2(sub: Int, cv: IndexedSeq[Long]): Long = {
           var s2 = 0L; var j = 0
           while (j < subDim) {
-            val dd = a(sub * subDim + j) - b(sub * subDim + j)
+            val dd = qVec(sub * subDim + j) - cv(j)
             s2 += dd * dd; j += 1
           }
           s2
         }
-        // per-query LUT: lut(sub)(cid) = |q_sub - cent_cid_sub|²,
+        // per-query LUT: lut(sub)(cid) = |q_sub - trained_cid_sub|²,
         // driver-side integers straight into the plan as literals
         val lut = Array.tabulate(nSub, kCent)((sub, c) =>
-          sliceD2(qVec, seeds(c)._2, sub))
+          sliceD2(sub, trained(sub)(c)._2))
         // per-row: for each subspace, argmin over the 16 literal
         // centroid slices (ties → smallest cid), then ADC = Σ lut[sub][code]
         val approxDist = (0 until nSub).map { sub =>
-          val centSlices = array(seeds.map { case (cid, v) =>
+          val centSlices = array(trained(sub).map { case (cid, cv) =>
             struct(lit(cid).as("cid"),
-              array((0 until subDim).map(j =>
-                lit(v(sub * subDim + j))).toIndexedSeq: _*).as("cv"))
-          }.toIndexedSeq: _*)
+              array(cv.map(lit(_)): _*).as("cv"))
+          }: _*)
           val qSlice = array((0 until subDim).map(j =>
             col("qv").getItem(sub * subDim + j)).toIndexedSeq: _*)
           val code = aggregate(centSlices,
@@ -2615,27 +2693,50 @@ object TextOps {
               cast(floor(cast(x as double) * 1000) as bigint)) AS qv
           FROM embeddings),
         q AS (SELECT qv AS quv FROM e WHERE vec_id = 0),
-        cb AS MATERIALIZED (
-          SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < 16),
         subs AS (SELECT unnest(range(0, 8)) AS sub),
+        cb0 AS MATERIALIZED (
+          SELECT s.sub, c.vec_id AS cid,
+            list_transform(range(1, 9), j ->
+              c.qv[cast(s.sub * 8 + j as int)]) AS cv
+          FROM e c, subs s WHERE c.vec_id < 16),
+        a1 AS MATERIALIZED (
+          SELECT vec_id, sub, cid FROM (
+            SELECT e.vec_id, c.sub, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+                list_sum(list_transform(range(1, 9), j ->
+                  (e.qv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]) *
+                  (e.qv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]))),
+                c.cid) AS rn
+            FROM e, cb0 c) x WHERE rn = 1),
+        s1 AS (
+          SELECT a.sub, a.cid, p.pos,
+            cast(sum(e.qv[cast(a.sub * 8 + p.pos as int)]) as bigint)
+              // cast(count(*) as bigint) AS c
+          FROM a1 a JOIN e ON e.vec_id = a.vec_id,
+            (SELECT unnest(range(1, 9)) AS pos) p
+          GROUP BY a.sub, a.cid, p.pos),
+        c1l AS (SELECT sub, cid, list(c ORDER BY pos) AS cv
+          FROM s1 GROUP BY sub, cid),
+        cb AS MATERIALIZED (
+          SELECT cb0.sub, cb0.cid, coalesce(l.cv, cb0.cv) AS cv
+          FROM cb0 LEFT JOIN c1l l
+            ON l.sub = cb0.sub AND l.cid = cb0.cid),
         codes AS MATERIALIZED (
           SELECT vec_id, sub, cid AS code FROM (
-            SELECT e.vec_id, s.sub, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id, s.sub ORDER BY
+            SELECT e.vec_id, c.sub, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
                 list_sum(list_transform(range(1, 9), j ->
-                  (e.qv[cast(s.sub * 8 + j as int)] -
-                   c.cv[cast(s.sub * 8 + j as int)]) *
-                  (e.qv[cast(s.sub * 8 + j as int)] -
-                   c.cv[cast(s.sub * 8 + j as int)]))), c.cid) AS rn
-            FROM e, subs s, cb c) x WHERE rn = 1),
+                  (e.qv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]) *
+                  (e.qv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]))),
+                c.cid) AS rn
+            FROM e, cb c) x WHERE rn = 1),
         lut AS MATERIALIZED (
-          SELECT s.sub, c.cid,
+          SELECT c.sub, c.cid,
             list_sum(list_transform(range(1, 9), j ->
-              (q.quv[cast(s.sub * 8 + j as int)] -
-               c.cv[cast(s.sub * 8 + j as int)]) *
-              (q.quv[cast(s.sub * 8 + j as int)] -
-               c.cv[cast(s.sub * 8 + j as int)]))) AS d
-          FROM subs s, cb c, q),
+              (q.quv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]) *
+              (q.quv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)])))
+              AS d
+          FROM cb c, q),
         ad AS (
           SELECT codes.vec_id, cast(sum(l.d) as bigint) AS approx_dist
           FROM codes JOIN lut l
@@ -2664,24 +2765,49 @@ object TextOps {
     // occurrence is min(global index); the census buckets first
     // occurrences per 2000-position stretch with a cumulative vocab
     // size. Buckets where no new type appears are absent (documented,
-    // mirrored). The offset prefix-sum is a window over PER-DOC summary
-    // rows — metadata-scale next to the token stream; at 100 TB the
-    // same number comes from a two-level block prefix sum. Everything
-    // else is the one bigram-keyed min-aggregation.
+    // mirrored). The offset prefix-sum is TWO-LEVEL: per-doc bigram
+    // counts (metadata-scale, checkpointed) get a within-block
+    // exclusive prefix via a window PARTITIONED by blk = doc_id div
+    // 512 (parallel across blocks), block totals get the global
+    // prefix in a second window over one row PER BLOCK (N/512 rows —
+    // the only single-task step, metadata-scale by construction), and
+    // the two add up to the global stream offset. The token stream
+    // itself never passes through an unpartitioned window; it meets
+    // its offset in one doc_id-keyed join (sort-merge at scale).
+    // Tokenize runs twice — once array-free for counts, once for the
+    // bigram explode — a linear second scan traded for removing the
+    // corpus-wide single-task sort. Everything downstream is the one
+    // bigram-keyed min-aggregation.
     // ------------------------------------------------------------------
     "x22_vocab_growth" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val B = 2000L
+        val docsPerBlock = 512L
+        // level 0: per-doc counts, array dropped immediately; the
+        // checkpoint stops the two prefix consumers re-tokenizing
+        val counts = docs(s, d)
+          .select(col("doc_id"),
+            greatest(size(words(col("text"))).cast("long") - 1L, lit(0L))
+              .as("n"))
+          .withColumn("blk", expr(s"doc_id div $docsPerBlock"))
+          .localCheckpoint()
+        // level 2 (tiny): exclusive prefix over one row per block
+        val blkW = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val blkOffs = counts.groupBy(col("blk"))
+          .agg(sum(col("n")).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(blkW), lit(0L)))
+          .select(col("blk"), col("boff"))
+        // level 1 (parallel): exclusive prefix within each block
+        val inW = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = counts
+          .withColumn("inoff", coalesce(sum(col("n")).over(inW), lit(0L)))
+          .join(broadcast(blkOffs), Seq("blk"))
+          .select(col("doc_id"), (col("boff") + col("inoff")).as("off"))
         val tokd = docs(s, d)
           .select(col("doc_id"), words(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"),
-            greatest(size(col("toks")).cast("long") - 1L, lit(0L))
-              .as("n"))
-        val offW = Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = tokd.withColumn("off",
-          coalesce(sum(col("n")).over(offW), lit(0L)))
         val bigramArr =
           when(size(col("toks")) >= 2,
             transform(sequence(lit(1), size(col("toks")) - 1), i =>
@@ -2690,7 +2816,7 @@ object TextOps {
             .otherwise(array().cast("array<string>"))
         val cumW = Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, 0)
-        offs
+        tokd.join(offs, Seq("doc_id"))
           .select(col("off"), posexplode(bigramArr).as(Seq("pos", "bg")))
           .select(col("bg"), (col("off") + col("pos")).as("gpos"))
           .groupBy(col("bg")).agg(min(col("gpos")).as("first_pos"))
@@ -2709,9 +2835,9 @@ object TextOps {
         n AS (SELECT doc_id, toks,
             greatest(cast(len(toks) as bigint) - 1, 0) AS n FROM t),
         o AS (SELECT doc_id, toks,
-            coalesce(sum(n) OVER (ORDER BY doc_id
+            cast(coalesce(sum(n) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS off
+              as bigint) AS off
           FROM n),
         p AS (
           SELECT unnest(list_transform(

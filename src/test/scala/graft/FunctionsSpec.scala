@@ -196,7 +196,12 @@ class FunctionsSpec extends SparkFunSuite {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz 0123456789"),
       (2L, "short"), (3L, ""), (4L, "exactly twenty chars"),
-      (5L, "ünïcödé multibyte grams stress the byte/char offset split"))
+      (5L, "ünïcödé multibyte grams stress the byte/char offset split"),
+      // astral-plane (non-BMP) chars: 🚀/𝕊 are surrogate PAIRS in the
+      // JVM but ONE character to Spark substring / DuckDB substr —
+      // code-unit gram slicing would split the pair and diverge from
+      // the composable form (the r6 ADVICE finding)
+      (6L, "astral 🚀 rocket and 𝕊 math double-struck fill this line"))
       .toDF("doc_id", "t")
     val L = 20
     val fast = docs.select(col("doc_id"),

@@ -28,7 +28,7 @@ class QueriesSpec extends SparkFunSuite {
     assert(out.collect().isEmpty)
   }
 
-  test("g01/d07/g02/g03: iterative (localCheckpoint) queries are " +
+  test("g01/d07/g02/g03/x22: iterative (localCheckpoint) queries are " +
       "run-to-run deterministic — fresh plans, identical values " +
       "(r5 red-row guard)") {
     // the catalog queries that materialize via localCheckpoint; a red
@@ -36,7 +36,7 @@ class QueriesSpec extends SparkFunSuite {
     // an in-harness guard that the full pipeline — collect_set → pair
     // explosion → 5 rounds — yields bit-identical values across runs
     for (name <- Seq("g01_pagerank_parts", "d07_dup_clusters",
-        "g02_triangle_count", "g03_kcore_peel")) {
+        "g02_triangle_count", "g03_kcore_peel", "x22_vocab_growth")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
@@ -51,6 +51,34 @@ class QueriesSpec extends SparkFunSuite {
         s"$name returned no rows")
       assert(first == second, s"$name not deterministic across runs")
     }
+  }
+
+  test("s06 trained PQ recall: on a clustered fixture the trained " +
+      "codebooks recover the query's true neighbors (the r6 2/10 " +
+      "seed-codebook baseline was on structure-free uniform vectors)") {
+    // 16 clusters × 11 members, 64 dims; vec i belongs to cluster
+    // i % 16, so the seeds (vec_id < 16) start one-per-cluster and the
+    // Lloyd update pulls each cell to its cluster mean. Cluster 0 =
+    // {0, 16, ..., 160}: the query's exact top-10 is exactly the other
+    // ten members, which ADC must rank first — any miss means the
+    // trained codebook failed to separate the clusters.
+    val dim = 64
+    def center(c: Int, j: Int): Double = (((c * 37 + j * 11) % 16) - 8) / 10.0
+    def noise(i: Int, j: Int): Double = (((i * 131 + j * 17) % 21) - 10) / 1000.0
+    val rows = (0 until 176).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (center(i % 16, j) + noise(i, j)).toFloat).toArray)
+    }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pqfix").toString
+    rows.toDF("vec_id", "embedding")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("s06_pq_adc")(spark, dir).collect()
+    assert(top.length == 10)
+    val expected = (1 to 10).map(m => (m * 16).toLong).toSet
+    val hits = top.map(_.getLong(0)).count(expected)
+    assert(hits >= 8, s"trained PQ recall $hits/10 on clustered fixture")
   }
 
   test("s04 ANN recall: one row per query vector, recall well-formed " +
