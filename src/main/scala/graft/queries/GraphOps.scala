@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import Catalog._
 
 /** Graph analytics over relationship structures mined from the
@@ -12,6 +13,30 @@ import Catalog._
   * grouping and authority scoring.
   */
 object GraphOps {
+
+  /** Materialize a multi-consumer graph frame (edge lists, per-round
+    * peel survivors). Default is `localCheckpoint` — eager, lineage-
+    * cutting, deterministic across consumers. Setting
+    * `spark.graft.graph.materialize=disk` (conf, or the
+    * SPARK_GRAFT_GRAPH_MAT env var for Bench/QProf sessions) swaps in
+    * `persist(DISK_ONLY)` + an eager count — the posture a 1000-executor
+    * run wants when the edge list outgrows executor memory: blocks
+    * stream from local disk instead of evicting the shuffle working
+    * set. Equivalence of the two modes is asserted in QueriesSpec
+    * (identical g02 values), so the dial is safe to turn per-deploy.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mode = df.sparkSession.conf
+      .getOption("spark.graft.graph.materialize")
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_MAT"))
+      .getOrElse("checkpoint")
+    if (mode == "disk") {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count()
+      p
+    } else df.localCheckpoint()
+  }
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -151,7 +176,7 @@ object GraphOps {
           .select(col("a"), explode(col("ps")).as("b"))
           .filter(col("a") < col("b"))
           .distinct()
-          .localCheckpoint()
+          .pipe(materialize)
         val deg = canon.select(col("a").as("id"))
           .union(canon.select(col("b").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -164,7 +189,7 @@ object GraphOps {
             when(lowerA, col("a")).otherwise(col("b")).as("src"),
             when(lowerA, col("b")).otherwise(col("a")).as("dst"),
             when(lowerA, col("db")).otherwise(col("da")).as("ddst"))
-          .localCheckpoint()
+          .pipe(materialize)
         val w1 = oriented.select(col("src"), col("dst").as("v"),
           col("ddst").as("dv"))
         val w2 = oriented.select(col("src"), col("dst").as("w"),
@@ -254,7 +279,7 @@ object GraphOps {
           .select(col("a"), explode(col("ps")).as("b"))
           .filter(col("a") < col("b"))
           .distinct()
-          .localCheckpoint()
+          .pipe(materialize)
         def degOf(e: org.apache.spark.sql.DataFrame) =
           e.select(col("a").as("id"))
             .union(e.select(col("b").as("id")))
@@ -264,10 +289,10 @@ object GraphOps {
           e.join(keep.select(col("id").as("a")), "a")
             .join(keep.select(col("id").as("b")), "b")
             .select(col("a"), col("b"))
-            .localCheckpoint()
+            .pipe(materialize)
         }
         val core = peel(peel(peel(canon)))
-        val degF = degOf(core).localCheckpoint()
+        val degF = materialize(degOf(core))
         val below = degF
           .agg(count(when(col("deg") < k, 1)).as("n_below_k"))
         degF.orderBy(col("deg").desc, col("id")).limit(20)

@@ -53,6 +53,22 @@ class QueriesSpec extends SparkFunSuite {
     }
   }
 
+  test("g02/g03 DISK_ONLY materialization mode: identical values to " +
+      "the localCheckpoint default (the cluster-scale persist posture)") {
+    def run(name: String): Seq[Seq[Any]] = {
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(_.toSeq.toVector).sortBy(_.mkString("|")).toSeq
+    }
+    for (name <- Seq("g02_triangle_count", "g03_kcore_peel")) {
+      val default = run(name)
+      spark.conf.set("spark.graft.graph.materialize", "disk")
+      try assert(run(name) == default,
+        s"$name diverges under DISK_ONLY materialization")
+      finally spark.conf.unset("spark.graft.graph.materialize")
+    }
+  }
+
   test("s06 trained PQ recall: on a clustered fixture the trained " +
       "codebooks recover the query's true neighbors (the r6 2/10 " +
       "seed-codebook baseline was on structure-free uniform vectors)") {

@@ -271,4 +271,58 @@ class StreamingSpec extends SparkFunSuite {
     assert(rows.groupBy(_._1).values.exists(_.length > 1),
       "expected multiple per-batch snapshots (multi-batch execution)")
   }
+
+  test("approximate dashboard end-to-end: the stream's KMV state and " +
+      "the ApproxDistinctRewrite'd batch query are the SAME sketch") {
+    // The composition the two pieces were built for: a dashboard serves
+    // live per-type distinct users from mapGroupsWithState KMV state
+    // and backfills/audits the same metric with a count(DISTINCT ...)
+    // that the optimizer rewrite turns into the KMV aggregate. Keying
+    // BOTH sides by the same 'kmvu_'-prefixed string makes the two
+    // paths fold the IDENTICAL h60 stream, so the numbers agree
+    // bit-for-bit — no seam between streaming and batch.
+    import spark.implicits._
+    val k = 16
+    val splitDir = Files.createTempDirectory("graft-events-dash").toString
+    spark.read.parquet(stagedDir).repartition(4)
+      .write.mode("overwrite").parquet(splitDir)
+    val streamEvents = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[UserEvent]
+    runToMemory(EventStreams.distinctUserSketch(streamEvents, k).toDF(),
+      "kmvdash", mode = "update")
+    val live = spark.table("kmvdash").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+      .groupBy(_._1).map { case (tpe, snaps) =>
+        tpe -> snaps.map(_._2).minBy(a => (-a.length, a.sum))
+      }
+    graft.plans.ApproxDistinctRewrite.install(spark)
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.EnabledKey, "true")
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.KKey, k.toString)
+    try {
+      val q = spark.read.parquet(stagedDir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(
+          concat(lit("kmvu_"), col("user_id"))).as("distinct_users"))
+      assert(q.queryExecution.executedPlan.toString
+        .toLowerCase.contains("kmv_estimate"),
+        "batch side must run the rewritten sketch aggregate")
+      val backfill = q.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val est = new graft.functions.KmvEstimate(k)
+      assert(live.keySet == backfill.keySet)
+      live.foreach { case (tpe, state) =>
+        assert(backfill(tpe) == est.finish(state),
+          s"dashboard seam for $tpe: stream state estimates " +
+            s"${est.finish(state)}, rewritten batch says ${backfill(tpe)}")
+      }
+    } finally {
+      graft.plans.ApproxDistinctRewrite.uninstall(spark)
+      spark.conf.unset(graft.plans.ApproxDistinctRewrite.EnabledKey)
+      spark.conf.unset(graft.plans.ApproxDistinctRewrite.KKey)
+    }
+  }
 }
