@@ -62,7 +62,8 @@ object Verify {
     // the compare side (DuckDB type promotion — see check_oracle.py's
     // native-type gate, which reproduced the r6 reds as HUGEINT).
     val suspects = Seq("g01_pagerank_parts", "g02_triangle_count",
-      "g03_kcore_peel", "d07_dup_clusters", "x22_vocab_growth")
+      "g03_kcore_peel", "d07_dup_clusters", "x22_vocab_growth",
+      "x21_bigram_lm_score", "x23_sequence_pack")
       .filter(selected)
     if (suspects.nonEmpty) {
       def canonHash(df: org.apache.spark.sql.DataFrame): String = {

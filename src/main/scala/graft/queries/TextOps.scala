@@ -190,6 +190,38 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Global exclusive prefix offsets over a (doc_id, n) frame — the
+    * TWO-LEVEL BLOCK PREFIX SUM that replaces an unpartitioned
+    * `Window.orderBy(doc_id)` (a corpus-wide single task) for
+    * stream-position arithmetic (x22 vocab growth, x23 sequence
+    * packing). Within-block exclusive prefix via a window PARTITIONED
+    * by `blk = doc_id div docsPerBlock` (parallel, bounded rows per
+    * task); block totals get the global prefix in a second window over
+    * ONE ROW PER BLOCK (N/docsPerBlock rows — the only SinglePartition
+    * step, metadata-scale by construction); the two add up to the
+    * global offset. The caller must pass a CHECKPOINTED metadata-scale
+    * counts frame (two prefix consumers would otherwise re-derive it).
+    * Returns (doc_id, off).
+    */
+  private def streamOffsets(counts0: DataFrame,
+      docsPerBlock: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = counts0
+      .withColumn("blk", expr(s"doc_id div $docsPerBlock"))
+    val blkW = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOffs = counts.groupBy(col("blk"))
+      .agg(sum(col("n")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(blkW), lit(0L)))
+      .select(col("blk"), col("boff"))
+    val inW = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("inoff", coalesce(sum(col("n")).over(inW), lit(0L)))
+      .join(broadcast(blkOffs), Seq("blk"))
+      .select(col("doc_id"), (col("boff") + col("inoff")).as("off"))
+  }
+
   /** One integer-exact Lloyd update of the per-subspace PQ codebooks:
     * s05's fixed-point k-means applied independently in each of the
     * nSub subDim-wide slices, in ONE distributed pass (not one job per
@@ -2781,31 +2813,15 @@ object TextOps {
     // ------------------------------------------------------------------
     "x22_vocab_growth" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val B = 2000L
-        val docsPerBlock = 512L
         // level 0: per-doc counts, array dropped immediately; the
-        // checkpoint stops the two prefix consumers re-tokenizing
+        // checkpoint stops the prefix consumers re-tokenizing
         val counts = docs(s, d)
           .select(col("doc_id"),
             greatest(size(words(col("text"))).cast("long") - 1L, lit(0L))
               .as("n"))
-          .withColumn("blk", expr(s"doc_id div $docsPerBlock"))
           .localCheckpoint()
-        // level 2 (tiny): exclusive prefix over one row per block
-        val blkW = Window.orderBy(col("blk"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val blkOffs = counts.groupBy(col("blk"))
-          .agg(sum(col("n")).as("bn"))
-          .withColumn("boff", coalesce(sum(col("bn")).over(blkW), lit(0L)))
-          .select(col("blk"), col("boff"))
-        // level 1 (parallel): exclusive prefix within each block
-        val inW = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = counts
-          .withColumn("inoff", coalesce(sum(col("n")).over(inW), lit(0L)))
-          .join(broadcast(blkOffs), Seq("blk"))
-          .select(col("doc_id"), (col("boff") + col("inoff")).as("off"))
+        val offs = streamOffsets(counts)
         val tokd = docs(s, d)
           .select(col("doc_id"), words(col("text")).as("toks"))
         val bigramArr =
@@ -2814,8 +2830,10 @@ object TextOps {
               concat_ws(" ", element_at(col("toks"), i),
                 element_at(col("toks"), i + 1))))
             .otherwise(array().cast("array<string>"))
-        val cumW = Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, 0)
+        val cumW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
         tokd.join(offs, Seq("doc_id"))
           .select(col("off"), posexplode(bigramArr).as(Seq("pos", "bg")))
           .select(col("bg"), (col("off") + col("pos")).as("gpos"))
@@ -2856,6 +2874,121 @@ object TextOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
             AS vocab_size
         FROM b ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // Sequence packing census — the step between curation and training:
+    // documents concatenate into a global token stream that is cut into
+    // fixed-length context windows (L = 512 here), and the census
+    // reports, per sequence, how many documents contribute, how many
+    // tokens land in it, and how many of its documents CROSS a sequence
+    // boundary (the attention-masking / document-bleed statistic a
+    // packing strategy is judged on). Position arithmetic is the same
+    // two-level block prefix sum as x22 (streamOffsets — the corpus
+    // never passes an unpartitioned window); each doc then expands
+    // ROW-LOCALLY to the ≤ n/L + 1 sequences it touches (explode of a
+    // sequence() range — never a token explode: packing needs counts,
+    // not tokens), and one seq_id-keyed aggregation closes it. At
+    // 100 TB: one metadata-scale prefix sum + one well-distributed
+    // shuffle on seq_id.
+    // ------------------------------------------------------------------
+    "x23_sequence_pack" -> Q(
+      (s, d) => {
+        val L = 512L
+        val counts = docs(s, d)
+          .select(col("doc_id"),
+            size(words(col("text"))).cast("long").as("n"))
+          .localCheckpoint()
+        val offs = streamOffsets(counts)
+        val spans = counts.filter(col("n") > 0)
+          .join(offs, Seq("doc_id"))
+          .select(col("doc_id"), col("n"), col("off"),
+            expr(s"off div $L").as("seq_first"),
+            expr(s"(off + n - 1) div $L").as("seq_last"))
+        spans
+          .select(col("n"), col("off"),
+            col("seq_first"), col("seq_last"),
+            explode(sequence(col("seq_first"), col("seq_last")))
+              .as("seq_id"))
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(least(col("off") + col("n"), (col("seq_id") + 1) * L) -
+              greatest(col("off"), col("seq_id") * L)).as("n_tokens"),
+            count(when(col("seq_first") =!= col("seq_last"), 1))
+              .as("n_spanning"))
+          .orderBy(col("seq_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            cast(len(string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+              as bigint) AS n
+          FROM documents),
+        o AS (SELECT doc_id, n,
+            cast(coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              as bigint) AS off
+          FROM t),
+        s AS (SELECT doc_id, n, off,
+            off // 512 AS sf, (off + n - 1) // 512 AS sl
+          FROM o WHERE n > 0),
+        x AS (SELECT s.n, s.off, s.sf, s.sl, u.seq_id
+          FROM s, LATERAL (SELECT unnest(generate_series(s.sf, s.sl))
+            AS seq_id) u)
+        SELECT seq_id, cast(count(*) as bigint) AS n_docs,
+          cast(sum(least(off + n, (seq_id + 1) * 512) -
+            greatest(off, seq_id * 512)) as bigint) AS n_tokens,
+          cast(count(*) FILTER (WHERE sf <> sl) as bigint) AS n_spanning
+        FROM x GROUP BY seq_id
+        ORDER BY seq_id""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic stratified sampling — a fixed-size per-language
+    // sample (k = 20) for eval sets / inspection, where the sample IS a
+    // KMV min-set: the k smallest h60("smp_" + doc_id) per language.
+    // That identity is the scale story: the per-language "sort" never
+    // happens — KmvMinSet aggregates with a bounded ≤k buffer and
+    // map-side partials, so the lang-keyed exchange carries k·8 bytes
+    // per partition per language no matter how skewed the language
+    // distribution is (contrast a row_number window, which ships every
+    // row of the hot language to one partition). Membership joins back
+    // via a broadcast of the per-language min-sets (n_langs rows);
+    // rank is a window over the ≤ k·n_langs survivors — metadata. Same
+    // property as x17/x20: the sample is stable under corpus regrowth
+    // except for hash displacement, and any engine can re-derive it.
+    // ------------------------------------------------------------------
+    "x24_stratified_sample" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 20
+        val kmvset = udaf(new graft.functions.KmvMinSet(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val hashed = docs(s, d).select(col("lang"), col("doc_id"),
+          graft.functions.PortableHash.h60col(
+            concat(lit("smp_"), col("doc_id"))).as("h"))
+        val mins = hashed.groupBy(col("lang"))
+          .agg(kmvset(col("h")).as("mins"))
+        hashed.join(broadcast(mins), Seq("lang"))
+          .filter(array_contains(col("mins"), col("h")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("h"), col("doc_id"))))
+          // rnk ≤ k re-filter: under an h-collision the min-set's k
+          // DISTINCT values could admit k+1 docs; the rank cut makes
+          // both engines emit the identical k rows regardless
+          .filter(col("rnk") <= k)
+          .select(col("lang"), col("rnk"), col("doc_id"), col("h"))
+          .orderBy(col("lang"), col("rnk"))
+      },
+      Some("""WITH h AS (
+          SELECT lang, doc_id,
+            ('0x' || substr(md5('smp_' || doc_id), 1, 15))::BIGINT AS h
+          FROM documents),
+        r AS (SELECT lang, doc_id, h,
+            cast(row_number() OVER (PARTITION BY lang
+              ORDER BY h, doc_id) as integer) AS rnk
+          FROM h)
+        SELECT lang, rnk, doc_id, h FROM r WHERE rnk <= 20
+        ORDER BY lang, rnk""")),
 
     // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run

@@ -28,15 +28,15 @@ class QueriesSpec extends SparkFunSuite {
     assert(out.collect().isEmpty)
   }
 
-  test("g01/d07/g02/g03/x22: iterative (localCheckpoint) queries are " +
-      "run-to-run deterministic — fresh plans, identical values " +
-      "(r5 red-row guard)") {
+  test("localCheckpoint catalog queries are run-to-run deterministic " +
+      "— fresh plans, identical values (r5 red-row guard)") {
     // the catalog queries that materialize via localCheckpoint; a red
     // driver hash row for g01 in round 5 (judge re-runs green) demanded
     // an in-harness guard that the full pipeline — collect_set → pair
     // explosion → 5 rounds — yields bit-identical values across runs
     for (name <- Seq("g01_pagerank_parts", "d07_dup_clusters",
-        "g02_triangle_count", "g03_kcore_peel", "x22_vocab_growth")) {
+        "g02_triangle_count", "g03_kcore_peel", "x22_vocab_growth",
+        "x21_bigram_lm_score", "x23_sequence_pack")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
