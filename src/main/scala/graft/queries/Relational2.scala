@@ -874,6 +874,69 @@ object Relational2 {
         FROM kth, ex""")),
 
     // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): a month
+    // spine generated by recursion from the full orders date range,
+    // LEFT-joined to a filtered monthly aggregate — the calendar
+    // gap-fill shape reporting queries need (the urgent-order subset is
+    // present in only 46 of the 80 months, so the zero-fill genuinely
+    // bites). Scale posture: the recursion produces one 80-row
+    // dimension (recursion depth = months, far under the default
+    // cteRecursionLevelLimit=100 — set it explicitly when the range is
+    // open-ended), and the fact-side aggregate reduces BEFORE the
+    // join, so the recursive leg never touches data-scale rows.
+    // ------------------------------------------------------------------
+    "q70_recursive_spine" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""WITH RECURSIVE spine AS (
+            SELECT cast(min(date_trunc('month', o_orderdate)) as date)
+                AS month_start,
+              cast(max(date_trunc('month', o_orderdate)) as date)
+                AS last_month
+            FROM orders
+            UNION ALL
+            SELECT add_months(month_start, 1), last_month
+            FROM spine WHERE month_start < last_month),
+          m AS (
+            SELECT cast(date_trunc('month', o_orderdate) as date)
+                AS month_start,
+              cast(count(*) as bigint) AS n_orders,
+              cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                AS revenue
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_custkey % 37 = 0
+            GROUP BY 1)
+          SELECT s.month_start,
+            coalesce(m.n_orders, cast(0 as bigint)) AS n_orders,
+            coalesce(m.revenue, cast(0.0 as double)) AS revenue
+          FROM spine s LEFT JOIN m USING (month_start)
+          ORDER BY s.month_start""")
+      },
+      Some("""WITH RECURSIVE spine AS (
+          SELECT cast(min(date_trunc('month', o_orderdate)) as date)
+              AS month_start,
+            cast(max(date_trunc('month', o_orderdate)) as date)
+              AS last_month
+          FROM orders
+          UNION ALL
+          SELECT cast(month_start + INTERVAL 1 MONTH as date), last_month
+          FROM spine WHERE month_start < last_month),
+        m AS (
+          SELECT cast(date_trunc('month', o_orderdate) as date)
+              AS month_start,
+            cast(count(*) as bigint) AS n_orders,
+            cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+              AS revenue
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_custkey % 37 = 0
+          GROUP BY 1)
+        SELECT s.month_start,
+          coalesce(m.n_orders, cast(0 as bigint)) AS n_orders,
+          coalesce(m.revenue, cast(0.0 as double)) AS revenue
+        FROM spine s LEFT JOIN m USING (month_start)
+        ORDER BY s.month_start""")),
+
+    // ------------------------------------------------------------------
     // KMV set-operation algebra — the reason sketch COLUMNS beat
     // sketch SCALARS at 100 TB: store each segment's full k-min-set
     // and any ad-hoc union/intersection across segments is answerable

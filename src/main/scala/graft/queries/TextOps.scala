@@ -2942,6 +2942,283 @@ object TextOps {
         ORDER BY seq_id""")),
 
     // ------------------------------------------------------------------
+    // Incremental dedup — the shape a recurring crawl actually runs:
+    // dedup TODAY'S batch (sources src16-19) against the HISTORICAL
+    // index (src0-15), not the whole corpus against itself. The
+    // mechanism is d03's MinHash-LSH band table, recast as a persisted
+    // INDEX: at 100 TB the (band, band_hash, doc_id) table for history
+    // is stored once (16 rows × 16 bytes per doc — it never re-scans
+    // or re-shingles old text), and each day's batch probes it with a
+    // band-keyed join whose left side is only the new docs. Here both
+    // sides derive from one localCheckpointed band frame (computing
+    // the signatures once, standing in for the stored index); the
+    // probe join is candidates-only, and exact Jaccard over shingles
+    // verifies, exactly as d03. Output is the admit/drop verdict per
+    // incoming doc: n_matches = 0 means genuinely new; otherwise
+    // best_idx/best_jaccard name the historical duplicate (argmax by
+    // jaccard, doc_id tiebreak — a window over the ≤ |candidates|
+    // verified pairs, metadata-scale). Hash-verified end to end: the
+    // oracle re-derives signatures, bands, candidates, and verdicts.
+    // ------------------------------------------------------------------
+    "d14_incremental_dedup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bands = 16
+        val rowsPerBand = 4
+        val incomingSrcs = Seq("src16", "src17", "src18", "src19")
+        val incoming = col("source").isin(incomingSrcs: _*)
+        // one signature pass over the corpus, checkpointed = the
+        // stored band index (history side) + the day's probe rows
+        val banded = docs(s, d)
+          .select(col("doc_id"), incoming.as("inc"),
+            words(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("sig",
+            graft.functions.ShingleMinHash.shingleMinhash(col("toks")))
+          .select(col("doc_id"), col("inc"),
+            posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
+              aggregate(
+                slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)),
+                lit(0L),
+                (acc, v) => pmod(
+                  acc * graft.functions.PortableHash.FoldBase + v,
+                  lit(graft.functions.PortableHash.P))))))
+          .select(col("doc_id"), col("inc"), col("pos").as("band"),
+            col("col").as("band_hash"))
+          .localCheckpoint()
+        val cand = banded.filter(col("inc"))
+          .select(col("band"), col("band_hash"), col("doc_id").as("doc_new"))
+          .join(banded.filter(!col("inc"))
+              .select(col("band"), col("band_hash"),
+                col("doc_id").as("doc_idx")),
+            Seq("band", "band_hash"))
+          .select(col("doc_new"), col("doc_idx"))
+          .distinct()
+        val sh = docShingles(s, d)
+        val best = cand
+          .join(sh.select(col("doc_id").as("doc_new"), col("w").as("wa")),
+            Seq("doc_new"))
+          .join(sh.select(col("doc_id").as("doc_idx"), col("w").as("wb")),
+            Seq("doc_idx"))
+          .withColumn("jaccard",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              size(array_union(col("wa"), col("wb"))).cast("double"))
+          .filter(col("jaccard") >= 0.4)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_new"))
+              .orderBy(col("jaccard").desc, col("doc_idx"))))
+          .withColumn("n_matches",
+            count(lit(1)).over(Window.partitionBy(col("doc_new"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_new"), col("n_matches"),
+            col("doc_idx").as("best_idx"), col("jaccard").as("best_jaccard"))
+        docs(s, d).filter(incoming)
+          .select(col("doc_id").as("doc_new"))
+          .join(best, Seq("doc_new"), "left")
+          .select(col("doc_new"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            col("best_idx"), col("best_jaccard"))
+          .orderBy(col("doc_new"))
+      },
+      Some("""WITH perms AS (
+          SELECT
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT % 2147483646 + 1) AS pa,
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT % 2147483647) AS pb),
+        t0 AS (
+          SELECT doc_id,
+            source IN ('src16','src17','src18','src19') AS inc,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, inc,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        hs AS (
+          SELECT doc_id, inc,
+            list_transform(w, s ->
+              ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, inc,
+            list_transform(range(0, 64), i ->
+              list_min(list_transform(h, x ->
+                (pa[i+1] * x + pb[i+1]) % 2147483647))) AS sig
+          FROM hs, perms),
+        banded AS (
+          SELECT doc_id, inc, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 16) t(b)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_new, r.doc_id AS doc_idx
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+          WHERE l.inc AND NOT r.inc),
+        verified AS (
+          SELECT c.doc_new, c.doc_idx,
+            cast(len(list_intersect(x.w, y.w)) as double) /
+              cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+              AS jaccard
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_new
+          JOIN sh y ON y.doc_id = c.doc_idx
+          WHERE cast(len(list_intersect(x.w, y.w)) as double) /
+                cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+                >= 0.4),
+        m AS (
+          SELECT doc_new, doc_idx, jaccard,
+            row_number() OVER (PARTITION BY doc_new
+              ORDER BY jaccard DESC, doc_idx) AS rn,
+            cast(count(*) OVER (PARTITION BY doc_new) as bigint)
+              AS n_matches
+          FROM verified),
+        inc0 AS (
+          SELECT doc_id AS doc_new FROM documents
+          WHERE source IN ('src16','src17','src18','src19'))
+        SELECT i.doc_new,
+          cast(coalesce(m.n_matches, 0) as bigint) AS n_matches,
+          m.doc_idx AS best_idx, m.jaccard AS best_jaccard
+        FROM inc0 i LEFT JOIN m ON m.doc_new = i.doc_new AND m.rn = 1
+        ORDER BY i.doc_new""")),
+
+    // ------------------------------------------------------------------
+    // Importance-weighted data selection (the DSIR recipe, Xie et al.
+    // 2023, arXiv:2302.03169): score every corpus doc by how much its
+    // hashed n-gram distribution looks like a TARGET domain (here the
+    // 'de' slice stands in for "high-quality target corpus"), select
+    // the top-k. Features are bigrams hashed into 256 buckets with h60
+    // — the hashing both bounds the model (two 256-row tables, always
+    // broadcastable, however large the corpus) and is what makes the
+    // score engine-portable. The likelihood ratio is an integer
+    // fixed-point proxy: w[b] = 1e6·(target[b]+1) div (corpus[b]+1)
+    // (add-1 smoothed), doc score = occurrence-weighted mean of w.
+    // Scale shape: one tokenize+explode pass to per-(doc,bucket)
+    // counts (localCheckpointed — both the global census and the
+    // scoring consume it, the x21 lesson), bucket census ≤ 256 rows,
+    // weights broadcast back, top-k is TakeOrdered (never a global
+    // sort). The lang column rides along to make the selection visible
+    // (the top-100 should be dominated by the target language).
+    // ------------------------------------------------------------------
+    "x25_dsir_select" -> Q(
+      (s, d) => {
+        val k = 100
+        val nBuckets = 256L
+        val bigrams =
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>"))
+        val occ = docs(s, d)
+          .select(col("doc_id"), col("lang"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("dsir_"), col("bg"))), lit(nBuckets)).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val corpus = occ.groupBy(col("b")).agg(sum(col("n")).as("cc"))
+        val target = occ.filter(col("lang") === "de")
+          .groupBy(col("b")).agg(sum(col("n")).as("ct"))
+        val weights = corpus.join(target, Seq("b"), "left")
+          .select(col("b"),
+            expr("(1000000 * (coalesce(ct, 0) + 1)) div (cc + 1)").as("w"))
+        occ.join(broadcast(weights), Seq("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("n")).as("n_bigrams"),
+            sum(col("n") * col("w")).as("tw"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            expr("tw div n_bigrams").as("dsir_score"))
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+          .limit(k)
+      },
+      Some("""WITH t AS MATERIALIZED (
+          SELECT doc_id, lang,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        occ AS MATERIALIZED (
+          SELECT doc_id, lang, b, cast(count(*) as bigint) AS n FROM (
+            SELECT doc_id, lang,
+              ('0x' || substr(md5('dsir_' || bg), 1, 15))::BIGINT % 256 AS b
+            FROM (
+              SELECT doc_id, lang,
+                unnest(list_transform(range(1, len(toks)), i ->
+                  toks[i] || ' ' || toks[i+1])) AS bg
+              FROM t WHERE len(toks) >= 2) u) v
+          GROUP BY doc_id, lang, b),
+        corpus AS (
+          SELECT b, cast(sum(n) as bigint) AS cc FROM occ GROUP BY b),
+        target AS (
+          SELECT b, cast(sum(n) as bigint) AS ct FROM occ
+          WHERE lang = 'de' GROUP BY b),
+        weights AS (
+          SELECT corpus.b,
+            (1000000 * (coalesce(target.ct, 0) + 1)) // (corpus.cc + 1)
+              AS w
+          FROM corpus LEFT JOIN target ON corpus.b = target.b)
+        SELECT doc_id, lang, cast(sum(n) as bigint) AS n_bigrams,
+          cast(sum(n * w) // sum(n) as bigint) AS dsir_score
+        FROM occ JOIN weights USING (b)
+        GROUP BY doc_id, lang
+        ORDER BY dsir_score DESC, doc_id
+        LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic epoch shuffle + shard assignment — the last step
+    // before a training run reads the corpus: give every doc a
+    // pseudo-random position (h60("ep1_" + doc_id)) and cut the stream
+    // into shards (position mod 32). The census per shard — docs,
+    // tokens, distinct sources and languages, min position — is the
+    // balance/mixing audit a 100 TB handoff needs: hash sharding is
+    // ONE map-side projection and one 32-group aggregate (map-side
+    // partials; no global sort, no repartition of the data itself —
+    // contrast a random-sort shuffle, which at 100 TB is the most
+    // expensive operation in the pipeline). Token totals land within a
+    // few percent across shards and every shard sees every source —
+    // the well-mixed property SGD sharding actually requires. The same
+    // h with a different epoch tag re-deals the corpus for epoch 2;
+    // the oracle re-derives everything from md5.
+    // ------------------------------------------------------------------
+    "x26_epoch_shard" -> Q(
+      (s, d) => {
+        val nShards = 32L
+        docs(s, d)
+          .select(col("source"), col("lang"),
+            size(words(col("text"))).cast("long").as("n"),
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("ep1_"), col("doc_id"))), lit(nShards)).as("shard"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("ep1_"), col("doc_id"))).as("h"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("n_tokens"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("h")).as("h_min"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH t AS (
+          SELECT source, lang,
+            cast(len(string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+              as bigint) AS n,
+            ('0x' || substr(md5('ep1_' || doc_id), 1, 15))::BIGINT % 32
+              AS shard,
+            ('0x' || substr(md5('ep1_' || doc_id), 1, 15))::BIGINT AS h
+          FROM documents)
+        SELECT shard, cast(count(*) as bigint) AS n_docs,
+          cast(sum(n) as bigint) AS n_tokens,
+          cast(count(DISTINCT source) as bigint) AS n_sources,
+          cast(count(DISTINCT lang) as bigint) AS n_langs,
+          min(h) AS h_min
+        FROM t GROUP BY shard
+        ORDER BY shard""")),
+
+    // ------------------------------------------------------------------
     // Deterministic stratified sampling — a fixed-size per-language
     // sample (k = 20) for eval sets / inspection, where the sample IS a
     // KMV min-set: the k smallest h60("smp_" + doc_id) per language.
