@@ -19,11 +19,16 @@ object Catalog {
 
   /** Read one test table (parquet scan; filters/pruning push down).
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default — read it as nano longs and floor-convert to microsecond
-    * timestamps. The DuckDB oracles cast ts the same way
-    * (`cast(ts as timestamp)` truncates ns → µs), keeping both engines
-    * bit-identical.
+    * `events.ts` has shipped as BOTH physical types across driver data
+    * generations: TIMESTAMP(NANOS) (rounds 1-6), which Spark 4 rejects
+    * by default, and plain µs TIMESTAMP with isAdjustedToUTC=false
+    * (round 7+), which Spark 4 infers as TIMESTAMP_NTZ. Either way the
+    * rest of the engine expects one canonical type — session-local
+    * (UTC) microsecond TIMESTAMP — so normalize here: nanos read as
+    * longs and floor-convert; NTZ casts to LTZ (an identity on the
+    * stored values under the UTC session timezone). The DuckDB oracles
+    * do the same with `cast(ts as timestamp)` (ns → µs truncation /
+    * µs no-op), keeping both engines bit-identical.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -34,6 +39,10 @@ object Catalog {
           // integer `div`, not `/`: double division loses sub-µs precision
           // at nanosecond-epoch magnitudes (> 2^53)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case Some(f)
+            if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

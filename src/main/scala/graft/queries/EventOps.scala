@@ -480,5 +480,120 @@ object EventOps {
           state, cast(count(*) as bigint) AS n_days
         FROM grouped
         GROUP BY user_id, grp, state
-        ORDER BY user_id, valid_from""")))
+        ORDER BY user_id, valid_from""")),
+
+    // ------------------------------------------------------------------
+    // Zone-map pruning effectiveness — the measurement that justifies
+    // e11's Z-order layout. A 100 TB table is read through file-level
+    // min/max statistics (parquet row-group stats, Delta/Iceberg
+    // zone maps): a file is scanned iff its [min,max] box intersects
+    // the predicate. How many files that is depends entirely on
+    // LAYOUT. This query builds the zone map (min/max of user bucket
+    // and minute bucket per 2048-row-scale zone) under both layouts —
+    // arrival order (zone = event_id div 2048: time-correlated,
+    // user-random) and Z-order (zone = z >> 22, e11's interleaving: a
+    // 2048×2048 tile in (user, minute) space) — then evaluates one
+    // 2-D range predicate against both zone maps. rows_matched is
+    // identical by construction (layout never changes ANSWERS);
+    // rows_scanned is the cost, and the Z-order row is the one a
+    // cluster should ship. Everything is two aggregates over one
+    // shared projection — the zone map itself is metadata-scale
+    // (n_rows/2048 entries), which is exactly why real systems can
+    // afford to consult it per query.
+    // ------------------------------------------------------------------
+    "e14_zonemap_prune" -> Q(
+      (s, d) => {
+        // 6-bit × 6-bit space sized to the synthetic data (≤1500
+        // users, minute-of-hour): ux = user cohort 0-63, my = minute
+        // of hour. Zone = z >> 6: an 8×8 tile in (ux, my) space —
+        // the contiguous z-range a Z-ordered OPTIMIZE would write as
+        // one file. Arrival files are 2048-row ingestion blocks.
+        def interleave(c: Column, offset: Int): Column =
+          (0 until 6).map { i =>
+            shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + offset)
+          }.reduce(_ bitwiseOR _)
+        val uxLo = 8L; val uxHi = 23L
+        val myLo = 16L; val myHi = 47L
+        val ev = t(s, d, "events")
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(64L)).as("ux"),
+            pmod(expr("unix_seconds(ts) div 60"), lit(60L)).as("my"))
+          .select(col("event_id"), col("ux"), col("my"),
+            interleave(col("ux"), 0).bitwiseOR(interleave(col("my"), 1))
+              .as("z"))
+          // both layouts' zone maps consume this projection — compute
+          // the interleave once (d08/x21 multi-consumer lesson)
+          .localCheckpoint()
+        val pred = col("ux").between(uxLo, uxHi) &&
+          col("my").between(myLo, myHi)
+        def zones(zoneCol: Column, layout: String) = ev
+          .groupBy(zoneCol.as("zone"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ux")).as("lo_ux"), max(col("ux")).as("hi_ux"),
+            min(col("my")).as("lo_my"), max(col("my")).as("hi_my"),
+            count(when(pred, 1)).as("n_match"))
+          .withColumn("hit",
+            col("lo_ux") <= uxHi && col("hi_ux") >= uxLo &&
+              col("lo_my") <= myHi && col("hi_my") >= myLo)
+          .groupBy()
+          .agg(count(lit(1)).as("n_zones"),
+            count(when(col("hit"), 1)).as("zones_hit"),
+            coalesce(sum(when(col("hit"), col("n"))), lit(0L))
+              .as("rows_scanned"),
+            sum(col("n_match")).as("rows_matched"))
+          .select(lit(layout).as("layout"), col("n_zones"),
+            col("zones_hit"), col("rows_scanned"), col("rows_matched"))
+        zones(expr("event_id div 2048"), "arrival")
+          .unionAll(zones(shiftright(col("z"), 6), "zorder"))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val xBits = (0 until 6)
+          .map(i => s"(((ux >> $i) & 1) << ${2 * i})").mkString(" | ")
+        val yBits = (0 until 6)
+          .map(i => s"(((my >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+        s"""WITH ev AS MATERIALIZED (
+          SELECT event_id, ux, my, ($xBits) | ($yBits) AS z FROM (
+            SELECT event_id, user_id % 64 AS ux,
+              (cast(floor(epoch(cast(ts as timestamp))) as bigint) // 60)
+                % 60 AS my
+            FROM events) b),
+        za AS (
+          SELECT event_id // 2048 AS zone, count(*) AS n,
+            min(ux) AS lo_ux, max(ux) AS hi_ux,
+            min(my) AS lo_my, max(my) AS hi_my,
+            count(*) FILTER (WHERE ux BETWEEN 8 AND 23
+              AND my BETWEEN 16 AND 47) AS n_match
+          FROM ev GROUP BY 1),
+        zz AS (
+          SELECT z >> 6 AS zone, count(*) AS n,
+            min(ux) AS lo_ux, max(ux) AS hi_ux,
+            min(my) AS lo_my, max(my) AS hi_my,
+            count(*) FILTER (WHERE ux BETWEEN 8 AND 23
+              AND my BETWEEN 16 AND 47) AS n_match
+          FROM ev GROUP BY 1),
+        roll AS (
+          SELECT 'arrival' AS layout,
+            cast(count(*) as bigint) AS n_zones,
+            cast(count(*) FILTER (WHERE lo_ux <= 23 AND hi_ux >= 8
+              AND lo_my <= 47 AND hi_my >= 16) as bigint)
+              AS zones_hit,
+            cast(coalesce(sum(n) FILTER (WHERE lo_ux <= 23
+              AND hi_ux >= 8 AND lo_my <= 47 AND hi_my >= 16),
+              0) as bigint) AS rows_scanned,
+            cast(sum(n_match) as bigint) AS rows_matched
+          FROM za
+          UNION ALL
+          SELECT 'zorder',
+            cast(count(*) as bigint),
+            cast(count(*) FILTER (WHERE lo_ux <= 23 AND hi_ux >= 8
+              AND lo_my <= 47 AND hi_my >= 16) as bigint),
+            cast(coalesce(sum(n) FILTER (WHERE lo_ux <= 23
+              AND hi_ux >= 8 AND lo_my <= 47 AND hi_my >= 16),
+              0) as bigint),
+            cast(sum(n_match) as bigint)
+          FROM zz)
+        SELECT layout, n_zones, zones_hit, rows_scanned, rows_matched
+        FROM roll ORDER BY layout"""
+      }))
 }

@@ -333,5 +333,89 @@ object GraphOps {
             AS n_below_k FROM df)
         SELECT t.id AS part_id, t.d AS core_deg, below.n_below_k
         FROM (SELECT id, d FROM df ORDER BY d DESC, id LIMIT 20) t, below
-        ORDER BY core_deg DESC, part_id""")))
+        ORDER BY core_deg DESC, part_id""")),
+
+    // ------------------------------------------------------------------
+    // Community detection by synchronous label propagation (Raghavan
+    // et al. 2007) — the fourth iterative-graph shape after authority
+    // (g01), closure (g02), and coreness (g03): transitive grouping
+    // WITH majority structure, where connected components (d07) would
+    // collapse everything touching into one blob. Determinism comes
+    // from the synchronous update + total tie-break: every node
+    // simultaneously adopts the most frequent label among its
+    // neighbors, ties broken by smallest label — so unlike the
+    // classic randomized-order LPA, three rounds here are a pure
+    // function of the graph and both engines replay them exactly.
+    // Scale shape per round: one dst-keyed hash join (label lookup) +
+    // one (src, lbl) count agg + a per-node argmax window whose
+    // partition is one node's ≤ degree DISTINCT neighbor labels —
+    // never the raw neighbor multiset; per-round materialization cuts
+    // lineage exactly like PageRank's rounds. Output: the 20 largest
+    // communities' census.
+    // ------------------------------------------------------------------
+    "g04_label_prop" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val orderParts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        val edges = orderParts
+          .select(explode(col("ps")).as("src"), col("ps"))
+          .select(col("src"), explode(col("ps")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .pipe(materialize)
+        val argmax = Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("lbl").asc)
+        var labels = edges.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl"))
+        for (_ <- 1 to 3) {
+          labels = edges
+            .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+            .groupBy(col("src"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(argmax))
+            .filter(col("rn") === 1)
+            .select(col("src").as("id"), col("lbl"))
+            .pipe(materialize)
+        }
+        labels.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("id")).as("min_member"))
+          .orderBy(col("n_members").desc, col("lbl"))
+          .limit(20)
+          .select(col("lbl").as("community"), col("n_members"),
+            col("min_member"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+        c1 AS (SELECT e.src, l.lbl, count(*) AS c
+          FROM edges e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+        l1 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+          SELECT src, lbl, row_number()
+            OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+          FROM c1) x WHERE rn = 1),
+        c2 AS (SELECT e.src, l.lbl, count(*) AS c
+          FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+        l2 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+          SELECT src, lbl, row_number()
+            OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+          FROM c2) x WHERE rn = 1),
+        c3 AS (SELECT e.src, l.lbl, count(*) AS c
+          FROM edges e JOIN l2 l ON l.id = e.dst GROUP BY 1, 2),
+        l3 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+          SELECT src, lbl, row_number()
+            OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+          FROM c3) x WHERE rn = 1)
+        SELECT lbl AS community, cast(count(*) as bigint) AS n_members,
+          min(id) AS min_member
+        FROM l3 GROUP BY lbl
+        ORDER BY n_members DESC, community LIMIT 20"""),
+      bench = true))
 }

@@ -2,12 +2,15 @@ package graft.queries
 
 import graft.analyzer.Analyzer
 import graft.loader.MigrationLoader
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import Catalog._
 
 /** The migration engine's own dataflow exposed as queries — loader,
   * analyzer, pending-set computation (SURVEY.md §2.2 S1-S3, R1-R9, E3).
-  * These read the repo's SQL fixture corpus, not the sf parquet tables.
+  * m01-m06 read the repo's SQL fixture corpus, not the sf parquet
+  * tables; m07 (post-migration validation) fingerprints the `orders`
+  * table.
   * ALL of them are oracle-verified: DuckDB re-derives
   * version/name/checksum/pairing from the same files via read_text +
   * regexp + sha256 (m01, m04), and the analyzer/classifier outputs
@@ -267,5 +270,84 @@ object MigrationOps {
         SELECT version, name FROM piv
         WHERE up_sql IS NOT NULL
           AND version NOT IN ('001', '002', '003')
-        ORDER BY version""")))
+        ORDER BY version""")),
+
+    // ------------------------------------------------------------------
+    // Post-migration data validation — the step a real migration run
+    // needs AFTER the S5/S6 ETL copy and which the reference leaves to
+    // the operator: prove source and target hold the same rows WITHOUT
+    // moving either table. Mechanism: bucket every row by key hash
+    // (64 buckets), fingerprint each bucket with an order-independent
+    // XOR fold of a canonical-row hash, and compare (count, xor) per
+    // bucket — a mismatch names the ~1/64th key range to re-sync,
+    // turning "diff two 100 TB tables" into two independent
+    // full-scan-once aggregations of 64 rows each (this is the
+    // row-count+checksum validation pattern of AWS DMS / pt-table-
+    // checksum, re-expressed as two Spark aggregates). The "target"
+    // here is the source with one deliberately corrupted row (lowest
+    // order key), so the output proves DETECTION: exactly one bucket
+    // carries fp_match = false. XOR (not sum) keeps the fold in
+    // BIGINT in both engines — no overflow, no HUGEINT promotion.
+    // Canonical string uses only exactly-rendered columns (ints,
+    // strings, ISO dates); doubles would need a decimal cast first.
+    // ------------------------------------------------------------------
+    "m07_fingerprint_validate" -> Q(
+      (s, d) => {
+        val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").cast("string"))
+        def fps(df: DataFrame, side: String): DataFrame = df
+          .select(
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("fpb_"), col("o_orderkey"))), lit(64L))
+              .as("bucket"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("fp_"), canon)).as("rh"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as(s"n_$side"),
+            expr("bit_xor(rh)").as(s"fp_$side"))
+        val src = t(s, d, "orders")
+        // metadata-scale scalar (one min over the key column) picking
+        // a deterministic row to corrupt in the simulated target
+        val minKey = src.agg(min(col("o_orderkey"))).head.getLong(0)
+        val tgt = src.withColumn("o_orderpriority",
+          when(col("o_orderkey") === minKey, lit("9-CORRUPTED"))
+            .otherwise(col("o_orderpriority")))
+        fps(src, "src").join(fps(tgt, "tgt"), Seq("bucket"))
+          .select(col("bucket"), col("n_src"), col("n_tgt"),
+            (col("fp_src") === col("fp_tgt") &&
+              col("n_src") === col("n_tgt")).as("fp_match"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH src AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+            cast(cast(o_orderdate as date) as varchar) AS od
+          FROM orders),
+        mut AS (SELECT min(o_orderkey) AS mk FROM orders),
+        tgt AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN o_orderkey = (SELECT mk FROM mut)
+                 THEN '9-CORRUPTED' ELSE o_orderpriority
+            END AS o_orderpriority, od
+          FROM src),
+        fs AS (
+          SELECT ('0x' || substr(md5('fpb_' || o_orderkey), 1, 15))::BIGINT
+              % 64 AS bucket,
+            cast(count(*) as bigint) AS n_src,
+            bit_xor(('0x' || substr(md5('fp_' || o_orderkey || '|' ||
+              o_custkey || '|' || o_orderstatus || '|' ||
+              o_orderpriority || '|' || od), 1, 15))::BIGINT) AS fp_src
+          FROM src GROUP BY 1),
+        ft AS (
+          SELECT ('0x' || substr(md5('fpb_' || o_orderkey), 1, 15))::BIGINT
+              % 64 AS bucket,
+            cast(count(*) as bigint) AS n_tgt,
+            bit_xor(('0x' || substr(md5('fp_' || o_orderkey || '|' ||
+              o_custkey || '|' || o_orderstatus || '|' ||
+              o_orderpriority || '|' || od), 1, 15))::BIGINT) AS fp_tgt
+          FROM tgt GROUP BY 1)
+        SELECT bucket, n_src, n_tgt,
+          fp_src = fp_tgt AND n_src = n_tgt AS fp_match
+        FROM fs JOIN ft USING (bucket)
+        ORDER BY bucket""")))
 }

@@ -1047,6 +1047,111 @@ object Relational2 {
         FROM msz m, sh s, exact e""")),
 
     // ------------------------------------------------------------------
+    // Mergeable QUANTILE sketch — the sketch family q67/q71/x19 still
+    // lacked: per-segment (ship-year) bottom-k-by-hash value samples,
+    // merged into one global sample WITHOUT revisiting the data, then
+    // read out as quantile estimates against the exact answer. The
+    // trick that reuses KmvMinSet unchanged: pack (top-30-bits-of-h60,
+    // value-cents) into ONE long — ordering by the packed long IS
+    // ordering by hash, so the k-min-set over packed longs is a
+    // uniform value-carrying sample, and sample quantiles estimate
+    // population quantiles (Chaudhuri et al., "Random sampling for
+    // histogram construction"). Scale shape: the sketch side is
+    // bounded ≤k map-side buffers per segment + a ≤ segments·k re-agg
+    // (this is what per-day/per-partition sketch COLUMNS store — any
+    // ad-hoc slice union answers from sketches alone); the exact side
+    // is a distinct-value census + one cumulative window over census
+    // rows (value-cardinality scale, the best exact shape Spark has —
+    // documented oracle twin). All integer cents; no doubles anywhere.
+    // ------------------------------------------------------------------
+    "q72_kmv_quantiles" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val k = 128
+        val kmvset = udaf(new graft.functions.KmvMinSet(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val qsDF = Seq(25, 50, 75, 95).toDF("q_pct")
+        val li = t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          year(col("l_shipdate").cast("date")).as("seg"))
+        val packed = li.select(col("seg"), col("cents"),
+          graft.functions.PortableHash.h60col(
+            concat(lit("qv_"), col("l_orderkey"), lit("_"),
+              col("l_linenumber"))).as("h"))
+          .select(col("seg"),
+            expr("(h div 1073741824) * 8589934592 + cents").as("packed"))
+        // per-segment bounded sketch columns, then merge-of-partials:
+        // explode the ≤ segments·k mins and re-cut with the SAME
+        // aggregator — the mergeability property, exercised end-to-end
+        val segSk = packed.groupBy(col("seg"))
+          .agg(kmvset(col("packed")).as("mins"))
+        val merged = segSk.select(explode(col("mins")).as("p"))
+          .agg(kmvset(col("p")).as("mins"))
+          .select(array_sort(expr("transform(mins, p -> p % 8589934592)"))
+            .as("vals"), size(col("mins")).as("m"))
+        val est = merged.crossJoin(qsDF).select(col("q_pct"),
+          expr("element_at(vals, cast(((m - 1) * q_pct) div 100 + 1 as int))")
+            .as("est_cents"))
+        // exact twin: distinct-value census + cumulative count; the
+        // quantile value is the first census row covering the index
+        val census = li.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val nRow = li.agg(count(lit(1)).as("n"))
+        val ex = census.crossJoin(nRow).crossJoin(qsDF)
+          .filter(expr("cum >= ((n - 1) * q_pct) div 100 + 1"))
+          .groupBy(col("q_pct")).agg(min(col("cents")).as("exact_cents"))
+        est.join(ex, Seq("q_pct"))
+          .select(col("q_pct"), col("est_cents"), col("exact_cents"),
+            (col("est_cents") - col("exact_cents")).as("abs_err"))
+          .orderBy(col("q_pct"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT
+            ('0x' || substr(md5('qv_' || l_orderkey || '_' ||
+              l_linenumber), 1, 15))::BIGINT AS h,
+            cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+              AS cents,
+            year(cast(l_shipdate as date)) AS seg
+          FROM lineitem),
+        pk AS (SELECT seg, (h // 1073741824) * 8589934592 + cents
+            AS packed FROM li),
+        segtop AS (
+          SELECT seg, packed FROM (SELECT DISTINCT seg, packed FROM pk) x
+          QUALIFY row_number() OVER (PARTITION BY seg ORDER BY packed)
+            <= 128),
+        merged AS (
+          SELECT packed FROM (SELECT DISTINCT packed FROM segtop) y
+          QUALIFY row_number() OVER (ORDER BY packed) <= 128),
+        sample AS (
+          SELECT packed % 8589934592 AS v,
+            row_number() OVER (ORDER BY packed % 8589934592) AS rn,
+            cast(count(*) OVER () as bigint) AS m
+          FROM merged),
+        qs AS (SELECT * FROM (VALUES (25), (50), (75), (95)) t(q_pct)),
+        est AS (
+          SELECT qs.q_pct, s.v AS est_cents
+          FROM qs JOIN sample s
+            ON s.rn = ((s.m - 1) * qs.q_pct) // 100 + 1),
+        census AS (
+          SELECT cents, count(*) AS cnt FROM li GROUP BY cents),
+        cc AS (
+          SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM census),
+        n AS (SELECT cast(count(*) as bigint) AS n FROM li),
+        ex AS (
+          SELECT qs.q_pct, min(cc.cents) AS exact_cents
+          FROM qs CROSS JOIN n JOIN cc
+            ON cc.cum >= ((n.n - 1) * qs.q_pct) // 100 + 1
+          GROUP BY qs.q_pct)
+        SELECT est.q_pct, est.est_cents, ex.exact_cents,
+          est.est_cents - ex.exact_cents AS abs_err
+        FROM est JOIN ex USING (q_pct)
+        ORDER BY est.q_pct""")),
+
+    // ------------------------------------------------------------------
     // Robust outlier detection: per-group median + MAD (median absolute
     // deviation), flagging rows with adev > 1.8·MAD. Exact medians via
     // percentile() — deterministic interpolation in both engines (q38's

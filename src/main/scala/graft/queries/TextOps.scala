@@ -3082,7 +3082,8 @@ object TextOps {
           cast(coalesce(m.n_matches, 0) as bigint) AS n_matches,
           m.doc_idx AS best_idx, m.jaccard AS best_jaccard
         FROM inc0 i LEFT JOIN m ON m.doc_new = i.doc_new AND m.rn = 1
-        ORDER BY i.doc_new""")),
+        ORDER BY i.doc_new"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // Importance-weighted data selection (the DSIR recipe, Xie et al.

@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "fine×coarse centroid argmax (k×√k rows); the corpus-sized side "
       + "is row-local folds + hash joins only"),
     "p01_curation_pipeline" -> ("x20's 1-row corpus-total broadcast; "
-      + "dedup candidates come from d08's posting index (no all-pairs)"))
+      + "dedup candidates come from d08's posting index (no all-pairs)"),
+    "q72_kmv_quantiles" -> ("1-row merged-sketch and corpus-count "
+      + "frames crossed with the 4-row quantile table; the data-sized "
+      + "work is bounded KmvMinSet buffers + the census aggregate"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>

@@ -36,7 +36,9 @@ class QueriesSpec extends SparkFunSuite {
     // explosion → 5 rounds — yields bit-identical values across runs
     for (name <- Seq("g01_pagerank_parts", "d07_dup_clusters",
         "g02_triangle_count", "g03_kcore_peel", "x22_vocab_growth",
-        "x21_bigram_lm_score", "x23_sequence_pack")) {
+        "x21_bigram_lm_score", "x23_sequence_pack",
+        "d14_incremental_dedup", "x25_dsir_select",
+        "e14_zonemap_prune", "g04_label_prop")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
