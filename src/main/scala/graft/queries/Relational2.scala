@@ -1152,6 +1152,117 @@ object Relational2 {
         ORDER BY est.q_pct""")),
 
     // ------------------------------------------------------------------
+    // Join-cardinality estimation from sketches — the PLANNER'S use of
+    // the q71 set algebra: predict |A ⋈ B| before running the join,
+    // from one bounded-state pass over each side. Per side: a KMV
+    // min-set over the hashed join key (same "jcs_" prefix on both
+    // sides so the hash spaces align) + the raw row count. Estimate:
+    // distinct-key intersection via the shared-fraction-of-merged-
+    // min-set estimator (Beyer et al., SIGMOD'07), scaled by each
+    // side's mean key multiplicity n/d — the uniform-frequency
+    // assumption every histogram-free planner makes (documented
+    // caveat: key-frequency skew correlated across sides biases it
+    // low; that is what x19's CMS heavy-hitters would patch). The
+    // exact join COUNT rides along as the oracle-checked ground
+    // truth. At 100 TB the point is the shape: two scan-once ≤k·8-byte
+    // aggregations answer "can this join's output fit?" before a
+    // single shuffle byte moves.
+    // ------------------------------------------------------------------
+    "q73_join_cardinality" -> Q(
+      (s, d) => {
+        val k = 64
+        val kmvset = udaf(new graft.functions.KmvMinSet(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val two60 = 1152921504606846976.0
+        val a = t(s, d, "events").select(
+          graft.functions.PortableHash.h60col(
+            concat(lit("jcs_"), col("user_id"))).as("h"))
+        val b = t(s, d, "orders").select(
+          graft.functions.PortableHash.h60col(
+            concat(lit("jcs_"), col("o_custkey"))).as("h"))
+        val sa = a.agg(kmvset(col("h")).as("ma"), count(lit(1)).as("n_a"))
+        val sb = b.agg(kmvset(col("h")).as("mb"), count(lit(1)).as("n_b"))
+        // ANSI-safe k-th element: below k the min-set IS the distinct
+        // set and the CASE's other arm never reads past the end
+        def kth(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          element_at(m, least(lit(k), size(m)).cast("int")).cast("double")
+        def estD(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(size(m) < k, size(m).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(two60) / kth(m))
+        val exact = t(s, d, "events").select(col("user_id").as("ky"))
+          .join(t(s, d, "orders").select(col("o_custkey").as("ky")), "ky")
+          .agg(count(lit(1)).as("exact_join_size"))
+        sa.crossJoin(sb)
+          .withColumn("merged",
+            slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+          .withColumn("est_a", estD(col("ma")))
+          .withColumn("est_b", estD(col("mb")))
+          .withColumn("shared", size(filter(col("merged"), x =>
+            array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+            .cast("double"))
+          .withColumn("est_inter",
+            when(size(col("merged")) < k, col("shared"))
+              .otherwise(col("shared") / lit(k.toDouble) *
+                (lit((k - 1).toDouble) * lit(two60) / kth(col("merged")))))
+          .crossJoin(exact)
+          .select(col("n_a"), col("n_b"),
+            floor(col("est_a")).cast("long").as("est_keys_a"),
+            floor(col("est_b")).cast("long").as("est_keys_b"),
+            floor(col("est_inter")).cast("long").as("est_inter_keys"),
+            floor(col("est_inter") *
+              (col("n_a").cast("double") / col("est_a")) *
+              (col("n_b").cast("double") / col("est_b")))
+              .cast("long").as("est_join_size"),
+            col("exact_join_size"))
+      },
+      Some("""WITH a AS MATERIALIZED (
+          SELECT ('0x' || substr(md5('jcs_' || user_id), 1, 15))::BIGINT
+            AS h FROM events),
+        b AS MATERIALIZED (
+          SELECT ('0x' || substr(md5('jcs_' || o_custkey), 1, 15))::BIGINT
+            AS h FROM orders),
+        na AS (SELECT cast(count(*) as bigint) AS n_a FROM a),
+        nb AS (SELECT cast(count(*) as bigint) AS n_b FROM b),
+        ma AS MATERIALIZED (SELECT h FROM (SELECT DISTINCT h FROM a) x
+          ORDER BY h LIMIT 64),
+        mb AS MATERIALIZED (SELECT h FROM (SELECT DISTINCT h FROM b) x
+          ORDER BY h LIMIT 64),
+        masz AS (SELECT cast(count(*) as int) AS n, max(h) AS hk FROM ma),
+        mbsz AS (SELECT cast(count(*) as int) AS n, max(h) AS hk FROM mb),
+        merged AS MATERIALIZED (SELECT h FROM (
+          SELECT DISTINCT h FROM (
+            SELECT h FROM ma UNION ALL SELECT h FROM mb) u) x
+          ORDER BY h LIMIT 64),
+        msz AS (SELECT cast(count(*) as int) AS n, max(h) AS hk
+          FROM merged),
+        sh AS (SELECT cast(count(*) as double) AS shared FROM merged m
+          WHERE m.h IN (SELECT h FROM ma)
+            AND m.h IN (SELECT h FROM mb)),
+        calc AS (
+          SELECT na.n_a, nb.n_b,
+            CASE WHEN masz.n < 64 THEN cast(masz.n as double)
+              ELSE 63.0 * 1152921504606846976.0 / cast(masz.hk as double)
+            END AS est_a,
+            CASE WHEN mbsz.n < 64 THEN cast(mbsz.n as double)
+              ELSE 63.0 * 1152921504606846976.0 / cast(mbsz.hk as double)
+            END AS est_b,
+            CASE WHEN msz.n < 64 THEN sh.shared
+              ELSE sh.shared / 64.0 * (63.0 * 1152921504606846976.0 /
+                cast(msz.hk as double))
+            END AS est_inter
+          FROM masz, mbsz, msz, sh, na, nb),
+        ex AS (SELECT cast(count(*) as bigint) AS exact_join_size
+          FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+        SELECT n_a, n_b,
+          cast(floor(est_a) as bigint) AS est_keys_a,
+          cast(floor(est_b) as bigint) AS est_keys_b,
+          cast(floor(est_inter) as bigint) AS est_inter_keys,
+          cast(floor(est_inter * (cast(n_a as double) / est_a) *
+            (cast(n_b as double) / est_b)) as bigint) AS est_join_size,
+          exact_join_size
+        FROM calc, ex""")),
+
+    // ------------------------------------------------------------------
     // Robust outlier detection: per-group median + MAD (median absolute
     // deviation), flagging rows with adev > 1.8·MAD. Exact medians via
     // percentile() — deterministic interpolation in both engines (q38's

@@ -2786,6 +2786,221 @@ object TextOps {
         ORDER BY a.approx_dist, a.vec_id LIMIT 10""")),
 
     // ------------------------------------------------------------------
+    // Diversity-aware retrieval: Maximal Marginal Relevance (Carbonell
+    // & Goldstein, SIGIR'98) — what a RAG / eval-set builder actually
+    // wants from "top-k": not the 5 MOST similar docs (often 5 copies
+    // of the same thing) but 5 similar-yet-mutually-different ones.
+    // Two stages with very different scale shapes, deliberately split:
+    // stage 1 is s01's distributed top-20 cosine scan (the corpus-
+    // sized work, one pass, TakeOrdered); stage 2 is the greedy MMR
+    // loop over those 20 candidates — metadata-scale by construction
+    // (20 rows, 380 pairwise sims), which is WHY greedy reranking is
+    // affordable at 100 TB: the sequential part never touches the
+    // corpus. score(d) = 0.7·rel(q,d) − 0.3·max_{s∈S} sim(d,s), five
+    // rounds, ties by vec_id. Every double comes from the same
+    // sequential fold both engines use (s01's ⊕ convention), so the
+    // greedy argmax — and therefore the SELECTION — hash-matches.
+    // ------------------------------------------------------------------
+    "s07_mmr_rerank" -> Q(
+      (s, d) => {
+        val base = emb(s, d)
+        val query = base.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val cand = base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(query))
+          .withColumn("rel", cosine(col("embedding"), col("qe")))
+          .select(col("vec_id"), col("embedding"), col("rel"))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(20)
+          .localCheckpoint()
+        val sims = cand.select(col("vec_id").as("a"),
+            col("embedding").as("ea"))
+          .join(cand.select(col("vec_id").as("b"),
+            col("embedding").as("eb")), col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            cosine(col("ea"), col("eb")).as("sim"))
+          .localCheckpoint()
+        def pickNext(selected: org.apache.spark.sql.DataFrame, rank: Int) = {
+          val pen = sims
+            .join(selected.select(col("vec_id").as("b")), "b")
+            .groupBy(col("a")).agg(max(col("sim")).as("pen"))
+            .withColumnRenamed("a", "vec_id")
+          cand.join(selected.select(col("vec_id")), Seq("vec_id"),
+              "left_anti")
+            .join(pen, "vec_id")
+            .withColumn("score",
+              lit(0.7) * col("rel") - lit(0.3) * col("pen"))
+            .orderBy(col("score").desc, col("vec_id"))
+            .limit(1)
+            .select(lit(rank).as("rank"), col("vec_id"),
+              col("score").as("mmr_score"))
+        }
+        var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .select(lit(1).as("rank"), col("vec_id"),
+            (lit(0.7) * col("rel")).as("mmr_score"))
+          .localCheckpoint()
+        for (r <- 2 to 5)
+          sel = sel.unionAll(pickNext(sel, r)).localCheckpoint()
+        sel.orderBy(col("rank"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> cast(x as double))
+            AS v FROM embeddings),
+        n AS (SELECT vec_id, v,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        cand AS MATERIALIZED (
+          SELECT n.vec_id, n.v, n.nrm,
+            list_dot_product(n.v, q.qv) / n.nrm / q.qnrm AS rel
+          FROM n, q WHERE n.vec_id <> 0
+          ORDER BY rel DESC, n.vec_id LIMIT 20),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+            list_dot_product(a.v, b.v) / a.nrm / b.nrm AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        s1 AS (SELECT 1 AS rank, vec_id,
+            cast(0.7 as double) * rel AS mmr_score
+          FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1),
+        s2 AS (SELECT 2 AS rank, c.vec_id,
+            cast(0.7 as double) * c.rel - cast(0.3 as double) * p.pen
+              AS mmr_score
+          FROM cand c JOIN (SELECT a, max(sim) AS pen FROM sims
+            JOIN sel1 ON sims.b = sel1.vec_id GROUP BY a) p
+            ON p.a = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+          ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+        sel2 AS (SELECT vec_id FROM sel1
+          UNION ALL SELECT vec_id FROM s2),
+        s3 AS (SELECT 3 AS rank, c.vec_id,
+            cast(0.7 as double) * c.rel - cast(0.3 as double) * p.pen
+              AS mmr_score
+          FROM cand c JOIN (SELECT a, max(sim) AS pen FROM sims
+            JOIN sel2 ON sims.b = sel2.vec_id GROUP BY a) p
+            ON p.a = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+          ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+        sel3 AS (SELECT vec_id FROM sel2
+          UNION ALL SELECT vec_id FROM s3),
+        s4 AS (SELECT 4 AS rank, c.vec_id,
+            cast(0.7 as double) * c.rel - cast(0.3 as double) * p.pen
+              AS mmr_score
+          FROM cand c JOIN (SELECT a, max(sim) AS pen FROM sims
+            JOIN sel3 ON sims.b = sel3.vec_id GROUP BY a) p
+            ON p.a = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+          ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+        sel4 AS (SELECT vec_id FROM sel3
+          UNION ALL SELECT vec_id FROM s4),
+        s5 AS (SELECT 5 AS rank, c.vec_id,
+            cast(0.7 as double) * c.rel - cast(0.3 as double) * p.pen
+              AS mmr_score
+          FROM cand c JOIN (SELECT a, max(sim) AS pen FROM sims
+            JOIN sel4 ON sims.b = sel4.vec_id GROUP BY a) p
+            ON p.a = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+          ORDER BY mmr_score DESC, c.vec_id LIMIT 1)
+        SELECT * FROM (
+          SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+          UNION ALL SELECT * FROM s5) u
+        ORDER BY rank""")),
+
+    // ------------------------------------------------------------------
+    // Johnson-Lindenstrauss random projection — embedding COMPRESSION
+    // for the ANN stack (s02 buckets, s03 partitions, s06 quantizes;
+    // this shrinks the vectors themselves): 64 dims → 16 via the
+    // sparse Achlioptas projection (entries +1/−1/0 w.p. 1/6, 1/6,
+    // 2/3 — "Database-friendly random projections", PODS'01), with
+    // the matrix derived from h60 so both engines build the IDENTICAL
+    // projection from nothing but the seed strings. The constant
+    // sqrt(3/16) scale factor is dropped deliberately: cosine is
+    // scale-invariant, so it cancels. Output: the projected-space
+    // top-10 with an in_exact flag against the full-dimension top-10
+    // — the recall readout (s04's harness pattern). Scale shape: the
+    // 16×64 matrix is a driver literal (data-independent); projection
+    // is one row-local map (4× smaller vectors = 4× less ANN memory
+    // and shuffle); the exact full-dim leg exists for evaluation, as
+    // in s04 — production scans only the projected column.
+    // ------------------------------------------------------------------
+    "s08_jl_recall" -> Q(
+      (s, d) => {
+        val target = 16
+        val base0 = emb(s, d)
+        val dim = base0.select(size(col("embedding"))).head.getInt(0)
+        val signs: Seq[Seq[Double]] = (0 until target).map(j =>
+          (0 until dim).map { i =>
+            graft.functions.PortableHash.h60(s"jl_${j}_${i}") % 6L match {
+              case 0L => 1.0
+              case 1L => -1.0
+              case _ => 0.0
+            }
+          })
+        val signsC = typedLit(signs)
+        val proj = base0.withColumn("pv",
+          transform(sequence(lit(0), lit(target - 1)), j =>
+            graft.functions.VectorDot.dot(col("embedding"),
+              element_at(signsC, j + 1))))
+          .select(col("vec_id"), col("pv"))
+        val q = proj.filter(col("vec_id") === 0)
+          .select(col("pv").as("qpv"))
+        val proj10 = proj.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos_proj", cosine(col("pv"), col("qpv")))
+          .select(col("vec_id"), col("cos_proj"))
+          .orderBy(col("cos_proj").desc, col("vec_id"))
+          .limit(10)
+        val qe = base0.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val ex10 = base0.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qe))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), lit(true).as("in_exact"))
+        proj10.join(ex10, Seq("vec_id"), "left")
+          .withColumn("in_exact", coalesce(col("in_exact"), lit(false)))
+          .orderBy(col("cos_proj").desc, col("vec_id"))
+      },
+      Some("""WITH e AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> cast(x as double))
+            AS v FROM embeddings),
+        dim AS (SELECT max(len(v)) AS d FROM e),
+        signs AS (
+          SELECT j, list_transform(range(0, d), i ->
+            CASE ('0x' || substr(md5('jl_' || j || '_' || i), 1, 15))
+                ::BIGINT % 6
+              WHEN 0 THEN cast(1 as double)
+              WHEN 1 THEN cast(-1 as double)
+              ELSE cast(0 as double) END) AS sv
+          FROM range(0, 16) t(j), dim),
+        sg AS (SELECT list(sv ORDER BY j) AS svs FROM signs),
+        p AS (SELECT vec_id,
+            list_transform(range(0, 16), j -> list_dot_product(v, svs[j+1]))
+              AS pv
+          FROM e, sg),
+        np AS (SELECT vec_id, pv,
+          sqrt(list_sum(list_transform(pv, x -> x * x))) AS nrm FROM p),
+        q AS (SELECT pv AS qpv, nrm AS qnrm FROM np WHERE vec_id = 0),
+        proj10 AS (
+          SELECT np.vec_id,
+            list_dot_product(np.pv, q.qpv) / np.nrm / q.qnrm AS cos_proj
+          FROM np, q WHERE np.vec_id <> 0
+          ORDER BY cos_proj DESC, np.vec_id LIMIT 10),
+        n2 AS (SELECT vec_id, v,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        q2 AS (SELECT v AS qv, nrm AS qnrm FROM n2 WHERE vec_id = 0),
+        ex10 AS (
+          SELECT n2.vec_id FROM n2, q2 WHERE n2.vec_id <> 0
+          ORDER BY list_dot_product(n2.v, q2.qv) / n2.nrm / q2.qnrm DESC,
+            n2.vec_id
+          LIMIT 10)
+        SELECT p.vec_id, p.cos_proj,
+          p.vec_id IN (SELECT vec_id FROM ex10) AS in_exact
+        FROM proj10 p
+        ORDER BY p.cos_proj DESC, p.vec_id""")),
+
+    // ------------------------------------------------------------------
     // Heaps-law vocabulary-growth census over the bigram vocabulary —
     // the corpus statistic that answers "is more data still adding new
     // language?" (vocab growth flattening is the classic

@@ -51,7 +51,17 @@ class PlanAuditSpec extends SparkFunSuite {
       + "dedup candidates come from d08's posting index (no all-pairs)"),
     "q72_kmv_quantiles" -> ("1-row merged-sketch and corpus-count "
       + "frames crossed with the 4-row quantile table; the data-sized "
-      + "work is bounded KmvMinSet buffers + the census aggregate"))
+      + "work is bounded KmvMinSet buffers + the census aggregate"),
+    "s07_mmr_rerank" -> ("1-row query-vector broadcast (s01's stage) + "
+      + "the 20-candidate a≠b pairwise-sim join; the greedy loop is "
+      + "metadata-scale by construction — the corpus work is the "
+      + "top-20 TakeOrdered scan"),
+    "s08_jl_recall" -> ("two 1-row query-vector broadcasts (projected "
+      + "and full-dim legs; the exact leg is the s04-style recall "
+      + "harness — production scans only the projected column)"),
+    "q73_join_cardinality" -> ("two 1-row frames (per-side sketches, "
+      + "exact count) cross-joined; the data-sized work is two "
+      + "bounded KmvMinSet aggregations + the ground-truth join"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
