@@ -283,7 +283,11 @@ object MigrationOps {
     // turning "diff two 100 TB tables" into two independent
     // full-scan-once aggregations of 64 rows each (this is the
     // row-count+checksum validation pattern of AWS DMS / pt-table-
-    // checksum, re-expressed as two Spark aggregates). The "target"
+    // checksum, re-expressed as two Spark aggregates). Buckets are
+    // key MOD 64 — pt-table-checksum's key-range chunking, and
+    // deliberately md5-free: a hashed bucket would re-evaluate its
+    // md5 in the join-key null filter AND the projection (the plan
+    // showed 3 md5/row/side); the row fingerprint is the only md5. The "target"
     // here is the source with one deliberately corrupted row (lowest
     // order key), so the output proves DETECTION: exactly one bucket
     // carries fp_match = false. XOR (not sum) keeps the fold in
@@ -298,9 +302,7 @@ object MigrationOps {
           col("o_orderdate").cast("date").cast("string"))
         def fps(df: DataFrame, side: String): DataFrame = df
           .select(
-            pmod(graft.functions.PortableHash.h60col(
-              concat(lit("fpb_"), col("o_orderkey"))), lit(64L))
-              .as("bucket"),
+            pmod(col("o_orderkey"), lit(64L)).as("bucket"),
             graft.functions.PortableHash.h60col(
               concat(lit("fp_"), canon)).as("rh"))
           .groupBy(col("bucket"))
@@ -331,16 +333,14 @@ object MigrationOps {
             END AS o_orderpriority, od
           FROM src),
         fs AS (
-          SELECT ('0x' || substr(md5('fpb_' || o_orderkey), 1, 15))::BIGINT
-              % 64 AS bucket,
+          SELECT o_orderkey % 64 AS bucket,
             cast(count(*) as bigint) AS n_src,
             bit_xor(('0x' || substr(md5('fp_' || o_orderkey || '|' ||
               o_custkey || '|' || o_orderstatus || '|' ||
               o_orderpriority || '|' || od), 1, 15))::BIGINT) AS fp_src
           FROM src GROUP BY 1),
         ft AS (
-          SELECT ('0x' || substr(md5('fpb_' || o_orderkey), 1, 15))::BIGINT
-              % 64 AS bucket,
+          SELECT o_orderkey % 64 AS bucket,
             cast(count(*) as bigint) AS n_tgt,
             bit_xor(('0x' || substr(md5('fp_' || o_orderkey || '|' ||
               o_custkey || '|' || o_orderstatus || '|' ||

@@ -92,6 +92,34 @@ object EventStreams {
         col("value"))
   }
 
+  /** LEFT OUTER variant of [[viewPurchaseJoin]] — the "which views
+    * did NOT convert" question, which the inner join cannot answer.
+    * Semantics matter at scale: a matched row emits immediately, but
+    * a null-padded row can only emit once the WATERMARK has passed
+    * `view_ts + 1h + delay` — before that, a matching purchase could
+    * still arrive, so the engine must hold the view in state. Two
+    * consequences the StreamingSpec test pins down: (1) null rows
+    * arrive late relative to their matched peers (state is evicted →
+    * emitted, not dropped), and (2) views inside the final
+    * watermark horizon of a finite stream are withheld forever — the
+    * trailing-tail caveat every kappa-architecture report query has
+    * to account for (the batch twin emits them; the difference IS
+    * the horizon).
+    */
+  def viewPurchaseLeftJoin(views: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    v.join(p, expr("""p_user = user_id
+        AND purchase_ts >= view_ts
+        AND purchase_ts <= view_ts + INTERVAL 1 HOUR"""), "leftOuter")
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"),
+        col("value"))
+  }
+
   /** Parse-with-quarantine (dead-letter routing): typed JSON parse of
     * the props column; rows whose props fail to parse land in the
     * quarantine side with the raw payload preserved, good rows carry

@@ -144,6 +144,40 @@ class StreamingSpec extends SparkFunSuite {
       s"stream ${streamed.length} rows vs batch ${batch.length}")
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit exactly; " +
+      "null padding appears once the watermark closes the view's window") {
+    val src = EventStreams.readEventStream(spark, stagedDir)
+    val joined = EventStreams.viewPurchaseLeftJoin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"))
+    runToMemory(joined, "vp_left")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val streamed = spark.table("vp_left").collect().map(key).toSeq
+    val batchSrc = spark.read.parquet(stagedDir)
+    val batch = EventStreams.viewPurchaseLeftJoin(
+      batchSrc.filter(col("event_type") === "view"),
+      batchSrc.filter(col("event_type") === "purchase"))
+      .collect().map(key).toSeq
+    // matched rows: stream == batch exactly (inner-join semantics)
+    assert(streamed.filter(_._3.isDefined).sortBy(_.toString) ==
+      batch.filter(_._3.isDefined).sortBy(_.toString))
+    // null-padded rows: every streamed null is a batch null, nulls DID
+    // emit (state eviction works), and the only batch nulls the stream
+    // withholds are views inside the final watermark horizon
+    // (1h interval + 10min delay) of the finite stream's end
+    val sN = streamed.filter(_._3.isEmpty).toSet
+    val bN = batch.filter(_._3.isEmpty).toSet
+    assert(sN.nonEmpty, "no null-padded rows emitted")
+    assert(sN.subsetOf(bN), "stream emitted a null row batch didn't")
+    val maxTs = batchSrc.agg(max(col("ts"))).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(
+      maxTs.getTime - (70L * 60L * 1000L))
+    assert((bN -- sN).forall(_._2.after(horizon)),
+      "a view outside the tail horizon was withheld")
+  }
+
   test("watermark drops late data across microbatches (e08's streaming twin)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
