@@ -63,7 +63,9 @@ object Verify {
     // native-type gate, which reproduced the r6 reds as HUGEINT).
     val suspects = Seq("g01_pagerank_parts", "g02_triangle_count",
       "g03_kcore_peel", "d07_dup_clusters", "x22_vocab_growth",
-      "x21_bigram_lm_score", "x23_sequence_pack")
+      "x21_bigram_lm_score", "x23_sequence_pack",
+      "d14_incremental_dedup", "x25_dsir_select", "g04_label_prop",
+      "e14_zonemap_prune", "s07_mmr_rerank")
       .filter(selected)
     if (suspects.nonEmpty) {
       def canonHash(df: org.apache.spark.sql.DataFrame): String = {

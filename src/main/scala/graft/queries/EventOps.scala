@@ -501,6 +501,49 @@ object EventOps {
     // (n_rows/2048 entries), which is exactly why real systems can
     // afford to consult it per query.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // CDC changelog apply (SCD1 / MERGE INTO semantics) — e13's
+    // complement: e13 KEEPS history as validity intervals; this
+    // produces the CURRENT state table a Debezium-style changelog
+    // implies. The event stream is read as ops on a per-user profile:
+    // any event upserts (last-writer-wins on (ts, event_id)), an
+    // 'error' event is the DELETE tombstone — a user whose final op
+    // is a tombstone is absent from the result entirely, not null-
+    // rowed. Scale shape: ONE user-keyed window pass applies the
+    // whole changelog (both window functions share the same
+    // partitioning, so one shuffle) — versus the row-at-a-time MERGE
+    // a naive CDC consumer runs; at 100 TB this is the difference
+    // between a batch backfill that finishes and one that doesn't.
+    // ------------------------------------------------------------------
+    "e15_cdc_apply" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(
+            byUser.orderBy(col("ts").desc, col("event_id").desc)))
+          .withColumn("n_ops", count(lit(1)).over(byUser))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_type").as("state"),
+            col("value").as("last_value"), col("ts").as("last_ts"),
+            col("n_ops"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, event_type, value,
+            cast(ts as timestamp) AS tts
+          FROM events),
+        r AS (
+          SELECT user_id, event_type, value, tts,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY tts DESC, event_id DESC) AS rn,
+            cast(count(*) OVER (PARTITION BY user_id) as bigint) AS n_ops
+          FROM ev)
+        SELECT user_id, event_type AS state, value AS last_value,
+          tts AS last_ts, n_ops
+        FROM r WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id""")),
+
     "e14_zonemap_prune" -> Q(
       (s, d) => {
         // 6-bit × 6-bit space sized to the synthetic data (≤1500

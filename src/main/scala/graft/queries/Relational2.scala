@@ -1096,10 +1096,27 @@ object Relational2 {
           expr("element_at(vals, cast(((m - 1) * q_pct) div 100 + 1 as int))")
             .as("est_cents"))
         // exact twin: distinct-value census + cumulative count; the
-        // quantile value is the first census row covering the index
-        val census = li.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(Window.orderBy("cents")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // quantile value is the first census row covering the index.
+        // The cumsum is the x22 two-level shape — within-block windows
+        // PARTITIONED by a value-range block, plus one tiny global
+        // window over block totals — so no data-scale SinglePartition
+        // sort exists even in the exact leg (values are identical to
+        // the naive global window; only the plan differs)
+        val censusBase = li.groupBy(col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", expr("cents div 65536"))
+        val blkW = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val blkOffs = censusBase.groupBy(col("blk"))
+          .agg(sum(col("cnt")).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(blkW), lit(0L)))
+          .select(col("blk"), col("boff"))
+        val inW = Window.partitionBy(col("blk")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val census = censusBase
+          .withColumn("incum", sum(col("cnt")).over(inW))
+          .join(broadcast(blkOffs), Seq("blk"))
+          .withColumn("cum", col("boff") + col("incum"))
         val nRow = li.agg(count(lit(1)).as("n"))
         val ex = census.crossJoin(nRow).crossJoin(qsDF)
           .filter(expr("cum >= ((n - 1) * q_pct) div 100 + 1"))
