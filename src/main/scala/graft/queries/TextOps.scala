@@ -3209,7 +3209,18 @@ object TextOps {
             Seq("band", "band_hash"))
           .select(col("doc_new"), col("doc_idx"))
           .distinct()
+        // shingle ONLY the docs that appear in a candidate pair, ONCE:
+        // without the semi-join + checkpoint the tokenize+shingle scan
+        // plans twice (QProf showed two documents FileScans — the
+        // x21/d08 multi-consumer class); candidate ids are
+        // LSH-bounded, so the checkpointed frame is small
+        val candIds = cand
+          .select(explode(array(col("doc_new"), col("doc_idx")))
+            .as("doc_id"))
+          .distinct()
         val sh = docShingles(s, d)
+          .join(candIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint()
         val best = cand
           .join(sh.select(col("doc_id").as("doc_new"), col("w").as("wa")),
             Seq("doc_new"))
