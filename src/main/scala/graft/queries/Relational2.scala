@@ -1280,6 +1280,48 @@ object Relational2 {
         FROM calc, ex""")),
 
     // ------------------------------------------------------------------
+    // Salted skew join, surfaced as a hash-verified catalog query —
+    // [[graft.operators.SkewJoin]] was previously spec-only. The doc
+    // corpus joins its per-language dimension on `lang`, a textbook
+    // hot-key distribution (one dominant language = one dead reducer
+    // in a plain shuffle join at 100 TB). saltedInnerJoin splits each
+    // key into 8 deterministic sub-keys (large side salts by row
+    // hash, small side replicates ×8). The POINT the oracle proves:
+    // salting is semantically invisible — the DuckDB twin runs the
+    // PLAIN join, and the hash match is the witness that the salted
+    // plan changes only the partitioning, never the result. The salt
+    // uses xxhash64 safely here because it decides placement, not
+    // values. AQE's skew-join handles sort-merge cases automatically;
+    // this explicit form is the documented mitigation for what AQE
+    // can't see (pre-agg skew, broadcast-ineligible dims).
+    // ------------------------------------------------------------------
+    "q74_skew_salted_join" -> Q(
+      (s, d) => {
+        val docsF = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val langDim = docsF.groupBy(col("lang"))
+          .agg(expr("sum(n_chars) div count(*)").as("avg_chars"))
+        graft.operators.SkewJoin
+          .saltedInnerJoin(docsF, langDim, "lang", saltBuckets = 8)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("n_chars") > col("avg_chars"), 1))
+              .as("n_above_avg"),
+            min(col("avg_chars")).as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH dim AS (
+          SELECT lang,
+            cast(sum(n_chars) // count(*) as bigint) AS avg_chars
+          FROM documents GROUP BY lang)
+        SELECT d.lang, cast(count(*) as bigint) AS n_docs,
+          cast(count(*) FILTER (WHERE d.n_chars > dim.avg_chars)
+            as bigint) AS n_above_avg,
+          min(dim.avg_chars) AS avg_chars
+        FROM documents d JOIN dim USING (lang)
+        GROUP BY d.lang ORDER BY d.lang""")),
+
+    // ------------------------------------------------------------------
     // Robust outlier detection: per-group median + MAD (median absolute
     // deviation), flagging rows with adev > 1.8·MAD. Exact medians via
     // percentile() — deterministic interpolation in both engines (q38's
