@@ -502,6 +502,86 @@ object EventOps {
     // afford to consult it per query.
     // ------------------------------------------------------------------
     // ------------------------------------------------------------------
+    // Marketing attribution — first-touch vs last-touch revenue per
+    // touch channel, the query every growth team runs and every
+    // engine makes painful. For each purchase: which view/click the
+    // user made in the preceding 7 days, earliest (first-touch) and
+    // latest (last-touch)? The scalable trick is ONE range-frame
+    // window pass over the interleaved per-user event stream instead
+    // of a purchases×touches interval self-join (which fans out as
+    // touches² per user at 100 TB): each touch is encoded as
+    // ts_seconds·4 + channel_code into a single BIGINT, so plain
+    // min/max over RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING
+    // pick the first/last touch — both engines agree on integer
+    // min/max where a struct-valued window would be engine-specific.
+    // Purchases with no touch in the window attribute to 'none'.
+    // Output is long-form: (model, touch) × attributed count +
+    // decimal-exact revenue.
+    // ------------------------------------------------------------------
+    "e16_attribution" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val code = when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+        val enc = when(code.isNotNull,
+          col("tsl") * 4 + code)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsl"))
+          .rangeBetween(-604800L, -1L)
+        val purchases = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_timestamp(col("ts")).as("tsl"))
+          .withColumn("ft", min(enc).over(w))
+          .withColumn("lt", max(enc).over(w))
+          .filter(col("event_type") === "purchase")
+        def channel(encCol: Column): Column =
+          when(encCol.isNull, "none")
+            .when(pmod(encCol, lit(4)) === 1, "view")
+            .otherwise("click")
+        def attrib(encCol: Column, model: String) = purchases
+          .groupBy(channel(encCol).as("touch"))
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("value")).as("revenue"))
+          .select(lit(model).as("model"), col("touch"),
+            col("n_purchases"), col("revenue"))
+        attrib(col("ft"), "first_touch")
+          .unionAll(attrib(col("lt"), "last_touch"))
+          .orderBy(col("model"), col("touch"))
+      },
+      Some(s"""WITH ev AS (
+          SELECT user_id, event_type, value,
+            cast(floor(epoch(cast(ts as timestamp))) as bigint) AS tsl
+          FROM events),
+        enc AS (
+          SELECT user_id, event_type, value, tsl,
+            CASE WHEN event_type = 'view' THEN tsl * 4 + 1
+                 WHEN event_type = 'click' THEN tsl * 4 + 2 END AS e
+          FROM ev),
+        win AS (
+          SELECT user_id, event_type, value,
+            min(e) OVER w AS ft, max(e) OVER w AS lt
+          FROM enc
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsl
+            RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)),
+        p AS (SELECT * FROM win WHERE event_type = 'purchase'),
+        f AS (
+          SELECT 'first_touch' AS model,
+            CASE WHEN ft IS NULL THEN 'none'
+                 WHEN ft % 4 = 1 THEN 'view' ELSE 'click' END AS touch,
+            cast(count(*) as bigint) AS n_purchases,
+            ${sqlDsum("value")} AS revenue
+          FROM p GROUP BY 2),
+        l AS (
+          SELECT 'last_touch' AS model,
+            CASE WHEN lt IS NULL THEN 'none'
+                 WHEN lt % 4 = 1 THEN 'view' ELSE 'click' END AS touch,
+            cast(count(*) as bigint) AS n_purchases,
+            ${sqlDsum("value")} AS revenue
+          FROM p GROUP BY 2)
+        SELECT * FROM (
+          SELECT * FROM f UNION ALL SELECT * FROM l) u
+        ORDER BY model, touch""")),
+
+    // ------------------------------------------------------------------
     // CDC changelog apply (SCD1 / MERGE INTO semantics) — e13's
     // complement: e13 KEEPS history as validity intervals; this
     // produces the CURRENT state table a Debezium-style changelog
