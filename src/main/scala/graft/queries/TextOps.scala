@@ -2786,6 +2786,75 @@ object TextOps {
         ORDER BY a.approx_dist, a.vec_id LIMIT 10""")),
 
     // ------------------------------------------------------------------
+    // k-NN classification eval — the first consumer of the embeddings
+    // table's `label` column: 20 held-out query vectors, each
+    // predicted as the majority label of its k=5 nearest labeled
+    // neighbors (cosine), scored against the true label per class.
+    // This is the eval loop a labeled-embedding pipeline runs after
+    // every index build (s02/s03/s06/s08 all change the neighbor set;
+    // this measures whether they change the DECISION). Scale shape:
+    // the 20-query batch broadcasts (s04's pattern), the corpus side
+    // is one scan; per-query top-k is a 20-partition window (bounded
+    // by queries, not corpus); the vote argmax is max_by with a
+    // unique (c, −label) tie key — the g04 lesson, no sort shuffle.
+    // ------------------------------------------------------------------
+    "s09_knn_classify" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nq = 20
+        val k = 5
+        val base = emb(s, d)
+        val queries = base.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("label").as("true_label"))
+        val top = base.filter(col("vec_id") >= nq)
+          .crossJoin(broadcast(queries))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn") <= k)
+        val pred = top
+          .groupBy(col("q_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("q_id"), col("true_label"))
+          .agg(max_by(col("label"),
+            struct(col("c"), (-col("label")).as("nl"))).as("pred"))
+        pred.groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            count(when(col("pred") === col("true_label"), 1))
+              .as("n_correct"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS MATERIALIZED (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv,
+          nrm AS qnrm FROM n WHERE vec_id < 20),
+        top AS (
+          SELECT q.q_id, q.true_label, c.label
+          FROM n c, q WHERE c.vec_id >= 20
+          QUALIFY row_number() OVER (PARTITION BY q.q_id
+            ORDER BY list_dot_product(c.v, q.qv) / c.nrm / q.qnrm DESC,
+              c.vec_id) <= 5),
+        votes AS (
+          SELECT q_id, true_label, label, count(*) AS c
+          FROM top GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT q_id, true_label, label AS pred FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY c DESC, label) AS rn
+            FROM votes) x WHERE rn = 1)
+        SELECT true_label AS label, cast(count(*) as bigint) AS n_queries,
+          cast(count(*) FILTER (WHERE pred = true_label) as bigint)
+            AS n_correct
+        FROM pred GROUP BY 1
+        ORDER BY label""")),
+
+    // ------------------------------------------------------------------
     // Diversity-aware retrieval: Maximal Marginal Relevance (Carbonell
     // & Goldstein, SIGIR'98) — what a RAG / eval-set builder actually
     // wants from "top-k": not the 5 MOST similar docs (often 5 copies

@@ -61,7 +61,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "harness — production scans only the projected column)"),
     "q73_join_cardinality" -> ("two 1-row frames (per-side sketches, "
       + "exact count) cross-joined; the data-sized work is two "
-      + "bounded KmvMinSet aggregations + the ground-truth join"))
+      + "bounded KmvMinSet aggregations + the ground-truth join"),
+    "s09_knn_classify" -> ("20-row labeled query-batch broadcast "
+      + "(s04's pattern); the corpus side stays one scan"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
