@@ -65,7 +65,7 @@ object Verify {
       "g03_kcore_peel", "d07_dup_clusters", "x22_vocab_growth",
       "x21_bigram_lm_score", "x23_sequence_pack",
       "d14_incremental_dedup", "x25_dsir_select", "g04_label_prop",
-      "e14_zonemap_prune", "s07_mmr_rerank")
+      "e14_zonemap_prune", "s07_mmr_rerank", "x27_perceptron_classifier")
       .filter(selected)
     if (suspects.nonEmpty) {
       def canonHash(df: org.apache.spark.sql.DataFrame): String = {

@@ -3515,6 +3515,188 @@ object TextOps {
         ORDER BY shard""")),
 
     // ------------------------------------------------------------------
+    // Quality-classifier TRAINING in the engine — batch perceptron
+    // over hashed bigram features, the trainable counterpart of x25's
+    // fixed likelihood-ratio (FineWeb-Edu-style pipelines filter with
+    // a TRAINED classifier; this is that training loop, distributed).
+    // Integer-exact by construction: features are bucket counts,
+    // weights are longs, and the BATCH update (w += Σ_misclassified
+    // y·x per epoch, synchronous) is order-independent — unlike
+    // per-example SGD, whose result depends on visit order and could
+    // never hash-match an oracle. Three epochs; bias rides as feature
+    // 256 with n=1. Scale shape: the (doc, bucket) feature frame is
+    // built once and localCheckpointed (every epoch consumes it);
+    // each epoch is one 257-row broadcast join + a doc-keyed score
+    // agg + a bucket-keyed gradient agg — the canonical distributed
+    // full-batch gradient step; the weight vector never exceeds 257
+    // rows. Honest readout on this synthetic corpus (whose language
+    // labels are realized only as word-FREQUENCY mixes — same shared
+    // vocabulary, so the classes are not linearly separable): the
+    // hard 0-threshold never fires (n_pred_target = 0 — perceptron
+    // thresholds are uncalibrated on non-separable data), but the
+    // length-normalized score RANKING is where the learning shows —
+    // the trained selector's top-100 is 54% target at a 14% base
+    // rate (3.9× lift), matching x25's fixed likelihood-ratio
+    // selector. Trained-vs-derived, same selection power, and the
+    // whole loop hash-verifies.
+    // ------------------------------------------------------------------
+    "x27_perceptron_classifier" -> Q(
+      (s, d) => {
+        val nBuckets = 256L
+        val bigrams =
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>"))
+        val feats = docs(s, d)
+          .select(col("doc_id"), col("lang"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+          .select(col("doc_id"), col("lang"),
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("pc_"), col("bg"))), lit(nBuckets)).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("n"))
+        val withBias = feats
+          .unionAll(feats.select(col("doc_id"), col("lang")).distinct()
+            .select(col("doc_id"), col("lang"), lit(256L).as("b"),
+              lit(1L).as("n")))
+          .withColumn("y",
+            when(col("lang") === "de", 1L).otherwise(-1L))
+          .localCheckpoint()
+        // class-balanced update weights (70 target vs 430 rest at
+        // sf0.01 — unit weights would let the majority class swamp
+        // every epoch's gradient): each class's errors weigh as the
+        // OTHER class's size, so total positive and negative gradient
+        // mass can balance. Two metadata-scale scalars.
+        val cc = withBias.select(col("doc_id"), col("y")).distinct()
+          .groupBy(col("y")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nPos = cc.getOrElse(1L, 0L)
+        val nNeg = cc.getOrElse(-1L, 0L)
+        val cw = when(col("y") === 1L, lit(nNeg)).otherwise(lit(nPos))
+        var w = s.range(257).select(col("id").as("b"), lit(0L).as("w"))
+        def scores(wDF: org.apache.spark.sql.DataFrame) = withBias
+          .join(broadcast(wDF), "b")
+          .groupBy(col("doc_id"), col("lang"), col("y"))
+          .agg(sum(col("n") * col("w")).as("score"),
+            sum(col("n")).as("tn"))
+        for (_ <- 1 to 3) {
+          val mis = scores(w)
+            .filter(col("y") * col("score") <= 0)
+            .select(col("doc_id"))
+          val grad = withBias
+            .join(mis, "doc_id")
+            .groupBy(col("b"))
+            .agg(sum(col("y") * col("n") * cw).as("g"))
+          w = w.join(grad, Seq("b"), "left")
+            .select(col("b"), (col("w") + coalesce(col("g"), lit(0L)))
+              .as("w"))
+            .localCheckpoint()
+        }
+        val finalScores = scores(w).localCheckpoint()
+        // rank by the length-normalized score (integer mean, DSIR's
+        // occurrence-weighted form): the raw sum rewards long docs
+        val top100 = finalScores
+          .withColumn("ns", expr("score div tn"))
+          .orderBy(col("ns").desc, col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), lit(true).as("in_top"))
+        finalScores.join(top100, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("score") > 0, 1)).as("n_pred_target"),
+            count(when(col("in_top"), 1)).as("n_top100"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS MATERIALIZED (
+          SELECT doc_id, lang,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS toks
+          FROM documents),
+        f0 AS MATERIALIZED (
+          SELECT doc_id, lang, b, cast(count(*) as bigint) AS n FROM (
+            SELECT doc_id, lang,
+              ('0x' || substr(md5('pc_' || bg), 1, 15))::BIGINT % 256 AS b
+            FROM (
+              SELECT doc_id, lang,
+                unnest(list_transform(range(1, len(toks)), i ->
+                  toks[i] || ' ' || toks[i+1])) AS bg
+              FROM t WHERE len(toks) >= 2) u) v
+          GROUP BY doc_id, lang, b),
+        fb AS MATERIALIZED (
+          SELECT doc_id, lang, b, n,
+            CASE WHEN lang = 'de' THEN 1 ELSE -1 END AS y
+          FROM (
+            SELECT doc_id, lang, b, n FROM f0
+            UNION ALL
+            SELECT DISTINCT doc_id, lang, cast(256 as bigint),
+              cast(1 as bigint)
+            FROM f0) z),
+        cc AS (SELECT
+            count(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS np,
+            count(DISTINCT CASE WHEN y = -1 THEN doc_id END) AS nn
+          FROM fb),
+        w0 AS (SELECT cast(range as bigint) AS b, cast(0 as bigint) AS w
+          FROM range(0, 257)),
+        s1 AS (SELECT fb.doc_id, fb.lang, fb.y,
+            cast(sum(fb.n * w0.w) as bigint) AS score
+          FROM fb JOIN w0 ON w0.b = fb.b
+          GROUP BY 1, 2, 3),
+        g1 AS (SELECT fb.b,
+            cast(sum(fb.y * fb.n *
+              CASE WHEN fb.y = 1 THEN cc.nn ELSE cc.np END) as bigint) AS g
+          FROM fb CROSS JOIN cc
+          JOIN (SELECT doc_id FROM s1 WHERE y * score <= 0) m
+            ON m.doc_id = fb.doc_id
+          GROUP BY 1),
+        w1 AS MATERIALIZED (
+          SELECT w0.b, w0.w + coalesce(g1.g, 0) AS w
+          FROM w0 LEFT JOIN g1 ON g1.b = w0.b),
+        s2 AS (SELECT fb.doc_id, fb.lang, fb.y,
+            cast(sum(fb.n * w1.w) as bigint) AS score
+          FROM fb JOIN w1 ON w1.b = fb.b
+          GROUP BY 1, 2, 3),
+        g2 AS (SELECT fb.b,
+            cast(sum(fb.y * fb.n *
+              CASE WHEN fb.y = 1 THEN cc.nn ELSE cc.np END) as bigint) AS g
+          FROM fb CROSS JOIN cc
+          JOIN (SELECT doc_id FROM s2 WHERE y * score <= 0) m
+            ON m.doc_id = fb.doc_id
+          GROUP BY 1),
+        w2 AS MATERIALIZED (
+          SELECT w1.b, w1.w + coalesce(g2.g, 0) AS w
+          FROM w1 LEFT JOIN g2 ON g2.b = w1.b),
+        s3 AS (SELECT fb.doc_id, fb.lang, fb.y,
+            cast(sum(fb.n * w2.w) as bigint) AS score
+          FROM fb JOIN w2 ON w2.b = fb.b
+          GROUP BY 1, 2, 3),
+        g3 AS (SELECT fb.b,
+            cast(sum(fb.y * fb.n *
+              CASE WHEN fb.y = 1 THEN cc.nn ELSE cc.np END) as bigint) AS g
+          FROM fb CROSS JOIN cc
+          JOIN (SELECT doc_id FROM s3 WHERE y * score <= 0) m
+            ON m.doc_id = fb.doc_id
+          GROUP BY 1),
+        w3 AS MATERIALIZED (
+          SELECT w2.b, w2.w + coalesce(g3.g, 0) AS w
+          FROM w2 LEFT JOIN g3 ON g3.b = w2.b),
+        sf AS MATERIALIZED (SELECT fb.doc_id, fb.lang,
+            cast(sum(fb.n * w3.w) as bigint) AS score,
+            cast(sum(fb.n) as bigint) AS tn
+          FROM fb JOIN w3 ON w3.b = fb.b
+          GROUP BY 1, 2),
+        top100 AS (SELECT doc_id FROM sf
+          ORDER BY score // tn DESC, doc_id LIMIT 100)
+        SELECT lang, cast(count(*) as bigint) AS n_docs,
+          cast(count(*) FILTER (WHERE score > 0) as bigint)
+            AS n_pred_target,
+          cast(count(*) FILTER (WHERE doc_id IN (SELECT doc_id
+            FROM top100)) as bigint) AS n_top100
+        FROM sf GROUP BY 1
+        ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
     // Deterministic stratified sampling — a fixed-size per-language
     // sample (k = 20) for eval sets / inspection, where the sample IS a
     // KMV min-set: the k smallest h60("smp_" + doc_id) per language.

@@ -38,7 +38,8 @@ class QueriesSpec extends SparkFunSuite {
         "g02_triangle_count", "g03_kcore_peel", "x22_vocab_growth",
         "x21_bigram_lm_score", "x23_sequence_pack",
         "d14_incremental_dedup", "x25_dsir_select",
-        "e14_zonemap_prune", "g04_label_prop", "s07_mmr_rerank")) {
+        "e14_zonemap_prune", "g04_label_prop", "s07_mmr_rerank",
+        "x27_perceptron_classifier")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
