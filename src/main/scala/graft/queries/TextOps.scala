@@ -3381,6 +3381,156 @@ object TextOps {
       bench = true),
 
     // ------------------------------------------------------------------
+    // LSH band-config tuning harness — s04's role, for dedup: measure
+    // the precision/recall of two banding schemes against exact
+    // ground truth instead of trusting the S-curve folklore. Both
+    // configs derive from ONE 64-perm signature pass (checkpointed):
+    // 16 bands × 4 rows (collision threshold ≈ (1/16)^(1/4) ≈ 0.45),
+    // 8 bands × 8 rows (≈ 0.77, precision-leaning), and a
+    // deliberately too-loose 32 bands × 2 rows (≈ 0.18) — which on
+    // this corpus buys ZERO extra recall while multiplying the
+    // candidate (verification) bill 2.6× (65 vs 25 candidates;
+    // background collisions grow quadratically with corpus size, so
+    // the gap widens at scale): exactly the waste the harness
+    // exists to expose before a 100 TB run. Ground truth is
+    // the bounded
+    // all-pairs exact-Jaccard set (the d02-class harness twin — at
+    // 100 TB you'd ground-truth a SAMPLE, same harness). Output per
+    // config: candidates, true pairs, tp, integer-permille precision
+    // and recall — the numbers that pick a config for a given
+    // dedup-quality SLA.
+    // ------------------------------------------------------------------
+    "d15_lsh_tuning" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("sig",
+            graft.functions.ShingleMinHash.shingleMinhash(col("toks")))
+          .select(col("doc_id"), col("sig"))
+          .localCheckpoint()
+        def candsOf(bands: Int, rowsPerBand: Int, tag: String) = {
+          val banded = base.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
+              aggregate(
+                slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand)),
+                lit(0L),
+                (acc, v) => pmod(
+                  acc * graft.functions.PortableHash.FoldBase + v,
+                  lit(graft.functions.PortableHash.P))))))
+            .select(col("doc_id"), col("pos").as("band"),
+              col("col").as("band_hash"))
+          banded.as("l").join(banded.as("r"), Seq("band", "band_hash"))
+            .select(col("l.doc_id").as("doc_a"),
+              col("r.doc_id").as("doc_b"))
+            .filter(col("doc_a") < col("doc_b"))
+            .distinct()
+            .select(lit(tag).as("config"), col("doc_a"), col("doc_b"))
+        }
+        val cands = candsOf(16, 4, "b16r4")
+          .unionAll(candsOf(8, 8, "b8r8"))
+          .unionAll(candsOf(32, 2, "b32r2"))
+        val sh = docShingles(s, d)
+        val truth = sh.select(col("doc_id").as("doc_a"), col("w").as("wa"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+            col("doc_a") < col("doc_b"))
+          .filter(size(array_intersect(col("wa"), col("wb")))
+            .cast("double") /
+            size(array_union(col("wa"), col("wb"))).cast("double")
+            >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
+        cands
+          .join(truth.withColumn("is_tp", lit(true)),
+            Seq("doc_a", "doc_b"), "left")
+          .groupBy(col("config"))
+          .agg(count(lit(1)).as("n_cand"),
+            count(when(col("is_tp"), 1)).as("tp"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(col("config"), col("n_cand"), col("n_truth"), col("tp"),
+            expr("tp * 1000 div n_cand").as("precision_pm"),
+            expr("tp * 1000 div n_truth").as("recall_pm"))
+          .orderBy(col("config"))
+      },
+      Some("""WITH perms AS (
+          SELECT
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT
+                % 2147483646 + 1) AS pa,
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT
+                % 2147483647) AS pb),
+        t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        sh AS MATERIALIZED (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        hs AS (
+          SELECT doc_id,
+            list_transform(w, s ->
+              ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h
+          FROM sh),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+            list_transform(range(0, 64), i ->
+              list_min(list_transform(h, x ->
+                (pa[i+1] * x + pb[i+1]) % 2147483647))) AS sig
+          FROM hs, perms),
+        b16 AS (
+          SELECT doc_id, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 16) t(b)),
+        b8 AS (
+          SELECT doc_id, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*8+1 : b*8+8]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 8) t(b)),
+        b32 AS (
+          SELECT doc_id, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*2+1 : b*2+2]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 32) t(b)),
+        cand AS (
+          SELECT DISTINCT 'b16r4' AS config, l.doc_id AS doc_a,
+            r.doc_id AS doc_b
+          FROM b16 l JOIN b16 r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id
+          UNION ALL
+          SELECT DISTINCT 'b8r8', l.doc_id, r.doc_id
+          FROM b8 l JOIN b8 r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id
+          UNION ALL
+          SELECT DISTINCT 'b32r2', l.doc_id, r.doc_id
+          FROM b32 l JOIN b32 r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id),
+        truth AS MATERIALIZED (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          WHERE cast(len(list_intersect(x.w, y.w)) as double) /
+                cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+                >= 0.5),
+        nt AS (SELECT cast(count(*) as bigint) AS n_truth FROM truth),
+        agg AS (
+          SELECT config, cast(count(*) as bigint) AS n_cand,
+            cast(count(t.doc_a) as bigint) AS tp
+          FROM cand LEFT JOIN truth t
+            ON t.doc_a = cand.doc_a AND t.doc_b = cand.doc_b
+          GROUP BY 1)
+        SELECT config, n_cand, nt.n_truth, tp,
+          cast(tp * 1000 // n_cand as bigint) AS precision_pm,
+          cast(tp * 1000 // nt.n_truth as bigint) AS recall_pm
+        FROM agg, nt ORDER BY config""")),
+
+    // ------------------------------------------------------------------
     // Importance-weighted data selection (the DSIR recipe, Xie et al.
     // 2023, arXiv:2302.03169): score every corpus doc by how much its
     // hashed n-gram distribution looks like a TARGET domain (here the

@@ -63,7 +63,11 @@ class PlanAuditSpec extends SparkFunSuite {
       + "exact count) cross-joined; the data-sized work is two "
       + "bounded KmvMinSet aggregations + the ground-truth join"),
     "s09_knn_classify" -> ("20-row labeled query-batch broadcast "
-      + "(s04's pattern); the corpus side stays one scan"))
+      + "(s04's pattern); the corpus side stays one scan"),
+    "d15_lsh_tuning" -> ("bounded all-pairs exact ground truth (the "
+      + "d02-class harness twin; a sample at cluster scale) + a "
+      + "1-row truth-count broadcast; the candidate generation side "
+      + "is band-keyed hash joins only"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>

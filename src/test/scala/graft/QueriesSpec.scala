@@ -39,7 +39,7 @@ class QueriesSpec extends SparkFunSuite {
         "x21_bigram_lm_score", "x23_sequence_pack",
         "d14_incremental_dedup", "x25_dsir_select",
         "e14_zonemap_prune", "g04_label_prop", "s07_mmr_rerank",
-        "x27_perceptron_classifier")) {
+        "x27_perceptron_classifier", "d15_lsh_tuning")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
