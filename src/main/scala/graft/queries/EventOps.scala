@@ -502,6 +502,68 @@ object EventOps {
     // afford to consult it per query.
     // ------------------------------------------------------------------
     // ------------------------------------------------------------------
+    // Rolling anomaly detection — the monitoring query a 100 TB event
+    // platform runs continuously: flag hours whose event count sits
+    // more than 3σ from the preceding 24-hour rolling baseline, per
+    // event type. The integer-exactness trick that makes this
+    // hash-verifiable: never compute mean, σ, or a z-score at all —
+    // |n − S/w| > 3σ rearranges to (w·n − S)² > 9·(w·Σn² − S²), pure
+    // integer arithmetic over the window sums (no division, no sqrt,
+    // no doubles anywhere), so both engines produce the identical
+    // flag even though DuckDB's window sums promote to HUGEINT.
+    // Scale shape: the hourly pre-aggregation reduces the stream to
+    // (types × hours) rows BEFORE the window, so the rolling frame
+    // runs over metadata-scale series — the same pre-agg-then-window
+    // shape e13 uses.
+    // ------------------------------------------------------------------
+    "e17_rolling_anomaly" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("ws"))
+          .agg(count(lit(1)).as("n"))
+        val w24 = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+          .rowsBetween(-24, -1)
+        val dev = col("wcnt") * col("n") - col("s1")
+        val scored = hourly
+          .withColumn("wcnt", count(lit(1)).over(w24))
+          .withColumn("s1", sum(col("n")).over(w24))
+          .withColumn("s2", sum(col("n") * col("n")).over(w24))
+          .filter(col("wcnt") === 24)
+          .withColumn("flag",
+            dev * dev > lit(9) * (col("wcnt") * col("s2") -
+              col("s1") * col("s1")))
+        scored.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_scored"),
+            count(when(col("flag"), 1)).as("n_anomalies"),
+            min(when(col("flag"), col("ws"))).as("first_anomaly"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hourly AS (
+          SELECT event_type,
+            date_trunc('hour', cast(ts as timestamp)) AS ws,
+            cast(count(*) as bigint) AS n
+          FROM events GROUP BY 1, 2),
+        sc AS (
+          SELECT event_type, ws, n,
+            count(*) OVER w AS wcnt,
+            sum(n) OVER w AS s1,
+            sum(n * n) OVER w AS s2
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY ws
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        f AS (
+          SELECT *, (wcnt * n - s1) * (wcnt * n - s1) >
+              9 * (wcnt * s2 - s1 * s1) AS flag
+          FROM sc WHERE wcnt = 24)
+        SELECT event_type, cast(count(*) as bigint) AS n_scored,
+          cast(count(*) FILTER (WHERE flag) as bigint) AS n_anomalies,
+          min(CASE WHEN flag THEN ws END) AS first_anomaly
+        FROM f GROUP BY 1
+        ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
     // Marketing attribution — first-touch vs last-touch revenue per
     // touch channel, the query every growth team runs and every
     // engine makes painful. For each purchase: which view/click the
