@@ -483,25 +483,6 @@ object EventOps {
         ORDER BY user_id, valid_from""")),
 
     // ------------------------------------------------------------------
-    // Zone-map pruning effectiveness — the measurement that justifies
-    // e11's Z-order layout. A 100 TB table is read through file-level
-    // min/max statistics (parquet row-group stats, Delta/Iceberg
-    // zone maps): a file is scanned iff its [min,max] box intersects
-    // the predicate. How many files that is depends entirely on
-    // LAYOUT. This query builds the zone map (min/max of user bucket
-    // and minute bucket per 2048-row-scale zone) under both layouts —
-    // arrival order (zone = event_id div 2048: time-correlated,
-    // user-random) and Z-order (zone = z >> 22, e11's interleaving: a
-    // 2048×2048 tile in (user, minute) space) — then evaluates one
-    // 2-D range predicate against both zone maps. rows_matched is
-    // identical by construction (layout never changes ANSWERS);
-    // rows_scanned is the cost, and the Z-order row is the one a
-    // cluster should ship. Everything is two aggregates over one
-    // shared projection — the zone map itself is metadata-scale
-    // (n_rows/2048 entries), which is exactly why real systems can
-    // afford to consult it per query.
-    // ------------------------------------------------------------------
-    // ------------------------------------------------------------------
     // Rolling anomaly detection — the monitoring query a 100 TB event
     // platform runs continuously: flag hours whose event count sits
     // more than 3σ from the preceding 24-hour rolling baseline, per
@@ -686,6 +667,26 @@ object EventOps {
         FROM r WHERE rn = 1 AND event_type <> 'error'
         ORDER BY user_id""")),
 
+    // ------------------------------------------------------------------
+    // Zone-map pruning effectiveness — the measurement that justifies
+    // e11's Z-order layout. A 100 TB table is read through file-level
+    // min/max statistics (parquet row-group stats, Delta/Iceberg
+    // zone maps): a file is scanned iff its [min,max] box intersects
+    // the predicate. How many files that is depends entirely on
+    // LAYOUT. This query builds the zone map (min/max of user bucket
+    // and minute bucket per zone) under both layouts — arrival order
+    // (zone = event_id div 2048: time-correlated, user-random 2048-row
+    // ingestion blocks) and Z-order (zone = z >> 6 over the 6+6-bit
+    // interleave below: an 8×8 tile in (user-cohort, minute) space —
+    // the contiguous z-range an OPTIMIZE would write as one file) —
+    // then evaluates one 2-D range predicate against both zone maps.
+    // rows_matched is identical by construction (layout never changes
+    // ANSWERS); rows_scanned is the cost, and the Z-order row is the
+    // one a cluster should ship. Everything is two aggregates over one
+    // shared projection — the zone map itself is metadata-scale
+    // (n_rows/2048 entries), which is exactly why real systems can
+    // afford to consult it per query.
+    // ------------------------------------------------------------------
     "e14_zonemap_prune" -> Q(
       (s, d) => {
         // 6-bit × 6-bit space sized to the synthetic data (≤1500

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.chaining._
 import Catalog._
@@ -38,6 +39,33 @@ object GraphOps {
     } else df.localCheckpoint()
   }
 
+  /** THE co-purchase edge builder, shared by all four graph queries
+    * (one definition so an edge-semantics fix cannot drift across
+    * g01-g04). Nodes are parts; two parts are adjacent iff some order
+    * contains both. Pair expansion is ROW-LOCAL over each order's
+    * `collect_set` (a TPC-H order has ≤7 lines ⇒ ≤42 directed pairs
+    * per row), so the only shuffles are the orderkey groupBy and the
+    * closing distinct — never a fact×fact self-join, at any scale.
+    * `canonical = false` → one DIRECTED (src, dst) row per ordered
+    * pair (g01/g04, where per-node in-neighborhoods matter);
+    * `canonical = true` → each undirected edge once as (a, b) with
+    * a < b (g02/g03, where edges are unordered). Callers materialize
+    * (localCheckpoint / DISK_ONLY dial) per their own fan-out.
+    */
+  private[queries] def coPurchaseEdges(
+      s: SparkSession, d: String, canonical: Boolean = false): DataFrame = {
+    val (x, y) = if (canonical) ("a", "b") else ("src", "dst")
+    val orderParts = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val pairs = orderParts
+      .select(explode(col("ps")).as(x), col("ps"))
+      .select(col(x), explode(col("ps")).as(y))
+    (if (canonical) pairs.filter(col(x) < col(y))
+     else pairs.filter(col(x) =!= col(y))).distinct()
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -55,15 +83,7 @@ object GraphOps {
     // ------------------------------------------------------------------
     "g01_pagerank_parts" -> Q(
       (s, d) => {
-        val orderParts = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        val edges = orderParts
-          .select(explode(col("ps")).as("src"), col("ps"))
-          .select(col("src"), explode(col("ps")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .distinct()
+        val edges = coPurchaseEdges(s, d)
         graft.operators.PageRank.run(edges, iterations = 5)
           .orderBy(col("r").desc, col("id"))
           .limit(20)
@@ -167,15 +187,7 @@ object GraphOps {
     // ------------------------------------------------------------------
     "g02_triangle_count" -> Q(
       (s, d) => {
-        val orderParts = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        val canon = orderParts
-          .select(explode(col("ps")).as("a"), col("ps"))
-          .select(col("a"), explode(col("ps")).as("b"))
-          .filter(col("a") < col("b"))
-          .distinct()
+        val canon = coPurchaseEdges(s, d, canonical = true)
           .pipe(materialize)
         val deg = canon.select(col("a").as("id"))
           .union(canon.select(col("b").as("id")))
@@ -270,15 +282,7 @@ object GraphOps {
     "g03_kcore_peel" -> Q(
       (s, d) => {
         val k = 80
-        val orderParts = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        val canon = orderParts
-          .select(explode(col("ps")).as("a"), col("ps"))
-          .select(col("a"), explode(col("ps")).as("b"))
-          .filter(col("a") < col("b"))
-          .distinct()
+        val canon = coPurchaseEdges(s, d, canonical = true)
           .pipe(materialize)
         def degOf(e: org.apache.spark.sql.DataFrame) =
           e.select(col("a").as("id"))
@@ -346,15 +350,20 @@ object GraphOps {
     // neighbors, ties broken by smallest label — so unlike the
     // classic randomized-order LPA, three rounds here are a pure
     // function of the graph and both engines replay them exactly.
-    // Scale shape per round: the node-scale label frame BROADCASTS
-    // into the edge join (labels are 16 bytes/node — dimension-scale
-    // next to the edge list; on a graph whose node table outgrows
-    // broadcast, drop the hint and this becomes a dst-keyed shuffle
-    // join, nothing else changes), then one (src, lbl) count agg and
-    // a per-node argmax as a max_by HASH aggregate over ≤ degree
-    // DISTINCT labels — two-phase with map-side partials, where a
-    // row_number window would sort-shuffle every (src, lbl) row
-    // (measured at sf0.1: 14.8 s window → 6.3 s max_by+broadcast,
+    // Scale shape per round: the per-round label frame joins the edge
+    // list on dst with NO broadcast hint — labels is one row per NODE
+    // and grows with the graph, so a forced broadcast would ship every
+    // node's label to every executor three times per run and hit
+    // Spark's 8 GB broadcast cap (and the driver) long before the
+    // edge shuffle is the bottleneck. Left unhinted, join selection /
+    // AQE still broadcasts while the frame is genuinely below
+    // autoBroadcastJoinThreshold and degrades gracefully to a
+    // dst-keyed shuffle hash join past it — the 1000-executor shape,
+    // where both sides hash-partition on dst. Then one (src, lbl)
+    // count agg and a per-node argmax as a max_by HASH aggregate over
+    // ≤ degree DISTINCT labels — two-phase with map-side partials,
+    // where a row_number window would sort-shuffle every (src, lbl)
+    // row (measured at sf0.1: 14.8 s window → 6.3 s max_by,
     // in line with g01's 5 rounds on the same graph). max_by's
     // tie key (c, -lbl) is unique per src row, so the argmax is
     // deterministic. Per-round materialization cuts lineage exactly
@@ -363,22 +372,13 @@ object GraphOps {
     // ------------------------------------------------------------------
     "g04_label_prop" -> Q(
       (s, d) => {
-        val orderParts = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        val edges = orderParts
-          .select(explode(col("ps")).as("src"), col("ps"))
-          .select(col("src"), explode(col("ps")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .distinct()
+        val edges = coPurchaseEdges(s, d)
           .pipe(materialize)
         var labels = edges.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("lbl"))
         for (_ <- 1 to 3) {
           labels = edges
-            .join(broadcast(labels.select(col("id").as("dst"),
-              col("lbl"))), "dst")
+            .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
             .groupBy(col("src"), col("lbl"))
             .agg(count(lit(1)).as("c"))
             .groupBy(col("src"))

@@ -1231,6 +1231,9 @@ object Relational2 {
               (col("n_b").cast("double") / col("est_b")))
               .cast("long").as("est_join_size"),
             col("exact_join_size"))
+          // single row, but keep the every-query-ends-in-ORDER-BY
+          // invariant unconditional
+          .orderBy(col("n_a"))
       },
       Some("""WITH a AS MATERIALIZED (
           SELECT ('0x' || substr(md5('jcs_' || user_id), 1, 15))::BIGINT
@@ -1277,7 +1280,7 @@ object Relational2 {
           cast(floor(est_inter * (cast(n_a as double) / est_a) *
             (cast(n_b as double) / est_b)) as bigint) AS est_join_size,
           exact_join_size
-        FROM calc, ex""")),
+        FROM calc, ex ORDER BY n_a""")),
 
     // ------------------------------------------------------------------
     // Salted skew join, surfaced as a hash-verified catalog query —

@@ -174,7 +174,11 @@ class StreamingSpec extends SparkFunSuite {
     val maxTs = batchSrc.agg(max(col("ts"))).head().getTimestamp(0)
     val horizon = new java.sql.Timestamp(
       maxTs.getTime - (70L * 60L * 1000L))
-    assert((bN -- sN).forall(_._2.after(horizon)),
+    // >= not >: eviction at exact watermark equality is not guaranteed,
+    // so a view landing exactly ON the horizon may legitimately be
+    // withheld — the boundary must be inclusive or the test is
+    // data-sensitive at one microsecond
+    assert((bN -- sN).forall(!_._2.before(horizon)),
       "a view outside the tail horizon was withheld")
   }
 
