@@ -93,14 +93,44 @@ object Bench {
     }
     val calPre = calibrate()
     val calShufPre = calibrateShuffle()
+    // Committed healthy-session reference (bench_reference.json): the
+    // r6/r7 rounds each burned review time adjudicating driver-session
+    // noise (shuffle-leg 0.443 vs a healthy 0.250 on identical
+    // hardware) because the artifact carried the calibration numbers
+    // but nothing JUDGED them. Comparing both calibration legs to
+    // stored healthy values lets the artifact classify itself:
+    // calibration_status=sick means round-over-round query deltas are
+    // session noise, not plan regressions. Query-level reference mins
+    // (recorded at sf0.1, the driver's bench sf) additionally select
+    // which queries get a confirmation re-run below.
+    case class BenchRef(cal: Double, calShuf: Double, sfSuffix: String,
+        mins: Map[String, Double])
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "bench_reference.json")
+    val ref: Option[BenchRef] = try {
+      val f = new java.io.File(refPath)
+      if (!f.isFile) None
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f)
+        val mins = scala.collection.mutable.Map[String, Double]()
+        val it = node.get("queries").fields()
+        while (it.hasNext) {
+          val e = it.next(); mins(e.getKey) = e.getValue.asDouble()
+        }
+        Some(BenchRef(node.get("calibration_sec").asDouble(),
+          node.get("calibration_shuffle_sec").asDouble(),
+          node.get("sf_suffix").asText(), mins.toMap))
+      }
+    } catch { case _: Throwable => None }
     // 3 timed runs per query; the MIN is the headline (the stable
     // estimate of the plan's actual cost), and min/median/max ride
     // along in "spread" so a round-over-round blip is classifiable
     // from the artifact alone: plans regress in the min, machine load
     // shows as a fat max over an unchanged min.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = names.map { name =>
-      val times = (1 to runs).map { _ =>
+    def timeQuery(name: String, n: Int): Seq[Double] =
+      (1 to n).map { _ =>
         // queries may persist intermediates (d08): every iteration
         // starts cold so the min measures the plan, not a cache hit
         spark.catalog.clearCache()
@@ -108,8 +138,25 @@ object Bench {
         try { qmap(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times
+      }
+    val firstPass = names.map(name => name -> timeQuery(name, runs))
+    // Confirmation re-runs: a query whose min exceeds 2× its stored
+    // healthy min is either a plan regression or a transient stall —
+    // one more batch of runs disambiguates inside the artifact (a
+    // regression reproduces; a stall posts a normal min the second
+    // time). Only meaningful when this run's sf matches the one the
+    // reference was recorded at.
+    val sfComparable = ref.exists(r => sfDir.endsWith(r.sfSuffix))
+    val flagged: Seq[String] =
+      if (!sfComparable) Seq.empty
+      else firstPass.collect {
+        case (name, ts) if ref.get.mins.get(name).exists(ts.min > 2 * _) =>
+          name
+      }
+    val results = firstPass.map { case (name, ts) =>
+      val all = if (flagged.contains(name)) ts ++ timeQuery(name, runs)
+        else ts
+      name -> all.sorted
     }
     def f3(v: Double) = f"$v%.3f"
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(ts.min) }
@@ -122,8 +169,19 @@ object Bench {
     val total = results.map(_._2.min).sum
     val calPost = calibrate()
     val calShufPost = calibrateShuffle()
+    // sick = ANY calibration leg >1.5× its committed healthy value
+    // (CPU leg catches a loaded machine, shuffle leg catches sick
+    // disk/TRIM — r6's failure mode passed the CPU leg alone)
+    val calStatus = ref match {
+      case None => "no_reference"
+      case Some(r) =>
+        val sick = calPre > 1.5 * r.cal || calPost > 1.5 * r.cal ||
+          calShufPre > 1.5 * r.calShuf || calShufPost > 1.5 * r.calShuf
+        if (sick) "sick" else "ok"
+    }
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"calibration_status":"$calStatus","flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

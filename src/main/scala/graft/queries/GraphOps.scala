@@ -350,17 +350,18 @@ object GraphOps {
     // neighbors, ties broken by smallest label — so unlike the
     // classic randomized-order LPA, three rounds here are a pure
     // function of the graph and both engines replay them exactly.
-    // Scale shape per round: the per-round label frame joins the edge
-    // list on dst with NO broadcast hint — labels is one row per NODE
+    // Scale shape per round: the label frame joins the edge list as a
+    // dst-keyed SHUFFLE HASH join (hint) — labels is one row per NODE
     // and grows with the graph, so a forced broadcast would ship every
     // node's label to every executor three times per run and hit
     // Spark's 8 GB broadcast cap (and the driver) long before the
-    // edge shuffle is the bottleneck. Left unhinted, join selection /
-    // AQE still broadcasts while the frame is genuinely below
-    // autoBroadcastJoinThreshold and degrades gracefully to a
-    // dst-keyed shuffle hash join past it — the 1000-executor shape,
-    // where both sides hash-partition on dst. Then one (src, lbl)
-    // count agg and a per-node argmax as a max_by HASH aggregate over
+    // edge shuffle is the bottleneck; and it can't be left to join
+    // selection, whose size estimates for checkpointed RDDs picked the
+    // EDGE-scale side as the broadcast build here. Shuffle-hash is the
+    // 1000-executor shape: both sides hash-partition on dst, each
+    // partition builds a hash map from 1/N of the node table — no
+    // size-capped artifact anywhere. Then one (src, lbl)
+    // count agg and a per-node argmax as a max_by aggregate over
     // ≤ degree DISTINCT labels — two-phase with map-side partials,
     // where a row_number window would sort-shuffle every (src, lbl)
     // row (measured at sf0.1: 14.8 s window → 6.3 s max_by,
@@ -377,8 +378,19 @@ object GraphOps {
         var labels = edges.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("lbl"))
         for (_ <- 1 to 3) {
+          // shuffle_hash on the LABELS side, not broadcast() and not
+          // unhinted: a forced broadcast ships every node's label to
+          // every executor 3×/run and caps at 8 GB on a big graph;
+          // unhinted, Catalyst's garbage stats for checkpointed RDDs
+          // made it broadcast the EDGE-scale side (measured 11.2 s vs
+          // 3.0 at sf0.1). The hint names a STRATEGY, not a size
+          // assumption: both sides hash-shuffle on dst and each
+          // partition builds from 1/N of the node table — valid at any
+          // scale, and measured at parity with the broadcast variant
+          // locally (2.00 vs 2.03 s warm for the three rounds).
           labels = edges
-            .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+            .join(labels.select(col("id").as("dst"), col("lbl"))
+              .hint("shuffle_hash"), "dst")
             .groupBy(col("src"), col("lbl"))
             .agg(count(lit(1)).as("c"))
             .groupBy(col("src"))

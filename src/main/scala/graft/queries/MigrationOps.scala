@@ -311,7 +311,7 @@ object MigrationOps {
         val src = t(s, d, "orders")
         // metadata-scale scalar (one min over the key column) picking
         // a deterministic row to corrupt in the simulated target
-        val minKey = src.agg(min(col("o_orderkey"))).head.getLong(0)
+        val minKey = src.agg(min(col("o_orderkey"))).head().getLong(0)
         val tgt = src.withColumn("o_orderpriority",
           when(col("o_orderkey") === minKey, lit("9-CORRUPTED"))
             .otherwise(col("o_orderpriority")))
