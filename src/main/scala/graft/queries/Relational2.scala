@@ -1420,7 +1420,149 @@ object Relational2 {
           ${sqlDsum("o_totalprice")} AS total
         FROM orders
         GROUP BY 1
-        ORDER BY priority"""))
+        ORDER BY priority""")),
+
+    // ------------------------------------------------------------------
+    // Distinct-value-census quantiles — the oracle-checked exact twin
+    // of [[graft.plans.ApproxPercentileRewrite]]'s sketch (q72's role,
+    // for the rewrite rule): per ship-year, quartile estimates from
+    // the bounded KmvValueCensusRaw aggregator (the k = 128 distinct
+    // values with smallest h60 hashes, each with its EXACT row count)
+    // against the exact interpolated percentile from the full value
+    // census. The estimator — Spark-Percentile-style interpolation at
+    // position pct·(ns−1) over the WEIGHTED sample — runs in DataFrame
+    // expressions with integer selection arithmetic so DuckDB
+    // re-derives it value for value (the only doubles are the final
+    // interpolation, identical single IEEE ops in both engines).
+    // Scale shape: the sketch side is one groupBy with ≤ 24k-byte
+    // map-side partial state per group — what `percentile` (unbounded
+    // per-group value buffer) cannot do at 100 TB; sample post-
+    // processing is ≤ segments·k rows, metadata-scale windows. The
+    // exact leg's census windows are seg-partitioned over DISTINCT
+    // cents values — bounded by the price domain, not the row count.
+    // Frequency-skew caveat documented on the aggregator (q73 rule).
+    // ------------------------------------------------------------------
+    "q75_census_quantiles" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val k = 128
+        val census = udaf(new graft.functions.KmvValueCensusRaw(k),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Double)]())
+        val li = t(s, d, "lineitem").select(
+          year(col("l_shipdate").cast("date")).as("seg"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        val hashed = li.select(col("seg"),
+          graft.functions.PortableHash.h60col(
+            concat(lit("qvc_"), col("cents"))).as("h"),
+          col("cents").cast("double").as("v"))
+        val sk = hashed.groupBy(col("seg"))
+          .agg(census(col("h"), col("v")).as("b"))
+        val pairs = sk
+          .select(col("seg"), col("b.vs").as("vsarr"), col("b.cs").as("csarr"))
+          .select(col("seg"),
+            explode(arrays_zip(col("vsarr"), col("csarr"))).as("p"))
+          .select(col("seg"), col("p.vsarr").cast("long").as("cents"),
+            col("p.csarr").as("cnt"))
+        val wCum = Window.partitionBy(col("seg")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("seg"))
+        val qsDF = Seq(25, 50, 75, 95).toDF("q_pct")
+        def quantSel(censusDf: DataFrame, loName: String)
+            : (DataFrame, DataFrame) = {
+          val tg = censusDf
+            .withColumn("cum", sum(col("cnt")).over(wCum))
+            .withColumn("nt", sum(col("cnt")).over(wAll))
+            .crossJoin(qsDF)
+            .withColumn("tpos", col("q_pct") * (col("nt") - 1))
+          val lo = tg.filter(col("cum") >= expr("tpos div 100") + 1)
+            .groupBy(col("seg"), col("q_pct"))
+            .agg(min(col("cents")).as(loName),
+              min(expr("(tpos % 100) / 100.0d")).as(loName + "_frac"))
+          val hi = tg.filter(col("cum") >= expr("(tpos + 99) div 100") + 1)
+            .groupBy(col("seg"), col("q_pct"))
+            .agg(min(col("cents")).as(loName + "_hi"))
+          (lo, hi)
+        }
+        val (slo, shi) = quantSel(pairs, "vlo")
+        val est = slo.join(shi, Seq("seg", "q_pct"))
+          .select(col("seg"), col("q_pct"),
+            (col("vlo") + (col("vlo_hi") - col("vlo")) * col("vlo_frac"))
+              .as("est_cents"))
+        val full = li.groupBy(col("seg"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+        val (xlo, xhi) = quantSel(full, "xlo")
+        val ex = xlo.join(xhi, Seq("seg", "q_pct"))
+          .select(col("seg"), col("q_pct"),
+            (col("xlo") + (col("xlo_hi") - col("xlo")) * col("xlo_frac"))
+              .as("exact_cents"))
+        est.join(ex, Seq("seg", "q_pct"))
+          .select(col("seg"), col("q_pct"), col("est_cents"),
+            col("exact_cents"),
+            (col("est_cents") - col("exact_cents")).as("err_cents"))
+          .orderBy(col("seg"), col("q_pct"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT cast(year(cast(l_shipdate as date)) as int) AS seg,
+            cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+              AS cents
+          FROM lineitem),
+        vals AS MATERIALIZED (
+          SELECT seg, cents, cast(count(*) as bigint) AS cnt
+          FROM li GROUP BY 1, 2),
+        samp AS MATERIALIZED (
+          SELECT seg, cents, cnt FROM (
+            SELECT seg, cents, cnt,
+              ('0x' || substr(md5('qvc_' || cents), 1, 15))::BIGINT AS h
+            FROM vals) x
+          QUALIFY row_number() OVER (PARTITION BY seg ORDER BY h) <= 128),
+        qs AS (SELECT * FROM (VALUES (25), (50), (75), (95)) t(q_pct)),
+        scum AS (
+          SELECT seg, cents,
+            sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+            sum(cnt) OVER (PARTITION BY seg) AS ns
+          FROM samp),
+        tg AS (
+          SELECT s.seg, s.cents, s.cum, qs.q_pct,
+            qs.q_pct * (s.ns - 1) AS tpos
+          FROM scum s CROSS JOIN qs),
+        vlo AS (
+          SELECT seg, q_pct, min(cents) AS vlo,
+            min((tpos % 100) / 100.0) AS frac
+          FROM tg WHERE cum >= tpos // 100 + 1 GROUP BY 1, 2),
+        vhi AS (
+          SELECT seg, q_pct, min(cents) AS vhi
+          FROM tg WHERE cum >= (tpos + 99) // 100 + 1 GROUP BY 1, 2),
+        est AS (
+          SELECT seg, q_pct,
+            vlo.vlo + (vhi.vhi - vlo.vlo) * vlo.frac AS est_cents
+          FROM vlo JOIN vhi USING (seg, q_pct)),
+        fcum AS (
+          SELECT seg, cents,
+            sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+            sum(cnt) OVER (PARTITION BY seg) AS nn
+          FROM vals),
+        tgx AS (
+          SELECT f.seg, f.cents, f.cum, qs.q_pct,
+            qs.q_pct * (f.nn - 1) AS tpos
+          FROM fcum f CROSS JOIN qs),
+        xlo AS (
+          SELECT seg, q_pct, min(cents) AS xlo,
+            min((tpos % 100) / 100.0) AS fracx
+          FROM tgx WHERE cum >= tpos // 100 + 1 GROUP BY 1, 2),
+        xhi AS (
+          SELECT seg, q_pct, min(cents) AS xhi
+          FROM tgx WHERE cum >= (tpos + 99) // 100 + 1 GROUP BY 1, 2),
+        ex AS (
+          SELECT seg, q_pct,
+            xlo.xlo + (xhi.xhi - xlo.xlo) * xlo.fracx AS exact_cents
+          FROM xlo JOIN xhi USING (seg, q_pct))
+        SELECT est.seg, est.q_pct, est.est_cents, ex.exact_cents,
+          est.est_cents - ex.exact_cents AS err_cents
+        FROM est JOIN ex USING (seg, q_pct)
+        ORDER BY est.seg, est.q_pct"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

@@ -122,4 +122,77 @@ class PlanGateSpec extends SparkFunSuite {
     val after = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
     assert(after == exact)
   }
+
+  def withApproxPct(k: Int)(body: => Unit): Unit = {
+    graft.plans.ApproxPercentileRewrite.install(spark)
+    spark.conf.set(graft.plans.ApproxPercentileRewrite.EnabledKey, "true")
+    spark.conf.set(graft.plans.ApproxPercentileRewrite.KKey, k.toString)
+    try body
+    finally {
+      graft.plans.ApproxPercentileRewrite.uninstall(spark)
+      spark.conf.unset(graft.plans.ApproxPercentileRewrite.EnabledKey)
+      spark.conf.unset(graft.plans.ApproxPercentileRewrite.KKey)
+    }
+  }
+
+  test("approx-percentile rewrite: same query, flag decides, sketch in " +
+      "plan, below-k exact, deterministic estimate, uninstall restores") {
+    import org.apache.spark.sql.functions._
+    val li = Catalog.t(spark, sf0001, "lineitem")
+    val exact = li.agg(expr("percentile(l_extendedprice, 0.5d)").as("m"))
+      .head().getDouble(0)
+    val k = 64
+    withApproxPct(k) {
+      val q = li.agg(expr("percentile(l_extendedprice, 0.5d)").as("m"))
+      // the physical plan must carry the census sketch, not the
+      // unbounded exact percentile buffer
+      assert(q.queryExecution.executedPlan.toString
+        .toLowerCase.contains("kmv_quantile"))
+      val est = q.head().getDouble(0)
+      // deterministic oracle: fold the same (h60, value) stream
+      // through the same aggregator on the driver
+      val agg = new graft.functions.KmvQuantile(k, 0.5)
+      val expected = agg.finish(
+        li.select(graft.functions.PortableHash.h60col(
+              col("l_extendedprice").cast("string")).as("h"),
+            col("l_extendedprice").cast("double").as("v"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+          .foldLeft(agg.zero)(agg.reduce))
+      assert(est == expected.toDouble,
+        s"estimate $est != deterministic $expected")
+      // sane: within 15% of the exact median on this data
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"estimate $est too far from exact $exact")
+      // below k distinct values per group the census is complete and
+      // the rewritten percentile is EXACT (l_linenumber has <= 7)
+      val g = li.groupBy(col("l_linestatus"))
+        .agg(expr("percentile(l_linenumber, 0.5d)").as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val gOff = li.groupBy(col("l_linestatus"))
+        .agg(collect_list(col("l_linenumber")).as("xs"))
+        .collect().map { r =>
+          val xs = r.getSeq[Int](1).map(_.toDouble).sorted
+          val pos = 0.5 * (xs.size - 1)
+          val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+          r.getString(0) -> (xs(lo) + (xs(hi) - xs(lo)) * (pos - lo))
+        }.toMap
+      gOff.foreach { case (grp, m) =>
+        assert(g(grp) == m, s"below-k percentile for group $grp must be exact")
+      }
+      // percentile_approx over a double column rewrites too...
+      val pa = li.agg(expr(
+        "percentile_approx(cast(l_extendedprice as double), 0.5d, 1000)"))
+      assert(pa.queryExecution.executedPlan.toString
+        .toLowerCase.contains("kmv_quantile"))
+      // ...but a non-double child keeps exact semantics (return type
+      // follows the child there, so the rewrite must not touch it)
+      val paInt = li.agg(expr("percentile_approx(l_linenumber, 0.5d, 1000)"))
+      assert(!paInt.queryExecution.executedPlan.toString
+        .toLowerCase.contains("kmv_quantile"))
+    }
+    // flag off (uninstalled): identical query is exact again
+    val after = li.agg(expr("percentile(l_extendedprice, 0.5d)").as("m"))
+      .head().getDouble(0)
+    assert(after == exact)
+  }
 }
