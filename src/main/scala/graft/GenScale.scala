@@ -98,7 +98,28 @@ object GenScale {
     // events: new ids/users, same time range (density grows with sf)
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
     write(replicate(read("documents"), Seq("doc_id")), "documents")
-    write(replicate(read("embeddings"), Seq("vec_id")), "embeddings")
+    // embeddings: disjoint vec_id ranges AND a per-copy deterministic
+    // perturbation (h60-derived, ±0.05 per dimension; copy 0 stays
+    // bit-identical to the source) so the scaled corpus is DISTINCT
+    // vectors. Verbatim copies would leave every ANN decade measuring
+    // orchestration overhead — identical vectors collapse into the
+    // same LSH buckets / IVF cells and tie every top-k — instead of
+    // the vector scan the decade exists to measure. Perturbation
+    // rides PortableHash.h60 like all synthetic randomness here.
+    val emb = read("embeddings")
+    val embSpan = span(emb, "vec_id")
+    write(emb
+      .select(explode(sequence(lit(0L), lit(factor - 1L))).as("__copy"),
+        col("*"))
+      .withColumn("vec_id", col("vec_id") + col("__copy") * embSpan)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + when(col("__copy") === 0, lit(0.0))
+            .otherwise((pmod(graft.functions.PortableHash.h60col(
+                concat_ws("_", lit("embp"), col("vec_id"), i)),
+              lit(101)).cast("double") - 50.0) / 1000.0))
+            .cast("float")))
+      .drop("__copy"), "embeddings")
     if (!preExisting) spark.stop()
   }
 }

@@ -49,10 +49,16 @@ object TextOps {
     * non-cheap alias survives CollapseProject, so `toks` is evaluated
     * once per row.
     */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), words(col("text")).as("toks"))
+  /** (doc_id, w=shingle set) for any (doc_id, text) frame — the
+    * document-frame-agnostic form ([[graft.streaming.DedupStream]]
+    * shingles per-micro-batch frames through the same definition).
+    */
+  private[graft] def shinglesOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), words(col("text")).as("toks"))
       .select(col("doc_id"), shingles3(col("toks")).as("w"))
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(docs(s, d))
 
   private def emb(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
@@ -78,7 +84,7 @@ object TextOps {
     * <3 tokens have no shingles (identical empty signatures would
     * collide everywhere) and are excluded, exactly as d03.
     */
-  private def bandIndex(df: DataFrame, bands: Int, rowsPerBand: Int)
+  private[graft] def bandIndex(df: DataFrame, bands: Int, rowsPerBand: Int)
       : DataFrame = df
     .select(col("doc_id"), words(col("text")).as("toks"))
     .filter(size(col("toks")) >= 3)
@@ -97,13 +103,23 @@ object TextOps {
     */
   private def lshIncrementalVerdicts(
       s: SparkSession, d: String, cand: DataFrame,
-      incoming: Column): DataFrame = {
+      incoming: Column): DataFrame =
+    lshVerdictTail(docShingles(s, d),
+      docs(s, d).filter(incoming).select(col("doc_id").as("doc_new")),
+      cand)
+
+  /** The frame-agnostic core of the verdict tail: `allShingles` is any
+    * (doc_id, w) source covering both candidate sides, `incomingIds`
+    * the (doc_new) universe that must each get a verdict row.
+    */
+  private[graft] def lshVerdictTail(allShingles: DataFrame,
+      incomingIds: DataFrame, cand: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val candIds = cand
       .select(explode(array(col("doc_new"), col("doc_idx")))
         .as("doc_id"))
       .distinct()
-    val sh = docShingles(s, d)
+    val sh = allShingles
       .join(candIds, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val best = cand
@@ -123,8 +139,7 @@ object TextOps {
       .filter(col("rn") === 1)
       .select(col("doc_new"), col("n_matches"),
         col("doc_idx").as("best_idx"), col("jaccard").as("best_jaccard"))
-    docs(s, d).filter(incoming)
-      .select(col("doc_id").as("doc_new"))
+    incomingIds
       .join(best, Seq("doc_new"), "left")
       .select(col("doc_new"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),

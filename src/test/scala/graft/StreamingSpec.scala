@@ -235,6 +235,65 @@ class StreamingSpec extends SparkFunSuite {
     assert(agg.count() == 5) // five event types
   }
 
+  test("foreachBatch incremental dedup maintains band-index state " +
+      "(d14's kappa twin, stream ≡ batch replay)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val incomingSrcs = Seq("src16", "src17", "src18", "src19")
+    val docs = Catalog.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint()
+    val history = docs.filter(!col("source").isin(incomingSrcs: _*))
+      .select(col("doc_id"), col("text"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[
+      Long, Array[(Long, Long, Any, Any)]]()
+    val q = graft.streaming.DedupStream.incrementalDedup(
+      history, ms.toDF().toDF("doc_id", "text"),
+      onVerdicts = (id, v) => got(id) = v.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.get(2), r.get(3))))
+    // one micro-batch per source "day"
+    incomingSrcs.foreach { src =>
+      val rows = docs.filter(col("source") === src)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      ms.addData(rows.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.size == incomingSrcs.size,
+      s"expected ${incomingSrcs.size} micro-batches, saw ${got.keys}")
+    // batch replay: day i's verdicts recomputed FROM SCRATCH against
+    // history + days < i — incremental state accumulation must equal
+    // the recompute (and day 1 must equal d14's own semantics)
+    val orderedIds = got.keys.toSeq.sorted
+    incomingSrcs.zipWithIndex.foreach { case (src, i) =>
+      val idxDocs = docs.filter(!col("source").isin(incomingSrcs: _*) ||
+          col("source").isin(incomingSrcs.take(i): _*))
+        .select(col("doc_id"), col("text"))
+      val newDocs = docs.filter(col("source") === src)
+        .select(col("doc_id"), col("text"))
+      val idx = graft.queries.TextOps.bandIndex(idxDocs, 16, 4)
+      val nb = graft.queries.TextOps.bandIndex(newDocs, 16, 4)
+      val cand = nb.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_new"))
+        .join(idx.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_idx")), Seq("band", "band_hash"))
+        .select(col("doc_new"), col("doc_idx")).distinct()
+      val expect = graft.queries.TextOps.lshVerdictTail(
+          graft.queries.TextOps.shinglesOf(
+            idxDocs.union(newDocs)),
+          newDocs.select(col("doc_id").as("doc_new")), cand)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3)))
+      val streamed = got(orderedIds(i))
+      assert(streamed.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq,
+        s"day $i ($src): streamed verdicts != batch replay")
+      // every day's docs got a verdict row
+      assert(streamed.length == newDocs.count(),
+        s"day $i: verdict row per incoming doc")
+    }
+  }
+
   test("flatMapGroupsWithState error-rate alerts fire for noisy users") {
     import spark.implicits._
     val events = spark.read.parquet(stagedDir)
