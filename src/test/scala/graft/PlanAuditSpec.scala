@@ -52,6 +52,10 @@ class PlanAuditSpec extends SparkFunSuite {
     "q72_kmv_quantiles" -> ("1-row merged-sketch and corpus-count "
       + "frames crossed with the 4-row quantile table; the data-sized "
       + "work is bounded KmvMinSet buffers + the census aggregate"),
+    "q75_census_quantiles" -> ("per-seg census rows (≤ segments·k "
+      + "sketch side / distinct-cents exact side) crossed with the "
+      + "4-row quantile-pct literal — q72's pattern; the data-sized "
+      + "work is the bounded KmvValueCensusRaw aggregation"),
     "s07_mmr_rerank" -> ("1-row query-vector broadcast (s01's stage) + "
       + "the 20-candidate a≠b pairwise-sim join; the greedy loop is "
       + "metadata-scale by construction — the corpus work is the "
