@@ -64,14 +64,20 @@ object Bench {
     // min on every query, 2232 s wall for 60 s of query time) is
     // classifiable from the BENCH artifact alone: plans regress in the
     // query mins, a poisoned machine regresses the calibration number.
+    // Both legs discard one untimed warm-up execution: on a short
+    // BENCH_ONLY run the JVM reaches the pre-leg with the calibration
+    // codegen still cold, and JIT time read as machine sickness
+    // (measured: CPU pre-leg 0.131 after 2 warm queries vs 0.055 after
+    // the full list — a 2.4× false positive against the reference).
     def calibrate(): Double = {
-      val times = (1 to 3).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         spark.range(0L, 20000000L, 1, cpus.toInt)
           .selectExpr("sum(id * 3 % 7) AS s").collect()
         (System.nanoTime() - t0) / 1e9
       }
-      times.min
+      once()
+      (1 to 3).map(_ => once()).min
     }
     // Shuffle leg of the calibration: the CPU-only microbench above
     // declared the r6 driver session healthy while shuffle-heavy
@@ -80,7 +86,7 @@ object Bench {
     // 100k keys) through the same shuffle volume, so sick disk/TRIM
     // shows up in the artifact even when raw CPU is fine.
     def calibrateShuffle(): Double = {
-      val times = (1 to 3).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         spark.range(0L, 1000000L, 1, cpus.toInt)
           .selectExpr("id % 100000 AS k", "id AS v")
@@ -89,7 +95,8 @@ object Bench {
           .selectExpr("sum(s) AS t").collect()
         (System.nanoTime() - t0) / 1e9
       }
-      times.min
+      once()
+      (1 to 3).map(_ => once()).min
     }
     val calPre = calibrate()
     val calShufPre = calibrateShuffle()
@@ -169,14 +176,19 @@ object Bench {
     val total = results.map(_._2.min).sum
     val calPost = calibrate()
     val calShufPost = calibrateShuffle()
-    // sick = ANY calibration leg >1.5× its committed healthy value
-    // (CPU leg catches a loaded machine, shuffle leg catches sick
-    // disk/TRIM — r6's failure mode passed the CPU leg alone)
+    // sick = EITHER calibration leg's min(pre, post) >1.5× its
+    // committed healthy value (CPU leg catches a loaded machine,
+    // shuffle leg catches sick disk/TRIM — r6's failure mode passed
+    // the CPU leg alone). min of the two ends, not ANY single reading:
+    // on a short BENCH_ONLY run the pre-leg still carries residual JIT
+    // cold-start (measured 0.131 vs 0.055 healthy even after a
+    // discarded warm-up execution), while a genuinely sick session —
+    // the thing this flag exists for — reads high at BOTH ends.
     val calStatus = ref match {
       case None => "no_reference"
       case Some(r) =>
-        val sick = calPre > 1.5 * r.cal || calPost > 1.5 * r.cal ||
-          calShufPre > 1.5 * r.calShuf || calShufPost > 1.5 * r.calShuf
+        val sick = math.min(calPre, calPost) > 1.5 * r.cal ||
+          math.min(calShufPre, calShufPost) > 1.5 * r.calShuf
         if (sick) "sick" else "ok"
     }
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
