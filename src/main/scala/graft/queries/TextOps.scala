@@ -4002,6 +4002,156 @@ object TextOps {
         ORDER BY lang, rnk""")),
 
     // ------------------------------------------------------------------
+    // Cluster-balanced sample selection (the SemDeDup / cluster-pruning
+    // family, Abbas et al. 2023): pick a fixed-size per-CLUSTER sample
+    // instead of a global one, so the subset preserves the corpus's
+    // semantic diversity — a global top-k or uniform sample
+    // over-represents the dense clusters that dedup exists to thin.
+    // Composition of two proven bounded shapes: s03's row-local
+    // literal-codebook argmax assigns every vector to its nearest of
+    // k=8 centroids with ZERO shuffle, then x24's KMV min-set trick
+    // takes the per-cluster k-sample as the k smallest h60 hashes —
+    // bounded ≤k·8-byte map-side buffers per cluster, never a
+    // per-cluster row_number sort over the corpus. At 100 TB the only
+    // data-scale work is one scan (assignment is row-local, the
+    // sample aggregation is additive); the rank window below runs over
+    // ≤ k·n_clusters survivors.
+    // ------------------------------------------------------------------
+    "s10_cluster_sample" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val kSample = 10
+        val kmvset = udaf(new graft.functions.KmvMinSet(kSample),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val assigned = assignToCodebook(s, d)
+          .select(col("vec_id"), col("cent_id"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("cbs_"), col("vec_id"))).as("h"))
+        val cells = assigned.groupBy(col("cent_id"))
+          .agg(count(lit(1)).as("n_members"),
+            kmvset(col("h")).as("mins"))
+        assigned.join(broadcast(cells), Seq("cent_id"))
+          .filter(array_contains(col("mins"), col("h")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("cent_id"))
+              .orderBy(col("h"), col("vec_id"))))
+          // x24's collision guard: the k DISTINCT min-hashes could
+          // admit k+1 vectors; the rank cut pins identical rows
+          .filter(col("rnk") <= kSample)
+          .select(col("cent_id").as("cluster"), col("n_members"),
+            col("rnk"), col("vec_id"))
+          .orderBy(col("cluster"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT n.vec_id, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / n.nrm / c.cnrm
+                  DESC, c.cent_id) AS rn
+            FROM n, c) x WHERE rn = 1),
+        h AS (SELECT cent_id, vec_id,
+            ('0x' || substr(md5('cbs_' || vec_id), 1, 15))::BIGINT AS h
+          FROM asgn),
+        sz AS (SELECT cent_id, cast(count(*) as bigint) AS n_members
+          FROM h GROUP BY 1),
+        r AS (SELECT cent_id, vec_id, h,
+            cast(row_number() OVER (PARTITION BY cent_id
+              ORDER BY h, vec_id) as integer) AS rnk
+          FROM h)
+        SELECT r.cent_id AS cluster, sz.n_members, r.rnk, r.vec_id
+        FROM r JOIN sz USING (cent_id) WHERE rnk <= 10
+        ORDER BY cluster, rnk""")),
+
+    // ------------------------------------------------------------------
+    // Semantic decontamination — the embedding-level twin of x15's
+    // n-gram benchmark-overlap gate (the check that catches PARAPHRASED
+    // benchmark leakage an n-gram match misses). The benchmark set is
+    // vec_id < 20 — FIXED-SIZE by construction at any corpus scale (a
+    // real benchmark is a constant, not a corpus fraction) — and is
+    // collected into a row-local literal batch exactly like s03's
+    // codebook, so the corpus side is ONE zero-shuffle scan computing
+    // max-cosine-vs-any-benchmark per vector; no join, no broadcast
+    // exchange, nothing that grows with the corpus. Because the
+    // synthetic vectors are near-uniform (corpus-vs-benchmark cosines
+    // top out ~0.49), five PLANTED leak rows — benchmark vectors
+    // shifted +0.02 per component, the m07 inject-the-defect
+    // convention — make the gate provably bite: each leak must come
+    // back flagged at the 0.95 threshold AND attributed to its true
+    // source benchmark (best_bench recovers b_id). Output is the
+    // top-30 most-benchmark-similar corpus vectors (a fixed top-k
+    // report is robust to testdata regeneration).
+    // ------------------------------------------------------------------
+    "d17_semantic_decontam" -> Q(
+      (s, d) => {
+        val nb = 20
+        val base = emb(s, d)
+        // everything in array<double> from the scan: the planted
+        // perturbation must be the same IEEE op in both engines, and
+        // (cast to double) + 0.02 is exactly DuckDB's
+        // list_transform(v, x -> cast(x as double) + 0.02)
+        val corpus = base.filter(col("vec_id") >= nb)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .unionAll(base.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 100000L).as("vec_id"),
+              transform(col("embedding"),
+                x => x.cast("double") + lit(0.02)).as("v")))
+        val benchArr = array(
+          base.filter(col("vec_id") < nb)
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+            .sortBy(_._1)
+            .map { case (id, v) =>
+              struct(lit(id).as("b_id"),
+                array(v.map(lit(_)).toIndexedSeq: _*).as("be"))
+            }.toIndexedSeq: _*)
+        corpus
+          .select(col("vec_id"),
+            aggregate(benchArr,
+              struct(lit(-2.0).as("sim"), lit(-1L).as("b_id")),
+              (acc, b) => {
+                val sim = cosine(col("v"), b.getField("be"))
+                // strict > keeps the FIRST (smallest b_id) on a tie —
+                // matching the oracle's (cos DESC, b_id) row_number
+                when(sim > acc.getField("sim"),
+                  struct(sim.as("sim"), b.getField("b_id").as("b_id")))
+                  .otherwise(acc)
+              }).as("best"))
+          .select(col("vec_id"), col("best.b_id").as("best_bench"),
+            col("best.sim").as("max_cos"))
+          .withColumn("contaminated", col("max_cos") >= 0.95)
+          .orderBy(col("max_cos").desc, col("vec_id"))
+          .limit(30)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        corpus AS (
+          SELECT vec_id, v FROM e WHERE vec_id >= 20
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(v, x -> x + 0.02)
+          FROM e WHERE vec_id < 5),
+        n AS (SELECT vec_id, v,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM corpus),
+        b AS (SELECT vec_id AS b_id, v AS bv,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS bnrm
+          FROM e WHERE vec_id < 20),
+        best AS (
+          SELECT vec_id, b_id AS best_bench, cos AS max_cos FROM (
+            SELECT c.vec_id, b.b_id,
+              list_dot_product(c.v, b.bv) / c.nrm / b.bnrm AS cos,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_dot_product(c.v, b.bv) / c.nrm / b.bnrm
+                  DESC, b.b_id) AS rn
+            FROM n c, b) x WHERE rn = 1)
+        SELECT vec_id, best_bench, max_cos, max_cos >= 0.95 AS contaminated
+        FROM best ORDER BY max_cos DESC, vec_id LIMIT 30""")),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:
