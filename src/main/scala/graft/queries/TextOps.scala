@@ -3953,6 +3953,120 @@ object TextOps {
         ORDER BY lang""")),
 
     // ------------------------------------------------------------------
+    // BPE merge-pair induction — tokenizer TRAINING in-engine
+    // (Sennrich et al. 2016, the byte-pair-encoding loop every LLM
+    // tokenizer pipeline runs over its corpus before training starts).
+    // The scale split is the whole point: the corpus is touched by
+    // exactly ONE tokenize+explode word-census pass (data-scale, one
+    // shuffle with map-side partials); every merge round after that
+    // operates on the VOCABULARY-scale (word, count) table — adjacent
+    // symbol-pair counts weighted by word frequency, global argmax
+    // (count desc, pair asc — the deterministic tie Sennrich's
+    // reference impl leaves unspecified), then a leftmost-greedy
+    // non-overlapping merge, which is exactly the semantics of
+    // `replace(seq, 'l r', 'lr')` in BOTH engines (and of the
+    // reference Python's word.replace). Per-round argmax is a 1-row
+    // driver collect (g01's iterative-action convention; the merge
+    // table IS metadata). Pair counts use the standard overlapping
+    // census (e.g. 'a a a' counts (a,a) twice but merges once), so
+    // tokens_after is measured from the data, not derived from the
+    // count. Output: the 3-rule merge table + corpus token total
+    // after each rule — what you'd ship to the tokenizer.
+    // ------------------------------------------------------------------
+    "x28_bpe_train" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val census = docs(s, d)
+          .select(explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        var seqs = census.select(col("cnt"),
+          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+        val merges =
+          scala.collection.mutable.ArrayBuffer[(Int, String, String,
+            Long, Long)]()
+        for (rank <- 1 to 3) {
+          val arrs = seqs
+            .select(col("cnt"), split(col("seq"), " ").as("t"))
+            .select(col("cnt"),
+              slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
+              slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
+          val best = arrs
+            .select(col("cnt"),
+              explode(arrays_zip(col("la"), col("ra"))).as("p"))
+            .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l"), col("r"))
+            .limit(1).head()
+          val (bl, br, bc) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          seqs = seqs.select(col("cnt"),
+            replace(col("seq"), lit(bl + " " + br), lit(bl + br))
+              .as("seq"))
+            .localCheckpoint()
+          val tokensAfter = seqs
+            .select(sum(col("cnt") * size(split(col("seq"), " ")))
+              .as("ta"))
+            .head().getLong(0)
+          merges += ((rank, bl, br, bc, tokensAfter))
+        }
+        merges.toSeq
+          .toDF("merge_rank", "lhs", "rhs", "pair_count", "tokens_after")
+          .orderBy(col("merge_rank"))
+      },
+      Some("""WITH census AS MATERIALIZED (
+          SELECT w AS word, cast(count(*) as bigint) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+            FROM documents) GROUP BY 1),
+        s0 AS (SELECT cnt,
+            rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+          FROM census),
+        p1 AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM s0) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b1 AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM p1 GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        s1 AS MATERIALIZED (SELECT s0.cnt,
+            replace(s0.seq, b1.lhs || ' ' || b1.rhs, b1.lhs || b1.rhs)
+              AS seq
+          FROM s0, b1),
+        t1 AS (SELECT cast(sum(cnt * len(string_split(seq, ' ')))
+            as bigint) AS tokens_after FROM s1),
+        p2 AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM s1) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b2 AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM p2 GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        s2 AS MATERIALIZED (SELECT s1.cnt,
+            replace(s1.seq, b2.lhs || ' ' || b2.rhs, b2.lhs || b2.rhs)
+              AS seq
+          FROM s1, b2),
+        t2 AS (SELECT cast(sum(cnt * len(string_split(seq, ' ')))
+            as bigint) AS tokens_after FROM s2),
+        p3 AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM s2) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b3 AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM p3 GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        s3 AS MATERIALIZED (SELECT s2.cnt,
+            replace(s2.seq, b3.lhs || ' ' || b3.rhs, b3.lhs || b3.rhs)
+              AS seq
+          FROM s2, b3),
+        t3 AS (SELECT cast(sum(cnt * len(string_split(seq, ' ')))
+            as bigint) AS tokens_after FROM s3)
+        SELECT * FROM (
+          SELECT cast(1 as integer) AS merge_rank, b1.lhs, b1.rhs,
+            b1.c AS pair_count, t1.tokens_after FROM b1, t1
+          UNION ALL
+          SELECT cast(2 as integer), b2.lhs, b2.rhs, b2.c,
+            t2.tokens_after FROM b2, t2
+          UNION ALL
+          SELECT cast(3 as integer), b3.lhs, b3.rhs, b3.c,
+            t3.tokens_after FROM b3, t3)
+        ORDER BY merge_rank""")),
+
+    // ------------------------------------------------------------------
     // Deterministic stratified sampling — a fixed-size per-language
     // sample (k = 20) for eval sets / inspection, where the sample IS a
     // KMV min-set: the k smallest h60("smp_" + doc_id) per language.
