@@ -781,5 +781,97 @@ object EventOps {
           FROM zz)
         SELECT layout, n_zones, zones_hit, rows_scanned, rows_matched
         FROM roll ORDER BY layout"""
-      }))
+      }),
+
+    // ------------------------------------------------------------------
+    // A/B experiment analysis — the readout an event platform runs for
+    // every experiment: deterministic h60 bucketing into two arms (the
+    // industry-standard hash-the-user assignment: stable across
+    // sessions, reproducible by any engine, no assignment table to
+    // store), per-arm user-level conversion (a HIGH-VALUE converter:
+    // >= 14 purchase events — the corpus median, so the gate splits
+    // users rather than admitting everyone), and a
+    // two-proportion z-test decided WITHOUT computing z: at z > 2 the
+    // test  (p1−p2)² > z²·p̂(1−p̂)(1/n1+1/n2)  cross-multiplies to
+    //   (c1·n2 − c2·n1)²·N  >  4·n1·n2·C·(N−C)
+    // (C = c1+c2, N = n1+n2) — pure integer arithmetic, e17's
+    // no-sqrt/no-division trick, so the significance FLAG is identical
+    // in both engines with no doubles anywhere near the decision.
+    // Intermediates reach ~1e25 at sf1, past int64: Spark runs them in
+    // DECIMAL(38,0), DuckDB in HUGEINT — different containers, same
+    // exact integers, same boolean. Scale shape: two distinct-user
+    // aggregations + a 2-row pivot; the 1-row test result is
+    // cross-joined back onto the 2-row arm report.
+    // ------------------------------------------------------------------
+    "e19_ab_test" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ev = t(s, d, "events")
+        val users = ev.select(col("user_id")).distinct()
+          .withColumn("arm",
+            (graft.functions.PortableHash.h60col(
+              concat(lit("exp1_"), col("user_id"))) % 2).cast("int"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("np"))
+          .filter(col("np") >= 14)
+          .select(col("user_id"))
+          .withColumn("cv", lit(1L))
+        val per = users.join(conv, Seq("user_id"), "left")
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(coalesce(col("cv"), lit(0L))).as("n_conv"))
+        def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+        val wide = per.agg(
+          sum(when(col("arm") === 0, col("n_users"))).as("n1"),
+          sum(when(col("arm") === 0, col("n_conv"))).as("c1"),
+          sum(when(col("arm") === 1, col("n_users"))).as("n2"),
+          sum(when(col("arm") === 1, col("n_conv"))).as("c2"))
+        val diff = d38(col("c1")) * d38(col("n2")) -
+          d38(col("c2")) * d38(col("n1"))
+        val bigN = d38(col("n1") + col("n2"))
+        val bigC = d38(col("c1") + col("c2"))
+        val test = wide.select(
+          (diff * diff * bigN >
+            lit(4) * d38(col("n1")) * d38(col("n2")) * bigC *
+              (bigN - bigC)).as("significant"))
+        per.crossJoin(test)
+          .select(col("arm"), col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") /
+              col("n_users").cast("double")).as("cvr"),
+            col("significant"))
+          .orderBy(col("arm"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+        a AS (SELECT user_id,
+            cast(('0x' || substr(md5('exp1_' || user_id), 1, 15))::BIGINT
+              % 2 as int) AS arm
+          FROM u),
+        c AS (SELECT user_id FROM events
+          WHERE event_type = 'purchase'
+          GROUP BY 1 HAVING count(*) >= 14),
+        per AS (SELECT arm, cast(count(*) as bigint) AS n_users,
+            cast(count(c.user_id) as bigint) AS n_conv
+          FROM a LEFT JOIN c USING (user_id) GROUP BY 1),
+        w AS (SELECT
+            max(CASE WHEN arm = 0 THEN n_users END) AS n1,
+            max(CASE WHEN arm = 0 THEN n_conv END) AS c1,
+            max(CASE WHEN arm = 1 THEN n_users END) AS n2,
+            max(CASE WHEN arm = 1 THEN n_conv END) AS c2
+          FROM per),
+        t AS (SELECT
+            (cast(c1 as hugeint) * cast(n2 as hugeint) -
+             cast(c2 as hugeint) * cast(n1 as hugeint)) AS diff,
+            cast(n1 + n2 as hugeint) AS bn,
+            cast(c1 + c2 as hugeint) AS bc,
+            cast(n1 as hugeint) AS hn1, cast(n2 as hugeint) AS hn2
+          FROM w),
+        f AS (SELECT diff * diff * bn >
+            4 * hn1 * hn2 * bc * (bn - bc) AS significant FROM t)
+        SELECT per.arm, per.n_users, per.n_conv,
+          cast(per.n_conv as double) / cast(per.n_users as double)
+            AS cvr,
+          f.significant
+        FROM per, f ORDER BY arm"""))
+  )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.analyzer.Analyzer
 import graft.loader.MigrationLoader
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import Catalog._
 
@@ -349,5 +349,119 @@ object MigrationOps {
         SELECT bucket, n_src, n_tgt,
           fp_src = fp_tgt AND n_src = n_tgt AS fp_match
         FROM fs JOIN ft USING (bucket)
-        ORDER BY bucket""")))
+        ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // Schema matching via per-column value-overlap sketches — the
+    // heterogeneous-migration companion to m07: given a target table
+    // whose columns were RENAMED in flight (order_ref, customer_id,
+    // status_code, priority_class), recover the column mapping from
+    // the DATA, not the names. Per side, ONE scan computes a bounded
+    // KMV min-set sketch of every column's value domain (4 aggregators
+    // in a single aggregate — k·8 bytes of additive state per column,
+    // never a distinct per column); the 4×4 candidate matrix is then
+    // pure list arithmetic over 8 metadata rows: estimated Jaccard =
+    // shared fraction of the merged k-min-set (Beyer et al., q71's
+    // estimator; exact when a column has < k distinct values, as
+    // status/priority do here). At 100 TB this is how you map a
+    // 400-column legacy dump onto a new schema without reading either
+    // table twice — two scan-once sketch passes and an n_cols²
+    // metadata computation. argmax per source column (jacc desc,
+    // name asc) is the emitted mapping.
+    // ------------------------------------------------------------------
+    "m08_schema_match" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val kmvset = udaf(new graft.functions.KmvMinSet(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        def hv(c: Column): Column =
+          graft.functions.PortableHash.h60col(
+            concat(lit("smv_"), c.cast("string")))
+        val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")
+        val renamed = Map("o_orderkey" -> "order_ref",
+          "o_custkey" -> "customer_id",
+          "o_orderstatus" -> "status_code",
+          "o_orderpriority" -> "priority_class")
+        val o = t(s, d, "orders")
+        def sketches(rename: String => String): DataFrame = o
+          .agg(kmvset(hv(col(names(0)))).as("k0"),
+            kmvset(hv(col(names(1)))).as("k1"),
+            kmvset(hv(col(names(2)))).as("k2"),
+            kmvset(hv(col(names(3)))).as("k3"))
+          .select(explode(array(
+            names.indices.map(i =>
+              struct(lit(rename(names(i))).as("cname"),
+                col(s"k$i").as("sk"))): _*)).as("e"))
+          .select(col("e.cname"), col("e.sk"))
+        val srcSk = sketches(identity)
+          .select(col("cname").as("src_col"), col("sk").as("ska"))
+        val tgtSk = sketches(renamed)
+          .select(col("cname").as("tgt_col"), col("sk").as("skb"))
+        srcSk.crossJoin(tgtSk)
+          .withColumn("m", slice(
+            array_sort(array_distinct(concat(col("ska"), col("skb")))),
+            1, k))
+          .withColumn("shared", size(filter(col("m"), x =>
+            array_contains(col("ska"), x) &&
+              array_contains(col("skb"), x))))
+          .withColumn("jacc", col("shared").cast("double") /
+            size(col("m")).cast("double"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("src_col"))
+            .orderBy(col("jacc").desc, col("tgt_col"))))
+          .filter(col("rn") === 1)
+          .select(col("src_col"), col("tgt_col").as("matched_col"),
+            col("jacc").as("jacc_est"),
+            col("shared").cast("bigint").as("n_shared"))
+          .orderBy(col("src_col"))
+      },
+      Some("""WITH h AS (
+          SELECT
+            ('0x' || substr(md5('smv_' || cast(o_orderkey as varchar)),
+              1, 15))::BIGINT AS h0,
+            ('0x' || substr(md5('smv_' || cast(o_custkey as varchar)),
+              1, 15))::BIGINT AS h1,
+            ('0x' || substr(md5('smv_' || o_orderstatus),
+              1, 15))::BIGINT AS h2,
+            ('0x' || substr(md5('smv_' || o_orderpriority),
+              1, 15))::BIGINT AS h3
+          FROM orders),
+        s0 AS (SELECT list(h ORDER BY h) AS sk FROM
+          (SELECT DISTINCT h0 AS h FROM h ORDER BY h LIMIT 64)),
+        s1 AS (SELECT list(h ORDER BY h) AS sk FROM
+          (SELECT DISTINCT h1 AS h FROM h ORDER BY h LIMIT 64)),
+        s2 AS (SELECT list(h ORDER BY h) AS sk FROM
+          (SELECT DISTINCT h2 AS h FROM h ORDER BY h LIMIT 64)),
+        s3 AS (SELECT list(h ORDER BY h) AS sk FROM
+          (SELECT DISTINCT h3 AS h FROM h ORDER BY h LIMIT 64)),
+        src AS (
+          SELECT 'o_orderkey' AS src_col, sk AS ska FROM s0
+          UNION ALL SELECT 'o_custkey', sk FROM s1
+          UNION ALL SELECT 'o_orderstatus', sk FROM s2
+          UNION ALL SELECT 'o_orderpriority', sk FROM s3),
+        tgt AS (
+          SELECT 'order_ref' AS tgt_col, sk AS skb FROM s0
+          UNION ALL SELECT 'customer_id', sk FROM s1
+          UNION ALL SELECT 'status_code', sk FROM s2
+          UNION ALL SELECT 'priority_class', sk FROM s3),
+        pairs AS (
+          SELECT src_col, tgt_col, ska, skb,
+            list_sort(list_distinct(list_concat(ska, skb)))[1:64] AS m
+          FROM src, tgt),
+        scored AS (
+          SELECT src_col, tgt_col,
+            len(list_filter(m, x -> list_contains(ska, x)
+              AND list_contains(skb, x))) AS shared,
+            cast(len(list_filter(m, x -> list_contains(ska, x)
+              AND list_contains(skb, x))) as double) /
+              cast(len(m) as double) AS jacc
+          FROM pairs)
+        SELECT src_col, tgt_col AS matched_col, jacc AS jacc_est,
+          cast(shared as bigint) AS n_shared
+        FROM (SELECT *, row_number() OVER (PARTITION BY src_col
+            ORDER BY jacc DESC, tgt_col) AS rn FROM scored) x
+        WHERE rn = 1
+        ORDER BY src_col""")))
 }

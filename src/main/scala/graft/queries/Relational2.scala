@@ -1562,7 +1562,52 @@ object Relational2 {
         SELECT est.seg, est.q_pct, est.est_cents, ex.exact_cents,
           est.est_cents - ex.exact_cents AS err_cents
         FROM est JOIN ex USING (seg, q_pct)
-        ORDER BY est.seg, est.q_pct"""))
+        ORDER BY est.seg, est.q_pct""")),
+
+    // ------------------------------------------------------------------
+    // Incremental JOIN-view maintenance — e12's merge≡recompute proof,
+    // for joins (the delta algebra every materialized-view engine
+    // implements: ΔV = ΔA ⋈ B when B is static — the warehouse
+    // fact-append case; the full three-term ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    // degenerates to one term because the dimension doesn't change).
+    // The view is per-nation order revenue; the "day's append" is the
+    // ~1% of orders with o_orderkey % 97 = 0. Maintenance = aggregate
+    // ONLY the delta through the join and merge partials — at 100 TB
+    // that is the difference between touching 1 TB and re-reading the
+    // full fact table nightly. Partials stay DECIMAL until the final
+    // cast (merging after dsum's double cast would lose the exactness
+    // the oracle hash rides on); the oracle recomputes the view in one
+    // direct pass, so the hash match IS the merge≡recompute proof.
+    // ------------------------------------------------------------------
+    "q76_join_mv_merge" -> Q(
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val o = t(s, d, "orders")
+        def partial(df: DataFrame): DataFrame = df
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("pr"))
+        val base = partial(o.filter(col("o_orderkey") % 97 =!= 0))
+        val delta = partial(o.filter(col("o_orderkey") % 97 === 0))
+        base.unionAll(delta)
+          .groupBy(col("n_name"))
+          .agg(sum(col("pn")).as("n_orders"),
+            sum(col("pr")).cast("double").as("revenue"))
+          .select(col("n_name").as("nation"), col("n_orders"),
+            col("revenue"))
+          .orderBy(col("nation"))
+      },
+      Some(s"""SELECT n.n_name AS nation,
+          cast(count(*) as bigint) AS n_orders,
+          ${sqlDsum("o.o_totalprice")} AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY nation"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

@@ -56,6 +56,12 @@ class PlanAuditSpec extends SparkFunSuite {
       + "sketch side / distinct-cents exact side) crossed with the "
       + "4-row quantile-pct literal — q72's pattern; the data-sized "
       + "work is the bounded KmvValueCensusRaw aggregation"),
+    "m08_schema_match" -> ("4×4 candidate matrix of per-column KMV "
+      + "sketches (metadata rows); the data-sized work is the two "
+      + "scan-once multi-column sketch aggregations"),
+    "e19_ab_test" -> ("1-row significance-test result crossed onto "
+      + "the 2-row arm report; the data-sized work is two "
+      + "distinct-user aggregations"),
     "s07_mmr_rerank" -> ("1-row query-vector broadcast (s01's stage) + "
       + "the 20-candidate a≠b pairwise-sim join; the greedy loop is "
       + "metadata-scale by construction — the corpus work is the "
