@@ -402,6 +402,40 @@ object Multimodal {
     }
   }
 
+  final case class AudioBlockEnergy(media_id: Long, blk: Int,
+      energy: Long)
+
+  /** Per-BLOCK integer energy over real decoded WAVs: block b covers
+    * frames [b·blockFrames, (b+1)·blockFrames) across all channels,
+    * energy = Σ v² as exact integers (the last block may be partial).
+    * The frame→block fold happens inside the batched decode loop, so
+    * the binary never leaves the partition and the emitted frame is
+    * (media_id, blk, energy) — blocks-scale, not samples-scale.
+    */
+  def audioBlockEnergies(media: Dataset[MediaRecord],
+      blockFrames: Int = 8,
+      batchSize: Int = 64): Dataset[AudioBlockEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          val (_, ch, samples) = WavCodec.decode(rec.content)
+          val frames = samples.length / ch
+          val nb = (frames + blockFrames - 1) / blockFrames
+          val acc = new Array[Long](nb)
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            acc((i / ch) / blockFrames) += v * v
+            i += 1
+          }
+          (0 until nb).map(b => AudioBlockEnergy(rec.media_id, b, acc(b)))
+        }
+      }
+    }
+  }
+
   /** REAL video container (the demux is real; only the pixel synthesis
     * is the deterministic stand-in): a minimal packetized stream — a
     * 16-byte [[StubCodec]]-layout header (magic, width, height, frame

@@ -294,6 +294,81 @@ object MediaOps {
         JOIN hsh x ON x.doc_id = c.doc_a
         JOIN hsh y ON y.doc_id = c.doc_b
         WHERE bit_count(xor(x.ahash, y.ahash)) <= 12
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // Voice-activity segmentation over real decoded WAVs — the audio
+    // curation op that decides WHICH SPANS of a clip are worth
+    // transcribing/training on (silence trimming, speech-span
+    // extraction). Per clip: 8-frame block energies (exact integer
+    // Σv², folded inside the batched decode so only blocks-scale rows
+    // leave the partition), an ADAPTIVE activity gate — a block is
+    // active iff energy·n_blocks > total_energy, i.e. above the
+    // clip's own mean, an integer rearrangement with no division —
+    // then gaps-and-islands (blk − row_number, e13's trick) turns
+    // consecutive active blocks into segments. Everything after the
+    // decode is clip-bounded windows + one segment aggregation; the
+    // oracle re-derives the sample values analytically through the
+    // same synthesis formula mm04 pins, so a codec, blocking,
+    // channel-interleave, or islands bug is a hash mismatch.
+    // ------------------------------------------------------------------
+    "mm07_audio_vad" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val be = Multimodal
+          .audioBlockEnergies(Multimodal.synthesizeWav(s, d)).toDF()
+        val w = Window.partitionBy(col("media_id"))
+        val act = be
+          .withColumn("te", sum(col("energy")).over(w))
+          .withColumn("nb", count(lit(1)).over(w))
+          .filter(col("energy") * col("nb") > col("te"))
+        act
+          .withColumn("grp", col("blk") - row_number().over(
+            Window.partitionBy(col("media_id")).orderBy(col("blk"))))
+          .groupBy(col("media_id"), col("grp"))
+          .agg(min(col("blk")).as("seg_start"),
+            max(col("blk")).as("seg_end"),
+            count(lit(1)).as("n_blocks"),
+            sum(col("energy")).as("seg_energy"))
+          .select(col("media_id"), col("seg_start"), col("seg_end"),
+            col("n_blocks"), col("seg_energy"))
+          .orderBy(col("media_id"), col("seg_start"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, cast(1 + doc_id % 2 as int) AS ch,
+            cast(32 + doc_id % 96 as int) AS fr,
+            length(text) AS n, text
+          FROM documents),
+        sv AS (
+          SELECT doc_id, ch, n, text,
+            unnest(range(0, fr * ch)) AS i
+          FROM p),
+        vals AS (
+          SELECT doc_id,
+            cast((i // ch) // 8 as int) AS blk,
+            ((CASE WHEN n = 0 THEN 0
+                   ELSE unicode(substr(text, cast(i % n as int) + 1, 1))
+                        % 256
+              END * 131 + i * 7 + doc_id) % 65536) - 32768 AS v
+          FROM sv),
+        be AS (SELECT doc_id, blk, cast(sum(v * v) as bigint) AS energy
+          FROM vals GROUP BY 1, 2),
+        tot AS (SELECT doc_id, cast(sum(energy) as bigint) AS te,
+            cast(count(*) as bigint) AS nb
+          FROM be GROUP BY 1),
+        act AS (SELECT be.doc_id, be.blk, be.energy
+          FROM be JOIN tot USING (doc_id)
+          WHERE be.energy * tot.nb > tot.te),
+        isl AS (SELECT doc_id, blk, energy,
+            blk - row_number() OVER (PARTITION BY doc_id ORDER BY blk)
+              AS grp
+          FROM act)
+        SELECT doc_id AS media_id,
+          cast(min(blk) as int) AS seg_start,
+          cast(max(blk) as int) AS seg_end,
+          cast(count(*) as bigint) AS n_blocks,
+          cast(sum(energy) as bigint) AS seg_energy
+        FROM isl GROUP BY doc_id, grp
+        ORDER BY media_id, seg_start"""))
   )
 }
