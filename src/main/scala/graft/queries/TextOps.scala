@@ -4116,6 +4116,246 @@ object TextOps {
         ORDER BY lang, rnk""")),
 
     // ------------------------------------------------------------------
+    // IVF-PQ hybrid ANN — the production index layout (FAISS IVFPQ;
+    // Jégou et al. TPAMI 2011): coarse inverted-file cells prune the
+    // scan, product quantization on the RESIDUAL (v − cell centroid)
+    // compresses what remains. Composition of proven pieces: s03's
+    // literal-codebook cell argmin, s05's ·1000 integer quantization
+    // (residuals of quantized longs are exact integers — the whole
+    // query is integer arithmetic until nothing), s06's trained-PQ ADC
+    // scan — but trained on the residual frame, which is WHY IVF-PQ
+    // beats flat PQ: residuals concentrate near zero, so the same 16
+    // codewords spend their resolution on a much smaller ball. The
+    // residual identity also gives exact distances for free: within a
+    // probed cell, v − q = rv − rq(cell) (the centroid cancels), so
+    // the ride-along exact column never needs the original vectors.
+    // Scale shape: assignment/residual/codes are row-local folds over
+    // literals (zero shuffle); training is s06's one distributed pass;
+    // the ADC scan touches only the 2 probed cells' rows and the
+    // per-query LUT is 8×16 driver integers.
+    // ------------------------------------------------------------------
+    "s11_ivfpq_ann" -> Q(
+      (s, d) => {
+        val nSub = 8; val subDim = 8; val kCent = 16; val kCells = 8
+        val dim = nSub * subDim
+        val quant = transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+        val base = emb(s, d).select(col("vec_id"), quant.as("qv"))
+        val cellVecs = base.filter(col("vec_id") < kCells)
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+          .sortBy(_._1).toIndexedSeq
+        val qVec = base.filter(col("vec_id") === 0)
+          .head().getSeq[Long](1).toIndexedSeq
+        def l2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long = {
+          var s2 = 0L; var j = 0
+          while (j < dim) { val d0 = a(j) - b(j); s2 += d0 * d0; j += 1 }
+          s2
+        }
+        // strict < keeps the first (smallest cid) on ties — the same
+        // rule as the column-side fold and the oracle's row_number
+        def assignLocal(v: IndexedSeq[Long]): Int = {
+          var bd = Long.MaxValue; var bc = -1
+          cellVecs.foreach { case (cid, cv) =>
+            val s2 = l2(v, cv)
+            if (s2 < bd) { bd = s2; bc = cid.toInt }
+          }
+          bc
+        }
+        val cellArr = array(cellVecs.map { case (id, v) =>
+          struct(lit(id).as("cid"),
+            array(v.map(lit(_)): _*).as("cv"))
+        }: _*)
+        val cellCvArr = array(cellVecs.map { case (_, v) =>
+          array(v.map(lit(_)): _*)
+        }: _*)
+        val cellOf = aggregate(cellArr,
+          struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val dist = aggregate(zip_with(col("qv"), c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (s2, x) => s2 + x)
+            when(dist < acc.getField("dist"),
+              struct(dist.as("dist"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }).getField("cid")
+        val resid = base.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("qv"), cellOf.as("cell"))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("qv"),
+              element_at(cellCvArr, (col("cell") + 1).cast("int")),
+              (a, b) => a - b).as("rv"))
+          .localCheckpoint()
+        // PQ seeds = residuals of vectors 8..23 (driver-derived, cid
+        // = vec_id − 8); trained one Lloyd step on the residual frame
+        val seeds = base
+          .filter(col("vec_id") >= kCells &&
+            col("vec_id") < kCells + kCent)
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+          .sortBy(_._1).toIndexedSeq
+          .map { case (id, v) =>
+            val c = assignLocal(v)
+            (id - kCells,
+              IndexedSeq.tabulate(dim)(j => v(j) - cellVecs(c)._2(j)): Seq[Long])
+          }
+        val trained = trainPqCodebooks(
+          resid.select(col("rv").as("qv")), nSub, subDim, seeds)
+        // the query's 2 nearest cells + its residual in each
+        val probes = cellVecs.map { case (cid, cv) => (l2(qVec, cv), cid) }
+          .sorted.take(2).map(_._2)
+        val rq: Map[Long, IndexedSeq[Long]] = probes.map { cid =>
+          cid -> IndexedSeq.tabulate(dim)(j =>
+            qVec(j) - cellVecs(cid.toInt)._2(j))
+        }.toMap
+        def lutFor(cid: Long): IndexedSeq[IndexedSeq[Long]] =
+          IndexedSeq.tabulate(nSub) { sub =>
+            trained(sub).map { case (_, cv) =>
+              var s2 = 0L; var j = 0
+              while (j < subDim) {
+                val d0 = rq(cid)(sub * subDim + j) - cv(j)
+                s2 += d0 * d0; j += 1
+              }
+              s2
+            }.toIndexedSeq
+          }
+        val luts = probes.map(cid => cid -> lutFor(cid)).toMap
+        val codeCols = (0 until nSub).map { sub =>
+          val centSlices = array(trained(sub).map { case (cid, cv) =>
+            struct(lit(cid).as("cid"),
+              array(cv.map(lit(_)): _*).as("cv"))
+          }: _*)
+          val rSlice = array((0 until subDim).map(j =>
+            col("rv").getItem(sub * subDim + j)).toIndexedSeq: _*)
+          aggregate(centSlices,
+            struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
+            (acc, c) => {
+              val dist = aggregate(zip_with(rSlice, c.getField("cv"),
+                (a, b) => (a - b) * (a - b)), lit(0L), (s2, x) => s2 + x)
+              when(dist < acc.getField("dist"),
+                struct(dist.as("dist"), c.getField("cid").as("cid")))
+                .otherwise(acc)
+            }).getField("cid").as(s"code$sub")
+        }
+        def approxFor(cid: Long): Column = (0 until nSub).map { sub =>
+          element_at(array(luts(cid)(sub).map(lit(_)): _*),
+            (col(s"code$sub") + 1).cast("int"))
+        }.reduce(_ + _)
+        def exactFor(cid: Long): Column = {
+          val rqArr = array(rq(cid).map(lit(_)): _*)
+          aggregate(zip_with(col("rv"), rqArr,
+            (a, b) => (a - b) * (a - b)), lit(0L), (s2, x) => s2 + x)
+        }
+        resid.filter(col("cell").isin(probes: _*))
+          .select(col("vec_id") +: col("cell") +: col("rv") +:
+            codeCols: _*)
+          .select(col("vec_id"), col("cell"),
+            when(col("cell") === probes(0), approxFor(probes(0)))
+              .otherwise(approxFor(probes(1))).as("approx_dist"),
+            when(col("cell") === probes(0), exactFor(probes(0)))
+              .otherwise(exactFor(probes(1))).as("exact_dist"))
+          .orderBy(col("approx_dist"), col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH e AS MATERIALIZED (
+          SELECT vec_id,
+            list_transform(embedding, x ->
+              cast(floor(cast(x as double) * 1000) as bigint)) AS qv
+          FROM embeddings),
+        cells AS MATERIALIZED (
+          SELECT vec_id AS ccid, qv AS ccv FROM e WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, ccid AS cell FROM (
+            SELECT e.vec_id, c.ccid,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(range(1, 65), j ->
+                  (e.qv[cast(j as int)] - c.ccv[cast(j as int)]) *
+                  (e.qv[cast(j as int)] - c.ccv[cast(j as int)]))),
+                c.ccid) AS rn
+            FROM e, cells c WHERE e.vec_id <> 0) x WHERE rn = 1),
+        resid AS MATERIALIZED (
+          SELECT e.vec_id, a.cell,
+            list_transform(range(1, 65), j ->
+              e.qv[cast(j as int)] - c.ccv[cast(j as int)]) AS rv
+          FROM e JOIN asgn a ON a.vec_id = e.vec_id
+          JOIN cells c ON c.ccid = a.cell),
+        q AS (SELECT qv AS quv FROM e WHERE vec_id = 0),
+        qp AS (
+          SELECT c.ccid AS pcell,
+            list_transform(range(1, 65), j ->
+              q.quv[cast(j as int)] - c.ccv[cast(j as int)]) AS rq,
+            row_number() OVER (ORDER BY
+              list_sum(list_transform(range(1, 65), j ->
+                (q.quv[cast(j as int)] - c.ccv[cast(j as int)]) *
+                (q.quv[cast(j as int)] - c.ccv[cast(j as int)]))),
+              c.ccid) AS prn
+          FROM cells c, q),
+        probes AS MATERIALIZED (SELECT pcell, rq FROM qp WHERE prn <= 2),
+        subs AS (SELECT unnest(range(0, 8)) AS sub),
+        sa AS (
+          SELECT e.vec_id AS sid, a.cell, e.qv
+          FROM e JOIN asgn a ON a.vec_id = e.vec_id
+          WHERE e.vec_id >= 8 AND e.vec_id < 24),
+        cb0 AS MATERIALIZED (
+          SELECT s.sub, sa.sid - 8 AS cid,
+            list_transform(range(1, 9), j ->
+              (sa.qv[cast(s.sub * 8 + j as int)] -
+               c.ccv[cast(s.sub * 8 + j as int)])) AS cv
+          FROM sa JOIN cells c ON c.ccid = sa.cell, subs s),
+        a1 AS MATERIALIZED (
+          SELECT vec_id, sub, cid FROM (
+            SELECT r.vec_id, c.sub, c.cid,
+              row_number() OVER (PARTITION BY r.vec_id, c.sub ORDER BY
+                list_sum(list_transform(range(1, 9), j ->
+                  (r.rv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]) *
+                  (r.rv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]))),
+                c.cid) AS rn
+            FROM resid r, cb0 c) x WHERE rn = 1),
+        s1 AS (
+          SELECT a.sub, a.cid, p.pos,
+            cast(sum(r.rv[cast(a.sub * 8 + p.pos as int)]) as bigint)
+              // cast(count(*) as bigint) AS c
+          FROM a1 a JOIN resid r ON r.vec_id = a.vec_id,
+            (SELECT unnest(range(1, 9)) AS pos) p
+          GROUP BY a.sub, a.cid, p.pos),
+        c1l AS (SELECT sub, cid, list(c ORDER BY pos) AS cv
+          FROM s1 GROUP BY sub, cid),
+        cb AS MATERIALIZED (
+          SELECT cb0.sub, cb0.cid, coalesce(l.cv, cb0.cv) AS cv
+          FROM cb0 LEFT JOIN c1l l
+            ON l.sub = cb0.sub AND l.cid = cb0.cid),
+        codes AS MATERIALIZED (
+          SELECT vec_id, cell, sub, cid AS code FROM (
+            SELECT r.vec_id, r.cell, c.sub, c.cid,
+              row_number() OVER (PARTITION BY r.vec_id, c.sub ORDER BY
+                list_sum(list_transform(range(1, 9), j ->
+                  (r.rv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]) *
+                  (r.rv[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]))),
+                c.cid) AS rn
+            FROM resid r, cb c
+            WHERE r.cell IN (SELECT pcell FROM probes)) x WHERE rn = 1),
+        lut AS MATERIALIZED (
+          SELECT p.pcell, c.sub, c.cid,
+            list_sum(list_transform(range(1, 9), j ->
+              (p.rq[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)]) *
+              (p.rq[cast(c.sub * 8 + j as int)] - c.cv[cast(j as int)])))
+              AS d
+          FROM cb c, probes p),
+        ad AS (
+          SELECT codes.vec_id, codes.cell,
+            cast(sum(l.d) as bigint) AS approx_dist
+          FROM codes JOIN lut l ON l.pcell = codes.cell
+            AND l.sub = codes.sub AND l.cid = codes.code
+          GROUP BY 1, 2),
+        ex AS (
+          SELECT r.vec_id,
+            cast(list_sum(list_transform(range(1, 65), j ->
+              (r.rv[cast(j as int)] - p.rq[cast(j as int)]) *
+              (r.rv[cast(j as int)] - p.rq[cast(j as int)])))
+              as bigint) AS exact_dist
+          FROM resid r JOIN probes p ON p.pcell = r.cell)
+        SELECT ad.vec_id, ad.cell, ad.approx_dist, ex.exact_dist
+        FROM ad JOIN ex ON ex.vec_id = ad.vec_id
+        ORDER BY ad.approx_dist, ad.vec_id LIMIT 10""")),
+
+    // ------------------------------------------------------------------
     // Cluster-balanced sample selection (the SemDeDup / cluster-pruning
     // family, Abbas et al. 2023): pick a fixed-size per-CLUSTER sample
     // instead of a global one, so the subset preserves the corpus's
