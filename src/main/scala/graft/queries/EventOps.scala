@@ -784,6 +784,110 @@ object EventOps {
       }),
 
     // ------------------------------------------------------------------
+    // Time-series gap-fill + linear interpolation — the resampling pass
+    // every metrics pipeline runs before feeding models or dashboards:
+    // sparse observations onto a dense regular grid. Observations are a
+    // deterministic h60 thinning of each type's hourly averages (the
+    // sparse-sensor shape; ~1/23 of hours observed), the grid is each
+    // type's [first, last] observed hour, and interior gaps fill
+    // linearly between the nearest observed neighbors:
+    //   pv + (nv - pv) * (h - ph)/(nh - ph)
+    // with h/ph/nh integer epoch-hours, so the weight is an exact
+    // integer ratio and the one double expression is identical
+    // row-local IEEE arithmetic in both engines. Scale shape: e17's
+    // pre-agg-then-window — the ONLY corpus-scale term is the map-side
+    // combinable (type, hour) aggregation; the spine, the two
+    // ignore-nulls window passes (prev/next observed neighbor), and the
+    // interpolation all run on the series-scale grid (types × hours),
+    // which grows with the time span, not the event count. A naive
+    // per-gap self-join ("for each missing hour find its neighbors")
+    // would be gaps × observations; the running last/first window is
+    // one sort per type partition.
+    // ------------------------------------------------------------------
+    "e18_gap_fill" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(davg(col("value")).as("v"))
+          .filter(graft.functions.PortableHash.h60col(
+            concat(col("event_type"), lit("_"),
+              unix_seconds(col("hr")))) % 23 === 0)
+        val spine = hourly.groupBy(col("event_type"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("hr"))
+        val wAll = Window.partitionBy(col("event_type"))
+          .orderBy(col("hrl"))
+        val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
+        spine.join(hourly, Seq("event_type", "hr"), "left")
+          .withColumn("hrl", unix_seconds(col("hr")).divide(3600)
+            .cast("long"))
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(when(col("v").isNotNull, col("hrl")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(when(col("v").isNotNull, col("hrl")),
+            ignoreNulls = true).over(wNext))
+          .select(col("event_type"), col("hr"),
+            when(col("v").isNotNull, col("v"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("hrl") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double"))).as("filled"),
+            when(col("v").isNotNull, "observed")
+              .otherwise("interpolated").as("kind"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some(s"""WITH hourly AS (
+          SELECT event_type,
+            cast(date_trunc('hour', cast(ts as timestamp)) as timestamp)
+              AS hr,
+            ${sqlDavg("value")} AS v
+          FROM events GROUP BY 1, 2),
+        obs AS (
+          SELECT * FROM hourly
+          WHERE ${graft.functions.PortableHash.h60Sql(
+            "event_type || '_' || cast(floor(epoch(hr)) as bigint)")}
+            % 23 = 0),
+        bounds AS (
+          SELECT event_type, min(hr) AS h0, max(hr) AS h1
+          FROM obs GROUP BY 1),
+        spine AS (
+          SELECT event_type,
+            unnest(generate_series(h0, h1, interval '1 hour')) AS hr
+          FROM bounds),
+        grid AS (
+          SELECT s.event_type, s.hr, o.v,
+            cast(floor(epoch(s.hr)) as bigint) // 3600 AS hrl
+          FROM spine s LEFT JOIN obs o
+            ON s.event_type = o.event_type AND s.hr = o.hr),
+        w AS (
+          SELECT event_type, hr, v, hrl,
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN hrl END IGNORE NULLS)
+              OVER wp AS ph,
+            first_value(v IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN hrl END IGNORE NULLS)
+              OVER wn AS nh
+          FROM grid
+          WINDOW wp AS (PARTITION BY event_type ORDER BY hrl
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wn AS (PARTITION BY event_type ORDER BY hrl
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hr,
+          CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (nv - pv) *
+              (cast(hrl - ph as double) / cast(nh - ph as double))
+          END AS filled,
+          CASE WHEN v IS NOT NULL THEN 'observed'
+            ELSE 'interpolated' END AS kind
+        FROM w
+        ORDER BY event_type, hr""")),
+
+    // ------------------------------------------------------------------
     // A/B experiment analysis — the readout an event platform runs for
     // every experiment: deterministic h60 bucketing into two arms (the
     // industry-standard hash-the-user assignment: stable across
