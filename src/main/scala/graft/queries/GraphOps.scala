@@ -436,5 +436,77 @@ object GraphOps {
           min(id) AS min_member
         FROM l3 GROUP BY lbl
         ORDER BY n_members DESC, community LIMIT 20"""),
-      bench = true))
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // Link prediction via the Resource-Allocation index (Zhou, Lü &
+    // Zhang, EPJ B 2009) — "which parts are NOT yet co-purchased but
+    // should be": for each non-adjacent pair (x, y), score =
+    // Σ_{w ∈ Γ(x)∩Γ(y)} 1/deg(w). The per-neighbor weight is computed
+    // as the scaled integer 10^12 div deg(w), so the score sum is
+    // exact, order-independent, and hash-matchable in both engines —
+    // RA's 1/deg needs no log/float (vs Adamic-Adar's 1/ln deg, which
+    // could never hash-match). Wedge enumeration is the g02 cost
+    // class, with the standard production guard made explicit: only
+    // nodes with deg ≤ 64 act as wedge CENTERS (a hub's quadratic
+    // pair-fanout buys ~zero RA weight — 10^12/deg vanishes exactly
+    // when the blowup explodes), so wedge output is bounded by
+    // cap × m rows, not Σ deg². Existing edges leave via one keyed
+    // anti-join. Shuffles: edge-build groupBy + distinct, one (x, y)
+    // score agg, the anti-join — all key-partitioned; nothing
+    // broadcasts at data scale.
+    // ------------------------------------------------------------------
+    "g05_link_predict" -> Q(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d, canonical = true)
+          .pipe(materialize)
+        val adj = edges.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+        val centers = adj.groupBy(col("u"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= 64)
+          .select(col("u"), expr("1000000000000L div deg").as("w8"))
+        val cadj = adj.join(centers, Seq("u"))
+        val l = cadj.select(col("u"), col("v").as("x"), col("w8"))
+        val r = cadj.select(col("u"), col("v").as("y"))
+        val scored = l.join(r, Seq("u"))
+          .filter(col("x") < col("y"))
+          .groupBy(col("x"), col("y"))
+          .agg(sum(col("w8")).as("ra_scaled"),
+            count(lit(1)).as("n_common"))
+        scored.join(edges,
+            scored("x") === edges("a") && scored("y") === edges("b"),
+            "left_anti")
+          .orderBy(col("ra_scaled").desc, col("x"), col("y"))
+          .limit(20)
+          .select(col("x").as("part_a"), col("y").as("part_b"),
+            col("ra_scaled"), col("n_common"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+        adj AS (
+          SELECT a AS u, b AS v FROM edges
+          UNION ALL SELECT b, a FROM edges),
+        centers AS (
+          SELECT u, 1000000000000 // cast(count(*) as bigint) AS w8
+          FROM adj GROUP BY u
+          HAVING count(*) <= 64),
+        cadj AS MATERIALIZED (
+          SELECT adj.u, adj.v, centers.w8
+          FROM adj JOIN centers USING (u)),
+        scored AS (
+          SELECT l.v AS x, r.v AS y,
+            cast(sum(l.w8) as bigint) AS ra_scaled,
+            cast(count(*) as bigint) AS n_common
+          FROM cadj l JOIN cadj r ON l.u = r.u AND l.v < r.v
+          GROUP BY 1, 2)
+        SELECT s.x AS part_a, s.y AS part_b, s.ra_scaled, s.n_common
+        FROM scored s ANTI JOIN edges e ON s.x = e.a AND s.y = e.b
+        ORDER BY s.ra_scaled DESC, s.x, s.y LIMIT 20"""))
+  )
 }

@@ -463,5 +463,113 @@ object MigrationOps {
         FROM (SELECT *, row_number() OVER (PARTITION BY src_col
             ORDER BY jacc DESC, tgt_col) AS rn FROM scored) x
         WHERE rn = 1
-        ORDER BY src_col""")))
+        ORDER BY src_col""")),
+
+    // ------------------------------------------------------------------
+    // Row-level reconciliation diff — the remediation report run AFTER
+    // m07 flags a bucket: which keys differ, in which direction, and
+    // which COLUMNS drifted (the data-diff tool shape). The simulated
+    // target injects all three defect classes deterministically via
+    // h60 (m07's inject-the-defect convention, ~1% each): dropped rows
+    // (only_in_source), a drifted priority + totalprice (+1.00 —
+    // row-local double add, exact in both engines), and re-keyed clone
+    // rows beyond the source key span (only_in_target). ONE
+    // key-partitioned full-outer join classifies every key; all column
+    // comparisons are row-local; the report is metadata-scale (a
+    // 4-row census with per-column mismatch attribution). At 100 TB
+    // this is a sort-merge join on the primary key — the shape that
+    // scales — versus the per-row SELECT-loop a naive validator runs;
+    // m07 (64 fingerprint buckets) tells you WHETHER to pay for it.
+    // ------------------------------------------------------------------
+    "m09_data_diff" -> Q(
+      (s, d) => {
+        def h(tag: String): Column =
+          graft.functions.PortableHash.h60col(
+            concat(lit(tag), col("o_orderkey")))
+        val src = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        val base = src.filter(h("del_") % 97 =!= 0)
+          .withColumn("o_orderpriority",
+            when(h("mod_") % 97 === 0, lit("X-DRIFTED"))
+              .otherwise(col("o_orderpriority")))
+          .withColumn("o_totalprice",
+            when(h("mod_") % 97 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        val extra = src.filter(h("ins_") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        val tgt = base.unionAll(extra)
+        def pfx(df: DataFrame, p: String): DataFrame =
+          df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, p + c))
+        val j = pfx(src, "s_").join(pfx(tgt, "t_"),
+          col("s_o_orderkey") === col("t_o_orderkey"), "full_outer")
+        val bothSame = col("s_o_custkey") === col("t_o_custkey") &&
+          col("s_o_orderstatus") === col("t_o_orderstatus") &&
+          col("s_o_totalprice") === col("t_o_totalprice") &&
+          col("s_o_orderpriority") === col("t_o_orderpriority")
+        j.withColumn("kind",
+            when(col("t_o_orderkey").isNull, "only_in_source")
+              .when(col("s_o_orderkey").isNull, "only_in_target")
+              .when(bothSame, "identical")
+              .otherwise("modified"))
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("s_o_custkey") =!= col("t_o_custkey"), 1))
+              .as("n_custkey"),
+            count(when(col("s_o_orderstatus") =!= col("t_o_orderstatus"),
+              1)).as("n_status"),
+            count(when(col("s_o_totalprice") =!= col("t_o_totalprice"),
+              1)).as("n_price"),
+            count(when(col("s_o_orderpriority") =!=
+              col("t_o_orderpriority"), 1)).as("n_priority"))
+          .orderBy(col("kind"))
+      },
+      Some("""WITH src AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderpriority
+          FROM orders),
+        base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN ('0x' || substr(md5('mod_' || o_orderkey), 1, 15))
+                ::BIGINT % 97 = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice
+            END AS o_totalprice,
+            CASE WHEN ('0x' || substr(md5('mod_' || o_orderkey), 1, 15))
+                ::BIGINT % 97 = 0
+              THEN 'X-DRIFTED' ELSE o_orderpriority
+            END AS o_orderpriority
+          FROM src
+          WHERE ('0x' || substr(md5('del_' || o_orderkey), 1, 15))
+            ::BIGINT % 97 <> 0),
+        extra AS (
+          SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+            o_orderstatus, o_totalprice, o_orderpriority
+          FROM src
+          WHERE ('0x' || substr(md5('ins_' || o_orderkey), 1, 15))
+            ::BIGINT % 97 = 0),
+        tgt AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
+        j AS (
+          SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+            s.o_custkey AS sc, t.o_custkey AS tc,
+            s.o_orderstatus AS ss, t.o_orderstatus AS ts2,
+            s.o_totalprice AS sp, t.o_totalprice AS tp,
+            s.o_orderpriority AS so, t.o_orderpriority AS to2
+          FROM src s FULL OUTER JOIN tgt t
+            ON s.o_orderkey = t.o_orderkey),
+        k AS (
+          SELECT *,
+            CASE WHEN tk IS NULL THEN 'only_in_source'
+              WHEN sk IS NULL THEN 'only_in_target'
+              WHEN sc = tc AND ss = ts2 AND sp = tp AND so = to2
+                THEN 'identical'
+              ELSE 'modified' END AS kind
+          FROM j)
+        SELECT kind, cast(count(*) as bigint) AS n_rows,
+          cast(count(*) FILTER (WHERE sc <> tc) as bigint) AS n_custkey,
+          cast(count(*) FILTER (WHERE ss <> ts2) as bigint) AS n_status,
+          cast(count(*) FILTER (WHERE sp <> tp) as bigint) AS n_price,
+          cast(count(*) FILTER (WHERE so <> to2) as bigint)
+            AS n_priority
+        FROM k GROUP BY kind
+        ORDER BY kind""")))
 }
