@@ -520,6 +520,39 @@ object Multimodal {
   final case class VideoStats(media_id: Long, width: Int, height: Int,
       n_frames: Int, n_sampled: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 
+  final case class FrameEnergy(media_id: Long, fr: Int, energy: Long)
+
+  /** Per-frame channel-sum energies through the real demux + decode:
+    * one (media_id, frame, Σ(r+g+b)) row per frame leaves the decode
+    * partition — frame-scale, never pixel-scale (audioBlockEnergies'
+    * discipline for video). Consumers run clip-bounded windows on the
+    * result (shot-boundary detection mm08).
+    */
+  def videoFrameEnergies(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[FrameEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          val (w, h, packets) = VideoContainer.demux(rec.content)
+          packets.indices.map { f =>
+            val (fw, fh, px) = BmpCodec.decode(packets(f))
+            require(fw == w && fh == h, "frame dims disagree with header")
+            var e = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              e += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              i += 1
+            }
+            FrameEnergy(rec.media_id, f, e)
+          }
+        }
+      }
+    }
+  }
+
   /** Batched partition-local frame sampling: demux the container, keep
     * every `everyNth`-th frame (0, n, 2n, …), BMP-decode ONLY the kept
     * frames (unsampled packets are skipped by length — the point of

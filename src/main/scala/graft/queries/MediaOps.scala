@@ -369,6 +369,80 @@ object MediaOps {
           cast(count(*) as bigint) AS n_blocks,
           cast(sum(energy) as bigint) AS seg_energy
         FROM isl GROUP BY doc_id, grp
-        ORDER BY media_id, seg_start"""))
+        ORDER BY media_id, seg_start""")),
+
+    // ------------------------------------------------------------------
+    // Shot-boundary detection over the real video container — the
+    // video curation op that decides where a clip CUTS (scene
+    // segmentation before frame dedup / captioning / sampling). Per
+    // clip: every frame decodes to one integer channel-sum energy row
+    // (frame-scale rows leave the decode partition, never pixels —
+    // videoFrameEnergies), consecutive-frame jumps |E(f) − E(f−1)|
+    // come from one lag window, and a jump is a CUT iff
+    // jump · n_gaps > total_jump — strictly above the clip's own mean
+    // jump, mm07's adaptive integer gate with no division or
+    // threshold constant. Everything past the decode is clip-bounded
+    // windows + one per-clip aggregate. The oracle re-derives every
+    // frame energy analytically through mm05's pinned synthesis
+    // formula, so a demux, decode, channel, or window bug is a hash
+    // mismatch.
+    // ------------------------------------------------------------------
+    "mm08_shot_boundary" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val fe = Multimodal
+          .videoFrameEnergies(Multimodal.synthesizeVideo(s, d)).toDF()
+        val wOrd = Window.partitionBy(col("media_id")).orderBy(col("fr"))
+        val wAll = Window.partitionBy(col("media_id"))
+        fe.withColumn("jump",
+            abs(col("energy") - lag(col("energy"), 1).over(wOrd)))
+          .withColumn("tj", sum(col("jump")).over(wAll))
+          .withColumn("nf", count(lit(1)).over(wAll))
+          .groupBy(col("media_id"))
+          .agg(max(col("nf")).cast("int").as("n_frames"),
+            count(when(col("jump") * (col("nf") - 1) > col("tj"), 1))
+              .as("n_cuts"),
+            max(col("jump")).as("max_jump"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id,
+            cast(4 + doc_id % 8 as int) AS w,
+            cast(4 + (doc_id * 3) % 8 as int) AS h,
+            cast(2 + doc_id % 10 as int) AS nf,
+            length(text) AS n, text
+          FROM documents),
+        f AS (
+          SELECT doc_id, w, h, nf, n, text,
+            unnest(range(0, nf)) AS fr
+          FROM p),
+        c AS (
+          SELECT doc_id, nf, fr,
+            cast(list_sum(list_transform(range(0, w*h), idx ->
+              CASE WHEN n = 0 THEN 0
+                   ELSE unicode(substr(text,
+                     cast((fr + idx) % n as int) + 1, 1)) % 256 END
+              + (idx * 31 + fr * 7 + doc_id) % 256
+              + (idx + fr +
+                 CASE WHEN n = 0 THEN 0
+                      ELSE unicode(substr(text,
+                        cast((fr + idx) % n as int) + 1, 1)) % 256 END
+                ) % 256)) as bigint) AS e
+          FROM f),
+        j AS (
+          SELECT doc_id, nf, fr, e,
+            abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY fr))
+              AS jump
+          FROM c),
+        t AS (
+          SELECT doc_id, nf, jump,
+            sum(jump) OVER (PARTITION BY doc_id) AS tj
+          FROM j)
+        SELECT doc_id AS media_id, cast(max(nf) as int) AS n_frames,
+          cast(count(*) FILTER (WHERE jump * (nf - 1) > tj) as bigint)
+            AS n_cuts,
+          cast(max(jump) as bigint) AS max_jump
+        FROM t GROUP BY doc_id
+        ORDER BY media_id"""))
   )
 }

@@ -4067,6 +4067,125 @@ object TextOps {
         ORDER BY merge_rank""")),
 
     // ------------------------------------------------------------------
+    // BPE ENCODE — the consumer of x28's training: apply the learned
+    // merge rules to the corpus and report per-language token budgets
+    // (the number every pretraining-data plan is denominated in). The
+    // corpus is tokenized ONCE into a per-language (lang, word, cnt)
+    // census; the global census x28 trains on is its lang-rollup, so
+    // train and encode share one corpus scan. The 3 learned merges are
+    // driver literals (x28's 1-row-collect convention) applied to the
+    // VOCABULARY-scale census as chained leftmost-greedy replace()
+    // calls — identical semantics in Spark, DuckDB, and reference BPE's
+    // word.replace — and token counts roll up weighted by cnt. At
+    // 100 TB: encode cost is merges × vocabulary (Heaps-law sublinear),
+    // never merges × corpus; the per-lang budget report is what decides
+    // mixture weights (x16) BEFORE anyone pays for full tokenization.
+    // ------------------------------------------------------------------
+    "x29_bpe_encode" -> Q(
+      (s, d) => {
+        val perLang = docs(s, d)
+          .select(col("lang"), explode(words(col("text"))).as("word"))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        var seqs = perLang.groupBy(col("word"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .select(col("cnt"),
+            rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+        val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        for (_ <- 1 to 3) {
+          val arrs = seqs
+            .select(col("cnt"), split(col("seq"), " ").as("t"))
+            .select(col("cnt"),
+              slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
+              slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
+          val best = arrs
+            .select(col("cnt"),
+              explode(arrays_zip(col("la"), col("ra"))).as("p"))
+            .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l"), col("r"))
+            .limit(1).head()
+          val (bl, br) = (best.getString(0), best.getString(1))
+          merges += ((bl, br))
+          seqs = seqs.select(col("cnt"),
+            replace(col("seq"), lit(bl + " " + br), lit(bl + br))
+              .as("seq"))
+            .localCheckpoint()
+        }
+        val spaced = perLang.select(col("lang"), col("cnt"),
+          length(col("word")).as("chars"),
+          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+        val encoded = merges.foldLeft(spaced) { case (df, (bl, br)) =>
+          df.withColumn("seq",
+            replace(col("seq"), lit(bl + " " + br), lit(bl + br)))
+        }
+        encoded
+          .select(col("lang"), col("cnt"), col("chars"),
+            size(split(col("seq"), " ")).as("toks"))
+          .groupBy(col("lang"))
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * col("chars")).as("n_chars"),
+            sum(col("cnt") * col("toks")).as("n_tokens"))
+          .withColumn("compression", col("n_chars").cast("double") /
+            col("n_tokens").cast("double"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH pl AS MATERIALIZED (
+          SELECT lang, w AS word, cast(count(*) as bigint) AS cnt FROM (
+            SELECT lang, unnest(string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+            FROM documents) GROUP BY 1, 2),
+        census AS (SELECT word, sum(cnt) AS cnt FROM pl GROUP BY 1),
+        s0 AS (SELECT cnt,
+            rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+          FROM census),
+        p1 AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM s0) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b1 AS (SELECT lhs, rhs FROM p1 GROUP BY 1, 2
+          ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
+        s1 AS MATERIALIZED (SELECT s0.cnt,
+            replace(s0.seq, b1.lhs || ' ' || b1.rhs, b1.lhs || b1.rhs)
+              AS seq
+          FROM s0, b1),
+        p2 AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM s1) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b2 AS (SELECT lhs, rhs FROM p2 GROUP BY 1, 2
+          ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
+        s2 AS MATERIALIZED (SELECT s1.cnt,
+            replace(s1.seq, b2.lhs || ' ' || b2.rhs, b2.lhs || b2.rhs)
+              AS seq
+          FROM s1, b2),
+        p3 AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM s2) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b3 AS (SELECT lhs, rhs FROM p3 GROUP BY 1, 2
+          ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
+        enc AS (
+          SELECT pl.lang, pl.cnt,
+            cast(strlen(pl.word) as int) AS chars,
+            len(string_split(
+              replace(
+                replace(
+                  replace(
+                    rtrim(regexp_replace(pl.word, '(.)', '\1 ', 'g')),
+                    b1.lhs || ' ' || b1.rhs, b1.lhs || b1.rhs),
+                  b2.lhs || ' ' || b2.rhs, b2.lhs || b2.rhs),
+                b3.lhs || ' ' || b3.rhs, b3.lhs || b3.rhs),
+              ' ')) AS toks
+          FROM pl, b1, b2, b3)
+        SELECT lang, cast(sum(cnt) as bigint) AS n_words,
+          cast(sum(cnt * chars) as bigint) AS n_chars,
+          cast(sum(cnt * toks) as bigint) AS n_tokens,
+          cast(cast(sum(cnt * chars) as bigint) as double) /
+            cast(cast(sum(cnt * toks) as bigint) as double)
+            AS compression
+        FROM enc GROUP BY lang
+        ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
     // Deterministic stratified sampling — a fixed-size per-language
     // sample (k = 20) for eval sets / inspection, where the sample IS a
     // KMV min-set: the k smallest h60("smp_" + doc_id) per language.
