@@ -4625,6 +4625,86 @@ object TextOps {
         FROM best ORDER BY max_cos DESC, vec_id LIMIT 30""")),
 
     // ------------------------------------------------------------------
+    // Cross-source corpus-overlap audit — m08's sketch-matrix idea
+    // applied to CONTENT: per SOURCE, one bounded KMV min-set sketch
+    // over the h60s of every document's distinct 3-shingles (k·8 bytes
+    // of additive state per source, map-side partials — the hot source
+    // never ships its shingles), then the n_sources² overlap matrix is
+    // pure list arithmetic over 20 metadata rows (Beyer et al.
+    // shared-fraction Jaccard, q71/m08's estimator). This is the audit
+    // a mixture plan (x16) runs FIRST at 100 TB: two sources with high
+    // shingle overlap are double-counting the same content, and
+    // weighting them independently over-samples it — the corpus-level
+    // complement of d03's doc-level dedup, at sketch cost instead of
+    // pair cost. Top-20 source pairs by estimated Jaccard.
+    // ------------------------------------------------------------------
+    "d18_source_overlap" -> Q(
+      (s, d) => {
+        val k = 128
+        val kmvset = udaf(new graft.functions.KmvMinSet(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val sh = docs(s, d)
+          .select(col("source"), words(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("source"), explode(shingles3(col("toks"))).as("sgl"))
+          .select(col("source"), graft.functions.PortableHash.h60col(
+            concat(lit("sov_"), col("sgl"))).as("h"))
+        val sk = sh.groupBy(col("source")).agg(kmvset(col("h")).as("sk"))
+        val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+        val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
+        a.crossJoin(b).filter(col("src_a") < col("src_b"))
+          .withColumn("m", slice(
+            array_sort(array_distinct(concat(col("ska"), col("skb")))),
+            1, k))
+          .withColumn("shared", size(filter(col("m"), x =>
+            array_contains(col("ska"), x) &&
+              array_contains(col("skb"), x))))
+          .withColumn("jacc_est", col("shared").cast("double") /
+            size(col("m")).cast("double"))
+          .select(col("src_a"), col("src_b"),
+            col("shared").cast("bigint").as("n_shared"), col("jacc_est"))
+          .orderBy(col("jacc_est").desc, col("src_a"), col("src_b"))
+          .limit(20)
+      },
+      Some("""WITH t0 AS (
+          SELECT source, string_split_regex(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT source, unnest(list_distinct(list_transform(
+            range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sgl
+          FROM t0 WHERE len(w) >= 3),
+        hs AS (
+          SELECT DISTINCT source,
+            ('0x' || substr(md5('sov_' || sgl), 1, 15))::BIGINT AS h
+          FROM sh),
+        rk AS (
+          SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hs),
+        sk AS (
+          SELECT source, list(h ORDER BY h) AS sk
+          FROM rk WHERE rn <= 128 GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            a.sk AS ska, b.sk AS skb,
+            list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:128] AS m
+          FROM sk a, sk b WHERE a.source < b.source),
+        scored AS (
+          SELECT src_a, src_b,
+            len(list_filter(m, x -> list_contains(ska, x)
+              AND list_contains(skb, x))) AS shared,
+            cast(len(list_filter(m, x -> list_contains(ska, x)
+              AND list_contains(skb, x))) as double) /
+              cast(len(m) as double) AS jacc_est
+          FROM pairs)
+        SELECT src_a, src_b, cast(shared as bigint) AS n_shared,
+          jacc_est
+        FROM scored
+        ORDER BY jacc_est DESC, src_a, src_b LIMIT 20""")),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:

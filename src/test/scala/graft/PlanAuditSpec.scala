@@ -77,7 +77,10 @@ class PlanAuditSpec extends SparkFunSuite {
     "d15_lsh_tuning" -> ("bounded all-pairs exact ground truth (the "
       + "d02-class harness twin; a sample at cluster scale) + a "
       + "1-row truth-count broadcast; the candidate generation side "
-      + "is band-keyed hash joins only"))
+      + "is band-keyed hash joins only"),
+    "d18_source_overlap" -> ("n_sources² matrix of per-source KMV "
+      + "sketches (20 metadata rows — m08's pattern); the data-sized "
+      + "work is one scan-once bounded sketch aggregation"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
