@@ -4475,6 +4475,104 @@ object TextOps {
         ORDER BY ad.approx_dist, ad.vec_id LIMIT 10""")),
 
     // ------------------------------------------------------------------
+    // Scalar quantization (SQ8) ANN — FAISS's other compression family
+    // (per-DIMENSION affine int8, vs PQ's per-SUBSPACE codebooks):
+    // train = ONE distributed per-dim min/max pass (map-side partial
+    // min/max, a dim-keyed shuffle of 64 rows per partition); encode =
+    // row-local c_i = ((x_i − mn_i)·255) div rg_i against the 2×64
+    // literal arrays — integer-exact in both engines via the
+    // (a − a mod b)/b identity (no float rounding anywhere near the
+    // codes). 4× compression (64 bytes/vector vs 256 as float32,
+    // codes are 0..255), distance = Σ Δcode² in pure int arithmetic.
+    // Recall harness is s08's: SQ top-10 vs full-precision (quantized-
+    // long) L2 top-10 with in_exact flags. Scale shape: the scan is
+    // zero-shuffle row-local folds + TakeOrdered; SQ8 is what you use
+    // when PQ's codebook training is not worth it but the index must
+    // fit in memory.
+    // ------------------------------------------------------------------
+    "s12_sq8_recall" -> Q(
+      (s, d) => {
+        val base0 = emb(s, d)
+        val quant = transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+        val base = base0.select(col("vec_id"), quant.as("qv"))
+          .localCheckpoint()
+        val mm = base
+          .select(posexplode(col("qv")))
+          .groupBy(col("pos"))
+          .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val mnArr = array(mm.map(t => lit(t._2)).toIndexedSeq: _*)
+        val rgArr = array(mm.map(t =>
+          lit(math.max(t._3 - t._2, 1L))).toIndexedSeq: _*)
+        val codes = base.select(col("vec_id"),
+          transform(col("qv"), (x, i) => {
+            val num = (x - element_at(mnArr, i + 1)) * 255
+            val rg = element_at(rgArr, i + 1)
+            ((num - pmod(num, rg)) / rg).cast("long")
+          }).as("c"))
+        val sqd = aggregate(
+          zip_with(col("c"), col("qc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+        val q = codes.filter(col("vec_id") === 0).select(col("c").as("qc"))
+        val sq10 = codes.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sq_dist", sqd)
+          .select(col("vec_id"), col("sq_dist"))
+          .orderBy(col("sq_dist"), col("vec_id")).limit(10)
+        val exd = aggregate(
+          zip_with(col("qv"), col("qq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+        val qe = base.filter(col("vec_id") === 0).select(col("qv").as("qq"))
+        val ex10 = base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qe))
+          .withColumn("d2", exd)
+          .orderBy(col("d2"), col("vec_id")).limit(10)
+          .select(col("vec_id"), lit(true).as("in_exact"))
+        sq10.join(ex10, Seq("vec_id"), "left")
+          .withColumn("in_exact", coalesce(col("in_exact"), lit(false)))
+          .orderBy(col("sq_dist"), col("vec_id"))
+      },
+      Some("""WITH e AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x ->
+            cast(floor(cast(x as double) * 1000.0) as bigint)) AS qv
+          FROM embeddings),
+        dims AS (SELECT unnest(range(0,
+            (SELECT max(len(qv)) FROM e))) AS i),
+        mm AS (
+          SELECT i, min(qv[cast(i + 1 as int)]) AS mn,
+            greatest(max(qv[cast(i + 1 as int)]) -
+              min(qv[cast(i + 1 as int)]), 1) AS rg
+          FROM e, dims GROUP BY i),
+        mml AS (SELECT list(mn ORDER BY i) AS mns,
+            list(rg ORDER BY i) AS rgs FROM mm),
+        c AS MATERIALIZED (
+          SELECT vec_id, list_transform(range(0, len(qv)), i ->
+              ((qv[i + 1] - mns[i + 1]) * 255) // rgs[i + 1]) AS c
+          FROM e, mml),
+        q AS (SELECT c AS qc FROM c WHERE vec_id = 0),
+        sq AS (
+          SELECT c.vec_id,
+            cast(list_sum(list_transform(range(0, len(c.c)), i ->
+              (c.c[i + 1] - q.qc[i + 1]) * (c.c[i + 1] - q.qc[i + 1])))
+              as bigint) AS sq_dist
+          FROM c, q WHERE c.vec_id <> 0),
+        top10 AS (SELECT vec_id, sq_dist FROM sq
+          ORDER BY sq_dist, vec_id LIMIT 10),
+        qe AS (SELECT qv AS qq FROM e WHERE vec_id = 0),
+        ex AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(range(0, len(e.qv)), i ->
+              (e.qv[i + 1] - qe.qq[i + 1]) * (e.qv[i + 1] - qe.qq[i + 1])))
+              AS d2
+          FROM e, qe WHERE e.vec_id <> 0),
+        ex10 AS (SELECT vec_id FROM ex ORDER BY d2, vec_id LIMIT 10)
+        SELECT t.vec_id, t.sq_dist,
+          t.vec_id IN (SELECT vec_id FROM ex10) AS in_exact
+        FROM top10 t ORDER BY t.sq_dist, t.vec_id""")),
+
+    // ------------------------------------------------------------------
     // Cluster-balanced sample selection (the SemDeDup / cluster-pruning
     // family, Abbas et al. 2023): pick a fixed-size per-CLUSTER sample
     // instead of a global one, so the subset preserves the corpus's

@@ -80,7 +80,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "is band-keyed hash joins only"),
     "d18_source_overlap" -> ("n_sources² matrix of per-source KMV "
       + "sketches (20 metadata rows — m08's pattern); the data-sized "
-      + "work is one scan-once bounded sketch aggregation"))
+      + "work is one scan-once bounded sketch aggregation"),
+    "s12_sq8_recall" -> ("two 1-row query broadcasts (SQ-code and "
+      + "quantized-long legs — s08's recall-harness shape); the "
+      + "corpus side is zero-shuffle row-local folds + TakeOrdered"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
