@@ -216,4 +216,45 @@ object EventStreams {
           TypeSketch(tpe, buf)
       }
   }
+
+  final case class CmsRow(i: Int, counts: Array[Long])
+
+  /** Streaming Count-Min sketch over user activity — x19's heavy-hitter
+    * substrate maintained as cross-batch state (the kappa face of the
+    * CMS, as distinctUserSketch is of the KMV). The sketch is DEPTH
+    * independent counter rows; each row is one mapGroupsWithState key
+    * whose state is its width-sized counter array, so rows update in
+    * parallel and state per key is width·8 bytes regardless of stream
+    * length (a bounded summary — no watermark, same argument as the
+    * KMV). Counter addition is commutative+associative, so the
+    * snapshot after ANY prefix of micro-batches equals the batch
+    * sketch of the same rows — asserted bit-identical in
+    * StreamingSpec — and a point estimate min-folds the depth rows
+    * exactly as x19's batch query does. Hash params are x19's own
+    * (cms_a_i/cms_b_i mod-p permutations), so batch backfill and
+    * streaming ingestion produce interchangeable sketches.
+    */
+  def cmsUserSketch(events: Dataset[UserEvent],
+      width: Int = 1024, depth: Int = 4): Dataset[CmsRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.PortableHash.{P, h60}
+    val as = (0 until depth).map(i => h60("cms_a_" + i) % (P - 1) + 1)
+    val bs = (0 until depth).map(i => h60("cms_b_" + i) % P)
+    events
+      .flatMap(e => (0 until depth).map(i => (i, e.user_id)))
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], CmsRow](
+        GroupStateTimeout.NoTimeout) {
+        (i: Int, batch: Iterator[(Int, Long)],
+         state: GroupState[Array[Long]]) =>
+          val buf = state.getOption.getOrElse(new Array[Long](width))
+          batch.foreach { case (_, uid) =>
+            val hw = h60(s"cmsu_$uid") % P
+            buf((((as(i) * hw + bs(i)) % P) % width).toInt) += 1L
+          }
+          state.update(buf)
+          CmsRow(i, buf)
+      }
+  }
 }

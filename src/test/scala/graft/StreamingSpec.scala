@@ -369,6 +369,61 @@ class StreamingSpec extends SparkFunSuite {
       "expected multiple per-batch snapshots (multi-batch execution)")
   }
 
+  test("streaming CMS rows over micro-batches equal the batch sketch " +
+      "and point-estimate the top user") {
+    import spark.implicits._
+    import graft.functions.PortableHash.{P, h60}
+    val width = 256; val depth = 4
+    val splitDir = Files.createTempDirectory("graft-events-cms").toString
+    spark.read.parquet(stagedDir).repartition(4)
+      .write.mode("overwrite").parquet(splitDir)
+    val streamEvents = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[UserEvent]
+    runToMemory(
+      EventStreams.cmsUserSketch(streamEvents, width, depth).toDF(),
+      "cmsstream", mode = "update")
+    val snaps = spark.table("cmsstream").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    // counters are monotone nondecreasing under refinement → the final
+    // snapshot per row is the one with the largest total
+    val finalRows = snaps.groupBy(_._1).map { case (i, ss) =>
+      i -> ss.map(_._2).maxBy(_.sum)
+    }
+    assert(finalRows.keySet == (0 until depth).toSet)
+    // batch twin: fold every event into fresh counter rows
+    val as = (0 until depth).map(i => h60("cms_a_" + i) % (P - 1) + 1)
+    val bs = (0 until depth).map(i => h60("cms_b_" + i) % P)
+    val users = spark.read.parquet(stagedDir)
+      .select(col("user_id")).as[Long].collect()
+    val batchRows = (0 until depth).map { i =>
+      val buf = new Array[Long](width)
+      users.foreach { uid =>
+        val hw = h60(s"cmsu_$uid") % P
+        buf((((as(i) * hw + bs(i)) % P) % width).toInt) += 1L
+      }
+      i -> buf
+    }.toMap
+    (0 until depth).foreach { i =>
+      assert(finalRows(i).toSeq == batchRows(i).toSeq,
+        s"streaming CMS row $i diverges from batch")
+    }
+    // point estimate of the most active user: min over depth rows must
+    // upper-bound the exact count (CMS's one-sided error contract)
+    val (topUser, exact) = users.groupBy(identity).view
+      .mapValues(_.length.toLong).maxBy { case (u, n) => (n, -u) }
+    val est = (0 until depth).map { i =>
+      val hw = h60(s"cmsu_$topUser") % P
+      finalRows(i)((((as(i) * hw + bs(i)) % P) % width).toInt)
+    }.min
+    assert(est >= exact, "CMS estimate must never undercount")
+    // multi-batch execution really happened
+    assert(snaps.groupBy(_._1).values.exists(_.length > 1))
+  }
+
   test("approximate dashboard end-to-end: the stream's KMV state and " +
       "the ApproxDistinctRewrite'd batch query are the SAME sketch") {
     // The composition the two pieces were built for: a dashboard serves
