@@ -507,6 +507,82 @@ object GraphOps {
           GROUP BY 1, 2)
         SELECT s.x AS part_a, s.y AS part_b, s.ra_scaled, s.n_common
         FROM scored s ANTI JOIN edges e ON s.x = e.a AND s.y = e.b
-        ORDER BY s.ra_scaled DESC, s.x, s.y LIMIT 20"""))
+        ORDER BY s.ra_scaled DESC, s.x, s.y LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Personalized PageRank from a seed part (Haveliwala, WWW 2002) —
+    // "parts most related to THIS part" by random-walk-with-restart
+    // proximity, the recommendation query a co-purchase graph exists
+    // for (g01 answers global authority; this answers locality). All
+    // teleport mass returns to the seed (min part id — a deterministic
+    // 1-row metadata aggregate), so rank concentrates in the seed's
+    // neighborhood and decays with walk distance. 3 rounds of the
+    // integer-exact floor-div recurrence (g01's arithmetic with the
+    // teleport term conditional on the seed), so the oracle re-derives
+    // every iteration bit-for-bit; per-round plans are constant-size
+    // over 16-byte node state, the g01 scale argument unchanged.
+    // ------------------------------------------------------------------
+    "g06_personalized_pr" -> Q(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d).pipe(materialize)
+        val seed = edges.agg(min(col("src"))).head().getLong(0)
+        graft.operators.PageRank.runPersonalized(edges, seed,
+            iterations = 3)
+          .filter(col("r") > 0)
+          .orderBy(col("r").desc, col("id"))
+          .limit(20)
+          .select(col("id").as("part_id"), col("r").as("ppr_scaled"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        deg AS MATERIALIZED (
+          SELECT src, cast(count(*) as bigint) AS outdeg
+          FROM edges GROUP BY src),
+        seed AS (SELECT min(src) AS sid FROM edges),
+        it0 AS MATERIALIZED (
+          SELECT id, cast(CASE WHEN id = (SELECT sid FROM seed)
+            THEN 1000000000000 ELSE 0 END as bigint) AS r
+          FROM nodes),
+        it1 AS MATERIALIZED (
+          SELECT n0.id,
+            cast(CASE WHEN n0.id = (SELECT sid FROM seed)
+              THEN 150000000000 ELSE 0 END
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
+          FROM nodes n0
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib
+            FROM edges e JOIN it0 r ON r.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.id = n0.id),
+        it2 AS MATERIALIZED (
+          SELECT n0.id,
+            cast(CASE WHEN n0.id = (SELECT sid FROM seed)
+              THEN 150000000000 ELSE 0 END
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
+          FROM nodes n0
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib
+            FROM edges e JOIN it1 r ON r.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.id = n0.id),
+        it3 AS MATERIALIZED (
+          SELECT n0.id,
+            cast(CASE WHEN n0.id = (SELECT sid FROM seed)
+              THEN 150000000000 ELSE 0 END
+              + (85 * coalesce(s.contrib, 0)) // 100 as bigint) AS r
+          FROM nodes n0
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(r.r // d.outdeg) AS contrib
+            FROM edges e JOIN it2 r ON r.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.id = n0.id)
+        SELECT id AS part_id, r AS ppr_scaled
+        FROM it3 WHERE r > 0
+        ORDER BY r DESC, id LIMIT 20"""))
   )
 }
