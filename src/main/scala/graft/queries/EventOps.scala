@@ -888,6 +888,65 @@ object EventOps {
         ORDER BY event_type, hr""")),
 
     // ------------------------------------------------------------------
+    // OHLC bars (open/high/low/close downsampling) — the canonical
+    // time-series pre-aggregation: the full event stream reduces to
+    // one bar per (series, hour) carrying the four boundary/extreme
+    // values plus count and exact volume, which is what every
+    // dashboard, alerting rule, and backtest actually reads. Open and
+    // close are picked by row_number over (ts, event_id) — a UNIQUE
+    // tie key, so both engines select the identical row even when
+    // timestamps collide (max_by on a bare timestamp would be
+    // nondeterministic); both directions share one (type, hour)
+    // partitioning, so the two window passes cost ONE shuffle (e15's
+    // observation). Scale shape: bar-grain partitions are bounded by
+    // the hour, the sort runs are spillable, and the output is
+    // series × hours — the reduction every downstream consumer reads
+    // instead of the raw stream.
+    // ------------------------------------------------------------------
+    "e20_ohlc_bars" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"), col("hr"))
+        t(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            col("value"), date_trunc("hour", col("ts")).as("hr"))
+          .withColumn("ra", row_number().over(
+            w.orderBy(col("ts"), col("event_id"))))
+          .withColumn("rd", row_number().over(
+            w.orderBy(col("ts").desc, col("event_id").desc)))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rd") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("volume"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_type, event_id, value,
+            cast(ts as timestamp) AS tts,
+            cast(date_trunc('hour', cast(ts as timestamp)) as timestamp)
+              AS hr
+          FROM events),
+        r AS (
+          SELECT event_type, hr, value,
+            row_number() OVER (PARTITION BY event_type, hr
+              ORDER BY tts, event_id) AS ra,
+            row_number() OVER (PARTITION BY event_type, hr
+              ORDER BY tts DESC, event_id DESC) AS rd
+          FROM ev)
+        SELECT event_type, hr,
+          max(CASE WHEN ra = 1 THEN value END) AS open,
+          max(value) AS high,
+          min(value) AS low,
+          max(CASE WHEN rd = 1 THEN value END) AS close,
+          cast(count(*) as bigint) AS n_events,
+          ${sqlDsum("value")} AS volume
+        FROM r GROUP BY event_type, hr
+        ORDER BY event_type, hr""")),
+
+    // ------------------------------------------------------------------
     // A/B experiment analysis — the readout an event platform runs for
     // every experiment: deterministic h60 bucketing into two arms (the
     // industry-standard hash-the-user assignment: stable across
