@@ -1995,6 +1995,109 @@ object TextOps {
         ORDER BY d.doc_id""")),
 
     // ------------------------------------------------------------------
+    // Dedup SAVINGS report — the operational readout every dedup run
+    // emits before anyone deletes anything: per source, how many docs
+    // and how many TOKENS survive the near-dup keep-list, and what
+    // fraction of the source's token budget was duplicate weight.
+    // (Near-dup, not md5-exact: this corpus contains zero byte-exact
+    // duplicates — checked — so an exact-dedup savings report would be
+    // all zeros; the shingle-level near-dups are where the duplicate
+    // weight actually lives, as in any real crawl.) The keep-list is
+    // the AT-SCALE one — d08's df-capped posting index → exact-Jaccard
+    // verify → CC cluster reps (p01 stage 2's machinery, full corpus,
+    // no all-pairs, no window) — and the keeper is the GLOBAL cluster
+    // min, so a source whose duplicates' keepers live in ANOTHER
+    // source loses them here: cross-source dedup attribution, the
+    // per-source face of d18's overlap audit (d18 predicts which
+    // sources share content; this measures who pays when the shared
+    // copies collapse). Token counts ride the original tokenize —
+    // never a second pass.
+    // ------------------------------------------------------------------
+    "x30_dedup_savings" -> Q(
+      (s, d) => {
+        val toked = docs(s, d).select(col("source"), col("doc_id"),
+          words(col("text")).as("w"))
+          .withColumn("n_toks", size(col("w")).cast("long"))
+        val pairs = postingJaccardPairsFrom(
+          toked.filter(size(col("w")) >= 3)
+            .select(col("doc_id"), col("w").as("toks")))
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.components(pairs)
+        toked.join(cc, col("doc_id") === col("id"), "left")
+          .withColumn("keep",
+            coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("keep"), 1)).as("n_kept"),
+            sum(col("n_toks")).as("tokens"),
+            coalesce(sum(when(col("keep"), col("n_toks"))), lit(0L))
+              .as("tokens_kept"))
+          .withColumn("dup_token_pct",
+            (col("tokens") - col("tokens_kept")).cast("double") /
+              col("tokens").cast("double"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT source, doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sw
+          FROM t0 WHERE len(w) >= 3),
+        dposts AS (SELECT doc_id, unnest(sw) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM dposts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM dposts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        dsizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        prs AS (
+          SELECT s.doc_a, s.doc_b
+          FROM shared s
+          JOIN dsizes x ON x.doc_id = s.doc_a
+          JOIN dsizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        ccx AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src),
+        flagged AS (
+          SELECT t0.source, t0.doc_id,
+            cast(len(t0.w) as bigint) AS n_toks,
+            coalesce(ccx.cluster, t0.doc_id) = t0.doc_id AS keep
+          FROM t0 LEFT JOIN ccx ON ccx.doc_id = t0.doc_id)
+        SELECT source,
+          cast(count(*) as bigint) AS n_docs,
+          cast(count(*) FILTER (WHERE keep) as bigint) AS n_kept,
+          cast(sum(n_toks) as bigint) AS tokens,
+          cast(coalesce(sum(n_toks) FILTER (WHERE keep), 0) as bigint)
+            AS tokens_kept,
+          cast(cast(sum(n_toks) as bigint) -
+              cast(coalesce(sum(n_toks) FILTER (WHERE keep), 0)
+                as bigint) as double) /
+            cast(cast(sum(n_toks) as bigint) as double) AS dup_token_pct
+        FROM flagged
+        GROUP BY source
+        ORDER BY source""")),
+
+    // ------------------------------------------------------------------
     // Benchmark DECONTAMINATION — the n-gram-overlap check run before
     // training: count each corpus document's distinct 8-word grams that
     // also appear in a benchmark set (here: the deterministic pseudo-
