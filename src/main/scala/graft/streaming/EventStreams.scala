@@ -52,6 +52,32 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming OHLC bars — e20's downsampling as a watermarked
+    * windowed aggregate. Open/close use min_by/max_by over the UNIQUE
+    * (ts, event_id) struct key: an incremental aggregate (one candidate
+    * row of state per window — append-mode friendly, unlike a
+    * row_number pick, which is not a streaming aggregate at all), and
+    * because the key is unique it selects exactly the row e20's batch
+    * row_number picks — asserted in StreamingSpec. Closed windows emit
+    * once; the live bar stays open until the watermark passes it, which
+    * is precisely how a market-data feed publishes bars.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"))
+
   /** Session windows (30-minute gap) per user under a watermark. */
   def userSessions(events: DataFrame): DataFrame =
     events

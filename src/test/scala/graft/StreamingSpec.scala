@@ -51,6 +51,44 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("streaming OHLC bars: min_by/max_by over the unique tie key " +
+      "select exactly the rows batch row_number picks") {
+    val stream = EventStreams.ohlcBars(
+      EventStreams.readEventStream(spark, stagedDir))
+    runToMemory(stream, "ohlcstream")
+    val streamed = spark.table("ohlcstream").collect()
+    assert(streamed.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("hr"))
+    val batch = spark.read.parquet(stagedDir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value"), date_trunc("hour", col("ts")).as("hr"))
+      .withColumn("ra", row_number().over(
+        w.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rd", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("hr")) -> r)
+      .toMap
+    // append mode emits only watermark-closed windows — prefix compare
+    streamed.foreach { r =>
+      val key = (r.getString(1), r.getAs[java.sql.Timestamp]("ws"))
+      val b = batch(key)
+      assert(r.getDouble(2) == b.getAs[Double]("open") &&
+        r.getDouble(3) == b.getAs[Double]("high") &&
+        r.getDouble(4) == b.getAs[Double]("low") &&
+        r.getDouble(5) == b.getAs[Double]("close") &&
+        r.getLong(6) == b.getAs[Long]("n_events"),
+        s"bar $key differs: stream=$r batch=$b")
+    }
+  }
+
   test("session windows emit per-user sessions under watermark") {
     val stream = EventStreams.userSessions(
       EventStreams.readEventStream(spark, stagedDir))
