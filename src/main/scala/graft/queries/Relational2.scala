@@ -1607,7 +1607,101 @@ object Relational2 {
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY 1 ORDER BY nation"""))
+        GROUP BY 1 ORDER BY nation""")),
+
+    // ------------------------------------------------------------------
+    // ANALYZE TABLE — optimizer-stats collection in ONE scan: per
+    // column, row count, NDV (bounded KMV min-set, Beyer et al. —
+    // exact below k, (k−1)·2^60/kth-min above; exact countDistinct
+    // rides along as ground truth), min/max (zone-map seeds), and the
+    // p25/p50/p75 equi-depth bounds (q38's percentile ↔ quantile_cont
+    // parity). All 4 columns' aggregators run in a single aggregate —
+    // m08's multi-sketch-per-scan discipline — which is how you
+    // ANALYZE a 400-column 100 TB table without 400 scans. The h60
+    // NDV hash reads exact CENTS (decimal(18,2)·100 as bigint), never
+    // a double rendered to string (engine-dependent formatting). The
+    // exact percentile legs are the unbounded-buffer part;
+    // ApproxPercentileRewrite (plans/) is this query's documented
+    // scale path — installing the flag-gated rule swaps in the
+    // bounded census sketch, below-k groups stay exact.
+    // ------------------------------------------------------------------
+    "q77_table_stats" -> Q(
+      (s, d) => {
+        val k = 256
+        val two60 = 1152921504606846976.0 // 2^60, exact as a double
+        val kmvset = udaf(new graft.functions.KmvMinSet(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val pre = t(s, d, "lineitem").select(
+          cols.map(c => col(c)) ++ cols.map(c =>
+            graft.functions.PortableHash.h60col(
+              concat(lit("st_" + c + "_"),
+                (col(c).cast(DecimalType(18, 2)) * 100).cast("long")
+                  .cast("string"))).as("h_" + c)): _*)
+        val wide = pre.agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            kmvset(col("h_" + c)).as("sk_" + c),
+            countDistinct(col(c)).as("nd_" + c),
+            min(col(c)).as("mn_" + c),
+            max(col(c)).as("mx_" + c),
+            expr(s"percentile($c, 0.25)").as("p25_" + c),
+            expr(s"percentile($c, 0.5)").as("p50_" + c),
+            expr(s"percentile($c, 0.75)").as("p75_" + c))): _*)
+        wide.select(col("n_rows"), explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"), col("sk_" + c).as("sk"),
+              col("nd_" + c).as("ndv_exact"),
+              col("mn_" + c).as("vmin"), col("mx_" + c).as("vmax"),
+              col("p25_" + c).as("p25"), col("p50_" + c).as("p50"),
+              col("p75_" + c).as("p75"))): _*)).as("e"))
+          .select(col("e.col_name"), col("n_rows"),
+            when(size(col("e.sk")) < k,
+              size(col("e.sk")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(two60) /
+                element_at(col("e.sk"), k).cast("double"))
+              .as("ndv_est"),
+            col("e.ndv_exact"), col("e.vmin"), col("e.vmax"),
+            col("e.p25"), col("e.p50"), col("e.p75"))
+          .orderBy(col("col_name"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val sketchCtes = cols.map { c =>
+          s"""sk_$c AS (
+            SELECT list(h ORDER BY h) AS sk FROM (
+              SELECT DISTINCT ('0x' || substr(md5('st_${c}_' ||
+                cast(cast(cast($c as decimal(18,2)) * 100 as bigint)
+                  as varchar)), 1, 15))::BIGINT AS h
+              FROM lineitem ORDER BY h LIMIT 256))"""
+        }.mkString(",\n")
+        val branches = cols.map { c =>
+          s"""SELECT '$c' AS col_name, st.n_rows,
+            CASE WHEN len(sk_$c.sk) < 256
+              THEN cast(len(sk_$c.sk) as double)
+              ELSE 255.0 * 1152921504606846976.0 /
+                cast(sk_$c.sk[256] as double) END AS ndv_est,
+            st.nd_$c AS ndv_exact, st.mn_$c AS vmin, st.mx_$c AS vmax,
+            st.p25_$c AS p25, st.p50_$c AS p50, st.p75_$c AS p75
+          FROM st, sk_$c"""
+        }.mkString("\n          UNION ALL\n          ")
+        val statAggs = cols.map { c =>
+          s"""cast(count(DISTINCT $c) as bigint) AS nd_$c,
+            min($c) AS mn_$c, max($c) AS mx_$c,
+            quantile_cont($c, 0.25) AS p25_$c,
+            quantile_cont($c, 0.5) AS p50_$c,
+            quantile_cont($c, 0.75) AS p75_$c"""
+        }.mkString(",\n          ")
+        s"""WITH st AS (
+          SELECT cast(count(*) as bigint) AS n_rows,
+          $statAggs
+          FROM lineitem),
+        $sketchCtes
+        SELECT * FROM (
+          $branches) u
+        ORDER BY col_name"""
+      })
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi
