@@ -452,9 +452,14 @@ object GraphOps {
     // pair-fanout buys ~zero RA weight — 10^12/deg vanishes exactly
     // when the blowup explodes), so wedge output is bounded by
     // cap × m rows, not Σ deg². Existing edges leave via one keyed
-    // anti-join. Shuffles: edge-build groupBy + distinct, one (x, y)
-    // score agg, the anti-join — all key-partitioned; nothing
-    // broadcasts at data scale.
+    // anti-join. Every join is an unhinted equi-join: at local sizes
+    // AQE broadcasts the genuinely-small sides (QProf shows it), and
+    // the same stats-driven selection demotes them to shuffle joins
+    // when a side outgrows the threshold — the posture the g04 fix
+    // established (no forced hint in either direction; the one hinted
+    // exception, g04's shuffle_hash, exists because checkpointed-RDD
+    // stats misled Catalyst there, which does not happen on this
+    // uncheckpointed aggregate chain).
     // ------------------------------------------------------------------
     "g05_link_predict" -> Q(
       (s, d) => {
