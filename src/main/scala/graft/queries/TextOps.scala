@@ -4676,6 +4676,65 @@ object TextOps {
         FROM top10 t ORDER BY t.sq_dist, t.vec_id""")),
 
     // ------------------------------------------------------------------
+    // FILTERED vector search (hybrid search) — the production ANN
+    // problem every vector store actually faces: top-k under a
+    // metadata predicate (label = 1 here). The scale-correct shape is
+    // PRE-filtering: the predicate reaches the parquet scan
+    // (PushedFilters in QProf), so the distance pass touches only
+    // qualifying rows — at 100 TB with a 10% selective predicate
+    // that is 10× less scan AND a guaranteed-full result. The
+    // in_unfiltered_topk ride-along quantifies why the tempting
+    // alternative — post-filtering a plain top-k — is WRONG: only the
+    // flagged rows would survive post-filtering a k=10 unfiltered
+    // search, the rest starve (you'd need k/selectivity ≈ 100 to fill
+    // 10). Same argument drives IVF probing: cells × selectivity
+    // decides probes, which is why real systems store per-cell label
+    // histograms (s03's cells compose with this filter unchanged).
+    // ------------------------------------------------------------------
+    "s13_filtered_ann" -> Q(
+      (s, d) => {
+        val base = emb(s, d)
+        val q = base.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        def scored = base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+        val filtered10 = scored.filter(col("label") === 1)
+          .select(col("vec_id"), col("label"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        val plain10 = scored
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), lit(true).as("in_unfiltered_topk"))
+        filtered10.join(plain10, Seq("vec_id"), "left")
+          .withColumn("in_unfiltered_topk",
+            coalesce(col("in_unfiltered_topk"), lit(false)))
+          .orderBy(col("cos").desc, col("vec_id"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        f10 AS (
+          SELECT n.vec_id, n.label,
+            list_dot_product(n.v, q.qv) / n.nrm / q.qnrm AS cos
+          FROM n, q
+          WHERE n.vec_id <> 0 AND n.label = 1
+          ORDER BY cos DESC, n.vec_id LIMIT 10),
+        p10 AS (
+          SELECT n.vec_id
+          FROM n, q WHERE n.vec_id <> 0
+          ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC,
+            n.vec_id
+          LIMIT 10)
+        SELECT f.vec_id, f.label, f.cos,
+          f.vec_id IN (SELECT vec_id FROM p10) AS in_unfiltered_topk
+        FROM f10 f
+        ORDER BY f.cos DESC, f.vec_id""")),
+
+    // ------------------------------------------------------------------
     // Cluster-balanced sample selection (the SemDeDup / cluster-pruning
     // family, Abbas et al. 2023): pick a fixed-size per-CLUSTER sample
     // instead of a global one, so the subset preserves the corpus's

@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "work is one scan-once bounded sketch aggregation"),
     "s12_sq8_recall" -> ("two 1-row query broadcasts (SQ-code and "
       + "quantized-long legs — s08's recall-harness shape); the "
-      + "corpus side is zero-shuffle row-local folds + TakeOrdered"))
+      + "corpus side is zero-shuffle row-local folds + TakeOrdered"),
+    "s13_filtered_ann" -> ("1-row query-vector broadcast on both the "
+      + "filtered and unfiltered-harness legs (s01's shape); the "
+      + "filtered leg's label predicate reaches the parquet scan"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
