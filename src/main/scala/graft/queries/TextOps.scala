@@ -4965,6 +4965,260 @@ object TextOps {
         ORDER BY jacc_est DESC, src_a, src_b LIMIT 20""")),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL ADMISSION PIPELINE — p01's day-N face: what a
+    // production corpus runs on EVERY new data drop, composed from the
+    // proven incremental pieces so the batch (src16-19, d16's split)
+    // is admitted without ever re-reading day-0 text:
+    //   1. quality gate (p01's x02 arithmetic) on the INCOMING docs
+    //      only;
+    //   2. near-dup admission: quality survivors band themselves once
+    //      and probe (a) the STORED day-0 band index from parquet
+    //      (d16's layout — history never re-shingles) and (b) the
+    //      earlier-id survivors of the SAME batch (a drop can
+    //      self-duplicate); candidates verify by exact Jaccard ≥ 0.4
+    //      over candidate-only shingles. Batch convention, stated
+    //      honestly: a doc matching ANY earlier-id batch survivor is
+    //      rejected even if that doc was itself rejected — the batch
+    //      cluster collapses to its min-id representative, which must
+    //      itself be novel vs history; deterministic in one pass, the
+    //      same over-rejection a sequential one-at-a-time ingest
+    //      produces;
+    //   3. decontamination (x15's gram-8 rule, thresholds as p01
+    //      stage 3) + benchmark-member exclusion.
+    // Output: the per-(stage, lang) admission funnel — the report an
+    // ingest service logs per drop. Scale shape: every stage touches
+    // ONLY the incoming batch (plus index probes and candidate
+    // shingle lookups); day-0 cost was paid once at index-build time.
+    // ------------------------------------------------------------------
+    "p02_incremental_admission" -> Q(
+      (s, d) => {
+        val bands = 16; val rowsPerBand = 4
+        val incomingSrcs = Seq("src16", "src17", "src18", "src19")
+        val incoming = col("source").isin(incomingSrcs: _*)
+        val idxPath = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+          sys.props("java.io.tmpdir") + "/graft-index") +
+          "/p02-band-index-" + new java.io.File(d).getName
+        bandIndex(docs(s, d).filter(!incoming), bands, rowsPerBand)
+          .write.mode("overwrite").partitionBy("band").parquet(idxPath)
+
+        // stage 1: quality gate on incoming only (p01's arithmetic)
+        val tokd = docs(s, d).filter(incoming)
+          .select(col("doc_id"), col("lang"), col("text"),
+            words(col("text")).as("w"))
+        val nTok = size(col("w")).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("double")
+        val stops = size(filter(col("w"), x =>
+          x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+        val avgWordLen = length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / nTok
+        val inc0 = tokd.withColumn("quality",
+          (stops / nTok) * 0.4 +
+            (lit(1.0) - punct / nChars) * 0.3 +
+            when(avgWordLen >= 3 && avgWordLen <= 8, 0.3).otherwise(0.0))
+          .select(col("doc_id"), col("lang"), col("w"), col("quality"))
+          .localCheckpoint()
+        val q1 = inc0.filter(col("quality") >= 0.62)
+
+        // stage 2: probe stored index + earlier-id batch survivors
+        val q1docs = docs(s, d).filter(incoming)
+          .join(q1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val qb = bandIndex(q1docs, bands, rowsPerBand).localCheckpoint()
+        val stored = s.read.parquet(idxPath)
+          .select(col("band"), col("band_hash"),
+            col("doc_id").as("doc_idx"))
+        val candHist = qb
+          .select(col("band"), col("band_hash"),
+            col("doc_id").as("doc_new"))
+          .join(stored, Seq("band", "band_hash"))
+          .select(col("doc_new"), col("doc_idx"))
+        val candBatch = qb.as("l").join(qb.as("r"),
+            Seq("band", "band_hash"))
+          .select(col("l.doc_id").as("doc_new"),
+            col("r.doc_id").as("doc_idx"))
+          .filter(col("doc_idx") < col("doc_new"))
+        val cand = candHist.unionAll(candBatch).distinct()
+        val candIds = cand
+          .select(explode(array(col("doc_new"), col("doc_idx")))
+            .as("doc_id")).distinct()
+        val sh = docShingles(s, d)
+          .join(candIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        val rejected = cand
+          .join(sh.select(col("doc_id").as("doc_new"),
+            col("w").as("wa")), Seq("doc_new"))
+          .join(sh.select(col("doc_id").as("doc_idx"),
+            col("w").as("wb")), Seq("doc_idx"))
+          .filter(size(array_intersect(col("wa"), col("wb")))
+            .cast("double") /
+            size(array_union(col("wa"), col("wb"))).cast("double")
+            >= 0.4)
+          .select(col("doc_new").as("doc_id")).distinct()
+        val q2 = q1.join(rejected, Seq("doc_id"), "left_anti")
+
+        // stage 3: decontamination (p01 stage-3 thresholds) + bench-
+        // member exclusion
+        def grams8(toks: Column): Column =
+          when(size(toks) >= 8,
+            array_distinct(transform(sequence(lit(0), size(toks) - 8),
+              i => concat_ws(" ", (0 until 8).map(o =>
+                element_at(toks, i + o + 1)): _*))))
+            .otherwise(array().cast("array<string>"))
+        val benchNg = docs(s, d).filter(col("doc_id") % 97 === 0)
+          .select(words(col("text")).as("toks"))
+          .select(explode(grams8(col("toks"))).as("ng"))
+          .distinct()
+        val posts = q2.select(col("doc_id"),
+          explode(grams8(col("w"))).as("ng"))
+        val perDoc = posts.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"))
+        val contam = posts.join(benchNg, "ng").groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        val q3 = q2.filter(col("doc_id") % 97 =!= 0)
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("ngc", coalesce(col("n_ngrams"), lit(0L)))
+          .withColumn("cnc", coalesce(col("n_contaminated"), lit(0L)))
+          .filter(!(col("cnc") >= 5 ||
+            (col("ngc") > 0 && col("cnc").cast("double") /
+              col("ngc").cast("double") > 0.1)))
+
+        def census(df: DataFrame, stage: String) =
+          df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+            .select(lit(stage).as("stage"), col("lang"), col("n_docs"))
+        census(inc0, "0_incoming")
+          .unionAll(census(q1, "1_quality"))
+          .unionAll(census(q2, "2_dedup"))
+          .unionAll(census(q3, "3_admitted"))
+          .orderBy(col("stage"), col("lang"))
+      },
+      Some("""WITH perms AS (
+          SELECT
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT
+                % 2147483646 + 1) AS pa,
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT
+                % 2147483647) AS pb),
+        t0 AS (
+          SELECT doc_id, lang, text,
+            source IN ('src16','src17','src18','src19') AS inc,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        inc0 AS (
+          SELECT doc_id, lang, w,
+            (cast(len(list_filter(w, x -> x IN
+              ('the','a','of','and','to','in'))) as double) /
+              cast(len(w) as double)) * 0.4 +
+            (1.0 - cast(length(text) - length(regexp_replace(text,
+              '[.,!?;:]', '', 'g')) as double) /
+              cast(length(text) as double)) * 0.3 +
+            CASE WHEN (cast(length(regexp_replace(text, '\s+', '', 'g'))
+                as double) / cast(len(w) as double)) >= 3
+              AND (cast(length(regexp_replace(text, '\s+', '', 'g'))
+                as double) / cast(len(w) as double)) <= 8
+              THEN 0.3 ELSE 0.0 END AS quality
+          FROM t0 WHERE inc),
+        q1 AS (SELECT doc_id, lang, w FROM inc0 WHERE quality >= 0.62),
+        eligible AS (
+          SELECT doc_id, false AS inc, w FROM t0 WHERE NOT inc
+          UNION ALL
+          SELECT doc_id, true, w FROM q1),
+        shl AS (
+          SELECT doc_id, inc,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sw
+          FROM eligible WHERE len(w) >= 3),
+        hs AS (
+          SELECT doc_id, inc,
+            list_transform(sw, x ->
+              ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS h
+          FROM shl),
+        sig AS (
+          SELECT doc_id, inc,
+            list_transform(range(0, 64), i ->
+              list_min(list_transform(h, x ->
+                (pa[i+1] * x + pb[i+1]) % 2147483647))) AS sig
+          FROM hs, perms),
+        banded AS (
+          SELECT doc_id, inc, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 16) t(b)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_new, r.doc_id AS doc_idx
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+          WHERE l.inc AND (NOT r.inc OR r.doc_id < l.doc_id)),
+        shd AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        rejected AS (
+          SELECT DISTINCT c.doc_new AS doc_id
+          FROM cand c
+          JOIN shd x ON x.doc_id = c.doc_new
+          JOIN shd y ON y.doc_id = c.doc_idx
+          WHERE cast(len(list_intersect(x.w, y.w)) as double) /
+                cast(len(list_distinct(list_concat(x.w, y.w)))
+                  as double) >= 0.4),
+        q2 AS (
+          SELECT q1.* FROM q1
+          WHERE q1.doc_id NOT IN (SELECT doc_id FROM rejected)),
+        ng AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 8 THEN
+              list_distinct(list_transform(range(1, len(w) - 6),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                  w[i+4], w[i+5], w[i+6], w[i+7])))
+            ELSE [] END AS ngs
+          FROM q2),
+        benchng AS (
+          SELECT DISTINCT unnest(
+            CASE WHEN len(w) >= 8 THEN
+              list_distinct(list_transform(range(1, len(w) - 6),
+                i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                  w[i+4], w[i+5], w[i+6], w[i+7])))
+            ELSE [] END) AS ng
+          FROM (SELECT string_split_regex(regexp_replace(text,
+              '^\s+|\s+$', '', 'g'), '\s+') AS w
+            FROM documents WHERE doc_id % 97 = 0)),
+        posts AS (SELECT doc_id, unnest(ngs) AS ng FROM ng),
+        per_doc AS (
+          SELECT doc_id, cast(count(*) as bigint) AS n_ngrams
+          FROM posts GROUP BY doc_id),
+        contam AS (
+          SELECT p.doc_id, cast(count(*) as bigint) AS n_contaminated
+          FROM posts p JOIN benchng b ON p.ng = b.ng GROUP BY p.doc_id),
+        q3 AS (
+          SELECT q2.doc_id, q2.lang FROM q2
+          LEFT JOIN per_doc pd ON pd.doc_id = q2.doc_id
+          LEFT JOIN contam cn ON cn.doc_id = q2.doc_id
+          WHERE q2.doc_id % 97 <> 0
+            AND NOT (coalesce(cn.n_contaminated, 0) >= 5 OR
+              (coalesce(pd.n_ngrams, 0) > 0 AND
+                cast(coalesce(cn.n_contaminated, 0) as double) /
+                cast(coalesce(pd.n_ngrams, 0) as double) > 0.1)))
+        SELECT * FROM (
+          SELECT '0_incoming' AS stage, lang,
+            cast(count(*) as bigint) AS n_docs
+          FROM inc0 GROUP BY lang
+          UNION ALL
+          SELECT '1_quality', lang, cast(count(*) as bigint)
+          FROM q1 GROUP BY lang
+          UNION ALL
+          SELECT '2_dedup', lang, cast(count(*) as bigint)
+          FROM q2 GROUP BY lang
+          UNION ALL
+          SELECT '3_admitted', lang, cast(count(*) as bigint)
+          FROM q3 GROUP BY lang) u
+        ORDER BY stage, lang""")),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:
