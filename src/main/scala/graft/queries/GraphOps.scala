@@ -588,6 +588,73 @@ object GraphOps {
             GROUP BY e.dst) s ON s.id = n0.id)
         SELECT id AS part_id, r AS ppr_scaled
         FROM it3 WHERE r > 0
-        ORDER BY r DESC, id LIMIT 20"""))
+        ORDER BY r DESC, id LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Market-basket LIFT (association-rule mining, the Apriori family)
+    // — the co-purchase statistic g01/g05 don't answer: not "are a and
+    // b connected" but "do a and b co-occur MORE than their
+    // popularities predict". lift(a,b) = N·n_ab / (n_a·n_b), computed
+    // as the scaled integer (N·n_ab·10^6) div (n_a·n_b) — exact,
+    // order-independent, hash-matchable (float lift would not be).
+    // Support counts are basket-level (an order contributes once per
+    // pair regardless of line duplication); the min-support gate
+    // (n_ab ≥ 3) is Apriori's own pruning and kills the noise pairs
+    // whose lift explodes on tiny denominators. Scale shape: the pair
+    // expansion is coPurchaseEdges' row-local ≤42-pairs-per-order
+    // fold (never a fact×fact join); item and pair supports are two
+    // hash aggregations; N is one metadata count; the final join is
+    // pair-keyed. At 100 TB this is exactly the two-pass shape
+    // distributed frequent-itemset miners run for k=2.
+    // ------------------------------------------------------------------
+    "g07_basket_lift" -> Q(
+      (s, d) => {
+        val orderParts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .pipe(materialize)
+        val itemCnt = orderParts.select(explode(col("ps")).as("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+        val pairCnt = orderParts
+          .select(explode(col("ps")).as("a"), col("ps"))
+          .select(col("a"), explode(col("ps")).as("b"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 3)
+        val nOrders = orderParts.count()
+        pairCnt
+          .join(itemCnt.select(col("p").as("a"),
+            col("n_item").as("n_a")), Seq("a"))
+          .join(itemCnt.select(col("p").as("b"),
+            col("n_item").as("n_b")), Seq("b"))
+          .withColumn("lift_scaled",
+            expr(s"(${nOrders}L * n_pair * 1000000L) div (n_a * n_b)"))
+          .select(col("a").as("part_a"), col("b").as("part_b"),
+            col("n_pair"), col("n_a"), col("n_b"), col("lift_scaled"))
+          .orderBy(col("lift_scaled").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT cast(count(DISTINCT l_orderkey) as bigint)
+          AS n_orders FROM li),
+        item AS (SELECT l_partkey AS p,
+            cast(count(*) as bigint) AS n_item
+          FROM li GROUP BY 1),
+        pairs AS (
+          SELECT a.l_partkey AS a, b.l_partkey AS b,
+            cast(count(*) as bigint) AS n_pair
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT p.a AS part_a, p.b AS part_b, p.n_pair,
+          x.n_item AS n_a, y.n_item AS n_b,
+          cast((n.n_orders * p.n_pair * 1000000) //
+            (x.n_item * y.n_item) as bigint) AS lift_scaled
+        FROM pairs p
+        JOIN item x ON x.p = p.a
+        JOIN item y ON y.p = p.b, n
+        ORDER BY lift_scaled DESC, part_a, part_b LIMIT 20"""))
   )
 }
