@@ -888,6 +888,65 @@ object EventOps {
         ORDER BY event_type, hr""")),
 
     // ------------------------------------------------------------------
+    // Conversion-latency distribution — the follow-up question to
+    // e07's funnel counts: not "how many converted" but "how LONG did
+    // conversion take", as per-cohort quantiles (the SLA/activation
+    // metric growth teams actually track). Per user: first signup,
+    // first purchase at-or-after it; latency is an exact integer
+    // microsecond difference (unix_micros / epoch_us — no float time
+    // arithmetic), bucketed by Monday-aligned signup week
+    // (date_trunc('week') agrees across engines) and summarized with
+    // the q38-proven percentile ↔ quantile_cont parity. Scale shape:
+    // the signup frame, the purchase join, and the first-purchase
+    // aggregation all key on user_id — one shuffle partitioning
+    // reused; the quantile runs per cohort over converter-scale rows.
+    // ------------------------------------------------------------------
+    "e21_conversion_latency" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("su_ts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pu_ts"))
+        su.join(pu, Seq("user_id"))
+          .filter(col("pu_ts") >= col("su_ts"))
+          .groupBy(col("user_id"), col("su_ts"))
+          .agg(min(col("pu_ts")).as("first_pu"))
+          .select(date_trunc("week", col("su_ts")).as("cohort_week"),
+            (unix_micros(col("first_pu")) - unix_micros(col("su_ts")))
+              .as("latency_us"))
+          .groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("n_converters"),
+            expr("percentile(latency_us, 0.25)").as("p25_us"),
+            expr("percentile(latency_us, 0.5)").as("p50_us"),
+            expr("percentile(latency_us, 0.75)").as("p75_us"),
+            max(col("latency_us")).as("max_us"))
+          .orderBy(col("cohort_week"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_type, cast(ts as timestamp) AS tts
+          FROM events),
+        su AS (
+          SELECT user_id, min(tts) AS su_ts FROM ev
+          WHERE event_type = 'signup' GROUP BY 1),
+        conv AS (
+          SELECT p.user_id, su.su_ts, min(p.tts) AS first_pu
+          FROM ev p JOIN su ON su.user_id = p.user_id
+          WHERE p.event_type = 'purchase' AND p.tts >= su.su_ts
+          GROUP BY 1, 2),
+        lat AS (
+          SELECT cast(date_trunc('week', su_ts) as timestamp)
+              AS cohort_week,
+            epoch_us(first_pu) - epoch_us(su_ts) AS latency_us
+          FROM conv)
+        SELECT cohort_week, cast(count(*) as bigint) AS n_converters,
+          quantile_cont(latency_us, 0.25) AS p25_us,
+          quantile_cont(latency_us, 0.5) AS p50_us,
+          quantile_cont(latency_us, 0.75) AS p75_us,
+          cast(max(latency_us) as bigint) AS max_us
+        FROM lat GROUP BY 1 ORDER BY cohort_week""")),
+
+    // ------------------------------------------------------------------
     // OHLC bars (open/high/low/close downsampling) — the canonical
     // time-series pre-aggregation: the full event stream reduces to
     // one bar per (series, hour) carrying the four boundary/extreme
