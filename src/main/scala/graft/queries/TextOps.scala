@@ -467,13 +467,13 @@ object TextOps {
     * over [[graft.functions.VectorDot]] (a fused codegen'd loop — no
     * UDF, no interpreted lambda frames).
     */
-  def cosine(a: Column, b: Column): Column = {
-    // codegen'd fused loop, bit-identical to the aggregate(zip_with(..))
-    // composable form (see VectorDot scaladoc; parity in FunctionsSpec)
-    def dot(x: Column, y: Column): Column =
-      graft.functions.VectorDot.dot(x, y)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    // ONE fused codegen'd loop for all three accumulators — bit-
+    // identical to dot(a,b)/sqrt(dot(a,a))/sqrt(dot(b,b)) (parity in
+    // FunctionsSpec), but each array element is read once instead of
+    // three times (and the broadcast query vector is no longer
+    // re-walked twice per corpus row for its constant norm)
+    graft.functions.VectorCosine.cosine(a, b)
 
   /** 64-permutation MinHash signature of a word array with the
     * portable arithmetic of [[graft.functions.PortableHash]]: for

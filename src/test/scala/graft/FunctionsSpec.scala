@@ -78,6 +78,53 @@ class FunctionsSpec extends SparkFunSuite {
     assert(lm.isNullAt(0) && lm.isNullAt(1))
   }
 
+  test("VectorCosine matches the three-VectorDot composable form " +
+      "bit-for-bit, including zero-norm NaN/Inf and null semantics") {
+    import spark.implicits._
+    import graft.functions.{VectorCosine, VectorDot}
+    val vecs = Seq(
+      (1L, Seq(1.5f, -2.25f, 3.125f, 0.1f), Seq(0.3f, 1e30f, -1e-30f, 7f)),
+      (2L, Seq(1e-4f, -0.0f, 1e-38f, 3e38f), Seq(-0.0f, 2.0f, 1e38f, 1e-9f)),
+      (3L, Seq.fill(64)(0.1f), Seq.fill(64)(-0.3f)))
+      .toDF("id", "a", "b")
+    def slow(x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column) =
+      VectorDot.dot(x, y) / sqrt(VectorDot.dot(x, x)) /
+        sqrt(VectorDot.dot(y, y))
+    val rows = vecs.select(col("id"),
+      VectorCosine.cosine(col("a"), col("b")).as("fast"),
+      slow(col("a"), col("b")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"cosine mismatch for id ${r.getLong(0)}: " +
+          s"${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // float-array vs double-literal mix (the d17 benchmark shape)
+    val bl = typedLit(Seq(0.5, -1.25, 2.0, 0.125))
+    val mixed = vecs.filter(col("id") === 1).select(
+      VectorCosine.cosine(col("a"), bl).as("fast"),
+      slow(col("a"), bl).as("slow")).head()
+    assert(java.lang.Double.doubleToRawLongBits(mixed.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(mixed.getDouble(1)))
+    // length mismatch → NULL in both forms
+    val lm = vecs.filter(col("id") === 1).select(
+      VectorCosine.cosine(col("a"), typedLit(Seq(1.0, 2.0))).as("fast"),
+      slow(col("a"), typedLit(Seq(1.0, 2.0))).as("slow")).head()
+    assert(lm.isNullAt(0) && lm.isNullAt(1))
+    // zero-norm divergence, pinned: the composable form THROWS under
+    // ANSI mode (double divide-by-zero is an error), the fused
+    // expression follows IEEE and yields NaN — documented in the
+    // VectorCosine scaladoc; no catalog query ever feeds a zero vector
+    val z = Seq((1L, Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b")
+    val nan = z.select(
+      VectorCosine.cosine(col("a"), col("b")).as("c")).head()
+    assert(java.lang.Double.isNaN(nan.getDouble(0)))
+    intercept[Exception] {
+      z.select(slow(col("a"), col("b")).as("c")).head()
+    }
+  }
+
   test("SimHash60 matches the composable nested-aggregate form") {
     import spark.implicits._
     val docs = Seq(
