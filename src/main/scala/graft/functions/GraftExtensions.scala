@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.shingleMinhashDesc)
     e.injectFunction(GraftExtensions.simhash60Desc)
     e.injectFunction(GraftExtensions.winnowDesc)
+    e.injectFunction(GraftExtensions.vectorDotDesc)
+    e.injectFunction(GraftExtensions.vectorCosineDesc)
   }
 }
 
@@ -75,6 +77,28 @@ object GraftExtensions {
       }
     })
 
+  private[functions] val vectorDotDesc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(a, b) => VectorDot(a, b)
+        case _ => throw new IllegalArgumentException("vector_dot(a, b)")
+      }
+    })
+
+  private[functions] val vectorCosineDesc
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_cosine"),
+    new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(a, b) => VectorCosine(a, b)
+        case _ => throw new IllegalArgumentException("vector_cosine(a, b)")
+      }
+    })
+
   /** Register on an existing session (temp-function registry). */
   def register(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -83,5 +107,9 @@ object GraftExtensions {
     reg.registerFunction(simhash60Desc._1, simhash60Desc._2,
       simhash60Desc._3)
     reg.registerFunction(winnowDesc._1, winnowDesc._2, winnowDesc._3)
+    reg.registerFunction(vectorDotDesc._1, vectorDotDesc._2,
+      vectorDotDesc._3)
+    reg.registerFunction(vectorCosineDesc._1, vectorCosineDesc._2,
+      vectorCosineDesc._3)
   }
 }
