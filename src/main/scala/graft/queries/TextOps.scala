@@ -2098,6 +2098,79 @@ object TextOps {
         ORDER BY source""")),
 
     // ------------------------------------------------------------------
+    // Vocabulary DRIFT detection — the data-quality monitor an ingest
+    // pipeline runs on every drop (p02's split: history src0-15 vs
+    // incoming src16-19): per word, a two-proportion z>2 test decided
+    // WITHOUT floats via e19's cross-multiplied integer rearrangement
+    //   (c1·n2 − c2·n1)²·N > 4·n1·n2·C·(N−C)
+    // (DECIMAL(38) / HUGEINT — same exact integers, same flag), with
+    // Apriori-style support gating (c1+c2 ≥ 30) and ranking by the
+    // cross-difference |c1·n2 − c2·n1| — the unnormalized drift
+    // magnitude, exact in int64 (a signed scaled ratio would hit the
+    // Spark-div-truncates vs DuckDB-//-floors divergence on negative
+    // values; the abs cross-product avoids division entirely). Scale
+    // shape: ONE tokenize pass, one word-keyed count agg with
+    // map-side partials, a 1-row totals broadcast; the test arithmetic
+    // is row-local over vocabulary-scale rows.
+    // ------------------------------------------------------------------
+    "x31_vocab_drift" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val incoming = col("source")
+          .isin("src16", "src17", "src18", "src19")
+        val w0 = docs(s, d)
+          .select(incoming.as("inc"), explode(words(col("text"))).as("w"))
+        val counts = w0.groupBy(col("w"))
+          .agg(count(when(!col("inc"), 1)).as("c1"),
+            count(when(col("inc"), 1)).as("c2"))
+        val tot = counts.agg(sum(col("c1")).as("n1"),
+          sum(col("c2")).as("n2"))
+        def d38(c: Column) = c.cast(DecimalType(38, 0))
+        val diff = col("c1") * col("n2") - col("c2") * col("n1")
+        counts.filter(col("c1") + col("c2") >= 30)
+          .crossJoin(broadcast(tot))
+          .withColumn("cross_diff", abs(diff))
+          .withColumn("significant",
+            d38(diff) * d38(diff) * d38(col("n1") + col("n2")) >
+              lit(4) * d38(col("n1")) * d38(col("n2")) *
+                d38(col("c1") + col("c2")) *
+                (d38(col("n1") + col("n2")) -
+                  d38(col("c1") + col("c2"))))
+          .select(col("w").as("word"), col("c1").as("c_hist"),
+            col("c2").as("c_new"), col("cross_diff"), col("significant"))
+          .orderBy(col("cross_diff").desc, col("word"))
+          .limit(20)
+      },
+      Some("""WITH w0 AS (
+          SELECT source IN ('src16','src17','src18','src19') AS inc,
+            unnest(string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+          FROM documents),
+        counts AS (
+          SELECT w,
+            cast(count(*) FILTER (WHERE NOT inc) as bigint) AS c1,
+            cast(count(*) FILTER (WHERE inc) as bigint) AS c2
+          FROM w0 GROUP BY w),
+        tot AS (
+          SELECT cast(sum(c1) as bigint) AS n1,
+            cast(sum(c2) as bigint) AS n2
+          FROM counts),
+        f AS (
+          SELECT c.w, c.c1, c.c2,
+            abs(c.c1 * t.n2 - c.c2 * t.n1) AS xd,
+            (cast(c.c1 * t.n2 - c.c2 * t.n1 as hugeint) *
+             cast(c.c1 * t.n2 - c.c2 * t.n1 as hugeint) *
+             cast(t.n1 + t.n2 as hugeint)) >
+            (4 * cast(t.n1 as hugeint) * cast(t.n2 as hugeint) *
+             cast(c.c1 + c.c2 as hugeint) *
+             cast(t.n1 + t.n2 - c.c1 - c.c2 as hugeint)) AS significant
+          FROM counts c, tot t
+          WHERE c.c1 + c.c2 >= 30)
+        SELECT w AS word, c1 AS c_hist, c2 AS c_new,
+          cast(xd as bigint) AS cross_diff, significant
+        FROM f ORDER BY cross_diff DESC, word LIMIT 20""")),
+
+    // ------------------------------------------------------------------
     // Benchmark DECONTAMINATION — the n-gram-overlap check run before
     // training: count each corpus document's distinct 8-word grams that
     // also appear in a benchmark set (here: the deterministic pseudo-

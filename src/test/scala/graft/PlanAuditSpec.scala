@@ -86,7 +86,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "corpus side is zero-shuffle row-local folds + TakeOrdered"),
     "s13_filtered_ann" -> ("1-row query-vector broadcast on both the "
       + "filtered and unfiltered-harness legs (s01's shape); the "
-      + "filtered leg's label predicate reaches the parquet scan"))
+      + "filtered leg's label predicate reaches the parquet scan"),
+    "x31_vocab_drift" -> ("1-row corpus-totals broadcast (e19's "
+      + "pattern); the data-sized work is one tokenize + one "
+      + "word-keyed count aggregation"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
