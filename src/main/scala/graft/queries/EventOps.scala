@@ -888,6 +888,85 @@ object EventOps {
         ORDER BY event_type, hr""")),
 
     // ------------------------------------------------------------------
+    // Session path-transition census (Markov chain of the user
+    // journey) — which event follows which WITHIN a session: the
+    // input to funnel design, next-action prediction, and journey
+    // dashboards. Sessionization is the lag-gap method with a strict
+    // µs-exact gap test (unix_micros/epoch_us > 30 min — integer
+    // comparison, identical in both engines; an interval comparison
+    // against a seconds-truncated diff can disagree at the boundary),
+    // then per (user, session): consecutive (from → to) pairs via one
+    // lag, plus START→first and last→END boundary rows (the absorbing
+    // states that make the census a proper chain; the session's last
+    // event is picked by a row_number over the unique (ts, event_id)
+    // key — e20's determinism rule). Scale shape: the sessionization
+    // window partitions by user, the transition windows by (user,
+    // session) — user-dominated keys both times; output is
+    // |types+2|² metadata.
+    // ------------------------------------------------------------------
+    "e22_path_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val n = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"))
+          .withColumn("pts", lag(col("ts"), 1).over(wU))
+          .withColumn("new_s", when(col("pts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("pts")) >
+              1800000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(
+            wU.rowsBetween(Window.unboundedPreceding, 0)))
+        val ws = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))
+        val wsd = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val tr = n
+          .withColumn("from_type",
+            coalesce(lag(col("event_type"), 1).over(ws), lit("START")))
+          .withColumn("rd", row_number().over(wsd))
+        tr.select(col("from_type"), col("event_type").as("to_type"))
+          .unionAll(tr.filter(col("rd") === 1)
+            .select(col("event_type").as("from_type"),
+              lit("END").as("to_type")))
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, event_type,
+            cast(ts as timestamp) AS tts
+          FROM events),
+        o AS (
+          SELECT *, CASE WHEN lag(tts) OVER w IS NULL
+              OR epoch_us(tts) - epoch_us(lag(tts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)),
+        n AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        tr AS (
+          SELECT
+            coalesce(lag(event_type) OVER ws, 'START') AS from_type,
+            event_type AS to_type,
+            row_number() OVER (PARTITION BY user_id, sid
+              ORDER BY tts DESC, event_id DESC) AS rd
+          FROM n
+          WINDOW ws AS (PARTITION BY user_id, sid
+            ORDER BY tts, event_id)),
+        allt AS (
+          SELECT from_type, to_type FROM tr
+          UNION ALL
+          SELECT to_type, 'END' FROM tr WHERE rd = 1)
+        SELECT from_type, to_type, cast(count(*) as bigint) AS n
+        FROM allt GROUP BY 1, 2
+        ORDER BY from_type, to_type""")),
+
+    // ------------------------------------------------------------------
     // Conversion-latency distribution — the follow-up question to
     // e07's funnel counts: not "how many converted" but "how LONG did
     // conversion take", as per-cohort quantiles (the SLA/activation
