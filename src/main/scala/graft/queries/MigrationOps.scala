@@ -571,5 +571,128 @@ object MigrationOps {
           cast(count(*) FILTER (WHERE so <> to2) as bigint)
             AS n_priority
         FROM k GROUP BY kind
-        ORDER BY kind""")))
+        ORDER BY kind""")),
+
+    // ------------------------------------------------------------------
+    // Data-quality rule suite — the dbt-test / Great-Expectations
+    // operator: declarative invariants evaluated as a table of
+    // (rule, n_checked, n_violations, passed), run AFTER a migration
+    // against m09's defect-injected target so the violations tie back
+    // to KNOWN injections (the m07 convention, now validating the
+    // validator): fk_lineitem_orders fails by exactly the deleted-row
+    // class (lineitems orphaned by del_), priority_in_domain by
+    // exactly the drifted-row class ('X-DRIFTED' is outside the enum);
+    // pk uniqueness, positive totalprice, and the quantity range pass
+    // — an all-green report would prove nothing. Scale shape: q77's
+    // one-scan discipline — the three orders-side rules share ONE
+    // aggregate, both lineitem rules another, and the FK check is one
+    // key-partitioned left join; rules are rows, so adding the 400th
+    // check grows the output, not the scan count.
+    // ------------------------------------------------------------------
+    "m10_dq_checks" -> Q(
+      (s, d) => {
+        def h(tag: String): Column =
+          graft.functions.PortableHash.h60col(
+            concat(lit(tag), col("o_orderkey")))
+        val src = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        val base = src.filter(h("del_") % 97 =!= 0)
+          .withColumn("o_orderpriority",
+            when(h("mod_") % 97 === 0, lit("X-DRIFTED"))
+              .otherwise(col("o_orderpriority")))
+        val extra = src.filter(h("ins_") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        val tgt = base.unionAll(extra).localCheckpoint()
+        val domain = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        val oAgg = tgt.agg(
+          count(lit(1)).as("n_o"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+          count(when(!col("o_orderpriority").isin(domain: _*), 1))
+            .as("v_dom"),
+          count(when(col("o_totalprice") <= 0, 1)).as("v_price"))
+        val li = t(s, d, "lineitem")
+        val liAgg = li.agg(
+          count(lit(1)).as("n_li"),
+          count(when(!col("l_quantity").between(1, 50), 1)).as("v_qty"))
+        val fk = li.select(col("l_orderkey"))
+          .join(tgt.select(col("o_orderkey")).distinct(),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n_fk"),
+            count(when(col("o_orderkey").isNull, 1)).as("v_fk"))
+        val rows = oAgg.select(explode(array(
+            struct(lit("pk_orders_unique").as("rule"),
+              col("n_o").as("n_checked"), col("v_pk").as("n_violations")),
+            struct(lit("priority_in_domain").as("rule"),
+              col("n_o").as("n_checked"),
+              col("v_dom").as("n_violations")),
+            struct(lit("totalprice_positive").as("rule"),
+              col("n_o").as("n_checked"),
+              col("v_price").as("n_violations")))).as("e"))
+          .select(col("e.rule"), col("e.n_checked"),
+            col("e.n_violations"))
+          .unionAll(liAgg.select(lit("quantity_in_range").as("rule"),
+            col("n_li").as("n_checked"), col("v_qty").as("n_violations")))
+          .unionAll(fk.select(lit("fk_lineitem_orders").as("rule"),
+            col("n_fk").as("n_checked"), col("v_fk").as("n_violations")))
+        rows.withColumn("passed", col("n_violations") === 0)
+          .orderBy(col("rule"))
+      },
+      Some("""WITH src AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderpriority
+          FROM orders),
+        base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            CASE WHEN ('0x' || substr(md5('mod_' || o_orderkey), 1, 15))
+                ::BIGINT % 97 = 0
+              THEN 'X-DRIFTED' ELSE o_orderpriority
+            END AS o_orderpriority
+          FROM src
+          WHERE ('0x' || substr(md5('del_' || o_orderkey), 1, 15))
+            ::BIGINT % 97 <> 0),
+        extra AS (
+          SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+            o_orderstatus, o_totalprice, o_orderpriority
+          FROM src
+          WHERE ('0x' || substr(md5('ins_' || o_orderkey), 1, 15))
+            ::BIGINT % 97 = 0),
+        tgt AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
+        oagg AS (
+          SELECT cast(count(*) as bigint) AS n_o,
+            cast(count(*) - count(DISTINCT o_orderkey) as bigint)
+              AS v_pk,
+            cast(count(*) FILTER (WHERE o_orderpriority NOT IN
+              ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED',
+               '5-LOW')) as bigint) AS v_dom,
+            cast(count(*) FILTER (WHERE o_totalprice <= 0) as bigint)
+              AS v_price
+          FROM tgt),
+        liagg AS (
+          SELECT cast(count(*) as bigint) AS n_li,
+            cast(count(*) FILTER (WHERE l_quantity < 1
+              OR l_quantity > 50) as bigint) AS v_qty
+          FROM lineitem),
+        fk AS (
+          SELECT cast(count(*) as bigint) AS n_fk,
+            cast(count(*) FILTER (WHERE t.o_orderkey IS NULL)
+              as bigint) AS v_fk
+          FROM lineitem l
+          LEFT JOIN (SELECT DISTINCT o_orderkey FROM tgt) t
+            ON l.l_orderkey = t.o_orderkey),
+        rows_ AS (
+          SELECT 'pk_orders_unique' AS rule, n_o AS n_checked,
+            v_pk AS n_violations FROM oagg
+          UNION ALL
+          SELECT 'priority_in_domain', n_o, v_dom FROM oagg
+          UNION ALL
+          SELECT 'totalprice_positive', n_o, v_price FROM oagg
+          UNION ALL
+          SELECT 'quantity_in_range', n_li, v_qty FROM liagg
+          UNION ALL
+          SELECT 'fk_lineitem_orders', n_fk, v_fk FROM fk)
+        SELECT rule, n_checked, n_violations,
+          n_violations = 0 AS passed
+        FROM rows_ ORDER BY rule""")))
 }
