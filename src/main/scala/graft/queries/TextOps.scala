@@ -1436,6 +1436,111 @@ object TextOps {
       bench = true),
 
     // ------------------------------------------------------------------
+    // IVF nprobe tuning curve — d15's role, for the vector index:
+    // recall@10 AND rows-scanned at probe budgets 1/2/4, from ONE
+    // shared assignment + scoring pass (checkpointed; each budget is a
+    // FILTER on centroid rank, never a re-scan). n_scanned is the cost
+    // axis a capacity plan prices; recall10 is the quality axis —
+    // together they are the "how many probes do I need" answer every
+    // IVF deployment must produce before trusting s03's nprobe=2
+    // default. All broadcasts are the 1-row query / 8-row centroid
+    // rank table; the corpus-side work is the one cell-pruned cosine
+    // scan.
+    // ------------------------------------------------------------------
+    "s14_ivf_tuning" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = emb(s, d)
+        val q = base.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val ranked = cents.crossJoin(broadcast(q))
+          .withColumn("qsim", cosine(col("ce"), col("qe")))
+          .withColumn("crk", row_number().over(
+            Window.orderBy(col("qsim").desc, col("cent_id"))))
+          .select(col("cent_id"), col("crk"))
+        val exact10 = base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select(col("vec_id")).withColumn("hit", lit(1L))
+        val scored = assignToCodebook(s, d)
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(ranked), Seq("cent_id"))
+          .crossJoin(broadcast(q))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .select(col("vec_id"), col("crk"), col("cos"))
+          .localCheckpoint()
+        Seq(1, 2, 4).map { np =>
+          val probed = scored.filter(col("crk") <= np)
+          probed.orderBy(col("cos").desc, col("vec_id")).limit(10)
+            .join(exact10, Seq("vec_id"), "left")
+            .agg(count(lit(1)).as("k_returned"),
+              coalesce(sum(col("hit")), lit(0L)).as("recall10"))
+            .crossJoin(probed.agg(count(lit(1)).as("n_scanned")))
+            .select(lit(np).as("nprobe"), col("n_scanned"),
+              col("k_returned"), col("recall10"))
+        }.reduce(_ unionAll _).orderBy(col("nprobe"))
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, v, nrm, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC, cent_id)
+              AS rn
+          FROM n, c),
+        assigned AS (SELECT vec_id, v, nrm, cent_id FROM asgn
+          WHERE rn = 1),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        ranked AS (
+          SELECT cent_id, row_number() OVER (
+            ORDER BY list_dot_product(cv, qv) / cnrm / qnrm DESC,
+              cent_id) AS crk
+          FROM c, q),
+        ex10 AS (
+          SELECT n.vec_id FROM n, q WHERE n.vec_id <> 0
+          ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC,
+            n.vec_id
+          LIMIT 10),
+        scored AS MATERIALIZED (
+          SELECT a.vec_id, r.crk,
+            list_dot_product(a.v, q.qv) / a.nrm / q.qnrm AS cos
+          FROM assigned a JOIN ranked r ON r.cent_id = a.cent_id, q
+          WHERE a.vec_id <> 0),
+        t1 AS (SELECT vec_id FROM scored WHERE crk <= 1
+          ORDER BY cos DESC, vec_id LIMIT 10),
+        s1 AS (SELECT cast(1 as int) AS nprobe,
+          (SELECT cast(count(*) as bigint) FROM scored WHERE crk <= 1)
+            AS n_scanned,
+          cast(count(*) as bigint) AS k_returned,
+          cast(count(*) FILTER (WHERE vec_id IN
+            (SELECT vec_id FROM ex10)) as bigint) AS recall10
+          FROM t1),
+        t2 AS (SELECT vec_id FROM scored WHERE crk <= 2
+          ORDER BY cos DESC, vec_id LIMIT 10),
+        s2 AS (SELECT cast(2 as int),
+          (SELECT cast(count(*) as bigint) FROM scored WHERE crk <= 2),
+          cast(count(*) as bigint),
+          cast(count(*) FILTER (WHERE vec_id IN
+            (SELECT vec_id FROM ex10)) as bigint)
+          FROM t2),
+        t4 AS (SELECT vec_id FROM scored WHERE crk <= 4
+          ORDER BY cos DESC, vec_id LIMIT 10),
+        s4 AS (SELECT cast(4 as int),
+          (SELECT cast(count(*) as bigint) FROM scored WHERE crk <= 4),
+          cast(count(*) as bigint),
+          cast(count(*) FILTER (WHERE vec_id IN
+            (SELECT vec_id FROM ex10)) as bigint)
+          FROM t4)
+        SELECT * FROM (
+          SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s4) u
+        ORDER BY nprobe""")),
+
+    // ------------------------------------------------------------------
     // ANN quality evaluation: recall@10 of the IVF 2-probe path (s03's
     // index shape) against exact brute-force ground truth, batched over
     // the 10 query vectors vec_id < 10 — the measurement a production

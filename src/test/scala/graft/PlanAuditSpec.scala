@@ -89,7 +89,11 @@ class PlanAuditSpec extends SparkFunSuite {
       + "filtered leg's label predicate reaches the parquet scan"),
     "x31_vocab_drift" -> ("1-row corpus-totals broadcast (e19's "
       + "pattern); the data-sized work is one tokenize + one "
-      + "word-keyed count aggregation"))
+      + "word-keyed count aggregation"),
+    "s14_ivf_tuning" -> ("1-row query / 8-row centroid-rank / 1-row "
+      + "per-budget count broadcasts (the d15-for-IVF harness); the "
+      + "corpus work is one cell-pruned cosine scan, checkpointed and "
+      + "filtered per probe budget"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
