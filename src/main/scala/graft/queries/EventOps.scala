@@ -1173,6 +1173,109 @@ object EventOps {
           cast(per.n_conv as double) / cast(per.n_users as double)
             AS cvr,
           f.significant
-        FROM per, f ORDER BY arm"""))
+        FROM per, f ORDER BY arm""")),
+
+    // ------------------------------------------------------------------
+    // RFM segmentation — the classic customer-value census: per user,
+    // Recency (days since last purchase, vs the corpus's max purchase
+    // ts as the "as of" anchor), Frequency (purchase count), Monetary
+    // (decimal-exact spend); each dimension quartiled and the 4×4×4
+    // segment census emitted. Deliberately NOT ntile: ntile needs a
+    // TOTAL order — an unpartitioned window is a single-partition sort
+    // of the whole users table, the exact shape the plan audit exists
+    // to catch. Instead the three quartile BOUNDARIES are one 9-value
+    // aggregate row (exact percentile; ApproxPercentileRewrite is the
+    // installed-at-scale swap, q77's caveat) broadcast back, and each
+    // user buckets ROW-LOCALLY by comparison — map-side, no global
+    // sort, and the bucket rule (1 + strict-inequality indicators) is
+    // deterministic in both engines on exact inputs. Corpus-scale
+    // terms: the purchase scan + ONE user-keyed aggregation;
+    // everything after runs on users-scale rows.
+    // ------------------------------------------------------------------
+    "e23_rfm_segments" -> Q(
+      (s, d) => {
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        // ONE events scan: the users-scale per-user frame is
+        // checkpointed, and the anchor derives from it (max of the
+        // per-user maxima), so the boundary pass and the bucket pass
+        // both read the small frame, never the events table again
+        val per = p.groupBy(col("user_id")).agg(
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("freq"),
+          dsum(col("value")).as("monetary"))
+          .localCheckpoint()
+        val anchor = per.agg(max(col("last_ts")).as("anchor_ts"))
+        val u = per.crossJoin(broadcast(anchor))
+          .withColumn("rec_days",
+            expr("(unix_micros(anchor_ts) - unix_micros(last_ts))" +
+              " div 86400000000"))
+        val b = u.agg(
+          expr("percentile(rec_days, 0.25)").as("r25"),
+          expr("percentile(rec_days, 0.5)").as("r50"),
+          expr("percentile(rec_days, 0.75)").as("r75"),
+          expr("percentile(freq, 0.25)").as("f25"),
+          expr("percentile(freq, 0.5)").as("f50"),
+          expr("percentile(freq, 0.75)").as("f75"),
+          expr("percentile(monetary, 0.25)").as("m25"),
+          expr("percentile(monetary, 0.5)").as("m50"),
+          expr("percentile(monetary, 0.75)").as("m75"))
+        def ind(c: Column): Column = c.cast("int")
+        // recency: smaller = better (quartile 1 = most recent);
+        // freq/monetary: bigger = better (quartile 1 = top spenders)
+        u.crossJoin(broadcast(b))
+          .select(
+            (lit(1) + ind(col("rec_days") > col("r25")) +
+              ind(col("rec_days") > col("r50")) +
+              ind(col("rec_days") > col("r75"))).as("r_q"),
+            (lit(1) + ind(col("freq") < col("f75")) +
+              ind(col("freq") < col("f50")) +
+              ind(col("freq") < col("f25"))).as("f_q"),
+            (lit(1) + ind(col("monetary") < col("m75")) +
+              ind(col("monetary") < col("m50")) +
+              ind(col("monetary") < col("m25"))).as("m_q"),
+            col("monetary"))
+          .groupBy(col("r_q"), col("f_q"), col("m_q"))
+          .agg(count(lit(1)).as("n_users"),
+            dsum(col("monetary")).as("total_monetary"))
+          .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      },
+      Some(s"""WITH ev AS (SELECT cast(ts as timestamp) AS ts, user_id,
+            event_type, value FROM events),
+        p AS (SELECT user_id, ts, value FROM ev
+          WHERE event_type = 'purchase'),
+        per AS (SELECT user_id, max(ts) AS last_ts,
+            cast(count(*) as bigint) AS freq,
+            ${sqlDsum("value")} AS monetary
+          FROM p GROUP BY 1),
+        a AS (SELECT max(ts) AS anchor_ts FROM p),
+        u AS (SELECT per.*,
+            (epoch_us(a.anchor_ts) - epoch_us(per.last_ts))
+              // 86400000000 AS rec_days
+          FROM per, a),
+        b AS (SELECT
+            quantile_cont(rec_days, 0.25) AS r25,
+            quantile_cont(rec_days, 0.5) AS r50,
+            quantile_cont(rec_days, 0.75) AS r75,
+            quantile_cont(freq, 0.25) AS f25,
+            quantile_cont(freq, 0.5) AS f50,
+            quantile_cont(freq, 0.75) AS f75,
+            quantile_cont(monetary, 0.25) AS m25,
+            quantile_cont(monetary, 0.5) AS m50,
+            quantile_cont(monetary, 0.75) AS m75
+          FROM u),
+        q AS (SELECT
+            cast(1 + (rec_days > r25)::int + (rec_days > r50)::int +
+              (rec_days > r75)::int as integer) AS r_q,
+            cast(1 + (freq < f75)::int + (freq < f50)::int +
+              (freq < f25)::int as integer) AS f_q,
+            cast(1 + (monetary < m75)::int + (monetary < m50)::int +
+              (monetary < m25)::int as integer) AS m_q,
+            monetary
+          FROM u, b)
+        SELECT r_q, f_q, m_q, cast(count(*) as bigint) AS n_users,
+          ${sqlDsum("monetary")} AS total_monetary
+        FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"""))
   )
 }

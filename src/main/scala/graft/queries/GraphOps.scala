@@ -655,6 +655,47 @@ object GraphOps {
         FROM pairs p
         JOIN item x ON x.p = p.a
         JOIN item y ON y.p = p.b, n
-        ORDER BY lift_scaled DESC, part_a, part_b LIMIT 20"""))
+        ORDER BY lift_scaled DESC, part_a, part_b LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Degree distribution — the first diagnostic run on ANY graph
+    // before an iterative algorithm: a log2-binned degree histogram
+    // (bin = bit length of the degree — length of the binary string,
+    // integer-exact in both engines, no floating log near a power-of-2
+    // boundary) plus per-bin min/max/edge mass. The histogram answers
+    // the questions that size a graph job: is the degree sequence
+    // heavy-tailed (skew-salt the hot keys?), what is max-degree (the
+    // hub guard threshold g05 uses), and which bins carry the edge
+    // mass (Σ deg = 2m check rides along). One degree aggregation over
+    // the shared edge builder, then a bins-scale (≤ ~40 rows) census —
+    // the output is metadata at any graph size.
+    // ------------------------------------------------------------------
+    "g08_degree_stats" -> Q(
+      (s, d) => {
+        val deg = coPurchaseEdges(s, d)
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        deg
+          .withColumn("bin", length(conv(col("deg"), 10, 2)).cast("int"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("deg")).as("min_deg"),
+            max(col("deg")).as("max_deg"),
+            sum(col("deg")).as("edge_endpoints"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+        deg AS (
+          SELECT src, cast(count(*) as bigint) AS deg
+          FROM e GROUP BY 1)
+        SELECT cast(length(bin(deg)) as integer) AS bin,
+          cast(count(*) as bigint) AS n_nodes,
+          min(deg) AS min_deg, max(deg) AS max_deg,
+          cast(sum(deg) as bigint) AS edge_endpoints
+        FROM deg GROUP BY 1 ORDER BY bin"""))
   )
 }

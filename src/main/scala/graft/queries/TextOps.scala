@@ -2276,6 +2276,79 @@ object TextOps {
         FROM f ORDER BY cross_diff DESC, word LIMIT 20""")),
 
     // ------------------------------------------------------------------
+    // Cross-document BOILERPLATE detection (CCNet's per-domain pass,
+    // Wenzek et al. 2020): a phrase appearing in a large fraction of
+    // one SOURCE's documents is template chrome (nav bars, footers,
+    // cookie banners), not content — and it survives every per-document
+    // quality filter precisely because every document has it. Per
+    // (source, bigram): document frequency within the source (distinct
+    // per doc via array_distinct, so a doc repeating the phrase counts
+    // once); boilerplate iff df covers >= 20% of the source's docs.
+    // One tokenize pass; the (source, bigram) aggregation has map-side
+    // partials and vocabulary-bounded cardinality; the per-source top
+    // pick is a window over the few boilerplate survivors, partitioned
+    // by source (a key that grows with domains, not corpus bytes —
+    // never a global sort). The report is what a curation run strips
+    // BEFORE dedup: boilerplate inflates shingle overlap between
+    // unrelated pages of the same domain and poisons MinHash verdicts.
+    // ------------------------------------------------------------------
+    "x32_boilerplate_ngrams" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bigrams = when(size(col("toks")) >= 2,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))))
+          .otherwise(array().cast("array<string>"))
+        val tokd = docs(s, d)
+          .select(col("doc_id"), col("source"), words(col("text")).as("toks"))
+        // explode the EXPRESSION over the once-aliased toks (the fast
+        // generate shape — exploding an aliased array re-evaluates it
+        // per output element)
+        val df = tokd
+          .select(col("source"), explode(bigrams).as("sh"))
+          .groupBy(col("source"), col("sh"))
+          .agg(count(lit(1)).as("df"))
+        val nDocs = docs(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val boiler = df.join(nDocs, "source")
+          .filter(col("df") * 5 >= col("n_docs"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("df").desc, col("sh"))
+        boiler
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("source"), col("n_docs"))
+          .agg(count(lit(1)).as("n_boiler"),
+            max(when(col("rn") === 1, col("sh"))).as("top_sh"),
+            max(when(col("rn") === 1, col("df"))).as("top_df"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, source,
+            string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT source,
+            unnest(list_distinct(CASE WHEN len(toks) >= 2 THEN
+              list_transform(range(1, len(toks)), i ->
+                toks[i] || ' ' || toks[i+1])
+              ELSE [] END)) AS sh
+          FROM t),
+        df AS (SELECT source, sh, count(*) AS df FROM g GROUP BY 1, 2),
+        nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        b AS (
+          SELECT df.source, df.sh, df.df, nd.n_docs,
+            row_number() OVER (PARTITION BY df.source
+                               ORDER BY df.df DESC, df.sh) AS rn
+          FROM df JOIN nd USING (source)
+          WHERE df.df * 5 >= nd.n_docs)
+        SELECT source, n_docs, count(*) AS n_boiler,
+          max(CASE WHEN rn = 1 THEN sh END) AS top_sh,
+          max(CASE WHEN rn = 1 THEN df END) AS top_df
+        FROM b GROUP BY source, n_docs ORDER BY source""")),
+
+    // ------------------------------------------------------------------
     // Benchmark DECONTAMINATION — the n-gram-overlap check run before
     // training: count each corpus document's distinct 8-word grams that
     // also appear in a benchmark set (here: the deterministic pseudo-
