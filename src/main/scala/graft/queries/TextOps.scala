@@ -1324,6 +1324,117 @@ object TextOps {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Quality-filter ABLATION — before tuning a filter stack, measure
+    // what each rule actually does: per rule, how many documents fail
+    // it at all, and how many fail ONLY it (the documents that rule
+    // alone removes — drop the rule and exactly these come back). A
+    // rule with n_fail high but n_unique_fail ≈ 0 is redundant with
+    // the rest of the stack; a rule carrying most of its failures
+    // uniquely is the one whose threshold deserves scrutiny (here the
+    // deliberately-aggressive type-token-ratio rule rejects ~2/3 of
+    // the corpus almost entirely on its own — exactly the pathology
+    // this readout exists to surface BEFORE a 100 TB run pays for
+    // it; x10's production thresholds are all-pass on this corpus,
+    // which would make the report vacuous). ONE corpus pass computes
+    // the four fail bits; the 4-row report is a single aggregate
+    // unpivoted with stack() — no per-rule rescans (the 40-rule
+    // version is still one scan, m10's discipline).
+    // ------------------------------------------------------------------
+    "x33_filter_ablation" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), col("text"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), col("toks"),
+            when(size(col("toks")) >= 2,
+              transform(sequence(lit(1), size(col("toks")) - 1), i =>
+                concat_ws(" ", element_at(col("toks"), i),
+                  element_at(col("toks"), i + 1))))
+              .otherwise(array().cast("array<string>")).as("g2"))
+        val nTok = size(col("toks")).cast("double")
+        val top2 = when(size(col("g2")) > 0,
+          array_max(transform(col("g2"), g =>
+            size(filter(col("g2"), x => x === g)))).cast("double") /
+            size(col("g2")).cast("double"))
+          .otherwise(lit(0.0))
+        val mwl = length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / nTok
+        val ttr = size(array_distinct(col("toks"))).cast("double") / nTok
+        val bits = base.select(
+          (mwl < 4.2).as("b1"),
+          (size(col("toks")) < 25).as("b2"),
+          (top2 >= 0.1).as("b3"),
+          (ttr < 0.55).as("b4"))
+        bits.agg(
+            count(when(col("b1"), 1)).as("f1"),
+            count(when(col("b1") && !col("b2") && !col("b3") &&
+              !col("b4"), 1)).as("u1"),
+            count(when(col("b2"), 1)).as("f2"),
+            count(when(col("b2") && !col("b1") && !col("b3") &&
+              !col("b4"), 1)).as("u2"),
+            count(when(col("b3"), 1)).as("f3"),
+            count(when(col("b3") && !col("b1") && !col("b2") &&
+              !col("b4"), 1)).as("u3"),
+            count(when(col("b4"), 1)).as("f4"),
+            count(when(col("b4") && !col("b1") && !col("b2") &&
+              !col("b3"), 1)).as("u4"))
+          .select(expr("stack(4, " +
+            "'mean_word_len', f1, u1, 'min_tokens', f2, u2, " +
+            "'top_bigram', f3, u3, 'type_token_ratio', f4, u4) " +
+            "AS (rule, n_fail, n_unique_fail)"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, text,
+            string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, text, toks,
+            list_transform(range(1, len(toks)), i ->
+              toks[i] || ' ' || toks[i+1]) AS g2
+          FROM t),
+        m AS (
+          SELECT doc_id, len(toks) AS n_toks,
+            cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
+              / cast(len(toks) as double) AS mean_word_len,
+            cast(len(list_distinct(toks)) as double)
+              / cast(len(toks) as double) AS ttr,
+            CASE WHEN len(g2) > 0 THEN
+              cast(list_max(list_transform(g2, y ->
+                len(list_filter(g2, x -> x = y)))) as double)
+                / cast(len(g2) as double)
+            ELSE 0.0 END AS top_bigram_frac
+          FROM g),
+        fl AS (
+          SELECT
+            mean_word_len < 4.2 AS b1,
+            n_toks < 25 AS b2,
+            top_bigram_frac >= 0.1 AS b3,
+            ttr < 0.55 AS b4
+          FROM m),
+        a AS (
+          SELECT
+            cast(count(*) FILTER (WHERE b1) as bigint) AS f1,
+            cast(count(*) FILTER (WHERE b1 AND NOT b2 AND NOT b3
+              AND NOT b4) as bigint) AS u1,
+            cast(count(*) FILTER (WHERE b2) as bigint) AS f2,
+            cast(count(*) FILTER (WHERE b2 AND NOT b1 AND NOT b3
+              AND NOT b4) as bigint) AS u2,
+            cast(count(*) FILTER (WHERE b3) as bigint) AS f3,
+            cast(count(*) FILTER (WHERE b3 AND NOT b1 AND NOT b2
+              AND NOT b4) as bigint) AS u3,
+            cast(count(*) FILTER (WHERE b4) as bigint) AS f4,
+            cast(count(*) FILTER (WHERE b4 AND NOT b1 AND NOT b2
+              AND NOT b3) as bigint) AS u4
+          FROM fl)
+        SELECT 'mean_word_len' AS rule, f1 AS n_fail,
+          u1 AS n_unique_fail FROM a
+        UNION ALL SELECT 'min_tokens', f2, u2 FROM a
+        UNION ALL SELECT 'top_bigram', f3, u3 FROM a
+        UNION ALL SELECT 'type_token_ratio', f4, u4 FROM a
+        ORDER BY rule""")),
+
+    // ------------------------------------------------------------------
     // Shingle containment (asymmetric near-dup: how much of the SMALLER
     // doc is inside the pair): |A∩B| / min(|A|,|B|). Catches
     // subset/quotation duplication that symmetric Jaccard dilutes.
@@ -2201,6 +2312,101 @@ object TextOps {
         FROM flagged
         GROUP BY source
         ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // SOFT dedup — weight, don't delete: each document keeps a
+    // training weight of 1e6 div cluster_size ppm (singletons 1e6), so
+    // a 4-copy cluster contributes ~one document's worth of gradient
+    // instead of 4× (the repetition-hurts result of Lee et al. 2022
+    // without hard deletion's coverage risk). Clusters come from the
+    // AT-SCALE path (x30's df-capped posting index → Jaccard verify →
+    // connected components — no all-pairs); cluster size is a count
+    // over a cluster-keyed window (doc-scale keys, never a global
+    // sort), and the weight is integer div — exact in both engines.
+    // Output: the cluster-size histogram with raw vs weighted token
+    // mass — the "what does soft dedup cost me" readout next to x30's
+    // hard-delete savings.
+    // ------------------------------------------------------------------
+    "d19_soft_dedup_weights" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toked = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("w"))
+          .withColumn("n_toks", size(col("w")).cast("long"))
+        val pairs = postingJaccardPairsFrom(
+          toked.filter(size(col("w")) >= 3)
+            .select(col("doc_id"), col("w").as("toks")))
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.components(pairs)
+        toked.join(cc, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("cl_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster"))))
+          .withColumn("w_ppm", expr("1000000 div cl_size"))
+          .groupBy(col("cl_size"))
+          .agg(countDistinct(col("cluster")).as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("tokens"),
+            sum(col("n_toks") * col("w_ppm")).as("weighted_tokens_ppm"))
+          .orderBy(col("cl_size"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sw
+          FROM t0 WHERE len(w) >= 3),
+        dposts AS (SELECT doc_id, unnest(sw) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM dposts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM dposts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        dsizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        prs AS (
+          SELECT s.doc_a, s.doc_b
+          FROM shared s
+          JOIN dsizes x ON x.doc_id = s.doc_a
+          JOIN dsizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        ccx AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src),
+        wc AS (
+          SELECT t0.doc_id, cast(len(t0.w) as bigint) AS n_toks,
+            coalesce(ccx.cluster, t0.doc_id) AS cluster
+          FROM t0 LEFT JOIN ccx ON ccx.doc_id = t0.doc_id),
+        ws AS (
+          SELECT doc_id, n_toks, cluster,
+            cast(count(*) OVER (PARTITION BY cluster) as bigint) AS cl_size
+          FROM wc)
+        SELECT cl_size,
+          cast(count(DISTINCT cluster) as bigint) AS n_clusters,
+          cast(count(*) as bigint) AS n_docs,
+          cast(sum(n_toks) as bigint) AS tokens,
+          cast(sum(n_toks * (1000000 // cl_size)) as bigint)
+            AS weighted_tokens_ppm
+        FROM ws GROUP BY cl_size ORDER BY cl_size""")),
 
     // ------------------------------------------------------------------
     // Vocabulary DRIFT detection — the data-quality monitor an ingest
