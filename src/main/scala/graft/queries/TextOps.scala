@@ -236,8 +236,14 @@ object TextOps {
     * coarse→fine argmax, O(√k) per row instead of O(k).
     */
   private def assignToCodebook(s: SparkSession, d: String,
-      k: Int = 8): DataFrame = {
-    val base = emb(s, d)
+      k: Int = 8): DataFrame = assignToCodebookOf(emb(s, d), k)
+
+  /** Frame-agnostic form of the row-local literal-codebook cell
+    * assignment (centroids = the first k vec_ids, s03's convention) —
+    * s15's spec runs it on a clustered fixture frame.
+    */
+  private[graft] def assignToCodebookOf(base: DataFrame,
+      k: Int): DataFrame = {
     val cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val centArr = array(
@@ -258,6 +264,124 @@ object TextOps {
               c.getField("cent_id").as("cent_id")))
             .otherwise(acc)
         }).getField("cent_id").as("cent_id"))
+  }
+
+  /** NN-descent k-NN-graph stage report (s15; Dong, Moses & Li, WWW
+    * 2011). Init = within-IVF-cell top-k UNION `nRand` deterministic
+    * pseudo-random cross-corpus edges per node (h60-derived, DuckDB-
+    * rederivable — random init is what lets descent ESCAPE the cell
+    * blocking: a cell-local graph's neighbors-of-neighbors never leave
+    * the cell). One descent round runs the paper's LOCAL JOIN — every
+    * node introduces all pairs of its undirected B∪R pool
+    * neighborhood — scores only cross-cell proposals not already paid
+    * for, and re-selects top-k from everything scored. Output: one
+    * row per stage with the pair-scoring bill and recall@k hits on the
+    * first `nProbes` nodes vs exact ground truth (bounded scan).
+    * Requires contiguous vec_ids 0..n-1 (the random-edge modulus); at
+    * scale an id-assignment pass (zipWithIndex) provides this.
+    */
+  private[graft] def nnDescentReport(base: DataFrame, nCents: Int,
+      nRand: Int = 3, k: Int = 5, nProbes: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash.h60col
+    val asg = assignToCodebookOf(base, nCents).localCheckpoint()
+    // metadata-scale driver scalar (g01's iterative-action convention)
+    val n = asg.count()
+    val ea = asg.select(col("cent_id"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val eb = asg.select(col("cent_id"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    val emb2 = asg.select(col("vec_id"), col("embedding"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(emb2.select(col("vec_id").as("a"),
+        col("embedding").as("va")), Seq("a"))
+      .join(emb2.select(col("vec_id").as("b"),
+        col("embedding").as("vb")), Seq("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .select(col("a"), col("b"), col("cos"))
+    val cellPairs = ea.join(eb, Seq("cent_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .select(col("a"), col("b"), col("cos"))
+    val rndScored = score(
+      asg.select(col("vec_id").as("a"))
+        .select(col("a"), explode(sequence(lit(0), lit(nRand - 1)))
+          .as("j"))
+        .select(col("a"), pmod(col("a") + 1 +
+          pmod(h60col(concat(lit("nn_init_"), col("a"), lit("_"),
+            col("j"))), lit(n - 1)), lit(n)).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cos").desc, col("b"))
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("a"), col("b"), col("cos"))
+    // re-alias union inputs to mint fresh exprIds: both sides descend
+    // from the same checkpointed asg, and Union's constraint rewrite
+    // chokes on attribute ids shared across children
+    def fresh(df: DataFrame): DataFrame = df.select(
+      df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val knn0 = topK(fresh(cellPairs).union(fresh(rndScored)))
+      .localCheckpoint()
+    // Dong et al.'s LOCAL JOIN: the candidate pool keeps the random
+    // edges even though their cosine is poor (selecting top-k BEFORE
+    // propagating kills exploration — measured 0 recall gain), and
+    // every node m introduces all pairs of its UNDIRECTED pool
+    // neighborhood (B ∪ R) to each other. Same-cell proposals are
+    // already scored by init (cellpairs is exactly the same-cell pair
+    // set), so only cross-cell proposals minus the random-scored
+    // pairs pay for scoring.
+    val pool = fresh(topK(cellPairs).select(col("a"), col("b")))
+      .union(fresh(rndScored.select(col("a"), col("b")))).distinct()
+      .localCheckpoint()
+    val und = fresh(pool.select(col("a").as("m"), col("b").as("x")))
+      .union(fresh(pool.select(col("b").as("m"), col("a").as("x"))))
+      .distinct()
+    val cells = asg.select(col("vec_id"), col("cent_id"))
+    val proposals = und.select(col("m"), col("x").as("a"))
+      .join(und.select(col("m").as("m2"), col("x").as("b")),
+        col("m") === col("m2"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .join(cells.select(col("vec_id").as("a"),
+        col("cent_id").as("ca")), Seq("a"))
+      .join(cells.select(col("vec_id").as("b"),
+        col("cent_id").as("cb")), Seq("b"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("a"), col("b"))
+      .join(rndScored.select(col("a"), col("b")), Seq("a", "b"),
+        "left_anti")
+    val nonScored = score(proposals).localCheckpoint()
+    val knn1 = topK(fresh(knn0).union(fresh(nonScored)))
+    val probes = emb2.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("a"), col("embedding").as("va"))
+    val exactK = emb2.select(col("vec_id").as("b"),
+        col("embedding").as("vb"))
+      .crossJoin(broadcast(probes))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("a"), col("b"))
+    def stageRow(stage: String, knn: DataFrame, scoredA: DataFrame,
+        scoredB: Option[DataFrame]): DataFrame = {
+      val nSc = scoredB match {
+        case Some(sb) => scoredA.agg(count(lit(1)).as("na")).crossJoin(
+          sb.agg(count(lit(1)).as("nb")))
+          .select((col("na") + col("nb")).as("n_scored"))
+        case None => scoredA.agg(count(lit(1)).as("n_scored"))
+      }
+      nSc.crossJoin(
+          knn.filter(col("a") < nProbes).join(exactK, Seq("a", "b"))
+            .agg(count(lit(1)).as("hits5")))
+        .select(lit(stage).as("stage"), col("n_scored"), col("hits5"))
+    }
+    stageRow("1_init", knn0, cellPairs, Some(rndScored))
+      .unionByName(stageRow("2_descent", knn1, nonScored, None))
+      .orderBy(col("stage"))
   }
 
   /** Fingerprint-sharing candidate pairs from exploded (doc_id, fp)
@@ -1650,6 +1774,126 @@ object TextOps {
           SELECT * FROM s1 UNION ALL SELECT * FROM s2
           UNION ALL SELECT * FROM s4) u
         ORDER BY nprobe""")),
+
+    // ------------------------------------------------------------------
+    // NN-DESCENT k-NN GRAPH construction (Dong, Moses & Li, WWW 2011)
+    // — the all-nodes face of ANN: build every vector's top-5 neighbor
+    // list, not one query's. Init = within-IVF-cell top-5 (s03's
+    // row-local literal-codebook assignment; quadratic only in cell
+    // size — production sizes cells ~sqrt(n)) UNION 3 deterministic
+    // h60-derived pseudo-random cross-corpus edges per node. The
+    // random edges are load-bearing: a purely cell-blocked graph's
+    // neighbors-of-neighbors NEVER leave the cell (measured: descent
+    // gains exactly 0 hits without them), which is why the paper
+    // initializes randomly. One LOCAL-JOIN round (each node
+    // introduces all pairs of its undirected B∪R pool neighborhood),
+    // scoring only cross-cell proposals not already paid for, then
+    // re-selects top-5 from everything scored. The report carries
+    // recall@5 on 20 probe nodes vs exact ground truth (bounded,
+    // s04's convention) AND n_scored, the scoring bill per stage:
+    // here init 32.6k + descent 42.7k pairs lift recall 52 → 61 of
+    // 100 where brute force would score 250k — and the QueriesSpec
+    // clustered fixture shows the same code jumping 77 → 85 when the
+    // data has the local structure descent exploits (near-uniform
+    // vectors are its honest floor). Every join is key-partitioned
+    // (cell, then node id); nothing all-pairs the corpus.
+    // ------------------------------------------------------------------
+    "s15_nn_descent" -> Q(
+      (s, d) => nnDescentReport(emb(s, d), nCents = 8),
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, v, nrm, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC,
+                cent_id) AS rn
+          FROM n, c),
+        assigned AS (SELECT vec_id, v, nrm, cent_id
+          FROM asgn WHERE rn = 1),
+        cellpairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM assigned x JOIN assigned y ON x.cent_id = y.cent_id
+            AND x.vec_id <> y.vec_id),
+        nv AS (SELECT count(*) AS cnt FROM n),
+        rnd0 AS (
+          SELECT x.vec_id AS a,
+            (x.vec_id + 1 +
+             (('0x' || substr(md5('nn_init_' || x.vec_id || '_' || j),
+               1, 15))::BIGINT % (nv.cnt - 1))) % nv.cnt AS b
+          FROM n x, nv, (SELECT unnest([0, 1, 2]) AS j)),
+        rndsc AS (
+          SELECT r.a, r.b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM (SELECT DISTINCT a, b FROM rnd0 WHERE a <> b) r
+          JOIN n x ON x.vec_id = r.a
+          JOIN n y ON y.vec_id = r.b),
+        cellknn AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM cellpairs) t WHERE rn <= 5),
+        pool AS (SELECT a, b FROM cellknn
+          UNION SELECT a, b FROM rndsc),
+        und AS (SELECT a AS m, b AS x FROM pool
+          UNION SELECT b, a FROM pool),
+        knn0 AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM (SELECT * FROM cellpairs UNION ALL
+                  SELECT * FROM rndsc) u0) t WHERE rn <= 5),
+        props AS (
+          SELECT DISTINCT p.x AS a, q.x AS b
+          FROM und p JOIN und q ON p.m = q.m AND p.x <> q.x
+          JOIN assigned ax ON ax.vec_id = p.x
+          JOIN assigned ay ON ay.vec_id = q.x
+          WHERE ax.cent_id <> ay.cent_id
+            AND NOT EXISTS (SELECT 1 FROM rndsc k
+              WHERE k.a = p.x AND k.b = q.x)),
+        nonscored AS (
+          SELECT p.a, p.b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM props p
+          JOIN n x ON x.vec_id = p.a
+          JOIN n y ON y.vec_id = p.b),
+        knn1 AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM (SELECT * FROM knn0 UNION ALL
+                  SELECT * FROM nonscored) u) t
+          WHERE rn <= 5),
+        exact5 AS (
+          SELECT a, b FROM (
+            -- division order mirrors Spark's cosine(probe, corpus):
+            -- dot / probe_nrm / corpus_nrm (a/n1/n2 vs a/n2/n1 can
+            -- differ in the last ULP and flip a near-tie rank)
+            SELECT q.vec_id AS a, x.vec_id AS b,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.v, x.v) / q.nrm / x.nrm
+                  DESC, x.vec_id) AS rn
+            FROM n x, (SELECT vec_id, v, nrm FROM n
+              WHERE vec_id < 20) q
+            WHERE x.vec_id <> q.vec_id) t
+          WHERE rn <= 5),
+        s1 AS (SELECT '1_init' AS stage,
+          (SELECT cast(count(*) as bigint) FROM cellpairs) +
+          (SELECT cast(count(*) as bigint) FROM rndsc) AS n_scored,
+          (SELECT cast(count(*) as bigint) FROM knn0
+            JOIN exact5 USING (a, b) WHERE a < 20) AS hits5),
+        s2 AS (SELECT '2_descent' AS stage,
+          (SELECT cast(count(*) as bigint) FROM nonscored) AS n_scored,
+          (SELECT cast(count(*) as bigint) FROM knn1
+            JOIN exact5 USING (a, b) WHERE a < 20) AS hits5)
+        SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u
+        ORDER BY stage""")),
 
     // ------------------------------------------------------------------
     // ANN quality evaluation: recall@10 of the IVF 2-probe path (s03's

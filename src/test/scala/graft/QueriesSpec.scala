@@ -100,6 +100,43 @@ class QueriesSpec extends SparkFunSuite {
     assert(hits >= 8, s"trained PQ recall $hits/10 on clustered fixture")
   }
 
+  test("s15 NN-descent: on a clustered fixture whose clusters SPLIT " +
+      "across IVF cells, one local-join round strictly improves " +
+      "recall while total scoring stays under the brute-force bill " +
+      "(the catalog entry's near-uniform corpus is the honest floor)") {
+    // 16 clusters × 11 members (i % 16). Clusters 0-7 sit on the 8
+    // centroid anchors (vec_id < 8 are the IVF codebook, s03's
+    // convention) — their members' cells align with their cluster.
+    // Clusters 8-15 are centered on MIDPOINTS between two anchors, so
+    // member-level noise decides each member's cell ~50/50: the true
+    // top-5 neighbor set of a midpoint-cluster member spans two cells,
+    // which is exactly the recall blocking init cannot reach and the
+    // descent round's cross-cell propagation can.
+    val dim = 64
+    def anchor(c: Int, j: Int): Double =
+      (((c * 37 + j * 11) % 16) - 8) / 10.0
+    def center(c: Int, j: Int): Double =
+      if (c < 8) anchor(c, j)
+      else (anchor(c - 8, j) + anchor((c - 7) % 8, j)) / 2.0
+    def noise(i: Int, j: Int): Double =
+      (((i * 131 + j * 17) % 21) - 10) / 200.0
+    val rows = (0 until 176).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (center(i % 16, j) + noise(i, j)).toFloat).toArray)
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val rep = TextOps.nnDescentReport(df, nCents = 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (initScored, initHits) = rep("1_init")
+    val (descScored, descHits) = rep("2_descent")
+    assert(descHits >= initHits + 5,
+      s"descent $descHits must beat init $initHits on split clusters")
+    assert(initScored + descScored < 176L * 175,
+      s"total bill ${initScored + descScored} must undercut " +
+        "brute force 30800")
+  }
+
   test("s04 ANN recall: one row per query vector, recall well-formed " +
       "and consistent with the s03/s01 intersection for vec 0") {
     val rows = q("s04_ann_recall").collect()
