@@ -248,11 +248,13 @@ object TextOps {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val centArr = array(
       cents.select(col("cent_id"), col("ce")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .map(r => (r.getLong(0), r.getSeq[Any](1)))
         .sortBy(_._1)
         .map { case (id, v) =>
+          // lit() on the runtime element type: the codebook frame may
+          // carry float (parquet) or double (derived) embeddings
           struct(lit(id).as("cent_id"),
-            array(v.map(lit(_)).toIndexedSeq: _*).as("ce"))
+            array(v.map(x => lit(x)).toIndexedSeq: _*).as("ce"))
         }.toIndexedSeq: _*)
     base.select(col("vec_id"), col("embedding"),
       aggregate(centArr,
@@ -1894,6 +1896,108 @@ object TextOps {
             JOIN exact5 USING (a, b) WHERE a < 20) AS hits5)
         SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u
         ORDER BY stage""")),
+
+    // ------------------------------------------------------------------
+    // IVF index UPSERT monitoring — p02's question, for the vector
+    // index: a new drop of vectors (h60 hash-split 20%, x17's
+    // convention; the 8 codebook rows are day-0 by construction) is
+    // assigned to the STORED day-0 cells with the same zero-shuffle
+    // literal-codebook argmax — centroids never retrain on ingest. To
+    // make the monitor's alarm PROVABLE (m10's convention: an
+    // all-green report proves nothing), the drop's content skews by
+    // construction: each incoming vector is pulled toward centroid 2
+    // (v' = v + 0.1·c2, double-exact in both engines — d17's
+    // inject-the-defect move; 0.1 is tuned so the skew DISCRIMINATES:
+    // cell 2 flags on over-share, cell 4 on starvation, six cells
+    // stay green), the way a new crawl source skews toward one
+    // content type. The per-cell report prices the
+    // decision the index operator actually faces: growth_ppm (integer
+    // 1e6·new div old) says which cells the drop inflates, and
+    // `drifted` runs x31's exact two-proportion z-test
+    // (cross-multiplied DECIMAL38/HUGEINT integers, z > 2) on each
+    // cell's share-of-new vs share-of-old — when it fires, the stored
+    // centroids no longer describe the data and a retrain (s06's
+    // training pass) is due. ONE corpus scan + one 8-row aggregate;
+    // totals ride a 1-row broadcast.
+    // ------------------------------------------------------------------
+    "s16_ivf_upsert" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        import graft.functions.PortableHash.h60col
+        val base = emb(s, d)
+        val c2 = base.filter(col("vec_id") === 2)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        val c2lit = array(c2.map(x => lit(x.toDouble)).toIndexedSeq: _*)
+        val isNew = pmod(h60col(concat(lit("ivf_new_"), col("vec_id"))),
+          lit(5)) === 0 && col("vec_id") >= 8
+        val vd = transform(col("embedding"), x => x.cast("double"))
+        val frame = base.select(col("vec_id"),
+          when(isNew, zip_with(vd, c2lit,
+            (x, y) => x + lit(0.1) * y)).otherwise(vd).as("embedding"))
+        val per = assignToCodebookOf(frame, 8)
+          .select(col("cent_id"), isNew.as("is_new"))
+          .groupBy(col("cent_id"))
+          .agg(count(when(!col("is_new"), 1)).as("n_old"),
+            count(when(col("is_new"), 1)).as("n_new"))
+        val tot = per.agg(sum(col("n_old")).as("t_old"),
+          sum(col("n_new")).as("t_new"))
+        def d38(c: Column) = c.cast(DecimalType(38, 0))
+        val diff = col("n_new") * col("t_old") -
+          col("n_old") * col("t_new")
+        per.crossJoin(broadcast(tot))
+          .select(col("cent_id"), col("n_old"), col("n_new"),
+            expr("1000000 * n_new div n_old").as("growth_ppm"),
+            (d38(diff) * d38(diff) * d38(col("t_old") + col("t_new")) >
+              lit(4) * d38(col("t_old")) * d38(col("t_new")) *
+                d38(col("n_old") + col("n_new")) *
+                (d38(col("t_old") + col("t_new")) -
+                  d38(col("n_old") + col("n_new")))).as("drifted"))
+          .orderBy(col("cent_id"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id,
+            list_transform(embedding, x -> cast(x as double)) AS v,
+            ('0x' || substr(md5('ivf_new_' || vec_id), 1, 15))::BIGINT
+              % 5 = 0 AND vec_id >= 8 AS is_new
+          FROM embeddings),
+        c2 AS (SELECT v AS c2v FROM e0 WHERE vec_id = 2),
+        e AS (SELECT vec_id, is_new,
+            CASE WHEN is_new THEN
+              list_transform(range(1, len(v) + 1), i ->
+                v[i] + 0.1 * c2.c2v[i])
+            ELSE v END AS v
+          FROM e0, c2),
+        n AS (SELECT vec_id, is_new, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, is_new, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC,
+                cent_id) AS rn
+          FROM n, c),
+        tagged AS (
+          SELECT cent_id, is_new FROM asgn WHERE rn = 1),
+        per AS (
+          SELECT cent_id,
+            cast(count(*) FILTER (WHERE NOT is_new) as bigint) AS n_old,
+            cast(count(*) FILTER (WHERE is_new) as bigint) AS n_new
+          FROM tagged GROUP BY 1),
+        tot AS (
+          SELECT cast(sum(n_old) as bigint) AS t_old,
+            cast(sum(n_new) as bigint) AS t_new
+          FROM per)
+        SELECT p.cent_id, p.n_old, p.n_new,
+          cast(1000000 * p.n_new // p.n_old as bigint) AS growth_ppm,
+          (cast(p.n_new * t.t_old - p.n_old * t.t_new as hugeint) *
+           cast(p.n_new * t.t_old - p.n_old * t.t_new as hugeint) *
+           cast(t.t_old + t.t_new as hugeint)) >
+          (4 * cast(t.t_old as hugeint) * cast(t.t_new as hugeint) *
+           cast(p.n_old + p.n_new as hugeint) *
+           cast(t.t_old + t.t_new - p.n_old - p.n_new as hugeint))
+            AS drifted
+        FROM per p, tot t ORDER BY p.cent_id""")),
 
     // ------------------------------------------------------------------
     // ANN quality evaluation: recall@10 of the IVF 2-probe path (s03's
