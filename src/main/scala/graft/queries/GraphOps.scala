@@ -66,6 +66,39 @@ object GraphOps {
      else pairs.filter(col(x) =!= col(y))).distinct()
   }
 
+  /** Synchronous label propagation over a directed edge frame, one
+    * definition for g04/g09 (the coPurchaseEdges precedent — a
+    * semantics fix cannot drift between the census and the modularity
+    * score). Per round each node adopts the most frequent in-neighbor
+    * label, ties to the smallest label via max_by over the unique
+    * (count, -lbl) struct key. shuffle_hash on the LABELS side, not
+    * broadcast() and not unhinted: a forced broadcast ships every
+    * node's label to every executor per round and caps at 8 GB on a
+    * big graph; unhinted, Catalyst's garbage stats for checkpointed
+    * RDDs made it broadcast the EDGE-scale side (measured 11.2 s vs
+    * 3.0 at sf0.1). The hint names a STRATEGY, not a size assumption:
+    * both sides hash-shuffle on dst and each partition builds from 1/N
+    * of the node table — valid at any scale, measured at parity with
+    * the broadcast variant locally (2.00 vs 2.03 s warm, 3 rounds).
+    */
+  private def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("id").as("dst"), col("lbl"))
+          .hint("shuffle_hash"), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"),
+          struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+        .pipe(materialize)
+    }
+    labels
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -375,31 +408,7 @@ object GraphOps {
       (s, d) => {
         val edges = coPurchaseEdges(s, d)
           .pipe(materialize)
-        var labels = edges.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("lbl"))
-        for (_ <- 1 to 3) {
-          // shuffle_hash on the LABELS side, not broadcast() and not
-          // unhinted: a forced broadcast ships every node's label to
-          // every executor 3×/run and caps at 8 GB on a big graph;
-          // unhinted, Catalyst's garbage stats for checkpointed RDDs
-          // made it broadcast the EDGE-scale side (measured 11.2 s vs
-          // 3.0 at sf0.1). The hint names a STRATEGY, not a size
-          // assumption: both sides hash-shuffle on dst and each
-          // partition builds from 1/N of the node table — valid at any
-          // scale, and measured at parity with the broadcast variant
-          // locally (2.00 vs 2.03 s warm for the three rounds).
-          labels = edges
-            .join(labels.select(col("id").as("dst"), col("lbl"))
-              .hint("shuffle_hash"), "dst")
-            .groupBy(col("src"), col("lbl"))
-            .agg(count(lit(1)).as("c"))
-            .groupBy(col("src"))
-            .agg(max_by(col("lbl"),
-              struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
-            .select(col("src").as("id"), col("lbl"))
-            .pipe(materialize)
-        }
-        labels.groupBy(col("lbl"))
+        labelProp(edges, 3).groupBy(col("lbl"))
           .agg(count(lit(1)).as("n_members"),
             min(col("id")).as("min_member"))
           .orderBy(col("n_members").desc, col("lbl"))
@@ -696,6 +705,106 @@ object GraphOps {
           cast(count(*) as bigint) AS n_nodes,
           min(deg) AS min_deg, max(deg) AS max_deg,
           cast(sum(deg) as bigint) AS edge_endpoints
-        FROM deg GROUP BY 1 ORDER BY bin"""))
+        FROM deg GROUP BY 1 ORDER BY bin""")),
+
+    // ------------------------------------------------------------------
+    // Modularity of the label-propagation partition (Newman & Girvan)
+    // — the number that says whether g04's communities MEAN anything:
+    // Q = Σ_c [m_c/m − (d_c/2m)²]. Computed entirely in integers via
+    // 4m²·Q = Σ_c (4·m·m_c − d_c²): per community the report carries
+    // the exact contribution q_num = 4·m·m_c − d_c² (negative when
+    // the community holds fewer intra-edges than its degree mass
+    // predicts), plus the global Σ over ALL communities and m as
+    // ride-alongs, so Q itself is one division away — no float enters
+    // either engine. m_c comes from one canonical-edge double join
+    // against the label table (both key-partitioned); d_c from the
+    // node-keyed degree join; magnitudes: d_c ≤ 2m so q_num ≤ 4m² —
+    // a 100×-edges graph stays within int64 until m ~ 1.5e9 (then the
+    // DECIMAL38 widening d38 pattern applies).
+    // ------------------------------------------------------------------
+    "g09_modularity" -> Q(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d).pipe(materialize)
+        val labels = labelProp(edges, 3)
+        val canon = edges.filter(col("src") < col("dst"))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val mRow = canon.agg(count(lit(1)).as("m"))
+        val intra = canon
+          .join(labels.select(col("id").as("src"),
+            col("lbl").as("la")), "src")
+          .join(labels.select(col("id").as("dst"),
+            col("lbl").as("lb")), "dst")
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la"))
+          .agg(count(lit(1)).as("m_c"))
+          .select(col("la").as("lbl"), col("m_c"))
+        val per = labels.join(deg, col("id") === col("src"))
+          .groupBy(col("lbl"))
+          .agg(sum(col("deg")).as("d_c"),
+            count(lit(1)).as("n_members"))
+          .join(intra, Seq("lbl"), "left")
+          .withColumn("m_c", coalesce(col("m_c"), lit(0L)))
+          .crossJoin(broadcast(mRow))
+          .withColumn("q_num",
+            lit(4) * col("m") * col("m_c") - col("d_c") * col("d_c"))
+        val tot = per.agg(sum(col("q_num")).as("q_num_total"))
+        per.crossJoin(broadcast(tot))
+          .select(col("lbl").as("community"), col("n_members"),
+            col("m_c"), col("d_c"), col("q_num"), col("m"),
+            col("q_num_total"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(10)
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+        c1 AS (SELECT e.src, l.lbl, count(*) AS c
+          FROM edges e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+        l1 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+          SELECT src, lbl, row_number()
+            OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+          FROM c1) x WHERE rn = 1),
+        c2 AS (SELECT e.src, l.lbl, count(*) AS c
+          FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+        l2 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+          SELECT src, lbl, row_number()
+            OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+          FROM c2) x WHERE rn = 1),
+        c3 AS (SELECT e.src, l.lbl, count(*) AS c
+          FROM edges e JOIN l2 l ON l.id = e.dst GROUP BY 1, 2),
+        l3 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+          SELECT src, lbl, row_number()
+            OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+          FROM c3) x WHERE rn = 1),
+        canon AS (SELECT src, dst FROM edges WHERE src < dst),
+        m AS (SELECT cast(count(*) as bigint) AS m FROM canon),
+        deg AS (SELECT src, cast(count(*) as bigint) AS deg
+          FROM edges GROUP BY 1),
+        intra AS (
+          SELECT x.lbl, cast(count(*) as bigint) AS m_c
+          FROM canon c
+          JOIN l3 x ON x.id = c.src
+          JOIN l3 y ON y.id = c.dst
+          WHERE x.lbl = y.lbl GROUP BY 1),
+        per AS (
+          SELECT l.lbl, cast(sum(g.deg) as bigint) AS d_c,
+            cast(count(*) as bigint) AS n_members
+          FROM l3 l JOIN deg g ON g.src = l.id GROUP BY 1),
+        scored AS (
+          SELECT p.lbl, p.n_members,
+            coalesce(i.m_c, 0) AS m_c, p.d_c,
+            4 * m.m * coalesce(i.m_c, 0) - p.d_c * p.d_c AS q_num,
+            m.m
+          FROM per p LEFT JOIN intra i ON i.lbl = p.lbl, m),
+        tot AS (SELECT cast(sum(q_num) as bigint) AS q_num_total
+          FROM scored)
+        SELECT s.lbl AS community, s.n_members, s.m_c, s.d_c,
+          cast(s.q_num as bigint) AS q_num, s.m, t.q_num_total
+        FROM scored s, tot t
+        ORDER BY s.n_members DESC, community LIMIT 10"""))
   )
 }
