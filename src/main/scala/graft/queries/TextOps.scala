@@ -286,9 +286,16 @@ object TextOps {
       nRand: Int = 3, k: Int = 5, nProbes: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.PortableHash.h60col
-    val asg = assignToCodebookOf(base, nCents).localCheckpoint()
     // metadata-scale driver scalar (g01's iterative-action convention)
-    val n = asg.count()
+    val n = base.count()
+    // cells sized to the corpus — ~64 vectors per cell, floored at
+    // nCents — so blocking init stays LINEAR: with a FIXED cell count
+    // the within-cell pair set grows as n²/k (measured: a 26× decade
+    // on 10× vectors at k=8). ⌈n/64⌉ keeps per-cell pairs bounded;
+    // beyond ~10^4 centroids the literal-codebook argmax would switch
+    // to a broadcast join (s03's alternative posture).
+    val kCells = math.max(nCents, ((n + 63) / 64).toInt)
+    val asg = assignToCodebookOf(base, kCells).localCheckpoint()
     val ea = asg.select(col("cent_id"), col("vec_id").as("a"),
       col("embedding").as("va"))
     val eb = asg.select(col("cent_id"), col("vec_id").as("b"),
@@ -1808,8 +1815,11 @@ object TextOps {
         n AS (SELECT vec_id, v,
             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM e),
+        nv AS (SELECT count(*) AS cnt FROM n),
+        -- cells sized ~64 vectors each, floored at 8 (the Spark side's
+        -- linear-init dial); at this corpus this evaluates to 8
         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-          FROM n WHERE vec_id < 8),
+          FROM n, nv WHERE vec_id < greatest(8, (nv.cnt + 63) // 64)),
         asgn AS (
           SELECT vec_id, v, nrm, cent_id,
             row_number() OVER (PARTITION BY vec_id
@@ -1823,7 +1833,6 @@ object TextOps {
             list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
           FROM assigned x JOIN assigned y ON x.cent_id = y.cent_id
             AND x.vec_id <> y.vec_id),
-        nv AS (SELECT count(*) AS cnt FROM n),
         rnd0 AS (
           SELECT x.vec_id AS a,
             (x.vec_id + 1 +
@@ -2865,16 +2874,23 @@ object TextOps {
           .agg(count(lit(1)).as("df"))
         val nDocs = docs(s, d).groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"))
-        val boiler = df.join(nDocs, "source")
-          .filter(col("df") * 5 >= col("n_docs"))
         val w = Window.partitionBy(col("source"))
           .orderBy(col("df").desc, col("sh"))
-        boiler
+        // top candidate reported UNGATED (with its coverage permille)
+        // so the readout stays informative at every scale; the 20%
+        // boilerplate gate only feeds the n_boiler count — at sf0.1
+        // this corpus's max per-source coverage falls to ~13% and a
+        // gated-only report would go empty (the sf0.01 hits were the
+        // small-sample tail)
+        df.join(nDocs, "source")
           .withColumn("rn", row_number().over(w))
           .groupBy(col("source"), col("n_docs"))
-          .agg(count(lit(1)).as("n_boiler"),
+          .agg(count(when(col("df") * 5 >= col("n_docs"), 1))
+            .as("n_boiler"),
             max(when(col("rn") === 1, col("sh"))).as("top_sh"),
-            max(when(col("rn") === 1, col("df"))).as("top_df"))
+            max(when(col("rn") === 1, col("df"))).as("top_df"),
+            max(when(col("rn") === 1,
+              expr("1000 * df div n_docs"))).as("top_permille"))
           .orderBy(col("source"))
       },
       Some("""WITH t AS (
@@ -2895,11 +2911,14 @@ object TextOps {
           SELECT df.source, df.sh, df.df, nd.n_docs,
             row_number() OVER (PARTITION BY df.source
                                ORDER BY df.df DESC, df.sh) AS rn
-          FROM df JOIN nd USING (source)
-          WHERE df.df * 5 >= nd.n_docs)
-        SELECT source, n_docs, count(*) AS n_boiler,
+          FROM df JOIN nd USING (source))
+        SELECT source, n_docs,
+          cast(count(*) FILTER (WHERE df * 5 >= n_docs) as bigint)
+            AS n_boiler,
           max(CASE WHEN rn = 1 THEN sh END) AS top_sh,
-          max(CASE WHEN rn = 1 THEN df END) AS top_df
+          max(CASE WHEN rn = 1 THEN df END) AS top_df,
+          max(CASE WHEN rn = 1 THEN cast(1000 * df // n_docs as bigint)
+            END) AS top_permille
         FROM b GROUP BY source, n_docs ORDER BY source""")),
 
     // ------------------------------------------------------------------
