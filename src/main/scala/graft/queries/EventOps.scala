@@ -13,6 +13,32 @@ import Catalog._
   */
 object EventOps {
 
+  /** e17's scored hours — (event_type, ws, n, flag) for every hourly
+    * row with a full 24-row trailing window, the |n − S/w| > 3σ test
+    * rearranged to pure integers ((w·n − S)² > 9·(w·Σn² − S²)). One
+    * definition for the batch query and the streaming-twin equivalence
+    * assertion (StreamingSpec), the labelProp no-drift precedent.
+    */
+  private[graft] def anomalyScoredHours(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("n"))
+    val w24 = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+      .rowsBetween(-24, -1)
+    val dev = col("wcnt") * col("n") - col("s1")
+    hourly
+      .withColumn("wcnt", count(lit(1)).over(w24))
+      .withColumn("s1", sum(col("n")).over(w24))
+      .withColumn("s2", sum(col("n") * col("n")).over(w24))
+      .filter(col("wcnt") === 24)
+      .withColumn("flag",
+        dev * dev > lit(9) * (col("wcnt") * col("s2") -
+          col("s1") * col("s1")))
+      .select(col("event_type"), col("ws"), col("n"), col("flag"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -499,22 +525,7 @@ object EventOps {
     // ------------------------------------------------------------------
     "e17_rolling_anomaly" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val hourly = t(s, d, "events")
-          .groupBy(col("event_type"),
-            date_trunc("hour", col("ts")).as("ws"))
-          .agg(count(lit(1)).as("n"))
-        val w24 = Window.partitionBy(col("event_type")).orderBy(col("ws"))
-          .rowsBetween(-24, -1)
-        val dev = col("wcnt") * col("n") - col("s1")
-        val scored = hourly
-          .withColumn("wcnt", count(lit(1)).over(w24))
-          .withColumn("s1", sum(col("n")).over(w24))
-          .withColumn("s2", sum(col("n") * col("n")).over(w24))
-          .filter(col("wcnt") === 24)
-          .withColumn("flag",
-            dev * dev > lit(9) * (col("wcnt") * col("s2") -
-              col("s1") * col("s1")))
+        val scored = anomalyScoredHours(t(s, d, "events"))
         scored.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_scored"),
             count(when(col("flag"), 1)).as("n_anomalies"),

@@ -243,6 +243,66 @@ object EventStreams {
       }
   }
 
+  final case class HourCount(h: Long, n: Long)
+  final case class AnomState(pending: Seq[HourCount],
+      buffer: Seq[HourCount])
+  final case class HourFlag(event_type: String, h: Long, n: Long,
+      flag: Boolean)
+
+  /** Streaming twin of e17's rolling 3σ anomaly monitor: per
+    * event_type, state is the trailing 24 CLOSED hourly counts (the
+    * same 24-PRESENT-rows window as the batch ROWS BETWEEN 24
+    * PRECEDING AND 1 PRECEDING frame) plus the still-open hour's
+    * partial count — ≤25 rows per key regardless of stream length, a
+    * bounded summary like the KMV/CMS states. An hour CLOSES when a
+    * strictly later hour for the same key arrives (the spec feeds
+    * micro-batches in event-time order; a production deployment closes
+    * on the watermark instead, same downstream arithmetic); at close
+    * it is scored against the buffer with e17's exact integer test
+    * ((24·n − S)² > 9·(24·Σn² − S²) — no mean/σ computed) and joins
+    * the buffer. Emissions are exactly the batch query's scored rows
+    * for closed hours — asserted row-identical in StreamingSpec
+    * against EventOps.anomalyScoredHours (one shared definition).
+    */
+  def rollingAnomalies(events: Dataset[UserEvent]): Dataset[HourFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, HourFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[UserEvent],
+         state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(AnomState(Seq.empty, Seq.empty))
+          val pending = scala.collection.mutable.Map(
+            st.pending.map(p => p.h -> p.n): _*)
+          it.foreach { e =>
+            val h = e.ts.getTime / 3600000L
+            pending(h) = pending.getOrElse(h, 0L) + 1L
+          }
+          if (pending.isEmpty) Iterator.empty
+          else {
+            val maxH = pending.keys.max
+            val closed = pending.toSeq.filter(_._1 < maxH).sortBy(_._1)
+            var buf = st.buffer
+            val out = Seq.newBuilder[HourFlag]
+            closed.foreach { case (h, n) =>
+              if (buf.size == 24) {
+                val s1 = buf.iterator.map(_.n).sum
+                val s2 = buf.iterator.map(c => c.n * c.n).sum
+                val dev = 24L * n - s1
+                out += HourFlag(typ, h, n,
+                  dev * dev > 9L * (24L * s2 - s1 * s1))
+              }
+              buf = (buf :+ HourCount(h, n)).takeRight(24)
+            }
+            state.update(AnomState(
+              Seq(HourCount(maxH, pending(maxH))), buf))
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CmsRow(i: Int, counts: Array[Long])
 
   /** Streaming Count-Min sketch over user activity — x19's heavy-hitter

@@ -56,6 +56,16 @@ class PlanAuditSpec extends SparkFunSuite {
       + "sketch side / distinct-cents exact side) crossed with the "
       + "4-row quantile-pct literal — q72's pattern; the data-sized "
       + "work is the bounded KmvValueCensusRaw aggregation"),
+    "e23_rfm_segments" -> ("two 1-row broadcasts (anchor ts, 9-value "
+      + "quartile boundaries) crossed onto the users frame; the "
+      + "corpus-scale work is one user-keyed aggregation"),
+    "s15_nn_descent" -> ("20-row probe-batch broadcast for the exact "
+      + "ground truth (s04's pattern) + 1-row stage-count crosses; "
+      + "graph work is cell-/node-keyed hash joins only"),
+    "s16_ivf_upsert" -> ("1-row cell-total broadcast for the drift "
+      + "test; the corpus side is one zero-shuffle assignment scan"),
+    "g09_modularity" -> ("1-row m and 1-row q_num_total broadcasts; "
+      + "m_c/d_c come from key-partitioned hash joins"),
     "m08_schema_match" -> ("4×4 candidate matrix of per-column KMV "
       + "sketches (metadata rows); the data-sized work is the two "
       + "scan-once multi-column sketch aggregations"),

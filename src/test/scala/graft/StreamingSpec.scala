@@ -515,4 +515,50 @@ class StreamingSpec extends SparkFunSuite {
       spark.conf.unset(graft.plans.ApproxDistinctRewrite.KKey)
     }
   }
+
+  test("streaming rolling anomalies (e17's kappa twin): closed-hour " +
+      "emissions equal the batch scored rows, row for row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent].collect().sortBy(_.ts.getTime)
+    assert(all.length > 100)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UserEvent]
+    val q = EventStreams.rollingAnomalies(ms.toDS())
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("anomstream").start()
+    // feed in event-time order, split into 7 sequential micro-batches
+    // (splits land mid-hour: the open-hour partial-count merge is
+    // exercised, not just whole-hour batches)
+    all.grouped(math.max(1, all.length / 7 + 1)).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("anomstream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // batch twin via the SHARED definition; closed hours only — per
+    // type the final (still-open) hour never closes in the stream
+    val batchDf = spark.createDataset(all.toIndexedSeq).toDF()
+    val maxHour = all.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.map(_.ts.getTime / 3600000L).max
+    }
+    val batch = graft.queries.EventOps.anomalyScoredHours(batchDf)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L) ->
+        (r.getLong(2), r.getBoolean(3)))
+      .filter { case ((t, h), _) => h < maxHour(t) }
+      .toMap
+    assert(batch.nonEmpty, "batch twin produced no scored closed hours")
+    assert(streamed == batch,
+      s"stream/batch divergence: stream-only=" +
+        s"${streamed.keySet -- batch.keySet}, batch-only=" +
+        s"${batch.keySet -- streamed.keySet}")
+    // and the monitor is non-vacuous: at least one anomaly fired
+    assert(streamed.values.exists(_._2), "no anomaly flagged")
+  }
 }
