@@ -1287,6 +1287,76 @@ object EventOps {
           FROM u, b)
         SELECT r_q, f_q, m_q, cast(count(*) as bigint) AS n_users,
           ${sqlDsum("monetary")} AS total_monetary
-        FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"""))
+        FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""")),
+
+    // ------------------------------------------------------------------
+    // Time-decay attribution — the third marketing model next to e16's
+    // first/last touch, and the one a range-frame aggregate CANNOT
+    // express: every touch in the 7 days before a purchase earns
+    // credit 2^(6 − age_days) (halving per day), normalized per
+    // purchase to exactly 1e6 ppm-ish (integer div floors, stated) and
+    // summed per channel. The pairwise (touch, purchase) association
+    // is a USER-KEYED interval join (e09's shape — bounded by touches
+    // × purchases within one user's 7-day window, never data×data);
+    // the per-purchase normalizer is one purchase-keyed window sum.
+    // All arithmetic integer: 1 << (6 − age) weights, 1e6·w div Σw
+    // credits — bit-identical across engines where float decay
+    // (exp(-λ·age)) never could be.
+    // ------------------------------------------------------------------
+    "e24_decay_attribution" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("tsl"))
+        val touches = ev
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("touch"),
+            col("tsl").as("t_sl"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("tsl").as("p_sl"))
+        val pairs = touches.join(purchases, Seq("user_id"))
+          .filter(col("t_sl").between(col("p_sl") - 604800L,
+            col("p_sl") - 1L))
+          .withColumn("age_days",
+            expr("(p_sl - t_sl) div 86400"))
+          .withColumn("w",
+            expr("cast(shiftleft(1, cast(6 - age_days as int)) as bigint)"))
+        pairs
+          .withColumn("sw",
+            sum(col("w")).over(Window.partitionBy(col("p_id"))))
+          .withColumn("credit_ppm", expr("1000000 * w div sw"))
+          .groupBy(col("touch"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_ppm")).as("credit_ppm_total"))
+          .orderBy(col("touch"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, event_type,
+            cast(floor(epoch(cast(ts as timestamp))) as bigint) AS tsl
+          FROM events),
+        touches AS (
+          SELECT user_id, event_type AS touch, tsl AS t_sl
+          FROM ev WHERE event_type IN ('view', 'click')),
+        purchases AS (
+          SELECT user_id, event_id AS p_id, tsl AS p_sl
+          FROM ev WHERE event_type = 'purchase'),
+        pairs AS (
+          SELECT t.touch, p.p_id,
+            (p.p_sl - t.t_sl) // 86400 AS age_days
+          FROM touches t JOIN purchases p ON t.user_id = p.user_id
+            AND t.t_sl BETWEEN p.p_sl - 604800 AND p.p_sl - 1),
+        wt AS (
+          SELECT touch, p_id,
+            cast(1 << cast(6 - age_days as int) as bigint) AS w
+          FROM pairs),
+        nm AS (
+          SELECT touch, p_id, w,
+            sum(w) OVER (PARTITION BY p_id) AS sw
+          FROM wt)
+        SELECT touch, cast(count(*) as bigint) AS n_touches,
+          cast(sum(1000000 * w // sw) as bigint) AS credit_ppm_total
+        FROM nm GROUP BY touch ORDER BY touch"""))
   )
 }

@@ -1809,7 +1809,8 @@ object TextOps {
     // ------------------------------------------------------------------
     "s15_nn_descent" -> Q(
       (s, d) => nnDescentReport(emb(s, d), nCents = 8),
-      Some("""WITH e AS (SELECT vec_id,
+      bench = true,
+      oracle = Some("""WITH e AS (SELECT vec_id,
             list_transform(embedding, x -> cast(x as double)) AS v
           FROM embeddings),
         n AS (SELECT vec_id, v,
