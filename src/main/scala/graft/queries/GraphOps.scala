@@ -99,6 +99,42 @@ object GraphOps {
     labels
   }
 
+  /** Degree-ordered triangle enumeration (g02's core, factored so the
+    * per-node census and g10's per-edge support cannot drift): orient
+    * each canonical edge low-degree → high-degree, enumerate wedges
+    * from each node's ordered out-neighborhood (O(m^1.5) total wedge
+    * output — Latapy's compact-forward bound), close against the
+    * oriented edge list. One row per triangle (u, v, w).
+    */
+  private def orientedTriangles(s: SparkSession, d: String): DataFrame = {
+    val canon = coPurchaseEdges(s, d, canonical = true)
+      .pipe(materialize)
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val lowerA = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lowerA, col("a")).otherwise(col("b")).as("src"),
+        when(lowerA, col("b")).otherwise(col("a")).as("dst"),
+        when(lowerA, col("db")).otherwise(col("da")).as("ddst"))
+      .pipe(materialize)
+    val w1 = oriented.select(col("src"), col("dst").as("v"),
+      col("ddst").as("dv"))
+    val w2 = oriented.select(col("src"), col("dst").as("w"),
+      col("ddst").as("dw"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter((col("dv") < col("dw")) ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val closing = oriented.select(col("src").as("v"),
+      col("dst").as("w"))
+    wedges.join(closing, Seq("v", "w"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -220,35 +256,9 @@ object GraphOps {
     // ------------------------------------------------------------------
     "g02_triangle_count" -> Q(
       (s, d) => {
-        val canon = coPurchaseEdges(s, d, canonical = true)
-          .pipe(materialize)
-        val deg = canon.select(col("a").as("id"))
-          .union(canon.select(col("b").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-        val lowerA = (col("da") < col("db")) ||
-          (col("da") === col("db") && col("a") < col("b"))
-        val oriented = canon
-          .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
-          .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
-          .select(
-            when(lowerA, col("a")).otherwise(col("b")).as("src"),
-            when(lowerA, col("b")).otherwise(col("a")).as("dst"),
-            when(lowerA, col("db")).otherwise(col("da")).as("ddst"))
-          .pipe(materialize)
-        val w1 = oriented.select(col("src"), col("dst").as("v"),
-          col("ddst").as("dv"))
-        val w2 = oriented.select(col("src"), col("dst").as("w"),
-          col("ddst").as("dw"))
-        val wedges = w1.join(w2, Seq("src"))
-          .filter((col("dv") < col("dw")) ||
-            (col("dv") === col("dw") && col("v") < col("w")))
-          .select(col("src").as("u"), col("v"), col("w"))
-        val closing = oriented.select(col("src").as("v"),
-          col("dst").as("w"))
-        val tris = wedges.join(closing, Seq("v", "w"))
         // one Generate, not a 3-way union: each union branch would
         // re-execute the wedge join (3× the dominant cost)
-        tris
+        orientedTriangles(s, d)
           .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
           .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
           .orderBy(col("triangles").desc, col("id"))
@@ -805,6 +815,73 @@ object GraphOps {
         SELECT s.lbl AS community, s.n_members, s.m_c, s.d_c,
           cast(s.q_num as bigint) AS q_num, s.m, t.q_num_total
         FROM scored s, tot t
-        ORDER BY s.n_members DESC, community LIMIT 10"""))
+        ORDER BY s.n_members DESC, community LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // Edge triangle SUPPORT — the k-truss substrate (Cohen 2008): an
+    // edge's support is the number of triangles through it, and every
+    // edge of a k-truss needs support ≥ k−2, so this table IS the
+    // first peel decision (filter support < k−2, recount, iterate —
+    // g03's peel loop, on edges). Triangles come from the shared
+    // degree-oriented enumeration (one definition with g02 — the
+    // census and the support cannot drift); each triangle explodes to
+    // its three id-canonical edges in ONE Generate, then an edge-keyed
+    // count. Top-20 strongest ties reported — the maximally-embedded
+    // co-purchase pairs, the opposite end of the spectrum from g05's
+    // predicted-but-absent links.
+    // ------------------------------------------------------------------
+    "g10_edge_support" -> Q(
+      (s, d) => {
+        orientedTriangles(s, d)
+          .select(explode(array(
+            struct(least(col("u"), col("v")).as("a"),
+              greatest(col("u"), col("v")).as("b")),
+            struct(least(col("u"), col("w")).as("a"),
+              greatest(col("u"), col("w")).as("b")),
+            struct(least(col("v"), col("w")).as("a"),
+              greatest(col("v"), col("w")).as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        canon AS MATERIALIZED (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        deg AS MATERIALIZED (
+          SELECT id, cast(count(*) as bigint) AS deg FROM (
+            SELECT a AS id FROM canon
+            UNION ALL SELECT b FROM canon) u GROUP BY 1),
+        oriented AS MATERIALIZED (
+          SELECT CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.b ELSE c.a END AS dst,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN db.deg ELSE da.deg END AS ddst
+          FROM canon c
+          JOIN deg da ON da.id = c.a
+          JOIN deg db ON db.id = c.b),
+        tris AS MATERIALIZED (
+          SELECT p.src AS u, p.dst AS v, q.dst AS w
+          FROM oriented p
+          JOIN oriented q ON p.src = q.src
+            AND (p.ddst < q.ddst
+                 OR (p.ddst = q.ddst AND p.dst < q.dst))
+          JOIN oriented r ON r.src = p.dst AND r.dst = q.dst),
+        edges3 AS (
+          SELECT least(u, v) AS a, greatest(u, v) AS b FROM tris
+          UNION ALL SELECT least(u, w), greatest(u, w) FROM tris
+          UNION ALL SELECT least(v, w), greatest(v, w) FROM tris)
+        SELECT a, b, cast(count(*) as bigint) AS support
+        FROM edges3 GROUP BY 1, 2
+        ORDER BY support DESC, a, b LIMIT 20"""))
   )
 }

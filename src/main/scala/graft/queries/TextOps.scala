@@ -1568,6 +1568,75 @@ object TextOps {
         ORDER BY rule""")),
 
     // ------------------------------------------------------------------
+    // Language-ID EVALUATION — the confusion census of x04's stopword
+    // classifier against the corpus's recorded lang label (s09's
+    // eval-harness convention: the metric a pipeline computes before
+    // trusting x04's predictions to route a mixture plan). One
+    // classify pass (the shared LangId expressions — x04 and its eval
+    // cannot drift), one (label, pred) aggregation; label totals ride
+    // a label-keyed window so each row carries its denominator. The
+    // readout: which languages leak into which, and how much 'und'
+    // (no stopword hit) each label produces — the routing loss x16's
+    // mixture plan inherits from the classifier. On THIS corpus the
+    // verdict is damning and honest: the synthetic text draws from an
+    // English-ish vocabulary regardless of the recorded label, so
+    // de/es/fr/zh route almost entirely to en or und (s09's
+    // harness-is-the-deliverable convention — the eval exists
+    // precisely to catch a classifier this wrong before a mixture
+    // plan trusts it).
+    // ------------------------------------------------------------------
+    "x34_langid_confusion" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pred = docs(s, d)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .withColumn("toks", graft.text.LangId.tokens(col("text")))
+          .select(col("lang").as("lang_label"),
+            graft.text.LangId.detectFromTokens(col("text"), col("toks"))
+              .as("lang_pred"))
+        pred.groupBy(col("lang_label"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("label_total",
+            sum(col("n_docs")).over(
+              Window.partitionBy(col("lang_label"))))
+          .withColumn("correct", col("lang_label") === col("lang_pred"))
+          .orderBy(col("lang_label"), col("lang_pred"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text, lang,
+            list_filter(string_split_regex(lower(text), '\s+'),
+              t -> t <> '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang,
+            cast(length(regexp_replace(text, '\s+', '', 'g')) as double) AS total,
+            cast(len(regexp_extract_all(text, '[\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}]')) as double) AS cjk,
+            len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','was','with','on','as','are','this'))) AS s_en,
+            len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','sich','den','von','für','im','zu'))) AS s_de,
+            len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que','pour','pas','des','du','avec'))) AS s_fr,
+            len(list_filter(toks, t -> t IN ('el','la','los','las','de','que','es','en','un','una','por','con','para','no','se'))) AS s_es
+          FROM d),
+        p AS (
+          SELECT lang AS lang_label,
+            CASE WHEN total > 0 AND cjk / total > 0.3 THEN 'zh'
+                 WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+          FROM m),
+        conf AS (
+          SELECT lang_label, lang_pred,
+            cast(count(*) as bigint) AS n_docs
+          FROM p GROUP BY 1, 2)
+        SELECT lang_label, lang_pred, n_docs,
+          cast(sum(n_docs) OVER (PARTITION BY lang_label) as bigint)
+            AS label_total,
+          lang_label = lang_pred AS correct
+        FROM conf
+        ORDER BY lang_label, lang_pred""")),
+
+    // ------------------------------------------------------------------
     // Shingle containment (asymmetric near-dup: how much of the SMALLER
     // doc is inside the pair): |A∩B| / min(|A|,|B|). Catches
     // subset/quotation duplication that symmetric Jaccard dilutes.
