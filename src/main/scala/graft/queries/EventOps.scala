@@ -39,6 +39,25 @@ object EventOps {
       .select(col("event_type"), col("ws"), col("n"), col("flag"))
   }
 
+  /** Gap-sessionized events: adds `sid` (per-user session ordinal, new
+    * session after a >30-min µs-exact gap — the strict integer test;
+    * an interval test against seconds-truncated diffs can disagree at
+    * the boundary). One definition for e22's transition census and
+    * e25's journey similarity (the labelProp no-drift precedent).
+    */
+  private[graft] def sessionized(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("pts", lag(col("ts"), 1).over(wU))
+      .withColumn("new_s", when(col("pts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("pts")) >
+          1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wU.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -918,17 +937,9 @@ object EventOps {
     "e22_path_transitions" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val wU = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val n = t(s, d, "events")
+        val n = sessionized(t(s, d, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
-            col("ts"))
-          .withColumn("pts", lag(col("ts"), 1).over(wU))
-          .withColumn("new_s", when(col("pts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("pts")) >
-              1800000000L, 1L).otherwise(0L))
-          .withColumn("sid", sum(col("new_s")).over(
-            wU.rowsBetween(Window.unboundedPreceding, 0)))
+            col("ts")))
         val ws = Window.partitionBy(col("user_id"), col("sid"))
           .orderBy(col("ts"), col("event_id"))
         val wsd = Window.partitionBy(col("user_id"), col("sid"))
@@ -1357,6 +1368,94 @@ object EventOps {
           FROM wt)
         SELECT touch, cast(count(*) as bigint) AS n_touches,
           cast(sum(1000000 * w // sw) as bigint) AS credit_ppm_total
-        FROM nm GROUP BY touch ORDER BY touch"""))
+        FROM nm GROUP BY touch ORDER BY touch""")),
+
+    // ------------------------------------------------------------------
+    // User-journey SIMILARITY (trajectory similarity, REPOSE/ICDE-2021
+    // family, on behavioral paths): which users navigate alike? Each
+    // user's trajectory set = their distinct session-path strings
+    // (gap-sessionized via the shared helper, event types joined in
+    // (ts, event_id) order — a deterministic ordered aggregate);
+    // pairwise Jaccard over path sets via d08's AT-SCALE machinery on
+    // a new domain: a df-capped posting index on the path strings
+    // (ubiquitous paths — a lone 'view' — index nothing, exactly like
+    // stopword shingles), candidate pairs only from shared indexed
+    // paths, exact integer permille Jaccard from the per-user set
+    // sizes. No user×user cross join at any scale; the path strings
+    // are session-bounded so the index rows are behavior-vocabulary-
+    // scale, not event-scale.
+    // ------------------------------------------------------------------
+    "e25_journey_similarity" -> Q(
+      (s, d) => {
+        val sess = sessionized(t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts")))
+        val paths = sess.groupBy(col("user_id"), col("sid"))
+          .agg(concat_ws(">", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+        val up = paths.select(col("user_id"), col("path")).distinct()
+        val sizes = up.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("sz"))
+        val dfc = up.groupBy(col("path")).agg(count(lit(1)).as("df"))
+        val ok = up.join(dfc.filter(col("df") <= 50)
+          .select(col("path")), "path")
+        val shared = ok.select(col("user_id").as("ua"), col("path"))
+          .join(ok.select(col("user_id").as("ub"), col("path")),
+            Seq("path"))
+          .filter(col("ua") < col("ub"))
+          .groupBy(col("ua"), col("ub"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select(col("user_id").as("ua"),
+            col("sz").as("sa")), Seq("ua"))
+          .join(sizes.select(col("user_id").as("ub"),
+            col("sz").as("sb")), Seq("ub"))
+          .select(col("ua"), col("ub"), col("shared"), col("sa"),
+            col("sb"),
+            expr("1000 * shared div (sa + sb - shared)")
+              .as("jacc_permille"))
+          .orderBy(col("jacc_permille").desc, col("ua"), col("ub"))
+          .limit(20)
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, event_type,
+            cast(ts as timestamp) AS tts
+          FROM events),
+        o AS (
+          SELECT *, CASE WHEN lag(tts) OVER w IS NULL
+              OR epoch_us(tts) - epoch_us(lag(tts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)),
+        n AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        paths AS (
+          SELECT user_id, sid,
+            string_agg(event_type, '>' ORDER BY tts, event_id) AS path
+          FROM n GROUP BY 1, 2),
+        up AS (SELECT DISTINCT user_id, path FROM paths),
+        sizes AS (SELECT user_id, cast(count(*) as bigint) AS sz
+          FROM up GROUP BY 1),
+        dfc AS (SELECT path, count(*) AS df FROM up GROUP BY 1),
+        ok AS (SELECT up.user_id, up.path FROM up
+          JOIN dfc USING (path) WHERE dfc.df <= 50),
+        shared AS (
+          SELECT x.user_id AS ua, y.user_id AS ub,
+            cast(count(*) as bigint) AS shared
+          FROM ok x JOIN ok y ON x.path = y.path
+            AND x.user_id < y.user_id
+          GROUP BY 1, 2)
+        SELECT s.ua, s.ub, s.shared, a.sz AS sa, b.sz AS sb,
+          cast(1000 * s.shared // (a.sz + b.sz - s.shared) as bigint)
+            AS jacc_permille
+        FROM shared s
+        JOIN sizes a ON a.user_id = s.ua
+        JOIN sizes b ON b.user_id = s.ub
+        ORDER BY jacc_permille DESC, ua, ub LIMIT 20"""))
   )
 }
