@@ -2836,6 +2836,133 @@ object TextOps {
         FROM ws GROUP BY cl_size ORDER BY cl_size""")),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL cluster maintenance — when a new drop arrives, do
+    // NOT re-cluster the corpus: run connected components on the
+    // CONTRACTED graph. Day-0 (sources src0-15) clusters once; the
+    // incremental step maps every new-vs-old candidate pair's old
+    // endpoint to its stored cluster REP and runs CC over (rep, new)
+    // ∪ (new, new) edges only — a graph of reps + new docs, not of
+    // documents. Because each rep is the MIN of its members, the
+    // contracted component's min equals the true global min, so the
+    // merged labels are exactly the from-scratch labels. THE ORACLE IS
+    // THE PROOF: DuckDB re-clusters the FULL corpus from scratch
+    // (transitive closure over all pairs), and the hash match IS the
+    // merge ≡ recompute theorem (q76's pattern, for graphs). Pair
+    // generation uses the full-corpus df-capped posting index on both
+    // paths (df stats are maintainable incrementally; recomputed here)
+    // so the two pair sets coincide by construction. Output: the final
+    // multi-doc cluster census with each cluster's new-doc count.
+    // ------------------------------------------------------------------
+    "d20_incremental_clusters" -> Q(
+      (s, d) => {
+        val isNew = col("source")
+          .isin("src16", "src17", "src18", "src19")
+        val toked = docs(s, d)
+          .select(col("doc_id"), isNew.as("is_new"),
+            words(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val pairs = postingJaccardPairsFrom(
+          toked.select(col("doc_id"), col("toks")))
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val newIds = docs(s, d).filter(isNew)
+          .select(col("doc_id")).localCheckpoint()
+        // day-0: components over old-old pairs only
+        val oldPairs = pairs
+          .join(newIds.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+            "left_anti")
+          .join(newIds.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+            "left_anti")
+        val day0 = graft.operators.ConnectedComponents
+          .components(oldPairs.select(col("doc_a"), col("doc_b")))
+          .select(col("id"), col("cluster")).localCheckpoint()
+        // incremental: pairs touching a new doc, old side contracted
+        // to its stored rep
+        val incPairs = pairs
+          .join(newIds.select(col("doc_id").as("doc_a"))
+            .withColumn("a_new", lit(true)), Seq("doc_a"), "left")
+          .join(newIds.select(col("doc_id").as("doc_b"))
+            .withColumn("b_new", lit(true)), Seq("doc_b"), "left")
+          .filter(col("a_new").isNotNull || col("b_new").isNotNull)
+          .join(day0.select(col("id").as("doc_a"),
+            col("cluster").as("ra")), Seq("doc_a"), "left")
+          .join(day0.select(col("id").as("doc_b"),
+            col("cluster").as("rb")), Seq("doc_b"), "left")
+          .select(coalesce(col("ra"), col("doc_a")).as("na"),
+            coalesce(col("rb"), col("doc_b")).as("nb"))
+          .filter(col("na") =!= col("nb"))
+        val merged = graft.operators.ConnectedComponents
+          .components(incPairs.select(col("na"), col("nb")))
+          .select(col("id").as("node"), col("cluster").as("mlbl"))
+          .localCheckpoint()
+        // final label per doc: old docs go day-0 rep → merged label of
+        // that rep; new docs take their merged label; untouched keep
+        // themselves
+        val assigned = docs(s, d).select(col("doc_id"), isNew.as("nw"))
+          .join(day0.select(col("id").as("doc_id"),
+            col("cluster").as("r0")), Seq("doc_id"), "left")
+          .withColumn("pre", coalesce(col("r0"), col("doc_id")))
+          .join(merged.select(col("node").as("pre"), col("mlbl")),
+            Seq("pre"), "left")
+          .select(col("doc_id"), col("nw"),
+            coalesce(col("mlbl"), col("pre")).as("cluster"))
+        assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("nw"), 1)).as("n_new"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT doc_id,
+            source IN ('src16','src17','src18','src19') AS is_new,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sw
+          FROM t0 WHERE len(w) >= 3),
+        dposts AS (SELECT doc_id, unnest(sw) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM dposts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM dposts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        dsizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        prs AS (
+          SELECT s.doc_a, s.doc_b
+          FROM shared s
+          JOIN dsizes x ON x.doc_id = s.doc_a
+          JOIN dsizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        ccx AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src),
+        assigned AS (
+          SELECT t0.doc_id, t0.is_new,
+            coalesce(ccx.cluster, t0.doc_id) AS cluster
+          FROM t0 LEFT JOIN ccx ON ccx.doc_id = t0.doc_id)
+        SELECT cluster, cast(count(*) as bigint) AS n_docs,
+          cast(count(*) FILTER (WHERE is_new) as bigint) AS n_new
+        FROM assigned GROUP BY cluster HAVING count(*) >= 2
+        ORDER BY cluster""")),
+
+    // ------------------------------------------------------------------
     // Vocabulary DRIFT detection — the data-quality monitor an ingest
     // pipeline runs on every drop (p02's split: history src0-15 vs
     // incoming src16-19): per word, a two-proportion z>2 test decided
