@@ -106,9 +106,14 @@ object GraphOps {
     * output — Latapy's compact-forward bound), close against the
     * oriented edge list. One row per triangle (u, v, w).
     */
-  private def orientedTriangles(s: SparkSession, d: String): DataFrame = {
-    val canon = coPurchaseEdges(s, d, canonical = true)
-      .pipe(materialize)
+  private def orientedTriangles(s: SparkSession, d: String): DataFrame =
+    orientedTrianglesOf(coPurchaseEdges(s, d, canonical = true))
+
+  /** Same enumeration over an arbitrary canonical (a < b) edge frame —
+    * g11's peel re-runs it per round on the surviving edges.
+    */
+  private def orientedTrianglesOf(canon0: DataFrame): DataFrame = {
+    val canon = canon0.pipe(materialize)
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -882,6 +887,154 @@ object GraphOps {
           UNION ALL SELECT least(v, w), greatest(v, w) FROM tris)
         SELECT a, b, cast(count(*) as bigint) AS support
         FROM edges3 GROUP BY 1, 2
-        ORDER BY support DESC, a, b LIMIT 20"""))
+        ORDER BY support DESC, a, b LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // k-TRUSS peel trajectory (Cohen 2008; k = 10): iteratively drop
+    // every edge with support < k−2 and recount — g03's k-core peel,
+    // on edges, with g10's support table as each round's input. Three
+    // rounds reported as (round, edges_before, edges_after); on this
+    // near-random co-purchase graph the peel keeps biting (115.7k →
+    // 93.2k → 67.4k → 39.4k at sf0.01) and full convergence would run
+    // many more rounds — the trajectory, not a converged truss, is
+    // the deliverable, and it is exactly what sizes the remaining
+    // rounds' bill before committing to them. Each round: one
+    // O(m^1.5) wedge pass + an edge-keyed semi join; per-round counts
+    // are driver scalars (g01's iterative-action convention);
+    // surviving edge frames are materialized per round so plans stay
+    // constant-size.
+    // ------------------------------------------------------------------
+    "g11_ktruss_peel" -> Q(
+      (s, d) => {
+        val kk = 10
+        var cur = coPurchaseEdges(s, d, canonical = true)
+          .pipe(materialize)
+        val traj = scala.collection.mutable.ArrayBuffer.empty[
+          (Int, Long, Long)]
+        for (r <- 1 to 3) {
+          val support = orientedTrianglesOf(cur)
+            .select(explode(array(
+              struct(least(col("u"), col("v")).as("a"),
+                greatest(col("u"), col("v")).as("b")),
+              struct(least(col("u"), col("w")).as("a"),
+                greatest(col("u"), col("w")).as("b")),
+              struct(least(col("v"), col("w")).as("a"),
+                greatest(col("v"), col("w")).as("b")))).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+            .groupBy(col("a"), col("b"))
+            .agg(count(lit(1)).as("sup"))
+          val nxt = cur.join(
+            support.filter(col("sup") >= kk - 2)
+              .select(col("a"), col("b")),
+            Seq("a", "b"), "left_semi")
+            .pipe(materialize)
+          traj += ((r, cur.count(), nxt.count()))
+          cur = nxt
+        }
+        import s.implicits._
+        traj.toSeq.toDF("round", "edges_before", "edges_after")
+          .orderBy(col("round"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        cur0 AS MATERIALIZED (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        deg1 AS MATERIALIZED (SELECT id, cast(count(*) as bigint) AS deg
+          FROM (SELECT a AS id FROM cur0
+                UNION ALL SELECT b FROM cur0) u GROUP BY 1),
+        o1 AS MATERIALIZED (
+          SELECT CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.b ELSE c.a END AS dst,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN db.deg ELSE da.deg END AS ddst
+          FROM cur0 c JOIN deg1 da ON da.id = c.a
+          JOIN deg1 db ON db.id = c.b),
+        t1 AS MATERIALIZED (
+          SELECT p.src AS u, p.dst AS v, q.dst AS w FROM o1 p
+          JOIN o1 q ON p.src = q.src AND (p.ddst < q.ddst
+            OR (p.ddst = q.ddst AND p.dst < q.dst))
+          JOIN o1 r ON r.src = p.dst AND r.dst = q.dst),
+        s1 AS (SELECT a, b, count(*) AS sup FROM (
+          SELECT least(u, v) AS a, greatest(u, v) AS b FROM t1
+          UNION ALL SELECT least(u, w), greatest(u, w) FROM t1
+          UNION ALL SELECT least(v, w), greatest(v, w) FROM t1) e
+          GROUP BY 1, 2),
+        cur1 AS MATERIALIZED (
+          SELECT c.a, c.b FROM cur0 c
+          JOIN s1 ON s1.a = c.a AND s1.b = c.b AND s1.sup >= 8),
+        deg2 AS MATERIALIZED (SELECT id, cast(count(*) as bigint) AS deg
+          FROM (SELECT a AS id FROM cur1
+                UNION ALL SELECT b FROM cur1) u GROUP BY 1),
+        o2 AS MATERIALIZED (
+          SELECT CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.b ELSE c.a END AS dst,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN db.deg ELSE da.deg END AS ddst
+          FROM cur1 c JOIN deg2 da ON da.id = c.a
+          JOIN deg2 db ON db.id = c.b),
+        t2 AS MATERIALIZED (
+          SELECT p.src AS u, p.dst AS v, q.dst AS w FROM o2 p
+          JOIN o2 q ON p.src = q.src AND (p.ddst < q.ddst
+            OR (p.ddst = q.ddst AND p.dst < q.dst))
+          JOIN o2 r ON r.src = p.dst AND r.dst = q.dst),
+        s2 AS (SELECT a, b, count(*) AS sup FROM (
+          SELECT least(u, v) AS a, greatest(u, v) AS b FROM t2
+          UNION ALL SELECT least(u, w), greatest(u, w) FROM t2
+          UNION ALL SELECT least(v, w), greatest(v, w) FROM t2) e
+          GROUP BY 1, 2),
+        cur2 AS MATERIALIZED (
+          SELECT c.a, c.b FROM cur1 c
+          JOIN s2 ON s2.a = c.a AND s2.b = c.b AND s2.sup >= 8),
+        deg3 AS MATERIALIZED (SELECT id, cast(count(*) as bigint) AS deg
+          FROM (SELECT a AS id FROM cur2
+                UNION ALL SELECT b FROM cur2) u GROUP BY 1),
+        o3 AS MATERIALIZED (
+          SELECT CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.b ELSE c.a END AS dst,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN db.deg ELSE da.deg END AS ddst
+          FROM cur2 c JOIN deg3 da ON da.id = c.a
+          JOIN deg3 db ON db.id = c.b),
+        t3 AS MATERIALIZED (
+          SELECT p.src AS u, p.dst AS v, q.dst AS w FROM o3 p
+          JOIN o3 q ON p.src = q.src AND (p.ddst < q.ddst
+            OR (p.ddst = q.ddst AND p.dst < q.dst))
+          JOIN o3 r ON r.src = p.dst AND r.dst = q.dst),
+        s3 AS (SELECT a, b, count(*) AS sup FROM (
+          SELECT least(u, v) AS a, greatest(u, v) AS b FROM t3
+          UNION ALL SELECT least(u, w), greatest(u, w) FROM t3
+          UNION ALL SELECT least(v, w), greatest(v, w) FROM t3) e
+          GROUP BY 1, 2),
+        cur3 AS MATERIALIZED (
+          SELECT c.a, c.b FROM cur2 c
+          JOIN s3 ON s3.a = c.a AND s3.b = c.b AND s3.sup >= 8)
+        SELECT * FROM (
+          SELECT 1 AS round,
+            (SELECT cast(count(*) as bigint) FROM cur0) AS edges_before,
+            (SELECT cast(count(*) as bigint) FROM cur1) AS edges_after
+          UNION ALL SELECT 2,
+            (SELECT cast(count(*) as bigint) FROM cur1),
+            (SELECT cast(count(*) as bigint) FROM cur2)
+          UNION ALL SELECT 3,
+            (SELECT cast(count(*) as bigint) FROM cur2),
+            (SELECT cast(count(*) as bigint) FROM cur3)) x
+        ORDER BY round"""))
   )
 }
