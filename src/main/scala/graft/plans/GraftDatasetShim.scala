@@ -1,0 +1,15 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Shim exposing the package-private `Dataset.ofRows` so graft's
+  * custom logical operators (graft.plans.TopKPerKey) can wrap a plan
+  * as a DataFrame — the established public extension pattern (see
+  * SNIPPETS.md [3], a DatasetFactory in the spark.sql package doing
+  * exactly this; Spark offers no public LogicalPlan → DataFrame
+  * constructor).
+  */
+object GraftDatasetShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark, plan)
+}

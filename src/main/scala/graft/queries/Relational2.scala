@@ -1701,7 +1701,48 @@ object Relational2 {
         SELECT * FROM (
           $branches) u
         ORDER BY col_name"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Custom PHYSICAL top-k-per-key operator — the extension ladder's
+    // rung (c) made concrete: a LogicalPlan node + SparkStrategy +
+    // SparkPlan (graft.plans.TopKPerKey, injected via
+    // experimental.extraStrategies). Unlike row_number().over(...),
+    // whose exchange ships EVERY row of every key before sorting, the
+    // custom exec keeps a bounded k-row heap per key on the map side,
+    // so the shuffle carries at most k rows per (key, input partition)
+    // — the plan shape a 100 TB top-k wants (QProf: TopKPerKeyExec
+    // partial BELOW the exchange, final above). Hash-verified against
+    // the row_number formulation in DuckDB — the equivalence proof
+    // that the custom operator implements exactly the declarative
+    // semantics. Total sort order (price DESC, linenumber, partkey)
+    // per the q43 tiebreak lesson.
+    // ------------------------------------------------------------------
+    "q78_topk_physical" -> Q(
+      (s, d) => {
+        graft.plans.TopKPerKey.install(s)
+        val li = t(s, d, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_extendedprice"))
+        graft.plans.TopKPerKey(li, Seq("l_orderkey"),
+          Seq(("l_extendedprice", true), ("l_linenumber", false),
+            ("l_partkey", false)), 3)
+          .orderBy(col("l_orderkey"), col("l_extendedprice").desc,
+            col("l_linenumber"), col("l_partkey"))
+      },
+      Some("""WITH f AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+          FROM lineitem WHERE l_quantity >= 45),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber, l_partkey)
+            AS rn
+          FROM f)
+        SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        FROM r WHERE rn <= 3
+        ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber,
+          l_partkey"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

@@ -5,6 +5,7 @@ import graft.plans.DangerousWriteGate
 import graft.queries.Catalog
 import java.nio.file.Files
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
 
 /** The plan-level danger gate: Overwrite writes under a protected root
   * are rejected at optimization time (no task ever launches), append
@@ -194,5 +195,41 @@ class PlanGateSpec extends SparkFunSuite {
     val after = li.agg(expr("percentile(l_extendedprice, 0.5d)").as("m"))
       .head().getDouble(0)
     assert(after == exact)
+  }
+
+  test("TopKPerKey custom physical operator: partial-below-exchange " +
+      "plan shape, row-identical to the window formulation, and " +
+      "unplannable once the strategy is uninstalled") {
+    import graft.plans.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+    TopKPerKey.install(spark)
+    try {
+      val custom = TopKPerKey(li, Seq("l_orderkey"),
+        Seq(("l_extendedprice", true), ("l_linenumber", false),
+          ("l_partkey", false)), 2)
+      // plan carries BOTH stages: partial (map side) and final (after
+      // the clustered exchange)
+      val execs = custom.queryExecution.executedPlan.toString
+      assert("TopKPerKey".r.findAllIn(execs).size >= 2, execs)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"),
+          col("l_partkey"))
+      val windowed = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
+      val key = (r: org.apache.spark.sql.Row) => r.toSeq.mkString("|")
+      assert(custom.collect().map(key).sorted.toSeq ==
+        windowed.collect().map(key).sorted.toSeq)
+    } finally TopKPerKey.uninstall(spark)
+    // uninstalled: the node must FAIL planning, never silently fall
+    // back to a wrong plan
+    intercept[Exception] {
+      TopKPerKey(li, Seq("l_orderkey"),
+        Seq(("l_extendedprice", true)), 2).collect()
+    }
   }
 }
