@@ -303,6 +303,55 @@ object EventStreams {
       }
   }
 
+  final case class TransState(lastType: String, lastUs: Long)
+  final case class TransRow(from_type: String, to_type: String)
+
+  /** Streaming twin of e22's session path transitions: per user,
+    * state is ONE row — the open session's last (event_type, ts µs).
+    * Each arriving event either continues the session (emit last→this)
+    * or closes it on a >30-min µs-exact gap (emit last→END, then
+    * START→this — e22's absorbing states, the same strict integer gap
+    * test). Events are sorted (ts, event_id) within each micro-batch;
+    * cross-batch order comes from the feed (production: watermark +
+    * event-time ordering per key). The final open session's last→END
+    * never emits (no later event closes it) — StreamingSpec compares
+    * against the batch census with exactly those rows withheld, the
+    * anomaly twin's horizon convention.
+    */
+  def pathTransitions(events: Dataset[UserEvent]): Dataset[TransRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[UserEvent],
+         state: GroupState[TransState]) =>
+          // µs-exact epoch: getTime is millis (nanos truncated), the
+          // sub-ms micros ride in getNanos — same precision as the
+          // batch side's unix_micros
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val sorted = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = Seq.newBuilder[TransRow]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            val us = usOf(e.ts)
+            if (cur == null) {
+              out += TransRow("START", e.event_type)
+            } else if (us - cur.lastUs > 1800000000L) {
+              out += TransRow(cur.lastType, "END")
+              out += TransRow("START", e.event_type)
+            } else {
+              out += TransRow(cur.lastType, e.event_type)
+            }
+            cur = TransState(e.event_type, us)
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   final case class CmsRow(i: Int, counts: Array[Long])
 
   /** Streaming Count-Min sketch over user activity — x19's heavy-hitter

@@ -561,4 +561,51 @@ class StreamingSpec extends SparkFunSuite {
     // and the monitor is non-vacuous: at least one anomaly fired
     assert(streamed.values.exists(_._2), "no anomaly flagged")
   }
+
+  test("streaming path transitions (e22's kappa twin): emissions equal " +
+      "the batch census minus the never-closing final ENDs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UserEvent]
+    val q = EventStreams.pathTransitions(ms.toDS())
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("transtream").start()
+    all.grouped(math.max(1, all.length / 5 + 1)).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("transtream").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+    // batch twin: e22's census; subtract each user's LAST session's
+    // (last_type -> END) row, which the stream can never close
+    val batchCensus = SparkEntry.queries("e22_path_transitions")(
+        spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lastTypes = spark.read.parquet(stagedDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rs) =>
+        def us(t: java.sql.Timestamp): Long =
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        rs.maxBy(r => (us(r.getTimestamp(1)), r.getLong(2)))
+          .getString(3)
+      }
+    val withheld = lastTypes.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expected = batchCensus.map { case ((f, t), n) =>
+      (f, t) -> (if (t == "END") n - withheld.getOrElse(f, 0L) else n)
+    }.filter(_._2 > 0)
+    assert(streamed == expected,
+      s"stream-only=${streamed.toSet -- expected.toSet}, " +
+        s"expected-only=${expected.toSet -- streamed.toSet}")
+  }
 }
