@@ -2963,6 +2963,77 @@ object TextOps {
         ORDER BY cluster""")),
 
     // ------------------------------------------------------------------
+    // Containment at SCALE — closes d06's documented gap ("the scale
+    // path is LSH"): the same df-capped posting index d08 runs for
+    // Jaccard, with the asymmetric formula shared / min(|A'|, |B'|)
+    // over the PRUNED shingle universe (primes stay primed: a doc
+    // whose shingles are all ubiquitous has no indexed shingles and
+    // correctly produces no candidates — the pruned-universe semantic,
+    // stated as such; d06 remains the bounded exact-universe twin).
+    // Catches quotation/subset duplication that symmetric Jaccard
+    // dilutes, without an all-pairs join at any scale.
+    // ------------------------------------------------------------------
+    "d21_containment_scaled" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tokd = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val posts = tokd.select(col("doc_id"),
+          explode(shingles3(col("toks"))).as("fp"))
+        val okPosts = posts
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("fp"))))
+          .filter(col("df") <= 50)
+          .select(col("doc_id"), col("fp"))
+        val sizes = okPosts.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("sz"))
+        winnowCandidatePairs(okPosts, minShared = 1, maxDf = 50)
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("sz").as("sz_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("sz").as("sz_b")), "doc_b")
+          .withColumn("containment", col("shared_fps").cast("double") /
+            least(col("sz_a"), col("sz_b")).cast("double"))
+          .filter(col("containment") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("containment"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sw
+          FROM t0 WHERE len(w) >= 3),
+        dposts AS (SELECT doc_id, unnest(sw) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM dposts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM dposts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        dsizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT s.doc_a, s.doc_b,
+          cast(s.shared_fps as double) /
+            cast(least(x.sz, y.sz) as double) AS containment
+        FROM shared s
+        JOIN dsizes x ON x.doc_id = s.doc_a
+        JOIN dsizes y ON y.doc_id = s.doc_b
+        WHERE cast(s.shared_fps as double) /
+              cast(least(x.sz, y.sz) as double) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
     // Vocabulary DRIFT detection — the data-quality monitor an ingest
     // pipeline runs on every drop (p02's split: history src0-15 vs
     // incoming src16-19): per word, a two-proportion z>2 test decided
