@@ -6082,6 +6082,166 @@ object TextOps {
     // ONLY the incoming batch (plus index probes and candidate
     // shingle lookups); day-0 cost was paid once at index-build time.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // RELEASE DATASHEET — the per-language data card a corpus release
+    // ships (Gebru et al.'s datasheets, in engine form): one row per
+    // language with the numbers every downstream consumer asks first.
+    // n_dup_docs from the AT-SCALE posting-index clusters (x30's path
+    // — the keeper is the cluster min, duplicates counted against
+    // their language); n_contaminated via the 4-gram benchmark screen
+    // (the 8-gram production screen of x15 finds zero on this corpus —
+    // a structurally-empty column reports nothing, so the datasheet
+    // uses the sensitive variant and says so); n_fail_quality is
+    // x33's 4-rule stack, any-fail. ONE tokenize feeds all four
+    // families; the only corpus-scale joins are the doc-keyed cluster
+    // /contamination attachments.
+    // ------------------------------------------------------------------
+    "p03_release_datasheet" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            words(col("text")).as("w"))
+          .localCheckpoint()
+        // dup clusters over the full corpus (x30's machinery)
+        val pairs = postingJaccardPairsFrom(
+          base.filter(size(col("w")) >= 3)
+            .select(col("doc_id"), col("w").as("toks")))
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.components(pairs)
+        // 4-gram benchmark contamination screen
+        def grams4(toks: Column): Column =
+          when(size(toks) >= 4,
+            array_distinct(transform(sequence(lit(0), size(toks) - 4),
+              i => concat_ws(" ", (0 until 4).map(o =>
+                element_at(toks, i + o + 1)): _*))))
+            .otherwise(array().cast("array<string>"))
+        val g4 = base.select(col("doc_id"),
+          explode(grams4(col("w"))).as("ng"))
+        val benchNg = g4.filter(col("doc_id") % 97 === 0)
+          .select(col("ng")).distinct()
+        val contam = g4.filter(col("doc_id") % 97 =!= 0)
+          .join(benchNg, Seq("ng"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("is_contam", lit(true))
+        // x33's quality stack, any-fail
+        val g2d = base.select(col("doc_id"), col("text"), col("w"),
+          when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1), i =>
+              concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1))))
+            .otherwise(array().cast("array<string>")).as("g2"))
+        val nTok = size(col("w")).cast("double")
+        val top2 = when(size(col("g2")) > 0,
+          array_max(transform(col("g2"), g =>
+            size(filter(col("g2"), x => x === g)))).cast("double") /
+            size(col("g2")).cast("double"))
+          .otherwise(lit(0.0))
+        val mwl = length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / nTok
+        val ttr = size(array_distinct(col("w"))).cast("double") / nTok
+        val failQ = g2d.select(col("doc_id"),
+          ((mwl < 4.2) || (size(col("w")) < 25) || (top2 >= 0.1) ||
+            (ttr < 0.55)).as("fail_q"))
+        base
+          .join(cc.select(col("id").as("doc_id"),
+            col("cluster")), Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .join(failQ, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("w"))).cast("long").as("n_tokens"),
+            count(when(coalesce(col("cluster"), col("doc_id")) =!=
+              col("doc_id"), 1)).as("n_dup_docs"),
+            count(when(col("is_contam"), 1)).as("n_contaminated"),
+            count(when(col("fail_q"), 1)).as("n_fail_quality"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT doc_id, lang, text,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sw
+          FROM t0 WHERE len(w) >= 3),
+        dposts AS (SELECT doc_id, unnest(sw) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM dposts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM dposts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        dsizes AS (SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        prs AS (
+          SELECT s.doc_a, s.doc_b FROM shared s
+          JOIN dsizes x ON x.doc_id = s.doc_a
+          JOIN dsizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        ccx AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src),
+        g4 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) >= 4 THEN
+              list_transform(range(1, len(w) - 2), i ->
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+            ELSE [] END)) AS ng
+          FROM t0),
+        bench AS (SELECT DISTINCT ng FROM g4 WHERE doc_id % 97 = 0),
+        contam AS (
+          SELECT DISTINCT g4.doc_id FROM g4
+          JOIN bench USING (ng) WHERE g4.doc_id % 97 <> 0),
+        gm AS (
+          SELECT doc_id, text, w,
+            list_transform(range(1, len(w)), i ->
+              w[i] || ' ' || w[i+1]) AS g2
+          FROM t0),
+        qm AS (
+          SELECT doc_id,
+            cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
+              / len(w) AS mwl,
+            len(w) AS nt,
+            cast(len(list_distinct(w)) as double) / len(w) AS ttr,
+            CASE WHEN len(g2) > 0 THEN
+              cast(list_max(list_transform(g2, y ->
+                len(list_filter(g2, x -> x = y)))) as double) / len(g2)
+            ELSE 0.0 END AS tb
+          FROM gm),
+        flagged AS (
+          SELECT doc_id,
+            (mwl < 4.2 OR nt < 25 OR tb >= 0.1 OR ttr < 0.55) AS fail_q
+          FROM qm)
+        SELECT t0.lang,
+          cast(count(*) as bigint) AS n_docs,
+          cast(sum(len(t0.w)) as bigint) AS n_tokens,
+          cast(count(*) FILTER (WHERE
+            coalesce(ccx.cluster, t0.doc_id) <> t0.doc_id) as bigint)
+            AS n_dup_docs,
+          cast(count(*) FILTER (WHERE contam.doc_id IS NOT NULL)
+            as bigint) AS n_contaminated,
+          cast(count(*) FILTER (WHERE f.fail_q) as bigint)
+            AS n_fail_quality
+        FROM t0
+        LEFT JOIN ccx ON ccx.doc_id = t0.doc_id
+        LEFT JOIN contam ON contam.doc_id = t0.doc_id
+        LEFT JOIN flagged f ON f.doc_id = t0.doc_id
+        GROUP BY t0.lang ORDER BY t0.lang""")),
+
     "p02_incremental_admission" -> Q(
       (s, d) => {
         val bands = 16; val rowsPerBand = 4
