@@ -39,7 +39,12 @@ class QueriesSpec extends SparkFunSuite {
         "x21_bigram_lm_score", "x23_sequence_pack",
         "d14_incremental_dedup", "x25_dsir_select",
         "e14_zonemap_prune", "g04_label_prop", "s07_mmr_rerank",
-        "x27_perceptron_classifier", "d15_lsh_tuning")) {
+        "x27_perceptron_classifier", "d15_lsh_tuning",
+        // session-3 checkpoint/iterative additions
+        "s15_nn_descent", "s16_ivf_upsert", "d19_soft_dedup_weights",
+        "d20_incremental_clusters", "e23_rfm_segments", "g09_modularity",
+        "g11_ktruss_peel", "q78_topk_physical",
+        "p03_release_datasheet")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
