@@ -1637,6 +1637,76 @@ object TextOps {
         ORDER BY lang_label, lang_pred""")),
 
     // ------------------------------------------------------------------
+    // NEYMAN ALLOCATION — variance-weighted sample budgeting: when an
+    // eval/annotation budget must split across strata, optimal
+    // allocation is n_h·σ_h / Σ(n_h·σ_h), not proportional n_h (a
+    // high-variance stratum needs more samples per doc). σ from q39's
+    // discipline — EXACT integer Σx/Σx² per stratum, then the same
+    // row-local IEEE sqrt in both engines (native streaming stddev is
+    // partition-order-dependent and could never hash-match). The one
+    // remaining cross-row double sum (Σ weights over strata) is an
+    // ORDERED left fold over the lang-sorted collected list —
+    // identical operation order in both engines on the strata-scale
+    // (5-row) list, so even the double total is bit-exact. Corpus
+    // work: ONE tokenize + one lang-keyed integer aggregation.
+    // ------------------------------------------------------------------
+    "x35_neyman_allocation" -> Q(
+      (s, d) => {
+        val m = docs(s, d)
+          .select(col("lang"), size(words(col("text"))).as("nl"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_h"),
+            sum(col("nl").cast("long")).as("s1"),
+            sum((col("nl") * col("nl")).cast("long")).as("s2"))
+        val sd = sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n_h").cast("double")) /
+          (col("n_h") - 1).cast("double"))
+        val w = m.withColumn("sd", sd)
+          .withColumn("wt", col("n_h").cast("double") * col("sd"))
+          .localCheckpoint()
+        val tot = w.agg(aggregate(
+          array_sort(collect_list(struct(col("lang"), col("wt")))),
+          lit(0.0), (acc, x) => acc + x.getField("wt")).as("tw"))
+        w.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_h").as("n_docs"),
+            col("sd").as("stddev_len"),
+            floor(lit(1000) * col("wt") / col("tw")).cast("long")
+              .as("quota_permille"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (
+          SELECT lang,
+            len(string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS nl
+          FROM documents),
+        m AS (
+          SELECT lang, cast(count(*) as bigint) AS n_h,
+            cast(sum(nl) as bigint) AS s1,
+            cast(sum(nl * nl) as bigint) AS s2
+          FROM t GROUP BY 1),
+        w AS (
+          SELECT lang, n_h,
+            sqrt((cast(s2 as double) -
+              cast(s1 as double) * cast(s1 as double) /
+                cast(n_h as double)) /
+              cast(n_h - 1 as double)) AS sd
+          FROM m),
+        w2 AS (SELECT lang, n_h, sd,
+            cast(n_h as double) * sd AS wt FROM w),
+        tot AS (
+          -- explicit left fold in lang order: the same operation
+          -- order Spark's aggregate() runs, so the double total is
+          -- bit-exact (list_sum's summation order is unspecified)
+          SELECT list_reduce(list(wt ORDER BY lang),
+            (a, b) -> a + b) AS tw
+          FROM w2)
+        SELECT w2.lang, w2.n_h AS n_docs, w2.sd AS stddev_len,
+          cast(floor(1000 * w2.wt / tot.tw) as bigint)
+            AS quota_permille
+        FROM w2, tot ORDER BY w2.lang""")),
+
+    // ------------------------------------------------------------------
     // Shingle containment (asymmetric near-dup: how much of the SMALLER
     // doc is inside the pair): |A∩B| / min(|A|,|B|). Catches
     // subset/quotation duplication that symmetric Jaccard dilutes.
