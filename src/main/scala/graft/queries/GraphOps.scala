@@ -27,17 +27,7 @@ object GraphOps {
     * (identical g02 values), so the dial is safe to turn per-deploy.
     */
   private def materialize(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val mode = df.sparkSession.conf
-      .getOption("spark.graft.graph.materialize")
-      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_MAT"))
-      .getOrElse("checkpoint")
-    if (mode == "disk") {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      p.count()
-      p
-    } else df.localCheckpoint()
-  }
+      : org.apache.spark.sql.DataFrame = Catalog.mat(df)
 
   /** THE co-purchase edge builder, shared by all four graph queries
     * (one definition so an edge-semantics fix cannot drift across

@@ -4680,7 +4680,7 @@ object TextOps {
         val incoming = col("source").isin(incomingSrcs: _*)
         // one signature pass over the corpus, checkpointed = the
         // stored band index (history side) + the day's probe rows
-        val banded = docs(s, d)
+        val banded = Catalog.mat(docs(s, d)
           .select(col("doc_id"), incoming.as("inc"),
             words(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
@@ -4690,7 +4690,9 @@ object TextOps {
             posexplode(bandHashes(col("sig"), bands, rowsPerBand)))
           .select(col("doc_id"), col("inc"), col("pos").as("band"),
             col("col").as("band_hash"))
-          .localCheckpoint()
+          // corpus-scale multi-consumer frame → the shared disk dial
+          // (Catalog.mat), not a bare MEMORY_AND_DISK checkpoint
+          )
         val cand = banded.filter(col("inc"))
           .select(col("band"), col("band_hash"), col("doc_id").as("doc_new"))
           .join(banded.filter(!col("inc"))

@@ -68,7 +68,8 @@ class QueriesSpec extends SparkFunSuite {
       SparkEntry.queries(name)(spark, sf0001).collect()
         .map(_.toSeq.toVector).sortBy(_.mkString("|")).toSeq
     }
-    for (name <- Seq("g02_triangle_count", "g03_kcore_peel")) {
+    for (name <- Seq("g02_triangle_count", "g03_kcore_peel",
+        "d14_incremental_dedup")) {
       val default = run(name)
       spark.conf.set("spark.graft.graph.materialize", "disk")
       try assert(run(name) == default,
