@@ -1742,7 +1742,40 @@ object Relational2 {
         SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
         FROM r WHERE rn <= 3
         ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber,
-          l_partkey"""))
+          l_partkey""")),
+
+    // ------------------------------------------------------------------
+    // XML ingestion (Spark 4's built-in XML support — q30's from_json
+    // pattern for the other serialization the wild still ships):
+    // synthesize one XML document per order, parse it back with
+    // from_xml against an explicit schema, aggregate the PARSED
+    // fields. The oracle computes the same aggregate from the base
+    // columns, so the hash match proves format → parse is the
+    // identity (including the money field: o_totalprice is 2-decimal,
+    // %.2f prints those digits exactly, and the parse returns the
+    // same nearest-double). DuckDB never sees a byte of XML.
+    // ------------------------------------------------------------------
+    "q79_xml_extract" -> Q(
+      (s, d) => {
+        val xml = t(s, d, "orders").select(
+          format_string(
+            "<order><k>%d</k><p>%s</p><t>%.2f</t></order>",
+            col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")).as("x"))
+        xml.select(from_xml(col("x"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "k LONG, p STRING, t DOUBLE")).as("r"))
+          .groupBy(col("r.p").as("priority"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("r.t")).as("total"),
+            min(col("r.k")).as("min_key"))
+          .orderBy(col("priority"))
+      },
+      Some(s"""SELECT o_orderpriority AS priority,
+          count(*) AS n,
+          ${sqlDsum("o_totalprice")} AS total,
+          min(o_orderkey) AS min_key
+        FROM orders GROUP BY 1 ORDER BY priority"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi
