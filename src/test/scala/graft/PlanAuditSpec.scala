@@ -66,6 +66,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "test; the corpus side is one zero-shuffle assignment scan"),
     "g09_modularity" -> ("1-row m and 1-row q_num_total broadcasts; "
       + "m_c/d_c come from key-partitioned hash joins"),
+    "x35_neyman_allocation" -> ("1-row total-weight broadcast (the "
+      + "ordered-fold Σ over the strata-scale list) crossed onto the "
+      + "5-row strata frame; corpus work is one lang-keyed agg"),
     "m08_schema_match" -> ("4×4 candidate matrix of per-column KMV "
       + "sketches (metadata rows); the data-sized work is the two "
       + "scan-once multi-column sketch aggregations"),
