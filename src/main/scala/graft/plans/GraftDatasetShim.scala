@@ -12,4 +12,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftDatasetShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Exposes `NormalizeFloatingNumbers.normalize` (private[sql]): the
+    * canonical -0.0→0.0 / NaN-bit normalizer Spark applies to grouping
+    * and join keys of BUILT-IN operators only. Custom operators that
+    * hash or group on caller-supplied keys (TopKPerKey) must apply it
+    * themselves or float keys split on bit patterns.
+    */
+  def normalizeFloats(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 }

@@ -74,6 +74,19 @@ object TopKPerKey {
       val keyExprs = keys
       val childOutput = child.output
       val rowOrd = new LazilyGeneratedOrdering(order, childOutput)
+      // Partial-stage heaps are plain JVM state (unspillable). When
+      // groups are small relative to k the map side would retain
+      // nearly the whole partition, so the partial exec FLUSHES: once
+      // retained bytes cross the budget it emits every current heap
+      // downstream and starts over. Correct by construction — a
+      // partial flush only sends a per-key candidate SUPERSET to the
+      // final stage, which re-selects top-k after the exchange. The
+      // final stage never flushes (its state IS the exact output,
+      // k rows per key owned by the partition — already minimal).
+      val flushBudget =
+        if (isFinal) Long.MaxValue
+        else conf.getConfString("spark.graft.topk.flushBytes",
+          (64L << 20).toString).toLong
       child.execute().mapPartitions({ iter =>
         val proj = UnsafeProjection.create(keyExprs, childOutput)
         // max-heap under the sort order: head = worst kept row, so a
@@ -81,18 +94,47 @@ object TopKPerKey {
         // k rows, never the key's row count
         val heaps =
           mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-        iter.foreach { row =>
-          val heap = heaps.getOrElseUpdate(proj(row).copy(),
-            mutable.PriorityQueue.empty[UnsafeRow](
-              rowOrd.asInstanceOf[Ordering[UnsafeRow]]))
-          if (heap.size < kk) {
-            heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
-          } else if (rowOrd.compare(row, heap.head) < 0) {
-            heap.dequeue()
-            heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
-          }
+        var retained = 0L
+        def drain(): Iterator[UnsafeRow] = {
+          val out = heaps.valuesIterator.flatMap(_.iterator).toArray
+          heaps.clear()
+          retained = 0L
+          out.iterator
         }
-        heaps.valuesIterator.flatMap(_.iterator)
+        new Iterator[InternalRow] {
+          private var pending: Iterator[UnsafeRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!pending.hasNext && iter.hasNext) {
+              val row = iter.next()
+              val key = proj(row)
+              heaps.get(key) match {
+                case Some(heap) =>
+                  if (heap.size < kk) {
+                    val c = row.copy().asInstanceOf[UnsafeRow]
+                    retained += c.getSizeInBytes
+                    heap.enqueue(c)
+                  } else if (rowOrd.compare(row, heap.head) < 0) {
+                    retained -= heap.dequeue().getSizeInBytes
+                    val c = row.copy().asInstanceOf[UnsafeRow]
+                    retained += c.getSizeInBytes
+                    heap.enqueue(c)
+                  }
+                case None =>
+                  val kc = key.copy()
+                  val heap = mutable.PriorityQueue.empty[UnsafeRow](
+                    rowOrd.asInstanceOf[Ordering[UnsafeRow]])
+                  val c = row.copy().asInstanceOf[UnsafeRow]
+                  retained += kc.getSizeInBytes + c.getSizeInBytes
+                  heap.enqueue(c)
+                  heaps.put(kc, heap)
+              }
+              if (retained > flushBudget) pending = drain()
+            }
+            if (!pending.hasNext && heaps.nonEmpty) pending = drain()
+            pending.hasNext
+          }
+          override def next(): InternalRow = pending.next()
+        }
       }, preservesPartitioning = true)
     }
 
@@ -100,16 +142,27 @@ object TopKPerKey {
         newChild: SparkPlan): TopKPerKeyExec = copy(child = newChild)
   }
 
-  /** Install the planner strategy (idempotent). */
-  def install(spark: SparkSession): Unit = {
+  /** Install the planner strategy (idempotent AND thread-safe).
+    * `experimental.extraStrategies` is session-global mutable state,
+    * and callers install from inside query lambdas that may run
+    * concurrently against one shared session — an unsynchronized
+    * check-then-append would race (double-install or drop a
+    * concurrent writer's strategy). All mutation goes through one
+    * session-independent lock; the strategy itself is stateless, so a
+    * lost-uninstall under contention is benign but a lost INSTALL is
+    * not, hence the lock covers both.
+    */
+  private val installLock = new Object
+  def install(spark: SparkSession): Unit = installLock.synchronized {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(Strategy))
       spark.experimental.extraStrategies = cur :+ Strategy
   }
 
-  def uninstall(spark: SparkSession): Unit =
+  def uninstall(spark: SparkSession): Unit = installLock.synchronized {
     spark.experimental.extraStrategies =
       spark.experimental.extraStrategies.filterNot(_ == Strategy)
+  }
 
   /** Top-k rows per key under `order` (which must be TOTAL for
     * deterministic results). Requires [[install]] first — the node is
@@ -124,7 +177,14 @@ object TopKPerKey {
       plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(s"column $name not in " +
           plan.output.map(_.name).mkString("[", ", ", "]")))
-    val keyExprs: Seq[Expression] = keyCols.map(attr)
+    // Float/double keys need explicit -0.0/NaN canonicalization: the
+    // optimizer's NormalizeFloatingNumbers rule only rewrites BUILT-IN
+    // grouping/join operators, so without this a -0.0 and 0.0 key
+    // would hash to different partitions AND different HashMap entries
+    // here. Same normalizer the built-ins get, applied at plan build.
+    val keyExprs: Seq[Expression] = keyCols.map(attr).map { e =>
+      org.apache.spark.sql.classic.GraftDatasetShim.normalizeFloats(e)
+    }
     val sortOrder = order.map { case (name, desc) =>
       SortOrder(attr(name),
         if (desc) org.apache.spark.sql.catalyst.expressions.Descending

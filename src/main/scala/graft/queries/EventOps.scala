@@ -1327,8 +1327,14 @@ object EventOps {
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("p_id"),
             col("tsl").as("p_sl"))
+        // Lower bound EXCLUSIVE of the 7-day boundary (604799, not
+        // 604800): a touch exactly 7 days out would make age_days = 7
+        // and the weight shiftleft(1, -1) — Java shift semantics
+        // silently wrap that to 1 << 31 (a huge negative credit) while
+        // DuckDB throws on 1 << -1. Admitting only age_days ∈ [0, 6]
+        // keeps the exponent non-negative in both engines.
         val pairs = touches.join(purchases, Seq("user_id"))
-          .filter(col("t_sl").between(col("p_sl") - 604800L,
+          .filter(col("t_sl").between(col("p_sl") - 604799L,
             col("p_sl") - 1L))
           .withColumn("age_days",
             expr("(p_sl - t_sl) div 86400"))
@@ -1357,7 +1363,7 @@ object EventOps {
           SELECT t.touch, p.p_id,
             (p.p_sl - t.t_sl) // 86400 AS age_days
           FROM touches t JOIN purchases p ON t.user_id = p.user_id
-            AND t.t_sl BETWEEN p.p_sl - 604800 AND p.p_sl - 1),
+            AND t.t_sl BETWEEN p.p_sl - 604799 AND p.p_sl - 1),
         wt AS (
           SELECT touch, p_id,
             cast(1 << cast(6 - age_days as int) as bigint) AS w

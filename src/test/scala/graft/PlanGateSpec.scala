@@ -232,4 +232,46 @@ class PlanGateSpec extends SparkFunSuite {
         Seq(("l_extendedprice", true)), 2).collect()
     }
   }
+
+  test("TopKPerKey: partial-stage flush under a tiny byte budget " +
+      "emits candidate supersets the final stage re-selects from — " +
+      "rows identical to the unflushed run") {
+    import graft.plans.TopKPerKey
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+    TopKPerKey.install(spark)
+    try {
+      def run() = TopKPerKey(li, Seq("l_orderkey"),
+        Seq(("l_extendedprice", true), ("l_linenumber", false),
+          ("l_partkey", false)), 3)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val unflushed = run()
+      spark.conf.set("spark.graft.topk.flushBytes", "256")
+      try {
+        // 256 bytes ≈ a handful of rows: every partition flushes many
+        // times, so this exercises the drain/rebuild path end to end
+        assert(run() == unflushed)
+      } finally spark.conf.unset("spark.graft.topk.flushBytes")
+    } finally TopKPerKey.uninstall(spark)
+  }
+
+  test("TopKPerKey: -0.0 and 0.0 (and equal NaN bit patterns) " +
+      "group as ONE key — keys are float-normalized at plan build") {
+    import graft.plans.TopKPerKey
+    val df = spark.createDataFrame(Seq(
+      (0.0d, 1L), (-0.0d, 2L),
+      (java.lang.Double.longBitsToDouble(0x7ff8000000000000L), 3L),
+      (java.lang.Double.longBitsToDouble(0x7ff8000000000001L), 4L)))
+      .toDF("k", "v")
+    TopKPerKey.install(spark)
+    try {
+      val rows = TopKPerKey(df, Seq("k"), Seq(("v", true)), 1)
+        .collect()
+      // without normalization: 4 groups, 4 rows; with it: the zeros
+      // collapse to one key and the NaN bit patterns to another
+      assert(rows.length == 2, rows.mkString(", "))
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(2L, 4L))
+    } finally TopKPerKey.uninstall(spark)
+  }
 }

@@ -569,7 +569,12 @@ class StreamingSpec extends SparkFunSuite {
     val all = spark.read.parquet(stagedDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .as[UserEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      .as[UserEvent].collect()
+      // feed in full MICROSECOND order — getTime alone is ms-precision,
+      // and two same-ms different-µs events split across micro-batches
+      // in inverted event-time order would break the µs sessionizer
+      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000,
+        e.event_id))
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[UserEvent]
     val q = EventStreams.pathTransitions(ms.toDS())
