@@ -1025,6 +1025,98 @@ object GraphOps {
           UNION ALL SELECT 3,
             (SELECT cast(count(*) as bigint) FROM cur2),
             (SELECT cast(count(*) as bigint) FROM cur3)) x
-        ORDER BY round"""))
+        ORDER BY round""")),
+
+    // ------------------------------------------------------------------
+    // Multi-source BFS hop census — the reachability/distance primitive
+    // the graph surface lacked (g01-g11 cover ranking, cohesion, and
+    // communities; nothing measured DISTANCE). Graph: co-purchase edges
+    // THRESHOLDED at weight ≥ 2 (parts co-bought in at least two
+    // orders) — the unthresholded graph has diameter 2 (every census
+    // trivially flat), the weighted one spreads 9 hops at sf0.01.
+    // Seeds: the 10 smallest node ids. Six synchronous frontier rounds,
+    // then one census row per hop plus hop = -1 for nodes unreached
+    // within the horizon.
+    //
+    // Scale posture: DELTA-frontier BFS (Pregel's canonical form) —
+    // each round joins ONLY the newly-reached frontier against the
+    // edge list (total work across all rounds = one pass over E, not
+    // rounds × E), and the visited set is a per-round-materialized
+    // (id, hop) frame (12 B/node — Catalog.mat, so the disk dial
+    // applies) probed with a left-anti join. No node-scale broadcast
+    // anywhere (the g04 lesson): frontier and edges shuffle on the
+    // join key, AQE free to broadcast a genuinely small frontier.
+    // DuckDB oracle: recursive CTE with UNION-dedup on (id, d) rows —
+    // bounded by V × hops — then min(d) per node; same thresholded
+    // edges, same seeds, same horizon.
+    // ------------------------------------------------------------------
+    "g12_bfs_hops" -> Q(
+      (s, d) => {
+        val hops = 6
+        val orderParts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        // row-local pair expansion (≤42 pairs/order), one groupBy:
+        // weight = #orders containing both parts (collect_set dedups
+        // within the order, so count(*) counts ORDERS)
+        val edges = materialize(orderParts
+          .select(explode(col("ps")).as("src"), col("ps"))
+          .select(col("src"), explode(col("ps")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("src"), col("dst")))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        val seeds = nodes.orderBy(col("id")).limit(10)
+        var dist = materialize(
+          seeds.select(col("id"), lit(0).as("hop")))
+        var frontier = dist.select(col("id"))
+        for (h <- 1 to hops) {
+          val next = frontier
+            .join(edges, frontier("id") === edges("src"))
+            .select(col("dst").as("id")).distinct()
+            .join(dist, Seq("id"), "left_anti")
+            .select(col("id"), lit(h).as("hop"))
+          dist = materialize(dist.union(next))
+          frontier = dist.filter(col("hop") === h).select(col("id"))
+        }
+        val census = dist.groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val unreached = nodes
+          .join(dist.select(col("id")), Seq("id"), "left_anti")
+          .agg(lit(-1).as("hop"), count(lit(1)).as("n_nodes"))
+        // fresh exprIds on both union inputs (the self-derived-frame
+        // Union lesson)
+        def realias(df: DataFrame) = df.select(
+          col("hop").cast("int").as("hop"), col("n_nodes").as("n_nodes"))
+        realias(census).unionAll(realias(unreached))
+          .orderBy(col("hop"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+        reach AS MATERIALIZED (
+          WITH RECURSIVE r(id, d) AS (
+            SELECT id, 0 FROM seeds
+            UNION
+            SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.id
+            WHERE r.d < 6)
+          SELECT id, min(d) AS hop FROM r GROUP BY id)
+        SELECT cast(hop as integer) AS hop,
+          cast(count(*) as bigint) AS n_nodes
+        FROM reach GROUP BY hop
+        UNION ALL
+        SELECT cast(-1 as integer),
+          (SELECT cast(count(*) as bigint) FROM nodes) -
+          (SELECT cast(count(*) as bigint) FROM reach)
+        ORDER BY hop"""))
   )
 }

@@ -1775,7 +1775,77 @@ object Relational2 {
           count(*) AS n,
           ${sqlDsum("o_totalprice")} AS total,
           min(o_orderkey) AS min_key
-        FROM orders GROUP BY 1 ORDER BY priority"""))
+        FROM orders GROUP BY 1 ORDER BY priority""")),
+
+    // ------------------------------------------------------------------
+    // Skyline (Pareto frontier) — the multi-criteria operator the
+    // relational surface lacked: parts that are non-DOMINATED under
+    // (low price, large size): no other part is both ≤ price and
+    // ≥ size with one strict. Börzsönyi et al.'s SKYLINE OF clause,
+    // as a composition of existing ops (extension ladder rung (a)).
+    //
+    // Scale shape — three strictly shrinking levels, no global sort of
+    // the DATA: (1) one groupBy collapses the fact table to one row
+    // per distinct price (domain-scale, ≤ price cardinality) with its
+    // max size; (2) the 2-D sweep "size > cummax(size) over strictly
+    // lower prices" runs as a TWO-LEVEL block cummax (the
+    // streamOffsets pattern): in-block windows partitioned by a
+    // price-derived block key run in parallel, and only the ~10-row
+    // per-BLOCK max frame crosses a SinglePartition window —
+    // metadata-scale, never the corpus; (3) surviving (price, msize)
+    // pairs — at most |size domain| rows, strictly increasing msize —
+    // join back to flag every part sitting exactly on the frontier.
+    // DuckDB oracle runs the same sweep with a plain global window
+    // (its single-node sort is the semantic spec, not the scale plan).
+    // Doubles are GROUPING keys only, never summed (the dsum rule).
+    // ------------------------------------------------------------------
+    "q80_skyline" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val part = t(s, d, "part")
+        val perPrice = part
+          .groupBy(col("p_retailprice").as("price"))
+          .agg(max(col("p_size")).as("msize"))
+          .withColumn("blk", floor(col("price") / 10).cast("long"))
+        val inBlk = Window.partitionBy(col("blk"))
+          .orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val blkMax = perPrice.groupBy(col("blk"))
+          .agg(max(col("msize")).as("bmax"))
+        val overBlks = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sky = perPrice
+          .withColumn("prior_in", max(col("msize")).over(inBlk))
+          .join(blkMax
+              .withColumn("prior_blk", max(col("bmax")).over(overBlks))
+              .select(col("blk"), col("prior_blk")),
+            Seq("blk"))
+          .withColumn("prior",
+            greatest(coalesce(col("prior_in"), lit(Int.MinValue)),
+              coalesce(col("prior_blk"), lit(Int.MinValue))))
+          .filter(col("msize") > col("prior"))
+          .select(col("price"), col("msize"))
+        part.join(sky,
+            part("p_retailprice") === sky("price") &&
+              part("p_size") === sky("msize"))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+      },
+      Some("""WITH b AS (
+          SELECT p_retailprice AS price, max(p_size) AS msize
+          FROM part GROUP BY 1),
+        sw AS (
+          SELECT price, msize,
+            max(msize) OVER (ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+          FROM b),
+        sky AS (
+          SELECT price, msize FROM sw
+          WHERE prior IS NULL OR msize > prior)
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p JOIN sky
+          ON p.p_retailprice = sky.price AND p.p_size = sky.msize
+        ORDER BY p.p_retailprice, p.p_partkey"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

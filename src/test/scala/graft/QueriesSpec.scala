@@ -44,7 +44,9 @@ class QueriesSpec extends SparkFunSuite {
         "s15_nn_descent", "s16_ivf_upsert", "d19_soft_dedup_weights",
         "d20_incremental_clusters", "e23_rfm_segments", "g09_modularity",
         "g11_ktruss_peel", "q78_topk_physical",
-        "p03_release_datasheet")) {
+        "p03_release_datasheet",
+        // round-9 additions
+        "g12_bfs_hops")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
