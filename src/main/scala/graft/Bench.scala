@@ -141,6 +141,12 @@ object Bench {
         // queries may persist intermediates (d08): every iteration
         // starts cold so the min measures the plan, not a cache hit
         spark.catalog.clearCache()
+        // localCheckpoint blocks are freed only when their RDD is
+        // GC'd (ContextCleaner) — without a nudge, late-list queries
+        // (the checkpoint-heavy graph set) time against a block
+        // manager still holding every dead checkpoint of the session
+        // (r8's g01 med 18 s over an unchanged min-5.9 s plan)
+        System.gc()
         val t0 = System.nanoTime()
         try { qmap(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }

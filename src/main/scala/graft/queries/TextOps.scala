@@ -6543,6 +6543,113 @@ object TextOps {
         ORDER BY stage, lang""")),
 
     // ------------------------------------------------------------------
+    // Deterministic per-stratum reservoir sample — the "pull k docs
+    // per (lang, source) cell for eval/inspection" pipeline staple, as
+    // rank-by-portable-hash: keep the 5 docs per stratum with the
+    // smallest h60('rsv_' || doc_id). Statistically this IS reservoir
+    // sampling (uniform without replacement, any k, any stream order)
+    // but deterministic and rerun-stable — the property a lineage-
+    // audited pipeline needs that Math.random() reservoirs can't give.
+    //
+    // Executed through the custom TopKPerKey PHYSICAL operator (its
+    // second catalog consumer after q78, on a different key shape:
+    // 100 string-pair strata vs thousands of bigint orderkeys): the
+    // map side keeps a bounded 5-row heap per stratum, so the exchange
+    // ships ≤ 5 rows per (stratum, input partition) — at 100 TB the
+    // sample job's shuffle is a trickle while the row_number window
+    // formulation would sort the corpus. The oracle IS that window
+    // formulation — the equivalence proof doubling as the spec.
+    // ------------------------------------------------------------------
+    "x36_stratified_reservoir" -> Q(
+      (s, d) => {
+        graft.plans.TopKPerKey.install(s)
+        val keyed = docs(s, d)
+          .select(col("lang"), col("source"), col("doc_id"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("rsv_"), col("doc_id"))).as("sample_key"))
+        graft.plans.TopKPerKey(keyed, Seq("lang", "source"),
+          Seq(("sample_key", false), ("doc_id", false)), 5)
+          .orderBy(col("lang"), col("source"), col("sample_key"),
+            col("doc_id"))
+      },
+      Some("""WITH k AS (
+          SELECT lang, source, doc_id,
+            ('0x' || substr(md5('rsv_' || doc_id), 1, 15))::BIGINT
+              AS sample_key
+          FROM documents),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY lang, source
+            ORDER BY sample_key, doc_id) AS rn
+          FROM k)
+        SELECT lang, source, doc_id, sample_key
+        FROM r WHERE rn <= 5
+        ORDER BY lang, source, sample_key, doc_id""")),
+
+    // ------------------------------------------------------------------
+    // A/B experiment readout — deterministic arm assignment (h60
+    // parity per user: the x17 hash-split discipline applied to
+    // EXPERIMENTS — stable across reruns and engines, no assignment
+    // table to store) joined to the customer dimension for a
+    // per-segment lift table: control vs treatment signup→purchase
+    // conversion, integer permille, and the per-segment delta. All
+    // counting arithmetic integer-exact; the only shuffles are one
+    // user-level groupBy of events (data-scale, unavoidable) and a
+    // users×customer equi-join — segment pivot and lift run on the
+    // user-scale frame. Conditional aggregation (count FILTER) does
+    // the arm pivot — no self-join of the two arms.
+    // ------------------------------------------------------------------
+    "x37_ab_lift" -> Q(
+      (s, d) => {
+        val users = t(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1)
+            .otherwise(0)).as("converted"))
+          .withColumn("arm",
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("ab_"), col("user_id"))), lit(2L)))
+        val seg = users.join(t(s, d, "customer")
+            .select(col("c_custkey").as("user_id"),
+              col("c_mktsegment").as("segment")),
+          Seq("user_id"))
+        seg.groupBy(col("segment"))
+          .agg(
+            count(when(col("arm") === 0, 1)).as("ctrl_users"),
+            count(when(col("arm") === 0 && col("converted") === 1, 1))
+              .as("ctrl_conv"),
+            count(when(col("arm") === 1, 1)).as("trt_users"),
+            count(when(col("arm") === 1 && col("converted") === 1, 1))
+              .as("trt_conv"))
+          .select(col("segment"), col("ctrl_users"), col("ctrl_conv"),
+            col("trt_users"), col("trt_conv"),
+            (expr("trt_conv * 1000 div trt_users") -
+              expr("ctrl_conv * 1000 div ctrl_users")).as("lift_pm"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH u AS (
+          SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS converted,
+            ('0x' || substr(md5('ab_' || user_id), 1, 15))::BIGINT
+              % 2 AS arm
+          FROM events GROUP BY user_id),
+        s AS (
+          SELECT c.c_mktsegment AS segment, u.arm, u.converted
+          FROM u JOIN customer c ON c.c_custkey = u.user_id)
+        SELECT segment,
+          cast(count(*) FILTER (WHERE arm = 0) as bigint) AS ctrl_users,
+          cast(count(*) FILTER (WHERE arm = 0 AND converted = 1)
+            as bigint) AS ctrl_conv,
+          cast(count(*) FILTER (WHERE arm = 1) as bigint) AS trt_users,
+          cast(count(*) FILTER (WHERE arm = 1 AND converted = 1)
+            as bigint) AS trt_conv,
+          cast(count(*) FILTER (WHERE arm = 1 AND converted = 1) * 1000
+            // count(*) FILTER (WHERE arm = 1) -
+            count(*) FILTER (WHERE arm = 0 AND converted = 1) * 1000
+            // count(*) FILTER (WHERE arm = 0) as bigint) AS lift_pm
+        FROM s GROUP BY segment
+        ORDER BY segment""")),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:
