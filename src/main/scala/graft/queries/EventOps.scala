@@ -1462,6 +1462,61 @@ object EventOps {
         FROM shared s
         JOIN sizes a ON a.user_id = s.ua
         JOIN sizes b ON b.user_id = s.ub
-        ORDER BY jacc_permille DESC, ua, ub LIMIT 20"""))
+        ORDER BY jacc_permille DESC, ua, ub LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Time-WEIGHTED average (TWAP) — the step-function integral the
+    // arithmetic mean gets wrong whenever observations are unevenly
+    // spaced (a value held for an hour must count 3600× a value held
+    // a second — the standard finance/metrics semantics). Each event's
+    // value "holds" until the SAME USER's next event (lead over the
+    // µs-total-ordered user timeline; last events have no duration and
+    // drop out); per event_type: Σ(value·dur) / Σ(dur).
+    //
+    // Arithmetic discipline: durations in WHOLE SECONDS (µs diff
+    // integer-div 1e6 — sub-second holds floor to 0, stated), so
+    // value·dur keeps value's 2 decimals and the dsum decimal(18,2)
+    // cast is exact (µs-weighted products would overflow the unscaled
+    // 2^53 budget at ~490 × 2.6e12). The final TWA is one double
+    // division of two bit-identical operands. Scale: the window is
+    // USER-keyed (millions of partitions at 100 TB, never global) and
+    // the agg is 5 groups.
+    // ------------------------------------------------------------------
+    "e26_twap" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("tus"))
+          .withColumn("nxt", lead(col("tus"), 1).over(w))
+          // integer division (`div`), NOT `/` — Column./ on longs is
+          // IEEE double division and would round instead of floor
+          .withColumn("dur_s", expr("(nxt - tus) div 1000000"))
+          .filter(col("dur_s").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dur_s")).as("total_dur_s"),
+            (dsum(col("value") * col("dur_s")) /
+              sum(col("dur_s"))).cast("double").as("twa"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, event_type, value,
+            epoch_us(cast(ts as timestamp)) AS tus
+          FROM events),
+        g AS (
+          SELECT event_type, value,
+            (lead(tus, 1) OVER (PARTITION BY user_id
+              ORDER BY tus, event_id) - tus) // 1000000 AS dur_s
+          FROM ev)
+        SELECT event_type,
+          cast(count(*) as bigint) AS n_intervals,
+          cast(sum(dur_s) as bigint) AS total_dur_s,
+          cast(cast(sum(cast(value * dur_s as decimal(18,2))) as double)
+            / cast(sum(dur_s) as bigint) as double) AS twa
+        FROM g WHERE dur_s IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

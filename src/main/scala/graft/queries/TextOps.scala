@@ -6650,6 +6650,120 @@ object TextOps {
         ORDER BY segment""")),
 
     // ------------------------------------------------------------------
+    // Scalar quantization (SQ8, the FAISS ScalarQuantizer shape) — the
+    // third vector-compression posture next to s06's PQ and the
+    // full-precision scan: per-DIMENSION affine [min, max] → uint8
+    // codes (4× memory vs float32, 8× vs the double working set;
+    // at 100 TB the scan's byte volume IS the query cost, so SQ is
+    // the first dial a vector store turns). Scoring follows the
+    // production recipe: RECONSTRUCT each code to its cell midpoint
+    // (mn + (q + 0.5)·span/255) and rank by reconstructed cosine —
+    // NOT by raw integer dot, whose affine shift destroys the ranking
+    // (measured: 0/10 recall vs 10/10 for reconstruct-and-score on
+    // this corpus; the delta is the whole point of the midpoint
+    // dequantization step).
+    //
+    // The 64 (mn, span) pairs are one posexplode agg collected to
+    // LITERAL arrays (metadata-scale, the codebook precedent), so
+    // quantize→reconstruct→cosine is a row-local zero-shuffle
+    // projection over the corpus; top-10 + recall flag against the
+    // full-precision ranking (s01's formulation) in one output.
+    // Every double expression is written with identical operation
+    // order in both engines — floor/quantize/reconstruct/cosine all
+    // hash-match bit-for-bit.
+    // ------------------------------------------------------------------
+    "s17_sq_int8" -> Q(
+      (s, d) => {
+        val base = emb(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val stats = base
+          .select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(min(col("x")).as("mn"),
+            (max(col("x")) - min(col("x"))).as("span"))
+          .orderBy(col("i")).collect()
+        val mns = array(stats.map(r =>
+          lit(r.getDouble(1))).toIndexedSeq: _*)
+        val sps = array(stats.map(r =>
+          lit(r.getDouble(2))).toIndexedSeq: _*)
+        def quantize(v: Column): Column =
+          transform(v, (x, j) =>
+            when(element_at(sps, j + 1) === 0d, lit(0L))
+              .otherwise(floor((x - element_at(mns, j + 1)) * lit(255.0) /
+                element_at(sps, j + 1))))
+        def reconstruct(qv: Column): Column =
+          transform(qv, (q, j) =>
+            element_at(mns, j + 1) + (q.cast("double") + lit(0.5)) *
+              element_at(sps, j + 1) / lit(255.0))
+        val rec = base.select(col("vec_id"),
+          reconstruct(quantize(col("v"))).as("rv"))
+        val qrow = rec.filter(col("vec_id") === 0)
+          .select(col("rv").as("qrv"))
+        val topQ = rec.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qrow))
+          .withColumn("qcos", cosine(col("rv"), col("qrv")))
+          .select(col("vec_id"), col("qcos"))
+          .orderBy(col("qcos").desc, col("vec_id")).limit(10)
+        val qx = base.filter(col("vec_id") === 0)
+          .select(col("v").as("qe"))
+        val topE = base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qx))
+          .withColumn("cos", cosine(col("v"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), lit(true).as("flag"))
+        topQ.join(topE, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("qcos"),
+            coalesce(col("flag"), lit(false)).as("in_exact"))
+          .orderBy(col("qcos").desc, col("vec_id"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        st AS (
+          SELECT j.i, min(v[j.i + 1]) AS mn,
+            max(v[j.i + 1]) - min(v[j.i + 1]) AS span
+          FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS i) j
+          GROUP BY j.i),
+        arrs AS (
+          SELECT list(mn ORDER BY i) AS mns,
+            list(span ORDER BY i) AS sps FROM st),
+        q0 AS (
+          SELECT vec_id,
+            list_transform(range(0, len(v)), j ->
+              CASE WHEN sps[j+1] = 0 THEN cast(0 as bigint)
+                ELSE cast(floor((v[j+1] - mns[j+1]) * 255.0 / sps[j+1])
+                  as bigint)
+              END) AS qv
+          FROM e, arrs),
+        rec AS (
+          SELECT vec_id,
+            list_transform(range(0, len(qv)), j ->
+              mns[j+1] + (cast(qv[j+1] as double) + 0.5) * sps[j+1]
+                / 255.0) AS rv
+          FROM q0, arrs),
+        rn AS (SELECT vec_id, rv,
+            sqrt(list_sum(list_transform(rv, x -> x * x))) AS nrm
+          FROM rec),
+        rq AS (SELECT rv AS qrv, nrm AS qnrm FROM rn WHERE vec_id = 0),
+        top_q AS (
+          SELECT rn.vec_id,
+            list_dot_product(rn.rv, rq.qrv) / rn.nrm / rq.qnrm AS qcos
+          FROM rn, rq WHERE rn.vec_id <> 0
+          ORDER BY qcos DESC, rn.vec_id LIMIT 10),
+        n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        qx AS (SELECT v AS qv2, nrm AS qnrm FROM n WHERE vec_id = 0),
+        top_e AS (
+          SELECT n.vec_id FROM n, qx WHERE n.vec_id <> 0
+          ORDER BY list_dot_product(n.v, qx.qv2) / n.nrm / qx.qnrm DESC,
+            n.vec_id LIMIT 10)
+        SELECT t.vec_id, t.qcos,
+          t.vec_id IN (SELECT vec_id FROM top_e) AS in_exact
+        FROM top_q t ORDER BY t.qcos DESC, t.vec_id""")),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:

@@ -27,6 +27,8 @@ class PlanAuditSpec extends SparkFunSuite {
     "d09_dedup_keeplist" -> ("same bounded pair-gen as d07; keep-list "
       + "join + CC loop are the scale path"),
     "s01_cosine_topk" -> "1-row query vector broadcast",
+    "s17_sq_int8" -> ("1-row query vector broadcast on both the "
+      + "reconstructed and full-precision legs (s01's shape)"),
     "x11_tfidf_topterms" -> "1-row corpus-size (N) broadcast",
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
