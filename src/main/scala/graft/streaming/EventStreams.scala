@@ -352,6 +352,49 @@ object EventStreams {
       }
   }
 
+  final case class TwapState(lastType: String, lastUs: Long,
+      lastValue: Double)
+  final case class IntervalRow(event_type: String, dur_s: Long,
+      value: Double)
+
+  /** Streaming twin of e26's time-weighted average: per user, state is
+    * the open interval — the last event's (type, µs, value). Each
+    * arriving event CLOSES the previous interval (emit the held value
+    * with its whole-second duration, e26's integer-div semantics) and
+    * opens its own. The per-user final interval never emits (no later
+    * event closes it) — exactly the rows the batch query's
+    * lead-IS-NULL filter drops, so the emitted interval multiset
+    * equals the batch one with NO withheld-row adjustment (asserted in
+    * StreamingSpec). Downstream TWA is then the same Σ(v·dur)/Σ(dur)
+    * fold over identical rows. State is one fixed-size row per user —
+    * bounded, watermark-free by the same argument as pathTransitions.
+    */
+  def twapIntervals(events: Dataset[UserEvent]): Dataset[IntervalRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwapState, IntervalRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[UserEvent],
+         state: GroupState[TwapState]) =>
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val sorted = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = Seq.newBuilder[IntervalRow]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            val us = usOf(e.ts)
+            if (cur != null)
+              out += IntervalRow(cur.lastType,
+                (us - cur.lastUs) / 1000000L, cur.lastValue)
+            cur = TwapState(e.event_type, us, e.value)
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   final case class CmsRow(i: Int, counts: Array[Long])
 
   /** Streaming Count-Min sketch over user activity — x19's heavy-hitter

@@ -613,4 +613,46 @@ class StreamingSpec extends SparkFunSuite {
       s"stream-only=${streamed.toSet -- expected.toSet}, " +
         s"expected-only=${expected.toSet -- streamed.toSet}")
   }
+
+  test("streaming TWAP intervals (e26's kappa twin): emitted interval " +
+      "multiset equals the batch lead-window derivation exactly — " +
+      "open intervals are precisely the lead-IS-NULL rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent].collect()
+      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000,
+        e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UserEvent]
+    val q = EventStreams.twapIntervals(ms.toDS())
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("twapstream").start()
+    all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def census(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val streamed = census(spark.table("twapstream").collect())
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val batch = census(spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("tus"))
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"), expr("(nxt - tus) div 1000000")
+        .as("dur_s"), col("value"))
+      .collect())
+    assert(streamed.nonEmpty, "no intervals emitted")
+    assert(streamed == batch,
+      s"stream-only=${streamed.toSet -- batch.toSet}, " +
+        s"batch-only=${batch.toSet -- streamed.toSet}")
+  }
 }
