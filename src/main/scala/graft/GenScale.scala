@@ -97,7 +97,32 @@ object GenScale {
       .drop("__copy"), "lineitem")
     // events: new ids/users, same time range (density grows with sf)
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
-    write(replicate(read("documents"), Seq("doc_id")), "documents")
+    // documents: disjoint doc_id ranges AND per-copy text perturbation
+    // (copy 0 stays bit-identical). Verbatim text copies would give
+    // every doc `factor` exact duplicates, so dedup candidate pairs —
+    // and with them every MinHash/posting/dup-span decade — grow
+    // QUADRATICALLY in the factor (measured: d03 125× at ×100), which
+    // measures the synthetic clone structure, not the engine: a real
+    // 100× corpus keeps its duplicate-pair density roughly linear.
+    // Tagging every WORD with the copy id zeroes cross-copy shingle/
+    // n-gram overlap while replicating each copy's INTERNAL near-dup
+    // structure exactly — duplicate pairs scale ×factor, the honest
+    // shape. (Bench-only data, per the scaladoc; token counts per doc
+    // are preserved, vocabulary grows ×factor — acceptable for the
+    // scan/shuffle-volume questions these directories exist to answer.)
+    val docSpan = span(read("documents"), "doc_id")
+    write(read("documents")
+      .select(explode(sequence(lit(0L), lit(factor - 1L))).as("__copy"),
+        col("*"))
+      .withColumn("doc_id", col("doc_id") + col("__copy") * docSpan)
+      .withColumn("text",
+        when(col("__copy") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(regexp_replace(col("text"),
+                "^\\s+|\\s+$", ""), "\\s+"),
+              w => concat(w, lit("~"), col("__copy"))), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__copy"), "documents")
     // embeddings: disjoint vec_id ranges AND a per-copy deterministic
     // perturbation (h60-derived, ±0.05 per dimension; copy 0 stays
     // bit-identical to the source) so the scaled corpus is DISTINCT
