@@ -1117,6 +1117,104 @@ object GraphOps {
         SELECT cast(-1 as integer),
           (SELECT cast(count(*) as bigint) FROM nodes) -
           (SELECT cast(count(*) as bigint) FROM reach)
-        ORDER BY hop"""))
+        ORDER BY hop""")),
+
+    // ------------------------------------------------------------------
+    // WEIGHTED shortest paths (SSSP) — g12 measures reachability in
+    // HOPS; this measures COST: edge cost = 1000 div w over the same
+    // weight ≥ 2 co-purchase graph (stronger ties are cheaper — the
+    // association-distance convention), four synchronous Bellman-Ford
+    // rounds of min-plus relaxation from the same 10 seeds, then the
+    // distance-census (d, n_nodes, min_id) plus the d = -1 unreached
+    // row. The census exposes genuinely WEIGHTED structure: d = 833 =
+    // 500 + 333 (a 2-hop through a w=3 tie) beats the 1000 of two
+    // weak hops — an ordering hop counts cannot see.
+    //
+    // Scale: classic Bellman-Ford — each round joins the FULL dist
+    // frame (16 B/node, Catalog.mat per round, disk dial applies)
+    // against edges, O(E) per round with R fixed; integer costs make
+    // the fixpoint oracle-exact. (Delta-stepping — relaxing only
+    // nodes whose d improved, g12's frontier idea generalized — is
+    // the documented optimization once rounds × E dominates; at R = 4
+    // the simple form IS the scale plan.) The oracle unrolls the four
+    // rounds as explicit CTEs, g01's fixed-iteration pattern.
+    // ------------------------------------------------------------------
+    "g13_sssp_census" -> Q(
+      (s, d) => {
+        val rounds = 4
+        val orderParts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+        val edges = materialize(orderParts
+          .select(explode(col("ps")).as("src"), col("ps"))
+          .select(col("src"), explode(col("ps")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("src"), col("dst"),
+            expr("1000 div w").as("cost")))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        val seeds = nodes.orderBy(col("id")).limit(10)
+        def realias(df: DataFrame) = df.select(
+          col("id").as("id"), col("d").as("d"))
+        var dist = materialize(
+          seeds.select(col("id"), lit(0L).as("d")))
+        for (_ <- 1 to rounds) {
+          val relaxed = dist
+            .join(edges, dist("id") === edges("src"))
+            .select(col("dst").as("id"), (dist("d") + col("cost")).as("d"))
+          dist = materialize(realias(dist).unionAll(realias(relaxed))
+            .groupBy(col("id")).agg(min(col("d")).as("d")))
+        }
+        val census = dist.groupBy(col("d"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+        val unreached = nodes
+          .join(dist.select(col("id")), Seq("id"), "left_anti")
+          .agg(lit(-1L).as("d"), count(lit(1)).as("n_nodes"),
+            min(col("id")).as("min_id"))
+        def realias3(df: DataFrame) = df.select(col("d").as("d"),
+          col("n_nodes").as("n_nodes"), col("min_id").as("min_id"))
+        realias3(census).unionAll(realias3(unreached))
+          .orderBy(col("d"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+            1000 // count(*) AS cost
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+        it0 AS (SELECT id, cast(0 as bigint) AS d FROM seeds),
+        it1 AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+          SELECT * FROM it0 UNION ALL
+          SELECT e.dst, it0.d + e.cost FROM it0
+          JOIN edges e ON e.src = it0.id) GROUP BY id),
+        it2 AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+          SELECT * FROM it1 UNION ALL
+          SELECT e.dst, it1.d + e.cost FROM it1
+          JOIN edges e ON e.src = it1.id) GROUP BY id),
+        it3 AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+          SELECT * FROM it2 UNION ALL
+          SELECT e.dst, it2.d + e.cost FROM it2
+          JOIN edges e ON e.src = it2.id) GROUP BY id),
+        it4 AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+          SELECT * FROM it3 UNION ALL
+          SELECT e.dst, it3.d + e.cost FROM it3
+          JOIN edges e ON e.src = it3.id) GROUP BY id)
+        SELECT d, cast(count(*) as bigint) AS n_nodes,
+          min(id) AS min_id
+        FROM it4 GROUP BY d
+        UNION ALL
+        SELECT cast(-1 as bigint),
+          (SELECT cast(count(*) as bigint) FROM nodes) -
+            (SELECT cast(count(*) as bigint) FROM it4),
+          (SELECT min(id) FROM nodes n
+           WHERE NOT EXISTS (SELECT 1 FROM it4 r WHERE r.id = n.id))
+        ORDER BY d"""))
   )
 }
