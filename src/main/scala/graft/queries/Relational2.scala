@@ -1179,7 +1179,7 @@ object Relational2 {
     // side's mean key multiplicity n/d — the uniform-frequency
     // assumption every histogram-free planner makes (documented
     // caveat: key-frequency skew correlated across sides biases it
-    // low; that is what x19's CMS heavy-hitters would patch). The
+    // low; q81 implements the CMS patch). The
     // exact join COUNT rides along as the oracle-checked ground
     // truth. At 100 TB the point is the shape: two scan-once ≤k·8-byte
     // aggregations answer "can this join's output fit?" before a
@@ -1845,7 +1845,105 @@ object Relational2 {
         SELECT p.p_partkey, p.p_retailprice, p.p_size
         FROM part p JOIN sky
           ON p.p_retailprice = sky.price AND p.p_size = sky.msize
-        ORDER BY p.p_retailprice, p.p_partkey"""))
+        ORDER BY p.p_retailprice, p.p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // CMS join-cardinality estimate — the skew patch q73's scaladoc
+    // promises. q73's KMV estimator multiplies distinct-key overlap by
+    // MEAN multiplicities (uniform-frequency assumption) and biases
+    // low under correlated skew (51.5k vs 95.6k exact at sf0.01). The
+    // frequency-aware estimator is the AMS/CMS inner product (Alon-
+    // Matias-Szegedy via Cormode-Muthukrishnan): |A ⋈ B| = Σ_key
+    // f_A·f_B ≈ min over depth rows of Σ_bucket cmsA[i][b]·cmsB[i][b]
+    // — an OVERestimate by the additive hash-collision mass
+    // ≈ n_A·n_B/width (width 65536 keeps it small; the honest
+    // overcount_pm rides along against the exact count). Same x19
+    // sketch substrate and cms_a_i/cms_b_i mod-p params; every number
+    // integer ⇒ the whole estimator hash-verifies bit-for-bit, not
+    // just "close". At 100 TB: two scan-once 4×65536-counter
+    // aggregations (mergeable, broadcastable) answer the planner's
+    // question with skew included — where q73's answer assumed it
+    // away. The inner product joins the two sketches on (row, bucket)
+    // — sparse: only buckets BOTH sides touched contribute.
+    // ------------------------------------------------------------------
+    "q81_join_cms" -> Q(
+      (s, d) => {
+        import graft.functions.PortableHash.{P, h60, h60col}
+        val width = 65536L
+        val depth = 4
+        val as = (0 until depth).map(i => h60("cms_a_" + i) % (P - 1) + 1)
+        val bs = (0 until depth).map(i => h60("cms_b_" + i) % P)
+        def buckets(hw: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          array((0 until depth).map(i =>
+            struct(lit(i).as("i"),
+              pmod(pmod(lit(as(i)) * hw + lit(bs(i)), lit(P)), lit(width))
+                .as("bucket"))): _*)
+        def sketchOf(keyed: DataFrame): DataFrame = keyed
+          .groupBy(col("ky")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"),
+            pmod(h60col(concat(lit("jcm_"), col("ky"))), lit(P)).as("hw"))
+          .select(col("cnt"), explode(buckets(col("hw"))).as("ib"))
+          .groupBy(col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+          .agg(sum(col("cnt")).as("c"))
+        val ev = t(s, d, "events").select(col("user_id").as("ky"))
+        val or = t(s, d, "orders").select(col("o_custkey").as("ky"))
+        val est = sketchOf(ev)
+          .join(sketchOf(or).select(col("i"), col("bucket"),
+            col("c").as("cb")), Seq("i", "bucket"))
+          .groupBy(col("i"))
+          .agg(sum(col("c") * col("cb")).as("ip"))
+          .agg(min(col("ip")).as("cms_join_est"))
+        val na = ev.agg(count(lit(1)).as("n_a"))
+        val nb = or.agg(count(lit(1)).as("n_b"))
+        val exact = ev.join(or, Seq("ky"))
+          .agg(count(lit(1)).as("exact_join_size"))
+        na.crossJoin(nb).crossJoin(est).crossJoin(exact)
+          .select(col("n_a"), col("n_b"), col("cms_join_est"),
+            col("exact_join_size"),
+            expr("(cms_join_est - exact_join_size) * 1000 " +
+              "div exact_join_size").as("overcount_pm"))
+          .orderBy(col("n_a"))
+      },
+      Some("""WITH params AS (
+          SELECT i,
+            ('0x' || substr(md5('cms_a_' || i), 1, 15))::BIGINT
+              % 2147483646 + 1 AS a,
+            ('0x' || substr(md5('cms_b_' || i), 1, 15))::BIGINT
+              % 2147483647 AS b
+          FROM range(4) t(i)),
+        ka AS (SELECT user_id AS ky FROM events),
+        kb AS (SELECT o_custkey AS ky FROM orders),
+        ca AS (SELECT ky, cast(count(*) as bigint) AS cnt
+          FROM ka GROUP BY ky),
+        cb AS (SELECT ky, cast(count(*) as bigint) AS cnt
+          FROM kb GROUP BY ky),
+        sa AS MATERIALIZED (
+          SELECT i,
+            ((a * (('0x' || substr(md5('jcm_' || ky), 1, 15))::BIGINT
+              % 2147483647) + b) % 2147483647) % 65536 AS bucket,
+            cast(sum(cnt) as bigint) AS c
+          FROM ca, params GROUP BY 1, 2),
+        sb AS MATERIALIZED (
+          SELECT i,
+            ((a * (('0x' || substr(md5('jcm_' || ky), 1, 15))::BIGINT
+              % 2147483647) + b) % 2147483647) % 65536 AS bucket,
+            cast(sum(cnt) as bigint) AS c
+          FROM cb, params GROUP BY 1, 2),
+        ip AS (
+          SELECT sa.i, cast(sum(sa.c * sb.c) as bigint) AS ip
+          FROM sa JOIN sb ON sa.i = sb.i AND sa.bucket = sb.bucket
+          GROUP BY sa.i),
+        est AS (SELECT cast(min(ip) as bigint) AS cms_join_est FROM ip),
+        na AS (SELECT cast(count(*) as bigint) AS n_a FROM ka),
+        nb AS (SELECT cast(count(*) as bigint) AS n_b FROM kb),
+        ex AS (SELECT cast(count(*) as bigint) AS exact_join_size
+          FROM ka JOIN kb USING (ky))
+        SELECT n_a, n_b, cms_join_est, exact_join_size,
+          cast((cms_join_est - exact_join_size) * 1000
+            // exact_join_size as bigint) AS overcount_pm
+        FROM na, nb, est, ex
+        ORDER BY n_a"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

@@ -87,6 +87,10 @@ class PlanAuditSpec extends SparkFunSuite {
     "q73_join_cardinality" -> ("two 1-row frames (per-side sketches, "
       + "exact count) cross-joined; the data-sized work is two "
       + "bounded KmvMinSet aggregations + the ground-truth join"),
+    "q81_join_cms" -> ("four 1-row frames (counts, CMS inner-product "
+      + "min, exact count) cross-joined; data-sized work is two "
+      + "bounded 4x65536-counter CMS aggregations + the ground-truth "
+      + "join"),
     "s09_knn_classify" -> ("20-row labeled query-batch broadcast "
       + "(s04's pattern); the corpus side stays one scan"),
     "d15_lsh_tuning" -> ("bounded all-pairs exact ground truth (the "
