@@ -6764,6 +6764,227 @@ object TextOps {
         FROM top_q t ORDER BY t.qcos DESC, t.vec_id""")),
 
     // ------------------------------------------------------------------
+    // ANN method-comparison harness — d15's role for the VECTOR index
+    // family: the same query (vec 0, k = 10) through all four retrieval
+    // postures, each leg the EXACT formulation of its sibling query,
+    // with the two axes a deployment prices side by side: candidates
+    // scored (cost) and recall@10 vs exact (quality).
+    //   a_exact — s01's full scan: n−1 candidates, recall 10 by def.
+    //   b_lsh6  — s02's 6-hyperplane 64-bucket probe: 8 candidates,
+    //             recall 0/10 here — the honest "this config is too
+    //             aggressive for this corpus" readout (64 buckets over
+    //             near-uniform vectors leave ~n/64 per bucket and the
+    //             true neighbors elsewhere), exactly what the harness
+    //             exists to catch BEFORE a production rollout.
+    //   c_ivf2  — s03's 8-cell codebook, 2 probes: ~n/4 candidates,
+    //             recall 10/10.
+    //   d_sq8   — s17's reconstructed-SQ8 full scan: all candidates at
+    //             a quarter the bytes, recall 10/10.
+    // One exact top-10 (localCheckpointed — 10 rows) serves as ground
+    // truth for every leg; counts are in-plan scalar aggregates
+    // (1-row frames, allowlisted), never driver loops.
+    // ------------------------------------------------------------------
+    "s18_ann_harness" -> Q(
+      (s, d) => {
+        val base = emb(s, d)
+        val q1 = base.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        def top10(cands: DataFrame): DataFrame = cands
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q1))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10).select(col("vec_id"))
+        val truth = top10(base).localCheckpoint()
+        def legRow(tag: String, nCand: DataFrame,
+            top: DataFrame): DataFrame =
+          nCand.crossJoin(
+            top.join(truth, Seq("vec_id"), "left_semi")
+              .agg(count(lit(1)).as("recall_10")))
+            .select(lit(tag).as("method"), col("n_candidates"),
+              col("recall_10"))
+        // a_exact
+        val nAll = base.filter(col("vec_id") =!= 0)
+          .agg(count(lit(1)).as("n_candidates"))
+        // b_lsh6 — s02's bucket expression verbatim
+        val planes = 6
+        val dim = base.select(size(col("embedding"))).head.getInt(0)
+        val mat: Seq[Seq[Double]] = (0 until planes).map(p =>
+          (0 until dim).map(i =>
+            (graft.functions.PortableHash.h60(s"${p}_${i}") % 1000L)
+              .toDouble / 500.0 - 1.0))
+        val matC = typedLit(mat)
+        def bucket(v: Column): Column =
+          aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+            (acc, p) => {
+              val proj = graft.functions.VectorDot.dot(v,
+                element_at(matC, p + 1))
+              acc.bitwiseOR(when(proj > 0, shl(lit(1L), p))
+                .otherwise(0L))
+            })
+        val bkts = base.withColumn("bkt", bucket(col("embedding")))
+        val qbkt = bkts.filter(col("vec_id") === 0)
+          .select(col("bkt").as("qbkt"))
+        val lshCand = bkts.join(broadcast(qbkt),
+            col("bkt") === col("qbkt"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        // c_ivf2 — s03's probe verbatim
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val probe = cents.crossJoin(broadcast(q1))
+          .withColumn("qsim", cosine(col("ce"), col("qe")))
+          .orderBy(col("qsim").desc, col("cent_id"))
+          .limit(2)
+          .select(col("cent_id").as("probe_cent"))
+        val ivfCand = assignToCodebook(s, d)
+          .join(broadcast(probe), col("cent_id") === col("probe_cent"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        // d_sq8 — s17's reconstruct path verbatim (double arrays)
+        val dbl = base.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val stats = dbl
+          .select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(min(col("x")).as("mn"),
+            (max(col("x")) - min(col("x"))).as("span"))
+          .orderBy(col("i")).collect()
+        val mns = array(stats.map(r =>
+          lit(r.getDouble(1))).toIndexedSeq: _*)
+        val sps = array(stats.map(r =>
+          lit(r.getDouble(2))).toIndexedSeq: _*)
+        val rec = dbl.select(col("vec_id"),
+          transform(
+            transform(col("v"), (x, j) =>
+              when(element_at(sps, j + 1) === 0d, lit(0L))
+                .otherwise(floor((x - element_at(mns, j + 1)) *
+                  lit(255.0) / element_at(sps, j + 1)))),
+            (qv, j) =>
+              element_at(mns, j + 1) + (qv.cast("double") + lit(0.5)) *
+                element_at(sps, j + 1) / lit(255.0)).as("embedding"))
+        val rq = rec.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val sqTop = rec.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(rq))
+          .withColumn("cos", cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10).select(col("vec_id"))
+        legRow("a_exact", nAll, truth)
+          .unionAll(legRow("b_lsh6",
+            lshCand.agg(count(lit(1)).as("n_candidates")),
+            top10(lshCand)))
+          .unionAll(legRow("c_ivf2",
+            ivfCand.agg(count(lit(1)).as("n_candidates")),
+            top10(ivfCand)))
+          .unionAll(legRow("d_sq8", nAll, sqTop))
+          .orderBy(col("method"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        truth AS MATERIALIZED (
+          SELECT n.vec_id FROM n, q WHERE n.vec_id <> 0
+          ORDER BY list_dot_product(n.v, q.qv) / n.nrm / q.qnrm DESC,
+            n.vec_id LIMIT 10),
+        dim AS (SELECT max(len(v)) AS d FROM e),
+        planes AS (
+          SELECT p, list_transform(range(0, d), i ->
+            cast(('0x' || substr(md5(p || '_' || i), 1, 15))::BIGINT
+              % 1000 as double) / 500.0 - 1.0) AS pv
+          FROM range(0, 6) t(p), dim),
+        pl AS (SELECT list(pv ORDER BY p) AS pvs FROM planes),
+        b AS (
+          SELECT vec_id, v, nrm,
+            cast(list_sum(list_transform(range(0, 6), p ->
+              CASE WHEN list_dot_product(v, pvs[p+1]) > 0
+                THEN (1::BIGINT << p) ELSE 0::BIGINT END)) as bigint)
+              AS bkt
+          FROM n, pl),
+        qb AS (SELECT bkt AS qbkt FROM b WHERE vec_id = 0),
+        lsh_cand AS MATERIALIZED (
+          SELECT b.vec_id, b.v, b.nrm FROM b, qb
+          WHERE b.bkt = qb.qbkt AND b.vec_id <> 0),
+        lsh_top AS MATERIALIZED (
+          SELECT c.vec_id FROM lsh_cand c, q
+          ORDER BY list_dot_product(c.v, q.qv) / c.nrm / q.qnrm DESC,
+            c.vec_id LIMIT 10),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n WHERE vec_id < 8),
+        asgn AS (
+          SELECT vec_id, v, nrm, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC,
+                cent_id) AS rn
+          FROM n, c),
+        assigned AS (
+          SELECT vec_id, v, nrm, cent_id FROM asgn WHERE rn = 1),
+        probe AS (
+          SELECT cent_id FROM c, q
+          ORDER BY list_dot_product(cv, qv) / cnrm / qnrm DESC, cent_id
+          LIMIT 2),
+        ivf_cand AS MATERIALIZED (
+          SELECT a.vec_id, a.v, a.nrm FROM assigned a
+          JOIN probe p ON a.cent_id = p.cent_id
+          WHERE a.vec_id <> 0),
+        ivf_top AS MATERIALIZED (
+          SELECT c2.vec_id FROM ivf_cand c2, q
+          ORDER BY list_dot_product(c2.v, q.qv) / c2.nrm / q.qnrm DESC,
+            c2.vec_id LIMIT 10),
+        st AS (
+          SELECT j.i, min(v[j.i + 1]) AS mn,
+            max(v[j.i + 1]) - min(v[j.i + 1]) AS span
+          FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS i) j
+          GROUP BY j.i),
+        arrs AS (SELECT list(mn ORDER BY i) AS mns,
+          list(span ORDER BY i) AS sps FROM st),
+        q0 AS (
+          SELECT vec_id,
+            list_transform(range(0, len(v)), j ->
+              CASE WHEN sps[j+1] = 0 THEN cast(0 as bigint)
+                ELSE cast(floor((v[j+1] - mns[j+1]) * 255.0 / sps[j+1])
+                  as bigint) END) AS qv
+          FROM e, arrs),
+        rec AS (
+          SELECT vec_id, list_transform(range(0, len(qv)), j ->
+            mns[j+1] + (cast(qv[j+1] as double) + 0.5) * sps[j+1]
+              / 255.0) AS rv
+          FROM q0, arrs),
+        rn2 AS (SELECT vec_id, rv,
+            sqrt(list_sum(list_transform(rv, x -> x * x))) AS nrm
+          FROM rec),
+        rq AS (SELECT rv AS qrv, nrm AS qnrm FROM rn2 WHERE vec_id = 0),
+        sq_top AS MATERIALIZED (
+          SELECT rn2.vec_id FROM rn2, rq WHERE rn2.vec_id <> 0
+          ORDER BY list_dot_product(rn2.rv, rq.qrv) / rn2.nrm / rq.qnrm
+            DESC, rn2.vec_id LIMIT 10),
+        tot AS (SELECT cast(count(*) as bigint) - 1 AS nall FROM e)
+        SELECT * FROM (
+          SELECT 'a_exact' AS method,
+            (SELECT nall FROM tot) AS n_candidates,
+            cast(10 as bigint) AS recall_10
+          UNION ALL
+          SELECT 'b_lsh6',
+            (SELECT cast(count(*) as bigint) FROM lsh_cand),
+            (SELECT cast(count(*) as bigint) FROM lsh_top
+             WHERE vec_id IN (SELECT vec_id FROM truth))
+          UNION ALL
+          SELECT 'c_ivf2',
+            (SELECT cast(count(*) as bigint) FROM ivf_cand),
+            (SELECT cast(count(*) as bigint) FROM ivf_top
+             WHERE vec_id IN (SELECT vec_id FROM truth))
+          UNION ALL
+          SELECT 'd_sq8', (SELECT nall FROM tot),
+            (SELECT cast(count(*) as bigint) FROM sq_top
+             WHERE vec_id IN (SELECT vec_id FROM truth))
+        ) ORDER BY method""")),
+
+    // ------------------------------------------------------------------
     // END-TO-END CURATION PIPELINE — the five stages a real 100 TB run
     // chains, composed in ONE query with ONE oracle (each stage is
     // individually ⊕ as x02/d09/x15/x20/x17; this proves they COMPOSE:

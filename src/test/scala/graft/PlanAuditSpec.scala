@@ -29,6 +29,9 @@ class PlanAuditSpec extends SparkFunSuite {
     "s01_cosine_topk" -> "1-row query vector broadcast",
     "s17_sq_int8" -> ("1-row query vector broadcast on both the "
       + "reconstructed and full-precision legs (s01's shape)"),
+    "s18_ann_harness" -> ("1-row query-vector broadcasts (one per "
+      + "leg, s01/s02/s03/s17's shapes) + 1-row scalar count frames "
+      + "cross-joined into the 4-row comparison table"),
     "x11_tfidf_topterms" -> "1-row corpus-size (N) broadcast",
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",

@@ -46,7 +46,7 @@ class QueriesSpec extends SparkFunSuite {
         "g11_ktruss_peel", "q78_topk_physical",
         "p03_release_datasheet",
         // round-9 additions
-        "g12_bfs_hops", "g13_sssp_census")) {
+        "g12_bfs_hops", "g13_sssp_census", "s18_ann_harness")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
