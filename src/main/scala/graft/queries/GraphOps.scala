@@ -1117,7 +1117,8 @@ object GraphOps {
         SELECT cast(-1 as integer),
           (SELECT cast(count(*) as bigint) FROM nodes) -
           (SELECT cast(count(*) as bigint) FROM reach)
-        ORDER BY hop""")),
+        ORDER BY hop"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // WEIGHTED shortest paths (SSSP) — g12 measures reachability in
