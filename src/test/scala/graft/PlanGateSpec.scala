@@ -256,6 +256,43 @@ class PlanGateSpec extends SparkFunSuite {
     } finally TopKPerKey.uninstall(spark)
   }
 
+  test("TopKPerKey: randomized equivalence with the window " +
+      "formulation — 10 seeded trials over random rows/keys/k/flush " +
+      "budgets (incl. duplicate order rows and skewed keys)") {
+    import graft.plans.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new java.util.Random(42)
+    TopKPerKey.install(spark)
+    try {
+      for (trial <- 1 to 10) {
+        val nRows = 200 + rnd.nextInt(1800)
+        val nKeys = 1 + rnd.nextInt(50)
+        val k = 1 + rnd.nextInt(7)
+        // small budgets force mid-partition flushes on some trials
+        val budget = if (rnd.nextBoolean()) "512" else "67108864"
+        val rows = (1 to nRows).map { i =>
+          // value domain smaller than nRows => duplicate (key, v)
+          // pairs, exercising tie handling under the total order
+          (rnd.nextInt(nKeys).toLong, rnd.nextInt(97).toLong, i.toLong)
+        }
+        val df = spark.createDataFrame(rows).toDF("key", "v", "id")
+          .repartition(4 + rnd.nextInt(4))
+        spark.conf.set("spark.graft.topk.flushBytes", budget)
+        val custom =
+          try TopKPerKey(df, Seq("key"), Seq(("v", true), ("id", false)), k)
+            .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+          finally spark.conf.unset("spark.graft.topk.flushBytes")
+        val w = Window.partitionBy(col("key"))
+          .orderBy(col("v").desc, col("id"))
+        val windowed = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(custom == windowed,
+          s"trial $trial (n=$nRows keys=$nKeys k=$k budget=$budget)")
+      }
+    } finally TopKPerKey.uninstall(spark)
+  }
+
   test("TopKPerKey: -0.0 and 0.0 (and equal NaN bit patterns) " +
       "group as ONE key — keys are float-normalized at plan build") {
     import graft.plans.TopKPerKey
