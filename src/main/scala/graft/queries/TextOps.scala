@@ -6764,6 +6764,97 @@ object TextOps {
         FROM top_q t ORDER BY t.qcos DESC, t.vec_id""")),
 
     // ------------------------------------------------------------------
+    // Curriculum schedule — the quality-phased training order
+    // (curriculum learning / quality annealing: low-quality phases
+    // first, highest-quality data last, each phase a token budget the
+    // trainer anneals through). Phases cut x02's exact quality score
+    // at its stable quartile boundaries (0.616 / 0.625 / 0.634 —
+    // sf-invariant because the synthesis is; fixed literal cuts, the
+    // practice curricula actually use, and comparisons of
+    // bit-identical doubles against literals are cross-engine safe
+    // where interpolated quantiles of doubles would not be). Per
+    // phase: docs, token budget, quality range (min/max are
+    // order-independent — no double SUMS), and the cumulative token
+    // schedule (a 4-row running sum). One tokenize pass, one groupBy;
+    // the schedule frame is phase-cardinality, metadata-scale.
+    // ------------------------------------------------------------------
+    "x38_curriculum_schedule" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = words(col("text"))
+        val nTok = size(w).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("double")
+        val stops = size(filter(w, x =>
+          x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+        val avgWordLen =
+          length(regexp_replace(col("text"), "\\s+", ""))
+            .cast("double") / nTok
+        val scored = docs(s, d).select(
+          size(words(col("text"))).cast("long").as("toks"),
+          ((stops / nTok) * 0.4 +
+            (lit(1.0) - punct / nChars) * 0.3 +
+            when(avgWordLen >= 3 && avgWordLen <= 8, 0.3)
+              .otherwise(0.0)).as("quality"))
+          .withColumn("phase",
+            when(col("quality") < 0.616, 1)
+              .when(col("quality") < 0.625, 2)
+              .when(col("quality") < 0.634, 3)
+              .otherwise(4))
+        scored.groupBy(col("phase"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("n_tokens"),
+            min(col("quality")).as("min_quality"),
+            max(col("quality")).as("max_quality"))
+          .withColumn("cum_tokens",
+            sum(col("n_tokens")).over(Window.orderBy(col("phase"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy(col("phase"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        m AS (
+          SELECT cast(len(w) as bigint) AS toks,
+            cast(len(w) as double) AS n_tok,
+            cast(length(text) as double) AS n_chars,
+            cast(length(text) - length(regexp_replace(text,
+              '[.,!?;:]', '', 'g')) as double) AS punct,
+            cast(len(list_filter(w, x ->
+              x IN ('the','a','of','and','to','in'))) as double) AS stops,
+            cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
+              / cast(len(w) as double) AS awl
+          FROM d),
+        qv AS (
+          SELECT toks,
+            (stops / n_tok) * 0.4 + (1.0 - punct / n_chars) * 0.3 +
+              CASE WHEN awl >= 3 AND awl <= 8 THEN 0.3 ELSE 0.0 END
+              AS quality
+          FROM m),
+        ph AS (
+          SELECT toks, quality,
+            CASE WHEN quality < 0.616 THEN 1
+                 WHEN quality < 0.625 THEN 2
+                 WHEN quality < 0.634 THEN 3
+                 ELSE 4 END AS phase
+          FROM qv),
+        agg AS (
+          SELECT phase, cast(count(*) as bigint) AS n_docs,
+            cast(sum(toks) as bigint) AS n_tokens,
+            min(quality) AS min_quality,
+            max(quality) AS max_quality
+          FROM ph GROUP BY phase)
+        SELECT phase, n_docs, n_tokens, min_quality, max_quality,
+          cast(sum(n_tokens) OVER (ORDER BY phase
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            as bigint) AS cum_tokens
+        FROM agg ORDER BY phase""")),
+
+    // ------------------------------------------------------------------
     // ANN method-comparison harness — d15's role for the VECTOR index
     // family: the same query (vec 0, k = 10) through all four retrieval
     // postures, each leg the EXACT formulation of its sibling query,
