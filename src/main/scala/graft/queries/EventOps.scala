@@ -1465,6 +1465,63 @@ object EventOps {
         ORDER BY jacc_permille DESC, ua, ub LIMIT 20""")),
 
     // ------------------------------------------------------------------
+    // Rolling 7-day active users (WAU) + stickiness — the growth
+    // dashboard's headline pair, and a DISTINCT-over-sliding-window
+    // shape naive SQL gets quadratically wrong (a per-day correlated
+    // "COUNT(DISTINCT) WHERE day BETWEEN d-6 AND d" rescans the fact
+    // table per day). Scale shape: ONE distinct over (user, day) —
+    // the only data-scale shuffle — then each user-day replicates to
+    // the ≤ 7 window ends it supports (row-local explode, ×7 not ×N),
+    // a second distinct on (user, window_end), and a count per end.
+    // Window ends clip to days that actually occur (semi join against
+    // the day dimension — day-cardinality, metadata-scale).
+    // Stickiness = DAU·1000 div WAU, the integer-permille DAU/WAU
+    // ratio. At 100 TB: two hash shuffles of user-day (not event)
+    // granularity and a 7× bounded blowup — never day × corpus.
+    // ------------------------------------------------------------------
+    "e27_rolling_wau" -> Q(
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val days = ud.select(col("day")).distinct()
+        val dau = ud.groupBy(col("day"))
+          .agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+          .select(col("user_id"),
+            date_add(col("day"), col("i")).as("day"))
+          .distinct()
+          .join(days, Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            expr("dau * 1000 div wau").as("stickiness_pm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (
+          SELECT DISTINCT user_id, cast(ts as timestamp)::DATE AS day
+          FROM events),
+        days AS (SELECT DISTINCT day FROM ud),
+        dau AS (
+          SELECT day, cast(count(*) as bigint) AS dau
+          FROM ud GROUP BY day),
+        ends AS (
+          SELECT DISTINCT ud.user_id,
+            ud.day + cast(i as integer) AS day
+          FROM ud, range(0, 7) t(i)),
+        wau AS (
+          SELECT e.day, cast(count(*) as bigint) AS wau
+          FROM ends e WHERE e.day IN (SELECT day FROM days)
+          GROUP BY e.day)
+        SELECT d.day, d.dau, w.wau,
+          cast(d.dau * 1000 // w.wau as bigint) AS stickiness_pm
+        FROM dau d JOIN wau w ON d.day = w.day
+        ORDER BY d.day""")),
+
+    // ------------------------------------------------------------------
     // Time-WEIGHTED average (TWAP) — the step-function integral the
     // arithmetic mean gets wrong whenever observations are unevenly
     // spaced (a value held for an hour must count 3600× a value held
