@@ -1943,7 +1943,41 @@ object Relational2 {
           cast((cms_join_est - exact_join_size) * 1000
             // exact_join_size as bigint) AS overcount_pm
         FROM na, nb, est, ex
-        ORDER BY n_a"""))
+        ORDER BY n_a""")),
+
+    // ------------------------------------------------------------------
+    // Custom DataSourceV2 connector, hash-checked end to end — the
+    // extension-surface rung the scan inventory lacked: graft.sources
+    // .GraftGen is a from-scratch TableProvider/ScanBuilder/
+    // PartitionReader with REAL optimizer contracts (column pruning +
+    // id-range filter pushdown that narrows the generated range
+    // itself — pruned partitions do zero work; see its scaladoc and
+    // the PlanGateSpec pushdown assertions). The table is an
+    // h60-deterministic generator, so DuckDB re-derives every row
+    // from range() + md5: a custom connector whose output is
+    // hash-verified, not just smoke-tested. The filter below pushes
+    // into the scan (65 % of the range never generates) and the
+    // 3-column schema prunes to the 2 referenced columns.
+    // ------------------------------------------------------------------
+    "q82_custom_source" -> Q(
+      (s, d) => {
+        s.read.format("graft.sources.GraftGen")
+          .option("rows", "100000").option("parts", "8").load()
+          .filter(col("id") >= 50000L && col("id") < 85000L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH g AS (
+          SELECT i AS id,
+            ('0x' || substr(md5('gen_' || i), 1, 15))::BIGINT AS h
+          FROM range(0, 100000) t(i)
+          WHERE i >= 50000 AND i < 85000)
+        SELECT cast(h % 100 as integer) AS bucket,
+          cast(count(*) as bigint) AS n_rows,
+          min(h) AS min_h, max(h) AS max_h
+        FROM g GROUP BY 1 ORDER BY bucket"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

@@ -256,6 +256,33 @@ class PlanGateSpec extends SparkFunSuite {
     } finally TopKPerKey.uninstall(spark)
   }
 
+  test("GraftGen DSv2 connector: id-range filters push into the scan " +
+      "(narrowed generated range), projection prunes ReadSchema, " +
+      "partition count honors the parts option") {
+    def gen(parts: String) = spark.read
+      .format("graft.sources.GraftGen")
+      .option("rows", "1000").option("parts", parts).load()
+    val filtered = gen("4")
+      .filter(col("id") >= 100L && col("id") < 200L)
+      .select(col("id"))
+    // pushdown: the scan's description carries the NARROWED range —
+    // the generator never produces the other 90% of rows
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("range [100, 200)"), plan)
+    assert(filtered.count() == 100)
+    // column pruning: a bucket-only projection reads a 1-column schema
+    val pruned = gen("4").select(col("bucket"))
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("cols=bucket"), prunedPlan)
+    // parallelism contract: parts plans that many input partitions
+    assert(gen("7").rdd.getNumPartitions == 7)
+    // strict inequality variants narrow by one
+    val p2 = gen("2").filter(col("id") > 10L && col("id") <= 20L)
+    assert(p2.queryExecution.executedPlan.toString
+      .contains("range [11, 21)"))
+    assert(p2.count() == 10)
+  }
+
   test("TopKPerKey: randomized equivalence with the window " +
       "formulation — 10 seeded trials over random rows/keys/k/flush " +
       "budgets (incl. duplicate order rows and skewed keys)") {
