@@ -1977,7 +1977,52 @@ object Relational2 {
         SELECT cast(h % 100 as integer) AS bucket,
           cast(count(*) as bigint) AS n_rows,
           min(h) AS min_h, max(h) AS max_h
-        FROM g GROUP BY 1 ORDER BY bucket"""))
+        FROM g GROUP BY 1 ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // Equi-DEPTH histogram — the planner statistic q77's per-column
+    // profile (min/max/ndv) stops short of, and the one selectivity
+    // estimation actually needs under skew: 8 equal-population buckets
+    // of l_extendedprice with their real boundaries and counts.
+    // Boundaries are the 7 octile quantiles from ONE aggregate over
+    // integer CENTS (the e21 discipline — interpolated quantiles of
+    // integers are cross-engine exact where double quantiles are
+    // not); each row then buckets row-locally as "boundaries strictly
+    // below value" against the broadcast 1-row boundary array — no
+    // global sort, no ntile's SinglePartition window, data-scale work
+    // = one agg + one scan. Boundary-valued rows land in the upper
+    // bucket in both engines (long-vs-double promotion is identical).
+    // ------------------------------------------------------------------
+    "q83_equidepth_histogram" -> Q(
+      (s, d) => {
+        val c = t(s, d, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long")
+            .as("cents"))
+        val bounds = c.agg(expr("percentile(cents, array(" +
+          "0.125d, 0.25d, 0.375d, 0.5d, 0.625d, 0.75d, 0.875d))")
+          .as("qs"))
+        c.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            size(filter(col("qs"), q => q < col("cents"))).cast("int"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH c AS (
+          SELECT cast(round(l_extendedprice * 100) as bigint) AS cents
+          FROM lineitem),
+        b AS (
+          SELECT quantile_cont(cents,
+            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+          FROM c)
+        SELECT cast(len(list_filter(b.qs, q -> q < c.cents)) as integer)
+            AS bucket,
+          cast(count(*) as bigint) AS n_rows,
+          min(c.cents) AS min_cents, max(c.cents) AS max_cents
+        FROM c, b
+        GROUP BY 1 ORDER BY bucket"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

@@ -94,6 +94,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "min, exact count) cross-joined; data-sized work is two "
       + "bounded 4x65536-counter CMS aggregations + the ground-truth "
       + "join"),
+    "q83_equidepth_histogram" -> ("1-row boundary-array broadcast "
+      + "(7 octiles from one agg) against the scan — the bucket "
+      + "assignment is row-local"),
     "s09_knn_classify" -> ("20-row labeled query-batch broadcast "
       + "(s04's pattern); the corpus side stays one scan"),
     "d15_lsh_tuning" -> ("bounded all-pairs exact ground truth (the "
