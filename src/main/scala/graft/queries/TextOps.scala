@@ -6764,6 +6764,95 @@ object TextOps {
         FROM top_q t ORDER BY t.qcos DESC, t.vec_id""")),
 
     // ------------------------------------------------------------------
+    // Zipf-law fit — the corpus-health regression every dataset report
+    // quotes: OLS slope of ln(frequency) on ln(rank) over the top-100
+    // types per language (natural text ≈ −1; this synthetic corpus's
+    // 31-type vocabulary reads ≈ −0.2, honestly flat). The fit is
+    // hash-exact cross-engine because every irrational enters through
+    // the x35 discipline: the four regression sums are ORDERED left
+    // folds over the rank-sorted count list (Spark aggregate() ≡
+    // DuckDB list_reduce — never an unordered double SUM), and the
+    // final slope/intercept are single expressions over those four
+    // scalars written in identical operation order. Data-scale work is
+    // one tokenize + one (lang, word) groupBy; the ranked top-100 per
+    // lang is a lang-keyed window, and the folds run on 5 rows of
+    // ≤ 100-element lists — metadata-scale.
+    // ------------------------------------------------------------------
+    "x39_zipf_fit" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = docs(s, d)
+          .select(col("lang"), explode(words(col("text"))).as("w"))
+          .groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("cnt"))
+        val ranked = counts
+          .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("w"))))
+          .filter(col("rk") <= 100)
+        val top = ranked.groupBy(col("lang"))
+          .agg(transform(array_sort(collect_list(struct(col("rk"),
+            col("cnt")))), x => x.getField("cnt")).as("cs"))
+        val withSums = top
+          .withColumn("n", size(col("cs")))
+          .withColumn("sx", aggregate(sequence(lit(1), col("n")),
+            lit(0.0), (a, r) => a + log(r.cast("double"))))
+          .withColumn("sxx", aggregate(sequence(lit(1), col("n")),
+            lit(0.0), (a, r) =>
+              a + log(r.cast("double")) * log(r.cast("double"))))
+          .withColumn("sy", aggregate(col("cs"), lit(0.0),
+            (a, c) => a + log(c.cast("double"))))
+          .withColumn("sxy", aggregate(sequence(lit(1), col("n")),
+            lit(0.0), (a, r) => a + log(r.cast("double")) *
+              log(element_at(col("cs"), r).cast("double"))))
+        withSums
+          .withColumn("zipf_slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+          .select(col("lang"), col("n").cast("long").as("n_ranks"),
+            col("zipf_slope"),
+            ((col("sy") - col("zipf_slope") * col("sx")) / col("n"))
+              .as("intercept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (
+          SELECT lang,
+            unnest(string_split_regex(regexp_replace(text,
+              '^\s+|\s+$', '', 'g'), '\s+')) AS w
+          FROM documents),
+        counts AS (
+          SELECT lang, w, cast(count(*) as bigint) AS cnt
+          FROM tok GROUP BY 1, 2),
+        ranked AS (
+          SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, w) AS rk
+          FROM counts),
+        top AS (
+          SELECT lang, list(cnt ORDER BY rk) AS cs
+          FROM ranked WHERE rk <= 100 GROUP BY lang),
+        f AS (
+          SELECT lang, len(cs) AS n,
+            list_reduce(list_prepend(0.0, list_transform(
+              range(1, len(cs)+1), r -> ln(cast(r as double)))),
+              (a, b) -> a + b) AS sx,
+            list_reduce(list_prepend(0.0, list_transform(
+              range(1, len(cs)+1), r ->
+                ln(cast(r as double)) * ln(cast(r as double)))),
+              (a, b) -> a + b) AS sxx,
+            list_reduce(list_prepend(0.0, list_transform(cs,
+              c -> ln(cast(c as double)))), (a, b) -> a + b) AS sy,
+            list_reduce(list_prepend(0.0, list_transform(
+              range(1, len(cs)+1), r -> ln(cast(r as double)) *
+                ln(cast(cs[r] as double)))), (a, b) -> a + b) AS sxy
+          FROM top),
+        sl AS (
+          SELECT lang, n, sx, sy,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+          FROM f)
+        SELECT lang, cast(n as bigint) AS n_ranks, zipf_slope,
+          (sy - zipf_slope * sx) / n AS intercept
+        FROM sl ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
     // Curriculum schedule — the quality-phased training order
     // (curriculum learning / quality annealing: low-quality phases
     // first, highest-quality data last, each phase a token budget the
