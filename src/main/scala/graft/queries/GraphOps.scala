@@ -56,6 +56,28 @@ object GraphOps {
      else pairs.filter(col(x) =!= col(y))).distinct()
   }
 
+  /** THE thresholded weighted co-purchase edge builder shared by
+    * g12/g13/g14 (the coPurchaseEdges precedent — one definition so
+    * the threshold semantics cannot drift): directed (src, dst, w)
+    * where w = #orders containing both parts (row-local pair
+    * expansion over each order's collect_set, one groupBy), kept iff
+    * w ≥ 2 — the unthresholded graph has diameter 2 and every
+    * distance census collapses.
+    */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val orderParts = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    orderParts
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+  }
+
   /** Synchronous label propagation over a directed edge frame, one
     * definition for g04/g09 (the coPurchaseEdges precedent — a
     * semantics fix cannot drift between the census and the modularity
@@ -1053,21 +1075,8 @@ object GraphOps {
     "g12_bfs_hops" -> Q(
       (s, d) => {
         val hops = 6
-        val orderParts = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        // row-local pair expansion (≤42 pairs/order), one groupBy:
-        // weight = #orders containing both parts (collect_set dedups
-        // within the order, so count(*) counts ORDERS)
-        val edges = materialize(orderParts
-          .select(explode(col("ps")).as("src"), col("ps"))
-          .select(col("src"), explode(col("ps")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("src"), col("dst")))
+        val edges = materialize(
+          weightedEdges(s, d).select(col("src"), col("dst")))
         val nodes = edges.select(col("src").as("id")).distinct()
         val seeds = nodes.orderBy(col("id")).limit(10)
         var dist = materialize(
@@ -1143,19 +1152,8 @@ object GraphOps {
     "g13_sssp_census" -> Q(
       (s, d) => {
         val rounds = 4
-        val orderParts = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-        val edges = materialize(orderParts
-          .select(explode(col("ps")).as("src"), col("ps"))
-          .select(col("src"), explode(col("ps")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("src"), col("dst"),
-            expr("1000 div w").as("cost")))
+        val edges = materialize(weightedEdges(s, d)
+          .select(col("src"), col("dst"), expr("1000 div w").as("cost")))
         val nodes = edges.select(col("src").as("id")).distinct()
         val seeds = nodes.orderBy(col("id")).limit(10)
         def realias(df: DataFrame) = df.select(
@@ -1216,6 +1214,75 @@ object GraphOps {
             (SELECT cast(count(*) as bigint) FROM it4),
           (SELECT min(id) FROM nodes n
            WHERE NOT EXISTS (SELECT 1 FROM it4 r WHERE r.id = n.id))
-        ORDER BY d"""))
+        ORDER BY d""")),
+
+    // ------------------------------------------------------------------
+    // Harmonic centrality of the top-degree hubs — the centrality
+    // family's THIRD member here (PageRank = eigenvector-flavor
+    // authority, degree = local volume; harmonic = global REACH:
+    // Σ 1/d(hub, v), the closeness variant that handles disconnection
+    // gracefully, Boldi & Vigna's recommendation). Five hubs (top
+    // out-degree, id tiebreak), one LABELED multi-source BFS — the
+    // frontier carries (hub, node), so all five searches share each
+    // round's single edge join instead of running five sequential
+    // BFS loops; visited state is (hub, id, d), ≤ 5× node scale. The
+    // 1/d harmonic sum enters as integer micro-units (1000000 div d,
+    // summed as bigint) — exact in both engines, no float harmonics.
+    // 4-hop horizon, matching g12's census domain.
+    // ------------------------------------------------------------------
+    "g14_harmonic_centrality" -> Q(
+      (s, d) => {
+        val rounds = 4
+        val edges = materialize(
+          weightedEdges(s, d).select(col("src"), col("dst")))
+        val deg = edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+        val hubs = deg.orderBy(col("deg").desc, col("src")).limit(5)
+          .select(col("src").as("hub"))
+        def realias(df: DataFrame) = df.select(col("hub").as("hub"),
+          col("id").as("id"), col("d").as("d"))
+        var dist = materialize(hubs.select(col("hub"),
+          col("hub").as("id"), lit(0).as("d")))
+        var frontier = dist.select(col("hub"), col("id"))
+        for (h <- 1 to rounds) {
+          val next = frontier
+            .join(edges, frontier("id") === edges("src"))
+            .select(col("hub"), col("dst").as("id")).distinct()
+            .join(dist.select(col("hub"), col("id")),
+              Seq("hub", "id"), "left_anti")
+            .select(col("hub"), col("id"), lit(h).as("d"))
+          dist = materialize(realias(dist).unionAll(realias(next)))
+          frontier = dist.filter(col("d") === h)
+            .select(col("hub"), col("id"))
+        }
+        dist.groupBy(col("hub"))
+          .agg(count(when(col("d") > 0, 1)).as("n_reached"),
+            coalesce(sum(when(col("d") > 0, expr("1000000 div d"))),
+              lit(0L)).as("harmonic_pm"))
+          .orderBy(col("hub"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        deg AS (SELECT src, cast(count(*) as bigint) AS deg
+          FROM edges GROUP BY src),
+        hubs AS (SELECT src AS hub FROM deg
+          ORDER BY deg DESC, src LIMIT 5),
+        reach AS MATERIALIZED (
+          WITH RECURSIVE r(hub, id, d) AS (
+            SELECT hub, hub, 0 FROM hubs
+            UNION
+            SELECT r.hub, e.dst, r.d + 1 FROM r
+            JOIN edges e ON e.src = r.id WHERE r.d < 4)
+          SELECT hub, id, min(d) AS d FROM r GROUP BY hub, id)
+        SELECT hub,
+          cast(count(*) FILTER (WHERE d > 0) as bigint) AS n_reached,
+          cast(coalesce(sum(1000000 // d) FILTER (WHERE d > 0), 0)
+            as bigint) AS harmonic_pm
+        FROM reach GROUP BY hub ORDER BY hub"""))
   )
 }

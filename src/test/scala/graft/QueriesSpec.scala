@@ -46,7 +46,8 @@ class QueriesSpec extends SparkFunSuite {
         "g11_ktruss_peel", "q78_topk_physical",
         "p03_release_datasheet",
         // round-9 additions
-        "g12_bfs_hops", "g13_sssp_census", "s18_ann_harness")) {
+        "g12_bfs_hops", "g13_sssp_census", "s18_ann_harness",
+        "g14_harmonic_centrality")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
