@@ -87,6 +87,15 @@ object TopKPerKey {
         if (isFinal) Long.MaxValue
         else conf.getConfString("spark.graft.topk.flushBytes",
           (64L << 20).toString).toLong
+      // UnsafeRow.getSizeInBytes alone under-counts the real JVM
+      // footprint when rows are tiny: each retained row also costs an
+      // object header + a PriorityQueue array slot, and each key costs
+      // a HashMap entry + boxed key row. Charge a fixed overhead per
+      // row and per key so the many-small-groups case (the scenario
+      // the flush exists for) cannot exceed the budget by a large
+      // constant factor.
+      val perRowOverhead = 64L
+      val perKeyOverhead = 64L
       child.execute().mapPartitions({ iter =>
         val proj = UnsafeProjection.create(keyExprs, childOutput)
         // max-heap under the sort order: head = worst kept row, so a
@@ -111,12 +120,12 @@ object TopKPerKey {
                 case Some(heap) =>
                   if (heap.size < kk) {
                     val c = row.copy().asInstanceOf[UnsafeRow]
-                    retained += c.getSizeInBytes
+                    retained += c.getSizeInBytes + perRowOverhead
                     heap.enqueue(c)
                   } else if (rowOrd.compare(row, heap.head) < 0) {
-                    retained -= heap.dequeue().getSizeInBytes
+                    retained -= heap.dequeue().getSizeInBytes + perRowOverhead
                     val c = row.copy().asInstanceOf[UnsafeRow]
-                    retained += c.getSizeInBytes
+                    retained += c.getSizeInBytes + perRowOverhead
                     heap.enqueue(c)
                   }
                 case None =>
@@ -124,7 +133,8 @@ object TopKPerKey {
                   val heap = mutable.PriorityQueue.empty[UnsafeRow](
                     rowOrd.asInstanceOf[Ordering[UnsafeRow]])
                   val c = row.copy().asInstanceOf[UnsafeRow]
-                  retained += kc.getSizeInBytes + c.getSizeInBytes
+                  retained += kc.getSizeInBytes + perKeyOverhead +
+                    c.getSizeInBytes + perRowOverhead
                   heap.enqueue(c)
                   heaps.put(kc, heap)
               }

@@ -42,10 +42,20 @@ class GraftGen extends TableProvider {
     GraftGen.schema
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // A caller-supplied .schema(...) must be a subset of the generated
+    // columns — otherwise analysis would succeed against the user's
+    // schema while the reader later hits an unmatched column name.
+    // Fail fast with the offending names instead.
+    val known = GraftGen.schema.fieldNames.toSet
+    val unknown = schema.fieldNames.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"graftgen: unsupported column(s) ${unknown.mkString(", ")}; " +
+        s"available: ${GraftGen.schema.fieldNames.mkString(", ")}")
     new GraftGenTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       Option(properties.get("parts")).map(_.toInt).getOrElse(4))
+  }
 }
 
 object GraftGen {

@@ -385,10 +385,19 @@ object EventStreams {
           var cur = state.getOption.orNull
           sorted.foreach { e =>
             val us = usOf(e.ts)
-            if (cur != null)
-              out += IntervalRow(cur.lastType,
-                (us - cur.lastUs) / 1000000L, cur.lastValue)
-            cur = TwapState(e.event_type, us, e.value)
+            if (cur != null && us < cur.lastUs) {
+              // Cross-batch late arrival: an event older than the open
+              // interval would emit a NEGATIVE duration and silently
+              // corrupt the downstream Σ(v·dur)/Σ(dur) fold. The
+              // documented contract is in-order per user across
+              // batches; enforce it explicitly by dropping the late
+              // event (the open interval stays authoritative).
+            } else {
+              if (cur != null)
+                out += IntervalRow(cur.lastType,
+                  (us - cur.lastUs) / 1000000L, cur.lastValue)
+              cur = TwapState(e.event_type, us, e.value)
+            }
           }
           if (cur != null) state.update(cur)
           out.result().iterator
