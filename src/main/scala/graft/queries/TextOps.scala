@@ -649,6 +649,146 @@ object TextOps {
         acc.bitwiseOR(when(bitSum > 0, shl(lit(1L), b)).otherwise(0L))
       })
 
+  /** Shared pipeline of d22/d23: per-doc rewritten corpus after cutting
+    * every maximal span covered by a cross-doc 20-gram (Lee et al.'s
+    * substring-level dedup, applied rather than just measured as d13
+    * does). Returns one row per document with the normalized text `t`,
+    * span/char accounting, and the rewritten text `ctext`.
+    *
+    * Interval merge without an interval self-join: covering intervals
+    * all have length L and arrive sorted by start, so two intervals
+    * overlap-or-abut iff their starts differ by <= L — the island
+    * break is a lag-window flag, the island id a running sum, and the
+    * merged span [min start, max start + L - 1] a per-island agg.
+    * Kept segments are the complement: a lag window over spans yields
+    * the segment BEFORE each span, plus one trailing segment per doc.
+    * The rebuild concatenates doc-scale segment arrays row-locally —
+    * per-doc state is bounded by document length, never corpus size.
+    */
+  private def spanCleanedDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 20
+    val norm = docs(s, d).select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
+    val posts = norm
+      .select(col("doc_id"), col("t"),
+        posexplode(graft.functions.Winnow.gramHashes(col("t"), L)))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+        col("col").as("g"))
+    val crossg = posts.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val dup = posts.join(crossg, "g")
+      .select(col("doc_id"), col("pos")).distinct()
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(wDoc)
+    val spans = dup
+      .withColumn("brk",
+        when(prev.isNull || col("pos") - prev > L, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (L - 1)).as("e"))
+    val spanAgg = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("removed_chars"),
+        max(col("e")).as("last_e"))
+    val wS = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    // re-alias union inputs: both sides derive from the same lineage
+    // and Union rejects shared exprIds across children
+    val segBefore = spans
+      .select(col("doc_id"),
+        coalesce(lag(col("e"), 1).over(wS) + 1, lit(1L)).as("ks"),
+        (col("s") - 1).as("ke"))
+      .select(col("doc_id").as("doc_id"), col("ks").as("ks"),
+        col("ke").as("ke"))
+    val segTail = spanAgg.join(norm, "doc_id")
+      .select(col("doc_id").as("doc_id"),
+        (col("last_e") + 1).as("ks"),
+        length(col("t")).cast("bigint").as("ke"))
+    val cleanedDup = segBefore.unionByName(segTail)
+      .filter(col("ke") >= col("ks"))
+      .join(norm, "doc_id")
+      .select(col("doc_id"), col("ks"),
+        substring(col("t"), col("ks").cast("int"),
+          (col("ke") - col("ks") + 1).cast("int")).as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ks"), col("seg")))),
+          x => x.getField("seg")), "").as("ct"))
+    norm
+      .join(spanAgg, Seq("doc_id"), "left")
+      .join(cleanedDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        length(col("t")).cast("bigint").as("orig_len"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        when(col("n_spans").isNull, col("t"))
+          .otherwise(coalesce(col("ct"), lit(""))).as("ctext"))
+      .withColumn("cleaned_len", length(col("ctext")).cast("bigint"))
+  }
+
+  /** DuckDB CTE chain re-deriving [[spanCleanedDocs]] ending in a
+    * `percleaned` relation (doc_id, t, orig_len, n_spans,
+    * removed_chars, ctext, cleaned_len) — shared by d22/d23 oracles.
+    */
+  private val spanCleanedSqlCtes: String = """WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+      FROM documents),
+    posts AS (
+      SELECT doc_id, i AS pos,
+        ('0x' || substr(md5(substr(t, i, 20)), 1, 15))::BIGINT AS g
+      FROM norm, LATERAL (SELECT unnest(range(1, length(t) - 20 + 2)) AS i) r
+      WHERE length(t) >= 20),
+    crossg AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM posts)
+      GROUP BY g HAVING count(*) >= 2),
+    dup AS (SELECT DISTINCT p.doc_id, p.pos
+      FROM posts p JOIN crossg USING (g)),
+    isl0 AS (
+      SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl1 AS (
+      SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM isl0),
+    spans AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + 19 AS e
+      FROM isl1 GROUP BY doc_id, isl),
+    spanagg AS (
+      SELECT doc_id, cast(count(*) as bigint) AS n_spans,
+        cast(sum(e - s + 1) as bigint) AS removed_chars,
+        max(e) AS last_e
+      FROM spans GROUP BY doc_id),
+    seg AS (
+      SELECT doc_id,
+        coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+        s - 1 AS ke
+      FROM spans
+      UNION ALL
+      SELECT sa.doc_id, sa.last_e + 1 AS ks, length(n.t) AS ke
+      FROM spanagg sa JOIN norm n USING (doc_id)),
+    cleanedagg AS (
+      SELECT sg.doc_id,
+        string_agg(substr(n.t, sg.ks::INT, (sg.ke - sg.ks + 1)::INT),
+          '' ORDER BY sg.ks) AS ct
+      FROM seg sg JOIN norm n USING (doc_id)
+      WHERE sg.ke >= sg.ks
+      GROUP BY sg.doc_id),
+    percleaned AS (
+      SELECT n.doc_id, n.t,
+        cast(length(n.t) as bigint) AS orig_len,
+        cast(coalesce(sa.n_spans, 0) as bigint) AS n_spans,
+        cast(coalesce(sa.removed_chars, 0) as bigint) AS removed_chars,
+        CASE WHEN sa.doc_id IS NULL THEN n.t
+             ELSE coalesce(c.ct, '') END AS ctext,
+        cast(length(CASE WHEN sa.doc_id IS NULL THEN n.t
+             ELSE coalesce(c.ct, '') END) as bigint) AS cleaned_len
+      FROM norm n
+      LEFT JOIN spanagg sa USING (doc_id)
+      LEFT JOIN cleanedagg c USING (doc_id))"""
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -3102,6 +3242,106 @@ object TextOps {
         WHERE cast(s.shared_fps as double) /
               cast(least(x.sz, y.sz) as double) >= 0.5
         ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // Substring-span dedup that EMITS the cleaned corpus (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better" — the
+    // operator d13 measures toward): positions covered by a cross-doc
+    // 20-gram (df >= 2 over distinct docs, d13's definition) are merged
+    // into maximal spans (two covering grams whose starts differ by
+    // <= L overlap/abut, so islands break exactly where the start gap
+    // exceeds L — a lag-window flag + running sum, no interval
+    // self-join), the spans are CUT, and each document is rewritten as
+    // the ordered concatenation of its kept segments. Output is the
+    // full rewrite audit: span count, removed chars, cleaned length
+    // (orig_len = cleaned_len + removed_chars by construction), the
+    // md5 of the WHOLE rewritten text (the oracle hash-verifies every
+    // byte of the emitted corpus, not a statistic of it) and an 80-char
+    // sample. Scale shape: char-scale explode (same cost class as d13),
+    // one gram-keyed distinct + df filter, one gram-keyed join back,
+    // then everything is doc-keyed windows/aggs whose per-doc state is
+    // bounded by document length — the same bound as holding the text
+    // column itself. No all-pairs anywhere.
+    // ------------------------------------------------------------------
+    "d22_span_dedup_rewrite" -> Q(
+      (s, d) => spanCleanedDocs(s, d)
+        .select(col("doc_id"), col("orig_len"), col("n_spans"),
+          col("removed_chars"), col("cleaned_len"),
+          md5(col("ctext")).as("cleaned_md5"),
+          substring(col("ctext"), 1, 80).as("cleaned_head"))
+        .orderBy(col("doc_id")),
+      Some(spanCleanedSqlCtes + """
+        SELECT doc_id, orig_len, n_spans, removed_chars, cleaned_len,
+          md5(ctext) AS cleaned_md5,
+          substr(ctext, 1, 80) AS cleaned_head
+        FROM percleaned
+        ORDER BY doc_id"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // Before/after census of the d22 rewrite — the corpus-level
+    // token-mass accounting a curation run reports after the cut:
+    // docs affected, spans cut, char mass removed, and whitespace-token
+    // mass before vs after (cut points can fuse adjacent tokens, so
+    // token mass is NOT derivable from char counts — it is recomputed
+    // on the rewritten text). Fractions are double divisions of exact
+    // integers < 2^53 — bit-identical across engines.
+    // ------------------------------------------------------------------
+    "d23_span_dedup_census" -> Q(
+      (s, d) => {
+        def toks(c: Column): Column = {
+          val trimmed = regexp_replace(c, "^\\s+|\\s+$", "")
+          when(length(trimmed) === 0, lit(0L))
+            .otherwise(size(split(trimmed, "\\s+")).cast("bigint"))
+        }
+        spanCleanedDocs(s, d)
+          .select(col("orig_len"), col("n_spans"), col("removed_chars"),
+            col("cleaned_len"), toks(col("t")).as("tb"),
+            toks(col("ctext")).as("ta"))
+          .agg(count(lit(1)).as("docs_total"),
+            sum(when(col("n_spans") > 0, 1L).otherwise(0L))
+              .as("docs_affected"),
+            sum(col("n_spans")).as("spans_total"),
+            sum(col("orig_len")).as("chars_total"),
+            sum(col("removed_chars")).as("chars_removed"),
+            sum(col("tb")).as("tokens_before"),
+            sum(col("ta")).as("tokens_after"))
+          .withColumn("char_frac_removed",
+            col("chars_removed").cast("double") /
+              col("chars_total").cast("double"))
+          .withColumn("token_frac_removed",
+            (col("tokens_before") - col("tokens_after")).cast("double") /
+              col("tokens_before").cast("double"))
+          .orderBy(col("docs_total"))
+      },
+      Some(spanCleanedSqlCtes + """,
+        toked AS (
+          SELECT orig_len, n_spans, removed_chars, cleaned_len,
+            CASE WHEN length(regexp_replace(t, '^\s+|\s+$', '', 'g')) = 0
+              THEN 0 ELSE len(string_split_regex(
+                regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+')) END AS tb,
+            CASE WHEN length(regexp_replace(ctext, '^\s+|\s+$', '', 'g')) = 0
+              THEN 0 ELSE len(string_split_regex(
+                regexp_replace(ctext, '^\s+|\s+$', '', 'g'), '\s+')) END AS ta
+          FROM percleaned),
+        census AS (
+          SELECT cast(count(*) as bigint) AS docs_total,
+            cast(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) as bigint)
+              AS docs_affected,
+            cast(sum(n_spans) as bigint) AS spans_total,
+            cast(sum(orig_len) as bigint) AS chars_total,
+            cast(sum(removed_chars) as bigint) AS chars_removed,
+            cast(sum(tb) as bigint) AS tokens_before,
+            cast(sum(ta) as bigint) AS tokens_after
+          FROM toked)
+        SELECT docs_total, docs_affected, spans_total, chars_total,
+          chars_removed, tokens_before, tokens_after,
+          cast(chars_removed as double) / cast(chars_total as double)
+            AS char_frac_removed,
+          cast(tokens_before - tokens_after as double) /
+            cast(tokens_before as double) AS token_frac_removed
+        FROM census
+        ORDER BY docs_total""")),
 
     // ------------------------------------------------------------------
     // Vocabulary DRIFT detection — the data-quality monitor an ingest
