@@ -7093,6 +7093,171 @@ object TextOps {
         FROM sl ORDER BY lang""")),
 
     // ------------------------------------------------------------------
+    // HTML main-content extraction — the step upstream of the whole
+    // quality stack that documents.parquet arrives pre-extracted from:
+    // real pretraining corpora start as HTML. The corpus is first
+    // re-rendered as a deterministic HTML page (title/script/style
+    // head, nav + footer + per-3rd-paragraph share blocks carrying
+    // links, body text chunked into 12-word <p> paragraphs — all pure
+    // string construction both engines re-derive byte-identically),
+    // then the extraction operator runs: strip script/style blocks,
+    // pull <p> block contents as main text, strip all tags for the
+    // visible-text layer, and measure the trafilatura-class signals —
+    // link density (anchor chars / visible chars) and text density
+    // (main chars / html chars). `roundtrip_ok` proves the extraction
+    // exactly recovers the original (normalized) document from the
+    // markup; `ext_quality` is x02's quality formula computed ON THE
+    // EXTRACTED text (the extraction feeding the quality stack).
+    // Everything is row-local codegen'd string/regex work — one scan,
+    // no shuffle until the final sort.
+    // ------------------------------------------------------------------
+    "x40_html_extract" -> Q(
+      (s, d) => {
+        val d1 = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            concat_ws(" ", col("toks")).as("t"),
+            ((size(col("toks")) + 11) / 12).cast("bigint").as("np"))
+        val paras = when(col("np") >= 1, array_join(
+          transform(sequence(lit(1L), col("np")), k =>
+            concat(lit("<p>"),
+              concat_ws(" ", slice(col("toks"),
+                ((k - 1) * 12 + 1).cast("int"), lit(12))),
+              lit("</p>"),
+              when(k % 3 === 0,
+                concat(lit("<div class=\"share\"><a href=\"/share/"),
+                  k.cast("string"), lit("\">Share this</a></div>")))
+                .otherwise(lit("")))), ""))
+          .otherwise(lit(""))
+        val syn = d1.select(col("doc_id"), col("t"), col("np"),
+          concat(
+            lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+            lit("</title>"),
+            lit("<script>function f(){return 1;}</script>"),
+            lit("<style>.nav{color:red}</style></head><body>"),
+            lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+              "<a href=\"/about\">About</a></div>"),
+            paras,
+            lit("<div class=\"footer\"><a href=\"/contact\">Contact</a> " +
+              "Copyright 2026 ExampleCorp</div>"),
+            lit("</body></html>")).as("html"))
+        val ext0 = syn.select(col("doc_id"), col("t"), col("np"),
+          col("html"),
+          regexp_replace(col("html"),
+            "<script>[^<]*</script>|<style>[^<]*</style>", "").as("nos"))
+        val ext1 = ext0.select(col("doc_id"), col("t"), col("np"),
+          col("html"),
+          array_join(regexp_extract_all(col("nos"),
+            lit("<p>([^<]*)</p>"), lit(1)), " ").as("main_text"),
+          regexp_replace(regexp_replace(
+            regexp_replace(col("nos"), "<[^>]*>", " "),
+            "\\s+", " "), "^\\s+|\\s+$", "").as("visible"),
+          regexp_extract_all(col("nos"),
+            lit("<a href=\"[^\"]*\">([^<]*)</a>"), lit(1)).as("anchors"))
+        val ext2 = ext1.withColumn("mw", split(col("main_text"), "\\s+"))
+        val nTok = size(col("mw")).cast("double")
+        val mChars = length(col("main_text")).cast("double")
+        val punct = (length(col("main_text")) -
+          length(regexp_replace(col("main_text"), "[.,!?;:]", "")))
+          .cast("double")
+        val stops = size(filter(col("mw"), x =>
+          x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+        val awl = length(regexp_replace(col("main_text"), "\\s+", ""))
+          .cast("double") / nTok
+        val linkChars = coalesce(aggregate(col("anchors"), lit(0L),
+          (a, x) => a + length(x).cast("bigint")), lit(0L))
+        ext2.select(col("doc_id"),
+          col("np").as("n_paragraphs"),
+          size(col("anchors")).cast("bigint").as("n_links"),
+          length(col("html")).cast("bigint").as("html_len"),
+          length(col("visible")).cast("bigint").as("visible_len"),
+          length(col("main_text")).cast("bigint").as("main_len"),
+          linkChars.as("link_chars"),
+          (linkChars.cast("double") /
+            length(col("visible")).cast("double")).as("link_density"),
+          (length(col("main_text")).cast("double") /
+            length(col("html")).cast("double")).as("text_density"),
+          (col("main_text") === col("t")).as("roundtrip_ok"),
+          md5(col("main_text")).as("extracted_md5"),
+          ((stops / nTok) * 0.4 + (lit(1.0) - punct / mChars) * 0.3 +
+            when(awl >= 3 && awl <= 8, 0.3).otherwise(0.0))
+            .as("ext_quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        d1 AS (
+          SELECT doc_id, w, array_to_string(w, ' ') AS t,
+            cast((len(w) + 11) // 12 as bigint) AS np
+          FROM d0),
+        syn AS (
+          SELECT doc_id, t, np,
+            '<html><head><title>Doc ' || doc_id || '</title>' ||
+            '<script>function f(){return 1;}</script>' ||
+            '<style>.nav{color:red}</style></head><body>' ||
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About</a></div>' ||
+            CASE WHEN np >= 1 THEN array_to_string(
+              list_transform(range(1, np + 1), k ->
+                '<p>' || array_to_string(w[((k-1)*12+1):(k*12)], ' ') ||
+                '</p>' ||
+                CASE WHEN k % 3 = 0
+                  THEN '<div class="share"><a href="/share/' || k ||
+                    '">Share this</a></div>'
+                  ELSE '' END), '')
+              ELSE '' END ||
+            '<div class="footer"><a href="/contact">Contact</a> Copyright 2026 ExampleCorp</div>' ||
+            '</body></html>' AS html
+          FROM d1),
+        ext0 AS (
+          SELECT doc_id, t, np, html,
+            regexp_replace(html,
+              '<script>[^<]*</script>|<style>[^<]*</style>', '', 'g') AS nos
+          FROM syn),
+        ext1 AS (
+          SELECT doc_id, t, np, html,
+            array_to_string(regexp_extract_all(nos, '<p>([^<]*)</p>', 1),
+              ' ') AS main_text,
+            regexp_replace(regexp_replace(
+              regexp_replace(nos, '<[^>]*>', ' ', 'g'),
+              '\s+', ' ', 'g'), '^\s+|\s+$', '', 'g') AS visible,
+            regexp_extract_all(nos, '<a href="[^"]*">([^<]*)</a>', 1)
+              AS anchors
+          FROM ext0),
+        ext2 AS (
+          SELECT *, string_split_regex(main_text, '\s+') AS mw
+          FROM ext1)
+        SELECT doc_id,
+          np AS n_paragraphs,
+          cast(len(anchors) as bigint) AS n_links,
+          cast(length(html) as bigint) AS html_len,
+          cast(length(visible) as bigint) AS visible_len,
+          cast(length(main_text) as bigint) AS main_len,
+          cast(coalesce(list_sum(list_transform(anchors, a -> length(a))),
+            0) as bigint) AS link_chars,
+          cast(coalesce(list_sum(list_transform(anchors, a -> length(a))),
+            0) as double) / cast(length(visible) as double) AS link_density,
+          cast(length(main_text) as double) / cast(length(html) as double)
+            AS text_density,
+          main_text = t AS roundtrip_ok,
+          md5(main_text) AS extracted_md5,
+          (cast(len(list_filter(mw, x ->
+              x IN ('the','a','of','and','to','in'))) as double) /
+            cast(len(mw) as double)) * 0.4 +
+          (1.0 - cast(length(main_text) - length(regexp_replace(main_text,
+              '[.,!?;:]', '', 'g')) as double) /
+            cast(length(main_text) as double)) * 0.3 +
+          CASE WHEN cast(length(regexp_replace(main_text, '\s+', '', 'g'))
+                 as double) / cast(len(mw) as double) >= 3
+             AND cast(length(regexp_replace(main_text, '\s+', '', 'g'))
+                 as double) / cast(len(mw) as double) <= 8
+            THEN 0.3 ELSE 0.0 END AS ext_quality
+        FROM ext2
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Curriculum schedule — the quality-phased training order
     // (curriculum learning / quality annealing: low-quality phases
     // first, highest-quality data last, each phase a token budget the
