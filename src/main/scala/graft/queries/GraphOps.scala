@@ -1283,6 +1283,150 @@ object GraphOps {
           cast(count(*) FILTER (WHERE d > 0) as bigint) AS n_reached,
           cast(coalesce(sum(1000000 // d) FILTER (WHERE d > 0), 0)
             as bigint) AS harmonic_pm
-        FROM reach GROUP BY hub ORDER BY hub"""))
+        FROM reach GROUP BY hub ORDER BY hub""")),
+
+    // ------------------------------------------------------------------
+    // RUN-TO-CONVERGENCE connected components with a convergence
+    // CERTIFICATE: pure one-hop min-label propagation (no pointer
+    // jumping) iterated to an actual fixpoint, emitting one census row
+    // per round — (round, n_changed, n_components) — whose LAST row
+    // proves convergence with n_changed = 0. This retires the
+    // trajectory caveat of the fixed-round iterative ops (g11): the
+    // result is round-count independent, so a production run can trust
+    // it without knowing the iteration budget, and the census is the
+    // auditable proof (monotone-shrinking component count, delta
+    // reaching zero).
+    //
+    // Pure propagation is chosen deliberately over d07's
+    // pointer-jumping loop: after r rounds a node's label is EXACTLY
+    // min{u : dist(u, v) <= r}, a pure graph-distance fact, so DuckDB
+    // re-derives the ENTIRE census — every round's delta and component
+    // count, not just the fixpoint — from an all-pairs BFS closure
+    // (running-min over distance = label trajectory; change rounds and
+    // step intervals fall out of two window functions). The graph is
+    // the w >= 2 co-purchase graph restricted to the bottom-30%
+    // partkey window (cut = max_partkey * 3 / 10, scale-relative so
+    // the subgraph is non-vacuous at every sf; same role as d07's
+    // doc_id window: it bounds the ORACLE's quadratic closure, not the
+    // Spark plan). At sf0.01 the windowed graph has 359 nodes and
+    // genuinely long chains: 20 rounds to fixpoint, 190 -> 71
+    // components.
+    //
+    // Scale posture: per round one co-partitioned edges-by-dst x
+    // labels-by-id join + a label-sized groupBy — O(E) per round,
+    // labels materialized per round (Catalog.mat, disk dial applies),
+    // plans constant-size; the per-round (changed, components) pair is
+    // a 1-row driver scalar (g01's iterative-action convention). Pure
+    // propagation converges in O(diameter) rounds — the price of the
+    // hop-exact certificate; when O(log d) rounds matter more than
+    // census auditability, d07's pointer-jumping
+    // ConnectedComponents.components IS the production path (it
+    // reaches the same fixpoint and already hard-fails on
+    // non-convergence). maxIter = 60 guards pathological diameters.
+    // ------------------------------------------------------------------
+    "g15_cc_convergence" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        // metadata-scale driver scalar: the window cut
+        val cut = li.agg(expr("max(l_partkey) * 3 div 10"))
+          .collect()(0).getLong(0)
+        val edges = materialize(
+          li.filter(col("l_partkey") < cut)
+            .groupBy(col("l_orderkey"))
+            .agg(collect_set(col("l_partkey")).as("ps"))
+            .select(explode(col("ps")).as("src"), col("ps"))
+            .select(col("src"), explode(col("ps")).as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .groupBy(col("src"), col("dst"))
+            .agg(count(lit(1)).as("w"))
+            .filter(col("w") >= 2)
+            .select(col("src"), col("dst"))
+            .repartition(col("dst")))
+        var labels = materialize(
+          edges.select(col("src").as("id")).distinct()
+            .withColumn("label", col("id"))
+            .repartition(col("id")))
+        val census =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val maxIter = 60
+        var round = 0L
+        var delta = -1L
+        while (delta != 0L && round < maxIter) {
+          round += 1
+          val nbr = edges.join(labels, edges("dst") === labels("id"))
+            .groupBy(edges("src").as("nid"))
+            .agg(min(col("label")).as("nl"))
+          val updated = materialize(
+            labels.as("l")
+              .join(nbr, col("l.id") === col("nid"), "left")
+              .select(col("l.id").as("id"),
+                least(col("l.label"),
+                  coalesce(col("nl"), col("l.label"))).as("label"))
+              .repartition(col("id")))
+          val stats = updated.as("n")
+            .join(labels.as("p"), Seq("id"))
+            .agg(
+              coalesce(sum(when(col("n.label") =!= col("p.label"), 1L)
+                .otherwise(0L)), lit(0L)).as("chg"),
+              countDistinct(col("n.label")).as("nc"))
+            .collect()(0)
+          delta = stats.getLong(0)
+          census += ((round, delta, stats.getLong(1)))
+          labels = updated
+        }
+        if (delta != 0L)
+          throw new IllegalStateException(
+            s"g15 did not converge within $maxIter rounds")
+        import s.implicits._
+        census.toSeq.toDF("round", "n_changed", "n_components")
+          .orderBy(col("round"))
+      },
+      Some("""WITH RECURSIVE li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        cut AS (SELECT max(l_partkey) * 3 // 10 AS c FROM li),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          WHERE a.l_partkey < (SELECT c FROM cut)
+            AND b.l_partkey < (SELECT c FROM cut)
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        r(u, v, d) AS (
+          SELECT id, id, 0 FROM nodes
+          UNION
+          SELECT r.u, e.dst, r.d + 1 FROM r
+          JOIN edges e ON e.src = r.v WHERE r.d < 60),
+        dist AS MATERIALIZED (SELECT u, v, min(d) AS d FROM r GROUP BY u, v),
+        mk AS (SELECT v, d AS k, min(u) AS mu FROM dist GROUP BY v, d),
+        run AS (SELECT v, k,
+            min(mu) OVER (PARTITION BY v ORDER BY k) AS label FROM mk),
+        lab AS (SELECT v, k, label,
+            lag(label) OVER (PARTITION BY v ORDER BY k) AS prev FROM run),
+        chg AS (SELECT v, k, label FROM lab
+          WHERE k > 0 AND label < coalesce(prev, v)),
+        rmax AS (SELECT coalesce(max(k), 0) AS r FROM chg),
+        rounds AS (SELECT unnest(range(1, (SELECT r FROM rmax) + 2))
+          AS round),
+        census AS (
+          SELECT round, coalesce(cnt, 0) AS n_changed FROM rounds
+          LEFT JOIN (SELECT k, count(*) AS cnt FROM chg GROUP BY k) c
+            ON c.k = round),
+        steps AS (
+          SELECT v, k AS k_from,
+            coalesce(lead(k) OVER (PARTITION BY v ORDER BY k), 1000000)
+              AS k_to, label
+          FROM lab WHERE prev IS NULL OR label < prev),
+        comp AS (
+          SELECT round, count(distinct s.label) AS n_components
+          FROM rounds JOIN steps s
+            ON s.k_from <= round AND round < s.k_to
+          GROUP BY round)
+        SELECT cast(c.round as bigint) AS round,
+          cast(c.n_changed as bigint) AS n_changed,
+          cast(p.n_components as bigint) AS n_components
+        FROM census c JOIN comp p USING (round)
+        ORDER BY c.round"""))
   )
 }

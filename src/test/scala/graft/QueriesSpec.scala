@@ -47,7 +47,9 @@ class QueriesSpec extends SparkFunSuite {
         "p03_release_datasheet",
         // round-9 additions
         "g12_bfs_hops", "g13_sssp_census", "s18_ann_harness",
-        "g14_harmonic_centrality")) {
+        "g14_harmonic_centrality",
+        // round-10 additions
+        "g15_cc_convergence")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
