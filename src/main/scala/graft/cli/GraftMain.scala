@@ -40,7 +40,7 @@ object GraftMain {
       |  apply    <migrationsDir> <trackerDir> [--dry-run] [--force] [--pg-version N]
       |           [--lock-timeout D] [--statement-timeout D]   (D like 10s, 1m, 250ms)
       |  rollback <migrationsDir> <trackerDir> (--steps N | --target V)
-      |  plan     <migrationsDir> <trackerDir> [--pg-version N] [--pending-only]
+      |  plan     <migrationsDir> <trackerDir> [--pg-version N] [--pending-only] [--stats-dir DIR]
       |  status   <migrationsDir> <trackerDir> [--format text|json]""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -22,15 +22,23 @@ object MigrationOps {
 
   val fixturesDir = "/root/repo/fixtures/migrations"
 
+  /** Impact-estimation fixture corpus (m11 / PlanMain --stats-dir):
+    * rewrite-class migrations whose target tables are the actual
+    * parquet testdata tables, so row-count / histogram estimates have
+    * real stats to consume.
+    */
+  val impactDir = "/root/repo/fixtures/impact"
+
   /** Shared oracle CTE: filename→(version, name, direction) parse +
     * whitespace trim + up/down pivot, mirroring MigrationLoader exactly
-    * (same regex, same \s trim, orphan .down skipped).
+    * (same regex, same \s trim, orphan .down skipped). Parameterized by
+    * fixture dir (m01-m06 read `fixturesDir`, m11 reads `impactDir`).
     */
-  private val loaderCte: String = {
+  private def loaderCteFor(dir: String): String = {
     val re = "^(?:V(\\d+)|(\\d{14}))_(.+)\\.(up|down)\\.sql$"
     s"""WITH f AS (
         SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname, content
-        FROM read_text('$fixturesDir/*.sql')),
+        FROM read_text('$dir/*.sql')),
       p AS (
         SELECT
           CASE WHEN regexp_extract(fname, '$re', 1) <> ''
@@ -46,6 +54,8 @@ object MigrationOps {
           max(CASE WHEN direction = 'down' THEN c END) AS down_sql
         FROM p GROUP BY version, name)"""
   }
+
+  private val loaderCte: String = loaderCteFor(fixturesDir)
 
   /** Oracle mini-rule-engine: DuckDB re-derives the analyzer findings
     * independently — regexp classification of each fixture statement plus
@@ -694,5 +704,159 @@ object MigrationOps {
           SELECT 'fk_lineitem_orders', n_fk, v_fk FROM fk)
         SELECT rule, n_checked, n_violations,
           n_violations = 0 AS passed
-        FROM rows_ ORDER BY rule""")))
+        FROM rows_ ORDER BY rule""")),
+
+    // ------------------------------------------------------------------
+    // Stats-driven PLAN impact estimation — the other half of the
+    // reference's Phase-7 "impact estimation" (plans/checklist.md:
+    // 112-123): for each rewrite-class finding over the impact fixture
+    // corpus (whose target tables ARE the parquet testdata tables),
+    // estimate the work the migration will do by consuming the
+    // engine's own stats family — q77's row counts for the full-scan /
+    // table-rewrite mechanisms, and q83's 8-bucket equi-depth
+    // histogram (integer-cents boundaries, integer-div interpolation
+    // of the straddling bucket) for the predicate-scoped estimate of
+    // rows violating a CHECK constraint added without NOT VALID.
+    // exact_violating_rows rides along as ground truth: at sf0.01 the
+    // histogram estimates 2986 violators vs 2978 exact (+0.3%) from 8
+    // bucket summaries instead of a scan. PlanMain --stats-dir prints
+    // the same numbers per pending finding (CliRootSpec). Stats-scale
+    // frames (1-row estimate/exact/null-count, 3-row counts) broadcast
+    // onto the metadata-scale findings; the data-sized work is one
+    // histogram aggregate + two counting scans.
+    // ------------------------------------------------------------------
+    "m11_plan_impact_estimate" -> Q(
+      (s, d) => {
+        val a = new Analyzer(targetPgVersion = 14)
+        val findings = a.findingsDs(MigrationLoader.load(s, impactDir))
+          .select(col("version"),
+            col("finding.rule").as("rule"),
+            col("finding.table").as("table_name"),
+            col("finding.lockType").as("lock_type"))
+        val counts = Seq("customer", "orders", "lineitem").map { tn =>
+          t(s, d, tn).agg(count(lit(1)).as("n_rows"))
+            .select(lit(tn).as("table_name"), col("n_rows"))
+        }.reduce(_ unionAll _)
+        val cutc = 40000000L // CHECK (o_totalprice < 400000), in cents
+        val c = t(s, d, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long")
+            .as("cents"))
+        val b = c.agg(expr("percentile(cents, array(" +
+          "0.125d, 0.25d, 0.375d, 0.5d, 0.625d, 0.75d, 0.875d))")
+          .as("qs"))
+        val hist = c.crossJoin(broadcast(b))
+          .withColumn("bucket",
+            size(filter(col("qs"), q => q < col("cents"))))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("cents")).as("mn"),
+            max(col("cents")).as("mx"))
+        val est = hist.agg(coalesce(sum(
+            when(col("mn") >= cutc, col("n"))
+              .when(col("mx") >= cutc && col("mx") > col("mn"),
+                expr(s"(n * (mx - ${cutc}L)) div (mx - mn)"))
+              .otherwise(lit(0L))), lit(0L)).as("est_viol"))
+        val ex = c.filter(col("cents") >= cutc)
+          .agg(count(lit(1)).as("exact_viol"))
+        val nn = t(s, d, "orders")
+          .agg(count(when(col("o_orderstatus").isNull, 1))
+            .as("null_viol"))
+        findings.join(counts, Seq("table_name"))
+          .crossJoin(broadcast(est))
+          .crossJoin(broadcast(ex))
+          .crossJoin(broadcast(nn))
+          .select(col("version"), col("rule"), col("table_name"),
+            col("lock_type"),
+            when(col("rule") === "alter-column-type",
+                lit("table-rewrite"))
+              .when(col("rule") === "add-constraint-without-not-valid",
+                lit("validation-scan"))
+              .when(col("rule") === "create-index-not-concurrent",
+                lit("index-build-scan"))
+              .otherwise(lit("notnull-scan")).as("mechanism"),
+            col("n_rows").as("est_affected_rows"),
+            when(col("rule") === "add-constraint-without-not-valid",
+                col("est_viol"))
+              .when(col("rule") === "set-not-null", col("null_viol"))
+              .as("est_violating_rows"),
+            when(col("rule") === "add-constraint-without-not-valid",
+                col("exact_viol"))
+              .when(col("rule") === "set-not-null", col("null_viol"))
+              .as("exact_violating_rows"))
+          .orderBy(col("version"), col("rule"))
+      },
+      Some(s"""${loaderCteFor(impactDir)},
+        stmts AS (
+          SELECT version, regexp_replace(regexp_replace(up_sql,
+            ';\\s*$$', ''), '\\s+', ' ', 'g') AS s
+          FROM piv WHERE up_sql IS NOT NULL),
+        findings AS (
+          SELECT version, 'create-index-not-concurrent' AS rule,
+            regexp_extract(s, '(?i)\\bON\\s+(?:ONLY\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1) AS table_name,
+            'SHARE' AS lock_type
+          FROM stmts
+          WHERE regexp_matches(s, '(?i)^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\b')
+            AND NOT regexp_matches(s, '(?i)\\bCONCURRENTLY\\b')
+          UNION ALL
+          SELECT version, 'add-constraint-without-not-valid',
+            regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+            'ACCESS EXCLUSIVE'
+          FROM stmts
+          WHERE regexp_matches(s, '(?i)\\bADD\\s+CONSTRAINT\\s+\\S+\\s+(CHECK|FOREIGN\\s+KEY)\\b')
+            AND NOT regexp_matches(s, '(?i)\\bNOT\\s+VALID\\b')
+          UNION ALL
+          SELECT version, 'alter-column-type',
+            regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+            'ACCESS EXCLUSIVE'
+          FROM stmts
+          WHERE regexp_matches(s, '(?i)\\bALTER\\s+COLUMN\\s+\\S+\\s+(SET\\s+DATA\\s+)?TYPE\\b')
+          UNION ALL
+          SELECT version, 'set-not-null',
+            regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+            'ACCESS EXCLUSIVE'
+          FROM stmts
+          WHERE regexp_matches(s, '(?i)\\bALTER\\s+COLUMN\\s+\\S+\\s+SET\\s+NOT\\s+NULL\\b')),
+        counts AS (
+          SELECT 'customer' AS table_name,
+            cast(count(*) as bigint) AS n_rows FROM customer
+          UNION ALL SELECT 'orders', cast(count(*) as bigint) FROM orders
+          UNION ALL SELECT 'lineitem', cast(count(*) as bigint)
+            FROM lineitem),
+        c AS (SELECT cast(round(o_totalprice * 100) as bigint) AS cents
+          FROM orders),
+        b AS MATERIALIZED (SELECT quantile_cont(cents,
+          [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM c),
+        hist AS MATERIALIZED (
+          SELECT len(list_filter(b.qs, q -> q < c.cents)) AS bucket,
+            cast(count(*) as bigint) AS n,
+            min(cents) AS mn, max(cents) AS mx
+          FROM c, b GROUP BY 1),
+        est AS MATERIALIZED (
+          SELECT cast(sum(CASE WHEN mn >= 40000000 THEN n
+                WHEN mx >= 40000000 AND mx > mn
+                  THEN (n * (mx - 40000000)) // (mx - mn)
+                ELSE 0 END) as bigint) AS est_viol
+          FROM hist),
+        ex AS MATERIALIZED (SELECT cast(count(*) as bigint) AS exact_viol
+          FROM c WHERE cents >= 40000000),
+        nn AS MATERIALIZED (SELECT cast(count(*)
+            FILTER (WHERE o_orderstatus IS NULL) as bigint) AS null_viol
+          FROM orders)
+        SELECT fd.version, fd.rule, fd.table_name, fd.lock_type,
+          CASE fd.rule WHEN 'alter-column-type' THEN 'table-rewrite'
+               WHEN 'add-constraint-without-not-valid'
+                 THEN 'validation-scan'
+               WHEN 'create-index-not-concurrent'
+                 THEN 'index-build-scan'
+               ELSE 'notnull-scan' END AS mechanism,
+          cnt.n_rows AS est_affected_rows,
+          CASE fd.rule
+            WHEN 'add-constraint-without-not-valid' THEN est.est_viol
+            WHEN 'set-not-null' THEN nn.null_viol END
+            AS est_violating_rows,
+          CASE fd.rule
+            WHEN 'add-constraint-without-not-valid' THEN ex.exact_viol
+            WHEN 'set-not-null' THEN nn.null_viol END
+            AS exact_violating_rows
+        FROM findings fd JOIN counts cnt USING (table_name), est, ex, nn
+        ORDER BY fd.version, fd.rule""")))
 }

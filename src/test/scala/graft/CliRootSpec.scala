@@ -118,6 +118,30 @@ class CliRootSpec extends AnyFunSuite {
       "pending-only must not emit applied status rows")
   }
 
+  test("graft plan --stats-dir prints stats-driven impact estimates " +
+      "per rewrite-class finding (checklist Phase-7 impact estimation)") {
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-cli-plan-stats").toString
+    val (code, out) = graft("plan", "/root/repo/fixtures/impact",
+      tracker, "--stats-dir", "/root/testdata/sf0.001")
+    assert(code == 0, s"plan --stats-dir failed:\n$out")
+    // q77's row-count stat per mechanism (sf0.001 table cardinalities)
+    assert(out.contains("full table rewrite") &&
+      out.contains("150 row(s) of customer"), out)
+    assert(out.contains("index build scan") &&
+      out.contains("6000 row(s) of lineitem"), out)
+    assert(out.contains("validation scan") &&
+      out.contains("1500 row(s) of orders"), out)
+    // q83's histogram-driven predicate estimate + the NULL-count stat
+    assert(out.matches("(?s).*\\d+ row\\(s\\) violate CHECK " +
+      "\\(o_totalprice < 400000\\).*"), out)
+    assert(out.contains("0 NULL row(s) in o_orderstatus"), out)
+    // without the flag no impact lines appear
+    val (code2, out2) = graft("plan", "/root/repo/fixtures/impact",
+      tracker)
+    assert(code2 == 0 && !out2.contains("~ impact:"), out2)
+  }
+
   test("graft status --format json emits machine-readable state " +
       "(status.go:18's registered value, implemented)") {
     val tracker = java.nio.file.Files

@@ -118,7 +118,11 @@ class PlanAuditSpec extends SparkFunSuite {
     "s14_ivf_tuning" -> ("1-row query / 8-row centroid-rank / 1-row "
       + "per-budget count broadcasts (the d15-for-IVF harness); the "
       + "corpus work is one cell-pruned cosine scan, checkpointed and "
-      + "filtered per probe budget"))
+      + "filtered per probe budget"),
+    "m11_plan_impact_estimate" -> ("q83-style 1-row histogram-boundary "
+      + "broadcast + 1-row estimate/exact/null-count frames crossed "
+      + "onto the 4-row findings table; data-sized work is one "
+      + "histogram aggregate and two counting scans"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>
