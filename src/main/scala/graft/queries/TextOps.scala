@@ -7258,6 +7258,111 @@ object TextOps {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // DEEP BPE merge schedule — x28 run to tokenizer depth: 50 merge
+    // rounds over the vocabulary-scale word census, emitting the full
+    // merge table plus the compression curve (chars per token after
+    // each rule) — the curve a tokenizer team reads to pick its merge
+    // budget (the knee is visible: rank-1 compression vs rank-50). The
+    // corpus is touched by exactly ONE tokenize+explode census pass;
+    // all 50 rounds after that are vocabulary-scale (pair census →
+    // 1-row argmax collect → replace — g01's iterative-action
+    // convention, x28's exact per-round dataflow and its documented
+    // plain-replace merge semantics, deterministic argmax tie-break
+    // (count desc, pair asc)). n_chars is merge-invariant, so the
+    // curve's numerator is computed once. At 100 TB the loop's cost is
+    // merges × VOCABULARY (Heaps-law sublinear in corpus size), never
+    // merges × corpus — the decade row measures exactly that. The
+    // DuckDB oracle is a generated 50-level chained CTE (pair census,
+    // argmax, materialized replace, token count per level) — same
+    // shape as x28's hand-written 3 levels, scripted.
+    // ------------------------------------------------------------------
+    "x41_bpe_deep" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val nMerges = 50
+        val census = docs(s, d)
+          .select(explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val nChars = census
+          .agg(sum(col("cnt") * length(col("word"))).as("nc"))
+          .head().getLong(0)
+        var seqs = census.select(col("cnt"),
+          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+        val merges =
+          scala.collection.mutable.ArrayBuffer[(Int, String, String,
+            Long, Long, Double)]()
+        for (rank <- 1 to nMerges) {
+          val arrs = seqs
+            .select(col("cnt"), split(col("seq"), " ").as("t"))
+            .select(col("cnt"),
+              slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
+              slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
+          val best = arrs
+            .select(col("cnt"),
+              explode(arrays_zip(col("la"), col("ra"))).as("p"))
+            .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l"), col("r"))
+            .limit(1).head()
+          val (bl, br, bc) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          seqs = seqs.select(col("cnt"),
+            replace(col("seq"), lit(bl + " " + br), lit(bl + br))
+              .as("seq"))
+            .localCheckpoint()
+          val tokensAfter = seqs
+            .select(sum(col("cnt") * size(split(col("seq"), " ")))
+              .as("ta"))
+            .head().getLong(0)
+          merges += ((rank, bl, br, bc, tokensAfter,
+            nChars.toDouble / tokensAfter.toDouble))
+        }
+        merges.toSeq
+          .toDF("merge_rank", "lhs", "rhs", "pair_count", "tokens_after",
+            "compression")
+          .orderBy(col("merge_rank"))
+      },
+      Some {
+        val nMerges = 50
+        val levels = (1 to nMerges).map { k =>
+          val prev = if (k == 1) "s0" else s"s${k - 1}"
+          s"""p$k AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM $prev) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b$k AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM p$k GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT $prev.cnt,
+            replace($prev.seq, b$k.lhs || ' ' || b$k.rhs,
+              b$k.lhs || b$k.rhs) AS seq
+          FROM $prev, b$k),
+        t$k AS (SELECT cast(sum(cnt * len(string_split(seq, ' ')))
+            as bigint) AS tokens_after FROM s$k)"""
+        }.mkString(",\n        ")
+        val branches = (1 to nMerges).map { k =>
+          s"""SELECT cast($k as integer) AS merge_rank, b$k.lhs, b$k.rhs,
+            b$k.c AS pair_count, t$k.tokens_after,
+            (SELECT nc FROM ch) / cast(t$k.tokens_after as double)
+              AS compression
+          FROM b$k, t$k"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH census AS MATERIALIZED (
+          SELECT w AS word, cast(count(*) as bigint) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
+            FROM documents) GROUP BY 1),
+        ch AS MATERIALIZED (SELECT cast(sum(cnt * strlen(word))
+            as double) AS nc FROM census),
+        s0 AS (SELECT cnt,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM census),
+        $levels
+        SELECT * FROM (
+          $branches)
+        ORDER BY merge_rank"""
+      }),
+
+    // ------------------------------------------------------------------
     // Curriculum schedule — the quality-phased training order
     // (curriculum learning / quality annealing: low-quality phases
     // first, highest-quality data last, each phase a token budget the

@@ -49,7 +49,7 @@ class QueriesSpec extends SparkFunSuite {
         "g12_bfs_hops", "g13_sssp_census", "s18_ann_harness",
         "g14_harmonic_centrality",
         // round-10 additions
-        "g15_cc_convergence")) {
+        "g15_cc_convergence", "x41_bpe_deep")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
