@@ -7363,6 +7363,170 @@ object TextOps {
       }),
 
     // ------------------------------------------------------------------
+    // Document CHUNKING for retrieval — the RAG-ingestion staple x23's
+    // sequence packing stops short of: fixed-token chunks (16 tokens)
+    // with overlap (stride 12 → 4 shared tokens between neighbors, so
+    // no retrieval query straddles a blind boundary), expanded
+    // row-locally (explode over a cheap index sequence; the expensive
+    // token array is aliased once — the d08 explode discipline) with
+    // chunk ids stable under rerun: h60(doc_id:chunk_idx), so a
+    // re-ingest maps every unchanged chunk to the same id and
+    // downstream vector stores upsert instead of duplicating. Chunk
+    // count = max(1, ceil((n_tokens - overlap) / stride)), truncated
+    // tail chunk kept — every token lands in ≥ 1 chunk. Output is the
+    // chunk table (id, doc, idx, size, content md5); d24 consumes it
+    // for chunk-level near-dup. One scan, no shuffle before the sort.
+    // ------------------------------------------------------------------
+    "x42_doc_chunking" -> Q(
+      (s, d) => {
+        docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L),
+              greatest(lit(1L), expr("(size(toks) + 7) div 12")) - 1))
+              .as("k"))
+          .select(col("doc_id"), col("k").as("chunk_idx"),
+            graft.functions.PortableHash.h60col(
+              concat(col("doc_id").cast("string"), lit(":"),
+                col("k").cast("string"))).as("chunk_id"),
+            slice(col("toks"), (col("k") * 12 + 1).cast("int"), lit(16))
+              .as("ct"))
+          .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+            size(col("ct")).cast("bigint").as("n_tokens"),
+            md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id, string_split_regex(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        ck AS (
+          SELECT doc_id, u.k, w[(u.k*12+1):(u.k*12+16)] AS ct
+          FROM t0, unnest(generate_series(0,
+            greatest(1, (len(w) + 7) // 12) - 1)) AS u(k))
+        SELECT ('0x' || substr(md5(doc_id || ':' || k), 1, 15))::BIGINT
+            AS chunk_id,
+          doc_id, cast(k as bigint) AS chunk_idx,
+          cast(len(ct) as bigint) AS n_tokens,
+          md5(array_to_string(ct, ' ')) AS chunk_md5
+        FROM ck
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ------------------------------------------------------------------
+    // CHUNK-level near-dup — x42's chunks through the d03 band
+    // pipeline: per-chunk 3-shingle MinHash (the fast ShingleMinHash
+    // expression over the chunk's token slice), 16 bands × 4 rows,
+    // band-bucket candidate join restricted to CROSS-document pairs
+    // (same-doc neighbors share only the 4-token overlap, Jaccard
+    // ~0.14, and are excluded outright — they are the chunking's
+    // design, not duplication), exact-Jaccard verification at 0.8
+    // (chunks are 16 tokens, so near-dup means near-identical). This
+    // is what dedup looks like at RETRIEVAL granularity: two documents
+    // sharing one boilerplate paragraph collide chunk-to-chunk without
+    // being document-level near-dups. Same linear-shuffle posture as
+    // d03 — candidates come from band buckets, never all-pairs.
+    // ------------------------------------------------------------------
+    "d24_chunk_neardup" -> Q(
+      (s, d) => {
+        def chunks = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L),
+              greatest(lit(1L), expr("(size(toks) + 7) div 12")) - 1))
+              .as("k"))
+          .select(col("doc_id"),
+            graft.functions.PortableHash.h60col(
+              concat(col("doc_id").cast("string"), lit(":"),
+                col("k").cast("string"))).as("cid"),
+            slice(col("toks"), (col("k") * 12 + 1).cast("int"), lit(16))
+              .as("ct"))
+          .filter(size(col("ct")) >= 3)
+        val banded = chunks
+          .withColumn("sig",
+            graft.functions.ShingleMinHash.shingleMinhash(col("ct")))
+          .select(col("doc_id"), col("cid"),
+            posexplode(bandHashes(col("sig"), 16, 4)))
+          .select(col("doc_id"), col("cid"), col("pos").as("band"),
+            col("col").as("band_hash"))
+        val cand = banded.as("l")
+          .join(banded.as("r"), Seq("band", "band_hash"))
+          .filter(col("l.cid") < col("r.cid") &&
+            col("l.doc_id") =!= col("r.doc_id"))
+          .select(col("l.cid").as("chunk_a"), col("r.cid").as("chunk_b"),
+            col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .distinct()
+        val sh = chunks.select(col("cid"), shingles3(col("ct")).as("w"))
+        cand
+          .join(sh.select(col("cid").as("chunk_a"), col("w").as("wa")),
+            Seq("chunk_a"))
+          .join(sh.select(col("cid").as("chunk_b"), col("w").as("wb")),
+            Seq("chunk_b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("wa"), col("wb"))).cast("double") /
+              size(array_union(col("wa"), col("wb"))).cast("double"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("chunk_a"), col("chunk_b"), col("doc_a"),
+            col("doc_b"), col("jaccard"))
+          .orderBy(col("chunk_a"), col("chunk_b"))
+      },
+      Some("""WITH perms AS (
+          SELECT
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT % 2147483646 + 1) AS pa,
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT % 2147483647) AS pb),
+        t0 AS (
+          SELECT doc_id, string_split_regex(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        ck AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id || ':' || u.k), 1, 15))::BIGINT
+              AS cid,
+            w[(u.k*12+1):(u.k*12+16)] AS ct
+          FROM t0, unnest(generate_series(0,
+            greatest(1, (len(w) + 7) // 12) - 1)) AS u(k)
+          WHERE len(w[(u.k*12+1):(u.k*12+16)]) >= 3),
+        sh AS (
+          SELECT doc_id, cid,
+            list_distinct(list_transform(range(1, len(ct) - 1),
+              i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS w
+          FROM ck),
+        hs AS (
+          SELECT doc_id, cid,
+            list_transform(w, s ->
+              ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, cid,
+            list_transform(range(0, 64), i ->
+              list_min(list_transform(h, x ->
+                (pa[i+1] * x + pb[i+1]) % 2147483647))) AS sig
+          FROM hs, perms),
+        banded AS (
+          SELECT doc_id, cid, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 16) t(b)),
+        cand AS (
+          SELECT DISTINCT l.cid AS chunk_a, r.cid AS chunk_b,
+            l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+              AND l.cid < r.cid AND l.doc_id <> r.doc_id)
+        SELECT c.chunk_a, c.chunk_b, c.doc_a, c.doc_b,
+          cast(len(list_intersect(x.w, y.w)) as double) /
+            cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+            AS jaccard
+        FROM cand c
+        JOIN sh x ON x.cid = c.chunk_a
+        JOIN sh y ON y.cid = c.chunk_b
+        WHERE cast(len(list_intersect(x.w, y.w)) as double) /
+              cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+              >= 0.8
+        ORDER BY chunk_a, chunk_b""")),
+
+    // ------------------------------------------------------------------
     // Curriculum schedule — the quality-phased training order
     // (curriculum learning / quality annealing: low-quality phases
     // first, highest-quality data last, each phase a token budget the
