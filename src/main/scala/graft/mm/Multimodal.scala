@@ -436,6 +436,85 @@ object Multimodal {
     }
   }
 
+  final case class SegmentBandPower(media_id: Long, seg_start: Int,
+      seg_end: Int, band: String, power: Long)
+
+  /** Integer Goertzel band energies per VAD segment — mm07's consumer:
+    * for each active-speech segment (same block-energy + adaptive-gate
+    * + islands derivation as [[audioBlockEnergies]]→mm07, here folded
+    * inside the decode so sample arrays never leave the partition),
+    * the Goertzel power |X(ω)|² of the segment's channel-0 samples at
+    * the FIVE frequencies whose Goertzel coefficient 2·cos(ω) is an
+    * exact integer — DC (c=2), fs/6 (c=1), fs/4 (c=0), fs/3 (c=−1),
+    * Nyquist (c=−2). Integer coefficients make the recurrence
+    * s₀ = v + c·s₁ − s₂ and the power s₁² + s₂² − c·s₁·s₂ EXACT 64-bit
+    * integer arithmetic end-to-end (no cos() doubles), so the DuckDB
+    * oracle re-derives every value bit-for-bit through the pinned
+    * synthesis formula — a portable coarse spectral profile (the
+    * energy-vs-band shape VAD consumers use to separate tonal speech
+    * from broadband noise). The analysis window is the segment's first
+    * N = 32 frames (Goertzel's classic fixed-N form: N sets the
+    * frequency resolution, and the c = ±2 recurrences are marginally
+    * stable — state grows O(N²·32768), so fixed N bounds the integer
+    * dynamic range: s₁ ≤ (N²/2)·32768 ≈ 1.7·10⁷, power ≤ ~10¹⁵,
+    * comfortably inside Long; an unbounded segment window measurably
+    * overflows 64-bit at DC on long high-energy segments). Emits
+    * segments × 5 rows per clip; blocks/segment-scale data leaves the
+    * partition, never samples.
+    */
+  def audioSegmentGoertzel(media: Dataset[MediaRecord],
+      blockFrames: Int = 8,
+      batchSize: Int = 64): Dataset[SegmentBandPower] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bands = Seq(("dc", 2L), ("fs6", 1L), ("fs4", 0L), ("fs3", -1L),
+      ("nyq", -2L))
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          val (_, ch, samples) = WavCodec.decode(rec.content)
+          val frames = samples.length / ch
+          val nb = (frames + blockFrames - 1) / blockFrames
+          val acc = new Array[Long](nb)
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            acc((i / ch) / blockFrames) += v * v
+            i += 1
+          }
+          val te = acc.sum
+          val active = (0 until nb).filter(b => acc(b) * nb > te)
+          // gaps-and-islands over the sorted active blocks (mm07's
+          // blk − row_number trick, imperatively)
+          val segs = active.foldLeft(List.empty[(Int, Int)]) {
+            case ((s0, e0) :: rest, b) if b == e0 + 1 =>
+              (s0, b) :: rest
+            case (acc0, b) => (b, b) :: acc0
+          }.reverse
+          segs.flatMap { case (s0, e0) =>
+            val fStart = s0 * blockFrames
+            val fEnd = math.min(fStart + 32,
+              math.min((e0 + 1) * blockFrames, frames))
+            bands.map { case (name, c) =>
+              var s1 = 0L
+              var s2 = 0L
+              var f = fStart
+              while (f < fEnd) {
+                val v = samples(f * ch).toLong // channel 0
+                val nxt = v + c * s1 - s2
+                s2 = s1
+                s1 = nxt
+                f += 1
+              }
+              SegmentBandPower(rec.media_id, s0, e0, name,
+                s1 * s1 + s2 * s2 - c * s1 * s2)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** REAL video container (the demux is real; only the pixel synthesis
     * is the deterministic stand-in): a minimal packetized stream — a
     * 16-byte [[StubCodec]]-layout header (magic, width, height, frame

@@ -443,6 +443,80 @@ object MediaOps {
             AS n_cuts,
           cast(max(jump) as bigint) AS max_jump
         FROM t GROUP BY doc_id
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // Integer Goertzel band energies per VAD segment — mm07's consumer
+    // and the multimodal family's feature-extraction rung beyond raw
+    // energy: for each active-speech segment, the Goertzel power
+    // |X(ω)|² of the segment's first 32 channel-0 frames at the five
+    // frequencies whose coefficient 2·cos(ω) is an exact integer (DC,
+    // fs/6, fs/4, fs/3, Nyquist) — making recurrence and power exact
+    // 64-bit integer arithmetic both engines re-derive bit-for-bit
+    // through mm04's pinned synthesis (see audioSegmentGoertzel's
+    // docs for the fixed-N dynamic-range bound). The whole
+    // segment+feature derivation folds inside the batched decode:
+    // segments × 5 rows leave the partition, never samples. DuckDB
+    // re-runs the recurrence with list_reduce over a [s1, s2] BIGINT
+    // state list (struct-typed reduce states miscompute their second
+    // field in DuckDB 1.0 — measured; list state is exact).
+    // ------------------------------------------------------------------
+    "mm09_goertzel_bands" -> Q(
+      (s, d) => {
+        Multimodal
+          .audioSegmentGoertzel(Multimodal.synthesizeWav(s, d)).toDF()
+          .orderBy(col("media_id"), col("seg_start"), col("band"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, cast(1 + doc_id % 2 as int) AS ch,
+            cast(32 + doc_id % 96 as int) AS fr,
+            length(text) AS n, text
+          FROM documents),
+        sv AS (
+          SELECT doc_id, ch, n, text, unnest(range(0, fr * ch)) AS i
+          FROM p),
+        vals AS (
+          SELECT doc_id, cast((i // ch) // 8 as int) AS blk,
+            ((CASE WHEN n = 0 THEN 0
+                   ELSE unicode(substr(text, cast(i % n as int) + 1, 1))
+                        % 256
+              END * 131 + i * 7 + doc_id) % 65536) - 32768 AS v
+          FROM sv),
+        be AS (SELECT doc_id, blk, cast(sum(v * v) as bigint) AS energy
+          FROM vals GROUP BY 1, 2),
+        tot AS (SELECT doc_id, cast(sum(energy) as bigint) AS te,
+            cast(count(*) as bigint) AS nb
+          FROM be GROUP BY 1),
+        act AS (SELECT be.doc_id, be.blk FROM be JOIN tot USING (doc_id)
+          WHERE be.energy * tot.nb > tot.te),
+        isl AS (SELECT doc_id, blk,
+            blk - row_number() OVER (PARTITION BY doc_id ORDER BY blk)
+              AS grp
+          FROM act),
+        segs AS (
+          SELECT doc_id, cast(min(blk) as int) AS seg_start,
+            cast(max(blk) as int) AS seg_end
+          FROM isl GROUP BY doc_id, grp),
+        bands AS (SELECT * FROM (VALUES ('dc', 2), ('fs6', 1),
+          ('fs4', 0), ('fs3', -1), ('nyq', -2)) b(band, c)),
+        seg_g AS (
+          SELECT s.doc_id, s.seg_start, s.seg_end, b.band, b.c,
+            list_reduce(
+              list_prepend([cast(0 as bigint), cast(0 as bigint)],
+                list_transform(range(s.seg_start * 8,
+                    least(s.seg_start * 8 + 32,
+                      least((s.seg_end + 1) * 8, p.fr))), f ->
+                  [cast(((CASE WHEN p.n = 0 THEN 0
+                      ELSE unicode(substr(p.text,
+                        cast((f * p.ch) % p.n as int) + 1, 1)) % 256 END
+                    * 131 + (f * p.ch) * 7 + s.doc_id) % 65536) - 32768
+                    as bigint), cast(0 as bigint)])),
+              (acc, x) -> [x[1] + b.c * acc[1] - acc[2], acc[1]]) AS st
+          FROM segs s JOIN p USING (doc_id), bands b)
+        SELECT doc_id AS media_id, seg_start, seg_end, band,
+          cast(st[1] * st[1] + st[2] * st[2] - c * st[1] * st[2]
+            as bigint) AS power
+        FROM seg_g
+        ORDER BY media_id, seg_start, band"""))
   )
 }

@@ -257,4 +257,36 @@ class MultimodalSpec extends SparkFunSuite {
     assert((wo, ho) == (3, 2))
     assert(opx.map(p => (p >> 16) & 0xFF).toSeq == Seq(0, 2, 4, 10, 12, 14))
   }
+
+  test("audioSegmentGoertzel: integer band powers equal the direct DFT " +
+      "|X(w)|^2 of the segment's analysis window, end-to-end through " +
+      "the codec + VAD") {
+    import spark.implicits._
+    // one real WAV through the whole operator
+    val rec = Multimodal.synthesizeWav(spark, sf0001)
+      .filter(col("media_id") === 3L).as[Multimodal.MediaRecord]
+      .collect().head
+    val rows = Multimodal.audioSegmentGoertzel(Seq(rec).toDS())
+      .collect().groupBy(r => (r.seg_start, r.seg_end))
+    assert(rows.nonEmpty, "no VAD segments for clip 3")
+    // reference: direct complex DFT over the same window / channel
+    val (_, ch, samples) = Multimodal.WavCodec.decode(rec.content)
+    val frames = samples.length / ch
+    val omega = Map("dc" -> 0.0, "fs6" -> math.Pi / 3,
+      "fs4" -> math.Pi / 2, "fs3" -> 2 * math.Pi / 3, "nyq" -> math.Pi)
+    for (((s0, e0), bandRows) <- rows) {
+      val fStart = s0 * 8
+      val fEnd = math.min(fStart + 32, math.min((e0 + 1) * 8, frames))
+      val xs = (fStart until fEnd).map(f => samples(f * ch).toDouble)
+      for (r <- bandRows) {
+        val w = omega(r.band)
+        val re = xs.zipWithIndex.map { case (x, n) => x * math.cos(w * n) }.sum
+        val im = xs.zipWithIndex.map { case (x, n) => -x * math.sin(w * n) }.sum
+        val dft = re * re + im * im
+        assert(math.abs(dft - r.power.toDouble) <=
+          1e-6 * math.max(1.0, dft),
+          s"band ${r.band} seg ($s0,$e0): goertzel ${r.power} vs dft $dft")
+      }
+    }
+  }
 }
