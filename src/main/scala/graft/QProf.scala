@@ -30,6 +30,17 @@ object QProf {
     val t1 = System.nanoTime()
     df.count()
     println(f"QPROF $name second run=${(System.nanoTime() - t1) / 1e9}%.3f s")
+    // Full-materialization leg: count() lets Catalyst PRUNE computed
+    // columns (a projection-shaped query times as a bare row-count
+    // scan), so for row-local operators the two legs above measure the
+    // scan, not the operator. Draining every row of the executed plan
+    // forces codegen to write every output column. (foreachPartition
+    // with an empty body would NOT: the per-partition iterator is lazy
+    // and an unconsumed iterator computes nothing.)
+    val t2 = System.nanoTime()
+    df.queryExecution.executedPlan.execute()
+      .foreachPartition(it => while (it.hasNext) it.next())
+    println(f"QPROF $name materialize-all=${(System.nanoTime() - t2) / 1e9}%.3f s")
     if (sys.env.contains("QPROF_EXPLAIN")) {
       // Execute THIS dataframe's own QueryExecution (count() above spawns
       // a separate one), so the AdaptiveSparkPlan materializes and the
