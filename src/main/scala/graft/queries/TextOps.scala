@@ -668,8 +668,13 @@ object TextOps {
   private[queries] def spanCleanedDocs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 20
-    val norm = docs(s, d).select(col("doc_id"),
-      regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
+    // norm is consumed FOUR times (posts source + two segment joins +
+    // the final join): unmaterialized, the lower+regex normalization
+    // re-runs over the full corpus per consumer. Materialized it is
+    // one normalized-corpus-sized frame (DISK_ONLY dial applies at
+    // cluster scale via Catalog.mat).
+    val norm = Catalog.mat(docs(s, d).select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", " ").as("t")))
     val posts = norm
       .select(col("doc_id"), col("t"),
         posexplode(graft.functions.Winnow.gramHashes(col("t"), L)))
@@ -682,12 +687,19 @@ object TextOps {
       .select(col("doc_id"), col("pos")).distinct()
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(wDoc)
-    val spans = dup
+    // spans is consumed THREE times (spanAgg, segBefore, segTail via
+    // spanAgg) — without materialization the whole gram-posting
+    // pipeline (explode + two shuffles + windows) re-executes per
+    // consumer (measured 3× in the r10 drain-semantics plan read).
+    // The frame is islands-per-doc scale (≪ corpus), so the
+    // materialization is cheap at any sf; Catalog.mat honors the
+    // DISK_ONLY dial.
+    val spans = Catalog.mat(dup
       .withColumn("brk",
         when(prev.isNull || col("pos") - prev > L, 1).otherwise(0))
       .withColumn("isl", sum(col("brk")).over(wDoc))
       .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + (L - 1)).as("e"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (L - 1)).as("e")))
     val spanAgg = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("removed_chars"),

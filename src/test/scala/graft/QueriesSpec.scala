@@ -49,7 +49,8 @@ class QueriesSpec extends SparkFunSuite {
         "g12_bfs_hops", "g13_sssp_census", "s18_ann_harness",
         "g14_harmonic_centrality",
         // round-10 additions
-        "g15_cc_convergence", "x41_bpe_deep")) {
+        "g15_cc_convergence", "x41_bpe_deep",
+        "d22_span_dedup_rewrite", "d23_span_dedup_census")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
