@@ -1427,6 +1427,124 @@ object GraphOps {
           cast(c.n_changed as bigint) AS n_changed,
           cast(p.n_components as bigint) AS n_components
         FROM census c JOIN comp p USING (round)
-        ORDER BY c.round"""))
+        ORDER BY c.round""")),
+
+    // ------------------------------------------------------------------
+    // k-TRUSS peeled to an ACTUAL FIXPOINT with certificate — g11's
+    // trajectory caveat fully retired: the same per-round peel (one
+    // degree-ordered O(m^1.5) wedge pass + edge-keyed semi join, k=10)
+    // iterated until no edge drops, emitting the full census (round,
+    // edges_before, edges_after) whose LAST row has before == after —
+    // the converged 10-truss a production run can trust without
+    // knowing the iteration budget. sf0.01: 8 rounds, 115.7k → 4974
+    // edges, a real non-empty truss; sf0.1: 3 rounds to a 62k-edge
+    // truss (the denser graph peels faster). Fixpoints are
+    // round-count independent, so the oracle unrolls a FIXED 12
+    // levels (margin over the measured 8) and emits rows only up to
+    // the first no-change round — identical to the run-to-fixpoint
+    // loop whenever convergence lands within the unroll, and an
+    // empty-result loud failure (never a silent wrong answer) if the
+    // data ever shifts convergence past it. Per-round edge frames are
+    // materialized (Catalog.mat, disk dial); counts are driver
+    // scalars (g01's convention); rounds past convergence cost
+    // nothing — the loop stops at the certificate.
+    // ------------------------------------------------------------------
+    "g16_ktruss_fixpoint" -> Q(
+      (s, d) => {
+        val kk = 10
+        var cur = coPurchaseEdges(s, d, canonical = true)
+          .pipe(materialize)
+        var before = cur.count()
+        val census = scala.collection.mutable.ArrayBuffer.empty[
+          (Int, Long, Long)]
+        val maxIter = 30
+        var r = 0
+        var converged = false
+        while (!converged && r < maxIter) {
+          r += 1
+          val support = orientedTrianglesOf(cur)
+            .select(explode(array(
+              struct(least(col("u"), col("v")).as("a"),
+                greatest(col("u"), col("v")).as("b")),
+              struct(least(col("u"), col("w")).as("a"),
+                greatest(col("u"), col("w")).as("b")),
+              struct(least(col("v"), col("w")).as("a"),
+                greatest(col("v"), col("w")).as("b")))).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+            .groupBy(col("a"), col("b"))
+            .agg(count(lit(1)).as("sup"))
+          val nxt = cur.join(
+            support.filter(col("sup") >= kk - 2)
+              .select(col("a"), col("b")),
+            Seq("a", "b"), "left_semi")
+            .pipe(materialize)
+          val after = nxt.count()
+          census += ((r, before, after))
+          converged = after == before
+          cur = nxt
+          before = after
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"g16 did not reach a truss fixpoint within $maxIter rounds")
+        import s.implicits._
+        census.toSeq.toDF("round", "edges_before", "edges_after")
+          .orderBy(col("round"))
+      },
+      Some {
+        val maxUnroll = 12
+        val levels = (1 to maxUnroll).map { k =>
+          val prev = s"cur${k - 1}"
+          s"""deg$k AS MATERIALIZED (
+          SELECT id, cast(count(*) as bigint) AS deg
+          FROM (SELECT a AS id FROM $prev
+                UNION ALL SELECT b FROM $prev) u GROUP BY 1),
+        o$k AS MATERIALIZED (
+          SELECT CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.a ELSE c.b END AS src,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN c.b ELSE c.a END AS dst,
+               CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+                 THEN db.deg ELSE da.deg END AS ddst
+          FROM $prev c JOIN deg$k da ON da.id = c.a
+          JOIN deg$k db ON db.id = c.b),
+        t$k AS MATERIALIZED (
+          SELECT p.src AS u, p.dst AS v, q.dst AS w FROM o$k p
+          JOIN o$k q ON p.src = q.src AND (p.ddst < q.ddst
+            OR (p.ddst = q.ddst AND p.dst < q.dst))
+          JOIN o$k r ON r.src = p.dst AND r.dst = q.dst),
+        s$k AS (SELECT a, b, count(*) AS sup FROM (
+          SELECT least(u, v) AS a, greatest(u, v) AS b FROM t$k
+          UNION ALL SELECT least(u, w), greatest(u, w) FROM t$k
+          UNION ALL SELECT least(v, w), greatest(v, w) FROM t$k) e
+          GROUP BY 1, 2),
+        cur$k AS MATERIALIZED (
+          SELECT c.a, c.b FROM $prev c
+          JOIN s$k ON s$k.a = c.a AND s$k.b = c.b AND s$k.sup >= 8)"""
+        }.mkString(",\n        ")
+        val cnts = (0 to maxUnroll).map(k =>
+          s"SELECT $k AS r, cast(count(*) as bigint) AS n FROM cur$k")
+          .mkString("\n          UNION ALL ")
+        s"""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        cur0 AS MATERIALIZED (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        $levels,
+        cnts AS (
+          $cnts),
+        pairs AS (
+          SELECT a.r AS round, b.n AS edges_before, a.n AS edges_after
+          FROM cnts a JOIN cnts b ON b.r = a.r - 1 WHERE a.r >= 1),
+        conv AS (SELECT min(round) AS cr FROM pairs
+          WHERE edges_before = edges_after)
+        SELECT cast(round as int) AS round, edges_before, edges_after
+        FROM pairs WHERE round <= (SELECT cr FROM conv)
+        ORDER BY round"""
+      })
   )
 }

@@ -50,7 +50,8 @@ class QueriesSpec extends SparkFunSuite {
         "g14_harmonic_centrality",
         // round-10 additions
         "g15_cc_convergence", "x41_bpe_deep",
-        "d22_span_dedup_rewrite", "d23_span_dedup_census")) {
+        "d22_span_dedup_rewrite", "d23_span_dedup_census",
+        "g16_ktruss_fixpoint")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
