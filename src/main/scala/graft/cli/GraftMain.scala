@@ -41,7 +41,8 @@ object GraftMain {
       |           [--lock-timeout D] [--statement-timeout D]   (D like 10s, 1m, 250ms)
       |  rollback <migrationsDir> <trackerDir> (--steps N | --target V)
       |  plan     <migrationsDir> <trackerDir> [--pg-version N] [--pending-only] [--stats-dir DIR]
-      |  status   <migrationsDir> <trackerDir> [--format text|json]""".stripMargin
+      |  status   <migrationsDir> <trackerDir> [--format text|json]
+      |  stats    <dataDir> <trackerDir> [--tables t1,t2,...]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // split persistent flags (anywhere) from subcommand + its args
@@ -139,6 +140,9 @@ object GraftMain {
       case "status" =>
         val (pos, flags) = splitPositional(2)
         StatusMain.main((pos.take(2) ++ flags).toArray)
+      case "stats" =>
+        val (pos, flags) = splitPositional(2)
+        StatsMain.main((pos.take(2) ++ flags).toArray)
       case other =>
         System.err.println(s"graft: unknown command '$other'\n" + usageText)
         sys.exit(2)

@@ -48,6 +48,28 @@ object PlanMain {
     "vacuum-full" -> "full table rewrite",
     "drop-table" -> "drops all rows")
 
+  /** One stored (table, column) statistic row from
+    * trackerDir/table_stats.parquet (see [[StatsMain]]).
+    */
+  final case class StoredStat(nRows: Long, nullCount: Long,
+      vminCents: Long, vmaxCents: Long, octilesCents: Seq[Long])
+
+  /** Violator estimate from STORED octile boundaries alone — no data
+    * access: 8 equal-depth buckets with edges (vmin, b1..b7, vmax),
+    * depth = non-null rows / 8, full buckets above the cut counted
+    * whole, the straddling bucket linearly interpolated.
+    */
+  private[cli] def estimateGeStored(st: StoredStat, cut: Long): Long = {
+    val edges = (st.vminCents +: st.octilesCents) :+ st.vmaxCents
+    val depth = (st.nRows - st.nullCount).toDouble / 8.0
+    val est = edges.sliding(2).map { case Seq(lo, hi) =>
+      if (lo >= cut) depth
+      else if (hi >= cut && hi > lo) depth * (hi - cut).toDouble / (hi - lo)
+      else 0.0
+    }.sum
+    math.round(est)
+  }
+
   /** Estimated rows with cents >= cut from an 8-bucket equi-depth
     * histogram (full buckets counted whole; the straddling bucket
     * interpolated with integer division — m11's exact arithmetic).
@@ -142,13 +164,33 @@ object PlanMain {
       println(s"Plan: ${pending.length} pending migration(s) " +
         s"(${appliedSet.size} already applied; target PostgreSQL $pgVersion)\n")
       var anyBlocked = false
-      // per-table row-count stat, fetched once per table (parquet
-      // footer count — metadata-scale)
+      // STORED stats first (graft stats → trackerDir/table_stats
+      // .parquet — plan stays a pure metadata operation, the pg_stats
+      // posture); --stats-dir live scans are the fallback.
+      val stored: Map[(String, String), StoredStat] = {
+        val p = java.nio.file.Paths.get(trackerDir, "table_stats.parquet")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else spark.read.parquet(p.toString).collect().map { r =>
+          (r.getAs[String]("table_name"), r.getAs[String]("col_name")) ->
+            StoredStat(r.getAs[Long]("n_rows"),
+              r.getAs[Long]("null_count"),
+              r.getAs[Long]("vmin_cents"), r.getAs[Long]("vmax_cents"),
+              Option(r.getAs[scala.collection.Seq[Long]]("octiles_cents"))
+                .map(_.toSeq).getOrElse(Seq.empty))
+        }.toMap
+      }
+      val storedRows: Map[String, Long] =
+        stored.groupBy(_._1._1).map { case (t, m) => t -> m.head._2.nRows }
+      if (stored.nonEmpty)
+        println(s"(using stored table stats: ${storedRows.size} " +
+          "table(s) from tracker)\n")
+      // per-table row-count stat: stored, else one parquet footer
+      // count per table from --stats-dir (metadata-scale)
       val rowCount = scala.collection.mutable.Map.empty[String, Option[Long]]
       def tableRows(table: String): Option[Long] = rowCount.getOrElseUpdate(
-        table, {
+        table, storedRows.get(table).orElse {
           val p = java.nio.file.Paths.get(statsDir, s"$table.parquet")
-          if (java.nio.file.Files.exists(p))
+          if (statsDir.nonEmpty && java.nio.file.Files.exists(p))
             Some(spark.read.parquet(p.toString).count())
           else None
         })
@@ -176,7 +218,8 @@ object PlanMain {
         result.findings.foreach { f =>
           println(s"    ! ${Severity.label(f.severity)} [${f.rule}] " +
             s"table=${f.table} lock=${f.lockType}")
-          if (statsDir.nonEmpty && f.table != null && f.table.nonEmpty)
+          if ((statsDir.nonEmpty || stored.nonEmpty) &&
+              f.table != null && f.table.nonEmpty)
             for (mech <- mechanisms.get(f.rule); n <- tableRows(f.table)) {
               println(s"      ~ impact: $mech ≈ $n row(s) of ${f.table}")
               val stmtSql =
@@ -186,13 +229,30 @@ object PlanMain {
               if (f.rule == "add-constraint-without-not-valid")
                 stmtSql match {
                   case checkRe(colName, op, num) =>
-                    estimateCheckViolations(
-                      spark, statsDir, f.table, colName, op, num)
-                      .foreach { est =>
+                    stored.get((f.table, colName))
+                      .filter(_.octilesCents.size == 7) match {
+                      case Some(st) =>
+                        val cut = (BigDecimal(num) * 100).toLongExact
+                        val nn = st.nRows - st.nullCount
+                        val est = op match {
+                          case "<"  => estimateGeStored(st, cut)
+                          case "<=" => estimateGeStored(st, cut + 1)
+                          case ">"  => nn - estimateGeStored(st, cut + 1)
+                          case _    => nn - estimateGeStored(st, cut)
+                        }
                         println(s"      ~ impact: ≈ $est row(s) violate " +
-                          s"CHECK ($colName $op $num) — 8-bucket " +
-                          "equi-depth histogram estimate")
-                      }
+                          s"CHECK ($colName $op $num) — stored-stats " +
+                          "octile estimate (no scan)")
+                      case None =>
+                        estimateCheckViolations(
+                          spark, statsDir, f.table, colName, op, num)
+                          .foreach { est =>
+                            println(s"      ~ impact: ≈ $est row(s) " +
+                              s"violate CHECK ($colName $op $num) — " +
+                              "8-bucket equi-depth histogram estimate " +
+                              "(live scan)")
+                          }
+                    }
                   case _ => ()
                 }
               if (f.rule == "set-not-null") {
@@ -201,7 +261,8 @@ object PlanMain {
                   .r.unanchored
                 stmtSql match {
                   case colRe(colName) =>
-                    nullCount(spark, statsDir, f.table, colName)
+                    stored.get((f.table, colName)).map(_.nullCount)
+                      .orElse(nullCount(spark, statsDir, f.table, colName))
                       .foreach { nv =>
                         println(s"      ~ impact: $nv NULL row(s) in " +
                           s"$colName would block SET NOT NULL")

@@ -142,6 +142,26 @@ class CliRootSpec extends AnyFunSuite {
     assert(code2 == 0 && !out2.contains("~ impact:"), out2)
   }
 
+  test("graft stats persists table statistics; plan then estimates " +
+      "impact from STORED stats with no data scan (pg_stats posture)") {
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-cli-stats").toString
+    val (c0, o0) = graft("stats", "/root/testdata/sf0.001", tracker,
+      "--tables", "customer,orders,lineitem")
+    assert(c0 == 0, s"stats failed:\n$o0")
+    assert(o0.contains("Collected stats for 3 table(s)"), o0)
+    // plan WITHOUT --stats-dir: estimates must come from the tracker
+    val (c1, o1) = graft("plan", "/root/repo/fixtures/impact", tracker)
+    assert(c1 == 0, s"plan failed:\n$o1")
+    assert(o1.contains("using stored table stats: 3 table(s)"), o1)
+    assert(o1.contains("150 row(s) of customer") &&
+      o1.contains("6000 row(s) of lineitem"), o1)
+    assert(o1.contains("stored-stats octile estimate (no scan)"), o1)
+    assert(o1.contains("NULL row(s) in o_orderstatus"), o1)
+    // and no live-scan estimates leaked in
+    assert(!o1.contains("live scan"), o1)
+  }
+
   test("graft status --format json emits machine-readable state " +
       "(status.go:18's registered value, implemented)") {
     val tracker = java.nio.file.Files
