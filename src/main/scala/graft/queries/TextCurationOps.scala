@@ -3282,6 +3282,127 @@ object TextCurationOps {
         FROM ck
         ORDER BY doc_id, chunk_idx""")),
 
+    // ------------------------------------------------------------------
+    // Feature-hashed CHUNK VECTORS + retrieval — x42's vector-side
+    // consumer (the d24 near-dup is the set-side one): each chunk's
+    // token bag projects to a 16-dim INTEGER vector, component j =
+    // Σ over tokens t of ((Aⱼ·(h60(t) mod P) + Bⱼ) mod P mod 2001 −
+    // 1000) — the hashing-trick / random-projection embedding
+    // (Weinberger et al.; no training, no model artifact), built on
+    // the minhashSig perm substrate so each token is md5-hashed ONCE
+    // and the 16 per-dim values are cheap modular arithmetic (the
+    // per-(token,dim)-md5 + nested-lambda formulation measured 6.9 s
+    // vs this form's 2.0 s at sf0.1). Bag overlap is preserved: shared
+    // contribute identical pseudo-random components, so near-dup
+    // chunks land at cosine ≈ 1. Query = doc 0's first chunk;
+    // brute-force cosine top-20 over CROSS-doc chunks (the s01
+    // posture at chunk granularity — the s-family's IVF/LSH legs are
+    // the documented scale path). Integer dot and norms are exact;
+    // cosine = dot / (sqrt(na)·sqrt(nb)) is the same single
+    // expression in both engines (na·nb would overflow Long — the
+    // factored sqrt keeps every operand < 2^63). One scan to vectors,
+    // 1-row query broadcast, TakeOrdered top-20.
+    // ------------------------------------------------------------------
+    "x43_chunk_vectors" -> Q(
+      (s, d) => {
+        import graft.functions.PortableHash.{P, h60col, permA, permB}
+        val dims = 16
+        val vecs = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L),
+              greatest(lit(1L), expr("(size(toks) + 7) div 12")) - 1))
+              .as("k"))
+          .select(col("doc_id"),
+            graft.functions.PortableHash.h60col(
+              concat(col("doc_id").cast("string"), lit(":"),
+                col("k").cast("string"))).as("cid"),
+            slice(col("toks"), (col("k") * 12 + 1).cast("int"), lit(16))
+              .as("ct"))
+          // hash each token ONCE (its own projection — the expensive-
+          // alias discipline), then 16 cheap modular perms per hash.
+          // The per-dim sums are UNROLLED as 16 single-level aggregate
+          // expressions with literal perm constants: the nested
+          // transform(dims, j => aggregate(...)) form doesn't codegen
+          // (the d03 ShingleMinHash lesson) and measured 3× slower.
+          .select(col("doc_id"), col("cid"),
+            transform(col("ct"), t => pmod(h60col(t), lit(P))).as("ht"))
+          .select(Seq(col("doc_id"), col("cid")) ++
+            (0 until dims).map { j =>
+              aggregate(col("ht"), lit(0L), (acc, x) =>
+                acc + (pmod(lit(permA(j)) * x + lit(permB(j)), lit(P))
+                  % 2001 - 1000)).as(s"v$j")
+            }: _*)
+          .select(col("doc_id"), col("cid"),
+            array((0 until dims).map(j => col(s"v$j")): _*).as("v"))
+        val dot = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+            (acc, x) => acc + x)
+        val withNorm = vecs.withColumn("n2", dot(col("v"), col("v")))
+        val query = withNorm
+          .filter(col("doc_id") === 0 &&
+            col("cid") === graft.functions.PortableHash.h60("0:0"))
+          .select(col("v").as("qv"), col("n2").as("qn2"))
+        withNorm.filter(col("doc_id") =!= 0)
+          .crossJoin(broadcast(query))
+          .withColumn("dot", dot(col("v"), col("qv")))
+          .withColumn("cosine", col("dot").cast("double") /
+            (sqrt(col("n2").cast("double")) *
+              sqrt(col("qn2").cast("double"))))
+          .select(col("cid").as("chunk_b"), col("doc_id").as("doc_b"),
+            col("dot"), col("cosine"))
+          .orderBy(col("cosine").desc, col("chunk_b"))
+          .limit(20)
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id, string_split_regex(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        ck AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id || ':' || u.k), 1, 15))::BIGINT
+              AS cid,
+            w[(u.k*12+1):(u.k*12+16)] AS ct
+          FROM t0, unnest(generate_series(0,
+            greatest(1, (len(w) + 7) // 12) - 1)) AS u(k)),
+        perms AS (
+          SELECT
+            list_transform(range(0, 16), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT % 2147483646 + 1) AS pa,
+            list_transform(range(0, 16), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT % 2147483647) AS pb),
+        hck AS (
+          SELECT doc_id, cid,
+            list_transform(ct, t ->
+              ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)
+              AS ht
+          FROM ck),
+        vecs AS (
+          SELECT doc_id, cid,
+            list_transform(range(0, 16), j ->
+              coalesce(list_sum(list_transform(ht, x ->
+                ((pa[j+1] * x + pb[j+1]) % 2147483647 % 2001) - 1000)),
+                0)) AS v
+          FROM hck, perms),
+        wn AS (
+          SELECT doc_id, cid, v,
+            cast(list_sum(list_transform(v, x -> x * x)) as bigint)
+              AS n2
+          FROM vecs),
+        q AS (
+          SELECT v AS qv, n2 AS qn2 FROM wn
+          WHERE doc_id = 0
+            AND cid = ('0x' || substr(md5('0:0'), 1, 15))::BIGINT)
+        SELECT wn.cid AS chunk_b, wn.doc_id AS doc_b,
+          cast(list_dot_product(wn.v, q.qv) as bigint) AS dot,
+          cast(list_dot_product(wn.v, q.qv) as double) /
+            (sqrt(cast(wn.n2 as double)) * sqrt(cast(q.qn2 as double)))
+            AS cosine
+        FROM wn, q
+        WHERE wn.doc_id <> 0
+        ORDER BY cosine DESC, chunk_b
+        LIMIT 20""")),
+
 
     // ------------------------------------------------------------------
     // Curriculum schedule — the quality-phased training order

@@ -119,6 +119,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "per-budget count broadcasts (the d15-for-IVF harness); the "
       + "corpus work is one cell-pruned cosine scan, checkpointed and "
       + "filtered per probe budget"),
+    "x43_chunk_vectors" -> ("1-row query-chunk-vector broadcast (s01's "
+      + "shape at chunk granularity); the corpus side is one scan to "
+      + "16-dim integer vectors + TakeOrdered"),
     "m11_plan_impact_estimate" -> ("q83-style 1-row histogram-boundary "
       + "broadcast + 1-row estimate/exact/null-count frames crossed "
       + "onto the 4-row findings table; data-sized work is one "
