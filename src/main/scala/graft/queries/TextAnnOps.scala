@@ -1977,5 +1977,137 @@ object TextAnnOps {
           SELECT 'd_sq8', (SELECT nall FROM tot),
             (SELECT cast(count(*) as bigint) FROM sq_top
              WHERE vec_id IN (SELECT vec_id FROM truth))
-        ) ORDER BY method""")))
+        ) ORDER BY method""")),
+
+
+    // ------------------------------------------------------------------
+    // Okapi BM25 text retrieval (k1=1.2, b=0.75) over a BIGRAM
+    // inverted index — the lexical-retrieval rung the ANN family
+    // lacked (s01-s18 are all vector-side; RAG stacks pair them with
+    // a BM25 leg for hybrid retrieval). The index unit is the bigram,
+    // not the unigram: on this corpus's ~31-type vocabulary every
+    // unigram occurs in every document (df = N, zero selectivity);
+    // bigram df varies 1..N, so posting lists actually select (~125
+    // candidates of 500 docs per query at sf0.01, match counts 2-4).
+    //
+    // Five queries: the x15 benchmark picks (doc_id % 97 = 0, qid =
+    // doc_id/97 ≤ 4), query terms = the doc's first 5 distinct
+    // bigrams; the query doc itself is excluded from candidates.
+    // Plan shape at 100 TB: ONE corpus tokenize feeds postings,
+    // doc-length, and df aggregates (term-/doc-keyed shuffles, both
+    // well-distributed); the ≤25-row query-term frame picks up df by
+    // a term join, then BROADCASTS onto the posting list — candidate
+    // generation is a broadcast semi-pattern, never a corpus × query
+    // shuffle; N/avgdl ride in as a 1-row broadcast (x11's pattern).
+    // Per-(query, doc) scores sum by the x35 ordered-fold discipline
+    // (term-sorted left fold — a raw double SUM would not be
+    // bit-reproducible), and idf's ln() is bit-portable on identical
+    // inputs (the x39 precedent). Top-10 per query runs through the
+    // custom TopKPerKey physical operator (third catalog consumer;
+    // map-side bounded heaps ship ≤10 rows per partition per query —
+    // the window formulation would sort all candidates), which the
+    // oracle's row_number formulation independently verifies.
+    // ------------------------------------------------------------------
+    "s19_bm25_retrieval" -> Q(
+      (s, d) => {
+        graft.plans.TopKPerKey.install(s)
+        // x13's fast generate shape: explode(<bigram expression>)
+        // directly over once-aliased toks (an aliased array column
+        // would re-evaluate the build per exploded element)
+        val bigrams =
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array().cast("array<string>"))
+        val based = docs(s, d)
+          .select(col("doc_id"), words(col("text")).as("toks"))
+        val posts = based.select(col("doc_id"), explode(bigrams).as("term"))
+        val tf = posts.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val dlf = based.select(col("doc_id"),
+          greatest(size(col("toks")) - 1, lit(0)).cast("long").as("dl"))
+        val tot = dlf.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        val qterms = based
+          .filter(col("doc_id") % 97 === 0 && expr("doc_id div 97") <= 4)
+          .select(expr("doc_id div 97").as("qid"),
+            col("doc_id").as("qdoc"),
+            explode(array_distinct(slice(bigrams, 1, 5))).as("term"))
+        val qdf = qterms.join(dfc, "term") // ≤25 rows, df attached
+        val scored = tf.join(broadcast(qdf), "term")
+          .join(dlf, "doc_id")
+          .crossJoin(broadcast(tot))
+          .filter(col("doc_id") =!= col("qdoc"))
+          .withColumn("sc",
+            log(lit(1.0) +
+              ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+                (col("df").cast("double") + lit(0.5))) *
+              ((col("tf").cast("double") * lit(2.2)) /
+                (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                  lit(0.75) * (col("dl").cast("double") /
+                    (col("sum_dl").cast("double") /
+                      col("n_docs").cast("double")))))))
+        val agg0 = scored.groupBy(col("qid"), col("doc_id"))
+          .agg(collect_list(struct(col("term"), col("sc"))).as("tsl"),
+            count(lit(1)).as("n_terms"))
+          .withColumn("score",
+            aggregate(transform(array_sort(col("tsl")),
+              x => x.getField("sc")), lit(0.0), (a, b) => a + b))
+          .select(col("qid"), col("doc_id"), col("score"), col("n_terms"))
+        graft.plans.TopKPerKey(agg0, Seq("qid"),
+          Seq(("score", true), ("doc_id", false)), 10)
+          .orderBy(col("qid"), col("score").desc, col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(toks) >= 2 THEN
+              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+            ELSE [] END AS bgs
+          FROM t),
+        tok AS (SELECT doc_id, unnest(bgs) AS term FROM bg),
+        tf AS (
+          SELECT doc_id, term, cast(count(*) as bigint) AS tf
+          FROM tok GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, cast(len(bgs) as bigint) AS dl FROM bg),
+        dfc AS (
+          SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term),
+        tot AS (
+          SELECT cast(count(*) as bigint) AS n_docs,
+            cast(sum(dl) as bigint) AS sum_dl FROM dl),
+        qterms AS (
+          SELECT (doc_id // 97) AS qid, doc_id AS qdoc,
+            unnest(list_distinct(bgs[1:5])) AS term
+          FROM bg WHERE doc_id % 97 = 0 AND doc_id // 97 <= 4),
+        scored AS (
+          SELECT q.qid, q.qdoc, tf.doc_id, q.term,
+            ln(1.0 + (cast(t.n_docs - dfc.df as double) + 0.5) /
+                (cast(dfc.df as double) + 0.5))
+              * ((cast(tf.tf as double) * 2.2) /
+                 (cast(tf.tf as double) + 1.2 * (0.25 + 0.75 *
+                   (cast(dl.dl as double) /
+                    (cast(t.sum_dl as double) / cast(t.n_docs as double))))))
+              AS sc
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dfc ON dfc.term = q.term, tot t
+          WHERE tf.doc_id <> q.qdoc),
+        agg AS (
+          SELECT qid, doc_id,
+            list_reduce(list_prepend(0.0, list(sc ORDER BY term)),
+              (a, b) -> a + b) AS score,
+            cast(count(*) as bigint) AS n_terms
+          FROM scored GROUP BY qid, doc_id),
+        top AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, doc_id) AS rn
+          FROM agg)
+        SELECT qid, doc_id, score, n_terms FROM top WHERE rn <= 10
+        ORDER BY qid, score DESC, doc_id""")))
 }

@@ -33,6 +33,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "leg, s01/s02/s03/s17's shapes) + 1-row scalar count frames "
       + "cross-joined into the 4-row comparison table"),
     "x11_tfidf_topterms" -> "1-row corpus-size (N) broadcast",
+    "s19_bm25_retrieval" -> ("1-row corpus-totals (N, Σdl) broadcast "
+      + "(x11's pattern); candidates come from the ≤25-row query-term "
+      + "broadcast onto the posting list — hash joins only at corpus "
+      + "scale"),
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",
