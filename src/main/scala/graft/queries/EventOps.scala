@@ -1574,6 +1574,89 @@ object EventOps {
           cast(cast(sum(cast(value * dur_s as decimal(18,2))) as double)
             / cast(sum(dur_s) as bigint) as double) AS twa
         FROM g WHERE dur_s IS NOT NULL
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+
+    // ------------------------------------------------------------------
+    // Holt linear-trend exponential smoothing (α = β = 0.5) over the
+    // per-type daily event-count series — the FORECASTING rung the
+    // time-series family lacked (e14 detects anomalies against a
+    // trailing window, e26 time-weights the past; nothing projected
+    // forward). Level/trend recurrence l' = αy + (1−α)(l+b),
+    // b' = β(l'−l) + (1−β)b from l₁ = y₁, b₁ = 0, plus the running
+    // one-step-ahead squared-error (the in-sample fit quality a
+    // forecast consumer gates on) and the h = 1/3/7-day projections
+    // l + h·b. Scale shape: ONE data-scale aggregation (event_type ×
+    // day — the e01 shape) collapses 100 TB of events to a
+    // days-per-type census; the recurrence is an ORDERED left fold
+    // over each ≤days-long list (the x35/x39 discipline — a raw
+    // double SUM would not be order-stable, and Holt is inherently
+    // sequential), so the sequential part runs on metadata-scale
+    // lists, never on rows. α = β = 0.5 keeps every smoothing
+    // coefficient exactly representable in binary; the fold body is
+    // written in identical operation order in both engines (DuckDB
+    // replays it via list_reduce over a [l, b, sse] list state —
+    // struct reduce states miscompute in DuckDB 1.0, the mm09
+    // finding).
+    // ------------------------------------------------------------------
+    "e28_holt_forecast" -> Q(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val series = daily.groupBy(col("event_type"))
+          .agg(transform(array_sort(collect_list(struct(col("day"),
+            col("cnt")))), x => x.getField("cnt").cast("double")).as("ys"))
+        def a1(acc: Column) = element_at(acc, 1)
+        def a2(acc: Column) = element_at(acc, 2)
+        def a3(acc: Column) = element_at(acc, 3)
+        series
+          .withColumn("n_days", size(col("ys")).cast("long"))
+          .withColumn("st", aggregate(
+            slice(col("ys"), lit(2), size(col("ys")) - 1),
+            array(element_at(col("ys"), 1), lit(0.0), lit(0.0)),
+            (acc, y) => array(
+              lit(0.5) * y + lit(0.5) * (a1(acc) + a2(acc)),
+              lit(0.5) * ((lit(0.5) * y + lit(0.5) * (a1(acc) + a2(acc)))
+                - a1(acc)) + lit(0.5) * a2(acc),
+              a3(acc) + (y - (a1(acc) + a2(acc)))
+                * (y - (a1(acc) + a2(acc))))))
+          .select(col("event_type"), col("n_days"),
+            element_at(col("st"), 1).as("level"),
+            element_at(col("st"), 2).as("trend"),
+            element_at(col("st"), 3).as("sse"),
+            (element_at(col("st"), 1) + lit(1.0) * element_at(col("st"), 2))
+              .as("fc_1"),
+            (element_at(col("st"), 1) + lit(3.0) * element_at(col("st"), 2))
+              .as("fc_3"),
+            (element_at(col("st"), 1) + lit(7.0) * element_at(col("st"), 2))
+              .as("fc_7"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, cast(cast(ts as timestamp) as date) AS day,
+            cast(count(*) as bigint) AS cnt
+          FROM events GROUP BY 1, 2),
+        ser AS (
+          SELECT event_type,
+            list_transform(list(cnt ORDER BY day), c -> cast(c as double))
+              AS ys
+          FROM daily GROUP BY event_type),
+        f AS (
+          SELECT event_type, len(ys) AS n_days,
+            list_reduce(list_prepend([ys[1], 0.0, 0.0],
+              list_transform(ys[2:], y -> [y, 0.0, 0.0])),
+              (acc, x) -> [
+                0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                  + 0.5 * acc[2],
+                acc[3] + (x[1] - (acc[1] + acc[2]))
+                  * (x[1] - (acc[1] + acc[2]))]) AS st
+          FROM ser)
+        SELECT event_type, cast(n_days as bigint) AS n_days,
+          st[1] AS level, st[2] AS trend, st[3] AS sse,
+          st[1] + 1.0 * st[2] AS fc_1, st[1] + 3.0 * st[2] AS fc_3,
+          st[1] + 7.0 * st[2] AS fc_7
+        FROM f ORDER BY event_type"""))
   )
 }
