@@ -15,6 +15,88 @@ import TextOps._
   */
 object TextAnnOps {
 
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) per-(query, candidate) scores over
+    * the bigram inverted index — the shared engine of s19 (ranked
+    * retrieval) and s20 (hybrid RRF fusion). Queries are the x15
+    * benchmark picks (doc_id % 97 = 0, qid = doc_id/97 ≤ 4), terms =
+    * each query doc's first 5 distinct bigrams, the query doc excluded
+    * from its own candidates. Returns (qid, doc_id, score, n_terms);
+    * scores sum by the x35 ordered-fold discipline (term-sorted left
+    * fold). See s19's scaladoc for the 100 TB plan shape.
+    */
+  private def bm25Agg(s: SparkSession, d: String): DataFrame = {
+    // x13's fast generate shape: explode(<bigram expression>) directly
+    // over once-aliased toks (an aliased array column would
+    // re-evaluate the build per exploded element)
+    val bigrams =
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+    val based = docs(s, d)
+      .select(col("doc_id"), words(col("text")).as("toks"))
+    val posts = based.select(col("doc_id"), explode(bigrams).as("term"))
+    val tf = posts.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dlf = based.select(col("doc_id"),
+      greatest(size(col("toks")) - 1, lit(0)).cast("long").as("dl"))
+    val tot = dlf.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val qterms = based
+      .filter(col("doc_id") % 97 === 0 && expr("doc_id div 97") <= 4)
+      .select(expr("doc_id div 97").as("qid"),
+        col("doc_id").as("qdoc"),
+        explode(array_distinct(slice(bigrams, 1, 5))).as("term"))
+    val qdf = qterms.join(dfc, "term") // ≤25 rows, df attached
+    val scored = tf.join(broadcast(qdf), "term")
+      .join(dlf, "doc_id")
+      .crossJoin(broadcast(tot))
+      .filter(col("doc_id") =!= col("qdoc"))
+      .withColumn("sc",
+        log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") /
+                (col("sum_dl").cast("double") /
+                  col("n_docs").cast("double")))))))
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("sc"))).as("tsl"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("score",
+        aggregate(transform(array_sort(col("tsl")),
+          x => x.getField("sc")), lit(0.0), (a, b) => a + b))
+      .select(col("qid"), col("doc_id"), col("score"), col("n_terms"))
+  }
+
+  /** Per-document 16-dim feature-hashed integer vector + its squared
+    * norm — x43's hashing-trick embedding at DOCUMENT granularity
+    * (each token md5-hashed once, the 16 per-dim modular sums unrolled
+    * as single-level codegen'd aggregates). Returns (doc_id, v, n2).
+    */
+  private def docVectors(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash.{P, h60col, permA, permB}
+    val dims = 16
+    val vecs = docs(s, d)
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => pmod(h60col(t), lit(P))).as("ht"))
+      .select(Seq(col("doc_id")) ++
+        (0 until dims).map { j =>
+          aggregate(col("ht"), lit(0L), (acc, x) =>
+            acc + (pmod(lit(permA(j)) * x + lit(permB(j)), lit(P))
+              % 2001 - 1000)).as(s"v$j")
+        }: _*)
+      .select(col("doc_id"),
+        array((0 until dims).map(j => col(s"v$j")): _*).as("v"))
+    vecs.withColumn("n2",
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -2011,52 +2093,7 @@ object TextAnnOps {
     "s19_bm25_retrieval" -> Q(
       (s, d) => {
         graft.plans.TopKPerKey.install(s)
-        // x13's fast generate shape: explode(<bigram expression>)
-        // directly over once-aliased toks (an aliased array column
-        // would re-evaluate the build per exploded element)
-        val bigrams =
-          when(size(col("toks")) >= 2,
-            transform(sequence(lit(1), size(col("toks")) - 1), i =>
-              concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1))))
-            .otherwise(array().cast("array<string>"))
-        val based = docs(s, d)
-          .select(col("doc_id"), words(col("text")).as("toks"))
-        val posts = based.select(col("doc_id"), explode(bigrams).as("term"))
-        val tf = posts.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val dlf = based.select(col("doc_id"),
-          greatest(size(col("toks")) - 1, lit(0)).cast("long").as("dl"))
-        val tot = dlf.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("sum_dl"))
-        val qterms = based
-          .filter(col("doc_id") % 97 === 0 && expr("doc_id div 97") <= 4)
-          .select(expr("doc_id div 97").as("qid"),
-            col("doc_id").as("qdoc"),
-            explode(array_distinct(slice(bigrams, 1, 5))).as("term"))
-        val qdf = qterms.join(dfc, "term") // ≤25 rows, df attached
-        val scored = tf.join(broadcast(qdf), "term")
-          .join(dlf, "doc_id")
-          .crossJoin(broadcast(tot))
-          .filter(col("doc_id") =!= col("qdoc"))
-          .withColumn("sc",
-            log(lit(1.0) +
-              ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-                (col("df").cast("double") + lit(0.5))) *
-              ((col("tf").cast("double") * lit(2.2)) /
-                (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-                  lit(0.75) * (col("dl").cast("double") /
-                    (col("sum_dl").cast("double") /
-                      col("n_docs").cast("double")))))))
-        val agg0 = scored.groupBy(col("qid"), col("doc_id"))
-          .agg(collect_list(struct(col("term"), col("sc"))).as("tsl"),
-            count(lit(1)).as("n_terms"))
-          .withColumn("score",
-            aggregate(transform(array_sort(col("tsl")),
-              x => x.getField("sc")), lit(0.0), (a, b) => a + b))
-          .select(col("qid"), col("doc_id"), col("score"), col("n_terms"))
-        graft.plans.TopKPerKey(agg0, Seq("qid"),
+        graft.plans.TopKPerKey(bm25Agg(s, d), Seq("qid"),
           Seq(("score", true), ("doc_id", false)), 10)
           .orderBy(col("qid"), col("score").desc, col("doc_id"))
       },
@@ -2109,5 +2146,173 @@ object TextAnnOps {
             ORDER BY score DESC, doc_id) AS rn
           FROM agg)
         SELECT qid, doc_id, score, n_terms FROM top WHERE rn <= 10
-        ORDER BY qid, score DESC, doc_id""")))
+        ORDER BY qid, score DESC, doc_id""")),
+
+
+    // ------------------------------------------------------------------
+    // Hybrid retrieval with Reciprocal-Rank Fusion (Cormack et al.,
+    // k = 60) — what RAG stacks actually ship: a lexical BM25 leg and
+    // a vector leg answering the same queries, fused by
+    // rrf = Σ_legs 1/(60 + rank). Legs: s19's bigram BM25 (shared
+    // bm25Agg engine) top-20 per query, and brute cosine over x43's
+    // feature-hashed embedding at DOCUMENT granularity top-20 per
+    // query (the 5-row query-vector frame broadcasts; the s-family's
+    // IVF/LSH legs are the documented scale path for the vector side).
+    // A doc absent from a leg contributes 0 to rrf and reports rank 0.
+    // Cross-engine exactness: ranks are integers, 1/(60 + rank) is an
+    // identical two-op expression, and the two-term rrf sum has one
+    // fixed association — no fold needed. Top-10 per query by
+    // (rrf DESC, doc_id); at sf0.01 both legs agree on ~7 of 50
+    // emitted rows (the fusion visibly re-orders single-leg ranks).
+    // ------------------------------------------------------------------
+    "s20_hybrid_rrf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val brank = bm25Agg(s, d)
+          .withColumn("rank_bm25", row_number().over(Window
+            .partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank_bm25") <= 20)
+          .select(col("qid"), col("doc_id"), col("rank_bm25"))
+        val wn = docVectors(s, d)
+        val qv = wn
+          .filter(col("doc_id") % 97 === 0 && expr("doc_id div 97") <= 4)
+          .select(expr("doc_id div 97").as("qid"),
+            col("doc_id").as("qdoc"),
+            col("v").as("qv"), col("n2").as("qn2"))
+        val dot = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+            (acc, x) => acc + x)
+        val vrank = wn.crossJoin(broadcast(qv))
+          .filter(col("doc_id") =!= col("qdoc"))
+          .withColumn("cosine", dot(col("v"), col("qv")).cast("double") /
+            (sqrt(col("n2").cast("double")) *
+              sqrt(col("qn2").cast("double"))))
+          .withColumn("rank_vec", row_number().over(Window
+            .partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank_vec") <= 20)
+          .select(col("qid"), col("doc_id"), col("rank_vec"))
+        val fused = brank.join(vrank, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"),
+            coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+            coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+            (when(col("rank_bm25").isNull, lit(0.0))
+              .otherwise(lit(1.0) /
+                (lit(60.0) + col("rank_bm25").cast("double"))) +
+              when(col("rank_vec").isNull, lit(0.0))
+                .otherwise(lit(1.0) /
+                  (lit(60.0) + col("rank_vec").cast("double"))))
+              .as("rrf"))
+        fused
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("doc_id"), col("rank_bm25"),
+            col("rank_vec"), col("rrf"))
+          .orderBy(col("qid"), col("rrf").desc, col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(toks) >= 2 THEN
+              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+            ELSE [] END AS bgs
+          FROM t),
+        tok AS (SELECT doc_id, unnest(bgs) AS term FROM bg),
+        tf AS (
+          SELECT doc_id, term, cast(count(*) as bigint) AS tf
+          FROM tok GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, cast(len(bgs) as bigint) AS dl FROM bg),
+        dfc AS (
+          SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term),
+        tot AS (
+          SELECT cast(count(*) as bigint) AS n_docs,
+            cast(sum(dl) as bigint) AS sum_dl FROM dl),
+        qsel AS (
+          SELECT (doc_id // 97) AS qid, doc_id AS qdoc, bgs FROM bg
+          WHERE doc_id % 97 = 0 AND doc_id // 97 <= 4),
+        qterms AS (
+          SELECT qid, qdoc, unnest(list_distinct(bgs[1:5])) AS term
+          FROM qsel),
+        scored AS (
+          SELECT q.qid, q.qdoc, tf.doc_id, q.term,
+            ln(1.0 + (cast(t.n_docs - dfc.df as double) + 0.5) /
+                (cast(dfc.df as double) + 0.5))
+              * ((cast(tf.tf as double) * 2.2) /
+                 (cast(tf.tf as double) + 1.2 * (0.25 + 0.75 *
+                   (cast(dl.dl as double) /
+                    (cast(t.sum_dl as double) / cast(t.n_docs as double))))))
+              AS sc
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dfc ON dfc.term = q.term, tot t
+          WHERE tf.doc_id <> q.qdoc),
+        bagg AS (
+          SELECT qid, doc_id,
+            list_reduce(list_prepend(0.0, list(sc ORDER BY term)),
+              (a, b) -> a + b) AS score
+          FROM scored GROUP BY qid, doc_id),
+        brank AS (
+          SELECT qid, doc_id,
+            cast(row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) as bigint) AS rank_bm25
+          FROM bagg QUALIFY rank_bm25 <= 20),
+        perms AS (
+          SELECT
+            list_transform(range(0, 16), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT % 2147483646 + 1) AS pa,
+            list_transform(range(0, 16), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT % 2147483647) AS pb),
+        hd AS (
+          SELECT doc_id,
+            list_transform(toks, w ->
+              ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647) AS ht
+          FROM t),
+        vecs AS (
+          SELECT doc_id,
+            list_transform(range(0, 16), j ->
+              coalesce(list_sum(list_transform(ht, x ->
+                ((pa[j+1] * x + pb[j+1]) % 2147483647 % 2001) - 1000)),
+                0)) AS v
+          FROM hd, perms),
+        wn AS (
+          SELECT doc_id, v,
+            cast(list_sum(list_transform(v, x -> x * x)) as bigint) AS n2
+          FROM vecs),
+        qv AS (
+          SELECT s.qid, s.qdoc, wn.v AS qv, wn.n2 AS qn2
+          FROM (SELECT DISTINCT qid, qdoc FROM qsel) s
+          JOIN wn ON wn.doc_id = s.qdoc),
+        vrank AS (
+          SELECT q.qid, wn.doc_id,
+            cast(row_number() OVER (PARTITION BY q.qid ORDER BY
+              cast(list_dot_product(wn.v, q.qv) as double) /
+                (sqrt(cast(wn.n2 as double)) * sqrt(cast(q.qn2 as double)))
+                DESC, wn.doc_id) as bigint) AS rank_vec
+          FROM qv q, wn WHERE wn.doc_id <> q.qdoc
+          QUALIFY rank_vec <= 20),
+        fused AS (
+          SELECT coalesce(b.qid, v.qid) AS qid,
+            coalesce(b.doc_id, v.doc_id) AS doc_id,
+            coalesce(b.rank_bm25, 0) AS rank_bm25,
+            coalesce(v.rank_vec, 0) AS rank_vec,
+            (CASE WHEN b.rank_bm25 IS NULL THEN 0.0
+              ELSE 1.0 / (60.0 + cast(b.rank_bm25 as double)) END) +
+            (CASE WHEN v.rank_vec IS NULL THEN 0.0
+              ELSE 1.0 / (60.0 + cast(v.rank_vec as double)) END) AS rrf
+          FROM brank b FULL OUTER JOIN vrank v
+            ON b.qid = v.qid AND b.doc_id = v.doc_id),
+        top AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused)
+        SELECT qid, doc_id, rank_bm25, rank_vec, rrf
+        FROM top WHERE rn <= 10
+        ORDER BY qid, rrf DESC, doc_id""")))
 }

@@ -33,6 +33,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "leg, s01/s02/s03/s17's shapes) + 1-row scalar count frames "
       + "cross-joined into the 4-row comparison table"),
     "x11_tfidf_topterms" -> "1-row corpus-size (N) broadcast",
+    "s20_hybrid_rrf" -> ("5-row query-vector-batch broadcast on the "
+      + "vector leg (s04's pattern) + s19's 1-row corpus-totals "
+      + "broadcast on the BM25 leg; corpus-scale joins are hash only"),
     "s19_bm25_retrieval" -> ("1-row corpus-totals (N, Σdl) broadcast "
       + "(x11's pattern); candidates come from the ≤25-row query-term "
       + "broadcast onto the posting list — hash joins only at corpus "
