@@ -1545,6 +1545,72 @@ object GraphOps {
         SELECT cast(round as int) AS round, edges_before, edges_after
         FROM pairs WHERE round <= (SELECT cr FROM conv)
         ORDER BY round"""
-      })
+      }),
+
+
+    // ------------------------------------------------------------------
+    // Degree assortativity (Newman 2002) — the structural diagnostic
+    // the degree family still lacked: do hubs attach to hubs (r > 0,
+    // social-network-like) or to leaves (r < 0, hub-and-spoke /
+    // internet-like)? r is the Pearson correlation of endpoint degrees
+    // over the 2m DIRECTED pairs of the shared co-purchase graph
+    // (both orientations present in the non-canonical builder, which
+    // symmetrizes the correlation for free). Everything data-scale is
+    // integer-exact: degrees from one edge aggregation, the four
+    // Pearson sums (n, Σda, Σda², Σda·db) as exact BIGINTs via two
+    // node-keyed degree joins (hash joins at any scale — never a
+    // node-scale broadcast), r itself one identical-op-order double
+    // expression over the four exact scalars (symmetry makes
+    // Sy = Sx, Syy = Sxx, so the textbook five-sum formula collapses).
+    // Magnitudes: n·Sxy ≤ 2m·2m·dmax² — int64-safe to m ~ 10⁷ at this
+    // graph's dmax, double-exact far beyond (each product is ONE IEEE
+    // op on exact inputs).
+    // ------------------------------------------------------------------
+    "g17_assortativity" -> Q(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d)
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val pairs = edges
+          .join(deg.select(col("src"), col("deg").as("da")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("db")),
+            "dst")
+        pairs
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("da")).as("sx"),
+            sum(col("da") * col("da")).as("sxx"),
+            sum(col("da") * col("db")).as("sxy"))
+          .select(col("n_pairs"), col("sx"), col("sxx"), col("sxy"),
+            ((col("n_pairs").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n_pairs").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")))
+              .as("assortativity"))
+          .orderBy(col("n_pairs"))
+      },
+      Some("""WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+        deg AS (
+          SELECT src, cast(count(*) as bigint) AS deg
+          FROM e GROUP BY 1),
+        p AS (
+          SELECT da.deg AS da, db.deg AS db
+          FROM e JOIN deg da ON da.src = e.src
+          JOIN deg db ON db.src = e.dst),
+        sums AS (
+          SELECT cast(count(*) as bigint) AS n_pairs,
+            cast(sum(da) as bigint) AS sx,
+            cast(sum(da * da) as bigint) AS sxx,
+            cast(sum(da * db) as bigint) AS sxy
+          FROM p)
+        SELECT n_pairs, sx, sxx, sxy,
+          (cast(n_pairs as double) * cast(sxy as double) -
+            cast(sx as double) * cast(sx as double)) /
+          (cast(n_pairs as double) * cast(sxx as double) -
+            cast(sx as double) * cast(sx as double)) AS assortativity
+        FROM sums ORDER BY n_pairs"""))
   )
 }
