@@ -517,6 +517,69 @@ object MediaOps {
           cast(st[1] * st[1] + st[2] * st[2] - c * st[1] * st[2]
             as bigint) AS power
         FROM seg_g
-        ORDER BY media_id, seg_start, band"""))
+        ORDER BY media_id, seg_start, band""")),
+
+
+    // ------------------------------------------------------------------
+    // Sobel gradient edge census per image — the image-side FEATURE
+    // rung beyond channel sums (mm02) and perceptual hash (mm06):
+    // 3×3 Sobel on the integer luma plane (BT.601 ×1000 weights) of
+    // every REAL decoded BMP, reporting interior pixels, edge pixels
+    // (|∇|² ≥ 4e10, the corpus median — no sqrt, no float), exact
+    // Σ|∇|², and edge density (one exact-integer division). The Spark
+    // side runs the real codec (synthesize → encode → decode → Sobel
+    // in batched mapPartitions; only image-scale census rows leave
+    // the partition); the oracle re-derives every luma from the mm02
+    // pixel formula and replays the stencil with 1-based list
+    // indexing over a per-pixel LATERAL unnest — analytic through the
+    // codec, the mm-family discipline.
+    // ------------------------------------------------------------------
+    "mm10_sobel_edges" -> Q(
+      (s, d) => {
+        Multimodal.imageSobel(Multimodal.synthesizeBmp(s, d),
+            t2 = 40000000000L).toDF()
+          .withColumn("edge_density",
+            col("n_edge").cast("double") / col("n_interior").cast("double"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, cast(8 + doc_id % 24 as int) AS w,
+            cast(8 + (doc_id * 7) % 24 as int) AS h,
+            length(text) AS n, text
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, h,
+            list_transform(range(0, w * h), p2 ->
+              299 * (CASE WHEN n = 0 THEN 0 ELSE
+                unicode(substr(text, cast(p2 % n as int) + 1, 1)) % 256 END)
+              + 587 * cast((p2 * 31 + doc_id) % 256 as bigint)
+              + 114 * cast((p2 + (CASE WHEN n = 0 THEN 0 ELSE
+                  unicode(substr(text, cast(p2 % n as int) + 1, 1)) % 256
+                  END)) % 256 as bigint)) AS l
+          FROM p),
+        ks AS (
+          SELECT doc_id, w, h, l,
+            unnest(range(0, (w - 2) * (h - 2))) AS k
+          FROM px),
+        cc AS (
+          SELECT doc_id, w, h, l,
+            ((k // (w - 2) + 1) * w + (k % (w - 2) + 1)) AS i0
+          FROM ks),
+        g AS (
+          SELECT doc_id, w, h,
+            (l[i0 - w + 2] + 2 * l[i0 + 2] + l[i0 + w + 2])
+              - (l[i0 - w] + 2 * l[i0] + l[i0 + w]) AS gx,
+            (l[i0 + w] + 2 * l[i0 + w + 1] + l[i0 + w + 2])
+              - (l[i0 - w] + 2 * l[i0 - w + 1] + l[i0 - w + 2]) AS gy
+          FROM cc)
+        SELECT doc_id AS media_id, w AS width, h AS height,
+          cast(count(*) as bigint) AS n_interior,
+          cast(count(*) FILTER (WHERE gx * gx + gy * gy >= 40000000000)
+            as bigint) AS n_edge,
+          cast(sum(gx * gx + gy * gy) as bigint) AS sum_mag2,
+          cast(count(*) FILTER (WHERE gx * gx + gy * gy >= 40000000000)
+            as double) / cast(count(*) as double) AS edge_density
+        FROM g GROUP BY doc_id, w, h
+        ORDER BY media_id"""))
   )
 }

@@ -88,6 +88,30 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("imageSobel: flat image has zero gradient; vertical step edge " +
+      "responds with the analytic Sobel magnitude") {
+    import spark.implicits._
+    // flat gray 10x10: every 3x3 neighborhood is constant -> all zero
+    val flat = BmpCodec.encode(10, 10, _ => (100, 100, 100))
+    // vertical step at x=5: left half black, right half white
+    val step = BmpCodec.encode(10, 10, { idx =>
+      if (idx % 10 < 5) (0, 0, 0) else (255, 255, 255)
+    })
+    val ds = Seq(
+      Multimodal.MediaRecord(0L, "t://flat", "image/bmp", flat),
+      Multimodal.MediaRecord(1L, "t://step", "image/bmp", step)).toDS()
+    val out = Multimodal.imageSobel(ds, t2 = 1L).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(0L).n_interior == 64 && out(0L).n_edge == 0 &&
+      out(0L).sum_mag2 == 0L)
+    // step columns x=4 and x=5 see |gx| = 4*lum(white), lum = 255000;
+    // 8 interior rows x 2 columns = 16 edge pixels, each mag2 = gx^2
+    val gx = 4L * 255000L
+    assert(out(1L).n_edge == 16, s"step n_edge = ${out(1L).n_edge}")
+    assert(out(1L).sum_mag2 == 16L * gx * gx,
+      s"step sum_mag2 = ${out(1L).sum_mag2}")
+  }
+
   test("WavCodec: encode/decode round-trips samples exactly; decoder " +
       "walks past unknown chunks with odd-length padding") {
     for ((ch, frames) <- Seq((1, 7), (2, 5), (2, 1))) {
