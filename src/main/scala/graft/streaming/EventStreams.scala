@@ -404,6 +404,70 @@ object EventStreams {
       }
   }
 
+  final case class HoltState(openDay: Long, openCnt: Long, nDays: Long,
+      l: Double, b: Double, sse: Double)
+  final case class HoltRow(event_type: String, n_days: Long,
+      level: Double, trend: Double, sse: Double)
+
+  /** Streaming twin of e28's Holt linear-trend smoothing: per
+    * event_type, state is the OPEN day's (day, count) plus the Holt
+    * (l, b, sse, n_days) over CLOSED days. An event for a later day
+    * closes the open day — its count folds through the α = β = 0.5
+    * recurrence in exactly the batch query's operation order — and
+    * emits the post-fold state, so the emitted rows are the Holt
+    * TRAJECTORY, one row per closed day, and the last row per type
+    * equals e28 computed over the closed-day prefix (the open day can
+    * never fold — e28's final list element is the only difference,
+    * asserted in StreamingSpec). Cross-batch events for days at or
+    * before the open day would corrupt the order-sensitive recurrence
+    * backwards — dropped explicitly (the twapIntervals in-order
+    * contract). State is one fixed-size row per event type — bounded,
+    * watermark-free.
+    */
+  def holtDaily(events: Dataset[UserEvent]): Dataset[HoltRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[UserEvent],
+         state: GroupState[HoltState]) =>
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val days = it.toArray.map(e => usOf(e.ts) / 86400000000L).sorted
+          val out = Seq.newBuilder[HoltRow]
+          var st = state.getOption
+            .getOrElse(HoltState(-1L, 0L, 0L, 0.0, 0.0, 0.0))
+          def close(): Unit = {
+            val y = st.openCnt.toDouble
+            st = if (st.nDays == 0L)
+              st.copy(nDays = 1L, l = y, b = 0.0, sse = 0.0)
+            else {
+              val nl = 0.5 * y + 0.5 * (st.l + st.b)
+              val nb = 0.5 * (nl - st.l) + 0.5 * st.b
+              val nsse = st.sse +
+                (y - (st.l + st.b)) * (y - (st.l + st.b))
+              st.copy(nDays = st.nDays + 1L, l = nl, b = nb, sse = nsse)
+            }
+            out += HoltRow(typ, st.nDays, st.l, st.b, st.sse)
+          }
+          days.foreach { day =>
+            if (st.openDay == -1L) st = st.copy(openDay = day, openCnt = 1L)
+            else if (day == st.openDay)
+              st = st.copy(openCnt = st.openCnt + 1L)
+            else if (day > st.openDay) {
+              close()
+              st = st.copy(openDay = day, openCnt = 1L)
+            }
+            // day < openDay: late cross-batch arrival — dropped (would
+            // rewrite an already-folded day)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class CmsRow(i: Int, counts: Array[Long])
 
   /** Streaming Count-Min sketch over user activity — x19's heavy-hitter

@@ -614,6 +614,56 @@ class StreamingSpec extends SparkFunSuite {
         s"expected-only=${expected.toSet -- streamed.toSet}")
   }
 
+  test("streaming Holt daily smoothing (e28's kappa twin): emitted " +
+      "trajectory equals the batch fold over closed days, bit-exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val all = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent].collect()
+      .sortBy(e => (usOf(e.ts), e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UserEvent]
+    val q = EventStreams.holtDaily(ms.toDS())
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("holtstream").start()
+    all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("holtstream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // independent batch-side fold: daily counts per type in day order,
+    // the last (open) day excluded, trajectory row per folded day
+    val expected = all.groupBy(_.event_type).toSeq.flatMap {
+      case (typ, evs) =>
+        val counts = evs.groupBy(e => usOf(e.ts) / 86400000000L)
+          .toSeq.sortBy(_._1).map(_._2.length.toDouble)
+        val closed = counts.dropRight(1)
+        var l = 0.0; var b = 0.0; var sse = 0.0
+        closed.zipWithIndex.map { case (y, i) =>
+          if (i == 0) { l = y; b = 0.0; sse = 0.0 }
+          else {
+            val nl = 0.5 * y + 0.5 * (l + b)
+            val nb = 0.5 * (nl - l) + 0.5 * b
+            sse = sse + (y - (l + b)) * (y - (l + b))
+            l = nl; b = nb
+          }
+          (typ, (i + 1).toLong, l, b, sse)
+        }
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed.nonEmpty, "no Holt rows emitted")
+    assert(streamed == expected,
+      s"stream-only=${streamed.keySet -- expected.keySet}, " +
+        s"expected-only=${expected.keySet -- streamed.keySet}")
+  }
+
   test("streaming TWAP intervals (e26's kappa twin): emitted interval " +
       "multiset equals the batch lead-window derivation exactly — " +
       "open intervals are precisely the lead-IS-NULL rows") {
