@@ -1657,6 +1657,75 @@ object EventOps {
           st[1] AS level, st[2] AS trend, st[3] AS sse,
           st[1] + 1.0 * st[2] AS fc_1, st[1] + 3.0 * st[2] AS fc_3,
           st[1] + 7.0 * st[2] AS fc_7
-        FROM f ORDER BY event_type"""))
+        FROM f ORDER BY event_type""")),
+
+
+    // ------------------------------------------------------------------
+    // Autocorrelation function of the per-type daily series at lags
+    // 1-7 — e28's diagnostic sibling: BEFORE trusting a trend
+    // forecast, a pipeline checks whether the series is periodic (a
+    // weekly cycle shows as a lag-7 spike; this synthetic corpus reads
+    // honestly near-noise, |acf| ≤ 0.33). Same one data-scale
+    // aggregation as e28 collapses events to the days-per-type census;
+    // mean, denominator, and every lagged numerator are ORDERED left
+    // folds over the metadata-scale day lists (the x35 discipline —
+    // unordered double SUMs would not be bit-stable), and each
+    // acf_k = num_k / den is a single division of identically-derived
+    // doubles. The lag expansion is a 7-element literal explode per
+    // type row — no join.
+    // ------------------------------------------------------------------
+    "e29_acf_daily" -> Q(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val ser = daily.groupBy(col("event_type"))
+          .agg(transform(array_sort(collect_list(struct(col("day"),
+            col("cnt")))), x => x.getField("cnt").cast("double")).as("ys"))
+        ser
+          .withColumn("n", size(col("ys")))
+          .withColumn("mu", aggregate(col("ys"), lit(0.0),
+            (a, b) => a + b) / col("n").cast("double"))
+          .withColumn("den", aggregate(col("ys"), lit(0.0),
+            (a, y) => a + (y - col("mu")) * (y - col("mu"))))
+          .withColumn("lg", explode(sequence(lit(1), lit(7))))
+          .select(col("event_type"), col("lg").cast("long").as("lag"),
+            (col("n") - col("lg")).cast("long").as("n_pairs"),
+            (aggregate(sequence(lit(1), col("n") - col("lg")), lit(0.0),
+              (a, tt) => a + (element_at(col("ys"), tt) - col("mu")) *
+                (element_at(col("ys"), tt + col("lg")) - col("mu"))) /
+              col("den")).as("acf"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, cast(cast(ts as timestamp) as date) AS day,
+            cast(count(*) as bigint) AS cnt
+          FROM events GROUP BY 1, 2),
+        ser AS (
+          SELECT event_type,
+            list_transform(list(cnt ORDER BY day), c -> cast(c as double))
+              AS ys
+          FROM daily GROUP BY event_type),
+        m AS (
+          SELECT event_type, ys, len(ys) AS n,
+            list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) /
+              cast(len(ys) as double) AS mu
+          FROM ser),
+        dn AS (
+          SELECT event_type, ys, n, mu,
+            list_reduce(list_prepend(0.0, list_transform(ys, y ->
+              (y - mu) * (y - mu))), (a, b) -> a + b) AS den
+          FROM m),
+        lags AS (SELECT unnest(range(1, 8)) AS lag),
+        acf AS (
+          SELECT d.event_type, l.lag, cast(d.n - l.lag as bigint)
+              AS n_pairs,
+            list_reduce(list_prepend(0.0, list_transform(
+              range(1, cast(d.n - l.lag as int) + 1), t ->
+                (d.ys[t] - d.mu) * (d.ys[t + l.lag] - d.mu))),
+              (a, b) -> a + b) / d.den AS acf
+          FROM dn d, lags l)
+        SELECT event_type, cast(lag as bigint) AS lag, n_pairs, acf
+        FROM acf ORDER BY event_type, lag"""))
   )
 }

@@ -2146,7 +2146,8 @@ object TextAnnOps {
             ORDER BY score DESC, doc_id) AS rn
           FROM agg)
         SELECT qid, doc_id, score, n_terms FROM top WHERE rn <= 10
-        ORDER BY qid, score DESC, doc_id""")),
+        ORDER BY qid, score DESC, doc_id"""),
+      bench = true),
 
 
     // ------------------------------------------------------------------
@@ -2314,5 +2315,6 @@ object TextAnnOps {
           FROM fused)
         SELECT qid, doc_id, rank_bm25, rank_vec, rrf
         FROM top WHERE rn <= 10
-        ORDER BY qid, rrf DESC, doc_id""")))
+        ORDER BY qid, rrf DESC, doc_id"""),
+      bench = true))
 }
