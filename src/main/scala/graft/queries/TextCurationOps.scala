@@ -2385,6 +2385,107 @@ object TextCurationOps {
     // families; the only corpus-scale joins are the doc-keyed cluster
     // /contamination attachments.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // RAG ingestion pipeline census — the retrieval-side end-to-end
+    // composition (p01 is the TRAINING-side one): x42's fixed-token
+    // chunking → d24's chunk-level near-dup (band-bucketed, never
+    // all-pairs) → a deterministic drop rule (every verified pair
+    // drops its LARGER chunk id — rerun-stable because chunk ids are
+    // h60(doc:idx)) → the per-source index-admission census: docs,
+    // chunks, dropped/kept chunks, and the token mass actually
+    // entering the vector/BM25 index. Shapes: chunking is row-local
+    // expansion; pair discovery is the d03 band pipeline at chunk
+    // granularity; the drop rule is one distinct + one chunk-keyed
+    // left join; the census one groupBy(source). Sub-3-token chunks
+    // cannot shingle, are never dropped, and stay in the census —
+    // index admission includes them.
+    // ------------------------------------------------------------------
+    "p04_rag_ingest" -> Q(
+      (s, d) => {
+        val chunks = TextDedupOps.docChunksTok(s, d)
+        val losers = TextDedupOps.chunkNeardupPairs(s, d)
+          .select(col("chunk_b").as("cid")).distinct()
+          .withColumn("dropped", lit(true))
+        chunks
+          .join(losers, Seq("cid"), "left")
+          .select(col("source"), col("doc_id"), col("cid"),
+            size(col("ct")).cast("long").as("n_tokens"),
+            coalesce(col("dropped"), lit(false)).as("dropped"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            count(when(col("dropped"), 1)).as("n_dropped"),
+            count(when(!col("dropped"), 1)).as("n_kept"),
+            sum(when(!col("dropped"), col("n_tokens"))).as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH perms AS (
+          SELECT
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT % 2147483646 + 1) AS pa,
+            list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('perm_b_' || i), 1, 15))::BIGINT % 2147483647) AS pb),
+        t0 AS (
+          SELECT doc_id, source, string_split_regex(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        ck AS (
+          SELECT doc_id, source,
+            ('0x' || substr(md5(doc_id || ':' || u.k), 1, 15))::BIGINT
+              AS cid,
+            w[(u.k*12+1):(u.k*12+16)] AS ct
+          FROM t0, unnest(generate_series(0,
+            greatest(1, (len(w) + 7) // 12) - 1)) AS u(k)),
+        ck3 AS (SELECT * FROM ck WHERE len(ct) >= 3),
+        sh AS (
+          SELECT doc_id, cid,
+            list_distinct(list_transform(range(1, len(ct) - 1),
+              i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS w
+          FROM ck3),
+        hs AS (
+          SELECT doc_id, cid,
+            list_transform(w, s ->
+              ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, cid,
+            list_transform(range(0, 64), i ->
+              list_min(list_transform(h, x ->
+                (pa[i+1] * x + pb[i+1]) % 2147483647))) AS sig
+          FROM hs, perms),
+        banded AS (
+          SELECT doc_id, cid, b AS band,
+            list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+              (acc, v) -> (acc * 1000003 + v) % 2147483647) AS band_hash
+          FROM sig, range(0, 16) t(b)),
+        cand AS (
+          SELECT DISTINCT l.cid AS chunk_a, r.cid AS chunk_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+              AND l.cid < r.cid AND l.doc_id <> r.doc_id),
+        pairs AS (
+          SELECT c.chunk_a, c.chunk_b
+          FROM cand c
+          JOIN sh x ON x.cid = c.chunk_a
+          JOIN sh y ON y.cid = c.chunk_b
+          WHERE cast(len(list_intersect(x.w, y.w)) as double) /
+                cast(len(list_distinct(list_concat(x.w, y.w))) as double)
+                >= 0.8),
+        losers AS (SELECT DISTINCT chunk_b AS cid FROM pairs),
+        marked AS (
+          SELECT ck.source, ck.doc_id, ck.cid, len(ck.ct) AS n_tokens,
+            l.cid IS NOT NULL AS dropped
+          FROM ck LEFT JOIN losers l ON l.cid = ck.cid)
+        SELECT source,
+          cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+          cast(count(*) as bigint) AS n_chunks,
+          cast(count(*) FILTER (WHERE dropped) as bigint) AS n_dropped,
+          cast(count(*) FILTER (WHERE NOT dropped) as bigint) AS n_kept,
+          cast(sum(n_tokens) FILTER (WHERE NOT dropped) as bigint)
+            AS kept_tokens
+        FROM marked GROUP BY source ORDER BY source""")),
+
+
     "p03_release_datasheet" -> Q(
       (s, d) => {
         val base = docs(s, d)

@@ -16,6 +16,60 @@ import TextOps._
   */
 object TextDedupOps {
 
+  /** x42's chunk table with `source` attached: (doc_id, source, cid,
+    * ct) — 16-token chunks, stride 12, rerun-stable h60(doc:idx) ids.
+    * Shared by d24 (near-dup pairs) and p04 (ingestion census).
+    */
+  private[queries] def docChunksTok(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"), words(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(0L),
+          greatest(lit(1L), expr("(size(toks) + 7) div 12")) - 1))
+          .as("k"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.PortableHash.h60col(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("k").cast("string"))).as("cid"),
+        slice(col("toks"), (col("k") * 12 + 1).cast("int"), lit(16))
+          .as("ct"))
+
+  /** Verified cross-document chunk near-dup pairs (chunk_a < chunk_b,
+    * exact Jaccard ≥ 0.8 over 3-shingles) via the d03 band pipeline at
+    * chunk granularity — the engine of d24, reused by p04's drop rule.
+    * Chunks under 3 tokens cannot shingle and are out of scope.
+    */
+  private[queries] def chunkNeardupPairs(s: SparkSession, d: String)
+      : DataFrame = {
+    def chunks = docChunksTok(s, d).filter(size(col("ct")) >= 3)
+    val banded = chunks
+      .withColumn("sig",
+        graft.functions.ShingleMinHash.shingleMinhash(col("ct")))
+      .select(col("doc_id"), col("cid"),
+        posexplode(bandHashes(col("sig"), 16, 4)))
+      .select(col("doc_id"), col("cid"), col("pos").as("band"),
+        col("col").as("band_hash"))
+    val cand = banded.as("l")
+      .join(banded.as("r"), Seq("band", "band_hash"))
+      .filter(col("l.cid") < col("r.cid") &&
+        col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.cid").as("chunk_a"), col("r.cid").as("chunk_b"),
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sh = chunks.select(col("cid"), shingles3(col("ct")).as("w"))
+    cand
+      .join(sh.select(col("cid").as("chunk_a"), col("w").as("wa")),
+        Seq("chunk_a"))
+      .join(sh.select(col("cid").as("chunk_b"), col("w").as("wb")),
+        Seq("chunk_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("chunk_a"), col("chunk_b"), col("doc_a"),
+        col("doc_b"), col("jaccard"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -1730,48 +1784,10 @@ object TextDedupOps {
     // d03 — candidates come from band buckets, never all-pairs.
     // ------------------------------------------------------------------
     "d24_chunk_neardup" -> Q(
-      (s, d) => {
-        def chunks = docs(s, d)
-          .select(col("doc_id"), words(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0L),
-              greatest(lit(1L), expr("(size(toks) + 7) div 12")) - 1))
-              .as("k"))
-          .select(col("doc_id"),
-            graft.functions.PortableHash.h60col(
-              concat(col("doc_id").cast("string"), lit(":"),
-                col("k").cast("string"))).as("cid"),
-            slice(col("toks"), (col("k") * 12 + 1).cast("int"), lit(16))
-              .as("ct"))
-          .filter(size(col("ct")) >= 3)
-        val banded = chunks
-          .withColumn("sig",
-            graft.functions.ShingleMinHash.shingleMinhash(col("ct")))
-          .select(col("doc_id"), col("cid"),
-            posexplode(bandHashes(col("sig"), 16, 4)))
-          .select(col("doc_id"), col("cid"), col("pos").as("band"),
-            col("col").as("band_hash"))
-        val cand = banded.as("l")
-          .join(banded.as("r"), Seq("band", "band_hash"))
-          .filter(col("l.cid") < col("r.cid") &&
-            col("l.doc_id") =!= col("r.doc_id"))
-          .select(col("l.cid").as("chunk_a"), col("r.cid").as("chunk_b"),
-            col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-          .distinct()
-        val sh = chunks.select(col("cid"), shingles3(col("ct")).as("w"))
-        cand
-          .join(sh.select(col("cid").as("chunk_a"), col("w").as("wa")),
-            Seq("chunk_a"))
-          .join(sh.select(col("cid").as("chunk_b"), col("w").as("wb")),
-            Seq("chunk_b"))
-          .withColumn("jaccard",
-            size(array_intersect(col("wa"), col("wb"))).cast("double") /
-              size(array_union(col("wa"), col("wb"))).cast("double"))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("chunk_a"), col("chunk_b"), col("doc_a"),
-            col("doc_b"), col("jaccard"))
-          .orderBy(col("chunk_a"), col("chunk_b"))
-      },
+      (s, d) => chunkNeardupPairs(s, d)
+        .select(col("chunk_a"), col("chunk_b"), col("doc_a"),
+          col("doc_b"), col("jaccard"))
+        .orderBy(col("chunk_a"), col("chunk_b")),
       Some("""WITH perms AS (
           SELECT
             list_transform(range(0, 64), i ->
