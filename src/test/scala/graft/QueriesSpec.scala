@@ -51,7 +51,11 @@ class QueriesSpec extends SparkFunSuite {
         // round-10 additions
         "g15_cc_convergence", "x41_bpe_deep",
         "d22_span_dedup_rewrite", "d23_span_dedup_census",
-        "g16_ktruss_fixpoint")) {
+        "g16_ktruss_fixpoint",
+        // round-10 session-6 additions (TopKPerKey with double keys /
+        // collect_list folds / band-bucket joins)
+        "s19_bm25_retrieval", "s20_hybrid_rrf", "e28_holt_forecast",
+        "e29_acf_daily", "p04_rag_ingest")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
