@@ -1726,6 +1726,113 @@ object EventOps {
               (a, b) -> a + b) / d.den AS acf
           FROM dn d, lags l)
         SELECT event_type, cast(lag as bigint) AS lag, n_pairs, acf
-        FROM acf ORDER BY event_type, lag"""))
+        FROM acf ORDER BY event_type, lag""")),
+
+
+    // ------------------------------------------------------------------
+    // Holt-Winters ADDITIVE-SEASONAL smoothing (α = β = γ = 0.5,
+    // period m = 7) over the per-type daily counts — the seasonal rung
+    // above e28's trend-only Holt (e29 is the diagnostic that tells a
+    // pipeline whether a weekly cycle exists; this is the forecaster
+    // that exploits one). Classic init on the first week: l₀ =
+    // mean(y₁..y₇), b₀ = 0, sᵢ = yᵢ − l₀; then for t ≥ 8 the
+    // recurrences l' = α(y − s_old) + (1−α)(l+b), b' = β(l'−l) +
+    // (1−β)b, s_new = γ(y − l') + (1−γ)s_old over a ROTATING
+    // 10-slot list state [l, b, s₁..s₇, sse] (head seasonal slot is
+    // always the one the current day consumes; each step drops it and
+    // appends s_new). Forecast ŷ_{n+h} = l + h·b + s_h for h = 1..7 —
+    // the final rotation leaves slot h aligned with day n+h. Scale
+    // shape: identical to e28 — ONE data-scale aggregation collapses
+    // the events to a days-per-type census, the inherently-sequential
+    // recurrence is an ordered left fold over metadata-scale lists,
+    // and all smoothing coefficients are exactly representable so the
+    // DuckDB list_reduce replay (LIST state — struct states
+    // miscompute, the mm09 finding) is bit-identical.
+    // ------------------------------------------------------------------
+    "e30_holt_winters" -> Q(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val ser = daily.groupBy(col("event_type"))
+          .agg(transform(array_sort(collect_list(struct(col("day"),
+            col("cnt")))), x => x.getField("cnt").cast("double")).as("ys"))
+          .filter(size(col("ys")) >= 8)
+        def e(acc: Column, i: Int) = element_at(acc, i)
+        val folded = ser
+          .withColumn("n_days", size(col("ys")).cast("long"))
+          .withColumn("l0", aggregate(slice(col("ys"), 1, 7), lit(0.0),
+            (a, b) => a + b) / lit(7.0))
+          .withColumn("st", aggregate(
+            slice(col("ys"), lit(8), size(col("ys")) - 7),
+            array((Seq(col("l0"), lit(0.0)) ++
+              (1 to 7).map(i => element_at(col("ys"), i) - col("l0")) ++
+              Seq(lit(0.0))): _*),
+            (acc, y) => {
+              // one Column val = one expression TREE reused verbatim in
+              // three slots — identical operation order to the oracle's
+              // spelled-out l' subexpression
+              val lNew = lit(0.5) * (y - e(acc, 3)) +
+                lit(0.5) * (e(acc, 1) + e(acc, 2))
+              val err = y - (e(acc, 1) + e(acc, 2) + e(acc, 3))
+              array(
+                lNew,
+                lit(0.5) * (lNew - e(acc, 1)) + lit(0.5) * e(acc, 2),
+                e(acc, 4), e(acc, 5), e(acc, 6), e(acc, 7), e(acc, 8),
+                e(acc, 9),
+                lit(0.5) * (y - lNew) + lit(0.5) * e(acc, 3),
+                e(acc, 10) + err * err)
+            }))
+        folded
+          .withColumn("h", explode(sequence(lit(1), lit(7))))
+          .select(col("event_type"), col("n_days"),
+            col("h").cast("long").as("horizon"),
+            e(col("st"), 1).as("level"), e(col("st"), 2).as("trend"),
+            e(col("st"), 10).as("sse"),
+            element_at(col("st"), col("h") + 2).as("seasonal"),
+            (e(col("st"), 1) + col("h").cast("double") * e(col("st"), 2) +
+              element_at(col("st"), col("h") + 2)).as("fc"))
+          .orderBy(col("event_type"), col("horizon"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, cast(cast(ts as timestamp) as date) AS day,
+            cast(count(*) as bigint) AS cnt
+          FROM events GROUP BY 1, 2),
+        ser AS (
+          SELECT event_type,
+            list_transform(list(cnt ORDER BY day), c -> cast(c as double))
+              AS ys
+          FROM daily GROUP BY event_type),
+        ini AS (
+          SELECT event_type, ys, len(ys) AS n,
+            list_reduce(list_prepend(0.0, ys[1:7]), (a, b) -> a + b) / 7.0
+              AS l0
+          FROM ser WHERE len(ys) >= 8),
+        st AS (
+          SELECT event_type, n,
+            list_reduce(
+              list_prepend(
+                [l0, 0.0, ys[1] - l0, ys[2] - l0, ys[3] - l0, ys[4] - l0,
+                 ys[5] - l0, ys[6] - l0, ys[7] - l0, 0.0],
+                list_transform(ys[8:], y ->
+                  [y, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+              (acc, x) -> [
+                0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                0.5 * ((0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+                  - acc[1]) + 0.5 * acc[2],
+                acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                0.5 * (x[1] - (0.5 * (x[1] - acc[3])
+                  + 0.5 * (acc[1] + acc[2]))) + 0.5 * acc[3],
+                acc[10] + (x[1] - (acc[1] + acc[2] + acc[3]))
+                  * (x[1] - (acc[1] + acc[2] + acc[3]))]) AS s
+          FROM ini),
+        h AS (SELECT unnest(range(1, 8)) AS h)
+        SELECT st.event_type, cast(st.n as bigint) AS n_days,
+          cast(h.h as bigint) AS horizon,
+          st.s[1] AS level, st.s[2] AS trend, st.s[10] AS sse,
+          st.s[2 + cast(h.h as int)] AS seasonal,
+          st.s[1] + cast(h.h as double) * st.s[2]
+            + st.s[2 + cast(h.h as int)] AS fc
+        FROM st, h ORDER BY st.event_type, h.h"""))
   )
 }

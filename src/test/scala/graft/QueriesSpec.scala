@@ -55,7 +55,9 @@ class QueriesSpec extends SparkFunSuite {
         // round-10 session-6 additions (TopKPerKey with double keys /
         // collect_list folds / band-bucket joins)
         "s19_bm25_retrieval", "s20_hybrid_rrf", "e28_holt_forecast",
-        "e29_acf_daily", "p04_rag_ingest")) {
+        "e29_acf_daily", "p04_rag_ingest",
+        // session-7 additions
+        "e30_holt_winters")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
