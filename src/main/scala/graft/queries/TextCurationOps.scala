@@ -3830,5 +3830,127 @@ object TextCurationOps {
         FROM b
         GROUP BY 1, 2
         ORDER BY split, lang"""),
-      bench = true))
+      bench = true),
+
+
+    // ------------------------------------------------------------------
+    // PII detection + REDACTION census — the scrubbing stage every
+    // pretraining corpus passes before release (emails, IPv4s, phone
+    // numbers, SSN-shaped ids → typed placeholders). The raw corpus
+    // carries no PII, so the query first SYNTHESIZES it
+    // deterministically (the x40 HTML-synthesis discipline): after
+    // token k it injects an email at k % 17, an IPv4 at k % 23, a
+    // 555-phone at k % 29 and an SSN-shaped id at k % 31, every digit
+    // derived from (doc_id, k) so DuckDB re-derives the identical
+    // corpus. Detection counts each pattern class, redaction is a
+    // fixed 4-stage regexp_replace chain (email → IP → phone → SSN;
+    // the patterns are disjoint by construction — the 3-2-4 SSN shape
+    // cannot match inside a 3-3-4 phone), and the per-doc census
+    // hash-verifies the REDACTED text itself (md5) plus the char
+    // deltas. Regexes use only RE2∩Java-portable constructs (char
+    // classes, bounded repetition — no lookaround, no word
+    // boundaries). Scale shape: entirely row-local (synthesize →
+    // scan → rewrite in one pass per doc, the x40 class); each
+    // expensive column (synthesized text, redacted text, each count)
+    // is aliased behind its own projection so nothing re-evaluates.
+    // ------------------------------------------------------------------
+    "x44_pii_redaction" -> Q(
+      (s, d) => {
+        val reEmail = "[a-z0-9]+@[a-z0-9]+\\.[a-z]{2,3}"
+        val reIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        val rePhone = "555-\\d{3}-\\d{4}"
+        val reSsn = "\\d{3}-\\d{2}-\\d{4}"
+        val d0 = docs(s, d).select(col("doc_id"), col("source"),
+          words(col("text")).as("w"))
+        val syn = d0.select(col("doc_id"), col("source"),
+          array_join(transform(sequence(lit(1), size(col("w"))), k =>
+            concat(element_at(col("w"), k),
+              when(k % 17 === 0, concat(lit(" user"),
+                col("doc_id").cast("string"), lit("x"), k.cast("string"),
+                lit("@example"), (k % 7).cast("string"), lit(".com")))
+                .otherwise(lit("")),
+              when(k % 23 === 0, concat(lit(" 10."),
+                (k % 256).cast("string"), lit("."),
+                (col("doc_id") % 256).cast("string"), lit("."),
+                ((k * 7) % 256).cast("string"))).otherwise(lit("")),
+              when(k % 29 === 0, concat(lit(" 555-"),
+                lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+                .otherwise(lit("")),
+              when(k % 31 === 0, concat(lit(" 987-65-"),
+                lpad(((col("doc_id") + k) % 10000).cast("string"), 4, "0")))
+                .otherwise(lit("")))), " ").as("s"))
+        val det = syn.select(col("doc_id"), col("source"), col("s"),
+          size(regexp_extract_all(col("s"), lit(reEmail), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("s"), lit(reIp), lit(0)))
+            .cast("bigint").as("n_ip"),
+          size(regexp_extract_all(col("s"), lit(rePhone), lit(0)))
+            .cast("bigint").as("n_phone"),
+          size(regexp_extract_all(col("s"), lit(reSsn), lit(0)))
+            .cast("bigint").as("n_ssn"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("s"), lit(reEmail), lit("[EMAIL]")),
+            lit(reIp), lit("[IP]")),
+            lit(rePhone), lit("[PHONE]")),
+            lit(reSsn), lit("[SSN]")).as("red"))
+        det.select(col("doc_id"), col("source"),
+          col("n_email"), col("n_ip"), col("n_phone"), col("n_ssn"),
+          (col("n_email") + col("n_ip") + col("n_phone") + col("n_ssn"))
+            .as("pii_total"),
+          length(col("s")).cast("bigint").as("len_synth"),
+          length(col("red")).cast("bigint").as("len_redacted"),
+          md5(col("red")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d0 AS (
+          SELECT doc_id, source,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        syn AS (
+          SELECT doc_id, source,
+            array_to_string(list_transform(range(1, len(w) + 1), k ->
+              w[k] ||
+              CASE WHEN k % 17 = 0 THEN ' user' || doc_id || 'x' || k ||
+                   '@example' || (k % 7) || '.com' ELSE '' END ||
+              CASE WHEN k % 23 = 0 THEN ' 10.' || (k % 256) || '.' ||
+                   (doc_id % 256) || '.' || ((k * 7) % 256) ELSE '' END ||
+              CASE WHEN k % 29 = 0 THEN ' 555-' ||
+                   lpad(cast(k % 1000 as varchar), 3, '0') || '-' ||
+                   lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                 ELSE '' END ||
+              CASE WHEN k % 31 = 0 THEN ' 987-65-' ||
+                   lpad(cast((doc_id + k) % 10000 as varchar), 4, '0')
+                 ELSE '' END
+              ), ' ') AS s
+          FROM d0),
+        det AS (
+          SELECT doc_id, source, s,
+            len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9]+\.[a-z]{2,3}'))
+              AS n_email,
+            len(regexp_extract_all(s,
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+            len(regexp_extract_all(s, '555-\d{3}-\d{4}')) AS n_phone,
+            len(regexp_extract_all(s, '\d{3}-\d{2}-\d{4}')) AS n_ssn
+          FROM syn),
+        red AS (
+          SELECT *, regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(s,
+                    '[a-z0-9]+@[a-z0-9]+\.[a-z]{2,3}', '[EMAIL]', 'g'),
+                  '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+                '555-\d{3}-\d{4}', '[PHONE]', 'g'),
+              '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS red
+          FROM det)
+        SELECT doc_id, source,
+          cast(n_email as bigint) AS n_email, cast(n_ip as bigint) AS n_ip,
+          cast(n_phone as bigint) AS n_phone, cast(n_ssn as bigint) AS n_ssn,
+          cast(n_email + n_ip + n_phone + n_ssn as bigint) AS pii_total,
+          cast(length(s) as bigint) AS len_synth,
+          cast(length(red) as bigint) AS len_redacted,
+          md5(red) AS redacted_md5
+        FROM red ORDER BY doc_id"""))
+  )
 }
