@@ -795,6 +795,77 @@ object Multimodal {
     }
   }
 
+  final case class OtsuStats(media_id: Long, width: Int, height: Int,
+      n_px: Long, otsu_t: Long, n_bg: Long, n_fg: Long,
+      mu_bg: Long, mu_fg: Long, sep_num: Long, sep_den: Long)
+
+  /** Batched Otsu binarization threshold per image — the segmentation
+    * primitive above mm10's edge detector: choose the gray threshold t
+    * maximizing the between-class variance of the (r+g+b) div 3 plane
+    * (the aHash64 gray convention). All-integer and EXACT: with
+    * W0/S0 the count/gray-sum at or below t and N/S the totals,
+    * maximizing sigma_B^2 is maximizing a^2/d for a = S0*(N-W0) -
+    * (S-S0)*W0 and d = W0*(N-W0); candidates are compared by
+    * cross-multiplication (a^2*d' vs a'^2*d needs ~1.3e22, beyond
+    * int64 — BigInt here, HUGEINT in the oracle), ties keep the
+    * smallest t, and degenerate thresholds (W0 = 0 or N) are skipped —
+    * so the argmax always lands on a PRESENT gray level and the DuckDB
+    * replay (histogram + cumulative windows + an ordered list_reduce
+    * argmax over present levels) is value-identical. Per image the
+    * work is one pixel pass + 256 fold steps; only an 11-field census
+    * row leaves the partition.
+    */
+  def imageOtsu(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[OtsuStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, px) = BmpCodec.decode(rec.content)
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) +
+              (p & 0xFF)) / 3
+            hist(g) += 1
+            i += 1
+          }
+          val n = px.length.toLong
+          var s = 0L
+          var gi = 0
+          while (gi < 256) { s += gi * hist(gi); gi += 1 }
+          var bestT = -1L; var bestA = 0L; var bestD = 1L
+          var bestW0 = 0L; var bestS0 = 0L
+          var w0 = 0L; var s0 = 0L
+          var t = 0
+          while (t < 256) {
+            w0 += hist(t); s0 += t * hist(t)
+            if (w0 > 0 && w0 < n) {
+              val a = s0 * (n - w0) - (s - s0) * w0
+              val dd = w0 * (n - w0)
+              val better =
+                if (bestT < 0) true
+                else BigInt(a) * BigInt(a) * BigInt(bestD) >
+                  BigInt(bestA) * BigInt(bestA) * BigInt(dd)
+              if (better) {
+                bestT = t; bestA = a; bestD = dd; bestW0 = w0; bestS0 = s0
+              }
+            }
+            t += 1
+          }
+          if (bestT < 0)
+            OtsuStats(rec.media_id, w, h, n, -1L, 0L, 0L, 0L, 0L, 0L, 0L)
+          else
+            OtsuStats(rec.media_id, w, h, n, bestT, bestW0, n - bestW0,
+              bestS0 / bestW0, (s - bestS0) / (n - bestW0),
+              bestA * bestA, bestD)
+        }
+      }
+    }
+  }
+
   /** Batched partition-local metadata decode. `batchSize` models the
     * vectorized-decode batch (mapInPandas' batch shape): a real codec
     * initializes once per partition, then processes batches.

@@ -580,6 +580,83 @@ object MediaOps {
           cast(count(*) FILTER (WHERE gx * gx + gy * gy >= 40000000000)
             as double) / cast(count(*) as double) AS edge_density
         FROM g GROUP BY doc_id, w, h
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+
+    // ------------------------------------------------------------------
+    // Otsu binarization threshold census over real decoded BMPs — the
+    // segmentation rung above mm10's edge detector (threshold the gray
+    // plane into background/foreground before blob- or region-level
+    // features). All-integer exact argmax (see Multimodal.imageOtsu:
+    // cross-multiplied a^2/d comparison, BigInt in the JVM / HUGEINT
+    // in DuckDB, smallest-t ties); the oracle re-derives the gray
+    // histogram arithmetically from the mm02 pixel formula, takes
+    // cumulative sums over present gray levels, and replays the SAME
+    // argmax as an ordered list_reduce — degenerate splits are
+    // excluded on both sides, so the winner is always a present gray
+    // level and every census field hash-matches exactly.
+    // ------------------------------------------------------------------
+    "mm11_otsu_threshold" -> Q(
+      (s, d) =>
+        Multimodal.imageOtsu(Multimodal.synthesizeBmp(s, d)).toDF()
+          .orderBy(col("media_id")),
+      Some("""WITH p AS (
+          SELECT doc_id, cast(8 + doc_id % 24 as int) AS w,
+            cast(8 + (doc_id * 7) % 24 as int) AS h,
+            length(text) AS n, text
+          FROM documents),
+        ix AS (
+          SELECT doc_id, w, h, n, text,
+            unnest(range(0, w * h)) AS i
+          FROM p),
+        gr AS (
+          SELECT doc_id, w, h,
+            ((CASE WHEN n = 0 THEN 0 ELSE
+                unicode(substr(text, cast(i % n as int) + 1, 1)) % 256 END)
+             + cast((i * 31 + doc_id) % 256 as bigint)
+             + cast((i + (CASE WHEN n = 0 THEN 0 ELSE
+                 unicode(substr(text, cast(i % n as int) + 1, 1)) % 256
+                 END)) % 256 as bigint)) // 3 AS gray
+          FROM ix),
+        hist AS (
+          SELECT doc_id, w, h, gray, cast(count(*) as bigint) AS c
+          FROM gr GROUP BY 1, 2, 3, 4),
+        cum AS (
+          SELECT doc_id, w, h, gray,
+            sum(c) OVER (PARTITION BY doc_id ORDER BY gray) AS w0,
+            sum(gray * c) OVER (PARTITION BY doc_id ORDER BY gray) AS s0,
+            sum(c) OVER (PARTITION BY doc_id) AS n_px,
+            sum(gray * c) OVER (PARTITION BY doc_id) AS s_all
+          FROM hist),
+        cand AS (
+          SELECT doc_id, w, h, n_px, s_all, gray,
+            cast(s0 * (n_px - w0) - (s_all - s0) * w0 as hugeint) AS a,
+            cast(w0 * (n_px - w0) as hugeint) AS d,
+            cast(w0 as hugeint) AS w0h, cast(s0 as hugeint) AS s0h
+          FROM cum WHERE w0 < n_px),
+        rk AS (
+          -- exact argmax without a fold (list_reduce miscomputes list
+          -- states beyond 2-3 slots, the mm09 bug class): scale each
+          -- a^2/d to the HUGEINT floor of a^2 * 10^12 / d. Distinct
+          -- fractions differ by >= 1/(d1*d2) >= 1.45e-11 (d <= n^2/4 =
+          -- 262144), so scaled scores differ by >= 14 and floor
+          -- truncation (< 1 per side) preserves strict order; equal
+          -- fractions scale to the identical integer — ties then break
+          -- on smallest gray, exactly the JVM's keep-first rule.
+          SELECT doc_id, w, h, n_px, s_all, gray, a, d, w0h, s0h,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY (a * a * cast(1000000000000 as hugeint)) // d DESC,
+                gray ASC) AS rn
+          FROM cand)
+        SELECT doc_id AS media_id, w AS width, h AS height,
+          cast(n_px as bigint) AS n_px,
+          cast(gray as bigint) AS otsu_t,
+          cast(w0h as bigint) AS n_bg,
+          cast(n_px - w0h as bigint) AS n_fg,
+          cast(s0h // w0h as bigint) AS mu_bg,
+          cast((s_all - s0h) // (n_px - w0h) as bigint) AS mu_fg,
+          cast(a * a as bigint) AS sep_num,
+          cast(d as bigint) AS sep_den
+        FROM rk WHERE rn = 1 ORDER BY media_id"""))
   )
 }

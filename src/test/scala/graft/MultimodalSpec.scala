@@ -112,6 +112,24 @@ class MultimodalSpec extends SparkFunSuite {
       s"step sum_mag2 = ${out(1L).sum_mag2}")
   }
 
+  test("imageOtsu: perfectly bimodal image thresholds at the lower mode " +
+      "with the analytic separation") {
+    import spark.implicits._
+    // left half gray 50, right half gray 200 on an 8x8 image:
+    // candidates collapse to t = 50 (t = 200 is the degenerate W0 = N);
+    // W0 = 32, S0 = 1600, S = 8000, a = 1600*32 - 6400*32 = -153600
+    val bimodal = BmpCodec.encode(8, 8, { idx =>
+      if (idx % 8 < 4) (50, 50, 50) else (200, 200, 200)
+    })
+    val ds = Seq(
+      Multimodal.MediaRecord(0L, "t://bimodal", "image/bmp", bimodal)).toDS()
+    val r = Multimodal.imageOtsu(ds).collect().head
+    assert(r.otsu_t == 50L, s"otsu_t = ${r.otsu_t}")
+    assert(r.n_bg == 32L && r.n_fg == 32L)
+    assert(r.mu_bg == 50L && r.mu_fg == 200L)
+    assert(r.sep_num == 153600L * 153600L && r.sep_den == 32L * 32L)
+  }
+
   test("WavCodec: encode/decode round-trips samples exactly; decoder " +
       "walks past unknown chunks with odd-length padding") {
     for ((ch, frames) <- Seq((1, 7), (2, 5), (2, 1))) {
