@@ -15,16 +15,24 @@ import TextOps._
   */
 object TextAnnOps {
 
-  /** Okapi BM25 (k1 = 1.2, b = 0.75) per-(query, candidate) scores over
-    * the bigram inverted index — the shared engine of s19 (ranked
-    * retrieval) and s20 (hybrid RRF fusion). Queries are the x15
-    * benchmark picks (doc_id % 97 = 0, qid = doc_id/97 ≤ 4), terms =
-    * each query doc's first 5 distinct bigrams, the query doc excluded
-    * from its own candidates. Returns (qid, doc_id, score, n_terms);
-    * scores sum by the x35 ordered-fold discipline (term-sorted left
-    * fold). See s19's scaladoc for the 100 TB plan shape.
+  // Okapi BM25 (k1 = 1.2, b = 0.75) over the bigram inverted index —
+  // the shared engine of s19 (ranked retrieval), s20 (hybrid RRF
+  // fusion) and s21 (pseudo-relevance feedback). Queries are the x15
+  // benchmark picks (doc_id % 97 = 0, qid = doc_id/97 ≤ 4), terms =
+  // each query doc's first 5 distinct bigrams, the query doc excluded
+  // from its own candidates. See s19's scaladoc for the 100 TB plan
+  // shape.
+
+  /** The BM25 index frames shared by s19/s20/s21: tokenized docs,
+    * per-(doc, bigram) tf, per-bigram df, doc lengths, corpus totals,
+    * and the x15-pick query-term frame. One corpus tokenize feeds
+    * everything.
     */
-  private def bm25Agg(s: SparkSession, d: String): DataFrame = {
+  private final case class Bm25Parts(based: DataFrame, tf: DataFrame,
+      dfc: DataFrame, dlf: DataFrame, tot: DataFrame, qterms: DataFrame)
+
+  private def bm25Parts(s: SparkSession, d: String,
+      matIndex: Boolean = false): Bm25Parts = {
     // x13's fast generate shape: explode(<bigram expression>) directly
     // over once-aliased toks (an aliased array column would
     // re-evaluate the build per exploded element)
@@ -37,11 +45,16 @@ object TextAnnOps {
     val based = docs(s, d)
       .select(col("doc_id"), words(col("text")).as("toks"))
     val posts = based.select(col("doc_id"), explode(bigrams).as("term"))
-    val tf = posts.groupBy(col("doc_id"), col("term"))
+    val tfRaw = posts.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // s21 consumes the index THREE times (round-1 scores, expansion
+    // stats, round-2 scores): materialize tf/dlf once so the corpus
+    // never re-tokenizes (the spanCleanedDocs multi-consumer lesson)
+    val tf = if (matIndex) mat(tfRaw) else tfRaw
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dlf = based.select(col("doc_id"),
+    val dlfRaw = based.select(col("doc_id"),
       greatest(size(col("toks")) - 1, lit(0)).cast("long").as("dl"))
+    val dlf = if (matIndex) mat(dlfRaw) else dlfRaw
     val tot = dlf.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val qterms = based
@@ -49,10 +62,20 @@ object TextAnnOps {
       .select(expr("doc_id div 97").as("qid"),
         col("doc_id").as("qdoc"),
         explode(array_distinct(slice(bigrams, 1, 5))).as("term"))
-    val qdf = qterms.join(dfc, "term") // ≤25 rows, df attached
-    val scored = tf.join(broadcast(qdf), "term")
-      .join(dlf, "doc_id")
-      .crossJoin(broadcast(tot))
+    Bm25Parts(based, tf, dfc, dlf, tot, qterms)
+  }
+
+  /** BM25 scores for a WEIGHTED query-term frame (qid, qdoc, term, w):
+    * per-(query, doc) score = term-sorted ordered fold of sc·w (the
+    * x35 discipline). With w = 1.0 everywhere this is bit-identical to
+    * the unweighted engine (IEEE ×1.0 is exact), which keeps s19/s20
+    * on the same oracle.
+    */
+  private def bm25ScoreTerms(p: Bm25Parts, wqterms: DataFrame): DataFrame = {
+    val qdf = wqterms.join(p.dfc, "term") // ≤40 rows, df attached
+    val scored = p.tf.join(broadcast(qdf), "term")
+      .join(p.dlf, "doc_id")
+      .crossJoin(broadcast(p.tot))
       .filter(col("doc_id") =!= col("qdoc"))
       .withColumn("sc",
         log(lit(1.0) +
@@ -62,7 +85,7 @@ object TextAnnOps {
             (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
               lit(0.75) * (col("dl").cast("double") /
                 (col("sum_dl").cast("double") /
-                  col("n_docs").cast("double")))))))
+                  col("n_docs").cast("double")))))) * col("w"))
     scored.groupBy(col("qid"), col("doc_id"))
       .agg(collect_list(struct(col("term"), col("sc"))).as("tsl"),
         count(lit(1)).as("n_terms"))
@@ -70,6 +93,11 @@ object TextAnnOps {
         aggregate(transform(array_sort(col("tsl")),
           x => x.getField("sc")), lit(0.0), (a, b) => a + b))
       .select(col("qid"), col("doc_id"), col("score"), col("n_terms"))
+  }
+
+  private def bm25Agg(s: SparkSession, d: String): DataFrame = {
+    val p = bm25Parts(s, d)
+    bm25ScoreTerms(p, p.qterms.withColumn("w", lit(1.0)))
   }
 
   /** Per-document 16-dim feature-hashed integer vector + its squared
@@ -2316,5 +2344,171 @@ object TextAnnOps {
         SELECT qid, doc_id, rank_bm25, rank_vec, rrf
         FROM top WHERE rn <= 10
         ORDER BY qid, rrf DESC, doc_id"""),
-      bench = true))
+      bench = true),
+
+
+    // ------------------------------------------------------------------
+    // Pseudo-relevance feedback (RM3-lite): the classic two-round
+    // retrieval loop above s19. Round 1 ranks with plain BM25; the
+    // top-3 docs per query become the feedback set; from their bigram
+    // vocabulary the top-3 NEW terms (not already query terms) join
+    // the query at weight 0.5; round 2 re-scores with the expanded,
+    // weighted term set and reports top-10 with each doc's round-1
+    // rank attached (0 = promoted from outside the round-1 top-10 —
+    // the honest readout of what feedback changed). Expansion ranking
+    // is INTEGER-exact (Σtf over feedback docs DESC, df ASC — rarer
+    // wins ties — then term ASC), so no double aggregation enters the
+    // term choice; round-2 scores fold term-sorted with sc·w (w = 1.0
+    // exact identity, 0.5 exact halving). Scale shape: the s19 plan
+    // run twice over a ONCE-materialized tf/dlf index (the corpus
+    // tokenizes once); feedback/expansion frames are ≤15/≤15 rows and
+    // broadcast; top-10 per query through TopKPerKey (4th consumer).
+    // ------------------------------------------------------------------
+    "s21_prf_expansion" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = bm25Parts(s, d, matIndex = true)
+        val r1 = bm25ScoreTerms(p, p.qterms.withColumn("w", lit(1.0)))
+        val w1 = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val r1rk = r1.select(col("qid"), col("doc_id"),
+          row_number().over(w1).cast("long").as("rn"))
+        val fb = r1rk.filter(col("rn") <= 3)
+          .select(col("qid"), col("doc_id"))
+        val fbt = p.tf.join(broadcast(fb), "doc_id")
+          .groupBy(col("qid"), col("term"))
+          .agg(sum(col("tf")).as("stf"))
+          .join(p.qterms.select(col("qid"), col("term")),
+            Seq("qid", "term"), "left_anti")
+          .join(p.dfc, "term")
+        val wx = Window.partitionBy(col("qid"))
+          .orderBy(col("stf").desc, col("df").asc, col("term").asc)
+        val qdocs = p.qterms.select(col("qid"), col("qdoc")).distinct()
+        val expTerms = fbt
+          .select(col("qid"), col("term"), row_number().over(wx).as("xr"))
+          .filter(col("xr") <= 3)
+          .join(broadcast(qdocs), "qid")
+          .select(col("qid"), col("qdoc"), col("term"),
+            lit(0.5).as("w"))
+        // fresh exprIds on both union inputs (both derive from the
+        // same tokenized base — the Union exprId workaround)
+        def fresh(df: DataFrame): DataFrame =
+          df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+        val q2 = fresh(p.qterms.withColumn("w", lit(1.0))
+            .select(col("qid"), col("qdoc"), col("term"), col("w")))
+          .union(fresh(expTerms))
+        val r2 = bm25ScoreTerms(p, q2)
+        graft.plans.TopKPerKey.install(s)
+        val top = graft.plans.TopKPerKey(r2, Seq("qid"),
+          Seq(("score", true), ("doc_id", false)), 10)
+        val r1top = r1rk.filter(col("rn") <= 10)
+          .select(col("qid"), col("doc_id"), col("rn").as("r1r"))
+        top.join(r1top, Seq("qid", "doc_id"), "left")
+          .select(col("qid"), col("doc_id"), col("score"), col("n_terms"),
+            coalesce(col("r1r"), lit(0L)).as("r1_rank"))
+          .orderBy(col("qid"), col("score").desc, col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(toks) >= 2 THEN
+              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+            ELSE [] END AS bgs
+          FROM t),
+        tok AS (SELECT doc_id, unnest(bgs) AS term FROM bg),
+        tf AS (
+          SELECT doc_id, term, cast(count(*) as bigint) AS tf
+          FROM tok GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, cast(len(bgs) as bigint) AS dl FROM bg),
+        dfc AS (
+          SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term),
+        tot AS (
+          SELECT cast(count(*) as bigint) AS n_docs,
+            cast(sum(dl) as bigint) AS sum_dl FROM dl),
+        qsel AS (
+          SELECT (doc_id // 97) AS qid, doc_id AS qdoc, bgs FROM bg
+          WHERE doc_id % 97 = 0 AND doc_id // 97 <= 4),
+        qterms AS (
+          SELECT qid, qdoc, unnest(list_distinct(bgs[1:5])) AS term
+          FROM qsel),
+        r1s AS (
+          SELECT q.qid, q.qdoc, tf.doc_id, q.term,
+            ln(1.0 + (cast(t.n_docs - dfc.df as double) + 0.5) /
+                (cast(dfc.df as double) + 0.5))
+              * ((cast(tf.tf as double) * 2.2) /
+                 (cast(tf.tf as double) + 1.2 * (0.25 + 0.75 *
+                   (cast(dl.dl as double) /
+                    (cast(t.sum_dl as double) / cast(t.n_docs as double))))))
+              AS sc
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dfc ON dfc.term = q.term, tot t
+          WHERE tf.doc_id <> q.qdoc),
+        r1agg AS (
+          SELECT qid, doc_id,
+            list_reduce(list_prepend(0.0, list(sc ORDER BY term)),
+              (a, b) -> a + b) AS score
+          FROM r1s GROUP BY qid, doc_id),
+        r1rk AS (
+          SELECT qid, doc_id,
+            cast(row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) as bigint) AS rn
+          FROM r1agg),
+        fb AS (SELECT qid, doc_id FROM r1rk WHERE rn <= 3),
+        fbt AS (
+          SELECT fb.qid, tf.term, cast(sum(tf.tf) as bigint) AS stf
+          FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+          GROUP BY fb.qid, tf.term),
+        fbx AS (
+          SELECT f.qid, f.term, f.stf, d.df
+          FROM fbt f JOIN dfc d ON d.term = f.term
+          WHERE NOT EXISTS (SELECT 1 FROM qterms q
+            WHERE q.qid = f.qid AND q.term = f.term)),
+        expt AS (
+          SELECT qid, term FROM (
+            SELECT qid, term, row_number() OVER (PARTITION BY qid
+              ORDER BY stf DESC, df ASC, term ASC) AS xr
+            FROM fbx) WHERE xr <= 3),
+        qdocs AS (SELECT DISTINCT qid, qdoc FROM qterms),
+        q2 AS (
+          SELECT qid, qdoc, term, cast(1.0 as double) AS w FROM qterms
+          UNION ALL
+          SELECT e.qid, qd.qdoc, e.term, cast(0.5 as double) AS w
+          FROM expt e JOIN qdocs qd USING (qid)),
+        r2s AS (
+          SELECT q.qid, q.qdoc, tf.doc_id, q.term,
+            (ln(1.0 + (cast(t.n_docs - dfc.df as double) + 0.5) /
+                (cast(dfc.df as double) + 0.5))
+              * ((cast(tf.tf as double) * 2.2) /
+                 (cast(tf.tf as double) + 1.2 * (0.25 + 0.75 *
+                   (cast(dl.dl as double) /
+                    (cast(t.sum_dl as double) / cast(t.n_docs as double)))))))
+              * q.w AS sc
+          FROM q2 q
+          JOIN tf ON tf.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dfc ON dfc.term = q.term, tot t
+          WHERE tf.doc_id <> q.qdoc),
+        r2agg AS (
+          SELECT qid, doc_id,
+            list_reduce(list_prepend(0.0, list(sc ORDER BY term)),
+              (a, b) -> a + b) AS score,
+            cast(count(*) as bigint) AS n_terms
+          FROM r2s GROUP BY qid, doc_id),
+        r2rk AS (
+          SELECT qid, doc_id, score, n_terms,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, doc_id) AS rn2
+          FROM r2agg)
+        SELECT r.qid, r.doc_id, r.score, r.n_terms,
+          cast(coalesce((SELECT r1.rn FROM r1rk r1
+            WHERE r1.qid = r.qid AND r1.doc_id = r.doc_id
+              AND r1.rn <= 10), 0) as bigint) AS r1_rank
+        FROM r2rk r WHERE rn2 <= 10
+        ORDER BY qid, score DESC, doc_id"""))
+  )
 }

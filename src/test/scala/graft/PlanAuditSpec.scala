@@ -40,6 +40,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "(x11's pattern); candidates come from the ≤25-row query-term "
       + "broadcast onto the posting list — hash joins only at corpus "
       + "scale"),
+    "s21_prf_expansion" -> ("s19's 1-row corpus-totals broadcast, "
+      + "TWICE (round-1 and expanded round-2 scoring); query/feedback/"
+      + "expansion frames are ≤40-row broadcasts — hash joins only at "
+      + "corpus scale"),
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",
