@@ -1833,6 +1833,82 @@ object EventOps {
           st.s[2 + cast(h.h as int)] AS seasonal,
           st.s[1] + cast(h.h as double) * st.s[2]
             + st.s[2 + cast(h.h as int)] AS fc
-        FROM st, h ORDER BY st.event_type, h.h"""))
+        FROM st, h ORDER BY st.event_type, h.h""")),
+
+
+    // ------------------------------------------------------------------
+    // CUSUM changepoint detection over the per-type daily series —
+    // the structural-break diagnostic between e14's local anomaly flag
+    // and e28/e30's forecasts (a forecaster fitted across an
+    // undetected regime change is garbage; a pipeline runs THIS
+    // first). The classic estimator argmax_t |Σ_{i≤t}(y_i − ȳ)| is
+    // rational in ȳ; scaling by n makes it INTEGER-exact:
+    // D_t = n·cumsum_t − t·S (= n·t·(mean_{≤t} − mean_all)), so the
+    // argmax (|D| DESC, t ASC on ties, t = n excluded as D_n ≡ 0) and
+    // every census field except the final mean-shift double are exact
+    // int64 — no double enters the LOCATION decision. Scale shape:
+    // the e01 daily-census aggregation collapses the data scale; the
+    // windows run over the ≤days-per-type census (metadata scale).
+    // At 100 TB: n·S ≤ 10⁴ days · 10¹² events ≈ 10¹⁶ < 2⁶³.
+    // ------------------------------------------------------------------
+    "e31_cusum_changepoint" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val wAll = Window.partitionBy(col("event_type"))
+        val dev = daily
+          .withColumn("t", row_number().over(wOrd).cast("long"))
+          .withColumn("cs", sum(col("cnt")).over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("s", sum(col("cnt")).over(wAll))
+          .filter(col("t") < col("n"))
+          .withColumn("d", col("n") * col("cs") - col("t") * col("s"))
+        val wrk = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("d")).desc, col("t").asc)
+        dev.withColumn("rn", row_number().over(wrk))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n").as("n_days"),
+            col("t").as("cp_idx"), col("day").as("cp_day"),
+            abs(col("d")).as("cusum_max"),
+            col("t").as("pre_days"),
+            (col("n") - col("t")).as("post_days"),
+            col("cs").as("pre_sum"),
+            (col("s") - col("cs")).as("post_sum"),
+            ((col("s") - col("cs")).cast("double") /
+              (col("n") - col("t")).cast("double") -
+              col("cs").cast("double") / col("t").cast("double"))
+              .as("mean_shift"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, cast(cast(ts as timestamp) as date) AS day,
+            cast(count(*) as bigint) AS cnt
+          FROM events GROUP BY 1, 2),
+        idxd AS (
+          SELECT event_type, day, cnt,
+            cast(row_number() OVER (PARTITION BY event_type
+              ORDER BY day) as bigint) AS t,
+            cast(sum(cnt) OVER (PARTITION BY event_type
+              ORDER BY day) as bigint) AS cs,
+            cast(count(*) OVER (PARTITION BY event_type) as bigint) AS n,
+            cast(sum(cnt) OVER (PARTITION BY event_type) as bigint) AS s
+          FROM daily),
+        dev AS (
+          SELECT event_type, day, t, n, s, cs, n * cs - t * s AS d
+          FROM idxd WHERE t < n),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(d) DESC, t ASC) AS rn
+          FROM dev)
+        SELECT event_type, cast(n as bigint) AS n_days, t AS cp_idx,
+          day AS cp_day, cast(abs(d) as bigint) AS cusum_max,
+          t AS pre_days, cast(n - t as bigint) AS post_days,
+          cs AS pre_sum, cast(s - cs as bigint) AS post_sum,
+          cast(s - cs as double) / cast(n - t as double)
+            - cast(cs as double) / cast(t as double) AS mean_shift
+        FROM rk WHERE rn = 1 ORDER BY event_type"""))
   )
 }
