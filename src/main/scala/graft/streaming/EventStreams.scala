@@ -468,6 +468,82 @@ object EventStreams {
       }
   }
 
+  final case class HwState(openDay: Long, openCnt: Long,
+      warm: Seq[Double], nDays: Long, l: Double, b: Double,
+      seas: Seq[Double], sse: Double)
+  final case class HwRow(event_type: String, n_days: Long,
+      level: Double, trend: Double, s_next: Double, sse: Double)
+
+  /** Streaming twin of e30's Holt-Winters additive-seasonal smoothing
+    * (α = β = γ = 0.5, m = 7): per event_type, state is the open
+    * day's (day, count), the ≤7-element warm-up buffer, and after
+    * initialization the (l, b, rotating 7-slot seasonal list, sse).
+    * Day closures replay e30's EXACT operation order — the first
+    * seven closed days initialize l₀ = left-fold-mean / sᵢ = yᵢ − l₀
+    * exactly as the batch slice-fold does, later closures run the
+    * rotating-slot recurrence — so the emitted trajectory row after
+    * closed day n ≥ 8 is bit-identical to e30's fold over that
+    * prefix (asserted in StreamingSpec). s_next is the seasonal slot
+    * the NEXT day will consume (= the h = 1 forecast component).
+    * Late cross-batch days are dropped (the twapIntervals in-order
+    * contract); state is one bounded row per type (2 longs +
+    * ≤7+7 doubles), watermark-free.
+    */
+  def holtWintersDaily(events: Dataset[UserEvent]): Dataset[HwRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HwState, HwRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[UserEvent],
+         state: GroupState[HwState]) =>
+          def usOf(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val days = it.toArray.map(e => usOf(e.ts) / 86400000000L).sorted
+          val out = Seq.newBuilder[HwRow]
+          var st = state.getOption
+            .getOrElse(HwState(-1L, 0L, Nil, 0L, 0.0, 0.0, Nil, 0.0))
+          def close(): Unit = {
+            val y = st.openCnt.toDouble
+            if (st.nDays < 7L) {
+              val warm = st.warm :+ y
+              st =
+                if (warm.length == 7) {
+                  // e30's init in the batch operation order: l0 is the
+                  // LEFT fold sum / 7.0, seasonal slots are y_i - l0
+                  val l0 = warm.foldLeft(0.0)(_ + _) / 7.0
+                  st.copy(warm = warm, nDays = 7L, l = l0, b = 0.0,
+                    seas = warm.map(_ - l0), sse = 0.0)
+                } else st.copy(warm = warm, nDays = st.nDays + 1L)
+            } else {
+              val sOld = st.seas.head
+              val nl = 0.5 * (y - sOld) + 0.5 * (st.l + st.b)
+              val nb = 0.5 * (nl - st.l) + 0.5 * st.b
+              val ns = 0.5 * (y - nl) + 0.5 * sOld
+              val err = y - (st.l + st.b + sOld)
+              st = st.copy(nDays = st.nDays + 1L, l = nl, b = nb,
+                seas = st.seas.tail :+ ns, sse = st.sse + err * err)
+              out += HwRow(typ, st.nDays, st.l, st.b, st.seas.head,
+                st.sse)
+            }
+          }
+          days.foreach { day =>
+            if (st.openDay == -1L) st = st.copy(openDay = day, openCnt = 1L)
+            else if (day == st.openDay)
+              st = st.copy(openCnt = st.openCnt + 1L)
+            else if (day > st.openDay) {
+              close()
+              st = st.copy(openDay = day, openCnt = 1L)
+            }
+            // day < openDay: late cross-batch arrival — dropped (would
+            // rewrite an already-folded day)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class CmsRow(i: Int, counts: Array[Long])
 
   /** Streaming Count-Min sketch over user activity — x19's heavy-hitter

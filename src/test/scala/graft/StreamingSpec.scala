@@ -664,6 +664,61 @@ class StreamingSpec extends SparkFunSuite {
         s"expected-only=${expected.keySet -- streamed.keySet}")
   }
 
+  test("streaming Holt-Winters daily smoothing (e30's kappa twin): " +
+      "emitted trajectory equals the batch init+fold over closed days, " +
+      "bit-exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val all = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[UserEvent].collect()
+      .sortBy(e => (usOf(e.ts), e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UserEvent]
+    val q = EventStreams.holtWintersDaily(ms.toDS())
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("hwstream").start()
+    all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("hwstream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // independent batch-side replay of e30's init + rotating-slot fold
+    // over the closed-day prefix (last, open day excluded)
+    val expected = all.groupBy(_.event_type).toSeq.flatMap {
+      case (typ, evs) =>
+        val counts = evs.groupBy(e => usOf(e.ts) / 86400000000L)
+          .toSeq.sortBy(_._1).map(_._2.length.toDouble)
+        val closed = counts.dropRight(1)
+        if (closed.length < 8) Nil
+        else {
+          val l0 = closed.take(7).foldLeft(0.0)(_ + _) / 7.0
+          var l = l0; var b = 0.0; var sse = 0.0
+          var seas = closed.take(7).map(_ - l0)
+          closed.drop(7).zipWithIndex.map { case (y, i) =>
+            val sOld = seas.head
+            val nl = 0.5 * (y - sOld) + 0.5 * (l + b)
+            val nb = 0.5 * (nl - l) + 0.5 * b
+            val ns = 0.5 * (y - nl) + 0.5 * sOld
+            sse = sse + (y - (l + b + sOld)) * (y - (l + b + sOld))
+            l = nl; b = nb; seas = seas.tail :+ ns
+            (typ, (i + 8).toLong, l, b, seas.head, sse)
+          }
+        }
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed.nonEmpty, "no Holt-Winters rows emitted")
+    assert(streamed == expected,
+      s"stream-only=${streamed.keySet -- expected.keySet}, " +
+        s"expected-only=${expected.keySet -- streamed.keySet}")
+  }
+
   test("streaming TWAP intervals (e26's kappa twin): emitted interval " +
       "multiset equals the batch lead-window derivation exactly — " +
       "open intervals are precisely the lead-IS-NULL rows") {
