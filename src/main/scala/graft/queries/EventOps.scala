@@ -1909,6 +1909,112 @@ object EventOps {
           cs AS pre_sum, cast(s - cs as bigint) AS post_sum,
           cast(s - cs as double) / cast(n - t as double)
             - cast(cs as double) / cast(t as double) AS mean_shift
-        FROM rk WHERE rn = 1 ORDER BY event_type"""))
+        FROM rk WHERE rn = 1 ORDER BY event_type""")),
+
+
+    // ------------------------------------------------------------------
+    // Forecast EVALUATION: MASE (mean absolute scaled error, Hyndman &
+    // Koehler) on a last-7-day holdout — the rung that closes the
+    // forecasting loop (e29 diagnoses, e31 checks for breaks, e28/e30
+    // forecast, THIS one says whether to trust them). Train = all but
+    // the last week; Holt (e28's exact fold) forecasts h = 1..7 from
+    // the train endpoint; the competitor is the seasonal-naive
+    // y[t−7]; both MAEs scale by the IN-SAMPLE seasonal-naive MAE
+    // (the standard MASE denominator — integer |differences| of
+    // counts, so the denominator is exact before its single
+    // division). MASE < 1 = beats naive; on this corpus Holt wins
+    // only 2/5 types — the honest readout an evaluation operator
+    // exists to produce. Scale shape: e28's — one data-scale daily
+    // census aggregation, every fold over metadata-scale day lists
+    // in fixed h-/t-order.
+    // ------------------------------------------------------------------
+    "e32_forecast_mase" -> Q(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val ser = daily.groupBy(col("event_type"))
+          .agg(transform(array_sort(collect_list(struct(col("day"),
+            col("cnt")))), x => x.getField("cnt").cast("double")).as("ys"))
+          .filter(size(col("ys")) >= 15)
+          .withColumn("n", size(col("ys")))
+          .withColumn("ntr", size(col("ys")) - 7)
+        def e(acc: Column, i: Int) = element_at(acc, i)
+        val fit = ser.withColumn("lb", aggregate(
+          slice(col("ys"), lit(2), col("ntr") - 1),
+          array(element_at(col("ys"), 1), lit(0.0)),
+          (acc, y) => {
+            val lNew = lit(0.5) * y + lit(0.5) * (e(acc, 1) + e(acc, 2))
+            array(lNew, lit(0.5) * (lNew - e(acc, 1)) + lit(0.5) * e(acc, 2))
+          }))
+        val ev = fit.select(col("event_type"),
+          col("n").cast("long").as("n_days"),
+          col("ntr").cast("long").as("n_train"),
+          e(col("lb"), 1).as("holt_level"),
+          e(col("lb"), 2).as("holt_trend"),
+          (aggregate(sequence(lit(1), lit(7)), lit(0.0), (a, h) =>
+            a + abs(element_at(col("ys"), col("ntr") + h) -
+              (e(col("lb"), 1) + h.cast("double") * e(col("lb"), 2)))) /
+            lit(7.0)).as("mae_holt"),
+          (aggregate(sequence(lit(1), lit(7)), lit(0.0), (a, h) =>
+            a + abs(element_at(col("ys"), col("ntr") + h) -
+              element_at(col("ys"), col("ntr") + h - 7))) /
+            lit(7.0)).as("mae_snaive"),
+          (aggregate(sequence(lit(8), col("ntr")), lit(0.0), (a, tt) =>
+            a + abs(element_at(col("ys"), tt) -
+              element_at(col("ys"), tt - 7))) /
+            (col("ntr") - 7).cast("double")).as("denom_mae"))
+        ev.select(col("event_type"), col("n_days"), col("n_train"),
+          col("holt_level"), col("holt_trend"),
+          col("mae_holt"), col("mae_snaive"), col("denom_mae"),
+          (col("mae_holt") / col("denom_mae")).as("mase_holt"),
+          (col("mae_snaive") / col("denom_mae")).as("mase_snaive"),
+          (col("mae_holt") < col("mae_snaive")).as("holt_beats"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, cast(cast(ts as timestamp) as date) AS day,
+            cast(count(*) as bigint) AS cnt
+          FROM events GROUP BY 1, 2),
+        ser AS (
+          SELECT event_type,
+            list_transform(list(cnt ORDER BY day), c -> cast(c as double))
+              AS ys
+          FROM daily GROUP BY event_type),
+        sz AS (
+          SELECT event_type, ys, len(ys) AS n, len(ys) - 7 AS ntr
+          FROM ser WHERE len(ys) >= 15),
+        fit AS (
+          SELECT event_type, ys, n, ntr,
+            list_reduce(list_prepend([ys[1], 0.0],
+              list_transform(ys[2:ntr], y -> [y, 0.0])),
+              (acc, x) -> [
+                0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                  + 0.5 * acc[2]]) AS lb
+          FROM sz),
+        ev AS (
+          SELECT event_type, cast(n as bigint) AS n_days,
+            cast(ntr as bigint) AS n_train,
+            lb[1] AS holt_level, lb[2] AS holt_trend,
+            list_reduce(list_prepend(0.0, list_transform(range(1, 8), h ->
+              abs(ys[cast(ntr + h as int)] -
+                (lb[1] + cast(h as double) * lb[2])))),
+              (a, b) -> a + b) / 7.0 AS mae_holt,
+            list_reduce(list_prepend(0.0, list_transform(range(1, 8), h ->
+              abs(ys[cast(ntr + h as int)] -
+                ys[cast(ntr + h - 7 as int)]))),
+              (a, b) -> a + b) / 7.0 AS mae_snaive,
+            list_reduce(list_prepend(0.0,
+              list_transform(range(8, cast(ntr as int) + 1), t ->
+                abs(ys[cast(t as int)] - ys[cast(t - 7 as int)]))),
+              (a, b) -> a + b) / cast(ntr - 7 as double) AS denom_mae
+          FROM fit)
+        SELECT event_type, n_days, n_train, holt_level, holt_trend,
+          mae_holt, mae_snaive, denom_mae,
+          mae_holt / denom_mae AS mase_holt,
+          mae_snaive / denom_mae AS mase_snaive,
+          mae_holt < mae_snaive AS holt_beats
+        FROM ev ORDER BY event_type"""))
   )
 }
