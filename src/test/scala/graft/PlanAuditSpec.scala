@@ -44,6 +44,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "TWICE (round-1 and expanded round-2 scoring); query/feedback/"
       + "expansion frames are ≤40-row broadcasts — hash joins only at "
       + "corpus scale"),
+    "d26_dedup_threshold_curve" -> ("8-row threshold-ladder broadcast "
+      + "theta-joined onto the BOUNDED d08 candidate-pair set + 1-row "
+      + "corpus-total broadcast; pair generation itself is the "
+      + "df-capped posting pipeline, never all-pairs"),
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",

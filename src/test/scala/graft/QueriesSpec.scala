@@ -57,7 +57,8 @@ class QueriesSpec extends SparkFunSuite {
         "s19_bm25_retrieval", "s20_hybrid_rrf", "e28_holt_forecast",
         "e29_acf_daily", "p04_rag_ingest",
         // session-7 additions
-        "e30_holt_winters", "s21_prf_expansion", "e32_forecast_mase")) {
+        "e30_holt_winters", "s21_prf_expansion", "e32_forecast_mase",
+        "d26_dedup_threshold_curve")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
