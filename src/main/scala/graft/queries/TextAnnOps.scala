@@ -2509,6 +2509,7 @@ object TextAnnOps {
             WHERE r1.qid = r.qid AND r1.doc_id = r.doc_id
               AND r1.rn <= 10), 0) as bigint) AS r1_rank
         FROM r2rk r WHERE rn2 <= 10
-        ORDER BY qid, score DESC, doc_id"""))
+        ORDER BY qid, score DESC, doc_id"""),
+      bench = true)
   )
 }
