@@ -1611,6 +1611,87 @@ object GraphOps {
             cast(sx as double) * cast(sx as double)) /
           (cast(n_pairs as double) * cast(sxx as double) -
             cast(sx as double) * cast(sx as double)) AS assortativity
-        FROM sums ORDER BY n_pairs"""))
+        FROM sums ORDER BY n_pairs""")),
+
+
+    // ------------------------------------------------------------------
+    // Local clustering coefficient, top-20 densest ego-nets — the
+    // NODE-level face of g02's global triangle count (Watts-Strogatz
+    // c_v = 2·tri(v) / (deg(v)·(deg(v)−1)); a recommender reads it as
+    // "parts whose co-purchase neighborhoods are themselves cliques").
+    // Per-node triangle attribution reuses the degree-ordered oriented
+    // enumeration (one Generate over the triangle rows — the g02
+    // shape), joined to the undirected degree census; c_v is ONE
+    // double ratio of exact integers, so the ranking (c DESC, deg
+    // DESC, id) is deterministic and the oracle replays it verbatim.
+    // deg ≥ 2 filters the undefined denominator. Scale shape: g02's
+    // O(m^1.5) wedge bound + one node-keyed join — nothing new
+    // shuffles at data scale.
+    // ------------------------------------------------------------------
+    "g18_local_clustering" -> Q(
+      (s, d) => {
+        val tri = orientedTriangles(s, d)
+          .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+        val canon = coPurchaseEdges(s, d, canonical = true)
+        val deg = canon.select(col("a").as("id"))
+          .union(canon.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        deg.join(tri, Seq("id"), "left")
+          .select(col("id"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"))
+          .filter(col("deg") >= 2)
+          .withColumn("clustering",
+            (lit(2.0) * col("tri").cast("double")) /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+          .orderBy(col("clustering").desc, col("deg").desc, col("id"))
+          .limit(20)
+          .select(col("id").as("part_id"), col("deg"), col("tri"),
+            col("clustering"))
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        canon AS MATERIALIZED (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        deg AS MATERIALIZED (
+          SELECT id, cast(count(*) as bigint) AS deg FROM (
+            SELECT a AS id FROM canon
+            UNION ALL SELECT b AS id FROM canon) u GROUP BY id),
+        o AS MATERIALIZED (
+          SELECT
+            CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+              THEN c.a ELSE c.b END AS src,
+            CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+              THEN c.b ELSE c.a END AS dst,
+            CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND c.a < c.b)
+              THEN db.deg ELSE da.deg END AS ddst
+          FROM canon c
+          JOIN deg da ON da.id = c.a
+          JOIN deg db ON db.id = c.b),
+        tri3 AS MATERIALIZED (
+          SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+          FROM o w1
+          JOIN o w2 ON w1.src = w2.src
+            AND (w1.ddst < w2.ddst
+                 OR (w1.ddst = w2.ddst AND w1.dst < w2.dst))
+          JOIN o e ON e.src = w1.dst AND e.dst = w2.dst),
+        tric AS (
+          SELECT id, cast(count(*) as bigint) AS tri FROM (
+            SELECT u AS id FROM tri3
+            UNION ALL SELECT v AS id FROM tri3
+            UNION ALL SELECT w AS id FROM tri3) z
+          GROUP BY id)
+        SELECT d.id AS part_id, d.deg,
+          cast(coalesce(t.tri, 0) as bigint) AS tri,
+          (2.0 * cast(coalesce(t.tri, 0) as double)) /
+            cast(d.deg * (d.deg - 1) as double) AS clustering
+        FROM deg d LEFT JOIN tric t ON t.id = d.id
+        WHERE d.deg >= 2
+        ORDER BY clustering DESC, d.deg DESC, d.id LIMIT 20"""))
   )
 }
