@@ -815,6 +815,48 @@ object Multimodal {
     * work is one pixel pass + 256 fold steps; only an 11-field census
     * row leaves the partition.
     */
+  /** The (r+g+b) div 3 gray plane of a decoded pixel array — the
+    * aHash64/imageOtsu gray convention, one definition.
+    */
+  private def grayPlane(px: Array[Int]): Array[Int] = {
+    val g = new Array[Int](px.length)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      g(i) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+      i += 1
+    }
+    g
+  }
+
+  /** Otsu argmax over a 256-bin gray histogram (exact cross-multiplied
+    * a²/d comparison, smallest-t ties, degenerate splits skipped).
+    * Returns (t, a, d, w0, s0), t = -1 when no valid split exists.
+    */
+  private def otsuArgmax(hist: Array[Long], n: Long,
+      s: Long): (Long, Long, Long, Long, Long) = {
+    var bestT = -1L; var bestA = 0L; var bestD = 1L
+    var bestW0 = 0L; var bestS0 = 0L
+    var w0 = 0L; var s0 = 0L
+    var t = 0
+    while (t < 256) {
+      w0 += hist(t); s0 += t * hist(t)
+      if (w0 > 0 && w0 < n) {
+        val a = s0 * (n - w0) - (s - s0) * w0
+        val dd = w0 * (n - w0)
+        val better =
+          if (bestT < 0) true
+          else BigInt(a) * BigInt(a) * BigInt(bestD) >
+            BigInt(bestA) * BigInt(bestA) * BigInt(dd)
+        if (better) {
+          bestT = t; bestA = a; bestD = dd; bestW0 = w0; bestS0 = s0
+        }
+      }
+      t += 1
+    }
+    (bestT, bestA, bestD, bestW0, bestS0)
+  }
+
   def imageOtsu(media: Dataset[MediaRecord],
       batchSize: Int = 64): Dataset[OtsuStats] = {
     val spark = media.sparkSession
@@ -823,44 +865,74 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { rec =>
           val (w, h, px) = BmpCodec.decode(rec.content)
+          val gray = grayPlane(px)
           val hist = new Array[Long](256)
           var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) +
-              (p & 0xFF)) / 3
-            hist(g) += 1
-            i += 1
-          }
+          while (i < gray.length) { hist(gray(i)) += 1; i += 1 }
           val n = px.length.toLong
           var s = 0L
           var gi = 0
           while (gi < 256) { s += gi * hist(gi); gi += 1 }
-          var bestT = -1L; var bestA = 0L; var bestD = 1L
-          var bestW0 = 0L; var bestS0 = 0L
-          var w0 = 0L; var s0 = 0L
-          var t = 0
-          while (t < 256) {
-            w0 += hist(t); s0 += t * hist(t)
-            if (w0 > 0 && w0 < n) {
-              val a = s0 * (n - w0) - (s - s0) * w0
-              val dd = w0 * (n - w0)
-              val better =
-                if (bestT < 0) true
-                else BigInt(a) * BigInt(a) * BigInt(bestD) >
-                  BigInt(bestA) * BigInt(bestA) * BigInt(dd)
-              if (better) {
-                bestT = t; bestA = a; bestD = dd; bestW0 = w0; bestS0 = s0
-              }
-            }
-            t += 1
-          }
+          val (bestT, bestA, bestD, bestW0, bestS0) = otsuArgmax(hist, n, s)
           if (bestT < 0)
             OtsuStats(rec.media_id, w, h, n, -1L, 0L, 0L, 0L, 0L, 0L, 0L)
           else
             OtsuStats(rec.media_id, w, h, n, bestT, bestW0, n - bestW0,
               bestS0 / bestW0, (s - bestS0) / (n - bestW0),
               bestA * bestA, bestD)
+        }
+      }
+    }
+  }
+
+  final case class EulerStats(media_id: Long, width: Int, height: Int,
+      otsu_t: Long, n_fg: Long, n_edges: Long, n_quads: Long, euler: Long)
+
+  /** Euler characteristic census of the Otsu-thresholded foreground —
+    * the topology rung above mm11 (scikit-image's `euler_number`):
+    * over the 4-connectivity cubical complex of fg = gray > t,
+    * χ = V − E + F with V = fg pixels, E = horizontally- plus
+    * vertically-adjacent fg pairs, F = 2×2 all-fg blocks; equal to
+    * #4-connected components − #8-connected holes, EXACT and
+    * row-local — no iteration, unlike a label-propagation component
+    * count, so the oracle replays it with three adjacency self-joins
+    * on the analytic gray plane. One pixel pass + one census row per
+    * image leaves the partition.
+    */
+  def imageEuler(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[EulerStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, px) = BmpCodec.decode(rec.content)
+          val gray = grayPlane(px)
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < gray.length) { hist(gray(i)) += 1; i += 1 }
+          val n = px.length.toLong
+          var s = 0L
+          var gi = 0
+          while (gi < 256) { s += gi * hist(gi); gi += 1 }
+          val (t, _, _, _, _) = otsuArgmax(hist, n, s)
+          def fg(idx: Int): Boolean = gray(idx) > t
+          var v = 0L; var eh = 0L; var ev = 0L; var q = 0L
+          i = 0
+          while (i < gray.length) {
+            if (fg(i)) {
+              v += 1
+              val notLastCol = i % w != w - 1
+              val notLastRow = i + w < gray.length
+              if (notLastCol && fg(i + 1)) eh += 1
+              if (notLastRow && fg(i + w)) ev += 1
+              if (notLastCol && notLastRow && fg(i + 1) && fg(i + w) &&
+                fg(i + w + 1)) q += 1
+            }
+            i += 1
+          }
+          EulerStats(rec.media_id, w, h, t, v, eh + ev, q,
+            v - (eh + ev) + q)
         }
       }
     }

@@ -657,6 +657,98 @@ object MediaOps {
           cast((s_all - s0h) // (n_px - w0h) as bigint) AS mu_fg,
           cast(a * a as bigint) AS sep_num,
           cast(d as bigint) AS sep_den
-        FROM rk WHERE rn = 1 ORDER BY media_id"""))
+        FROM rk WHERE rn = 1 ORDER BY media_id""")),
+
+
+    // ------------------------------------------------------------------
+    // Euler characteristic census of the Otsu-thresholded foreground
+    // (mm11's consumer; scikit-image's euler_number): chi = V - E + F
+    // over the 4-connectivity pixel complex = #components - #holes.
+    // EXACT and row-local where a label-propagation component count
+    // is iterative (min-label needs diameter rounds — measured 574
+    // unconverged pixels after 48 SQL rounds on these percolation-like
+    // planes), so the oracle replays it with three adjacency
+    // self-joins on the analytic gray plane plus mm11's threshold
+    // ranking. Honest readout: chi in [-4, 57] at sf0.01 — hole-rich
+    // negative-chi planes and fragmented positives both occur.
+    // ------------------------------------------------------------------
+    "mm12_euler_census" -> Q(
+      (s, d) =>
+        Multimodal.imageEuler(Multimodal.synthesizeBmp(s, d)).toDF()
+          .orderBy(col("media_id")),
+      Some("""WITH p AS (
+          SELECT doc_id, cast(8 + doc_id % 24 as int) AS w,
+            cast(8 + (doc_id * 7) % 24 as int) AS h,
+            length(text) AS n, text
+          FROM documents),
+        ix AS (
+          SELECT doc_id, w, h, n, text, unnest(range(0, w * h)) AS i
+          FROM p),
+        gr AS MATERIALIZED (
+          SELECT doc_id, w, h, i,
+            ((CASE WHEN n = 0 THEN 0 ELSE
+                unicode(substr(text, cast(i % n as int) + 1, 1)) % 256 END)
+             + cast((i * 31 + doc_id) % 256 as bigint)
+             + cast((i + (CASE WHEN n = 0 THEN 0 ELSE
+                 unicode(substr(text, cast(i % n as int) + 1, 1)) % 256
+                 END)) % 256 as bigint)) // 3 AS gray
+          FROM ix),
+        hist AS (
+          SELECT doc_id, w, h, gray, cast(count(*) as bigint) AS c
+          FROM gr GROUP BY 1, 2, 3, 4),
+        cum AS (
+          SELECT doc_id, gray,
+            sum(c) OVER (PARTITION BY doc_id ORDER BY gray) AS w0,
+            sum(gray * c) OVER (PARTITION BY doc_id ORDER BY gray) AS s0,
+            sum(c) OVER (PARTITION BY doc_id) AS n_px,
+            sum(gray * c) OVER (PARTITION BY doc_id) AS s_all
+          FROM hist),
+        cand AS (
+          SELECT doc_id, gray,
+            cast(s0 * (n_px - w0) - (s_all - s0) * w0 as hugeint) AS a,
+            cast(w0 * (n_px - w0) as hugeint) AS d
+          FROM cum WHERE w0 < n_px),
+        th AS MATERIALIZED (
+          SELECT doc_id, gray AS t FROM (
+            SELECT doc_id, gray, row_number() OVER (PARTITION BY doc_id
+              ORDER BY (a * a * cast(1000000000000 as hugeint)) // d DESC,
+                gray ASC) AS rn
+            FROM cand) WHERE rn = 1),
+        fg AS MATERIALIZED (
+          SELECT g.doc_id, g.w, g.h, g.i
+          FROM gr g JOIN th ON th.doc_id = g.doc_id
+          WHERE g.gray > th.t),
+        vc AS (
+          SELECT f.doc_id, any_value(f.w) AS w, any_value(f.h) AS h,
+            any_value(t.t) AS t, cast(count(*) as bigint) AS v
+          FROM fg f JOIN th t ON t.doc_id = f.doc_id
+          GROUP BY f.doc_id),
+        eh AS (
+          SELECT a.doc_id, cast(count(*) as bigint) AS c
+          FROM fg a JOIN fg b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          WHERE (a.i % a.w) <> a.w - 1 GROUP BY a.doc_id),
+        ev AS (
+          SELECT a.doc_id, cast(count(*) as bigint) AS c
+          FROM fg a JOIN fg b ON b.doc_id = a.doc_id AND b.i = a.i + a.w
+          GROUP BY a.doc_id),
+        qd AS (
+          SELECT a.doc_id, cast(count(*) as bigint) AS c
+          FROM fg a
+          JOIN fg b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          JOIN fg c2 ON c2.doc_id = a.doc_id AND c2.i = a.i + a.w
+          JOIN fg d2 ON d2.doc_id = a.doc_id AND d2.i = a.i + a.w + 1
+          WHERE (a.i % a.w) <> a.w - 1 GROUP BY a.doc_id)
+        SELECT vc.doc_id AS media_id, vc.w AS width, vc.h AS height,
+          cast(vc.t as bigint) AS otsu_t,
+          vc.v AS n_fg,
+          cast(coalesce(eh.c, 0) + coalesce(ev.c, 0) as bigint) AS n_edges,
+          cast(coalesce(qd.c, 0) as bigint) AS n_quads,
+          cast(vc.v - (coalesce(eh.c, 0) + coalesce(ev.c, 0))
+            + coalesce(qd.c, 0) as bigint) AS euler
+        FROM vc
+        LEFT JOIN eh ON eh.doc_id = vc.doc_id
+        LEFT JOIN ev ON ev.doc_id = vc.doc_id
+        LEFT JOIN qd ON qd.doc_id = vc.doc_id
+        ORDER BY media_id"""))
   )
 }

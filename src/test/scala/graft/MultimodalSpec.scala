@@ -130,6 +130,37 @@ class MultimodalSpec extends SparkFunSuite {
     assert(r.sep_num == 153600L * 153600L && r.sep_den == 32L * 32L)
   }
 
+  test("imageEuler: solid block has chi = 1, a ring around a hole " +
+      "has chi = 0 (components minus holes)") {
+    import spark.implicits._
+    // 8x8 bimodal planes: Otsu lands at t = 50, fg = the 200-gray cells
+    def img(fgCell: Int => Boolean) = BmpCodec.encode(8, 8, { idx =>
+      if (fgCell(idx)) (200, 200, 200) else (50, 50, 50)
+    })
+    // solid 2x2 block at (1,1): V=4 E=4 F=1 -> chi = 1
+    val solid = img(idx => {
+      val (x, y) = (idx % 8, idx / 8)
+      x >= 1 && x <= 2 && y >= 1 && y <= 2
+    })
+    // 3x3 ring (center empty): V=8 E=8 F=0 -> chi = 0 (1 comp - 1 hole)
+    val ring = img(idx => {
+      val (x, y) = (idx % 8, idx / 8)
+      x >= 1 && x <= 3 && y >= 1 && y <= 3 && !(x == 2 && y == 2)
+    })
+    val ds = Seq(
+      Multimodal.MediaRecord(0L, "t://solid", "image/bmp", solid),
+      Multimodal.MediaRecord(1L, "t://ring", "image/bmp", ring)).toDS()
+    val out = Multimodal.imageEuler(ds).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(0L).otsu_t == 50L && out(1L).otsu_t == 50L)
+    assert(out(0L).n_fg == 4L && out(0L).n_edges == 4L &&
+      out(0L).n_quads == 1L && out(0L).euler == 1L,
+      s"solid: ${out(0L)}")
+    assert(out(1L).n_fg == 8L && out(1L).n_edges == 8L &&
+      out(1L).n_quads == 0L && out(1L).euler == 0L,
+      s"ring: ${out(1L)}")
+  }
+
   test("WavCodec: encode/decode round-trips samples exactly; decoder " +
       "walks past unknown chunks with odd-length padding") {
     for ((ch, frames) <- Seq((1, 7), (2, 5), (2, 1))) {
