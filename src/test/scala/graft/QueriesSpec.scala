@@ -58,7 +58,8 @@ class QueriesSpec extends SparkFunSuite {
         "e29_acf_daily", "p04_rag_ingest",
         // session-7 additions
         "e30_holt_winters", "s21_prf_expansion", "e32_forecast_mase",
-        "d26_dedup_threshold_curve", "g18_local_clustering")) {
+        "d26_dedup_threshold_curve", "g18_local_clustering",
+        "x45_vocab_coverage")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
