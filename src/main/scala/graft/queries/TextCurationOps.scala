@@ -15,6 +15,55 @@ import TextOps._
   */
 object TextCurationOps {
 
+  /** x44's synthesize → detect → redact frame, factored for reuse
+    * (x44 = the per-doc census; p05 = the scrubbed-release pipeline):
+    * (doc_id, source, s, n_email, n_ip, n_phone, n_ssn, red) with
+    * deterministic (doc_id, k)-derived PII injected at token strides
+    * 17/23/29/31 and a fixed 4-stage redaction chain. Patterns are
+    * RE2∩Java-portable; every expensive column is aliased behind its
+    * own projection (the synthesized text feeds five regex consumers).
+    */
+  private def piiRedacted(s: SparkSession, d: String): DataFrame = {
+    val reEmail = "[a-z0-9]+@[a-z0-9]+\\.[a-z]{2,3}"
+    val reIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val rePhone = "555-\\d{3}-\\d{4}"
+    val reSsn = "\\d{3}-\\d{2}-\\d{4}"
+    val d0 = docs(s, d).select(col("doc_id"), col("source"),
+      words(col("text")).as("w"))
+    val syn = d0.select(col("doc_id"), col("source"),
+      array_join(transform(sequence(lit(1), size(col("w"))), k =>
+        concat(element_at(col("w"), k),
+          when(k % 17 === 0, concat(lit(" user"),
+            col("doc_id").cast("string"), lit("x"), k.cast("string"),
+            lit("@example"), (k % 7).cast("string"), lit(".com")))
+            .otherwise(lit("")),
+          when(k % 23 === 0, concat(lit(" 10."),
+            (k % 256).cast("string"), lit("."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((k * 7) % 256).cast("string"))).otherwise(lit("")),
+          when(k % 29 === 0, concat(lit(" 555-"),
+            lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(k % 31 === 0, concat(lit(" 987-65-"),
+            lpad(((col("doc_id") + k) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))), " ").as("s"))
+    syn.select(col("doc_id"), col("source"), col("s"),
+      size(regexp_extract_all(col("s"), lit(reEmail), lit(0)))
+        .cast("bigint").as("n_email"),
+      size(regexp_extract_all(col("s"), lit(reIp), lit(0)))
+        .cast("bigint").as("n_ip"),
+      size(regexp_extract_all(col("s"), lit(rePhone), lit(0)))
+        .cast("bigint").as("n_phone"),
+      size(regexp_extract_all(col("s"), lit(reSsn), lit(0)))
+        .cast("bigint").as("n_ssn"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        col("s"), lit(reEmail), lit("[EMAIL]")),
+        lit(reIp), lit("[IP]")),
+        lit(rePhone), lit("[PHONE]")),
+        lit(reSsn), lit("[SSN]")).as("red"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -3855,54 +3904,15 @@ object TextCurationOps {
     // is aliased behind its own projection so nothing re-evaluates.
     // ------------------------------------------------------------------
     "x44_pii_redaction" -> Q(
-      (s, d) => {
-        val reEmail = "[a-z0-9]+@[a-z0-9]+\\.[a-z]{2,3}"
-        val reIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-        val rePhone = "555-\\d{3}-\\d{4}"
-        val reSsn = "\\d{3}-\\d{2}-\\d{4}"
-        val d0 = docs(s, d).select(col("doc_id"), col("source"),
-          words(col("text")).as("w"))
-        val syn = d0.select(col("doc_id"), col("source"),
-          array_join(transform(sequence(lit(1), size(col("w"))), k =>
-            concat(element_at(col("w"), k),
-              when(k % 17 === 0, concat(lit(" user"),
-                col("doc_id").cast("string"), lit("x"), k.cast("string"),
-                lit("@example"), (k % 7).cast("string"), lit(".com")))
-                .otherwise(lit("")),
-              when(k % 23 === 0, concat(lit(" 10."),
-                (k % 256).cast("string"), lit("."),
-                (col("doc_id") % 256).cast("string"), lit("."),
-                ((k * 7) % 256).cast("string"))).otherwise(lit("")),
-              when(k % 29 === 0, concat(lit(" 555-"),
-                lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
-                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-                .otherwise(lit("")),
-              when(k % 31 === 0, concat(lit(" 987-65-"),
-                lpad(((col("doc_id") + k) % 10000).cast("string"), 4, "0")))
-                .otherwise(lit("")))), " ").as("s"))
-        val det = syn.select(col("doc_id"), col("source"), col("s"),
-          size(regexp_extract_all(col("s"), lit(reEmail), lit(0)))
-            .cast("bigint").as("n_email"),
-          size(regexp_extract_all(col("s"), lit(reIp), lit(0)))
-            .cast("bigint").as("n_ip"),
-          size(regexp_extract_all(col("s"), lit(rePhone), lit(0)))
-            .cast("bigint").as("n_phone"),
-          size(regexp_extract_all(col("s"), lit(reSsn), lit(0)))
-            .cast("bigint").as("n_ssn"),
-          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-            col("s"), lit(reEmail), lit("[EMAIL]")),
-            lit(reIp), lit("[IP]")),
-            lit(rePhone), lit("[PHONE]")),
-            lit(reSsn), lit("[SSN]")).as("red"))
-        det.select(col("doc_id"), col("source"),
+      (s, d) =>
+        piiRedacted(s, d).select(col("doc_id"), col("source"),
           col("n_email"), col("n_ip"), col("n_phone"), col("n_ssn"),
           (col("n_email") + col("n_ip") + col("n_phone") + col("n_ssn"))
             .as("pii_total"),
           length(col("s")).cast("bigint").as("len_synth"),
           length(col("red")).cast("bigint").as("len_redacted"),
           md5(col("red")).as("redacted_md5"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some("""WITH d0 AS (
           SELECT doc_id, source,
             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
@@ -4021,6 +4031,152 @@ object TextCurationOps {
           cast(sum(t.cnt) as double) / cast(max(tot.total_tokens) as double)
             AS coverage
         FROM ks JOIN top64 t ON t.rk <= ks.k, tot
-        GROUP BY ks.k ORDER BY ks.k"""))
+        GROUP BY ks.k ORDER BY ks.k""")),
+
+
+    // ------------------------------------------------------------------
+    // Scrubbed-release pipeline census — the composition a privacy
+    // review actually signs off on: x44's synthesize → detect → redact
+    // stage feeding the x02 quality gate, with the admission decision
+    // evaluated on BOTH sides of the scrub. Per source: docs, PII
+    // incidence/total, char and token mass before/after redaction, and
+    // the quality-gate (> 0.65) pass counts before/after — including
+    // the FLIP censuses (fail→pass and pass→fail), the honest readout
+    // that scrubbing changes downstream curation decisions (3 docs
+    // flip in at sf0.01: replacing sprawling emails/IPs with [EMAIL]/
+    // [IP] placeholder tokens nudges the mean-word-length bonus).
+    // Everything emitted is an integer; the quality doubles exist only
+    // inside per-row gate comparisons against a decimal literal
+    // (cross-engine safe). Scale shape: row-local synth/redact/score
+    // (x44's class), one source-keyed aggregation.
+    // ------------------------------------------------------------------
+    "p05_scrubbed_release" -> Q(
+      (s, d) => {
+        def qOf(c: Column): Column = {
+          val wv = split(c, "\\s+")
+          val nTok = size(wv).cast("double")
+          val nChars = length(c).cast("double")
+          val punct = (length(c) -
+            length(regexp_replace(c, "[.,!?;:]", ""))).cast("double")
+          val stops = size(filter(wv, x =>
+            x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+          val awl = length(regexp_replace(c, "\\s+", ""))
+            .cast("double") / nTok
+          (stops / nTok) * 0.4 + (lit(1.0) - punct / nChars) * 0.3 +
+            when(awl >= 3 && awl <= 8, 0.3).otherwise(0.0)
+        }
+        val per = piiRedacted(s, d).select(col("source"),
+          (col("n_email") + col("n_ip") + col("n_phone") + col("n_ssn"))
+            .as("pii"),
+          length(col("s")).cast("long").as("len_s"),
+          length(col("red")).cast("long").as("len_r"),
+          size(split(col("s"), "\\s+")).cast("long").as("tok_s"),
+          size(split(col("red"), "\\s+")).cast("long").as("tok_r"),
+          qOf(col("s")).as("qs"), qOf(col("red")).as("qr"))
+        per.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pii") > 0, 1L).otherwise(0L))
+              .as("docs_with_pii"),
+            sum(col("pii")).as("pii_total"),
+            sum(col("len_s")).as("chars_before"),
+            sum(col("len_r")).as("chars_after"),
+            sum(col("tok_s")).as("tokens_before"),
+            sum(col("tok_r")).as("tokens_after"),
+            sum(when(col("qs") > 0.65, 1L).otherwise(0L))
+              .as("pass_before"),
+            sum(when(col("qr") > 0.65, 1L).otherwise(0L))
+              .as("pass_after"),
+            sum(when(!(col("qs") > 0.65) && col("qr") > 0.65, 1L)
+              .otherwise(0L)).as("flip_in"),
+            sum(when(col("qs") > 0.65 && !(col("qr") > 0.65), 1L)
+              .otherwise(0L)).as("flip_out"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d0 AS (
+          SELECT doc_id, source,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS w
+          FROM documents),
+        syn AS (
+          SELECT doc_id, source,
+            array_to_string(list_transform(range(1, len(w) + 1), k ->
+              w[k] ||
+              CASE WHEN k % 17 = 0 THEN ' user' || doc_id || 'x' || k ||
+                   '@example' || (k % 7) || '.com' ELSE '' END ||
+              CASE WHEN k % 23 = 0 THEN ' 10.' || (k % 256) || '.' ||
+                   (doc_id % 256) || '.' || ((k * 7) % 256) ELSE '' END ||
+              CASE WHEN k % 29 = 0 THEN ' 555-' ||
+                   lpad(cast(k % 1000 as varchar), 3, '0') || '-' ||
+                   lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                 ELSE '' END ||
+              CASE WHEN k % 31 = 0 THEN ' 987-65-' ||
+                   lpad(cast((doc_id + k) % 10000 as varchar), 4, '0')
+                 ELSE '' END
+              ), ' ') AS s
+          FROM d0),
+        red AS (
+          SELECT doc_id, source, s,
+            cast(len(regexp_extract_all(s,
+              '[a-z0-9]+@[a-z0-9]+\.[a-z]{2,3}')) as bigint)
+              + cast(len(regexp_extract_all(s,
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) as bigint)
+              + cast(len(regexp_extract_all(s,
+              '555-\d{3}-\d{4}')) as bigint)
+              + cast(len(regexp_extract_all(s,
+              '\d{3}-\d{2}-\d{4}')) as bigint) AS pii,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+              '[a-z0-9]+@[a-z0-9]+\.[a-z]{2,3}', '[EMAIL]', 'g'),
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+              '555-\d{3}-\d{4}', '[PHONE]', 'g'),
+              '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS r
+          FROM syn),
+        q AS (
+          SELECT source, pii,
+            cast(length(s) as bigint) AS len_s,
+            cast(length(r) as bigint) AS len_r,
+            cast(len(string_split_regex(s, '\s+')) as bigint) AS tok_s,
+            cast(len(string_split_regex(r, '\s+')) as bigint) AS tok_r,
+            (cast(len(list_filter(string_split_regex(s, '\s+'), x ->
+                x IN ('the','a','of','and','to','in'))) as double) /
+              cast(len(string_split_regex(s, '\s+')) as double)) * 0.4 +
+              (1.0 - cast(length(s) - length(regexp_replace(s,
+                '[.,!?;:]', '', 'g')) as double) /
+                cast(length(s) as double)) * 0.3 +
+              CASE WHEN cast(length(regexp_replace(s, '\s+', '', 'g'))
+                     as double) /
+                   cast(len(string_split_regex(s, '\s+')) as double) >= 3
+                 AND cast(length(regexp_replace(s, '\s+', '', 'g'))
+                     as double) /
+                   cast(len(string_split_regex(s, '\s+')) as double) <= 8
+                THEN 0.3 ELSE 0.0 END AS qs,
+            (cast(len(list_filter(string_split_regex(r, '\s+'), x ->
+                x IN ('the','a','of','and','to','in'))) as double) /
+              cast(len(string_split_regex(r, '\s+')) as double)) * 0.4 +
+              (1.0 - cast(length(r) - length(regexp_replace(r,
+                '[.,!?;:]', '', 'g')) as double) /
+                cast(length(r) as double)) * 0.3 +
+              CASE WHEN cast(length(regexp_replace(r, '\s+', '', 'g'))
+                     as double) /
+                   cast(len(string_split_regex(r, '\s+')) as double) >= 3
+                 AND cast(length(regexp_replace(r, '\s+', '', 'g'))
+                     as double) /
+                   cast(len(string_split_regex(r, '\s+')) as double) <= 8
+                THEN 0.3 ELSE 0.0 END AS qr
+          FROM red)
+        SELECT source,
+          cast(count(*) as bigint) AS n_docs,
+          cast(count(*) FILTER (WHERE pii > 0) as bigint) AS docs_with_pii,
+          cast(sum(pii) as bigint) AS pii_total,
+          cast(sum(len_s) as bigint) AS chars_before,
+          cast(sum(len_r) as bigint) AS chars_after,
+          cast(sum(tok_s) as bigint) AS tokens_before,
+          cast(sum(tok_r) as bigint) AS tokens_after,
+          cast(count(*) FILTER (WHERE qs > 0.65) as bigint) AS pass_before,
+          cast(count(*) FILTER (WHERE qr > 0.65) as bigint) AS pass_after,
+          cast(count(*) FILTER (WHERE NOT (qs > 0.65) AND qr > 0.65)
+            as bigint) AS flip_in,
+          cast(count(*) FILTER (WHERE qs > 0.65 AND NOT (qr > 0.65))
+            as bigint) AS flip_out
+        FROM q GROUP BY source ORDER BY source"""))
   )
 }
