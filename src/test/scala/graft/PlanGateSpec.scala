@@ -233,6 +233,46 @@ class PlanGateSpec extends SparkFunSuite {
     }
   }
 
+  test("WindowTopKRewrite: flag on rewrites the row_number filter " +
+      "pattern to TopKPerKeyExec (no WindowExec), row-identical to " +
+      "the unrewritten window plan; rank/kept-rank/global shapes are " +
+      "left alone") {
+    import graft.plans.WindowTopKRewrite
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"),
+        col("l_partkey"))
+    def topk = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    val plain = topk.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    WindowTopKRewrite.install(spark)
+    spark.conf.set(WindowTopKRewrite.EnabledKey, "true")
+    try {
+      val q = topk
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(!plan.toLowerCase.contains("window"), plan)
+      assert(q.collect().map(_.toSeq.mkString("|")).sorted.toSeq == plain)
+      // rank() admits > k rows on ties — must NOT rewrite
+      val ranked = li.withColumn("rn", rank().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(!ranked.queryExecution.executedPlan.toString
+        .contains("TopKPerKey"))
+      // rn kept in the output — the heap operator cannot produce it
+      val kept = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      assert(!kept.queryExecution.executedPlan.toString
+        .contains("TopKPerKey"))
+    } finally {
+      spark.conf.unset(WindowTopKRewrite.EnabledKey)
+      WindowTopKRewrite.uninstall(spark)
+      graft.plans.TopKPerKey.uninstall(spark)
+    }
+  }
+
   test("TopKPerKey: partial-stage flush under a tiny byte budget " +
       "emits candidate supersets the final stage re-selects from — " +
       "rows identical to the unflushed run") {
