@@ -858,5 +858,127 @@ object MigrationOps {
             WHEN 'set-not-null' THEN nn.null_viol END
             AS exact_violating_rows
         FROM findings fd JOIN counts cnt USING (table_name), est, ex, nn
-        ORDER BY fd.version, fd.rule""")))
+        ORDER BY fd.version, fd.rule""")),
+
+
+    // ------------------------------------------------------------------
+    // Post-migration STATS DRIFT report — the check run after a
+    // backfill/apply to decide whether the planner statistics (q77 /
+    // `graft stats`) must be refreshed and whether the migration moved
+    // the data distribution at all: pre-snapshot (the table minus the
+    // backfilled decile, o_orderkey % 10 <> 0 — a deterministic stand-
+    // in for "before the migration inserted its rows") vs post (full
+    // table), per column: rows / exact NDV / min / max and their
+    // deltas, with a drift verdict at the 50‰ refresh threshold.
+    // Because post ⊇ pre, every delta is non-negative by construction
+    // — no signed integer-division semantics cross the engine boundary
+    // (Spark div truncates, DuckDB // floors; they agree only on
+    // non-negatives). Scale shape: BOTH snapshots come out of ONE scan
+    // — every pre-side aggregate is the post-side aggregate under a
+    // filter clause (count/ndv/min/max with when(...)), so the drift
+    // report costs one aggregation pass however large the table.
+    // ------------------------------------------------------------------
+    "m12_stats_drift" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val pre = col("o_orderkey") % 10 =!= 0
+        val base = t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("tp_cents"))
+        val cols = Seq("o_orderkey", "o_custkey", "tp_cents")
+        val aggs: Seq[Column] = Seq(
+          count(lit(1)).as("post_rows"),
+          sum(when(col("is_pre"), 1L).otherwise(0L)).as("pre_rows")) ++
+          cols.flatMap(c => Seq(
+            countDistinct(col(c)).as("nd_post_" + c),
+            countDistinct(when(col("is_pre"), col(c)))
+              .as("nd_pre_" + c),
+            min(col(c)).as("mn_post_" + c),
+            min(when(col("is_pre"), col(c))).as("mn_pre_" + c),
+            max(col(c)).as("mx_post_" + c),
+            max(when(col("is_pre"), col(c))).as("mx_pre_" + c)))
+        val wide = base.select((col("o_orderkey") % 10 =!= 0).as("is_pre")
+          +: cols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        wide.select(explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"),
+              col("pre_rows"), col("post_rows"),
+              col("nd_pre_" + c).as("pre_ndv"),
+              col("nd_post_" + c).as("post_ndv"),
+              col("mn_pre_" + c).as("pre_min"),
+              col("mn_post_" + c).as("post_min"),
+              col("mx_pre_" + c).as("pre_max"),
+              col("mx_post_" + c).as("post_max"))): _*)).as("e"))
+          .select(col("e.*"))
+          .withColumn("rows_added", col("post_rows") - col("pre_rows"))
+          .withColumn("ndv_added", col("post_ndv") - col("pre_ndv"))
+          .withColumn("ndv_added_permille",
+            expr("(1000 * (post_ndv - pre_ndv)) div pre_ndv"))
+          .withColumn("min_shift", col("pre_min") - col("post_min"))
+          .withColumn("max_shift", col("post_max") - col("pre_max"))
+          .withColumn("needs_refresh",
+            expr("(1000 * (post_ndv - pre_ndv)) div pre_ndv") > 50 ||
+              expr("(1000 * (post_rows - pre_rows)) div pre_rows") > 50)
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey,
+            cast(cast(o_totalprice as decimal(18, 2)) * 100 as bigint)
+              AS tp_cents,
+            o_orderkey % 10 <> 0 AS is_pre
+          FROM orders),
+        wide AS (
+          SELECT
+            cast(count(*) as bigint) AS post_rows,
+            cast(count(*) FILTER (WHERE is_pre) as bigint) AS pre_rows,
+            cast(count(DISTINCT o_orderkey) as bigint) AS nd_post_ok,
+            cast(count(DISTINCT o_orderkey) FILTER (WHERE is_pre)
+              as bigint) AS nd_pre_ok,
+            min(o_orderkey) AS mn_post_ok,
+            min(o_orderkey) FILTER (WHERE is_pre) AS mn_pre_ok,
+            max(o_orderkey) AS mx_post_ok,
+            max(o_orderkey) FILTER (WHERE is_pre) AS mx_pre_ok,
+            cast(count(DISTINCT o_custkey) as bigint) AS nd_post_ck,
+            cast(count(DISTINCT o_custkey) FILTER (WHERE is_pre)
+              as bigint) AS nd_pre_ck,
+            min(o_custkey) AS mn_post_ck,
+            min(o_custkey) FILTER (WHERE is_pre) AS mn_pre_ck,
+            max(o_custkey) AS mx_post_ck,
+            max(o_custkey) FILTER (WHERE is_pre) AS mx_pre_ck,
+            cast(count(DISTINCT tp_cents) as bigint) AS nd_post_tp,
+            cast(count(DISTINCT tp_cents) FILTER (WHERE is_pre)
+              as bigint) AS nd_pre_tp,
+            min(tp_cents) AS mn_post_tp,
+            min(tp_cents) FILTER (WHERE is_pre) AS mn_pre_tp,
+            max(tp_cents) AS mx_post_tp,
+            max(tp_cents) FILTER (WHERE is_pre) AS mx_pre_tp
+          FROM base),
+        lng AS (
+          SELECT 'o_orderkey' AS col_name, pre_rows, post_rows,
+            nd_pre_ok AS pre_ndv, nd_post_ok AS post_ndv,
+            mn_pre_ok AS pre_min, mn_post_ok AS post_min,
+            mx_pre_ok AS pre_max, mx_post_ok AS post_max
+          FROM wide
+          UNION ALL
+          SELECT 'o_custkey', pre_rows, post_rows, nd_pre_ck, nd_post_ck,
+            mn_pre_ck, mn_post_ck, mx_pre_ck, mx_post_ck
+          FROM wide
+          UNION ALL
+          SELECT 'tp_cents', pre_rows, post_rows, nd_pre_tp, nd_post_tp,
+            mn_pre_tp, mn_post_tp, mx_pre_tp, mx_post_tp
+          FROM wide)
+        SELECT col_name, pre_rows, post_rows, pre_ndv, post_ndv,
+          pre_min, post_min, pre_max, post_max,
+          cast(post_rows - pre_rows as bigint) AS rows_added,
+          cast(post_ndv - pre_ndv as bigint) AS ndv_added,
+          cast((1000 * (post_ndv - pre_ndv)) // pre_ndv as bigint)
+            AS ndv_added_permille,
+          cast(pre_min - post_min as bigint) AS min_shift,
+          cast(post_max - pre_max as bigint) AS max_shift,
+          (1000 * (post_ndv - pre_ndv)) // pre_ndv > 50 OR
+            (1000 * (post_rows - pre_rows)) // pre_rows > 50
+            AS needs_refresh
+        FROM lng ORDER BY col_name""")))
 }
