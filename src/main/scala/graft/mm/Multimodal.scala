@@ -938,6 +938,63 @@ object Multimodal {
     }
   }
 
+  final case class MomentStats(media_id: Long, width: Int, height: Int,
+      otsu_t: Long, m00: Long, m10: Long, m01: Long, m11: Long,
+      m20: Long, m02: Long, cx_milli: Long, cy_milli: Long,
+      cov_xx: Long, cov_yy: Long, cov_xy: Long)
+
+  /** Integer-exact image moments of the Otsu foreground — the
+    * region-descriptor rung above mm12 (scikit-image regionprops'
+    * moment set): raw moments m_pq = Σ x^p y^q over fg pixels up to
+    * order 2, the milli-scaled centroid (1000·m10 div m00), and the
+    * m00-scaled central second moments cov_xx = m20·m00 − m10²,
+    * cov_yy = m02·m00 − m01², cov_xy = m11·m00 − m10·m01 (the
+    * covariance numerators orientation/eccentricity derive from — the
+    * division and atan2 are left to the consumer so every emitted
+    * field stays an exact int64; magnitudes ≤ 961·31²·961 ≈ 9e8).
+    * Row-local one-pass per image, census rows only.
+    */
+  def imageMoments(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MomentStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, px) = BmpCodec.decode(rec.content)
+          val gray = grayPlane(px)
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < gray.length) { hist(gray(i)) += 1; i += 1 }
+          val n = px.length.toLong
+          var s = 0L
+          var gi = 0
+          while (gi < 256) { s += gi * hist(gi); gi += 1 }
+          val (t, _, _, _, _) = otsuArgmax(hist, n, s)
+          var m00 = 0L; var m10 = 0L; var m01 = 0L
+          var m11 = 0L; var m20 = 0L; var m02 = 0L
+          i = 0
+          while (i < gray.length) {
+            if (gray(i) > t) {
+              val x = (i % w).toLong
+              val y = (i / w).toLong
+              m00 += 1; m10 += x; m01 += y
+              m11 += x * y; m20 += x * x; m02 += y * y
+            }
+            i += 1
+          }
+          MomentStats(rec.media_id, w, h, t, m00, m10, m01, m11, m20,
+            m02,
+            if (m00 > 0) 1000L * m10 / m00 else -1L,
+            if (m00 > 0) 1000L * m01 / m00 else -1L,
+            m20 * m00 - m10 * m10,
+            m02 * m00 - m01 * m01,
+            m11 * m00 - m10 * m01)
+        }
+      }
+    }
+  }
+
   /** Batched partition-local metadata decode. `batchSize` models the
     * vectorized-decode batch (mapInPandas' batch shape): a real codec
     * initializes once per partition, then processes batches.

@@ -749,6 +749,86 @@ object MediaOps {
         LEFT JOIN eh ON eh.doc_id = vc.doc_id
         LEFT JOIN ev ON ev.doc_id = vc.doc_id
         LEFT JOIN qd ON qd.doc_id = vc.doc_id
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+
+    // ------------------------------------------------------------------
+    // Image moments of the Otsu foreground (mm12's sibling;
+    // scikit-image regionprops): raw moments to order 2, milli-scaled
+    // centroid, and the m00-scaled central covariance numerators —
+    // every field an exact int64 (division/atan2 left to the
+    // consumer), so the oracle re-derives them from the analytic gray
+    // plane with x = i % w, y = i // w coordinate sums. Row-local
+    // one-pass per image.
+    // ------------------------------------------------------------------
+    "mm13_image_moments" -> Q(
+      (s, d) =>
+        Multimodal.imageMoments(Multimodal.synthesizeBmp(s, d)).toDF()
+          .orderBy(col("media_id")),
+      Some("""WITH p AS (
+          SELECT doc_id, cast(8 + doc_id % 24 as int) AS w,
+            cast(8 + (doc_id * 7) % 24 as int) AS h,
+            length(text) AS n, text
+          FROM documents),
+        ix AS (
+          SELECT doc_id, w, h, n, text, unnest(range(0, w * h)) AS i
+          FROM p),
+        gr AS MATERIALIZED (
+          SELECT doc_id, w, h, i,
+            ((CASE WHEN n = 0 THEN 0 ELSE
+                unicode(substr(text, cast(i % n as int) + 1, 1)) % 256 END)
+             + cast((i * 31 + doc_id) % 256 as bigint)
+             + cast((i + (CASE WHEN n = 0 THEN 0 ELSE
+                 unicode(substr(text, cast(i % n as int) + 1, 1)) % 256
+                 END)) % 256 as bigint)) // 3 AS gray
+          FROM ix),
+        hist AS (
+          SELECT doc_id, w, h, gray, cast(count(*) as bigint) AS c
+          FROM gr GROUP BY 1, 2, 3, 4),
+        cum AS (
+          SELECT doc_id, gray,
+            sum(c) OVER (PARTITION BY doc_id ORDER BY gray) AS w0,
+            sum(gray * c) OVER (PARTITION BY doc_id ORDER BY gray) AS s0,
+            sum(c) OVER (PARTITION BY doc_id) AS n_px,
+            sum(gray * c) OVER (PARTITION BY doc_id) AS s_all
+          FROM hist),
+        cand AS (
+          SELECT doc_id, gray,
+            cast(s0 * (n_px - w0) - (s_all - s0) * w0 as hugeint) AS a,
+            cast(w0 * (n_px - w0) as hugeint) AS d
+          FROM cum WHERE w0 < n_px),
+        th AS MATERIALIZED (
+          SELECT doc_id, gray AS t FROM (
+            SELECT doc_id, gray, row_number() OVER (PARTITION BY doc_id
+              ORDER BY (a * a * cast(1000000000000 as hugeint)) // d DESC,
+                gray ASC) AS rn
+            FROM cand) WHERE rn = 1),
+        fg AS (
+          SELECT g.doc_id, g.w, g.h, th.t,
+            cast(g.i % g.w as bigint) AS x,
+            cast(g.i // g.w as bigint) AS y
+          FROM gr g JOIN th ON th.doc_id = g.doc_id
+          WHERE g.gray > th.t),
+        mm AS (
+          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+            any_value(t) AS t,
+            cast(count(*) as bigint) AS m00,
+            cast(sum(x) as bigint) AS m10,
+            cast(sum(y) as bigint) AS m01,
+            cast(sum(x * y) as bigint) AS m11,
+            cast(sum(x * x) as bigint) AS m20,
+            cast(sum(y * y) as bigint) AS m02
+          FROM fg GROUP BY doc_id)
+        SELECT doc_id AS media_id, w AS width, h AS height,
+          cast(t as bigint) AS otsu_t,
+          m00, m10, m01, m11, m20, m02,
+          cast(CASE WHEN m00 > 0 THEN (1000 * m10) // m00
+               ELSE -1 END as bigint) AS cx_milli,
+          cast(CASE WHEN m00 > 0 THEN (1000 * m01) // m00
+               ELSE -1 END as bigint) AS cy_milli,
+          cast(m20 * m00 - m10 * m10 as bigint) AS cov_xx,
+          cast(m02 * m00 - m01 * m01 as bigint) AS cov_yy,
+          cast(m11 * m00 - m10 * m01 as bigint) AS cov_xy
+        FROM mm ORDER BY media_id"""))
   )
 }

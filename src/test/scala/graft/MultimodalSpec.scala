@@ -161,6 +161,25 @@ class MultimodalSpec extends SparkFunSuite {
       s"ring: ${out(1L)}")
   }
 
+  test("imageMoments: a centered square has its centroid at the " +
+      "center, zero xy-covariance, and equal axis spreads") {
+    import spark.implicits._
+    // 8x8, fg = the 4x4 block at (2,2)..(5,5): centroid (3.5, 3.5)
+    val img = BmpCodec.encode(8, 8, { idx =>
+      val (x, y) = (idx % 8, idx / 8)
+      if (x >= 2 && x <= 5 && y >= 2 && y <= 5) (200, 200, 200)
+      else (50, 50, 50)
+    })
+    val ds = Seq(
+      Multimodal.MediaRecord(0L, "t://sq", "image/bmp", img)).toDS()
+    val r = Multimodal.imageMoments(ds).collect().head
+    assert(r.otsu_t == 50L && r.m00 == 16L)
+    assert(r.cx_milli == 3500L && r.cy_milli == 3500L,
+      s"centroid ${r.cx_milli}, ${r.cy_milli}")
+    assert(r.cov_xy == 0L, s"cov_xy ${r.cov_xy}")
+    assert(r.cov_xx == r.cov_yy && r.cov_xx > 0L)
+  }
+
   test("WavCodec: encode/decode round-trips samples exactly; decoder " +
       "walks past unknown chunks with odd-length padding") {
     for ((ch, frames) <- Seq((1, 7), (2, 5), (2, 1))) {
