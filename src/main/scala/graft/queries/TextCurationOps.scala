@@ -4177,6 +4177,99 @@ object TextCurationOps {
             as bigint) AS flip_in,
           cast(count(*) FILTER (WHERE qs > 0.65 AND NOT (qr > 0.65))
             as bigint) AS flip_out
-        FROM q GROUP BY source ORDER BY source"""))
+        FROM q GROUP BY source ORDER BY source""")),
+
+
+    // ------------------------------------------------------------------
+    // Per-source HELLINGER divergence from the corpus unigram
+    // distribution — the mixture-design diagnostic behind x16's plan
+    // (a source whose word distribution diverges needs its own
+    // sampling rate; near-zero distance says the sources are
+    // exchangeable — the honest readout here, with one source missing
+    // a vocabulary word). Hellinger over KL/JS is an EXACTNESS
+    // decision, found the hard way: ln() is NOT correctly rounded and
+    // Java vs DuckDB libm differ by 1 ulp on some inputs (a JS
+    // formulation hash-mismatched at 8.7e-19), while the Bhattacharyya
+    // coefficient BC = Σ √(p·q) uses only correctly-rounded IEEE ops
+    // (divide, multiply, sqrt) over identical inputs plus a
+    // WORD-SORTED ordered fold (the x35 rule) — bit-identical by
+    // construction. Absent words contribute exactly 0 to BC, so only
+    // PRESENT words are ever enumerated: no source × vocabulary
+    // expansion, which at a billions-word web vocabulary is the
+    // difference between a census join and a cross product. ONE
+    // tokenize feeds the (source, word) census; everything downstream
+    // is vocab/census-scale. H² = 1 − BC; H = √(1 − BC).
+    // ------------------------------------------------------------------
+    "x46_source_divergence" -> Q(
+      (s, d) => {
+        val tok = docs(s, d).select(col("source"),
+          explode(words(col("text"))).as("w"))
+        val sc = mat(tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("cs")))
+        val cc = sc.groupBy(col("w")).agg(sum(col("cs")).as("c"))
+        val ns = sc.groupBy(col("source"))
+          .agg(sum(col("cs")).as("n_s"), count(lit(1)).as("v_s"))
+        val nt = cc.agg(sum(col("c")).as("n"))
+        val ser = sc.join(cc, "w")
+          .groupBy(col("source"))
+          .agg(transform(array_sort(collect_list(struct(col("w"),
+            col("cs"), col("c")))), x =>
+            struct(x.getField("cs").cast("double").as("cs"),
+              x.getField("c").cast("double").as("c"))).as("lst"))
+        ser.join(ns, "source").crossJoin(broadcast(nt))
+          .withColumn("st", aggregate(col("lst"),
+            array(lit(0.0), lit(0.0)),
+            (acc, x) => {
+              // one Column val = one expression tree, repeated
+              // verbatim — identical op order to the oracle's
+              // spelled-out subexpressions
+              val p = x.getField("cs") / col("n_s").cast("double")
+              val q = x.getField("c") / col("n").cast("double")
+              array(
+                element_at(acc, 1) + sqrt(p * q),
+                element_at(acc, 2) + q)
+            }))
+          .select(col("source"), col("n_s").as("n_tokens"),
+            col("v_s").as("n_vocab"), col("n").as("corpus_tokens"),
+            element_at(col("st"), 2).as("q_covered"),
+            element_at(col("st"), 1).as("bhattacharyya"),
+            (lit(1.0) - element_at(col("st"), 1)).as("hellinger_sq"),
+            sqrt(lit(1.0) - element_at(col("st"), 1)).as("hellinger"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (
+          SELECT source, unnest(string_split_regex(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+          FROM documents),
+        sc AS (SELECT source, w, cast(count(*) as bigint) AS cs
+               FROM tok GROUP BY 1, 2),
+        cc AS (SELECT w, cast(sum(cs) as bigint) AS c
+               FROM sc GROUP BY 1),
+        ns AS (SELECT source, cast(sum(cs) as bigint) AS n_s,
+               cast(count(*) as bigint) AS v_s FROM sc GROUP BY source),
+        nt AS (SELECT cast(sum(c) as bigint) AS n FROM cc),
+        ser AS (
+          SELECT sc.source,
+            list(sc.cs ORDER BY sc.w) AS csl,
+            list(cc.c ORDER BY sc.w) AS cl
+          FROM sc JOIN cc ON cc.w = sc.w GROUP BY sc.source),
+        f AS (
+          SELECT ser.source, ns.n_s, ns.v_s, nt.n,
+            list_reduce(list_prepend([0.0, 0.0],
+              list_transform(range(1, len(csl) + 1), i ->
+                [cast(csl[cast(i as int)] as double),
+                 cast(cl[cast(i as int)] as double)])),
+              (acc, x) -> [
+                acc[1] + sqrt((x[1] / cast(ns.n_s as double)) *
+                  (x[2] / cast(nt.n as double))),
+                acc[2] + x[2] / cast(nt.n as double)]) AS st
+          FROM ser JOIN ns ON ns.source = ser.source, nt)
+        SELECT source, n_s AS n_tokens, v_s AS n_vocab,
+          n AS corpus_tokens,
+          st[2] AS q_covered,
+          st[1] AS bhattacharyya,
+          1.0 - st[1] AS hellinger_sq,
+          sqrt(1.0 - st[1]) AS hellinger
+        FROM f ORDER BY source"""))
   )
 }
