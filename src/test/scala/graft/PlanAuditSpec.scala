@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkFunSuite {
     "x45_vocab_coverage" -> ("7-row k-ladder theta-joined onto the "
       + "64-row global top-k frame + 1-row totals broadcast; the "
       + "corpus-scale side ends at the vocab census groupBy"),
+    "x46_source_divergence" -> ("1-row corpus-token-total broadcast "
+      + "(x11's pattern) onto the 20-row per-source fold frame; the "
+      + "corpus-scale side ends at the (source, word) census"),
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",
