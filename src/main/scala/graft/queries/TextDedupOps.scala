@@ -1952,5 +1952,98 @@ object TextDedupOps {
             as bigint) AS drop_permille
         FROM ths t LEFT JOIN pc ON pc.th = t.th
         LEFT JOIN drc ON drc.th = t.th, tot
-        ORDER BY threshold""")))
+        ORDER BY threshold""")),
+
+
+    // ------------------------------------------------------------------
+    // Duplicate-cluster SIZE census — the one-page dedup report a
+    // corpus owner reads before applying a keep-list: how many
+    // clusters of each size exist, how many docs they absorb, and how
+    // much of the corpus is singleton. Unlike d07 (the bounded
+    // all-pairs oracle twin), the pair source here is the SCALE PATH —
+    // the df-capped posting-index detector (d08's pipeline) — and the
+    // components run the same pointer-jumping CC loop as d07/d09/d20;
+    // the census itself is two metadata-scale aggregations over
+    // cluster labels plus a singleton row derived from the corpus
+    // total (1-row broadcast). Every emitted field is an exact
+    // integer; the oracle replays CC as d07's recursive closure over
+    // the posting pairs.
+    // ------------------------------------------------------------------
+    "d27_cluster_size_census" -> Q(
+      (s, d) => {
+        def fresh(df: org.apache.spark.sql.DataFrame) =
+          df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+        val pairs = postingJaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b"))
+        val cc = mat(graft.operators.ConnectedComponents.components(pairs))
+        val census = cc.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .withColumn("n_docs", col("size") * col("n_clusters"))
+        val singles = docs(s, d).agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(cc.agg(count(lit(1)).as("n_clustered"))))
+          .select(lit(1L).as("size"),
+            (col("n_total") - col("n_clustered")).as("n_clusters"),
+            (col("n_total") - col("n_clustered")).as("n_docs"))
+        fresh(census.select(col("size"), col("n_clusters"), col("n_docs")))
+          .union(fresh(singles))
+          .orderBy(col("size"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        posts AS (SELECT doc_id, unnest(w) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM posts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM posts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        sizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT s.doc_a, s.doc_b
+          FROM shared s
+          JOIN sizes x ON x.doc_id = s.doc_a
+          JOIN sizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        cl AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src),
+        szs AS (
+          SELECT cluster, cast(count(*) as bigint) AS sz
+          FROM cl GROUP BY cluster),
+        cen AS (
+          SELECT sz AS size, cast(count(*) as bigint) AS n_clusters,
+            cast(sz * count(*) as bigint) AS n_docs
+          FROM szs GROUP BY sz),
+        tot AS (SELECT cast(count(*) as bigint) AS n_total FROM documents),
+        cls AS (SELECT cast(count(*) as bigint) AS n_clustered FROM cl)
+        SELECT * FROM (
+          SELECT size, n_clusters, n_docs FROM cen
+          UNION ALL
+          SELECT cast(1 as bigint), n_total - n_clustered,
+            n_total - n_clustered
+          FROM tot, cls)
+        ORDER BY size""")))
 }

@@ -54,6 +54,10 @@ class PlanAuditSpec extends SparkFunSuite {
     "x46_source_divergence" -> ("1-row corpus-token-total broadcast "
       + "(x11's pattern) onto the 20-row per-source fold frame; the "
       + "corpus-scale side ends at the (source, word) census"),
+    "d27_cluster_size_census" -> ("1-row corpus-total × 1-row "
+      + "clustered-count broadcast for the singleton row; pair "
+      + "generation is the df-capped posting pipeline and CC is the "
+      + "d07 loop — hash joins only at corpus scale"),
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",

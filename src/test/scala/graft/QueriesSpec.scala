@@ -61,7 +61,7 @@ class QueriesSpec extends SparkFunSuite {
         "d26_dedup_threshold_curve", "g18_local_clustering",
         "x45_vocab_coverage", "s22_adc_refine",
         "q84_window_topk_rewrite", "x46_source_divergence",
-        "e33_hw_band_calibration")) {
+        "e33_hw_band_calibration", "d27_cluster_size_census")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
