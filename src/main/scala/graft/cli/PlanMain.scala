@@ -110,15 +110,27 @@ object PlanMain {
         r.getAs[Long]("mx"))).toSeq
     if (hist.isEmpty) return Some(0L)
     val total = hist.map(_._1).sum
-    val cut = (BigDecimal(num) * 100).toLongExact
     op match {
-      case "<"  => Some(estimateGe(hist, cut))
-      case "<=" => Some(estimateGe(hist, cut + 1))
-      case ">"  => Some(total - estimateGe(hist, cut + 1))
-      case ">=" => Some(total - estimateGe(hist, cut))
+      case "<"  => Some(estimateGe(hist, centsCeil(num)))
+      case "<=" => Some(estimateGe(hist, centsFloor(num) + 1))
+      case ">"  => Some(total - estimateGe(hist, centsFloor(num) + 1))
+      case ">=" => Some(total - estimateGe(hist, centsCeil(num)))
       case _    => None
     }
   }
+
+  /** Centi-unit cut for a CHECK literal with arbitrary decimal places
+    * (`toLongExact` threw on e.g. `99.999`): violators of `col < X`
+    * are `cents >= ceil(100·X)`, of `col <= X` are
+    * `cents >= floor(100·X) + 1` — each operator takes the rounding
+    * direction that keeps the estimate's threshold exact.
+    */
+  private def centsCeil(num: String): Long =
+    (BigDecimal(num) * 100)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.CEILING).toLong
+  private def centsFloor(num: String): Long =
+    (BigDecimal(num) * 100)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.FLOOR).toLong
 
   /** NULL count of `col` in `statsDir/<table>.parquet` (the stat that
     * decides whether SET NOT NULL's validation scan would fail).
@@ -232,13 +244,14 @@ object PlanMain {
                     stored.get((f.table, colName))
                       .filter(_.octilesCents.size == 7) match {
                       case Some(st) =>
-                        val cut = (BigDecimal(num) * 100).toLongExact
                         val nn = st.nRows - st.nullCount
                         val est = op match {
-                          case "<"  => estimateGeStored(st, cut)
-                          case "<=" => estimateGeStored(st, cut + 1)
-                          case ">"  => nn - estimateGeStored(st, cut + 1)
-                          case _    => nn - estimateGeStored(st, cut)
+                          case "<"  => estimateGeStored(st, centsCeil(num))
+                          case "<=" =>
+                            estimateGeStored(st, centsFloor(num) + 1)
+                          case ">"  =>
+                            nn - estimateGeStored(st, centsFloor(num) + 1)
+                          case _    => nn - estimateGeStored(st, centsCeil(num))
                         }
                         println(s"      ~ impact: ≈ $est row(s) violate " +
                           s"CHECK ($colName $op $num) — stored-stats " +

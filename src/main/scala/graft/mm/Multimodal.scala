@@ -916,23 +916,30 @@ object Multimodal {
           var gi = 0
           while (gi < 256) { s += gi * hist(gi); gi += 1 }
           val (t, _, _, _, _) = otsuArgmax(hist, n, s)
-          def fg(idx: Int): Boolean = gray(idx) > t
-          var v = 0L; var eh = 0L; var ev = 0L; var q = 0L
-          i = 0
-          while (i < gray.length) {
-            if (fg(i)) {
-              v += 1
-              val notLastCol = i % w != w - 1
-              val notLastRow = i + w < gray.length
-              if (notLastCol && fg(i + 1)) eh += 1
-              if (notLastRow && fg(i + w)) ev += 1
-              if (notLastCol && notLastRow && fg(i + 1) && fg(i + w) &&
-                fg(i + w + 1)) q += 1
+          if (t < 0)
+            // degenerate (single gray level, no valid split): EMPTY
+            // foreground, matching imageOtsu's n_fg = 0 sentinel —
+            // `gray > -1` would instead classify every pixel fg
+            EulerStats(rec.media_id, w, h, -1L, 0L, 0L, 0L, 0L)
+          else {
+            def fg(idx: Int): Boolean = gray(idx) > t
+            var v = 0L; var eh = 0L; var ev = 0L; var q = 0L
+            i = 0
+            while (i < gray.length) {
+              if (fg(i)) {
+                v += 1
+                val notLastCol = i % w != w - 1
+                val notLastRow = i + w < gray.length
+                if (notLastCol && fg(i + 1)) eh += 1
+                if (notLastRow && fg(i + w)) ev += 1
+                if (notLastCol && notLastRow && fg(i + 1) && fg(i + w) &&
+                  fg(i + w + 1)) q += 1
+              }
+              i += 1
             }
-            i += 1
+            EulerStats(rec.media_id, w, h, t, v, eh + ev, q,
+              v - (eh + ev) + q)
           }
-          EulerStats(rec.media_id, w, h, t, v, eh + ev, q,
-            v - (eh + ev) + q)
         }
       }
     }
@@ -974,7 +981,11 @@ object Multimodal {
           var m00 = 0L; var m10 = 0L; var m01 = 0L
           var m11 = 0L; var m20 = 0L; var m02 = 0L
           i = 0
-          while (i < gray.length) {
+          // t < 0 (degenerate single-level image) ⇒ EMPTY foreground
+          // (skip the pixel loop entirely), consistent with
+          // imageOtsu's n_fg = 0 and imageEuler's empty census —
+          // `gray > -1` would instead classify every pixel fg
+          while (t >= 0 && i < gray.length) {
             if (gray(i) > t) {
               val x = (i % w).toLong
               val y = (i / w).toLong

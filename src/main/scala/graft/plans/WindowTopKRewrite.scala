@@ -50,9 +50,14 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
 
   final val EnabledKey = "spark.graft.windowTopK"
 
+  /** Positive in-range literal only: a Long like -4294967294L must NOT
+    * truncate to 2 via toInt, and a non-positive bound (always-false
+    * filter, since row_number >= 1) must stay un-rewritten — both are
+    * rejected here rather than after conversion.
+    */
   private def intOf(l: Literal): Option[Int] = l match {
-    case Literal(v: Int, IntegerType) => Some(v)
-    case Literal(v: Long, LongType) if v <= Int.MaxValue =>
+    case Literal(v: Int, IntegerType) if v >= 1 => Some(v)
+    case Literal(v: Long, LongType) if v >= 1L && v <= Int.MaxValue =>
       Some(v.toInt)
     case _ => None
   }
@@ -65,7 +70,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       case LessThanOrEqual(a: Attribute, l: Literal)
           if a.semanticEquals(rn) => intOf(l)
       case LessThan(a: Attribute, l: Literal)
-          if a.semanticEquals(rn) => intOf(l).map(_ - 1)
+          if a.semanticEquals(rn) =>
+        // rn < v ⇒ k = v - 1; intOf already bounds v to [1, MaxInt] so
+        // the subtraction cannot underflow — v = 1 yields k = 0, which
+        // the k >= 1 guard in apply() rejects (always-false filter).
+        intOf(l).map(_ - 1)
       case GreaterThanOrEqual(l: Literal, a: Attribute)
           if a.semanticEquals(rn) => intOf(l)
       case _ => None

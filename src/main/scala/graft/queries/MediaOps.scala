@@ -719,10 +719,8 @@ object MediaOps {
           FROM gr g JOIN th ON th.doc_id = g.doc_id
           WHERE g.gray > th.t),
         vc AS (
-          SELECT f.doc_id, any_value(f.w) AS w, any_value(f.h) AS h,
-            any_value(t.t) AS t, cast(count(*) as bigint) AS v
-          FROM fg f JOIN th t ON t.doc_id = f.doc_id
-          GROUP BY f.doc_id),
+          SELECT doc_id, cast(count(*) as bigint) AS v
+          FROM fg GROUP BY doc_id),
         eh AS (
           SELECT a.doc_id, cast(count(*) as bigint) AS c
           FROM fg a JOIN fg b ON b.doc_id = a.doc_id AND b.i = a.i + 1
@@ -738,17 +736,22 @@ object MediaOps {
           JOIN fg c2 ON c2.doc_id = a.doc_id AND c2.i = a.i + a.w
           JOIN fg d2 ON d2.doc_id = a.doc_id AND d2.i = a.i + a.w + 1
           WHERE (a.i % a.w) <> a.w - 1 GROUP BY a.doc_id)
-        SELECT vc.doc_id AS media_id, vc.w AS width, vc.h AS height,
-          cast(vc.t as bigint) AS otsu_t,
-          vc.v AS n_fg,
+        -- driven from ALL docs: a degenerate single-gray-level image has
+        -- no valid split (th row absent) and must emit the SAME sentinel
+        -- the JVM side does (otsu_t = -1, empty foreground), not vanish
+        SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
+          cast(coalesce(th.t, -1) as bigint) AS otsu_t,
+          cast(coalesce(vc.v, 0) as bigint) AS n_fg,
           cast(coalesce(eh.c, 0) + coalesce(ev.c, 0) as bigint) AS n_edges,
           cast(coalesce(qd.c, 0) as bigint) AS n_quads,
-          cast(vc.v - (coalesce(eh.c, 0) + coalesce(ev.c, 0))
+          cast(coalesce(vc.v, 0) - (coalesce(eh.c, 0) + coalesce(ev.c, 0))
             + coalesce(qd.c, 0) as bigint) AS euler
-        FROM vc
-        LEFT JOIN eh ON eh.doc_id = vc.doc_id
-        LEFT JOIN ev ON ev.doc_id = vc.doc_id
-        LEFT JOIN qd ON qd.doc_id = vc.doc_id
+        FROM p
+        LEFT JOIN th ON th.doc_id = p.doc_id
+        LEFT JOIN vc ON vc.doc_id = p.doc_id
+        LEFT JOIN eh ON eh.doc_id = p.doc_id
+        LEFT JOIN ev ON ev.doc_id = p.doc_id
+        LEFT JOIN qd ON qd.doc_id = p.doc_id
         ORDER BY media_id""")),
 
 
@@ -810,8 +813,7 @@ object MediaOps {
           FROM gr g JOIN th ON th.doc_id = g.doc_id
           WHERE g.gray > th.t),
         mm AS (
-          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
-            any_value(t) AS t,
+          SELECT doc_id,
             cast(count(*) as bigint) AS m00,
             cast(sum(x) as bigint) AS m10,
             cast(sum(y) as bigint) AS m01,
@@ -819,16 +821,29 @@ object MediaOps {
             cast(sum(x * x) as bigint) AS m20,
             cast(sum(y * y) as bigint) AS m02
           FROM fg GROUP BY doc_id)
-        SELECT doc_id AS media_id, w AS width, h AS height,
-          cast(t as bigint) AS otsu_t,
-          m00, m10, m01, m11, m20, m02,
-          cast(CASE WHEN m00 > 0 THEN (1000 * m10) // m00
+        -- driven from ALL docs (mm12's sentinel mirror): a degenerate
+        -- image emits otsu_t = -1 with zero moments / -1 centroids,
+        -- matching the JVM's empty-foreground row
+        SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
+          cast(coalesce(th.t, -1) as bigint) AS otsu_t,
+          coalesce(mm.m00, 0) AS m00, coalesce(mm.m10, 0) AS m10,
+          coalesce(mm.m01, 0) AS m01, coalesce(mm.m11, 0) AS m11,
+          coalesce(mm.m20, 0) AS m20, coalesce(mm.m02, 0) AS m02,
+          cast(CASE WHEN coalesce(mm.m00, 0) > 0
+               THEN (1000 * mm.m10) // mm.m00
                ELSE -1 END as bigint) AS cx_milli,
-          cast(CASE WHEN m00 > 0 THEN (1000 * m01) // m00
+          cast(CASE WHEN coalesce(mm.m00, 0) > 0
+               THEN (1000 * mm.m01) // mm.m00
                ELSE -1 END as bigint) AS cy_milli,
-          cast(m20 * m00 - m10 * m10 as bigint) AS cov_xx,
-          cast(m02 * m00 - m01 * m01 as bigint) AS cov_yy,
-          cast(m11 * m00 - m10 * m01 as bigint) AS cov_xy
-        FROM mm ORDER BY media_id"""))
+          cast(coalesce(mm.m20 * mm.m00 - mm.m10 * mm.m10, 0)
+            as bigint) AS cov_xx,
+          cast(coalesce(mm.m02 * mm.m00 - mm.m01 * mm.m01, 0)
+            as bigint) AS cov_yy,
+          cast(coalesce(mm.m11 * mm.m00 - mm.m10 * mm.m01, 0)
+            as bigint) AS cov_xy
+        FROM p
+        LEFT JOIN th ON th.doc_id = p.doc_id
+        LEFT JOIN mm ON mm.doc_id = p.doc_id
+        ORDER BY media_id"""))
   )
 }

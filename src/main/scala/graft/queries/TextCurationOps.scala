@@ -4270,6 +4270,148 @@ object TextCurationOps {
           st[1] AS bhattacharyya,
           1.0 - st[1] AS hellinger_sq,
           sqrt(1.0 - st[1]) AS hellinger
-        FROM f ORDER BY source"""))
+        FROM f ORDER BY source""")),
+
+
+    // ------------------------------------------------------------------
+    // FULL-CORPUS BPE encode — x41's 50-merge table applied to EVERY
+    // document (the most-used LLM-pipeline operator: the tokenizer run
+    // that prices a corpus in tokens). The scale discipline is that
+    // merges never touch the corpus: the 50 training rounds and the
+    // 50-chained-replace encode both run on the VOCABULARY-scale word
+    // census (Heaps-law sublinear in corpus size), token ids come from
+    // a vocabulary-scale dense-rank, and the token→id map rides as ONE
+    // broadcast row (d12's codebook-as-data posture) so id assignment
+    // is a row-local array transform. The corpus is touched exactly
+    // twice, both single passes: one tokenize+posexplode (materialized,
+    // shared by census and reassembly) and one word-keyed hash join +
+    // per-doc aggregation. Never merges × corpus re-scans. Per doc:
+    // word/token counts and md5 of the comma-joined token-id sequence
+    // (hash-verifying the exact ids in order); corpus token mass rides
+    // a 1-row broadcast. x29's per-lang token budgets are this query's
+    // cheap preview (census-only, no per-doc sequences).
+    // ------------------------------------------------------------------
+    "x47_bpe_corpus_encode" -> Q(
+      (s, d) => {
+        val nMerges = 50
+        // ONE tokenize pass, materialized: census + reassembly share it
+        val dw = mat(docs(s, d).select(col("doc_id"),
+          posexplode(words(col("text"))).as(Seq("pos", "word"))))
+        val census = dw.groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        // x41's exact training dataflow (pair census → 1-row argmax →
+        // plain replace), without the compression-curve actions
+        var seqs = census.select(col("word"), col("cnt"),
+          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+        for (_ <- 1 to nMerges) {
+          val arrs = seqs
+            .select(col("cnt"), split(col("seq"), " ").as("t"))
+            .select(col("cnt"),
+              slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
+              slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
+          val best = arrs
+            .select(col("cnt"),
+              explode(arrays_zip(col("la"), col("ra"))).as("p"))
+            .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l"), col("r"))
+            .limit(1).head()
+          val (bl, br) = (best.getString(0), best.getString(1))
+          seqs = seqs.select(col("word"), col("cnt"),
+            replace(col("seq"), lit(bl + " " + br), lit(bl + br))
+              .as("seq"))
+            .localCheckpoint()
+        }
+        val wt = seqs.select(col("word"), split(col("seq"), " ")
+          .as("toks")).localCheckpoint()
+        // dense token ids: vocabulary-scale global rank (the single-
+        // partition window is metadata-sized by Heaps' law)
+        val vocab = wt.select(explode(col("toks")).as("tok")).distinct()
+          .withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("tok")))
+            .cast("long"))
+        // token→id as ONE broadcast map row: id assignment is then a
+        // row-local transform, no per-token explode/join at any scale
+        val vmap = vocab.agg(map_from_entries(array_sort(
+          collect_list(struct(col("tok"), col("id"))))).as("vmap"))
+        val wid = wt.crossJoin(broadcast(vmap))
+          .select(col("word"),
+            size(col("toks")).cast("bigint").as("n_toks"),
+            array_join(transform(col("toks"),
+              t => element_at(col("vmap"), t).cast("string")), ",")
+              .as("idstr"))
+        val perDoc = dw.join(wid, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_toks")).as("n_tokens"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("idstr")))),
+              x => x.getField("idstr")), ",")).as("ids_md5"))
+        val mass = perDoc.agg(sum(col("n_tokens")).as("corpus_tokens"))
+        perDoc.crossJoin(broadcast(mass))
+          .select(col("doc_id"), col("n_words"), col("n_tokens"),
+            col("ids_md5"), col("corpus_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val nMerges = 50
+        // x41's generated level chain, carrying the word through the
+        // replaces (x41 needs only (cnt, seq); the encode needs the
+        // word → final-seq mapping)
+        val levels = (1 to nMerges).map { k =>
+          val prev = if (k == 1) "s0" else s"s${k - 1}"
+          s"""p$k AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM $prev) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b$k AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM p$k GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT $prev.word, $prev.cnt,
+            replace($prev.seq, b$k.lhs || ' ' || b$k.rhs,
+              b$k.lhs || b$k.rhs) AS seq
+          FROM $prev, b$k)"""
+        }.mkString(",\n        ")
+        s"""WITH census AS MATERIALIZED (
+          SELECT w AS word, cast(count(*) as bigint) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
+            FROM documents) GROUP BY 1),
+        s0 AS (SELECT word, cnt,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM census),
+        $levels,
+        wt AS MATERIALIZED (
+          SELECT word, string_split(seq, ' ') AS toks FROM s$nMerges),
+        vocab AS MATERIALIZED (
+          SELECT tok, cast(row_number() OVER (ORDER BY tok) as bigint)
+            AS id
+          FROM (SELECT DISTINCT unnest(toks) AS tok FROM wt)),
+        wid AS MATERIALIZED (
+          SELECT e.word, cast(len(any_value(e.toks)) as bigint) AS n_toks,
+            string_agg(v.id, ',' ORDER BY e.tp) AS idstr
+          FROM (SELECT word, toks, toks[u.tp] AS tok, u.tp
+                FROM wt, LATERAL (SELECT unnest(range(1, len(toks) + 1))
+                  AS tp) u) e
+          JOIN vocab v ON v.tok = e.tok
+          GROUP BY e.word),
+        dw AS (
+          SELECT d.doc_id, u.pos, d.w[u.pos] AS word
+          FROM (SELECT doc_id, string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+            FROM documents) d,
+          LATERAL (SELECT unnest(range(1, len(d.w) + 1)) AS pos) u),
+        per_doc AS (
+          SELECT dw.doc_id,
+            cast(count(*) as bigint) AS n_words,
+            cast(sum(wid.n_toks) as bigint) AS n_tokens,
+            md5(string_agg(wid.idstr, ',' ORDER BY dw.pos)) AS ids_md5
+          FROM dw JOIN wid ON wid.word = dw.word
+          GROUP BY dw.doc_id),
+        mass AS (SELECT cast(sum(n_tokens) as bigint) AS corpus_tokens
+          FROM per_doc)
+        SELECT p.doc_id, p.n_words, p.n_tokens, p.ids_md5,
+          m.corpus_tokens
+        FROM per_doc p, mass m
+        ORDER BY p.doc_id"""
+      })
   )
 }

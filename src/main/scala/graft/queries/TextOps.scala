@@ -230,34 +230,51 @@ object TextOps {
     * smallest cent_id — the same selection as a row_number over
     * (csim DESC, cent_id ASC), with bit-identical cosines. Shared by
     * s03 (IVF probe) and d10 (semantic near-dup clustering).
-    * Literal codebooks stop scaling around k ≈ 100 (the plan carries
-    * k·dim literals); past that use d12's shape — the codebook as a
-    * one-row BROADCAST relation (data, not plan) with a two-level
-    * coarse→fine argmax, O(√k) per row instead of O(k).
+    * Above [[CodebookBroadcastK]] centroids the codebook automatically
+    * rides as a one-row BROADCAST relation (data, not plan literals) —
+    * same fold, same output, O(1) plan size; see assignToCodebookOf.
     */
   private[queries] def assignToCodebook(s: SparkSession, d: String,
       k: Int = 8): DataFrame = assignToCodebookOf(emb(s, d), k)
 
-  /** Frame-agnostic form of the row-local literal-codebook cell
-    * assignment (centroids = the first k vec_ids, s03's convention) —
-    * s15's spec runs it on a clustered fixture frame.
+  /** Session flag: centroid count above which [[assignToCodebookOf]]
+    * ships the codebook as a one-row BROADCAST relation instead of
+    * plan literals. Below it the literal fold wins (no broadcast
+    * exchange, constant-folded centroids); above it the plan would
+    * carry k·dim literal nodes — at s15's corpus-sized
+    * kCells = ⌈n/64⌉ that is ~78 k literals at 100× sf0.1 and the
+    * PLAN itself (analysis, codegen source) becomes the driver
+    * bottleneck. Default 2048 ≈ 65 k literal leaves at dim 32, the
+    * last comfortable size; the ×100 century corpus (kCells ≈ 3125)
+    * crosses it and takes the broadcast path in anger.
+    */
+  final val CodebookBroadcastK = "spark.graft.codebookBroadcastK"
+
+  /** Frame-agnostic form of the row-local codebook cell assignment
+    * (centroids = the first k vec_ids, s03's convention) — s15's spec
+    * runs it on a clustered fixture frame.
+    *
+    * Two plan shapes, ONE semantics (bit-identical output, proved in
+    * QueriesSpec): the fold iterates cent_id ascending with strict
+    * `>`, ties pick the smallest cent_id, and the per-row work is a
+    * zero-shuffle argmax either way. Small k bakes the codebook into
+    * the plan as a literal array; k > [[CodebookBroadcastK]] ships it
+    * as DATA — one array_sort'd collect_list row, crossJoin(broadcast)
+    * — so plan size stays O(1) in k. (d12 goes one step further with
+    * a two-level coarse→fine broadcast codebook, O(√k) dots per row;
+    * that changes the assignment to an approximation, so here — where
+    * s15's oracle replays the exact argmax — the broadcast form keeps
+    * the flat fold.)
     */
   private[graft] def assignToCodebookOf(base: DataFrame,
       k: Int): DataFrame = {
+    val spark = base.sparkSession
+    val bcastK = spark.conf.getOption(CodebookBroadcastK)
+      .map(_.toInt).getOrElse(2048)
     val cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val centArr = array(
-      cents.select(col("cent_id"), col("ce")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Any](1)))
-        .sortBy(_._1)
-        .map { case (id, v) =>
-          // lit() on the runtime element type: the codebook frame may
-          // carry float (parquet) or double (derived) embeddings
-          struct(lit(id).as("cent_id"),
-            array(v.map(x => lit(x)).toIndexedSeq: _*).as("ce"))
-        }.toIndexedSeq: _*)
-    base.select(col("vec_id"), col("embedding"),
-      aggregate(centArr,
+    def fold(cb: Column): Column =
+      aggregate(cb,
         struct(lit(-2.0).as("sim"), lit(-1L).as("cent_id")),
         (acc, c) => {
           val sim = cosine(col("embedding"), c.getField("ce"))
@@ -265,7 +282,29 @@ object TextOps {
             struct(sim.as("sim"),
               c.getField("cent_id").as("cent_id")))
             .otherwise(acc)
-        }).getField("cent_id").as("cent_id"))
+        }).getField("cent_id").as("cent_id")
+    if (k <= bcastK) {
+      val centArr = array(
+        cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Any](1)))
+          .sortBy(_._1)
+          .map { case (id, v) =>
+            // lit() on the runtime element type: the codebook frame
+            // may carry float (parquet) or double (derived) embeddings
+            struct(lit(id).as("cent_id"),
+              array(v.map(x => lit(x)).toIndexedSeq: _*).as("ce"))
+          }.toIndexedSeq: _*)
+      base.select(col("vec_id"), col("embedding"), fold(centArr))
+    } else {
+      // codebook as data: array_sort on (unique cent_id, ce) structs
+      // restores the literal path's ascending-cent_id fold order
+      // regardless of collect_list's arrival order
+      val codebook = cents
+        .agg(array_sort(collect_list(struct(col("cent_id"), col("ce"))))
+          .as("cb"))
+      base.crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("embedding"), fold(col("cb")))
+    }
   }
 
   /** NN-descent k-NN-graph stage report (s15; Dong, Moses & Li, WWW
@@ -292,8 +331,9 @@ object TextOps {
     // nCents — so blocking init stays LINEAR: with a FIXED cell count
     // the within-cell pair set grows as n²/k (measured: a 26× decade
     // on 10× vectors at k=8). ⌈n/64⌉ keeps per-cell pairs bounded;
-    // beyond ~10^4 centroids the literal-codebook argmax would switch
-    // to a broadcast join (s03's alternative posture).
+    // past CodebookBroadcastK centroids assignToCodebookOf itself
+    // switches to the broadcast-relation codebook, so the plan never
+    // carries n/64 literal structs (the ×100 corpus crosses it).
     val kCells = math.max(nCents, ((n + 63) / 64).toInt)
     val asg = assignToCodebookOf(base, kCells).localCheckpoint()
     val ea = asg.select(col("cent_id"), col("vec_id").as("a"),

@@ -142,6 +142,28 @@ class CliRootSpec extends AnyFunSuite {
     assert(code2 == 0 && !out2.contains("~ impact:"), out2)
   }
 
+  test("graft plan survives CHECK literals with more than two decimal " +
+      "places (BigDecimal cents cut rounds instead of toLongExact-ing)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-frac-check")
+    java.nio.file.Files.writeString(
+      dir.resolve("V001_frac_check.up.sql"),
+      "ALTER TABLE orders ADD CONSTRAINT o_chk " +
+        "CHECK (o_totalprice < 99.999);\n")
+    java.nio.file.Files.writeString(
+      dir.resolve("V001_frac_check.down.sql"),
+      "ALTER TABLE orders DROP CONSTRAINT o_chk;\n")
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-frac-check-tracker").toString
+    val (code, out) = graft("plan", dir.toString, tracker,
+      "--stats-dir", "/root/testdata/sf0.001")
+    assert(code == 0, s"plan crashed on fractional CHECK literal:\n$out")
+    // violators of o_totalprice < 99.999 are cents >= ceil(9999.9) =
+    // 10000 — every order at sf0.001 (min totalprice ≈ 1,000) → ~1500
+    assert(out.matches("(?s).*\\d+ row\\(s\\) violate CHECK " +
+      "\\(o_totalprice < 99\\.999\\).*"), out)
+  }
+
   test("graft stats persists table statistics; plan then estimates " +
       "impact from STORED stats with no data scan (pg_stats posture)") {
     val tracker = java.nio.file.Files

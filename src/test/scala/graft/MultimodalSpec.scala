@@ -180,6 +180,26 @@ class MultimodalSpec extends SparkFunSuite {
     assert(r.cov_xx == r.cov_yy && r.cov_xx > 0L)
   }
 
+  test("degenerate uniform image: Otsu has no valid split and ALL " +
+      "three consumers agree on the empty-foreground sentinel") {
+    import spark.implicits._
+    // single gray level -> no t with 0 < W0 < N -> otsuArgmax = -1;
+    // imageEuler/imageMoments must NOT fall into fg = gray > -1
+    // (all-foreground), they must match imageOtsu's n_fg = 0
+    val flat = BmpCodec.encode(8, 8, _ => (100, 100, 100))
+    val ds = Seq(
+      Multimodal.MediaRecord(0L, "t://flat", "image/bmp", flat)).toDS()
+    val o = Multimodal.imageOtsu(ds).collect().head
+    assert(o.otsu_t == -1L && o.n_fg == 0L, s"otsu: $o")
+    val e = Multimodal.imageEuler(ds).collect().head
+    assert(e.otsu_t == -1L && e.n_fg == 0L && e.n_edges == 0L &&
+      e.n_quads == 0L && e.euler == 0L, s"euler: $e")
+    val m = Multimodal.imageMoments(ds).collect().head
+    assert(m.otsu_t == -1L && m.m00 == 0L && m.m10 == 0L &&
+      m.cx_milli == -1L && m.cy_milli == -1L && m.cov_xx == 0L &&
+      m.cov_yy == 0L && m.cov_xy == 0L, s"moments: $m")
+  }
+
   test("WavCodec: encode/decode round-trips samples exactly; decoder " +
       "walks past unknown chunks with odd-length padding") {
     for ((ch, frames) <- Seq((1, 7), (2, 5), (2, 1))) {

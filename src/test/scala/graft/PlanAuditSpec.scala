@@ -150,7 +150,11 @@ class PlanAuditSpec extends SparkFunSuite {
     "m11_plan_impact_estimate" -> ("q83-style 1-row histogram-boundary "
       + "broadcast + 1-row estimate/exact/null-count frames crossed "
       + "onto the 4-row findings table; data-sized work is one "
-      + "histogram aggregate and two counting scans"))
+      + "histogram aggregate and two counting scans"),
+    "x47_bpe_corpus_encode" -> ("1-row token→id map broadcast (d12's "
+      + "codebook-as-data posture) onto the VOCABULARY-scale census + "
+      + "1-row corpus-token-mass broadcast; the corpus-scale side is "
+      + "one tokenize pass and one word-keyed hash join"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>

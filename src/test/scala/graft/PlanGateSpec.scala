@@ -266,6 +266,21 @@ class PlanGateSpec extends SparkFunSuite {
         .filter(col("rn") <= 2)
       assert(!kept.queryExecution.executedPlan.toString
         .contains("TopKPerKey"))
+      // degenerate literals must NOT rewrite (and must stay
+      // always-false): a Long that wraps to 2 under toInt, and the
+      // rn < 1 / rn <= 0 bounds whose k would be 0
+      for (absurd <- Seq(
+          li.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= lit(-4294967294L)).drop("rn"),
+          li.withColumn("rn", row_number().over(w))
+            .filter(col("rn") < 1).drop("rn"),
+          li.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 0).drop("rn"))) {
+        assert(!absurd.queryExecution.executedPlan.toString
+          .contains("TopKPerKey"),
+          absurd.queryExecution.executedPlan.toString)
+        assert(absurd.count() == 0L)
+      }
     } finally {
       spark.conf.unset(WindowTopKRewrite.EnabledKey)
       WindowTopKRewrite.uninstall(spark)

@@ -61,7 +61,8 @@ class QueriesSpec extends SparkFunSuite {
         "d26_dedup_threshold_curve", "g18_local_clustering",
         "x45_vocab_coverage", "s22_adc_refine",
         "q84_window_topk_rewrite", "x46_source_divergence",
-        "e33_hw_band_calibration", "d27_cluster_size_census")) {
+        "e33_hw_band_calibration", "d27_cluster_size_census",
+        "x47_bpe_corpus_encode")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
@@ -158,6 +159,55 @@ class QueriesSpec extends SparkFunSuite {
     assert(initScored + descScored < 176L * 175,
       s"total bill ${initScored + descScored} must undercut " +
         "brute force 30800")
+  }
+
+  test("assignToCodebookOf: the broadcast-relation codebook (k above " +
+      "spark.graft.codebookBroadcastK) is BIT-IDENTICAL to the literal " +
+      "fold, and the full s15 report is unchanged under it") {
+    // same clustered fixture as the s15 test; k = 24 centroids so the
+    // two postures genuinely disagree on plan shape
+    val dim = 64
+    def anchor(c: Int, j: Int): Double =
+      (((c * 37 + j * 11) % 16) - 8) / 10.0
+    def center(c: Int, j: Int): Double =
+      if (c < 8) anchor(c, j)
+      else (anchor(c - 8, j) + anchor((c - 7) % 8, j)) / 2.0
+    def noise(i: Int, j: Int): Double =
+      (((i * 131 + j * 17) % 21) - 10) / 200.0
+    val rows = (0 until 176).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (center(i % 16, j) + noise(i, j)).toFloat).toArray)
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    def collectAsg(df2: org.apache.spark.sql.DataFrame) =
+      df2.select("vec_id", "cent_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val literal = TextOps.assignToCodebookOf(df, 24)
+    assert(!literal.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "k = 24 below the default threshold must stay plan-literal")
+    val litAsg = collectAsg(literal)
+    spark.conf.set(TextOps.CodebookBroadcastK, "1")
+    try {
+      val bcast = TextOps.assignToCodebookOf(df, 24)
+      assert(bcast.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "forced-broadcast path must ship the codebook as data")
+      assert(collectAsg(bcast) == litAsg,
+        "broadcast codebook assignment diverges from the literal fold")
+      // the entire s15 pipeline under the broadcast codebook: same
+      // stage rows (scored bills and recall hits) as the literal run
+      val repB = TextOps.nnDescentReport(df, nCents = 8).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      spark.conf.unset(TextOps.CodebookBroadcastK)
+      val repL = TextOps.nnDescentReport(df, nCents = 8).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(repB == repL,
+        s"s15 report diverges under broadcast codebook: $repB vs $repL")
+    } finally spark.conf.unset(TextOps.CodebookBroadcastK)
   }
 
   test("s04 ANN recall: one row per query vector, recall well-formed " +
