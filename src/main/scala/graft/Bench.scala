@@ -98,8 +98,6 @@ object Bench {
       once()
       (1 to 3).map(_ => once()).min
     }
-    val calPre = calibrate()
-    val calShufPre = calibrateShuffle()
     // Committed healthy-session reference (bench_reference.json): the
     // r6/r7 rounds each burned review time adjudicating driver-session
     // noise (shuffle-leg 0.443 vs a healthy 0.250 on identical
@@ -130,6 +128,30 @@ object Bench {
           node.get("sf_suffix").asText(), mins.toMap))
       }
     } catch { case _: Throwable => None }
+    // Sick-session auto-recovery: rounds 9 and 10 BOTH shipped
+    // calibration_status=sick artifacts — the driver VM was uniformly
+    // 1.4-1.6× slow at session start and every round-over-round query
+    // delta arrived noise-dominated. When the PRE leg reads sick
+    // against the committed healthy reference, cool down once
+    // (bounded: SPARK_GRAFT_CAL_COOLDOWN_SEC, default 60 s — long
+    // enough for a transient co-tenant burst or TRIM storm to drain)
+    // and re-measure; keep the best of the two attempts and stamp the
+    // retry in the artifact so a still-sick session is EXPLICITLY
+    // double-flagged rather than silently noisy.
+    val calPre0 = calibrate()
+    val calShufPre0 = calibrateShuffle()
+    val preSick = ref.exists(r =>
+      calPre0 > 1.5 * r.cal || calShufPre0 > 1.5 * r.calShuf)
+    val cooldownSec =
+      sys.env.getOrElse("SPARK_GRAFT_CAL_COOLDOWN_SEC", "60").toInt
+    val (calPre, calShufPre) =
+      if (!preSick) (calPre0, calShufPre0)
+      else {
+        Thread.sleep(cooldownSec * 1000L)
+        System.gc()
+        (math.min(calPre0, calibrate()),
+          math.min(calShufPre0, calibrateShuffle()))
+      }
     // 3 timed runs per query; the MIN is the headline (the stable
     // estimate of the plan's actual cost), and min/median/max ride
     // along in "spread" so a round-over-round blip is classifiable
@@ -211,8 +233,14 @@ object Bench {
         if (sick) "sick" else "ok"
     }
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // retry stamp: absent on a clean pre-leg; when the pre-leg read
+    // sick, records the cooldown and the ORIGINAL readings so a
+    // still-sick session is double-flagged (retried AND status=sick)
+    val retryJson =
+      if (!preSick) ""
+      else s""","calibration_retry":{"cooldown_sec":$cooldownSec,"pre_before":${f3(calPre0)},"shuffle_pre_before":${f3(calShufPre0)}}"""
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"calibration_status":"$calStatus","flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"calibration_status":"$calStatus"$retryJson,"flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,8 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CliRootSpec extends AnyFunSuite {
 
-  /** Run GraftMain in a fresh JVM; returns (exitCode, stdout+stderr). */
-  private def graft(args: String*): (Int, String) = {
+  /** Launch GraftMain in a fresh JVM without waiting (the concurrency
+    * tests race two of these); `env` entries overlay the inherited
+    * environment.
+    */
+  private def graftStart(env: Map[String, String],
+      args: String*): Process = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -25,11 +29,41 @@ class CliRootSpec extends AnyFunSuite {
       "-cp", System.getProperty("java.class.path"),
       "graft.cli.GraftMain") ++ args
     val pb = new ProcessBuilder(cmd: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(true)
-    val p = pb.start()
+    pb.start()
+  }
+
+  private def drain(p: Process): (Int, String) = {
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     val code = p.waitFor()
     (code, out)
+  }
+
+  /** Run GraftMain in a fresh JVM; returns (exitCode, stdout+stderr). */
+  private def graft(args: String*): (Int, String) =
+    drain(graftStart(Map.empty, args: _*))
+
+  private def graftEnv(env: Map[String, String],
+      args: String*): (Int, String) = drain(graftStart(env, args: _*))
+
+  /** Two tiny engine-portable migrations (plain CREATE TABLE parses in
+    * both Spark SQL and Derby) for the concurrency tests. No trailing
+    * semicolon: the executor passes the FILE body through as one
+    * command (the reference's PG posture) and Derby's JDBC rejects a
+    * bare trailing `;`.
+    */
+  private def raceMigrations(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-race-mig")
+    for (v <- Seq("001", "002")) {
+      java.nio.file.Files.writeString(
+        dir.resolve(s"V${v}_race_$v.up.sql"),
+        s"CREATE TABLE race_t$v (id INT)\n")
+      java.nio.file.Files.writeString(
+        dir.resolve(s"V${v}_race_$v.down.sql"),
+        s"DROP TABLE race_t$v\n")
+    }
+    dir.toString
   }
 
   test("graft --version exits 0 without starting Spark") {
@@ -208,5 +242,123 @@ class CliRootSpec extends AnyFunSuite {
       "/root/repo/fixtures/migrations", "status", tracker)
     assert(code == 0, s"status failed:\n$out")
     assert(out.contains("Pending"))
+  }
+
+  // --- cross-process single-writer exclusion (the reference's
+  // two-writers-one-lock integration race,
+  // integration/lifecycle_test.go:382-416, run as REAL separate JVMs —
+  // the in-process matrix lives in ExecutorSpec) ---
+
+  test("cross-process FileLock: `graft apply` against a tracker whose " +
+      "lock another PROCESS holds exits 1 with the lock error and " +
+      "leaves the tracker untouched; after release the same apply " +
+      "succeeds") {
+    val mig = raceMigrations()
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-xp-tracker").toString
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-xp-wh").toString
+    // THIS test JVM is the competing process: it holds the real
+    // FileLock while the CLI child runs
+    val holder = new _root_.graft.exec.FileLock(s"$tracker/_LOCK")
+    holder.acquire()
+    try {
+      val (code, out) = graftEnv(Map("GRAFT_WAREHOUSE" -> wh),
+        "apply", mig, tracker)
+      assert(code == 1, s"loser must exit 1, got $code:\n$out")
+      assert(out.contains("migration lock is held by another process"),
+        out)
+    } finally holder.release()
+    // tracker untouched by the refused apply
+    val (sc, sout) = graft("status", mig, tracker, "--format", "json")
+    assert(sc == 0 && sout.contains("\"applied\":[]"), sout)
+    // lock released → the same command applies both migrations
+    val (c2, o2) = graftEnv(Map("GRAFT_WAREHOUSE" -> wh),
+      "apply", mig, tracker)
+    assert(c2 == 0 && o2.contains("applied 2, skipped 0"), o2)
+  }
+
+  test("cross-process race, FileLock: two concurrent `graft apply` " +
+      "JVMs on one tracker — no double-apply, loser refused or " +
+      "cleanly skipped, final state has each migration applied once") {
+    val mig = raceMigrations()
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-race-tracker").toString
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-race-wh").toString
+    val env = Map("GRAFT_WAREHOUSE" -> wh)
+    val pa = graftStart(env, "apply", mig, tracker)
+    val pb = graftStart(env, "apply", mig, tracker)
+    val (ca, oa) = drain(pa)
+    val (cb, ob) = drain(pb)
+    val results = Seq((ca, oa), (cb, ob))
+    // exactly one process did the work
+    val winners = results.filter { case (c, o) =>
+      c == 0 && o.contains("applied 2, skipped 0") }
+    assert(winners.size == 1,
+      s"expected exactly one winner\nA($ca):\n$oa\nB($cb):\n$ob")
+    // the other either lost the lock (exit 1 + the reference's
+    // ErrLockNotAcquired analogue) or arrived after release and
+    // skipped everything via checksum idempotency — NEVER re-applied
+    val loser = results.find { case (c, o) =>
+      !(c == 0 && o.contains("applied 2, skipped 0")) }.get
+    assert(
+      (loser._1 == 1 &&
+        loser._2.contains("migration lock is held by another process")) ||
+      (loser._1 == 0 && loser._2.contains("applied 0, skipped 2")),
+      s"loser neither refused nor skipped (${loser._1}):\n${loser._2}")
+    // final tracker state: both versions applied exactly once
+    val (sc, sout) = graft("status", mig, tracker, "--format", "json")
+    assert(sc == 0, sout)
+    assert(sout.contains("\"pending\":[]"), sout)
+    assert("\"version\":\"001\"".r.findAllIn(sout).size == 1 &&
+      "\"version\":\"002\"".r.findAllIn(sout).size == 1, sout)
+  }
+
+  test("cross-process race, JDBC mode (embedded Derby): two concurrent " +
+      "`graft apply --jdbc-url` JVMs — single writer wins, no " +
+      "double-apply, reapply is a full skip") {
+    // Embedded Derby enforces single-PROCESS boot of a database
+    // directory, so cross-JVM exclusion in this mode is belt-and-
+    // braces: the loser fails at connect (Derby's boot lock) or at
+    // JdbcLock.acquire (the lock-table fallback, when connections
+    // share a JVM — ExecutorSpec's matrix). A server database (PG)
+    // would exercise pg_try_advisory_lock across hosts — that SQL's
+    // contract is pinned in ExecutorSpec/TrackerSpec; no PG server
+    // exists in this sandbox.
+    val mig = raceMigrations()
+    val tracker = java.nio.file.Files
+      .createTempDirectory("graft-jrace-tracker").toString
+    val db = java.nio.file.Files
+      .createTempDirectory("graft-jrace-db").resolve("db")
+    // pre-create the database HERE and release it (shutdown=true), so
+    // the children race the BOOT of an existing db — racing create=true
+    // itself can fail both sides (directory creation is not atomic)
+    java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+      .close()
+    try java.sql.DriverManager
+      .getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // shutdown always throws
+    val url = s"jdbc:derby:$db"
+    val pa = graftStart(Map.empty, "apply", mig, tracker,
+      "--jdbc-url", url)
+    val pb = graftStart(Map.empty, "apply", mig, tracker,
+      "--jdbc-url", url)
+    val (ca, oa) = drain(pa)
+    val (cb, ob) = drain(pb)
+    val results = Seq((ca, oa), (cb, ob))
+    val winners = results.filter { case (c, o) =>
+      c == 0 && o.contains("applied 2, skipped 0") }
+    assert(winners.size == 1,
+      s"expected exactly one winner\nA($ca):\n$oa\nB($cb):\n$ob")
+    val loser = results.find { case (c, o) =>
+      !(c == 0 && o.contains("applied 2, skipped 0")) }.get
+    assert(loser._1 == 1 ||
+      (loser._1 == 0 && loser._2.contains("applied 0, skipped 2")),
+      s"loser neither errored nor skipped (${loser._1}):\n${loser._2}")
+    // winner's state intact: a third apply skips everything (and the
+    // tables really exist in Derby — re-creating them would fail)
+    val (c3, o3) = graft("apply", mig, tracker, "--jdbc-url", url)
+    assert(c3 == 0 && o3.contains("applied 0, skipped 2"), o3)
   }
 }
