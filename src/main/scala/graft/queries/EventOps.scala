@@ -2143,6 +2143,121 @@ object EventOps {
             (rm.s[1] + cast(h.h as double) * rm.s[2]
               + rm.s[2 + cast(h.h as int)])
               + 1.96 * rm.rmse * sqrt(cast(h.h as double)) AS in_band
-        FROM rm, h ORDER BY rm.event_type, h.h"""))
+        FROM rm, h ORDER BY rm.event_type, h.h""")),
+
+    // ------------------------------------------------------------------
+    // Z-order OPTIMIZE, executed for real — e11 computes the Morton
+    // key and e14 SIMULATES the zone maps; this entry actually WRITES
+    // events in both physical layouts (arrival = 2048-row ingestion
+    // blocks; optimized = one file per contiguous 8×8 z-tile, the
+    // rewrite a lakehouse OPTIMIZE ZORDER BY performs), READS the
+    // files back from disk, and derives each layout's zone map from
+    // what is physically there — n files, files whose on-disk
+    // (ux, my) envelope intersects e14's 2-D predicate, rows a
+    // stats-pruned scan decodes, rows matched. File assignment is the
+    // explicit partitionBy key (z >> 6 / event_id div 2048) — pure
+    // arithmetic, so the DuckDB oracle replays the whole on-disk
+    // layout without reading a footer: the hash match proves the
+    // WRITTEN files carry exactly the envelopes the Z-order math
+    // promises. The physical row-group-pruning counterpart (actual
+    // FileSourceScan metrics under the same predicate, PushedFilters
+    // on ux/my) is asserted in ZoneMapSpec — scan metrics are
+    // environment-shaped, so the spec proves the reduction and this
+    // census pins the numbers both engines can agree on. rows_matched
+    // is layout-invariant by construction; rows_scanned is the cost.
+    // ------------------------------------------------------------------
+    "e34_zorder_optimize" -> Q(
+      (s, d) => {
+        def interleave(c: Column, offset: Int): Column =
+          (0 until 6).map { i =>
+            shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + offset)
+          }.reduce(_ bitwiseOR _)
+        val uxLo = 8L; val uxHi = 23L
+        val myLo = 16L; val myHi = 47L
+        val ev = t(s, d, "events")
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(64L)).as("ux"),
+            pmod(expr("unix_seconds(ts) div 60"), lit(60L)).as("my"))
+          .select(col("event_id"), col("ux"), col("my"),
+            interleave(col("ux"), 0).bitwiseOR(interleave(col("my"), 1))
+              .as("z"))
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_zorder_optimize"
+        ev.withColumn("f", expr("event_id div 2048"))
+          .write.mode("overwrite").partitionBy("f")
+          .parquet(s"$base/arrival")
+        ev.withColumn("f", shiftright(col("z"), 6))
+          .write.mode("overwrite").partitionBy("f")
+          .parquet(s"$base/zorder")
+        val pred = col("ux").between(uxLo, uxHi) &&
+          col("my").between(myLo, myHi)
+        def census(layout: String) = s.read.parquet(s"$base/$layout")
+          .groupBy(col("f"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ux")).as("lo_ux"), max(col("ux")).as("hi_ux"),
+            min(col("my")).as("lo_my"), max(col("my")).as("hi_my"),
+            count(when(pred, 1)).as("n_match"))
+          .withColumn("hit",
+            col("lo_ux") <= uxHi && col("hi_ux") >= uxLo &&
+              col("lo_my") <= myHi && col("hi_my") >= myLo)
+          .groupBy()
+          .agg(count(lit(1)).as("n_files"),
+            count(when(col("hit"), 1)).as("files_hit"),
+            coalesce(sum(when(col("hit"), col("n"))), lit(0L))
+              .as("rows_scanned"),
+            sum(col("n_match")).as("rows_matched"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("files_hit"), col("rows_scanned"), col("rows_matched"))
+        census("arrival").unionAll(census("zorder"))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val xBits = (0 until 6)
+          .map(i => s"(((ux >> $i) & 1) << ${2 * i})").mkString(" | ")
+        val yBits = (0 until 6)
+          .map(i => s"(((my >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+        s"""WITH ev AS MATERIALIZED (
+          SELECT event_id, ux, my, ($xBits) | ($yBits) AS z FROM (
+            SELECT event_id, user_id % 64 AS ux,
+              (cast(floor(epoch(cast(ts as timestamp))) as bigint) // 60)
+                % 60 AS my
+            FROM events) b),
+        fa AS (
+          SELECT event_id // 2048 AS f, count(*) AS n,
+            min(ux) AS lo_ux, max(ux) AS hi_ux,
+            min(my) AS lo_my, max(my) AS hi_my,
+            count(*) FILTER (WHERE ux BETWEEN 8 AND 23
+              AND my BETWEEN 16 AND 47) AS n_match
+          FROM ev GROUP BY 1),
+        fz AS (
+          SELECT z >> 6 AS f, count(*) AS n,
+            min(ux) AS lo_ux, max(ux) AS hi_ux,
+            min(my) AS lo_my, max(my) AS hi_my,
+            count(*) FILTER (WHERE ux BETWEEN 8 AND 23
+              AND my BETWEEN 16 AND 47) AS n_match
+          FROM ev GROUP BY 1),
+        roll AS (
+          SELECT 'arrival' AS layout,
+            cast(count(*) as bigint) AS n_files,
+            cast(count(*) FILTER (WHERE lo_ux <= 23 AND hi_ux >= 8
+              AND lo_my <= 47 AND hi_my >= 16) as bigint) AS files_hit,
+            cast(coalesce(sum(n) FILTER (WHERE lo_ux <= 23
+              AND hi_ux >= 8 AND lo_my <= 47 AND hi_my >= 16),
+              0) as bigint) AS rows_scanned,
+            cast(sum(n_match) as bigint) AS rows_matched
+          FROM fa
+          UNION ALL
+          SELECT 'zorder' AS layout,
+            cast(count(*) as bigint) AS n_files,
+            cast(count(*) FILTER (WHERE lo_ux <= 23 AND hi_ux >= 8
+              AND lo_my <= 47 AND hi_my >= 16) as bigint) AS files_hit,
+            cast(coalesce(sum(n) FILTER (WHERE lo_ux <= 23
+              AND hi_ux >= 8 AND lo_my <= 47 AND hi_my >= 16),
+              0) as bigint) AS rows_scanned,
+            cast(sum(n_match) as bigint) AS rows_matched
+          FROM fz)
+        SELECT layout, n_files, files_hit, rows_scanned, rows_matched
+        FROM roll ORDER BY layout"""
+      })
   )
 }

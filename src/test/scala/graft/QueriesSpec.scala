@@ -62,7 +62,7 @@ class QueriesSpec extends SparkFunSuite {
         "x45_vocab_coverage", "s22_adc_refine",
         "q84_window_topk_rewrite", "x46_source_divergence",
         "e33_hw_band_calibration", "d27_cluster_size_census",
-        "x47_bpe_corpus_encode")) {
+        "x47_bpe_corpus_encode", "e34_zorder_optimize")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
