@@ -58,6 +58,12 @@ object SqlClassifier {
       extends AlterCmd
   final case class SetNotNull(column: String) extends AlterCmd
   final case class DropNotNull(column: String) extends AlterCmd
+  /** `VALIDATE CONSTRAINT name` — the safe second half of R3's own
+    * NOT VALID suggestion (SHARE UPDATE EXCLUSIVE scan; writes keep
+    * flowing). Recognized explicitly so the recipe the analyzer
+    * recommends classifies as what it is, not as an opaque command.
+    */
+  final case class ValidateConstraint(name: String) extends AlterCmd
   final case class OtherAlterCmd(text: String) extends AlterCmd
 
   sealed trait RenameKind
@@ -89,6 +95,15 @@ object SqlClassifier {
       sql: String) extends Stmt
   final case class LockStmt(tables: Seq[QualifiedName], mode: Option[String],
       sql: String) extends Stmt
+  /** `DO $$ … $$` — an anonymous procedural block. Its body is
+    * arbitrary PL/pgSQL the scoped classifier cannot see into (the
+    * reference's pg_query parses the block but also does not descend
+    * into the body's dynamic SQL), so instead of silently classifying
+    * safe like [[OtherStmt]], it is its OWN kind and the analyzer
+    * flags it LOW as explicitly unanalyzable: an `ALTER TABLE` hidden
+    * inside the body would otherwise pass the gate unseen.
+    */
+  final case class DoStmt(sql: String) extends Stmt
   final case class OtherStmt(head: String, sql: String) extends Stmt
 
   // ---------------------------------------------------------------------
@@ -308,6 +323,7 @@ object SqlClassifier {
       case "TRUNCATE" => classifyTruncate(t, stmtSql)
       case "VACUUM" => classifyVacuum(t, stmtSql)
       case "LOCK" => classifyLock(t, stmtSql)
+      case "DO" => DoStmt(stmtSql)
       case _ => OtherStmt(head, stmtSql)
     }
   }
@@ -610,6 +626,10 @@ object SqlClassifier {
         t.pos += 3
         DropNotNull(col)
       } else OtherAlterCmd(restText())
+    } else if (t.curIsKw("VALIDATE") && t.peekKw(1, "CONSTRAINT")) {
+      t.pos += 2
+      val name = if (!t.eof) t.next().text else ""
+      ValidateConstraint(name)
     } else OtherAlterCmd(restText())
   }
 

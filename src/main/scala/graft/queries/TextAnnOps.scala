@@ -475,10 +475,14 @@ object TextAnnOps {
             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM e),
         nv AS (SELECT count(*) AS cnt FROM n),
-        -- cells sized ~64 vectors each, floored at 8 (the Spark side's
-        -- linear-init dial); at this corpus this evaluates to 8
+        -- cells sized ~64 vectors each while cheap, capped at the
+        -- n^1.5 balance point ceil(sqrt(4n)) beyond (the Spark side's
+        -- kCells formula, mirrored); at this corpus this evaluates
+        -- to 8
         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-          FROM n, nv WHERE vec_id < greatest(8, (nv.cnt + 63) // 64)),
+          FROM n, nv WHERE vec_id < greatest(8, least(
+            (nv.cnt + 63) // 64,
+            cast(ceil(sqrt(4 * nv.cnt)) as bigint)))),
         asgn AS (
           SELECT vec_id, v, nrm, cent_id,
             row_number() OVER (PARTITION BY vec_id

@@ -327,14 +327,20 @@ object TextOps {
     import graft.functions.PortableHash.h60col
     // metadata-scale driver scalar (g01's iterative-action convention)
     val n = base.count()
-    // cells sized to the corpus — ~64 vectors per cell, floored at
-    // nCents — so blocking init stays LINEAR: with a FIXED cell count
-    // the within-cell pair set grows as n²/k (measured: a 26× decade
-    // on 10× vectors at k=8). ⌈n/64⌉ keeps per-cell pairs bounded;
-    // past CodebookBroadcastK centroids assignToCodebookOf itself
-    // switches to the broadcast-relation codebook, so the plan never
-    // carries n/64 literal structs (the ×100 corpus crosses it).
-    val kCells = math.max(nCents, ((n + 63) / 64).toInt)
+    // cells sized to the corpus, floored at nCents, with BOTH failure
+    // modes bounded: a FIXED cell count makes within-cell pairs n²/k
+    // (measured 26× on a ×10 decade at k=8), while ⌈n/64⌉ cells make
+    // the flat argmax ASSIGNMENT n·k = n²/64 (measured: century s15
+    // 434 s, 32× on ×10 — assignment-dominated). min(⌈n/64⌉, ⌈√(4n)⌉)
+    // takes ~64-vector cells while they're cheap and pins the total
+    // init work at the n^1.5 balance point beyond (assignment n·2√n,
+    // pairs n·√n/2 — the "production sizes cells ~√n" posture run for
+    // real). Identical formula in the oracle; at every oracle-checked
+    // sf it still evaluates to the old value. Past CodebookBroadcastK
+    // centroids assignToCodebookOf additionally switches to the
+    // broadcast-relation codebook so the PLAN stays O(1) in k.
+    val kCells = math.max(nCents, math.min((n + 63) / 64,
+      math.ceil(math.sqrt(4.0 * n)).toLong).toInt)
     val asg = assignToCodebookOf(base, kCells).localCheckpoint()
     val ea = asg.select(col("cent_id"), col("vec_id").as("a"),
       col("embedding").as("va"))

@@ -215,6 +215,26 @@ object RenameRule extends Rule {
 /** Default registry — all nine rules, unique IDs (reference:
   * `internal/analyzer/rules/registry.go:6-19`).
   */
+/** R10 (beyond the reference's nine) — `DO $$ … $$` procedural blocks
+  * are OPAQUE to static analysis: neither this classifier nor the
+  * reference's pg_query descends into the body's (possibly dynamic)
+  * SQL, so an `ALTER TABLE` spelled inside one would sail through the
+  * danger gate unseen. Rather than silently classifying safe, the
+  * block is flagged LOW: reviewable, never blocking (the gate trips at
+  * HIGH), and honest about the analyzer's blind spot.
+  */
+object OpaqueDoBlockRule extends Rule {
+  val id = "opaque-do-block"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: DoStmt =>
+      Seq(finding(Severity.Low, "", s, ctx,
+        "DO block body is opaque to static analysis; DDL inside it cannot be checked by the danger rules",
+        "Inline DDL as top-level statements so each is analyzable, or review the block manually",
+        "UNKNOWN"))
+    case _ => Nil
+  }
+}
+
 object Registry {
   val defaultRules: Seq[Rule] = Seq(
     CreateIndexNotConcurrent,
@@ -225,5 +245,6 @@ object Registry {
     DropTableRule,
     VacuumFullRule,
     LockTableRule,
-    RenameRule)
+    RenameRule,
+    OpaqueDoBlockRule)
 }

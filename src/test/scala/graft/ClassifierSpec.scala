@@ -187,6 +187,32 @@ class ClassifierSpec extends AnyFunSuite {
     assert(one("ALTER SEQUENCE s RESTART").isInstanceOf[OtherStmt])
   }
 
+  test("DO blocks are their OWN statement kind (not Other): the body " +
+      "stays one statement through dollar-quoting, inner semicolons " +
+      "and all") {
+    val s = one("DO $$ BEGIN ALTER TABLE t DROP COLUMN c; " +
+      "PERFORM 1; END $$")
+    assert(s.isInstanceOf[DoStmt], s)
+    // tagged quoting too, and the body text survives verbatim
+    val tagged = one("DO $fn$ BEGIN SELECT 1; END $fn$")
+    assert(tagged.isInstanceOf[DoStmt], tagged)
+    assert(tagged.sql.contains("SELECT 1"))
+  }
+
+  test("ALTER TABLE ... VALIDATE CONSTRAINT parses as " +
+      "ValidateConstraint (the safe second half of R3's suggestion), " +
+      "also inside a command list") {
+    val s = one("ALTER TABLE orders VALIDATE CONSTRAINT chk_total")
+    val a = s.asInstanceOf[AlterTableStmt]
+    assert(a.table.name == "orders")
+    assert(a.cmds == Seq(ValidateConstraint("chk_total")), a.cmds)
+    val multi = one("ALTER TABLE t ADD CONSTRAINT c CHECK (a > 0) " +
+      "NOT VALID, VALIDATE CONSTRAINT c")
+    val m = multi.asInstanceOf[AlterTableStmt]
+    assert(m.cmds == Seq(AddConstraint("c", CheckConstraint, true),
+      ValidateConstraint("c")), m.cmds)
+  }
+
   test("containsConcurrentOp: fast prefilter + classification") {
     assert(SqlClassifier.containsConcurrentOp(
       "CREATE INDEX CONCURRENTLY i ON t (a)"))

@@ -132,9 +132,36 @@ class RulesSpec extends AnyFunSuite {
       Set(("create-index-not-concurrent", 0), ("drop-table", 1)))
   }
 
-  test("registry: nine rules, unique ids") {
-    assert(Registry.defaultRules.length == 9)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 9)
+  test("registry: the reference's nine rules + the opaque-DO-block " +
+      "rule, unique ids") {
+    assert(Registry.defaultRules.length == 10)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 10)
+  }
+
+  test("R10: DO block flags LOW opaque-procedural (reviewable, never " +
+      "blocking) — DDL hidden in the body no longer passes as " +
+      "silent-safe") {
+    val r = analyze(
+      "DO $$ BEGIN ALTER TABLE users DROP COLUMN email; END $$;")
+    assert(r.findings.map(_.rule) == Seq("opaque-do-block"), r.findings)
+    assert(r.maxSeverity == Severity.Low)
+    assert(!r.hasHighOrCritical) // the gate trips at HIGH, not LOW
+    // the tagged form ($tag$) and a DO mixed into a multi-statement
+    // migration both classify
+    val r2 = analyze("CREATE TABLE t (id INT);\n" +
+      "DO $body$ BEGIN PERFORM 1; END $body$;")
+    assert(r2.findings.map(f => (f.rule, f.stmtIndex)) ==
+      Seq(("opaque-do-block", 1)), r2.findings)
+  }
+
+  test("R3 recipe end-to-end: ADD CONSTRAINT ... NOT VALID then " +
+      "VALIDATE CONSTRAINT — both halves finding-free (the safe " +
+      "pattern R3's own suggestion prescribes)") {
+    val r = analyze(
+      "ALTER TABLE t ADD CONSTRAINT c CHECK (a > 0) NOT VALID;\n" +
+        "ALTER TABLE t VALIDATE CONSTRAINT c;")
+    assert(r.maxSeverity == Severity.Safe, r.findings)
+    assert(r.findings.isEmpty, r.findings)
   }
 
   test("hasHighOrCritical gate") {
