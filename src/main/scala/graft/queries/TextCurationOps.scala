@@ -4412,6 +4412,7 @@ object TextCurationOps {
           m.corpus_tokens
         FROM per_doc p, mass m
         ORDER BY p.doc_id"""
-      })
+      },
+      bench = true)
   )
 }
