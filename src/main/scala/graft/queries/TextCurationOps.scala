@@ -4413,6 +4413,199 @@ object TextCurationOps {
         FROM per_doc p, mass m
         ORDER BY p.doc_id"""
       },
-      bench = true)
+      bench = true),
+
+
+    // ------------------------------------------------------------------
+    // FROZEN-tokenizer incremental encode — the operational other half
+    // of x47 (d16/p02's stored-artifact posture applied to the
+    // tokenizer): day-0 trains the 50-merge table on the BASE corpus
+    // (sources src01-15) and FREEZES merge table + vocab to parquet;
+    // day-N encodes ONLY the arriving slice (src16-19) from the stored
+    // artifacts — the base text is never re-read, so incremental cost
+    // is O(new slice + vocab), exactly how a production tokenizer is
+    // deployed. OOV accounting is live (stored-vocab misses map to id
+    // 0 and are counted per doc) but n_unk = 0 on this corpus is
+    // itself the finding: a character-level base vocab covers any new
+    // text whose alphabet was seen — the no-OOV property byte-level
+    // BPE exists for; the OOV path fires for real on an out-of-
+    // alphabet fixture in QueriesSpec. The drift signal that DOES
+    // move per doc is fertility (milli-chars per token, integer-exact
+    // 1505-2785 here): new-slice words get less merge benefit than
+    // the data the merges were trained on. Oracle: x47's generated
+    // chain trains on the old slice while a PARALLEL chain applies
+    // each rank's merge to the new-slice word census.
+    // ------------------------------------------------------------------
+    "x48_bpe_incremental_encode" -> Q(
+      (s, d) => {
+        val nMerges = 50
+        val newSrcs = Seq("src16", "src17", "src18", "src19")
+        val oldDocs = docs(s, d).filter(!col("source").isin(newSrcs: _*))
+        val newDocs = docs(s, d).filter(col("source").isin(newSrcs: _*))
+        // day-0: train on the BASE corpus only (x47's loop, cnt-only)
+        val census = oldDocs.select(explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        var seqs = census.select(col("cnt"),
+          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+        val merges =
+          scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+        // early-stop when no pair remains — BPE's natural termination
+        // (only reachable on tiny fixtures; the verified corpora carry
+        // > nMerges distinct pairs, which is what lets the oracle's
+        // chain unroll a fixed 50 levels)
+        var exhausted = false
+        for (rank <- 1 to nMerges if !exhausted) {
+          val arrs = seqs
+            .select(col("cnt"), split(col("seq"), " ").as("t"))
+            .select(col("cnt"),
+              slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
+              slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
+          val bestRow = arrs
+            .select(col("cnt"),
+              explode(arrays_zip(col("la"), col("ra"))).as("p"))
+            .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
+            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l"), col("r"))
+            .limit(1).collect().headOption
+          bestRow match {
+            case None => exhausted = true
+            case Some(best) =>
+              val (bl, br) = (best.getString(0), best.getString(1))
+              merges += ((rank, bl, br))
+              seqs = seqs.select(col("cnt"),
+                replace(col("seq"), lit(bl + " " + br), lit(bl + br))
+                  .as("seq"))
+                .localCheckpoint()
+          }
+        }
+        // FREEZE the tokenizer: merge table + vocab persisted, then
+        // read BACK — the artifacts on disk are the deployment unit
+        import s.implicits._
+        val tokDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x48_tokenizer"
+        merges.toSeq.toDF("rank", "lhs", "rhs").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tokDir/merges.parquet")
+        seqs.select(explode(split(col("seq"), " ")).as("tok")).distinct()
+          .withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("tok")))
+            .cast("long"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tokDir/vocab.parquet")
+        // day-N: encode ONLY the new slice from the STORED artifacts
+        val storedMerges = s.read.parquet(s"$tokDir/merges.parquet")
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        val vmap = s.read.parquet(s"$tokDir/vocab.parquet")
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("tok"), col("id"))))).as("vmap"))
+        val dwNew = mat(newDocs.select(col("doc_id"),
+          posexplode(words(col("text"))).as(Seq("pos", "word"))))
+        val encoded = dwNew.select(col("word")).distinct()
+          .select(col("word"),
+            storedMerges.foldLeft(
+              rtrim(regexp_replace(col("word"), "(.)", "$1 ")): Column) {
+              case (c, (l, r)) => replace(c, lit(l + " " + r), lit(l + r))
+            }.as("seq"))
+          .select(col("word"), split(col("seq"), " ").as("toks"))
+        val wid = encoded.crossJoin(broadcast(vmap))
+          .select(col("word"),
+            size(col("toks")).cast("bigint").as("n_toks"),
+            length(col("word")).cast("bigint").as("n_chars"),
+            size(filter(transform(col("toks"),
+              t => element_at(col("vmap"), t)), x => x.isNull))
+              .cast("bigint").as("n_unk"),
+            array_join(transform(col("toks"),
+              t => coalesce(element_at(col("vmap"), t), lit(0L))
+                .cast("string")), ",").as("idstr"))
+        dwNew.join(wid, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_unk")).as("n_unk"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("idstr")))),
+              x => x.getField("idstr")), ",")).as("ids_md5"))
+          .withColumn("fert_milli",
+            expr("(1000 * n_chars) div n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val nMerges = 50
+        // training chain on the OLD census + a PARALLEL chain applying
+        // each rank's winning merge to the NEW-slice word census
+        val levels = (1 to nMerges).map { k =>
+          val prev = if (k == 1) "s0" else s"s${k - 1}"
+          val nprev = if (k == 1) "n0" else s"n${k - 1}"
+          s"""p$k AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM $prev) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b$k AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM p$k GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT $prev.cnt,
+            replace($prev.seq, b$k.lhs || ' ' || b$k.rhs,
+              b$k.lhs || b$k.rhs) AS seq
+          FROM $prev, b$k),
+        n$k AS MATERIALIZED (SELECT $nprev.word,
+            replace($nprev.seq, b$k.lhs || ' ' || b$k.rhs,
+              b$k.lhs || b$k.rhs) AS seq
+          FROM $nprev, b$k)"""
+        }.mkString(",\n        ")
+        s"""WITH oldcensus AS MATERIALIZED (
+          SELECT w AS word, cast(count(*) as bigint) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
+            FROM documents
+            WHERE source NOT IN ('src16','src17','src18','src19'))
+          GROUP BY 1),
+        newwords AS MATERIALIZED (
+          SELECT DISTINCT w AS word FROM (
+            SELECT unnest(string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
+            FROM documents
+            WHERE source IN ('src16','src17','src18','src19'))),
+        s0 AS (SELECT cnt,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM oldcensus),
+        n0 AS (SELECT word,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM newwords),
+        $levels,
+        vocab AS MATERIALIZED (
+          SELECT tok, cast(row_number() OVER (ORDER BY tok) as bigint)
+            AS id
+          FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok
+                FROM s$nMerges)),
+        wid AS MATERIALIZED (
+          SELECT e.word, cast(len(any_value(e.toks)) as bigint) AS n_toks,
+            cast(strlen(any_value(e.word)) as bigint) AS n_chars,
+            cast(count(*) FILTER (WHERE v.id IS NULL) as bigint) AS n_unk,
+            string_agg(coalesce(v.id, 0), ',' ORDER BY e.tp) AS idstr
+          FROM (SELECT word, toks, toks[u.tp] AS tok, u.tp
+                FROM (SELECT word, string_split(seq, ' ') AS toks
+                      FROM n$nMerges) w0,
+                LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS tp) u) e
+          LEFT JOIN vocab v ON v.tok = e.tok
+          GROUP BY e.word),
+        dw AS (
+          SELECT d.doc_id, u.pos, d.w[u.pos] AS word
+          FROM (SELECT doc_id, string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+            FROM documents
+            WHERE source IN ('src16','src17','src18','src19')) d,
+          LATERAL (SELECT unnest(range(1, len(d.w) + 1)) AS pos) u)
+        SELECT dw.doc_id,
+          cast(count(*) as bigint) AS n_words,
+          cast(sum(wid.n_toks) as bigint) AS n_tokens,
+          cast(sum(wid.n_chars) as bigint) AS n_chars,
+          cast(sum(wid.n_unk) as bigint) AS n_unk,
+          md5(string_agg(wid.idstr, ',' ORDER BY dw.pos)) AS ids_md5,
+          cast((1000 * sum(wid.n_chars)) // sum(wid.n_toks) as bigint)
+            AS fert_milli
+        FROM dw JOIN wid ON wid.word = dw.word
+        GROUP BY dw.doc_id
+        ORDER BY dw.doc_id"""
+      })
   )
 }

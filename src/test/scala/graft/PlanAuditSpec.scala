@@ -154,7 +154,12 @@ class PlanAuditSpec extends SparkFunSuite {
     "x47_bpe_corpus_encode" -> ("1-row token→id map broadcast (d12's "
       + "codebook-as-data posture) onto the VOCABULARY-scale census + "
       + "1-row corpus-token-mass broadcast; the corpus-scale side is "
-      + "one tokenize pass and one word-keyed hash join"))
+      + "one tokenize pass and one word-keyed hash join"),
+    "x48_bpe_incremental_encode" -> ("x47's 1-row stored-vocab map "
+      + "broadcast onto the NEW-slice word census; the data-scale "
+      + "side is one tokenize pass over the arriving slice and one "
+      + "word-keyed hash join — the frozen base corpus is never "
+      + "re-read"))
 
   test("no query plans an unlisted CartesianProduct / nested-loop join") {
     val offenders = Catalog.all.flatMap { case (name, q) =>

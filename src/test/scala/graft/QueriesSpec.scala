@@ -62,7 +62,8 @@ class QueriesSpec extends SparkFunSuite {
         "x45_vocab_coverage", "s22_adc_refine",
         "q84_window_topk_rewrite", "x46_source_divergence",
         "e33_hw_band_calibration", "d27_cluster_size_census",
-        "x47_bpe_corpus_encode", "e34_zorder_optimize")) {
+        "x47_bpe_corpus_encode", "e34_zorder_optimize",
+        "x48_bpe_incremental_encode")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
@@ -208,6 +209,31 @@ class QueriesSpec extends SparkFunSuite {
       assert(repB == repL,
         s"s15 report diverges under broadcast codebook: $repB vs $repL")
     } finally spark.conf.unset(TextOps.CodebookBroadcastK)
+  }
+
+  test("x48 frozen-tokenizer OOV path: out-of-alphabet text in the " +
+      "new slice maps to id 0 and is counted (n_unk = 0 on the real " +
+      "corpus is the char-level no-OOV property, not a dead column)") {
+    import spark.implicits._
+    // base corpus (src01) has alphabet {a, b} and trains the merges
+    // "a a"→"aa", "b b"→"bb" (then exhausts — early-stop path); final
+    // vocab = {aa, bb}. New doc (src16): "aa" encodes known, "zb"
+    // falls back to chars z + b, BOTH absent from the stored vocab.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-x48-fix").toString
+    Seq((0L, "src01", "aa bb aa bb aa"), (1L, "src01", "aa bb bb"),
+      (2L, "src16", "aa zb"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry
+      .queries("x48_bpe_incremental_encode")(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString("|")) // the one src16 doc
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Long]("n_words") == 2L, r)
+    assert(r.getAs[Long]("n_tokens") == 3L, r) // [aa] + [z, b]
+    assert(r.getAs[Long]("n_unk") == 2L, r)    // z AND b unseen as tokens
+    assert(r.getAs[Long]("fert_milli") == 1333L, r) // 1000·4 div 3
   }
 
   test("s04 ANN recall: one row per query vector, recall well-formed " +
