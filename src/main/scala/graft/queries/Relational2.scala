@@ -2062,7 +2062,45 @@ object Relational2 {
               ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders) z
         WHERE rn <= 3
-        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""))
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Dynamic partition pruning, end to end: orders written
+    // Hive-partitioned on the join key (q57's layout), then joined to
+    // a small dim whose SELECTIVE filter is on a dim attribute — so
+    // the matching partitions are unknowable at plan time (a literal
+    // filter would be q57's static PartitionFilters; this is the case
+    // static pruning cannot touch). The broadcast of the filtered dim
+    // is REUSED as a runtime partition filter on the fact scan
+    // (DynamicPruningExpression — asserted in ZoneMapSpec along with
+    // the partitions-read reduction), which at 100 TB is the
+    // difference between scanning 2/5 of a fact table and all of it,
+    // on every star-schema query whose dim filter names no partition
+    // value. Oracle computes the same join as a plain filter.
+    // ------------------------------------------------------------------
+    "q85_dpp_join" -> Q(
+      (s, d) => {
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders"
+        t(s, d, "orders")
+          .withColumn("opr",
+            substring(col("o_orderpriority"), 1, 1).cast("int"))
+          .write.mode("overwrite").partitionBy("opr").parquet(path)
+        val fact = s.read.parquet(path)
+        val dim = s.range(1, 6)
+          .select(col("id").cast("int").as("opr"),
+            when(col("id") <= 2, "fast").otherwise("slow").as("tier"))
+        fact.join(broadcast(dim.filter(col("tier") === "fast")),
+            Seq("opr"))
+          .groupBy(col("opr"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("opr"))
+      },
+      Some(s"""SELECT cast(substr(o_orderpriority, 1, 1) as int) AS opr,
+          count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
+        FROM orders WHERE substr(o_orderpriority, 1, 1) IN ('1', '2')
+        GROUP BY 1 ORDER BY opr"""))
   )
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi

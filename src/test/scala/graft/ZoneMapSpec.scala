@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 class ZoneMapSpec extends SparkFunSuite {
 
+  /** All FileSourceScanExec nodes, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec / query stages), which collectLeaves()
+    * treats as leaves.
+    */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans) ++
+      other.subqueries.flatMap(fileScans)
+  }
+
   private def interleave(c: Column, offset: Int): Column =
     (0 until 6).map { i =>
       shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + offset)
@@ -72,5 +87,37 @@ class ZoneMapSpec extends SparkFunSuite {
     assert(decodedZ <= (decodedArrival * 7) / 10,
       s"pruning too weak: zorder decoded $decodedZ of " +
         s"$decodedArrival arrival rows (expected ≤ 70%)")
+  }
+
+  test("dynamic partition pruning (q85's plan): the broadcast dim's " +
+      "runtime filter reaches the Hive-partitioned fact scan as a " +
+      "DynamicPruningExpression and only the matching partitions' " +
+      "rows are read") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val total = orders.count()
+    orders
+      .withColumn("opr", substring(col("o_orderpriority"), 1, 1)
+        .cast("int"))
+      .write.partitionBy("opr").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.range(1, 6)
+      .select(col("id").cast("int").as("opr"),
+        when(col("id") <= 2, "fast").otherwise("slow").as("tier"))
+    val q = fact.join(broadcast(dim.filter(col("tier") === "fast")),
+      Seq("opr"))
+    val matched = q.count()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    val scan = fileScans(q.queryExecution.executedPlan)
+      .find(_.toString.contains("/fact")).getOrElse(
+        fail("no fact scan in:\n" + plan))
+    val decoded = scan.metrics("numOutputRows").value
+    // 2 of 5 priorities survive the dim filter; the runtime filter
+    // must keep the other 3 partitions' rows out of the scan
+    assert(decoded == matched && matched > 0 && decoded < total,
+      s"decoded=$decoded matched=$matched total=$total")
   }
 }
