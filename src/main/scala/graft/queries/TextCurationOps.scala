@@ -15,6 +15,52 @@ import TextOps._
   */
 object TextCurationOps {
 
+  /** x48's day-N encode against a FROZEN tokenizer, frame-agnostic:
+    * `(doc_id, text)` rows in, one census row per doc out (word/token/
+    * char counts, OOV count, md5 of the ordered token-id sequence,
+    * milli-fertility). `merges` is the stored rank-ordered merge
+    * table (a 50-row driver list); `vocab` the stored (tok, id)
+    * frame, shipped as ONE broadcast map row. Stateless — which is
+    * the point: a frozen tokenizer streams (TokenizeStream runs this
+    * per micro-batch, bit-identical to the batch x48 on the same
+    * slice, StreamingSpec).
+    */
+  private[graft] def encodeWithStoredTokenizer(docFrame: DataFrame,
+      merges: Seq[(String, String)], vocab: DataFrame): DataFrame = {
+    val vmap = vocab.agg(map_from_entries(array_sort(
+      collect_list(struct(col("tok"), col("id"))))).as("vmap"))
+    val dw = mat(docFrame.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "word"))))
+    val encoded = dw.select(col("word")).distinct()
+      .select(col("word"),
+        merges.foldLeft(
+          rtrim(regexp_replace(col("word"), "(.)", "$1 ")): Column) {
+          case (c, (l, r)) => replace(c, lit(l + " " + r), lit(l + r))
+        }.as("seq"))
+      .select(col("word"), split(col("seq"), " ").as("toks"))
+    val wid = encoded.crossJoin(broadcast(vmap))
+      .select(col("word"),
+        size(col("toks")).cast("bigint").as("n_toks"),
+        length(col("word")).cast("bigint").as("n_chars"),
+        size(filter(transform(col("toks"),
+          t => element_at(col("vmap"), t)), x => x.isNull))
+          .cast("bigint").as("n_unk"),
+        array_join(transform(col("toks"),
+          t => coalesce(element_at(col("vmap"), t), lit(0L))
+            .cast("string")), ",").as("idstr"))
+    dw.join(wid, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_unk")).as("n_unk"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("idstr")))),
+          x => x.getField("idstr")), ",")).as("ids_md5"))
+      .withColumn("fert_milli",
+        expr("(1000 * n_chars) div n_tokens"))
+  }
+
   /** x44's synthesize → detect → redact frame, factored for reuse
     * (x44 = the per-doc census; p05 = the scrubbed-release pipeline):
     * (doc_id, source, s, n_email, n_ip, n_phone, n_ssn, red) with
@@ -4495,40 +4541,9 @@ object TextCurationOps {
         // day-N: encode ONLY the new slice from the STORED artifacts
         val storedMerges = s.read.parquet(s"$tokDir/merges.parquet")
           .orderBy(col("rank")).collect()
-          .map(r => (r.getString(1), r.getString(2)))
-        val vmap = s.read.parquet(s"$tokDir/vocab.parquet")
-          .agg(map_from_entries(array_sort(
-            collect_list(struct(col("tok"), col("id"))))).as("vmap"))
-        val dwNew = mat(newDocs.select(col("doc_id"),
-          posexplode(words(col("text"))).as(Seq("pos", "word"))))
-        val encoded = dwNew.select(col("word")).distinct()
-          .select(col("word"),
-            storedMerges.foldLeft(
-              rtrim(regexp_replace(col("word"), "(.)", "$1 ")): Column) {
-              case (c, (l, r)) => replace(c, lit(l + " " + r), lit(l + r))
-            }.as("seq"))
-          .select(col("word"), split(col("seq"), " ").as("toks"))
-        val wid = encoded.crossJoin(broadcast(vmap))
-          .select(col("word"),
-            size(col("toks")).cast("bigint").as("n_toks"),
-            length(col("word")).cast("bigint").as("n_chars"),
-            size(filter(transform(col("toks"),
-              t => element_at(col("vmap"), t)), x => x.isNull))
-              .cast("bigint").as("n_unk"),
-            array_join(transform(col("toks"),
-              t => coalesce(element_at(col("vmap"), t), lit(0L))
-                .cast("string")), ",").as("idstr"))
-        dwNew.join(wid, Seq("word"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("n_toks")).as("n_tokens"),
-            sum(col("n_chars")).as("n_chars"),
-            sum(col("n_unk")).as("n_unk"),
-            md5(array_join(transform(
-              array_sort(collect_list(struct(col("pos"), col("idstr")))),
-              x => x.getField("idstr")), ",")).as("ids_md5"))
-          .withColumn("fert_milli",
-            expr("(1000 * n_chars) div n_tokens"))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        encodeWithStoredTokenizer(newDocs, storedMerges,
+          s.read.parquet(s"$tokDir/vocab.parquet"))
           .orderBy(col("doc_id"))
       },
       Some {

@@ -332,6 +332,55 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("streaming frozen-tokenizer encode (x48's kappa twin): per-doc " +
+      "census rows across micro-batches equal the batch encode " +
+      "bit-for-bit; accumulated token mass equals the batch mass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val incomingSrcs = Seq("src16", "src17", "src18", "src19")
+    // day-0: the batch x48 trains and FREEZES the artifacts to disk;
+    // its per-doc output over src16-19 is the ground truth
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6))
+    val batchRows = SparkEntry
+      .queries("x48_bpe_incremental_encode")(spark, sf0001)
+      .collect().map(tup).sortBy(_._1).toSeq
+    val tokDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_x48_tokenizer"
+    val merges = spark.read.parquet(s"$tokDir/merges.parquet")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = spark.read.parquet(s"$tokDir/vocab.parquet")
+      .localCheckpoint()
+    val docs = Catalog.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[
+      Long, Array[(Long, Long, Long, Long, Long, String, Long)]]()
+    val q = graft.streaming.TokenizeStream.encode(
+      ms.toDF().toDF("doc_id", "text"), merges, vocab,
+      onBatch = (id, df) => got(id) = df.collect().map(tup))
+    // one micro-batch per arriving source "day"
+    incomingSrcs.foreach { src =>
+      ms.addData(docs.filter(col("source") === src)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.size == incomingSrcs.size,
+      s"expected ${incomingSrcs.size} micro-batches, saw ${got.keys}")
+    val streamed = got.values.flatten.toSeq.sortBy(_._1)
+    assert(streamed == batchRows,
+      "streamed per-doc censuses diverge from the batch encode")
+    // the caller-side running state: associative integer mass sums
+    assert(streamed.map(_._3).sum == batchRows.map(_._3).sum &&
+      streamed.map(_._5).sum == batchRows.map(_._5).sum)
+  }
+
   test("flatMapGroupsWithState error-rate alerts fire for noisy users") {
     import spark.implicits._
     val events = spark.read.parquet(stagedDir)
