@@ -60,6 +60,15 @@ final class JdbcRunner(url: String, lockTimeoutMs: Long,
       // query timeout so the statement bound still holds.
       val isPg = conn.getMetaData.getDatabaseProductName
         .toLowerCase(java.util.Locale.ROOT).contains("postgres")
+      // PG's simple-query protocol takes the migration file verbatim
+      // (semicolons and all — the reference's posture); stricter JDBC
+      // dialects (Derby) reject a bare trailing `;` on a single
+      // statement, so strip one for non-PG targets. Interior
+      // semicolons are left alone: multi-statement strings are a
+      // PG-only capability either way.
+      val body =
+        if (isPg) sql
+        else sql.trim.stripSuffix(";").trim
       if (transactional) {
         conn.setAutoCommit(false)
         val st = conn.createStatement()
@@ -68,7 +77,7 @@ final class JdbcRunner(url: String, lockTimeoutMs: Long,
             st.execute(s"SET lock_timeout = '${lockTimeoutMs}ms'")
             st.execute(s"SET statement_timeout = '${statementTimeoutMs}ms'")
           } else st.setQueryTimeout(ceilSeconds(statementTimeoutMs))
-          st.execute(sql)
+          st.execute(body)
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e
@@ -78,7 +87,7 @@ final class JdbcRunner(url: String, lockTimeoutMs: Long,
         val st = conn.createStatement()
         try {
           if (!isPg) st.setQueryTimeout(ceilSeconds(statementTimeoutMs))
-          st.execute(sql)
+          st.execute(body)
         } finally st.close()
       }
     } finally conn.close()

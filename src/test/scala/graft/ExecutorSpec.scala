@@ -295,6 +295,21 @@ class ExecutorSpec extends AnyFunSuite {
     other.release()
   }
 
+  test("JdbcRunner on real Derby: a migration body with a trailing " +
+      "semicolon executes (the strip path, end to end)") {
+    val url = derbyUrl()
+    val r = new JdbcRunner(url, 5000, 5000)
+    r.run("CREATE TABLE semi_t (id INT);", transactional = true)
+    r.run("INSERT INTO semi_t VALUES (7)\n;\n", transactional = true)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement()
+        .executeQuery("SELECT count(*) FROM semi_t")
+      rs.next()
+      assert(rs.getInt(1) == 1)
+    } finally c.close()
+  }
+
   test("two executors with JdbcLock: loser fails, winner applies") {
     val url = derbyUrl()
     val tr = new InMemoryTracker

@@ -253,6 +253,24 @@ class PgContractSpec extends AnyFunSuite {
       "CLOSE"), rec.log)
   }
 
+  test("JdbcRunner semicolon contract: PG receives the migration body " +
+      "VERBATIM (simple-query protocol takes semicolons); a non-PG " +
+      "dialect gets exactly one trailing semicolon stripped") {
+    val pg = new Recorder("PostgreSQL")
+    withRecorder("pg-semi", pg) { url =>
+      new JdbcRunner(url, 5000, 30000)
+        .run("CREATE TABLE t (id INT);", transactional = false)
+    }
+    assert(pg.log.contains("X:CREATE TABLE t (id INT);"), pg.log)
+    val other = new Recorder("MockDB")
+    withRecorder("generic-semi", other) { url =>
+      new JdbcRunner(url, 5000, 30000)
+        .run("CREATE TABLE t (id INT);\n", transactional = false)
+    }
+    assert(other.log.contains("X:CREATE TABLE t (id INT)"), other.log)
+    assert(!other.log.exists(_.endsWith(";")), other.log)
+  }
+
   test("JdbcRunner on a non-PG product: timeout rides the portable " +
       "setQueryTimeout (whole seconds, ceil), never PG SET syntax") {
     val rec = new Recorder("MockDB")
