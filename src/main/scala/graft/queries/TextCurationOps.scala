@@ -15,6 +15,51 @@ import TextOps._
   */
 object TextCurationOps {
 
+  /** The shared BPE training loop (x41's exact per-round dataflow:
+    * vocabulary-scale pair census → 1-row argmax collect → plain
+    * replace, deterministic tie-break count desc then pair asc).
+    * `census` is a (word, cnt) frame; returns the rank-ordered merge
+    * table and the final (word, cnt, seq) frame. Early-stops when no
+    * pair remains — BPE's natural termination, only reachable on tiny
+    * fixtures (the verified corpora carry > nMerges distinct pairs,
+    * which is what lets the oracles unroll a fixed 50-level chain).
+    * Used by x47 (full-corpus encode), x48 (frozen-tokenizer
+    * training) and p06 (token-priced packing).
+    */
+  private[graft] def bpeTrain(census: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String)], DataFrame) = {
+    var seqs = census.select(col("word"), col("cnt"),
+      rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    var exhausted = false
+    for (rank <- 1 to nMerges if !exhausted) {
+      val arrs = seqs
+        .select(col("cnt"), split(col("seq"), " ").as("t"))
+        .select(col("cnt"),
+          slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
+      val bestRow = arrs
+        .select(col("cnt"),
+          explode(arrays_zip(col("la"), col("ra"))).as("p"))
+        .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect().headOption
+      bestRow match {
+        case None => exhausted = true
+        case Some(best) =>
+          val (bl, br) = (best.getString(0), best.getString(1))
+          merges += ((rank, bl, br))
+          seqs = seqs.select(col("word"), col("cnt"),
+            replace(col("seq"), lit(bl + " " + br), lit(bl + br))
+              .as("seq"))
+            .localCheckpoint()
+      }
+    }
+    (merges.toSeq, seqs)
+  }
+
   /** x48's day-N encode against a FROZEN tokenizer, frame-agnostic:
     * `(doc_id, text)` rows in, one census row per doc out (word/token/
     * char counts, OOV count, md5 of the ordered token-id sequence,
@@ -4345,29 +4390,9 @@ object TextCurationOps {
           posexplode(words(col("text"))).as(Seq("pos", "word"))))
         val census = dw.groupBy(col("word"))
           .agg(count(lit(1)).as("cnt")).localCheckpoint()
-        // x41's exact training dataflow (pair census → 1-row argmax →
-        // plain replace), without the compression-curve actions
-        var seqs = census.select(col("word"), col("cnt"),
-          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
-        for (_ <- 1 to nMerges) {
-          val arrs = seqs
-            .select(col("cnt"), split(col("seq"), " ").as("t"))
-            .select(col("cnt"),
-              slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
-              slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
-          val best = arrs
-            .select(col("cnt"),
-              explode(arrays_zip(col("la"), col("ra"))).as("p"))
-            .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
-            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
-            .orderBy(col("c").desc, col("l"), col("r"))
-            .limit(1).head()
-          val (bl, br) = (best.getString(0), best.getString(1))
-          seqs = seqs.select(col("word"), col("cnt"),
-            replace(col("seq"), lit(bl + " " + br), lit(bl + br))
-              .as("seq"))
-            .localCheckpoint()
-        }
+        // x41's exact training dataflow (shared bpeTrain helper),
+        // without the compression-curve actions
+        val (_, seqs) = bpeTrain(census, nMerges)
         val wt = seqs.select(col("word"), split(col("seq"), " ")
           .as("toks")).localCheckpoint()
         // dense token ids: vocabulary-scale global rank (the single-
@@ -4488,49 +4513,17 @@ object TextCurationOps {
         val newSrcs = Seq("src16", "src17", "src18", "src19")
         val oldDocs = docs(s, d).filter(!col("source").isin(newSrcs: _*))
         val newDocs = docs(s, d).filter(col("source").isin(newSrcs: _*))
-        // day-0: train on the BASE corpus only (x47's loop, cnt-only)
+        // day-0: train on the BASE corpus only (shared bpeTrain)
         val census = oldDocs.select(explode(words(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint()
-        var seqs = census.select(col("cnt"),
-          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
-        val merges =
-          scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
-        // early-stop when no pair remains — BPE's natural termination
-        // (only reachable on tiny fixtures; the verified corpora carry
-        // > nMerges distinct pairs, which is what lets the oracle's
-        // chain unroll a fixed 50 levels)
-        var exhausted = false
-        for (rank <- 1 to nMerges if !exhausted) {
-          val arrs = seqs
-            .select(col("cnt"), split(col("seq"), " ").as("t"))
-            .select(col("cnt"),
-              slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
-              slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
-          val bestRow = arrs
-            .select(col("cnt"),
-              explode(arrays_zip(col("la"), col("ra"))).as("p"))
-            .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
-            .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
-            .orderBy(col("c").desc, col("l"), col("r"))
-            .limit(1).collect().headOption
-          bestRow match {
-            case None => exhausted = true
-            case Some(best) =>
-              val (bl, br) = (best.getString(0), best.getString(1))
-              merges += ((rank, bl, br))
-              seqs = seqs.select(col("cnt"),
-                replace(col("seq"), lit(bl + " " + br), lit(bl + br))
-                  .as("seq"))
-                .localCheckpoint()
-          }
-        }
+        val (merges, seqs) = bpeTrain(census, nMerges)
         // FREEZE the tokenizer: merge table + vocab persisted, then
         // read BACK — the artifacts on disk are the deployment unit
         import s.implicits._
         val tokDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_x48_tokenizer"
-        merges.toSeq.toDF("rank", "lhs", "rhs").coalesce(1)
+        merges.toDF("rank", "lhs", "rhs").coalesce(1)
           .write.mode("overwrite").parquet(s"$tokDir/merges.parquet")
         seqs.select(explode(split(col("seq"), " ")).as("tok")).distinct()
           .withColumn("id", row_number().over(
@@ -4621,6 +4614,119 @@ object TextCurationOps {
         FROM dw JOIN wid ON wid.word = dw.word
         GROUP BY dw.doc_id
         ORDER BY dw.doc_id"""
+      }),
+
+
+    // ------------------------------------------------------------------
+    // Token-priced packing bill — x47's exact BPE counts driving x23's
+    // packing arithmetic, side by side with the whitespace-word
+    // pricing: the decision table a training run reads before
+    // committing compute (context windows are budgeted in TOKENS; a
+    // whitespace count under-prices the corpus by the fertility
+    // factor, here ~2.2×). Per pricing unit: docs, total units, 512-
+    // unit context windows consumed, docs crossing a window boundary
+    // (the attention-bleed statistic), and the fill of the final
+    // partial window. Both legs ride the x22/x23 two-level block
+    // prefix sum (no corpus-wide window); the BPE leg's counts come
+    // from the vocabulary-scale trained word encodings joined back to
+    // one tokenize pass — no per-token materialization anywhere.
+    // ------------------------------------------------------------------
+    "p06_token_budget_pack" -> Q(
+      (s, d) => {
+        val L = 512L
+        val nMerges = 50
+        val dw = mat(docs(s, d).select(col("doc_id"),
+          explode(words(col("text"))).as("word")))
+        val wcounts = dw.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n")).localCheckpoint()
+        val census = dw.groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        val (_, seqs) = bpeTrain(census, nMerges)
+        val wlen = seqs.select(col("word"),
+          size(split(col("seq"), " ")).cast("long").as("n_toks"))
+        val bcounts = dw.join(wlen, Seq("word"))
+          .groupBy(col("doc_id")).agg(sum(col("n_toks")).as("n"))
+          .localCheckpoint()
+        def bill(counts: DataFrame, unit: String): DataFrame =
+          counts.filter(col("n") > 0)
+            .join(streamOffsets(counts), Seq("doc_id"))
+            .select(col("n"), col("off"),
+              expr(s"off div $L").as("sf"),
+              expr(s"(off + n - 1) div $L").as("sl"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n")).as("n_units"),
+              (max(col("sl")) + 1).as("n_seqs"),
+              count(when(col("sf") =!= col("sl"), 1))
+                .as("docs_spanning"))
+            .select(lit(unit).as("unit"), col("n_docs"),
+              col("n_units"), col("n_seqs"), col("docs_spanning"),
+              expr(s"(1000 * (n_units - (n_seqs - 1) * $L)) div $L")
+                .as("tail_fill_milli"))
+        bill(wcounts, "words").unionAll(bill(bcounts, "bpe"))
+          .orderBy(col("unit"))
+      },
+      Some {
+        val nMerges = 50
+        val levels = (1 to nMerges).map { k =>
+          val prev = if (k == 1) "s0" else s"s${k - 1}"
+          s"""p$k AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM $prev) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        b$k AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM p$k GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT $prev.word, $prev.cnt,
+            replace($prev.seq, b$k.lhs || ' ' || b$k.rhs,
+              b$k.lhs || b$k.rhs) AS seq
+          FROM $prev, b$k)"""
+        }.mkString(",\n        ")
+        s"""WITH dwords AS MATERIALIZED (
+          SELECT doc_id, unnest(string_split_regex(
+            regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS word
+          FROM documents),
+        census AS MATERIALIZED (
+          SELECT word, cast(count(*) as bigint) AS cnt
+          FROM dwords GROUP BY 1),
+        s0 AS (SELECT word, cnt,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM census),
+        $levels,
+        wlen AS MATERIALIZED (
+          SELECT word, cast(len(string_split(seq, ' ')) as bigint)
+            AS n_toks
+          FROM s$nMerges),
+        wct AS (SELECT doc_id, cast(count(*) as bigint) AS n
+          FROM dwords GROUP BY 1),
+        bct AS (SELECT d.doc_id, cast(sum(w.n_toks) as bigint) AS n
+          FROM dwords d JOIN wlen w ON w.word = d.word GROUP BY 1),
+        wo AS (SELECT doc_id, n,
+            cast(coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              as bigint) AS off
+          FROM wct),
+        bo AS (SELECT doc_id, n,
+            cast(coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              as bigint) AS off
+          FROM bct),
+        wbill AS (SELECT 'words' AS unit,
+            cast(count(*) as bigint) AS n_docs,
+            cast(sum(n) as bigint) AS n_units,
+            cast(max((off + n - 1) // 512) + 1 as bigint) AS n_seqs,
+            cast(count(*) FILTER (WHERE off // 512 <>
+              (off + n - 1) // 512) as bigint) AS docs_spanning
+          FROM wo WHERE n > 0),
+        bbill AS (SELECT 'bpe' AS unit,
+            cast(count(*) as bigint) AS n_docs,
+            cast(sum(n) as bigint) AS n_units,
+            cast(max((off + n - 1) // 512) + 1 as bigint) AS n_seqs,
+            cast(count(*) FILTER (WHERE off // 512 <>
+              (off + n - 1) // 512) as bigint) AS docs_spanning
+          FROM bo WHERE n > 0)
+        SELECT unit, n_docs, n_units, n_seqs, docs_spanning,
+          cast((1000 * (n_units - (n_seqs - 1) * 512)) // 512 as bigint)
+            AS tail_fill_milli
+        FROM (SELECT * FROM wbill UNION ALL SELECT * FROM bbill) u
+        ORDER BY unit"""
       })
   )
 }

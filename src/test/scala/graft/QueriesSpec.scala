@@ -63,7 +63,8 @@ class QueriesSpec extends SparkFunSuite {
         "q84_window_topk_rewrite", "x46_source_divergence",
         "e33_hw_band_calibration", "d27_cluster_size_census",
         "x47_bpe_corpus_encode", "e34_zorder_optimize",
-        "x48_bpe_incremental_encode", "q85_dpp_join")) {
+        "x48_bpe_incremental_encode", "q85_dpp_join",
+        "p06_token_budget_pack")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
