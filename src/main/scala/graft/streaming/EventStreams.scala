@@ -208,6 +208,61 @@ object EventStreams {
       }
   }
 
+  /** errorRateAlerts on Spark 4's NEW arbitrary-state API
+    * (`transformWithState` / [[ErrorRateProcessor]]) — identical
+    * emission semantics to the flatMapGroupsWithState version above,
+    * expressed against the API generation that adds composable typed
+    * state variables, timers and TTL (and REQUIRES the RocksDB state
+    * store — the v2 state engine). StreamingSpec asserts the two
+    * generations emit the same alerts on the same stream; at 100 TB
+    * state this is the surface new stateful operators should target.
+    */
+  def errorRateAlertsTws(events: Dataset[UserEvent],
+      threshold: Double = 0.5, minEvents: Long = 5): Dataset[UserAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new ErrorRateProcessor(threshold, minEvents),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The StatefulProcessor behind [[errorRateAlertsTws]]: one
+    * ValueState[UserState] per user (the same running census the
+    * classic version keeps in GroupState), alert emitted when the
+    * cumulative error rate crosses the threshold with enough events.
+    */
+  final class ErrorRateProcessor(threshold: Double, minEvents: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserAlert] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("user_state",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long,
+        rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserAlert] = {
+      var s = if (st.exists()) st.get() else UserState(0L, 0L, 0.0)
+      rows.foreach { e =>
+        s = UserState(s.nEvents + 1,
+          s.nErrors + (if (e.event_type == "error") 1 else 0),
+          s.totalValue + e.value)
+      }
+      st.update(s)
+      val rate =
+        if (s.nEvents == 0) 0.0 else s.nErrors.toDouble / s.nEvents
+      if (s.nEvents >= minEvents && rate > threshold)
+        Iterator(UserAlert(userId, s.nEvents, s.nErrors, rate))
+      else Iterator.empty
+    }
+  }
+
   final case class TypeSketch(event_type: String, mins: Array[Long])
 
   /** Streaming KMV distinct-user sketch per event type — the streaming

@@ -404,6 +404,37 @@ class StreamingSpec extends SparkFunSuite {
       streamed.map(_._5).sum == batchRows.map(_._5).sum)
   }
 
+  test("transformWithState (Spark 4 arbitrary-state API v2, RocksDB-" +
+      "backed) emits the SAME alerts as the classic " +
+      "flatMapGroupsWithState operator on the same stream") {
+    import spark.implicits._
+    def alertsOf(mk: org.apache.spark.sql.Dataset[UserEvent] =>
+        org.apache.spark.sql.Dataset[EventStreams.UserAlert],
+        name: String): Set[(Long, Long, Long)] = {
+      val streamEvents = EventStreams.readEventStream(spark, stagedDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[UserEvent]
+      runToMemory(mk(streamEvents).toDF(), name)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val classic = alertsOf(
+      EventStreams.errorRateAlerts(_, threshold = 0.25, minEvents = 10),
+      "tws_classic")
+    // the v2 API requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val v2 = alertsOf(
+        EventStreams.errorRateAlertsTws(_, threshold = 0.25,
+          minEvents = 10), "tws_v2")
+      assert(v2.nonEmpty && v2 == classic,
+        s"v2 ${v2.size} alerts vs classic ${classic.size}")
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState error-rate alerts fire for noisy users") {
     import spark.implicits._
     val events = spark.read.parquet(stagedDir)
