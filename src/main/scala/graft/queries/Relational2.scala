@@ -2100,8 +2100,40 @@ object Relational2 {
       Some(s"""SELECT cast(substr(o_orderpriority, 1, 1) as int) AS opr,
           count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
         FROM orders WHERE substr(o_orderpriority, 1, 1) IN ('1', '2')
-        GROUP BY 1 ORDER BY opr"""))
+        GROUP BY 1 ORDER BY opr""")),
+
+    // ------------------------------------------------------------------
+    // The ANSI front door, literally: ONE SQL text — CTE, window,
+    // filter, aggregate, ordered output — executed by BOTH engines
+    // (spark.sql over a registered view here; DuckDB verbatim as the
+    // oracle) and hash-equal. Every other entry pairs a DataFrame
+    // program with equivalent SQL; this one pins the stronger claim
+    // that the shared ANSI subset is genuinely shared: a user can
+    // paste the same analytics query into either engine. Stays inside
+    // the common dialect (row_number, min/max/count — no dialect
+    // date/double-sum traps).
+    // ------------------------------------------------------------------
+    "q86_common_sql" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(CommonSql)
+      },
+      Some(CommonSql))
   )
+
+  /** q86's shared text — the SAME string runs in Spark and DuckDB. */
+  private val CommonSql: String =
+    """WITH ranked AS (
+        SELECT o_orderpriority AS pri, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      SELECT pri, count(*) AS n,
+        min(o_totalprice) AS min_top, max(o_totalprice) AS max_top,
+        min(o_orderkey) AS first_key
+      FROM ranked WHERE rn <= 100
+      GROUP BY pri
+      ORDER BY pri"""
 
   /** q65's body: bloom-filter runtime pruning ahead of an exact semi
     * join (the bloom is pure pruning, never semantics — false
