@@ -2258,6 +2258,63 @@ object EventOps {
           FROM fz)
         SELECT layout, n_files, files_hit, rows_scanned, rows_matched
         FROM roll ORDER BY layout"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Materialized-view rewrite, end to end (plans/MvRewrite — the 5th
+    // optimizer-extension rung): the daily-count rollup is REFRESHED
+    // to parquet, registered (path + base marker + the day-bucket
+    // expression's optimized SQL as the semantics guard), and then the
+    // PLAIN aggregate a user writes over the base table is served from
+    // the MV — full fact scan + shuffle replaced by a metadata-scale
+    // read, answers unchanged (the oracle recomputes from the base
+    // table, so the hash match IS the rewrite's correctness proof; at
+    // 100 TB this is the difference between a dashboard query costing
+    // a fact scan and costing an MV lookup). Plan-level evidence
+    // (MV path in the scan, non-matching shapes untouched) is in
+    // PlanGateSpec.
+    // ------------------------------------------------------------------
+    "e35_mv_rewrite" -> Q(
+      (s, d) => {
+        import graft.plans.MvRewrite
+        val mvPath =
+          s"${System.getProperty("java.io.tmpdir")}/graft_mv_daily"
+        def rollup = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        rollup.write.mode("overwrite").parquet(mvPath) // REFRESH
+        val daySql = rollup.queryExecution.optimizedPlan.collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.collectFirst {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias
+                  if a.child.dataType ==
+                    org.apache.spark.sql.types.DateType => a.child.sql
+            }
+        }.flatten.getOrElse("")
+        MvRewrite.install(s)
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        s.conf.set(MvRewrite.PathKey, mvPath)
+        s.conf.set(MvRewrite.BaseKey, "events.parquet")
+        s.conf.set(MvRewrite.DaySqlKey, daySql)
+        try {
+          // the PLAIN query — optimization happens at EXECUTION, so
+          // materialize while the registration is live (q84's pattern)
+          mat(t(s, d, "events")
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")))
+            .orderBy(col("event_type"), col("day"))
+        } finally {
+          s.conf.unset(MvRewrite.EnabledKey)
+          s.conf.unset(MvRewrite.PathKey)
+          s.conf.unset(MvRewrite.BaseKey)
+          s.conf.unset(MvRewrite.DaySqlKey)
+          MvRewrite.uninstall(s)
+        }
+      },
+      Some("""SELECT event_type,
+          cast(cast(ts as timestamp) as date) AS day,
+          cast(count(*) as bigint) AS n
+        FROM events GROUP BY 1, 2
+        ORDER BY event_type, day"""))
   )
 }

@@ -288,6 +288,80 @@ class PlanGateSpec extends SparkFunSuite {
     }
   }
 
+  test("MvRewrite: the registered daily-count MV serves the plain " +
+      "aggregate (optimized plan reads the MV parquet, not the fact " +
+      "table) with identical rows; DISTINCT / shifted-day / extra-" +
+      "grouping shapes are left on the base table") {
+    import graft.plans.MvRewrite
+    val events = graft.queries.Catalog.t(spark, sf0001, "events")
+    def rollup = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val plain = rollup.collect()
+      .map(_.toSeq.toVector).sortBy(_.mkString("|")).toSeq
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft-mv").toString + "/mv"
+    rollup.write.parquet(mvPath)
+    val daySql = rollup.queryExecution.optimizedPlan.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collectFirst {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+              if a.child.dataType ==
+                org.apache.spark.sql.types.DateType => a.child.sql
+        }
+    }.flatten.getOrElse(fail("no day expression found"))
+    MvRewrite.install(spark)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    spark.conf.set(MvRewrite.PathKey, mvPath)
+    spark.conf.set(MvRewrite.BaseKey, "events.parquet")
+    spark.conf.set(MvRewrite.DaySqlKey, daySql)
+    try {
+      val q = rollup
+      // logical Relation nodes don't print paths — the FileScan in the
+      // executed plan does
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("graft-mv"), s"MV not in plan:\n$phys")
+      assert(!phys.contains("events.parquet"),
+        s"base table still scanned:\n$phys")
+      // and the rewrite removed the aggregation entirely
+      assert(!q.queryExecution.optimizedPlan.toString
+        .contains("Aggregate"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().map(_.toSeq.toVector)
+        .sortBy(_.mkString("|")).toSeq == plain,
+        "MV-served rows diverge from the recompute")
+      // count(DISTINCT …) cannot be served by a count MV
+      val distinctQ = events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+      val distinctPhys = distinctQ.queryExecution.executedPlan.toString
+      assert(!distinctPhys.contains("graft-mv") &&
+        distinctPhys.contains("events.parquet"), distinctPhys)
+      // a DIFFERENT date bucketing must not match the daySql guard
+      val shifted = events
+        .groupBy(col("event_type"),
+          to_date(expr("ts + interval 1 day")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val shiftedPhys = shifted.queryExecution.executedPlan.toString
+      assert(!shiftedPhys.contains("graft-mv") &&
+        shiftedPhys.contains("events.parquet"), shiftedPhys)
+      // finer grouping than the MV stores
+      val extra = events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val extraPhys = extra.queryExecution.executedPlan.toString
+      assert(!extraPhys.contains("graft-mv") &&
+        extraPhys.contains("events.parquet"), extraPhys)
+    } finally {
+      spark.conf.unset(MvRewrite.EnabledKey)
+      spark.conf.unset(MvRewrite.PathKey)
+      spark.conf.unset(MvRewrite.BaseKey)
+      spark.conf.unset(MvRewrite.DaySqlKey)
+      MvRewrite.uninstall(spark)
+    }
+  }
+
   test("TopKPerKey: partial-stage flush under a tiny byte budget " +
       "emits candidate supersets the final stage re-selects from — " +
       "rows identical to the unflushed run") {
