@@ -64,6 +64,35 @@ class AqeSpec extends SparkFunSuite {
     }
   }
 
+  test("AQE runtime join re-plan: a statically SMJ-planned join whose " +
+      "build side turns out tiny at runtime executes as a broadcast " +
+      "join (the third AQE lever, after skew-split and coalescing)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"))
+    // static sizing (no CBO): an Aggregate's size estimate derives
+    // from its CHILD, so the 3-group rollup below reads as file-sized
+    // → SMJ under an 8 KB threshold. At runtime the finished shuffle
+    // stage is 3 rows → AQE re-plans the join to broadcast.
+    val tiny = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sq"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+    try {
+      val q = li.join(tiny, Seq("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      val initial = q.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"),
+        s"expected a static SMJ:\n$initial")
+      q.collect()
+      val fin = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(fin.contains("BroadcastHashJoin"),
+        s"runtime did not promote to broadcast:\n$fin")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("AQE partition coalescing: a near-empty 32-partition shuffle " +
       "executes with fewer reducers than shuffle.partitions (the " +
       "runtime re-plan that keeps small stages cheap)") {
