@@ -1453,6 +1453,67 @@ object TextDedupOps {
 
 
     // ------------------------------------------------------------------
+    // Compliance DELETION from the stored similarity index (the d-series
+    // numbering gap, filled with the operation the d14/d16/d20
+    // incremental story was missing: the right-to-be-forgotten path).
+    // Sources src12/src6 must be purged — chosen because they HOLD
+    // best-match entries in d16's verdicts, so the purge visibly
+    // changes answers (no vacuous twin). The purge touches ONLY the
+    // stored (band, band_hash, doc_id) table: one metadata-scale
+    // anti-join and a rewrite of the compacted index — purged text is
+    // never re-read, surviving docs never re-shingle (at 100 TB the
+    // compaction is 16 rows × 16 B per purged doc against a
+    // band-partitioned columnar table). Day-N probes then run against
+    // the compacted index; the oracle re-derives verdicts from the
+    // surviving corpus directly, so the hash match PROVES compacted ≡
+    // rebuilt-from-scratch — deletion left no ghost candidates and
+    // dropped no survivor.
+    // ------------------------------------------------------------------
+    "d25_index_deletion" -> Q(
+      (s, d) => {
+        val bands = 16
+        val rowsPerBand = 4
+        val incomingSrcs = Seq("src16", "src17", "src18", "src19")
+        val purgeSrcs = Seq("src12", "src6")
+        val incoming = col("source").isin(incomingSrcs: _*)
+        val base = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+          sys.props("java.io.tmpdir") + "/graft-index") +
+          "/d25-band-index-" + new java.io.File(d).getName
+        // day-0: the full history index stored (d16's layout)
+        bandIndex(docs(s, d).filter(!incoming), bands, rowsPerBand)
+          .write.mode("overwrite").partitionBy("band").parquet(base)
+        // the purge: metadata-only anti-join on the STORED rows
+        val purgeIds = docs(s, d)
+          .filter(col("source").isin(purgeSrcs: _*))
+          .select(col("doc_id").as("pid"))
+        s.read.parquet(base)
+          .join(purgeIds, col("doc_id") === col("pid"), "left_anti")
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$base-compacted")
+        // day-N probe against the compacted index
+        val stored = s.read.parquet(s"$base-compacted")
+          .select(col("band"), col("band_hash"),
+            col("doc_id").as("doc_idx"))
+        val cand = bandIndex(docs(s, d).filter(incoming), bands,
+            rowsPerBand)
+          .select(col("band"), col("band_hash"),
+            col("doc_id").as("doc_new"))
+          .join(stored, Seq("band", "band_hash"))
+          .select(col("doc_new"), col("doc_idx"))
+          .distinct()
+        lshIncrementalVerdicts(s, d, cand, incoming)
+      },
+      // the shared incremental oracle, with the purged docs excluded
+      // from the INDEX side — re-derived from the surviving corpus, so
+      // it verifies the compaction, not just the probe
+      Some(incrementalDedupOracle.replace(
+        "WHERE l.inc AND NOT r.inc)",
+        """WHERE l.inc AND NOT r.inc
+            AND r.doc_id NOT IN (SELECT doc_id FROM documents
+              WHERE source IN ('src12', 'src6')))"""))),
+
+
+    // ------------------------------------------------------------------
     // LSH band-config tuning harness — s04's role, for dedup: measure
     // the precision/recall of two banding schemes against exact
     // ground truth instead of trusting the S-curve folklore. Both

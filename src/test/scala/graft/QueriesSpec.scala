@@ -64,7 +64,8 @@ class QueriesSpec extends SparkFunSuite {
         "e33_hw_band_calibration", "d27_cluster_size_census",
         "x47_bpe_corpus_encode", "e34_zorder_optimize",
         "x48_bpe_incremental_encode", "q85_dpp_join",
-        "p06_token_budget_pack", "e35_mv_rewrite")) {
+        "p06_token_budget_pack", "e35_mv_rewrite",
+        "d25_index_deletion")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
