@@ -980,5 +980,92 @@ object MigrationOps {
           (1000 * (post_ndv - pre_ndv)) // pre_ndv > 50 OR
             (1000 * (post_rows - pre_rows)) // pre_rows > 50
             AS needs_refresh
-        FROM lng ORDER BY col_name""")))
+        FROM lng ORDER BY col_name""")),
+
+
+    // ------------------------------------------------------------------
+    // Schema-drift diff → GENERATED migration plan → danger gate: the
+    // generator half the reference's analyzer implies but never ships
+    // (it classifies hand-written DDL; real teams also need the DDL
+    // WRITTEN from a schema delta). The live orders schema is diffed
+    // against a target spec (drop o_orderpriority, add o_channel
+    // string, retype o_custkey → int); each delta becomes the ALTER
+    // statement a migration file would carry, and each statement runs
+    // through the REAL analyzer — so the generated plan arrives
+    // pre-classified (the retype trips R4 HIGH, the no-default add and
+    // the drop are safe). Everything is metadata-scale (schema rows);
+    // the oracle re-derives the diff from DuckDB's own DESCRIBE of the
+    // same parquet with a type-label bridge, so a driver-side schema
+    // regeneration changes both engines in lockstep.
+    // ------------------------------------------------------------------
+    "m13_schema_diff_plan" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val live = t(s, d, "orders").schema
+          .map(f => f.name -> f.dataType.simpleString).toMap
+        // target spec: the three mutations applied to the live schema
+        val target = (live - "o_orderpriority") +
+          ("o_channel" -> "string") + ("o_custkey" -> "int")
+        val analyzer = new Analyzer(targetPgVersion = 14)
+        def classify(ddl: String): (Int, String) = {
+          val r = analyzer.analyze(
+            graft.model.Migration("m13", "gen", ddl + ";", "", "gen.sql"))
+          (r.maxSeverity, r.findings.headOption.map(_.rule).getOrElse(""))
+        }
+        val rows =
+          target.filterNot { case (n, _) => live.contains(n) }.toSeq
+            .map { case (n, t2) =>
+              ("add_column", n, null: String, t2,
+                s"ALTER TABLE orders ADD COLUMN $n $t2")
+            } ++
+          live.filterNot { case (n, _) => target.contains(n) }.toSeq
+            .map { case (n, t0) =>
+              ("drop_column", n, t0, null: String,
+                s"ALTER TABLE orders DROP COLUMN $n")
+            } ++
+          target.toSeq.collect {
+            case (n, t2) if live.get(n).exists(_ != t2) =>
+              ("retype", n, live(n), t2,
+                s"ALTER TABLE orders ALTER COLUMN $n TYPE $t2")
+          }
+        rows.map { case (c, n, t0, t2, ddl) =>
+          val (sev, rule) = classify(ddl)
+          (c, n, t0, t2, ddl, sev.toLong, rule)
+        }.toDF("change", "column_name", "from_type", "to_type", "ddl",
+          "severity", "rule")
+          .orderBy(col("change"), col("column_name"))
+      },
+      Some("""WITH s0 AS (
+          SELECT column_name AS name,
+            CASE column_type WHEN 'BIGINT' THEN 'bigint'
+              WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+              WHEN 'INTEGER' THEN 'int' WHEN 'DATE' THEN 'date'
+              ELSE lower(column_type) END AS t
+          FROM (DESCRIBE SELECT * FROM orders)),
+        tgt AS (
+          SELECT name, CASE WHEN name = 'o_custkey' THEN 'int'
+            ELSE t END AS t
+          FROM s0 WHERE name <> 'o_orderpriority'
+          UNION ALL SELECT 'o_channel', 'string'),
+        diffs AS (
+          SELECT 'add_column' AS change, name AS column_name,
+            CAST(NULL AS VARCHAR) AS from_type, t AS to_type,
+            'ALTER TABLE orders ADD COLUMN ' || name || ' ' || t AS ddl,
+            cast(0 as bigint) AS severity, '' AS rule
+          FROM tgt WHERE name NOT IN (SELECT name FROM s0)
+          UNION ALL
+          SELECT 'drop_column', name, t, CAST(NULL AS VARCHAR),
+            'ALTER TABLE orders DROP COLUMN ' || name,
+            cast(0 as bigint), ''
+          FROM s0 WHERE name NOT IN (SELECT name FROM tgt)
+          UNION ALL
+          SELECT 'retype', s0.name, s0.t, tgt.t,
+            'ALTER TABLE orders ALTER COLUMN ' || s0.name ||
+              ' TYPE ' || tgt.t,
+            cast(3 as bigint), 'alter-column-type'
+          FROM s0 JOIN tgt USING (name) WHERE s0.t <> tgt.t)
+        SELECT change, column_name, from_type, to_type, ddl,
+          severity, rule
+        FROM diffs
+        ORDER BY change, column_name""")))
 }
