@@ -239,8 +239,16 @@ object Bench {
     val retryJson =
       if (!preSick) ""
       else s""","calibration_retry":{"cooldown_sec":$cooldownSec,"pre_before":${f3(calPre0)},"shuffle_pre_before":${f3(calShufPre0)}}"""
+    // Two lines, diagnostic first, canonical LAST: the driver archives
+    // only a 2000-char tail of stdout, and the full min/med/max spread
+    // map alone exceeds that — r11's artifact lost the first ~3
+    // headline queries (q01/q03/q04 invisible, parsed:null). The final
+    // line is the complete spec-shape JSON without the spread, sized to
+    // always fit the tail whole.
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"calibration_status":"$calStatus"$retryJson,"flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"spread_detail","spread":$spread,"runs":$runs$retryJson,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"calibration_status":"$calStatus","flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

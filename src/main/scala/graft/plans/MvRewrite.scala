@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, KnownNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -103,8 +103,8 @@ object MvRewrite extends Rule[LogicalPlan] {
               agg
             else {
               // role per output column, original exprIds preserved
-              val outs: Seq[NamedExpression] = agg.output.zip(aggExprs)
-                .map { case (out, src) =>
+              val roles: Seq[(Attribute, Attribute)] =
+                agg.output.zip(aggExprs).map { case (out, src) =>
                   val role = src match {
                     case al: Alias if isCountOne(al.child) => mvCol("n")
                     case other =>
@@ -116,9 +116,33 @@ object MvRewrite extends Rule[LogicalPlan] {
                         mvCol("event_type")
                       else mvCol("day")
                   }
-                  Alias(role, out.name)(exprId = out.exprId)
+                  (out, role)
                 }
-              Project(outs, mv)
+              // Schema-drift guard: Alias(role, name)(exprId) keeps the
+              // exprId but TAKES the MV column's dataType — an MV
+              // written with a drifted schema (n as INT, day as
+              // TIMESTAMP) would silently change the query's types
+              // downstream (wrong results or codegen/cast failures).
+              // Require exact type match; otherwise serve from base.
+              // Nullability: parquet columns always read back nullable,
+              // so a nullable MV column feeding a non-nullable output
+              // (count(1)) is wrapped in KnownNotNull — the MV
+              // registration IS the registrar's no-nulls assertion.
+              val typesOk = roles.forall { case (out, role) =>
+                role.dataType == out.dataType
+              }
+              if (!typesOk) agg
+              else {
+                val outs: Seq[NamedExpression] = roles.map {
+                  case (out, role) =>
+                    val child: Expression =
+                      if (role.nullable && !out.nullable)
+                        KnownNotNull(role)
+                      else role
+                    Alias(child, out.name)(exprId = out.exprId)
+                }
+                Project(outs, mv)
+              }
             }
         }
     }

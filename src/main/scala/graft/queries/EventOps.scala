@@ -2182,7 +2182,8 @@ object EventOps {
             interleave(col("ux"), 0).bitwiseOR(interleave(col("my"), 1))
               .as("z"))
         val base =
-          s"${System.getProperty("java.io.tmpdir")}/graft_zorder_optimize"
+          s"${System.getProperty("java.io.tmpdir")}/graft_zorder_optimize_" +
+            new java.io.File(d).getName
         ev.withColumn("f", expr("event_id div 2048"))
           .write.mode("overwrite").partitionBy("f")
           .parquet(s"$base/arrival")
@@ -2278,7 +2279,8 @@ object EventOps {
       (s, d) => {
         import graft.plans.MvRewrite
         val mvPath =
-          s"${System.getProperty("java.io.tmpdir")}/graft_mv_daily"
+          s"${System.getProperty("java.io.tmpdir")}/graft_mv_daily_" +
+            new java.io.File(d).getName
         def rollup = t(s, d, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))

@@ -151,7 +151,7 @@ object MigrationOps {
       Some(s"""$loaderCte
         SELECT version, name, sha256(up_sql) AS checksum,
           down_sql IS NOT NULL AND down_sql <> '' AS has_down,
-          cast(strlen(up_sql) as int) AS up_len
+          cast(length(up_sql) as int) AS up_len
         FROM piv WHERE up_sql IS NOT NULL
         ORDER BY version""")),
 

@@ -552,7 +552,8 @@ object Relational2 {
     "q57_partition_pruned" -> Q(
       (s, d) => {
         val path =
-          s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
+          s"${System.getProperty("java.io.tmpdir")}/graft_part_events_" +
+            new java.io.File(d).getName
         t(s, d, "events").write.mode("overwrite")
           .partitionBy("event_type").parquet(path)
         s.read.parquet(path)
@@ -2081,7 +2082,8 @@ object Relational2 {
     "q85_dpp_join" -> Q(
       (s, d) => {
         val path =
-          s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders"
+          s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders_" +
+            new java.io.File(d).getName
         t(s, d, "orders")
           .withColumn("opr",
             substring(col("o_orderpriority"), 1, 1).cast("int"))
@@ -2192,7 +2194,8 @@ object Relational2 {
   private def roundtripAgg(s: SparkSession, d: String,
       fmt: String): DataFrame = {
     val src = t(s, d, "orders")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_$fmt"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_" +
+      new java.io.File(d).getName
     src.write.mode("overwrite").format(fmt)
       .option("header", "true").option("timestampFormat", tsFmt)
       .save(path)

@@ -2414,7 +2414,7 @@ object TextCurationOps {
           ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
         enc AS (
           SELECT pl.lang, pl.cnt,
-            cast(strlen(pl.word) as int) AS chars,
+            cast(length(pl.word) as int) AS chars,
             len(string_split(
               replace(
                 replace(
@@ -3461,7 +3461,7 @@ object TextCurationOps {
             SELECT unnest(string_split_regex(
               regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
             FROM documents) GROUP BY 1),
-        ch AS MATERIALIZED (SELECT cast(sum(cnt * strlen(word))
+        ch AS MATERIALIZED (SELECT cast(sum(cnt * length(word))
             as double) AS nc FROM census),
         s0 AS (SELECT cnt,
             rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
@@ -4521,8 +4521,11 @@ object TextCurationOps {
         // FREEZE the tokenizer: merge table + vocab persisted, then
         // read BACK — the artifacts on disk are the deployment unit
         import s.implicits._
+        // per-dataset suffix (the d16/d25 discipline): concurrent
+        // Verify runs on different sf dirs must not share artifacts
         val tokDir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_x48_tokenizer"
+          s"${System.getProperty("java.io.tmpdir")}/graft_x48_tokenizer_" +
+            new java.io.File(d).getName
         merges.toDF("rank", "lhs", "rhs").coalesce(1)
           .write.mode("overwrite").parquet(s"$tokDir/merges.parquet")
         seqs.select(explode(split(col("seq"), " ")).as("tok")).distinct()
@@ -4587,7 +4590,7 @@ object TextCurationOps {
                 FROM s$nMerges)),
         wid AS MATERIALIZED (
           SELECT e.word, cast(len(any_value(e.toks)) as bigint) AS n_toks,
-            cast(strlen(any_value(e.word)) as bigint) AS n_chars,
+            cast(length(any_value(e.word)) as bigint) AS n_chars,
             cast(count(*) FILTER (WHERE v.id IS NULL) as bigint) AS n_unk,
             string_agg(coalesce(v.id, 0), ',' ORDER BY e.tp) AS idstr
           FROM (SELECT word, toks, toks[u.tp] AS tok, u.tp

@@ -1506,11 +1506,16 @@ object TextDedupOps {
       // the shared incremental oracle, with the purged docs excluded
       // from the INDEX side — re-derived from the surviving corpus, so
       // it verifies the compaction, not just the probe
-      Some(incrementalDedupOracle.replace(
-        "WHERE l.inc AND NOT r.inc)",
-        """WHERE l.inc AND NOT r.inc
+      Some {
+        val anchor = "WHERE l.inc AND NOT r.inc)"
+        require(incrementalDedupOracle.contains(anchor),
+          s"d25 oracle anchor '$anchor' no longer present in " +
+            "incrementalDedupOracle — update the exclusion surgery")
+        incrementalDedupOracle.replace(anchor,
+          """WHERE l.inc AND NOT r.inc
             AND r.doc_id NOT IN (SELECT doc_id FROM documents
-              WHERE source IN ('src12', 'src6')))"""))),
+              WHERE source IN ('src12', 'src6')))""")
+      }),
 
 
     // ------------------------------------------------------------------

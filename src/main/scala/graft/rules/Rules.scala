@@ -212,9 +212,6 @@ object RenameRule extends Rule {
   }
 }
 
-/** Default registry — all nine rules, unique IDs (reference:
-  * `internal/analyzer/rules/registry.go:6-19`).
-  */
 /** R10 (beyond the reference's nine) — `DO $$ … $$` procedural blocks
   * are OPAQUE to static analysis: neither this classifier nor the
   * reference's pg_query descends into the body's (possibly dynamic)
@@ -235,6 +232,9 @@ object OpaqueDoBlockRule extends Rule {
   }
 }
 
+/** Default registry — the nine reference rules plus opaque-do-block,
+  * unique IDs (reference: `internal/analyzer/rules/registry.go:6-19`).
+  */
 object Registry {
   val defaultRules: Seq[Rule] = Seq(
     CreateIndexNotConcurrent,

@@ -353,6 +353,23 @@ class PlanGateSpec extends SparkFunSuite {
       val extraPhys = extra.queryExecution.executedPlan.toString
       assert(!extraPhys.contains("graft-mv") &&
         extraPhys.contains("events.parquet"), extraPhys)
+      // schema-drift guard: an MV whose n column drifted to INT (or
+      // day to TIMESTAMP) must NOT be served — same name check passes,
+      // the dataType check sends the query back to the base table with
+      // correct results instead of silently changing output types
+      val driftPath = java.nio.file.Files
+        .createTempDirectory("graft-mvdrift").toString + "/mv"
+      rollup.select(col("event_type"), col("day"),
+        col("n").cast("int").as("n")).write.parquet(driftPath)
+      spark.conf.set(MvRewrite.PathKey, driftPath)
+      val driftQ = rollup
+      val driftPhys = driftQ.queryExecution.executedPlan.toString
+      assert(!driftPhys.contains("graft-mvdrift") &&
+        driftPhys.contains("events.parquet"),
+        s"drifted MV served despite type mismatch:\n$driftPhys")
+      assert(driftQ.collect().map(_.toSeq.toVector)
+        .sortBy(_.mkString("|")).toSeq == plain)
+      spark.conf.set(MvRewrite.PathKey, mvPath)
     } finally {
       spark.conf.unset(MvRewrite.EnabledKey)
       spark.conf.unset(MvRewrite.PathKey)
