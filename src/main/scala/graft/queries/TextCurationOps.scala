@@ -2784,8 +2784,11 @@ object TextCurationOps {
         bandIndex(docs(s, d).filter(!incoming), bands, rowsPerBand)
           .write.mode("overwrite").partitionBy("band").parquet(idxPath)
 
-        // stage 1: quality gate on incoming only (p01's arithmetic)
+        // stage 0+1: URL-layer admission on the INCOMING slice only
+        // (the stored history index was admitted when it was built),
+        // then the quality gate (p01's arithmetic)
         val tokd = docs(s, d).filter(incoming)
+          .join(urlAdmitted(s, d), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("lang"), col("text"),
             words(col("text")).as("w"))
         val nTok = size(col("w")).cast("double")
@@ -2877,7 +2880,8 @@ object TextCurationOps {
           .unionAll(census(q3, "3_admitted"))
           .orderBy(col("stage"), col("lang"))
       },
-      Some("""WITH perms AS (
+      Some("WITH " + urlAdmittedCte + """,
+        perms AS (
           SELECT
             list_transform(range(0, 64), i ->
               ('0x' || substr(md5('perm_a_' || i), 1, 15))::BIGINT
@@ -2904,7 +2908,8 @@ object TextCurationOps {
               AND (cast(length(regexp_replace(text, '\s+', '', 'g'))
                 as double) / cast(len(w) as double)) <= 8
               THEN 0.3 ELSE 0.0 END AS quality
-          FROM t0 WHERE inc),
+          FROM t0 WHERE inc
+            AND doc_id IN (SELECT doc_id FROM admitted)),
         q1 AS (SELECT doc_id, lang, w FROM inc0 WHERE quality >= 0.62),
         eligible AS (
           SELECT doc_id, false AS inc, w FROM t0 WHERE NOT inc
@@ -3768,9 +3773,14 @@ object TextCurationOps {
     "p01_curation_pipeline" -> Q(
       (s, d) => {
         import s.implicits._
+        // stage 0: URL-layer admission (round 12) — domain blocklist
+        // + one-doc-per-canonical-URL, the web-pipeline cut that
+        // happens BEFORE any text is read. Broadcast-anti + key-
+        // partitioned window; see urlAdmitted.
         // stage 1: quality gate (x02's exact arithmetic); tokens
         // aliased once behind their own projection
         val tokd = docs(s, d)
+          .join(urlAdmitted(s, d), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("lang"), col("text"),
             words(col("text")).as("w"))
         val nTok = size(col("w")).cast("double")
@@ -3856,10 +3866,12 @@ object TextCurationOps {
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("split"), col("lang"))
       },
-      Some("""WITH RECURSIVE w0 AS (
+      Some("WITH RECURSIVE " + urlAdmittedCte + """,
+        w0 AS (
           SELECT doc_id, lang, text,
             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
-          FROM documents),
+          FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM admitted)),
         q1 AS (
           SELECT doc_id, lang, w FROM (
             SELECT doc_id, lang, w,
@@ -4888,6 +4900,295 @@ object TextCurationOps {
             AS label_total,
           true_lang = pred_lang AS correct
         FROM conf
-        ORDER BY true_lang, pred_lang"""))
+        ORDER BY true_lang, pred_lang""")),
+
+
+    // ------------------------------------------------------------------
+    // URL CANONICALIZATION + per-domain census — the first stage of a
+    // RefinedWeb/CCNet-class web pipeline, which starts at the URL
+    // layer before any text op. URLs are synthesized deterministically
+    // per doc (the x40 discipline: h60-keyed subdomain / host case /
+    // scheme / :443 port / trailing slash / utm+ref tracking params /
+    // fragment noise; docs in groups of 3 share a page identity), then
+    // canonicalized by PARSING the raw string — lower host, strip
+    // default port, strip www., normalize scheme, drop fragment, drop
+    // tracking params (keeping real ones), strip trailing slash. The
+    // census reports per registered domain how much the canonical key
+    // collapses (dup_milli) — the number a crawl dedup plans against.
+    // Scale: row-local regex parsing, one hash-partitioned groupBy on
+    // domain; no joins. The raw_url/host are aliased behind their own
+    // projections before multi-reference (expression-inlining rule).
+    // ------------------------------------------------------------------
+    "x50_url_canonicalize" -> Q(
+      (s, d) =>
+        urlCanon(s, d)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("raw_url")).as("n_raw_urls"),
+            countDistinct(col("canon_url")).as("n_canon_urls"),
+            sum(col("n_toks")).as("n_tokens"))
+          .withColumn("dup_milli",
+            expr("1000 * (n_docs - n_canon_urls) div n_docs"))
+          .orderBy(col("domain")),
+      Some(s"""WITH $urlCanonCte
+        SELECT domain, cast(count(*) as bigint) AS n_docs,
+          cast(count(DISTINCT raw_url) as bigint) AS n_raw_urls,
+          cast(count(DISTINCT canon_url) as bigint) AS n_canon_urls,
+          cast(sum(n_toks) as bigint) AS n_tokens,
+          cast(1000 * (count(*) - count(DISTINCT canon_url)) //
+            count(*) as bigint) AS dup_milli
+        FROM canon GROUP BY domain ORDER BY domain""")),
+
+
+    // ------------------------------------------------------------------
+    // DOMAIN BLOCKLIST GATE + two-level URL dedup funnel — the rest of
+    // the URL-layer stage: (1) anti-join the canonical registered
+    // domain against a blocklist, (2) URL-exact dedup on the canonical
+    // URL (min doc_id survives), (3) host-path near-dup collapse on
+    // (registered domain, path) — catching m./blog. mirror variants
+    // the exact key keeps apart. Output is the stage funnel a pipeline
+    // operator reads before committing crawl budget: docs, tokens and
+    // distinct domains surviving each stage.
+    // Scale: the blocklist is a broadcast anti-join; both dedup levels
+    // are key-partitioned row_number windows (no global ordering, no
+    // all-pairs anything).
+    // ------------------------------------------------------------------
+    "x51_url_gate_dedup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val canon = mat(urlCanon(s, d))
+        val bl = Seq("site1.com", "site5.com", "site9.com").toDF("domain")
+        val gated = mat(canon.join(broadcast(bl), Seq("domain"),
+          "left_anti"))
+        val ud = mat(gated.withColumn("rn", row_number().over(
+            Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn"))
+        val hp = ud.withColumn("rn2", row_number().over(
+            Window.partitionBy(col("domain"), col("path"))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn2") === 1).drop("rn2")
+        def stage(df: DataFrame, name: String) = df
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            countDistinct(col("domain")).as("n_domains"))
+          .select(lit(name).as("stage"), col("n_docs"),
+            col("n_tokens"), col("n_domains"))
+        def frs(df: DataFrame) =
+          df.select(df.columns.map(c => col(c).as(c)): _*)
+        frs(stage(canon, "1_raw"))
+          .unionAll(frs(stage(gated, "2_domain_gate")))
+          .unionAll(frs(stage(ud, "3_url_exact")))
+          .unionAll(frs(stage(hp, "4_host_path")))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH $urlCanonCte,
+        bl AS (SELECT unnest(['site1.com','site5.com','site9.com'])
+          AS domain),
+        gated AS (SELECT c.* FROM canon c
+          WHERE domain NOT IN (SELECT domain FROM bl)),
+        ud AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY canon_url ORDER BY doc_id) AS rn FROM gated)
+          WHERE rn = 1),
+        hp AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY domain, path ORDER BY doc_id) AS rn2 FROM ud)
+          WHERE rn2 = 1),
+        stages AS (
+          SELECT '1_raw' AS stage, cast(count(*) as bigint) AS n_docs,
+            cast(sum(n_toks) as bigint) AS n_tokens,
+            cast(count(DISTINCT domain) as bigint) AS n_domains
+          FROM canon
+          UNION ALL SELECT '2_domain_gate', cast(count(*) as bigint),
+            cast(sum(n_toks) as bigint),
+            cast(count(DISTINCT domain) as bigint) FROM gated
+          UNION ALL SELECT '3_url_exact', cast(count(*) as bigint),
+            cast(sum(n_toks) as bigint),
+            cast(count(DISTINCT domain) as bigint) FROM ud
+          UNION ALL SELECT '4_host_path', cast(count(*) as bigint),
+            cast(sum(n_toks) as bigint),
+            cast(count(DISTINCT domain) as bigint) FROM hp)
+        SELECT * FROM stages ORDER BY stage"""))
   )
+
+  // --- URL-layer synthesis + canonicalization (x50/x51 shared) ----------
+
+  /** Deterministic raw URL per doc + its parsed canonical form.
+    *
+    * Synthesis (h60-keyed, DuckDB-rederivable): docs in groups of
+    * `doc_id div 3` share a page identity (domain + path); each doc's
+    * raw URL then varies by subdomain ('' / www. / m. / blog.), host
+    * case, scheme (http 1-in-7), an explicit :443 on https, a trailing
+    * slash, up to two tracking params (utm_source, ref), one REAL
+    * param (id, kept by canonicalization), and a #top fragment.
+    *
+    * Canonicalization parses the raw string (regex, row-local):
+    * host → lower, strip :443, strip leading www.; path → strip
+    * trailing slash; query → drop utm_* and ref params, keep the
+    * rest in order; scheme normalized to https; fragment dropped.
+    * Output: doc_id, lang, source, n_toks, raw_url, canon_url,
+    * domain (registered: last two host labels), path.
+    */
+  private def urlCanon(s: SparkSession, d: String): DataFrame = {
+    def h(c: Column) = graft.functions.PortableHash.h60col(c)
+    def tag(t: String, k: Column) =
+      h(concat(lit(t), k.cast("string")))
+    val u0 = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+      size(words(col("text"))).cast("long").as("n_toks"),
+      expr("doc_id div 3").as("g"))
+    val u1 = u0.select(col("doc_id"), col("lang"), col("source"),
+      col("n_toks"), col("g"),
+      pmod(tag("udom_", col("g")), lit(12L)).as("dom_idx"),
+      element_at(array(lit(""), lit("www."), lit("m."), lit("blog.")),
+        (pmod(tag("usub_", col("doc_id")), lit(4L)) + 1).cast("int"))
+        .as("sub"),
+      (pmod(tag("ucase_", col("doc_id")), lit(5L)) === 0).as("upcase"),
+      when(pmod(tag("usch_", col("doc_id")), lit(7L)) === 0, "http")
+        .otherwise("https").as("scheme"),
+      (pmod(tag("uport_", col("doc_id")), lit(6L)) === 0).as("withport"),
+      (pmod(tag("usl_", col("doc_id")), lit(3L)) === 0).as("slash"),
+      (pmod(tag("ufr_", col("doc_id")), lit(5L)) === 0).as("frag"),
+      (pmod(tag("uq1_", col("doc_id")), lit(2L)) === 0).as("q1"),
+      (pmod(tag("uq2_", col("doc_id")), lit(3L)) === 0).as("q2"),
+      (pmod(tag("uq3_", col("doc_id")), lit(4L)) === 0).as("q3"),
+      pmod(tag("uqv_", col("doc_id")), lit(4L)).as("qv1"),
+      pmod(tag("uqw_", col("doc_id")), lit(3L)).as("qv2"))
+    val host0 = concat(col("sub"), lit("site"),
+      col("dom_idx").cast("string"), lit(".com"))
+    val qp = filter(array(
+      when(col("q1"), concat(lit("utm_source=s"), col("qv1").cast("string"))),
+      when(col("q2"), concat(lit("ref=r"), col("qv2").cast("string"))),
+      when(col("q3"), concat(lit("id="), col("g").cast("string")))),
+      x => x.isNotNull)
+    val u2 = u1.select(col("doc_id"), col("lang"), col("source"),
+      col("n_toks"),
+      concat(col("scheme"), lit("://"),
+        when(col("upcase"), upper(host0)).otherwise(host0),
+        when(col("scheme") === "https" && col("withport"), ":443")
+          .otherwise(""),
+        lit("/a/p"), col("g").cast("string"),
+        when(col("slash"), "/").otherwise(""),
+        when(size(qp) > 0, concat(lit("?"), array_join(qp, "&")))
+          .otherwise(lit("")),
+        when(col("frag"), "#top").otherwise("")).as("raw_url"))
+    // canonicalize by PARSING raw_url — each regex layer aliased
+    // behind its own projection before multi-reference
+    val u3 = u2.select(col("doc_id"), col("lang"), col("source"),
+      col("n_toks"), col("raw_url"),
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(col("raw_url"), "^[a-z]+://([^/?#]+)", 1)),
+        ":443$", ""), "^www\\.", "").as("host_c"),
+      regexp_extract(col("raw_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1)
+        .as("p0"),
+      filter(split(regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
+        x => x =!= "" && !x.rlike("^(utm_[a-z]+|ref)=")).as("keep"))
+    val u4 = u3.select(col("doc_id"), col("lang"), col("source"),
+      col("n_toks"), col("raw_url"), col("host_c"), col("keep"),
+      when(col("p0") =!= "/", regexp_replace(col("p0"), "/$", ""))
+        .otherwise(col("p0")).as("path"))
+    u4.select(col("doc_id"), col("lang"), col("source"), col("n_toks"),
+      col("raw_url"),
+      concat(lit("https://"), col("host_c"), col("path"),
+        when(size(col("keep")) > 0,
+          concat(lit("?"), array_join(col("keep"), "&")))
+          .otherwise(lit(""))).as("canon_url"),
+      regexp_extract(col("host_c"), "([^.]+\\.[^.]+)$", 1).as("domain"),
+      col("path"))
+  }
+
+  /** URL-layer admission — the pipeline (p01/p02) form of the x51
+    * funnel's first two cuts: blocklist-gate the registered domain,
+    * then admit ONE doc per canonical URL (min doc_id). The host-path
+    * mirror collapse (x51 stage 4) is a policy knob deliberately left
+    * out of default admission — m./blog. variants are distinct pages
+    * unless an operator opts into mirror folding.
+    */
+  private def urlAdmitted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val bl = Seq("site1.com", "site5.com", "site9.com").toDF("domain")
+    urlCanon(s, d).join(broadcast(bl), Seq("domain"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[urlAdmitted]] — CTEs ending in `admitted`. */
+  private def urlAdmittedCte: String =
+    urlCanonCte + """,
+        bl AS (SELECT unnest(['site1.com','site5.com','site9.com'])
+          AS domain),
+        gated AS (SELECT c.* FROM canon c
+          WHERE domain NOT IN (SELECT domain FROM bl)),
+        admitted AS (SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+              PARTITION BY canon_url ORDER BY doc_id) AS rn FROM gated)
+          WHERE rn = 1)"""
+
+  /** DuckDB twin of [[urlCanon]] — CTEs ending in `canon`. */
+  private def urlCanonCte: String = {
+    def H(x: String) = graft.functions.PortableHash.h60Sql(x)
+    s"""u0 AS (
+          SELECT doc_id, lang, source,
+            cast(len(string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+              as bigint) AS n_toks,
+            doc_id // 3 AS g
+          FROM documents),
+        u1 AS (
+          SELECT *, ${H("'udom_' || g")} % 12 AS dom_idx,
+            ['','www.','m.','blog.'][
+              1 + ${H("'usub_' || doc_id")} % 4] AS sub,
+            ${H("'ucase_' || doc_id")} % 5 = 0 AS upcase,
+            CASE WHEN ${H("'usch_' || doc_id")} % 7 = 0
+              THEN 'http' ELSE 'https' END AS scheme,
+            ${H("'uport_' || doc_id")} % 6 = 0 AS withport,
+            ${H("'usl_' || doc_id")} % 3 = 0 AS slash,
+            ${H("'ufr_' || doc_id")} % 5 = 0 AS frag,
+            ${H("'uq1_' || doc_id")} % 2 = 0 AS q1,
+            ${H("'uq2_' || doc_id")} % 3 = 0 AS q2,
+            ${H("'uq3_' || doc_id")} % 4 = 0 AS q3,
+            ${H("'uqv_' || doc_id")} % 4 AS qv1,
+            ${H("'uqw_' || doc_id")} % 3 AS qv2
+          FROM u0),
+        u2 AS (
+          SELECT doc_id, lang, source, n_toks, g,
+            scheme || '://' ||
+            (CASE WHEN upcase THEN upper(sub || 'site' || dom_idx || '.com')
+                  ELSE sub || 'site' || dom_idx || '.com' END) ||
+            (CASE WHEN scheme = 'https' AND withport
+              THEN ':443' ELSE '' END) ||
+            '/a/p' || g || (CASE WHEN slash THEN '/' ELSE '' END) ||
+            (CASE WHEN len(qp) > 0
+              THEN '?' || array_to_string(qp, '&') ELSE '' END) ||
+            (CASE WHEN frag THEN '#top' ELSE '' END) AS raw_url
+          FROM (SELECT *, list_filter([
+              CASE WHEN q1 THEN 'utm_source=s' || qv1 END,
+              CASE WHEN q2 THEN 'ref=r' || qv2 END,
+              CASE WHEN q3 THEN 'id=' || g END],
+              x -> x IS NOT NULL) AS qp
+            FROM u1) z),
+        canon AS (
+          SELECT doc_id, lang, source, n_toks, raw_url,
+            'https://' || host_c || path_c ||
+              (CASE WHEN len(keep) > 0
+                THEN '?' || array_to_string(keep, '&') ELSE '' END)
+              AS canon_url,
+            regexp_extract(host_c, '([^.]+\\.[^.]+)$$', 1) AS domain,
+            path_c AS path
+          FROM (
+            SELECT *,
+              regexp_replace(regexp_replace(
+                lower(regexp_extract(raw_url, '^[a-z]+://([^/?#]+)', 1)),
+                ':443$$', ''), '^www\\.', '') AS host_c,
+              CASE WHEN p0 <> '/' THEN regexp_replace(p0, '/$$', '')
+                ELSE p0 END AS path_c,
+              list_filter(string_split(
+                  regexp_extract(raw_url, '\\?([^#]*)', 1), '&'),
+                x -> x <> '' AND
+                  NOT regexp_matches(x, '^(utm_[a-z]+|ref)=')) AS keep
+            FROM (SELECT *, regexp_extract(raw_url,
+                '^[a-z]+://[^/?#]+([^?#]*)', 1) AS p0
+              FROM u2) y) z)"""
+  }
 }
