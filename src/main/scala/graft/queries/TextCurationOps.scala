@@ -4677,7 +4677,25 @@ object TextCurationOps {
               col("n_units"), col("n_seqs"), col("docs_spanning"),
               expr(s"(1000 * (n_units - (n_seqs - 1) * $L)) div $L")
                 .as("tail_fill_milli"))
+        // byte-regex leg (round 12, x52's tokenizer): GPT-2 pretokens
+        // with the Ġ space marker, trained with the same dataflow —
+        // the bill a production tokenizer would actually charge
+        val re = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+        val pdw = mat(docs(s, d).select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit(re), lit(0)))
+              .as("pt"))
+          .select(col("doc_id"),
+            regexp_replace(col("pt"), "^ ", "Ġ").as("word")))
+        val ptCensus = pdw.groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        val (_, yseqs) = bpeTrain(ptCensus, nMerges)
+        val ylen = yseqs.select(col("word"),
+          size(split(col("seq"), " ")).cast("long").as("n_toks"))
+        val ycounts = pdw.join(ylen, Seq("word"))
+          .groupBy(col("doc_id")).agg(sum(col("n_toks")).as("n"))
+          .localCheckpoint()
         bill(wcounts, "words").unionAll(bill(bcounts, "bpe"))
+          .unionAll(bill(ycounts, "bpe_byte"))
           .orderBy(col("unit"))
       },
       Some {
@@ -4693,6 +4711,18 @@ object TextCurationOps {
             replace($prev.seq, b$k.lhs || ' ' || b$k.rhs,
               b$k.lhs || b$k.rhs) AS seq
           FROM $prev, b$k)"""
+        }.mkString(",\n        ")
+        val ylevels = (1 to nMerges).map { k =>
+          val prev = s"ys${k - 1}"
+          s"""yp$k AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM $prev) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        yb$k AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM yp$k GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        ys$k AS MATERIALIZED (SELECT $prev.word, $prev.cnt,
+            replace($prev.seq, yb$k.lhs || ' ' || yb$k.rhs,
+              yb$k.lhs || yb$k.rhs) AS seq
+          FROM $prev, yb$k)"""
         }.mkString(",\n        ")
         s"""WITH dwords AS MATERIALIZED (
           SELECT doc_id, unnest(string_split_regex(
@@ -4736,11 +4766,42 @@ object TextCurationOps {
             cast(max((off + n - 1) // 512) + 1 as bigint) AS n_seqs,
             cast(count(*) FILTER (WHERE off // 512 <>
               (off + n - 1) // 512) as bigint) AS docs_spanning
-          FROM bo WHERE n > 0)
+          FROM bo WHERE n > 0),
+        pdw AS MATERIALIZED (
+          SELECT doc_id, regexp_replace(pt, '^ ', 'Ġ') AS word
+          FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+              '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+              AS pt FROM documents) u),
+        ycensus AS MATERIALIZED (
+          SELECT word, cast(count(*) as bigint) AS cnt
+          FROM pdw GROUP BY 1),
+        ys0 AS (SELECT word, cnt,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM ycensus),
+        $ylevels,
+        ylen AS MATERIALIZED (
+          SELECT word, cast(len(string_split(seq, ' ')) as bigint)
+            AS n_toks
+          FROM ys$nMerges),
+        yct AS (SELECT d.doc_id, cast(sum(w.n_toks) as bigint) AS n
+          FROM pdw d JOIN ylen w ON w.word = d.word GROUP BY 1),
+        yo AS (SELECT doc_id, n,
+            cast(coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              as bigint) AS off
+          FROM yct),
+        ybill AS (SELECT 'bpe_byte' AS unit,
+            cast(count(*) as bigint) AS n_docs,
+            cast(sum(n) as bigint) AS n_units,
+            cast(max((off + n - 1) // 512) + 1 as bigint) AS n_seqs,
+            cast(count(*) FILTER (WHERE off // 512 <>
+              (off + n - 1) // 512) as bigint) AS docs_spanning
+          FROM yo WHERE n > 0)
         SELECT unit, n_docs, n_units, n_seqs, docs_spanning,
           cast((1000 * (n_units - (n_seqs - 1) * 512)) // 512 as bigint)
             AS tail_fill_milli
-        FROM (SELECT * FROM wbill UNION ALL SELECT * FROM bbill) u
+        FROM (SELECT * FROM wbill UNION ALL SELECT * FROM bbill
+              UNION ALL SELECT * FROM ybill) u
         ORDER BY unit"""
       }),
 
@@ -5007,7 +5068,124 @@ object TextCurationOps {
           UNION ALL SELECT '4_host_path', cast(count(*) as bigint),
             cast(sum(n_toks) as bigint),
             cast(count(DISTINCT domain) as bigint) FROM hp)
-        SELECT * FROM stages ORDER BY stage"""))
+        SELECT * FROM stages ORDER BY stage""")),
+
+
+    // ------------------------------------------------------------------
+    // BYTE-LEVEL BPE with regex pre-tokenization — GPT-2-class
+    // tokenizer fidelity. x47/x48 train word-internal char BPE over
+    // whitespace-split words; production tokenizers first pre-tokenize
+    // with the GPT-2 regex (contractions | ' ?letters' | ' ?digits' |
+    // ' ?punct-runs') and merge over BYTES, so the leading space
+    // becomes part of the token (the Ġ marker) — which changes
+    // fertility materially. This entry trains BOTH schemes on the
+    // same corpus with the shared bpeTrain dataflow (50 merges each)
+    // and reports them side by side: units, tokens, fertility per
+    // whitespace word (common denominator), and vocabulary size.
+    // The corpus is ASCII, so bytes ≡ chars and the Ġ-marked char
+    // merge IS the byte-level merge; on non-ASCII data the same
+    // dataflow runs over a bytes→latin1-chars transcription.
+    // Scale: x47's posture — two tokenize passes (regex + whitespace),
+    // training at vocabulary scale (Heaps' law), merges applied as
+    // row-local replaces; final stats are 1-row frames.
+    // ------------------------------------------------------------------
+    "x52_bpe_byte_level" -> Q(
+      (s, d) => {
+        val nMerges = 50
+        val re = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+        val ptCensus = docs(s, d)
+          .select(explode(regexp_extract_all(col("text"), lit(re),
+            lit(0))).as("pt"))
+          .select(regexp_replace(col("pt"), "^ ", "Ġ").as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val wCensus = docs(s, d)
+          .select(explode(words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val (_, bSeqs) = bpeTrain(ptCensus, nMerges)
+        val (_, cSeqs) = bpeTrain(wCensus, nMerges)
+        val nWords = wCensus.agg(sum(col("cnt")).as("n_words"))
+          .localCheckpoint()
+        def leg(seqs: DataFrame, scheme: String): DataFrame = {
+          val stats = seqs.agg(sum(col("cnt")).as("n_units"),
+            sum(col("cnt") * size(split(col("seq"), " ")))
+              .as("n_tokens"))
+          val vs = seqs.select(explode(split(col("seq"), " ")).as("tok"))
+            .agg(countDistinct(col("tok")).as("vocab_size"))
+          stats.crossJoin(vs).crossJoin(broadcast(nWords))
+            .select(lit(scheme).as("scheme"), col("n_units"),
+              col("n_tokens"), col("n_words"),
+              expr("1000 * n_tokens div n_words").as("fert_milli"),
+              col("vocab_size"))
+        }
+        def frb(df: DataFrame) =
+          df.select(df.columns.map(c => col(c).as(c)): _*)
+        frb(leg(bSeqs, "byte_regex"))
+          .unionAll(frb(leg(cSeqs, "char_ws")))
+          .orderBy(col("scheme"))
+      },
+      Some {
+        val nMerges = 50
+        def chain(p: String) = (1 to nMerges).map { k =>
+          val prev = s"$p${k - 1}"
+          s"""${p}p$k AS (SELECT s.cnt, s.t[u.g] AS lhs, s.t[u.g + 1] AS rhs
+          FROM (SELECT cnt, string_split(seq, ' ') AS t FROM $prev) s,
+            unnest(generate_series(1, len(s.t) - 1)) AS u(g)),
+        ${p}b$k AS (SELECT lhs, rhs, cast(sum(cnt) as bigint) AS c
+          FROM ${p}p$k GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        $p$k AS MATERIALIZED (SELECT $prev.word, $prev.cnt,
+            replace($prev.seq, ${p}b$k.lhs || ' ' || ${p}b$k.rhs,
+              ${p}b$k.lhs || ${p}b$k.rhs) AS seq
+          FROM $prev, ${p}b$k)"""
+        }.mkString(",\n        ")
+        s"""WITH bc AS MATERIALIZED (
+          SELECT regexp_replace(pt, '^ ', 'Ġ') AS word,
+            cast(count(*) as bigint) AS cnt
+          FROM (SELECT unnest(regexp_extract_all(text,
+              '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+              AS pt FROM documents) u
+          GROUP BY 1),
+        cc AS MATERIALIZED (
+          SELECT w AS word, cast(count(*) as bigint) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS w
+            FROM documents) u
+          GROUP BY 1),
+        bs0 AS (SELECT word, cnt,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM bc),
+        cs0 AS (SELECT word, cnt,
+            rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+          FROM cc),
+        ${chain("bs")},
+        ${chain("cs")},
+        nw AS (SELECT cast(sum(cnt) as bigint) AS n_words FROM cc),
+        bstat AS (SELECT cast(sum(cnt) as bigint) AS n_units,
+            cast(sum(cnt * len(string_split(seq, ' '))) as bigint)
+              AS n_tokens
+          FROM bs$nMerges),
+        cstat AS (SELECT cast(sum(cnt) as bigint) AS n_units,
+            cast(sum(cnt * len(string_split(seq, ' '))) as bigint)
+              AS n_tokens
+          FROM cs$nMerges),
+        bvoc AS (SELECT cast(count(DISTINCT tok) as bigint) AS vocab_size
+          FROM (SELECT unnest(string_split(seq, ' ')) AS tok
+                FROM bs$nMerges) v),
+        cvoc AS (SELECT cast(count(DISTINCT tok) as bigint) AS vocab_size
+          FROM (SELECT unnest(string_split(seq, ' ')) AS tok
+                FROM cs$nMerges) v)
+        SELECT * FROM (
+          SELECT 'byte_regex' AS scheme, n_units, n_tokens, nw.n_words,
+            cast(1000 * n_tokens // n_words as bigint) AS fert_milli,
+            vocab_size
+          FROM bstat, bvoc, nw
+          UNION ALL
+          SELECT 'char_ws', n_units, n_tokens, nw.n_words,
+            cast(1000 * n_tokens // n_words as bigint), vocab_size
+          FROM cstat, cvoc, nw) u
+        ORDER BY scheme"""
+      })
   )
 
   // --- URL-layer synthesis + canonicalization (x50/x51 shared) ----------
