@@ -2120,8 +2120,49 @@ object Relational2 {
         t(s, d, "orders").createOrReplaceTempView("orders")
         s.sql(CommonSql)
       },
-      Some(CommonSql))
+      Some(CommonSql)),
+
+    // ------------------------------------------------------------------
+    // CHAINED LATERAL (q66's missing half): a correlated AGGREGATE
+    // lateral whose result parameterizes a second lateral on the same
+    // outer row — per nation, compute the customer-balance ceiling,
+    // then pick the top customer within 90% of it. This is the
+    // per-group top-1-by-computed-expression shape a single
+    // row_number pass can't express (the ranking predicate depends on
+    // a per-group aggregate computed first); LATERAL chains both
+    // steps in one declarative text. Like q86, ONE shared ANSI string
+    // runs verbatim in both engines. The driving set here is the FULL
+    // dimension (all 25 nations), not a pre-limited frame — Spark
+    // decorrelates both laterals into aggregate + ranked joins, so
+    // the plan stays shuffle-based at any customer count.
+    // ------------------------------------------------------------------
+    "q87_lateral_chain" -> Q(
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("nation")
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(LateralChainSql)
+      },
+      Some(LateralChainSql))
   )
+
+  /** q87's shared text — the SAME string runs in Spark and DuckDB. */
+  private val LateralChainSql: String =
+    """SELECT n.n_name, st.n_cust, st.max_bal,
+        top.c_name, top.c_acctbal
+      FROM nation n,
+      LATERAL (
+        SELECT cast(count(*) as bigint) AS n_cust,
+          max(c_acctbal) AS max_bal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) st,
+      LATERAL (
+        SELECT c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+          AND c.c_acctbal > st.max_bal * 0.9
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 1) top
+      ORDER BY n.n_name"""
 
   /** q86's shared text — the SAME string runs in Spark and DuckDB. */
   private val CommonSql: String =
