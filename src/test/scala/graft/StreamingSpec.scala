@@ -296,6 +296,72 @@ class StreamingSpec extends SparkFunSuite {
     assert(agg.count() == 5) // five event types
   }
 
+  test("exactly-once sink under a mid-stream crash: the batch whose " +
+      "side effect committed but whose offset didn't is re-delivered " +
+      "on restart and skipped by the batchId-keyed snapshot MERGE — " +
+      "final sink state ≡ batch, zero duplicates") {
+    val src = Files.createTempDirectory("graft-eo-src").toString
+    Catalog.t(spark, sf0001, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val sink = Files.createTempDirectory("graft-eo-sink").toString
+    val ckpt = Files.createTempDirectory("graft-eo-ckpt").toString
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var crashArmed = true
+    def start() = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          delivered.add(id)
+          graft.streaming.SnapshotMergeSink
+            .merge(sink, Seq("event_id"))(b.toDF(), id)
+          // crash AFTER the sink commit, BEFORE Spark commits the
+          // offset: the at-least-once window this sink must close
+          if (crashArmed && id == 1)
+            throw new RuntimeException("injected crash after sink commit")
+      }
+      .start()
+    val q1 = start()
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(ex.getMessage.contains("injected crash") ||
+      Option(ex.getCause).exists(_.getMessage != null) &&
+        ex.getCause.getMessage.contains("injected crash"))
+    // the crashed batch's side effect IS committed (1 applied)
+    assert(graft.streaming.SnapshotMergeSink.appliedBatches(sink)
+      .contains(1L))
+    // restart from the same checkpoint, crash disarmed
+    crashArmed = false
+    val q2 = start()
+    q2.awaitTermination()
+    // batch 1 was genuinely re-delivered (at-least-once), and every
+    // planned batch applied exactly once
+    assert(delivered.toArray.count(_ == 1L) >= 2,
+      s"batch 1 not re-delivered: $delivered")
+    assert(graft.streaming.SnapshotMergeSink.appliedBatches(sink)
+      == Set(0L, 1L, 2L, 3L))
+    // final state ≡ the batch computation, no duplicates
+    val got = graft.streaming.SnapshotMergeSink.read(spark, sink)
+    assert(got.count() == got.select("event_id").distinct().count(),
+      "duplicate keys in the sink")
+    val want = spark.read.parquet(src)
+      .dropDuplicates("event_id").count()
+    assert(got.count() == want)
+    val missing = spark.read.parquet(src)
+      .select("event_id").distinct()
+      .join(got.select("event_id"), Seq("event_id"), "left_anti")
+      .count()
+    assert(missing == 0, s"$missing source keys missing from the sink")
+  }
+
   test("foreachBatch incremental dedup maintains band-index state " +
       "(d14's kappa twin, stream ≡ batch replay)") {
     import spark.implicits._
