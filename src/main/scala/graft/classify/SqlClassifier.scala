@@ -104,6 +104,15 @@ object SqlClassifier {
     * inside the body would otherwise pass the gate unseen.
     */
   final case class DoStmt(sql: String) extends Stmt
+  /** `CREATE [OR REPLACE] FUNCTION|PROCEDURE` — same blind spot as
+    * [[DoStmt]]: the routine body (PL/pgSQL, SQL, anything) is opaque
+    * to this classifier AND to the reference's node-type walk, so DDL
+    * spelled inside it would pass the danger gate unseen. Own kind →
+    * the analyzer flags it LOW as explicitly unanalyzable instead of
+    * silently safe.
+    */
+  final case class CreateRoutineStmt(name: QualifiedName, routine: String,
+      sql: String) extends Stmt
   final case class OtherStmt(head: String, sql: String) extends Stmt
 
   // ---------------------------------------------------------------------
@@ -375,6 +384,17 @@ object SqlClassifier {
 
   private def classifyCreate(t: Cursor, sql: String): Stmt = {
     t.next() // CREATE
+    if (t.curIsKw("OR") && t.peekKw(1, "REPLACE") &&
+        (t.peekKw(2, "FUNCTION") || t.peekKw(2, "PROCEDURE"))) {
+      t.next(); t.next() // OR REPLACE
+    }
+    if (t.curIsKw("FUNCTION") || t.curIsKw("PROCEDURE")) {
+      val routine = t.next().text.toUpperCase // FUNCTION | PROCEDURE
+      val name =
+        if (!t.eof && t.peek.get.kind == Tok.Word) t.qualifiedName()
+        else QualifiedName(None, "<unknown>")
+      return CreateRoutineStmt(name, routine, sql)
+    }
     val unique = t.skipKw("UNIQUE")
     if (t.skipKw("INDEX")) {
       val concurrent = t.skipKw("CONCURRENTLY")

@@ -232,8 +232,27 @@ object OpaqueDoBlockRule extends Rule {
   }
 }
 
-/** Default registry — the nine reference rules plus opaque-do-block,
-  * unique IDs (reference: `internal/analyzer/rules/registry.go:6-19`).
+/** R11 (R10's sibling) — `CREATE [OR REPLACE] FUNCTION | PROCEDURE`
+  * bodies are the other opaque container: neither this classifier nor
+  * the reference's node walk descends into a routine body, so DDL
+  * spelled inside one sails past the gate. Flagged LOW (reviewable,
+  * never blocking), same honesty contract as opaque-do-block.
+  */
+object OpaqueRoutineBodyRule extends Rule {
+  val id = "opaque-routine-body"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: CreateRoutineStmt =>
+      Seq(finding(Severity.Low, s.name.render, s, ctx,
+        s"CREATE ${s.routine} body is opaque to static analysis; DDL inside it cannot be checked by the danger rules",
+        "Keep DDL out of routine bodies (run it as top-level statements), or review the body manually",
+        "UNKNOWN"))
+    case _ => Nil
+  }
+}
+
+/** Default registry — the nine reference rules plus the two opaque-
+  * container rules (do-block, routine-body), unique IDs (reference:
+  * `internal/analyzer/rules/registry.go:6-19`).
   */
 object Registry {
   val defaultRules: Seq[Rule] = Seq(
@@ -246,5 +265,6 @@ object Registry {
     VacuumFullRule,
     LockTableRule,
     RenameRule,
-    OpaqueDoBlockRule)
+    OpaqueDoBlockRule,
+    OpaqueRoutineBodyRule)
 }

@@ -132,10 +132,10 @@ class RulesSpec extends AnyFunSuite {
       Set(("create-index-not-concurrent", 0), ("drop-table", 1)))
   }
 
-  test("registry: the reference's nine rules + the opaque-DO-block " +
-      "rule, unique ids") {
-    assert(Registry.defaultRules.length == 10)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 10)
+  test("registry: the reference's nine rules + the two opaque-" +
+      "container rules, unique ids") {
+    assert(Registry.defaultRules.length == 11)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 11)
   }
 
   test("R10: DO block flags LOW opaque-procedural (reviewable, never " +
@@ -152,6 +152,29 @@ class RulesSpec extends AnyFunSuite {
       "DO $body$ BEGIN PERFORM 1; END $body$;")
     assert(r2.findings.map(f => (f.rule, f.stmtIndex)) ==
       Seq(("opaque-do-block", 1)), r2.findings)
+  }
+
+  test("R11: CREATE FUNCTION / PROCEDURE bodies flag LOW opaque-" +
+      "routine-body — the other opaque container (DDL inside a " +
+      "routine body no longer passes as silent-safe)") {
+    val r = analyze(
+      """CREATE OR REPLACE FUNCTION app.migrate_col() RETURNS void
+        |LANGUAGE plpgsql AS $$
+        |BEGIN
+        |  ALTER TABLE users ALTER COLUMN id TYPE bigint;
+        |END $$;""".stripMargin)
+    assert(r.findings.map(_.rule) == Seq("opaque-routine-body"),
+      r.findings)
+    assert(r.findings.head.table == "app.migrate_col")
+    assert(r.maxSeverity == Severity.Low)
+    assert(!r.hasHighOrCritical)
+    // PROCEDURE form, mixed into a migration; CREATE TABLE/INDEX
+    // classification is untouched by the new branch
+    val r2 = analyze("CREATE TABLE t (id INT);\n" +
+      "CREATE PROCEDURE fixup() LANGUAGE sql AS $p$ SELECT 1 $p$;\n" +
+      "CREATE INDEX CONCURRENTLY idx_t ON t (id);")
+    assert(r2.findings.map(f => (f.rule, f.stmtIndex)) ==
+      Seq(("opaque-routine-body", 1)), r2.findings)
   }
 
   test("R3 recipe end-to-end: ADD CONSTRAINT ... NOT VALID then " +
