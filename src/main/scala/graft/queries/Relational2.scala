@@ -2142,7 +2142,67 @@ object Relational2 {
         t(s, d, "customer").createOrReplaceTempView("customer")
         s.sql(LateralChainSql)
       },
-      Some(LateralChainSql))
+      Some(LateralChainSql)),
+
+    // ------------------------------------------------------------------
+    // SQL MERGE INTO — the upsert front door, executed by Spark's own
+    // RewriteMergeIntoTable against the MERGE-capable DSv2 catalog
+    // (sources/MemCatalog): group-based ReplaceData, the exact plan
+    // shape Iceberg's copy-on-write MERGE runs at 100 TB — target
+    // scanned through the row-level operation's scan, joined with the
+    // source, WHEN clauses applied (DELETE + UPDATE + INSERT all
+    // exercised), rewritten rows written back through the operation's
+    // write. Only the final storage commit is memory-backed (no
+    // Delta/Iceberg in this environment — the documented gap this
+    // entry closes); the rewrite plan above it is the real thing.
+    // Oracle recomputes the post-MERGE state relationally: updated ∪
+    // untouched ∪ inserted minus deleted.
+    // ------------------------------------------------------------------
+    "q88_merge_into" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val tbl = "graftmem.ns.orders_" +
+          new java.io.File(d).getName.replace('.', '_')
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(o_orderkey BIGINT, status STRING, total DOUBLE)")
+        t(s, d, "orders").filter(expr("o_orderkey % 3 = 0"))
+          .selectExpr("o_orderkey", "'seed' AS status",
+            "o_totalprice AS total")
+          .writeTo(tbl).append()
+        t(s, d, "orders").filter(expr("o_orderkey % 2 = 0"))
+          .selectExpr("o_orderkey", "'merged' AS status",
+            "o_totalprice * 1.25 AS total")
+          .createOrReplaceTempView("q88_src")
+        s.sql(s"""MERGE INTO $tbl t USING q88_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_orderkey % 30 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET status = s.status, total = s.total
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, status, total)
+            VALUES (s.o_orderkey, s.status, s.total)""")
+        s.table(tbl).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH seed AS (
+          SELECT o_orderkey, 'seed' AS status, o_totalprice AS total
+          FROM orders WHERE o_orderkey % 3 = 0),
+        src AS (
+          SELECT o_orderkey, 'merged' AS status,
+            o_totalprice * 1.25 AS total
+          FROM orders WHERE o_orderkey % 2 = 0),
+        merged AS (
+          SELECT t.o_orderkey, src.status, src.total
+          FROM seed t JOIN src ON src.o_orderkey = t.o_orderkey
+          WHERE t.o_orderkey % 30 <> 0
+          UNION ALL
+          SELECT t.o_orderkey, t.status, t.total FROM seed t
+          WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+          UNION ALL
+          SELECT src.o_orderkey, src.status, src.total FROM src
+          WHERE src.o_orderkey NOT IN (SELECT o_orderkey FROM seed))
+        SELECT o_orderkey, status, total FROM merged
+        ORDER BY o_orderkey"""))
   )
 
   /** q87's shared text — the SAME string runs in Spark and DuckDB. */

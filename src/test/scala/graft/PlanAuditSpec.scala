@@ -16,6 +16,15 @@ class PlanAuditSpec extends SparkFunSuite {
     * why. Everything else must plan hash/merge joins only.
     */
   val nlAllowlist: Map[String, String] = Map(
+    "q87_lateral_chain" -> ("decorrelated chained laterals against "
+      + "the 25-row nation dimension: the aggregate lateral and the "
+      + "90%-of-ceiling theta predicate join a broadcast-able dim "
+      + "side (q10's dim×dim class); the customer side stays "
+      + "key-partitioned at any scale"),
+    "x52_bpe_byte_level" -> ("1-row stat × 1-row vocab × 1-row "
+      + "word-total frames crossed per tokenizer leg; both training "
+      + "runs are vocabulary-scale and the corpus pays two tokenize "
+      + "passes only"),
     "x49_langid_train" -> ("5-row language-list broadcast crossed "
       + "onto the vocabulary-scale gram table to mint the dense "
       + "(gram × lang) weight matrix; corpus-scale joins are hash "
