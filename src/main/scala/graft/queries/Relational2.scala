@@ -2162,8 +2162,8 @@ object Relational2 {
       (s, d) => {
         s.conf.set("spark.sql.catalog.graftmem",
           "graft.sources.MemCatalog")
-        val tbl = "graftmem.ns.orders_" +
-          new java.io.File(d).getName.replace('.', '_')
+        val tbl = "graftmem.ns.orders_" + new java.io.File(d)
+          .getName.replaceAll("[^A-Za-z0-9_]", "_")
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         s.sql(s"CREATE TABLE $tbl " +
           "(o_orderkey BIGINT, status STRING, total DOUBLE)")
@@ -2202,7 +2202,46 @@ object Relational2 {
           SELECT src.o_orderkey, src.status, src.total FROM src
           WHERE src.o_orderkey NOT IN (SELECT o_orderkey FROM seed))
         SELECT o_orderkey, status, total FROM merged
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // SQL UPDATE + DELETE FROM — the rest of the DML triad through the
+    // SAME row-level-operation machinery as q88: Catalyst's
+    // RewriteUpdateTable / RewriteDeleteFromTable produce group-based
+    // ReplaceData against MemCatalog (no SupportsDelete filter path
+    // implemented, so DELETE exercises the full rewrite too). Oracle
+    // recomputes both statements as one relational expression.
+    // ------------------------------------------------------------------
+    "q89_update_delete" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val tbl = "graftmem.ns.cust_" + new java.io.File(d)
+          .getName.replaceAll("[^A-Za-z0-9_]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(c_custkey BIGINT, seg STRING, bal DOUBLE)")
+        t(s, d, "customer")
+          .selectExpr("c_custkey", "c_mktsegment AS seg",
+            "c_acctbal AS bal")
+          .writeTo(tbl).append()
+        s.sql(s"UPDATE $tbl SET seg = 'VIP', bal = bal + 100.0 " +
+          "WHERE c_custkey % 7 = 0")
+        s.sql(s"DELETE FROM $tbl WHERE bal < 0")
+        s.table(tbl).orderBy(col("c_custkey"))
+      },
+      Some("""WITH base AS (
+          SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+          FROM customer),
+        upd AS (
+          SELECT c_custkey,
+            CASE WHEN c_custkey % 7 = 0 THEN 'VIP' ELSE seg END AS seg,
+            CASE WHEN c_custkey % 7 = 0 THEN bal + 100.0 ELSE bal END
+              AS bal
+          FROM base)
+        SELECT c_custkey, seg, bal FROM upd
+        WHERE NOT (bal < 0)
+        ORDER BY c_custkey"""))
   )
 
   /** q87's shared text — the SAME string runs in Spark and DuckDB. */

@@ -66,7 +66,8 @@ class QueriesSpec extends SparkFunSuite {
         "x48_bpe_incremental_encode", "q85_dpp_join",
         "p06_token_budget_pack", "e35_mv_rewrite",
         "d25_index_deletion", "x49_langid_train",
-        "x51_url_gate_dedup", "q88_merge_into")) {
+        "x51_url_gate_dedup", "q88_merge_into",
+        "q89_update_delete")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
