@@ -4832,9 +4832,9 @@ object TextCurationOps {
     // Scale: one tokenize+explode pass; the model is a vocabulary-
     // scale (gram × 5 langs) broadcast; corpus-scale aggregations are
     // hash-partitioned; the argmax window partitions by doc_id. The
-    // rate numerator cnt*1e9 holds in a long up to ~9e9 grams per
-    // label-partition; past that, rates come from a 128-bit decimal
-    // div — same formula, wider intermediate.
+    // rate numerator goes through a 128-bit decimal(38,0)
+    // intermediate before the integer div, so it cannot wrap at any
+    // per-label gram count; the div still yields BIGINT.
     // ------------------------------------------------------------------
     "x49_langid_train" -> Q(
       (s, d) => {
@@ -4881,7 +4881,12 @@ object TextCurationOps {
           .join(broadcast(tot), Seq("lang"))
           .join(cnt, Seq("gram", "lang"), "left")
           .select(col("gram"), col("lang").as("cand"),
-            expr("coalesce(c, cast(0 as bigint)) * 1000000000 div t")
+            // 128-bit decimal intermediate: cnt*1e9 would wrap a long
+            // past ~9.2e9 grams per label; decimal(38,0) never does,
+            // and IntegralDivide still returns BIGINT — same values,
+            // same schema at every scale
+            expr("cast(coalesce(c, cast(0 as bigint)) as decimal(38,0))" +
+              " * 1000000000 div t")
               .as("w"))
         val dg = grams.filter(pmod(col("doc_id"), lit(2L)) === 1L)
           .groupBy(col("doc_id"), col("lang"), col("gram"))

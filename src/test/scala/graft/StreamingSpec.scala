@@ -362,6 +362,44 @@ class StreamingSpec extends SparkFunSuite {
     assert(missing == 0, s"$missing source keys missing from the sink")
   }
 
+  test("exactly-once sink pointer stays O(1) over 120 batches: " +
+      "high-watermark compaction, out-of-order tail, single live " +
+      "snapshot dir after GC") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-eo-bounded").toString
+    def oneRow(id: Long) =
+      Seq((id, s"v$id")).toDF("event_id", "payload")
+    // out-of-order prefix: 1 before 0 exercises the sparse tail...
+    graft.streaming.SnapshotMergeSink
+      .merge(sink, Seq("event_id"))(oneRow(1), 1L)
+    assert(graft.streaming.SnapshotMergeSink.appliedBatches(sink)
+      == Set(1L))
+    assert(!graft.streaming.SnapshotMergeSink.isApplied(sink, 0L))
+    // ...which collapses into the watermark once 0 lands
+    graft.streaming.SnapshotMergeSink
+      .merge(sink, Seq("event_id"))(oneRow(0), 0L)
+    for (id <- 2L until 120L)
+      graft.streaming.SnapshotMergeSink
+        .merge(sink, Seq("event_id"))(oneRow(id), id)
+    // re-delivery is still a no-op after compaction
+    graft.streaming.SnapshotMergeSink
+      .merge(sink, Seq("event_id"))(oneRow(7), 7L)
+    assert(graft.streaming.SnapshotMergeSink.appliedBatches(sink)
+      == (0L until 120L).toSet)
+    // bounded pointer: snapshot name + one watermark integer, never
+    // a 120-entry id list (the r12 form would exceed 400 bytes here)
+    val bytes = graft.streaming.SnapshotMergeSink.pointerBytes(sink)
+    assert(bytes < 100, s"pointer grew to $bytes bytes")
+    // GC: exactly one live snapshot directory remains
+    val snaps = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+    assert(snaps.length == 1, s"superseded snapshots not GC'd: " +
+      snaps.map(_.getName).mkString(","))
+    val got = graft.streaming.SnapshotMergeSink.read(spark, sink)
+    assert(got.count() == 120)
+    assert(got.select("event_id").distinct().count() == 120)
+  }
+
   test("foreachBatch incremental dedup maintains band-index state " +
       "(d14's kappa twin, stream ≡ batch replay)") {
     import spark.implicits._
