@@ -52,8 +52,12 @@ object SqlClassifier {
   sealed trait AlterCmd
   final case class AddColumn(column: String, typeName: String,
       default: Option[DefaultExpr], notNull: Boolean) extends AlterCmd
+  /** `usingIndex` = the `ADD CONSTRAINT … PRIMARY KEY/UNIQUE USING
+    * INDEX idx` form, the safe second half of the
+    * build-index-CONCURRENTLY-then-attach recipe (R15 skips it).
+    */
   final case class AddConstraint(name: String, kind: ConstraintKind,
-      notValid: Boolean) extends AlterCmd
+      notValid: Boolean, usingIndex: Boolean = false) extends AlterCmd
   final case class AlterColumnType(column: String, newType: String)
       extends AlterCmd
   final case class SetNotNull(column: String) extends AlterCmd
@@ -113,6 +117,25 @@ object SqlClassifier {
     */
   final case class CreateRoutineStmt(name: QualifiedName, routine: String,
       sql: String) extends Stmt
+  /** `REINDEX [(opts)] {INDEX|TABLE|SCHEMA|DATABASE|SYSTEM}
+    * [CONCURRENTLY] name` — the non-concurrent form rebuilds under
+    * locks that block writes (R12). CONCURRENTLY can appear either as
+    * the PG≥12 keyword position or inside the PG≥14 option list.
+    */
+  final case class ReindexStmt(kind: String, concurrent: Boolean,
+      target: Option[QualifiedName], sql: String) extends Stmt
+  /** `CLUSTER [VERBOSE] [table [USING index]]` — a full-table rewrite
+    * under ACCESS EXCLUSIVE (R13); bare CLUSTER re-clusters every
+    * previously clustered table.
+    */
+  final case class ClusterStmt(table: Option[QualifiedName], sql: String)
+      extends Stmt
+  /** `REFRESH MATERIALIZED VIEW [CONCURRENTLY] name [WITH [NO] DATA]`
+    * — non-concurrent refresh locks the MV ACCESS EXCLUSIVE, blocking
+    * even reads for the whole recompute (R14).
+    */
+  final case class RefreshMatViewStmt(concurrent: Boolean,
+      view: QualifiedName, sql: String) extends Stmt
   final case class OtherStmt(head: String, sql: String) extends Stmt
 
   // ---------------------------------------------------------------------
@@ -333,6 +356,10 @@ object SqlClassifier {
       case "VACUUM" => classifyVacuum(t, stmtSql)
       case "LOCK" => classifyLock(t, stmtSql)
       case "DO" => DoStmt(stmtSql)
+      case "REINDEX" => classifyReindex(t, stmtSql)
+      case "CLUSTER" => classifyCluster(t, stmtSql)
+      case "REFRESH" if t.peekKw(1, "MATERIALIZED") && t.peekKw(2, "VIEW") =>
+        classifyRefresh(t, stmtSql)
       case _ => OtherStmt(head, stmtSql)
     }
   }
@@ -486,6 +513,51 @@ object SqlClassifier {
     LockStmt(tables.reverse, mode, sql)
   }
 
+  private def classifyReindex(t: Cursor, sql: String): Stmt = {
+    t.next() // REINDEX
+    // PG14+ paren option list: REINDEX (VERBOSE, CONCURRENTLY) ...
+    var concurrent = false
+    if (!t.eof && t.peek.get.kind == Tok.Punct && t.peek.get.text == "(") {
+      val start = t.pos
+      t.skipParens()
+      concurrent = t.toks.slice(start, t.pos).exists(o =>
+        o.kind == Tok.Word && o.text.equalsIgnoreCase("CONCURRENTLY"))
+    }
+    val kind =
+      if (t.curIsKw("INDEX") || t.curIsKw("TABLE") || t.curIsKw("SCHEMA") ||
+          t.curIsKw("DATABASE") || t.curIsKw("SYSTEM"))
+        t.next().text.toUpperCase
+      else "INDEX" // PG tolerates nothing here; default conservatively
+    if (t.skipKw("CONCURRENTLY")) concurrent = true // PG12+ keyword slot
+    val target =
+      if (!t.eof && t.peek.get.kind == Tok.Word) Some(t.qualifiedName())
+      else None
+    ReindexStmt(kind, concurrent, target, sql)
+  }
+
+  private def classifyCluster(t: Cursor, sql: String): Stmt = {
+    t.next() // CLUSTER
+    // PG14+ paren option list: CLUSTER (VERBOSE) tbl
+    if (!t.eof && t.peek.get.kind == Tok.Punct && t.peek.get.text == "(")
+      t.skipParens()
+    t.skipKw("VERBOSE")
+    if (t.eof || t.peek.get.kind != Tok.Word)
+      return ClusterStmt(None, sql) // bare CLUSTER: all clustered tables
+    val first = t.qualifiedName()
+    // legacy pre-PG-9.0 syntax: CLUSTER index ON table
+    if (t.skipKw("ON")) ClusterStmt(Some(t.qualifiedName()), sql)
+    else ClusterStmt(Some(first), sql) // [USING index] is irrelevant here
+  }
+
+  private def classifyRefresh(t: Cursor, sql: String): Stmt = {
+    t.next(); t.next(); t.next() // REFRESH MATERIALIZED VIEW
+    val concurrent = t.skipKw("CONCURRENTLY")
+    val view =
+      if (!t.eof && t.peek.get.kind == Tok.Word) t.qualifiedName()
+      else QualifiedName(None, "<unknown>")
+    RefreshMatViewStmt(concurrent, view, sql)
+  }
+
   private def classifyAlterTable(t: Cursor, sql: String): Stmt = {
     t.next(); t.next() // ALTER TABLE
     t.skipIfExists()
@@ -548,20 +620,24 @@ object SqlClassifier {
           else if (t.curIsKw("UNIQUE")) UniqueConstraint
           else if (t.curIsKw("PRIMARY")) PrimaryKeyConstraint
           else OtherConstraint
-        // scan remainder of this command for NOT VALID at top level
+        // scan remainder of this command for NOT VALID / USING INDEX
+        // at top level
         val cmdStart = t.pos
         var depth = 0
         var notValid = false
+        var usingIndex = false
         while (!t.eof && !(depth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
           val tk = t.next()
           if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
           else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
           else if (depth == 0 && tk.isKw("NOT") && !t.eof && t.peek.get.isKw("VALID")) {
             t.next(); notValid = true
+          } else if (depth == 0 && tk.isKw("USING") && !t.eof && t.peek.get.isKw("INDEX")) {
+            t.next(); usingIndex = true
           }
         }
         val _ = cmdStart
-        AddConstraint(name, kind, notValid)
+        AddConstraint(name, kind, notValid, usingIndex)
       } else if (t.curIsKw("CHECK") || t.curIsKw("FOREIGN") ||
           t.curIsKw("UNIQUE") || t.curIsKw("PRIMARY")) {
         // unnamed table constraint: ADD CHECK (...) / ADD FOREIGN KEY ...
@@ -572,15 +648,18 @@ object SqlClassifier {
           else PrimaryKeyConstraint
         var depth = 0
         var notValid = false
+        var usingIndex = false
         while (!t.eof && !(depth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
           val tk = t.next()
           if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
           else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
           else if (depth == 0 && tk.isKw("NOT") && !t.eof && t.peek.get.isKw("VALID")) {
             t.next(); notValid = true
+          } else if (depth == 0 && tk.isKw("USING") && !t.eof && t.peek.get.isKw("INDEX")) {
+            t.next(); usingIndex = true
           }
         }
-        AddConstraint("", kind, notValid)
+        AddConstraint("", kind, notValid, usingIndex)
       } else {
         // ADD [COLUMN] [IF NOT EXISTS] name type [opts]
         t.skipKw("COLUMN")

@@ -136,7 +136,39 @@ object MigrationOps {
         WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
           AND NOT regexp_matches(s, '(?i)\\bRENAME\\s+(CONSTRAINT|INDEX)\\b')
           AND (regexp_matches(s, '(?i)\\bRENAME\\s+TO\\b')
-               OR regexp_matches(s, '(?i)\\bRENAME\\s+(COLUMN\\s+)?[A-Za-z_][A-Za-z0-9_]*\\s+TO\\b')))"""
+               OR regexp_matches(s, '(?i)\\bRENAME\\s+(COLUMN\\s+)?[A-Za-z_][A-Za-z0-9_]*\\s+TO\\b'))
+        UNION ALL
+        SELECT version, name, stmt_index, 'reindex-not-concurrent', 3,
+          coalesce(nullif(regexp_extract(s,
+            '(?i)^\\s*REINDEX\\s+(?:\\([^)]*\\)\\s+)?(?:INDEX|TABLE|SCHEMA|DATABASE|SYSTEM)\\s+([A-Za-z_][A-Za-z0-9_.]*)', 1), ''),
+            '<index>'),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*REINDEX\\b')
+          AND NOT regexp_matches(s, '(?i)\\bCONCURRENTLY\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'cluster', 3,
+          coalesce(nullif(regexp_extract(s,
+            '(?i)^\\s*CLUSTER\\s+(?:VERBOSE\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1), ''),
+            '<all clustered tables>'),
+          'ACCESS EXCLUSIVE'
+        FROM stmts WHERE regexp_matches(s, '(?i)^\\s*CLUSTER\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'refresh-matview-not-concurrent', 3,
+          regexp_extract(s,
+            '(?i)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\b')
+          AND NOT regexp_matches(s, '(?i)\\bCONCURRENTLY\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'add-primary-key', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND regexp_matches(s, '(?i)\\bADD\\s+(CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\b')
+          AND NOT regexp_matches(s, '(?i)\\bUSING\\s+INDEX\\b'))"""
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -219,6 +251,10 @@ object MigrationOps {
             WHEN regexp_matches(s, '(?i)^\\s*TRUNCATE\\b') THEN 'TruncateStmt'
             WHEN regexp_matches(s, '(?i)^\\s*VACUUM\\b') THEN 'VacuumStmt'
             WHEN regexp_matches(s, '(?i)^\\s*LOCK\\b') THEN 'LockStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*REINDEX\\b') THEN 'ReindexStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*CLUSTER\\b') THEN 'ClusterStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\b')
+              THEN 'RefreshMatViewStmt'
             WHEN regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
                  AND regexp_matches(s, '(?i)\\bRENAME\\b')
                  AND NOT regexp_matches(s, '(?i)\\bRENAME\\s+(CONSTRAINT|INDEX)\\b')
@@ -1067,5 +1103,39 @@ object MigrationOps {
         SELECT change, column_name, from_type, to_type, ddl,
           severity, rule
         FROM diffs
-        ORDER BY change, column_name""")))
+        ORDER BY change, column_name""")),
+
+    // ------------------------------------------------------------------
+    // Lock-hazard census over the EXTENDED fixture corpus — one row
+    // per (rule, severity, lock type) with the versions that trip it.
+    // Exists to pin the four extended registry rules (R12 reindex, R13
+    // cluster, R14 refresh-matview, R15 add-primary-key: statements
+    // the reference's pg_query parser types but its registry ignores,
+    // `internal/analyzer/rules/registry.go:6-19`) against an
+    // independent DuckDB re-derivation, m05's census shape. The oracle
+    // mini-rule-engine (`findingsCte`) carries all 13 statement-
+    // triggered rules, so a rule firing on the wrong fixture or with
+    // the wrong lock type hash-fails here even if m02's per-finding
+    // listing drifted in the same way.
+    // ------------------------------------------------------------------
+    "m14_lock_hazard_census" -> Q(
+      (s, _) => {
+        val a = new Analyzer(targetPgVersion = 14)
+        a.findingsDs(MigrationLoader.load(s, fixturesDir))
+          .select(col("version"), col("finding.rule").as("rule"),
+            col("finding.severity").as("severity"),
+            col("finding.lockType").as("lock_type"))
+          .groupBy(col("rule"), col("severity"), col("lock_type"))
+          .agg(count(lit(1)).as("n_findings"),
+            array_join(sort_array(collect_set(col("version"))), ",")
+              .as("versions"))
+          .orderBy(col("rule"), col("severity"), col("lock_type"))
+      },
+      Some(s"""$findingsCte
+        SELECT rule, severity, lock_type,
+          cast(count(*) AS bigint) AS n_findings,
+          string_agg(DISTINCT version, ',' ORDER BY version) AS versions
+        FROM findings
+        GROUP BY rule, severity, lock_type
+        ORDER BY rule, severity, lock_type""")))
 }

@@ -2241,7 +2241,95 @@ object Relational2 {
           FROM base)
         SELECT c_custkey, seg, bal FROM upd
         WHERE NOT (bal < 0)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Spark 4 VARIANT ingestion — the semi-structured column surface
+    // the catalog previously served only via get_json_object (q30) /
+    // from_json (e04). events.props is uniformly {"k":N}, so the query
+    // first builds a deliberately HETEROGENEOUS JSON document per
+    // event (nested object, variable-length array, an optional field
+    // present on k%3==0 only) with byte-identical string concat in
+    // both engines, then runs the Spark side through the real VARIANT
+    // path: parse_json → a VariantType column → five typed
+    // variant_get extractions (string / bigint / nested path / array
+    // index / absent-field null) → a variant-typed predicate →
+    // census. DuckDB re-derives via its JSON extraction over the same
+    // document string.
+    // Plan notes (QProf): parse_json evaluates ONCE per surviving row
+    // behind its own projection (CollapseProject keeps multi-
+    // referenced non-cheap aliases un-inlined — the five variant_get
+    // calls read the same variant value), and the row filter is the
+    // CHEAP get_json_object predicate, deliberately applied BEFORE
+    // the variant is built: a filter spelled over the variant column
+    // instead gets pushed into the scan's DataFilters and re-runs the
+    // whole parseJson per input row (measured — the r12 expensive-
+    // expression-inlining trap, CLAUDE.md). ReadSchema is pruned to
+    // the three source columns the doc needs; the census exchange
+    // carries 35 groups, not rows. variant_get itself does not push
+    // below the scan (the variant is query-built here; over stored
+    // VARIANT parquet Spark 4.1 pushes struct-field access, not
+    // variant paths).
+    // ------------------------------------------------------------------
+    "q90_variant_ingest" -> Q(
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val doc = concat(
+          lit("{\"k\":"), k,
+          lit(",\"et\":\""), col("event_type"),
+          lit("\",\"nested\":{\"uid\":"), col("user_id"),
+          lit(",\"mod\":"), pmod(col("user_id"), lit(7L)),
+          lit("},\"tags\":["),
+          concat_ws(",", transform(
+            sequence(lit(1), (pmod(col("user_id"), lit(3L)) + 1).cast("int")),
+            i => concat(lit("\"t"), i, lit("\"")))),
+          lit("]"),
+          when(pmod(k, lit(3L)) === 0, concat(lit(",\"maybe\":"), k))
+            .otherwise(lit("")),
+          lit("}"))
+        t(s, d, "events")
+          .filter(k >= 10) // cheap prefilter: pushes to the scan,
+          .select(parse_json(doc).as("v")) // parse survivors only
+          .select(
+            variant_get(col("v"), "$.et", "string").as("et"),
+            variant_get(col("v"), "$.nested.mod", "bigint").as("mod"),
+            variant_get(col("v"), "$.k", "bigint").as("k"),
+            variant_get(col("v"), "$.maybe", "bigint").as("maybe"),
+            variant_get(col("v"), "$.tags[1]", "string").as("tag2"))
+          .groupBy(col("et"), col("mod"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("k_sum"),
+            count(col("maybe")).as("n_maybe"),
+            count(col("tag2")).as("n_tag2"))
+          .orderBy(col("et"), col("mod"))
+      },
+      Some("""WITH e AS (
+          SELECT event_type, user_id,
+            cast(json_extract_string(props, '$.k') as bigint) AS k
+          FROM events),
+        doc AS (
+          SELECT '{"k":' || k || ',"et":"' || event_type ||
+            '","nested":{"uid":' || user_id ||
+            ',"mod":' || (user_id % 7) || '},"tags":[' ||
+            array_to_string(list_transform(range(1, user_id % 3 + 2),
+              i -> '"t' || i || '"'), ',') || ']' ||
+            CASE WHEN k % 3 = 0 THEN ',"maybe":' || k ELSE '' END ||
+            '}' AS j
+          FROM e WHERE k >= 10),
+        x AS (
+          SELECT json_extract_string(j, '$.et') AS et,
+            cast(json_extract(j, '$.nested.mod') as bigint) AS mod,
+            cast(json_extract(j, '$.k') as bigint) AS k,
+            cast(json_extract(j, '$.maybe') as bigint) AS maybe,
+            json_extract_string(j, '$.tags[1]') AS tag2
+          FROM doc)
+        SELECT et, mod, cast(count(*) as bigint) AS n,
+          cast(sum(k) as bigint) AS k_sum,
+          cast(count(maybe) as bigint) AS n_maybe,
+          cast(count(tag2) as bigint) AS n_tag2
+        FROM x
+        GROUP BY et, mod
+        ORDER BY et, mod"""))
   )
 
   /** q87's shared text — the SAME string runs in Spark and DuckDB. */

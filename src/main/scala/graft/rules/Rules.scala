@@ -77,7 +77,7 @@ object AddConstraintWithoutNotValid extends Rule {
   def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
     case s: AlterTableStmt =>
       s.cmds.collect {
-        case AddConstraint(name, kind, false)
+        case AddConstraint(name, kind, false, _)
             if kind == CheckConstraint || kind == ForeignKeyConstraint =>
           val kindStr = if (kind == CheckConstraint) "CHECK" else "FOREIGN KEY"
           finding(Severity.High, s.table.render, s, ctx,
@@ -250,8 +250,94 @@ object OpaqueRoutineBodyRule extends Rule {
   }
 }
 
-/** Default registry — the nine reference rules plus the two opaque-
-  * container rules (do-block, routine-body), unique IDs (reference:
+/** R12 — REINDEX without CONCURRENTLY rebuilds the index under an
+  * ACCESS EXCLUSIVE lock on the index (and a write-blocking lock on
+  * its table) for the whole rebuild. The reference's pg_query types
+  * ReindexStmt but its registry ignores it
+  * (`internal/analyzer/rules/registry.go:6-19`) — this and R13-R15
+  * extend the registry to the classic zero-downtime lock hazards that
+  * walk straight through it.
+  */
+object ReindexNotConcurrentRule extends Rule {
+  val id = "reindex-not-concurrent"
+  val pgVersionReindexConcurrently = 12
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: ReindexStmt if !s.concurrent =>
+      val tgt = s.target.map(_.render)
+        .getOrElse(s"<${s.kind.toLowerCase}>")
+      val fix =
+        if (ctx.targetPgVersion >= pgVersionReindexConcurrently)
+          "Use REINDEX CONCURRENTLY (outside a transaction)"
+        else
+          "REINDEX CONCURRENTLY requires PostgreSQL >= 12; build a replacement index with CREATE INDEX CONCURRENTLY, then drop and rename"
+      Seq(finding(Severity.High, tgt, s, ctx,
+        s"REINDEX ${s.kind} $tgt without CONCURRENTLY blocks writes (and readers of the index) for the whole rebuild",
+        fix, "ACCESS EXCLUSIVE"))
+    case _ => Nil
+  }
+}
+
+/** R13 — CLUSTER rewrites the entire table in index order under
+  * ACCESS EXCLUSIVE: reads AND writes blocked for the duration. Bare
+  * `CLUSTER` re-clusters every previously clustered table in the
+  * database.
+  */
+object ClusterRule extends Rule {
+  val id = "cluster"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: ClusterStmt =>
+      val tbl = s.table.map(_.render).getOrElse("<all clustered tables>")
+      Seq(finding(Severity.High, tbl, s, ctx,
+        s"CLUSTER on $tbl rewrites the whole table under ACCESS EXCLUSIVE lock, blocking reads and writes",
+        "Use pg_repack for online physical reordering, or accept unordered heap and rely on the index",
+        "ACCESS EXCLUSIVE"))
+    case _ => Nil
+  }
+}
+
+/** R14 — REFRESH MATERIALIZED VIEW without CONCURRENTLY locks the MV
+  * ACCESS EXCLUSIVE for the full recompute — even SELECTs block. The
+  * concurrent form (needs a unique index on the MV) refreshes without
+  * blocking readers.
+  */
+object RefreshMatViewNotConcurrentRule extends Rule {
+  val id = "refresh-matview-not-concurrent"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: RefreshMatViewStmt if !s.concurrent =>
+      Seq(finding(Severity.High, s.view.render, s, ctx,
+        s"REFRESH MATERIALIZED VIEW ${s.view.render} without CONCURRENTLY blocks all reads of the view for the whole recompute",
+        "Create a UNIQUE index on the materialized view and use REFRESH MATERIALIZED VIEW CONCURRENTLY",
+        "ACCESS EXCLUSIVE"))
+    case _ => Nil
+  }
+}
+
+/** R15 — ALTER TABLE ... ADD PRIMARY KEY builds the unique index AND
+  * scans every row for NOT NULL validation under ACCESS EXCLUSIVE.
+  * The safe recipe is two steps: CREATE UNIQUE INDEX CONCURRENTLY,
+  * then `ADD CONSTRAINT ... PRIMARY KEY USING INDEX` (a metadata-only
+  * attach on an already-NOT-NULL column) — the USING INDEX form is
+  * therefore not flagged.
+  */
+object AddPrimaryKeyRule extends Rule {
+  val id = "add-primary-key"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case AddConstraint(name, PrimaryKeyConstraint, _, false) =>
+          finding(Severity.High, s.table.render, s, ctx,
+            s"ADD PRIMARY KEY ${if (name.nonEmpty) name + " " else ""}builds a unique index and validates NOT NULL over the whole table under ACCESS EXCLUSIVE lock",
+            "CREATE UNIQUE INDEX CONCURRENTLY first, then ADD CONSTRAINT ... PRIMARY KEY USING INDEX",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** Default registry — the nine reference rules, the two opaque-
+  * container rules (do-block, routine-body), and the four extended
+  * lock-hazard rules (reindex, cluster, refresh-matview, add-primary-
+  * key), unique IDs (reference:
   * `internal/analyzer/rules/registry.go:6-19`).
   */
 object Registry {
@@ -266,5 +352,9 @@ object Registry {
     LockTableRule,
     RenameRule,
     OpaqueDoBlockRule,
-    OpaqueRoutineBodyRule)
+    OpaqueRoutineBodyRule,
+    ReindexNotConcurrentRule,
+    ClusterRule,
+    RefreshMatViewNotConcurrentRule,
+    AddPrimaryKeyRule)
 }

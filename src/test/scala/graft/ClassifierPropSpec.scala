@@ -224,7 +224,7 @@ class ClassifierPropSpec extends AnyFunSuite {
       def render = s"ADD CONSTRAINT $name CHECK (x > 0, y < 2)" +
         (if (notValid) " NOT VALID" else "")
       def matches(c: AlterCmd) = c match {
-        case AddConstraint(n, CheckConstraint, nv) =>
+        case AddConstraint(n, CheckConstraint, nv, _) =>
           n == name && nv == notValid
         case _ => false
       }
@@ -259,7 +259,7 @@ class ClassifierPropSpec extends AnyFunSuite {
     val genWord: Gen[String] = genBare
     checkProp(Prop.forAll(
       Gen.oneOf("SELECT", "INSERT", "UPDATE", "DELETE", "GRANT",
-        "COMMENT", "EXPLAIN", "WITH", "ANALYZE", "REINDEX"),
+        "COMMENT", "EXPLAIN", "WITH", "ANALYZE", "SECURITY"),
       Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, genWord))) {
       (head, tail) =>
         SqlClassifier.classify(s"$head ${tail.mkString(" ")}") match {

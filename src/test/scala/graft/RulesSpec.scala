@@ -38,7 +38,15 @@ class RulesSpec extends AnyFunSuite {
       Severity.Medium, Seq("rename")),
     ("V011", "CREATE INDEX CONCURRENTLY idx_users_status ON users (status);",
       Severity.Safe, Nil),
-    ("V012", "ALTER TABLE users ADD COLUMN bio TEXT;", Severity.Safe, Nil))
+    ("V012", "ALTER TABLE users ADD COLUMN bio TEXT;", Severity.Safe, Nil),
+    ("V013", "REINDEX TABLE users;", Severity.High,
+      Seq("reindex-not-concurrent")),
+    ("V014", "CLUSTER users USING idx_users_email;", Severity.High,
+      Seq("cluster")),
+    ("V015", "REFRESH MATERIALIZED VIEW user_stats;", Severity.High,
+      Seq("refresh-matview-not-concurrent")),
+    ("V016", "ALTER TABLE users ADD CONSTRAINT users_pkey PRIMARY KEY (id);",
+      Severity.High, Seq("add-primary-key")))
 
   for ((v, sql, expSev, expRules) <- fixtureExpectations)
     test(s"fixture $v → ${Severity.label(expSev)}") {
@@ -87,9 +95,11 @@ class RulesSpec extends AnyFunSuite {
     assert(r.findings.head.table == "myschema.users")
   }
 
-  test("R3: UNIQUE/PRIMARY KEY constraints are ignored") {
+  test("R3: UNIQUE/PRIMARY KEY constraints are ignored by R3 " +
+      "(PRIMARY KEY is R15's finding, not a not-valid one)") {
     assert(analyze("ALTER TABLE t ADD CONSTRAINT u UNIQUE (a);").maxSeverity == Severity.Safe)
-    assert(analyze("ALTER TABLE t ADD CONSTRAINT p PRIMARY KEY (a);").maxSeverity == Severity.Safe)
+    val pk = analyze("ALTER TABLE t ADD CONSTRAINT p PRIMARY KEY (a);")
+    assert(pk.findings.map(_.rule) == Seq("add-primary-key"), pk.findings)
   }
 
   test("R3: NOT VALID suppresses the finding") {
@@ -133,9 +143,85 @@ class RulesSpec extends AnyFunSuite {
   }
 
   test("registry: the reference's nine rules + the two opaque-" +
-      "container rules, unique ids") {
-    assert(Registry.defaultRules.length == 11)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 11)
+      "container rules + the four extended lock-hazard rules, " +
+      "unique ids") {
+    assert(Registry.defaultRules.length == 15)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 15)
+  }
+
+  test("R12: REINDEX non-concurrent is HIGH for every target form; " +
+      "CONCURRENTLY (keyword slot or PG14 option list) is safe; " +
+      "suggestion is version-aware across the PG-12 boundary") {
+    val r = analyze("REINDEX TABLE users;")
+    assert(r.findings.map(_.rule) == Seq("reindex-not-concurrent"))
+    assert(r.maxSeverity == Severity.High)
+    assert(r.findings.head.lockType == "ACCESS EXCLUSIVE")
+    assert(r.findings.head.table == "users")
+    assert(analyze("REINDEX INDEX idx_users_email;")
+      .findings.head.table == "idx_users_email")
+    assert(analyze("REINDEX SCHEMA public;").maxSeverity == Severity.High)
+    assert(analyze("REINDEX DATABASE app;").maxSeverity == Severity.High)
+    // both concurrent spellings are the safe form
+    assert(analyze("REINDEX TABLE CONCURRENTLY users;")
+      .maxSeverity == Severity.Safe)
+    assert(analyze("REINDEX (VERBOSE, CONCURRENTLY) TABLE users;")
+      .maxSeverity == Severity.Safe)
+    // version matrix: HIGH on both sides of PG 12, but the recipe
+    // differs (REINDEX CONCURRENTLY does not exist before 12)
+    val pre = analyze("REINDEX TABLE users;", pg = 11)
+    val post = analyze("REINDEX TABLE users;", pg = 14)
+    assert(pre.maxSeverity == Severity.High &&
+      post.maxSeverity == Severity.High)
+    assert(pre.findings.head.suggestion.contains("CREATE INDEX CONCURRENTLY"),
+      pre.findings.head.suggestion)
+    assert(post.findings.head.suggestion.contains("REINDEX CONCURRENTLY"),
+      post.findings.head.suggestion)
+  }
+
+  test("R13: CLUSTER is HIGH (full rewrite); bare CLUSTER reports all " +
+      "clustered tables; legacy `CLUSTER index ON table` reports the " +
+      "table") {
+    val r = analyze("CLUSTER users USING idx_users_email;")
+    assert(r.findings.map(_.rule) == Seq("cluster"))
+    assert(r.maxSeverity == Severity.High)
+    assert(r.findings.head.table == "users")
+    assert(analyze("CLUSTER;").findings.head.table ==
+      "<all clustered tables>")
+    assert(analyze("CLUSTER VERBOSE users;").findings.head.table == "users")
+    assert(analyze("CLUSTER idx_users_email ON users;")
+      .findings.head.table == "users")
+  }
+
+  test("R14: REFRESH MATERIALIZED VIEW non-concurrent is HIGH " +
+      "(blocks reads); CONCURRENTLY is safe; plain REFRESH-anything-" +
+      "else stays unclassified") {
+    val r = analyze("REFRESH MATERIALIZED VIEW app.user_stats;")
+    assert(r.findings.map(_.rule) == Seq("refresh-matview-not-concurrent"))
+    assert(r.maxSeverity == Severity.High)
+    assert(r.findings.head.table == "app.user_stats")
+    assert(analyze(
+      "REFRESH MATERIALIZED VIEW CONCURRENTLY user_stats WITH DATA;")
+      .maxSeverity == Severity.Safe)
+  }
+
+  test("R15: ADD PRIMARY KEY is HIGH (index build + NOT NULL scan " +
+      "under ACCESS EXCLUSIVE); the USING INDEX attach form — the " +
+      "rule's own recipe — is safe; unnamed table-constraint form " +
+      "flags too") {
+    val r = analyze(
+      "ALTER TABLE users ADD CONSTRAINT users_pkey PRIMARY KEY (id);")
+    assert(r.findings.map(_.rule) == Seq("add-primary-key"))
+    assert(r.maxSeverity == Severity.High)
+    assert(r.findings.head.table == "users")
+    assert(analyze("ALTER TABLE users ADD PRIMARY KEY (id);")
+      .findings.map(_.rule) == Seq("add-primary-key"))
+    // the safe recipe end-to-end: concurrent unique index, then attach
+    val recipe = analyze(
+      "CREATE UNIQUE INDEX CONCURRENTLY users_pkey_idx ON users (id);\n" +
+        "ALTER TABLE users ADD CONSTRAINT users_pkey PRIMARY KEY " +
+        "USING INDEX users_pkey_idx;")
+    assert(recipe.maxSeverity == Severity.Safe, recipe.findings)
+    assert(recipe.findings.isEmpty, recipe.findings)
   }
 
   test("R10: DO block flags LOW opaque-procedural (reviewable, never " +
