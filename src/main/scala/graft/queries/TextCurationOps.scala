@@ -5211,7 +5211,15 @@ object TextCurationOps {
     * Output: doc_id, lang, source, n_toks, raw_url, canon_url,
     * domain (registered: last two host labels), path.
     */
-  private def urlCanon(s: SparkSession, d: String): DataFrame = {
+  private def urlCanon(s: SparkSession, d: String): DataFrame =
+    canonicalizeUrls(urlRaw(s, d))
+
+  /** The synthesis half of [[urlCanon]]: deterministic raw URL per doc
+    * (doc_id, lang, source, n_toks, raw_url). Public so the streaming
+    * admission twin (`streaming/UrlAdmitStream`) can stage raw rows
+    * and canonicalize per micro-batch.
+    */
+  private[graft] def urlRaw(s: SparkSession, d: String): DataFrame = {
     def h(c: Column) = graft.functions.PortableHash.h60col(c)
     def tag(t: String, k: Column) =
       h(concat(lit(t), k.cast("string")))
@@ -5253,29 +5261,39 @@ object TextCurationOps {
         when(size(qp) > 0, concat(lit("?"), array_join(qp, "&")))
           .otherwise(lit("")),
         when(col("frag"), "#top").otherwise("")).as("raw_url"))
-    // canonicalize by PARSING raw_url — each regex layer aliased
-    // behind its own projection before multi-reference
-    val u3 = u2.select(col("doc_id"), col("lang"), col("source"),
-      col("n_toks"), col("raw_url"),
+    u2
+  }
+
+  /** The parsing half of [[urlCanon]]: canonicalize any frame holding
+    * a `raw_url` column (other columns pass through) — host → lower /
+    * strip :443 / strip www., path → strip trailing slash, query →
+    * drop utm_*+ref keep the rest, scheme → https, fragment dropped.
+    * Row-local (regex only, no shuffles), so it runs unchanged over a
+    * micro-batch; each regex layer is aliased behind its own
+    * projection before multi-reference (expression-inlining rule).
+    * Adds canon_url, domain (registered: last two labels), path.
+    */
+  private[graft] def canonicalizeUrls(raw: DataFrame): DataFrame = {
+    val pass = raw.columns.filterNot(_ == "raw_url").map(col).toSeq
+    val u3 = raw.select(pass ++ Seq(col("raw_url"),
       regexp_replace(regexp_replace(
         lower(regexp_extract(col("raw_url"), "^[a-z]+://([^/?#]+)", 1)),
         ":443$", ""), "^www\\.", "").as("host_c"),
       regexp_extract(col("raw_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1)
         .as("p0"),
       filter(split(regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
-        x => x =!= "" && !x.rlike("^(utm_[a-z]+|ref)=")).as("keep"))
-    val u4 = u3.select(col("doc_id"), col("lang"), col("source"),
-      col("n_toks"), col("raw_url"), col("host_c"), col("keep"),
+        x => x =!= "" && !x.rlike("^(utm_[a-z]+|ref)=")).as("keep")): _*)
+    val u4 = u3.select(pass ++ Seq(col("raw_url"), col("host_c"),
+      col("keep"),
       when(col("p0") =!= "/", regexp_replace(col("p0"), "/$", ""))
-        .otherwise(col("p0")).as("path"))
-    u4.select(col("doc_id"), col("lang"), col("source"), col("n_toks"),
-      col("raw_url"),
+        .otherwise(col("p0")).as("path")): _*)
+    u4.select(pass ++ Seq(col("raw_url"),
       concat(lit("https://"), col("host_c"), col("path"),
         when(size(col("keep")) > 0,
           concat(lit("?"), array_join(col("keep"), "&")))
           .otherwise(lit(""))).as("canon_url"),
       regexp_extract(col("host_c"), "([^.]+\\.[^.]+)$", 1).as("domain"),
-      col("path"))
+      col("path")): _*)
   }
 
   /** URL-layer admission — the pipeline (p01/p02) form of the x51

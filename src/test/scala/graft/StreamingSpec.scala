@@ -400,6 +400,62 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.select("event_id").distinct().count() == 120)
   }
 
+  test("foreachBatch URL admission maintains seen-URL state (x51 " +
+      "funnel's kappa twin: per-batch canonicalize + blocklist gate + " +
+      "URL-exact dedup, stream ≡ batch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bl = Seq("site1.com", "site5.com", "site9.com")
+    val raw = graft.queries.TextCurationOps.urlRaw(spark, sf0001)
+      .select(col("doc_id"), col("n_toks"), col("raw_url"))
+      .localCheckpoint()
+    val history = graft.queries.TextCurationOps
+      .canonicalizeUrls(raw.filter(col("doc_id") < 200))
+    val ranges = Seq((200L, 300L), (300L, 400L), (400L, Long.MaxValue))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val got = scala.collection.concurrent.TrieMap[
+      Long, Array[(Long, String)]]()
+    val q = graft.streaming.UrlAdmitStream.urlAdmission(
+      history, ms.toDF().toDF("doc_id", "n_toks", "raw_url"), bl,
+      onAdmitted = (id, a) => got(id) = a
+        .select(col("doc_id"), col("canon_url")).collect()
+        .map(r => (r.getLong(0), r.getString(1))))
+    ranges.foreach { case (lo, hi) =>
+      val rows = raw.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .as[(Long, Long, String)].collect()
+      ms.addData(rows.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.size == ranges.size,
+      s"expected ${ranges.size} micro-batches, saw ${got.keys}")
+    // batch face: one admission over the WHOLE corpus (min doc_id per
+    // canonical URL wins globally); arrival order is ascending
+    // doc_id, so the stream's first-arrival-wins must equal it
+    val full = graft.streaming.UrlAdmitStream.admit(
+        graft.queries.TextCurationOps.canonicalizeUrls(raw),
+        bl.toDF("domain"))
+      .select(col("doc_id"), col("canon_url")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val histAdmit = graft.streaming.UrlAdmitStream.admit(
+        history, bl.toDF("domain"))
+      .select(col("doc_id"), col("canon_url")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = histAdmit ++ got.values.flatten
+    assert(streamed == full,
+      s"stream admission != batch admission: " +
+        s"only-stream=${(streamed -- full).take(5)} " +
+        s"only-batch=${(full -- streamed).take(5)}")
+    // the state did real cross-batch work: later batches re-offer
+    // URLs already admitted (shared page identities span ranges) and
+    // every one of them was dropped — verified above by set equality;
+    // also no batch is empty and no admitted doc repeats a URL
+    assert(got.values.forall(_.nonEmpty))
+    val urls = streamed.toSeq.map(_._2)
+    assert(urls.distinct.size == urls.size, "duplicate canonical URL")
+  }
+
   test("foreachBatch incremental dedup maintains band-index state " +
       "(d14's kappa twin, stream ≡ batch replay)") {
     import spark.implicits._
