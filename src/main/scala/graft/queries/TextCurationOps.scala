@@ -4839,66 +4839,9 @@ object TextCurationOps {
     "x49_langid_train" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        def h(c: Column) = graft.functions.PortableHash.h60col(c)
-        def arr(ws: String*) = array(ws.map(lit): _*)
-        val base = docs(s, d).select(col("doc_id"), col("lang"),
-            posexplode(words(col("text"))).as(Seq("p0", "word")))
-          .select(col("doc_id"), col("lang"), col("word"),
-            (col("p0") + 1).cast("long").as("p"))
-        val mkArr = when(col("lang") === "en",
-            arr("the", "of", "and", "to", "in"))
-          .when(col("lang") === "de", arr("der", "und", "nicht", "ist", "das"))
-          .when(col("lang") === "es", arr("el", "que", "los", "para", "una"))
-          .when(col("lang") === "fr", arr("le", "les", "des", "une", "est"))
-          .otherwise(arr("de5", "shi4", "bu4", "le5", "zai4"))
-        val mk = base.filter(
-            pmod(h(concat(lit("loc_"), col("doc_id").cast("string"),
-              lit("_"), col("p").cast("string"))), lit(3L)) === 0L)
-          .select(col("doc_id"), col("lang"),
-            element_at(mkArr,
-              (pmod(h(concat(lit("locw_"), col("doc_id").cast("string"),
-                lit("_"), col("p").cast("string"))), lit(5L)) + 1L)
-                .cast("int")).as("word"))
-        // fresh aliases on both union inputs (shared-exprId workaround)
-        def fr(df: DataFrame) =
-          df.select(df.columns.map(c => col(c).as(c)): _*)
-        val loc = fr(base.select(col("doc_id"), col("lang"), col("word")))
-          .unionAll(fr(mk))
-        // char trigrams of the '_'-padded word; the array expression
-        // feeds explode directly (never explode an aliased expensive
-        // array). Two consumers (train/test) → materialize once.
-        val grams = mat(loc.select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(1), length(col("word"))), i =>
-            concat(lit("_"), col("word"), lit("_")).substr(i, lit(3))))
-            .as("gram")))
-        val cnt = grams.filter(pmod(col("doc_id"), lit(2L)) === 0L)
-          .groupBy(col("gram"), col("lang")).agg(count(lit(1)).as("c"))
-          .localCheckpoint() // vocabulary-scale; 3 consumers below
-        val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-        val vocab = cnt.select(col("gram")).distinct()
-        val langs = docs(s, d).select(col("lang")).distinct()
-        val w = vocab.crossJoin(broadcast(langs))
-          .join(broadcast(tot), Seq("lang"))
-          .join(cnt, Seq("gram", "lang"), "left")
-          .select(col("gram"), col("lang").as("cand"),
-            // 128-bit decimal intermediate: cnt*1e9 would wrap a long
-            // past ~9.2e9 grams per label; decimal(38,0) never does,
-            // and IntegralDivide still returns BIGINT — same values,
-            // same schema at every scale
-            expr("cast(coalesce(c, cast(0 as bigint)) as decimal(38,0))" +
-              " * 1000000000 div t")
-              .as("w"))
-        val dg = grams.filter(pmod(col("doc_id"), lit(2L)) === 1L)
-          .groupBy(col("doc_id"), col("lang"), col("gram"))
-          .agg(count(lit(1)).as("n"))
-        val sc = dg.join(broadcast(w), Seq("gram"))
-          .groupBy(col("doc_id"), col("lang"), col("cand"))
-          .agg(sum(col("n") * col("w")).as("score"))
-        val pred = sc.withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id"))
-              .orderBy(col("score").desc, col("cand"))))
-          .filter(col("rn") === 1)
-          .select(col("lang").as("true_lang"), col("cand").as("pred_lang"))
+        val pred = langidPred(s, d, injectMarkers = true,
+            scoreHoldoutOnly = true)
+          .select(col("lang").as("true_lang"), col("pred_lang"))
         pred.groupBy(col("true_lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n_docs"))
           .withColumn("label_total", sum(col("n_docs")).over(
@@ -5190,8 +5133,217 @@ object TextCurationOps {
             cast(1000 * n_tokens // n_words as bigint), vocab_size
           FROM cstat, cvoc, nw) u
         ORDER BY scheme"""
-      })
+      }),
+
+
+    // ------------------------------------------------------------------
+    // LANG-ID DRIFT CENSUS — the trained model's downstream CONSUMER
+    // (x49 proved the harness; this wires it into a decision). The
+    // x16 mixture plan is computed TWICE from the same per-doc frame:
+    // once keyed on the STORED lang label, once on the lang PREDICTED
+    // by a model trained on the raw text (x49's dataflow WITHOUT the
+    // marker injection — i.e. the model an operator would actually
+    // train on this corpus). Because the stored label is independent
+    // of the text (the r12 finding), the raw-text model's predictions
+    // collapse away from the label distribution and the two mixture
+    // plans diverge — shift_milli per lang, alarm at |shift| ≥ 5% —
+    // turning the label-vs-content discrepancy into an operational
+    // alarm instead of a scaladoc note: a sampling plan built on the
+    // stored label would mix utterly different content than one built
+    // on predicted language.
+    // Scale: x49's posture (one tokenize+explode pass, vocabulary-
+    // scale broadcast model, doc_id-partitioned argmax window) plus
+    // two 5-row plan frames joined on lang.
+    // ------------------------------------------------------------------
+    "x53_langid_drift_census" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val preds = mat(langidPred(s, d, injectMarkers = false,
+          scoreHoldoutOnly = false)) // two census consumers below
+        val targets = Seq(("en", 0.5), ("zh", 0.2), ("de", 0.1),
+          ("fr", 0.1), ("es", 0.1)).toDF("lang", "target_share")
+        val total = preds.agg(count(lit(1)).as("n_total"))
+        def plan(counts: DataFrame) =
+          counts.join(targets, "lang")
+            .crossJoin(broadcast(total))
+            .withColumn("budget", col("n_total").cast("double") * 0.5)
+            .withColumn("rate",
+              least(lit(1.0), col("target_share") * col("budget") /
+                col("n_docs").cast("double")))
+            .withColumn("expected_docs",
+              floor(col("rate") * col("n_docs").cast("double"))
+                .cast("bigint"))
+            .select(col("lang"), col("n_docs"), col("expected_docs"))
+        val stored = plan(preds.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs")))
+          .select(col("lang"), col("n_docs").as("n_stored"),
+            col("expected_docs").as("exp_stored"))
+        val predicted = plan(preds.groupBy(col("pred_lang").as("lang"))
+            .agg(count(lit(1)).as("n_docs")))
+          .select(col("lang"), col("n_docs").as("n_pred"),
+            col("expected_docs").as("exp_pred"))
+        stored.join(predicted, Seq("lang"), "left")
+          .select(col("lang"), col("n_stored"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            col("exp_stored"),
+            coalesce(col("exp_pred"), lit(0L)).as("exp_pred"))
+          .withColumn("shift_milli",
+            expr("1000 * n_pred div n_stored - 1000"))
+          .withColumn("alarm", abs(col("shift_milli")) >= 50)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, lang,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+              '\s+') AS ws
+          FROM documents),
+        pos AS (
+          SELECT doc_id, lang, ws[u.p] AS word
+          FROM base, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS p) u),
+        grams AS MATERIALIZED (
+          SELECT doc_id, lang, substr('_' || word || '_', g.i, 3) AS gram
+          FROM pos, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) g),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        cnt AS MATERIALIZED (
+          SELECT gram, lang, cast(count(*) as bigint) AS c
+          FROM grams WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        tot AS (SELECT lang, cast(sum(c) as bigint) AS t FROM cnt GROUP BY 1),
+        vocab AS (SELECT DISTINCT gram FROM cnt),
+        w AS (
+          SELECT v.gram, l.lang AS cand,
+            coalesce(c.c, 0) * 1000000000 // t.t AS w
+          FROM vocab v CROSS JOIN langs l
+          JOIN tot t ON t.lang = l.lang
+          LEFT JOIN cnt c ON c.gram = v.gram AND c.lang = l.lang),
+        dg AS (
+          SELECT doc_id, lang, gram, cast(count(*) as bigint) AS n
+          FROM grams GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT dg.doc_id, dg.lang, w.cand,
+            cast(sum(dg.n * w.w) as bigint) AS score
+          FROM dg JOIN w ON w.gram = dg.gram
+          GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT doc_id, lang, cand AS pred_lang
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, cand) AS rn FROM sc)
+          WHERE rn = 1),
+        targets(lang, target_share) AS (VALUES
+          ('en', 0.5), ('zh', 0.2), ('de', 0.1), ('fr', 0.1), ('es', 0.1)),
+        total AS (SELECT cast(count(*) as bigint) AS n_total FROM pred),
+        cs AS (SELECT lang, cast(count(*) as bigint) AS n_docs
+          FROM pred GROUP BY 1),
+        cp AS (SELECT pred_lang AS lang, cast(count(*) as bigint) AS n_docs
+          FROM pred GROUP BY 1),
+        ps AS (
+          SELECT c.lang, c.n_docs,
+            cast(floor(least(1.0, cast(t.target_share as double) *
+              (cast(n_total as double) * 0.5) / cast(c.n_docs as double)) *
+              cast(c.n_docs as double)) as bigint) AS expected_docs
+          FROM cs c JOIN targets t USING (lang), total),
+        pp AS (
+          SELECT c.lang, c.n_docs,
+            cast(floor(least(1.0, cast(t.target_share as double) *
+              (cast(n_total as double) * 0.5) / cast(c.n_docs as double)) *
+              cast(c.n_docs as double)) as bigint) AS expected_docs
+          FROM cp c JOIN targets t USING (lang), total)
+        SELECT s.lang, s.n_docs AS n_stored,
+          coalesce(p.n_docs, 0) AS n_pred,
+          s.expected_docs AS exp_stored,
+          coalesce(p.expected_docs, 0) AS exp_pred,
+          1000 * coalesce(p.n_docs, 0) // s.n_docs - 1000 AS shift_milli,
+          abs(1000 * coalesce(p.n_docs, 0) // s.n_docs - 1000) >= 50
+            AS alarm
+        FROM ps s LEFT JOIN pp p USING (lang)
+        ORDER BY s.lang"""))
   )
+
+  // --- trigram language-id dataflow (x49/x53 shared) --------------------
+
+  /** Per-doc language prediction from the char-trigram rate-profile
+    * model (x49's dataflow, factored for reuse): train per-(gram,lang)
+    * integer rates-per-billion on EVEN doc_ids, score by rate-profile
+    * dot product, argmax with deterministic tiebreak. Returns
+    * (doc_id, lang, pred_lang).
+    *
+    * `injectMarkers` — add the h60-keyed language-marker function
+    * words (x49's localized corpus, where the label signal is real);
+    * false trains/scores on the RAW text, whose stored `lang` label is
+    * content-independent (the r12 finding) — that model is what an
+    * operator would actually train, and its predictions drifting from
+    * the stored label is the x53 alarm.
+    * `scoreHoldoutOnly` — score only ODD doc_ids (x49's held-out
+    * eval) vs the whole corpus (x53's labeling pass).
+    */
+  private def langidPred(s: SparkSession, d: String,
+      injectMarkers: Boolean, scoreHoldoutOnly: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def h(c: Column) = graft.functions.PortableHash.h60col(c)
+    def arr(ws: String*) = array(ws.map(lit): _*)
+    val base = docs(s, d).select(col("doc_id"), col("lang"),
+        posexplode(words(col("text"))).as(Seq("p0", "word")))
+      .select(col("doc_id"), col("lang"), col("word"),
+        (col("p0") + 1).cast("long").as("p"))
+    val mkArr = when(col("lang") === "en",
+        arr("the", "of", "and", "to", "in"))
+      .when(col("lang") === "de", arr("der", "und", "nicht", "ist", "das"))
+      .when(col("lang") === "es", arr("el", "que", "los", "para", "una"))
+      .when(col("lang") === "fr", arr("le", "les", "des", "une", "est"))
+      .otherwise(arr("de5", "shi4", "bu4", "le5", "zai4"))
+    val mk = base.filter(
+        pmod(h(concat(lit("loc_"), col("doc_id").cast("string"),
+          lit("_"), col("p").cast("string"))), lit(3L)) === 0L)
+      .select(col("doc_id"), col("lang"),
+        element_at(mkArr,
+          (pmod(h(concat(lit("locw_"), col("doc_id").cast("string"),
+            lit("_"), col("p").cast("string"))), lit(5L)) + 1L)
+            .cast("int")).as("word"))
+    // fresh aliases on both union inputs (shared-exprId workaround)
+    def fr(df: DataFrame) =
+      df.select(df.columns.map(c => col(c).as(c)): _*)
+    val loc =
+      if (injectMarkers)
+        fr(base.select(col("doc_id"), col("lang"), col("word")))
+          .unionAll(fr(mk))
+      else base.select(col("doc_id"), col("lang"), col("word"))
+    // char trigrams of the '_'-padded word; the array expression
+    // feeds explode directly (never explode an aliased expensive
+    // array). Two consumers (train/test) → materialize once.
+    val grams = mat(loc.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), length(col("word"))), i =>
+        concat(lit("_"), col("word"), lit("_")).substr(i, lit(3))))
+        .as("gram")))
+    val cnt = grams.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .groupBy(col("gram"), col("lang")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocabulary-scale; 3 consumers below
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vocab = cnt.select(col("gram")).distinct()
+    val langs = docs(s, d).select(col("lang")).distinct()
+    val w = vocab.crossJoin(broadcast(langs))
+      .join(broadcast(tot), Seq("lang"))
+      .join(cnt, Seq("gram", "lang"), "left")
+      .select(col("gram"), col("lang").as("cand"),
+        // 128-bit decimal intermediate: cnt*1e9 would wrap a long
+        // past ~9.2e9 grams per label; decimal(38,0) never does,
+        // and IntegralDivide still returns BIGINT — same values,
+        // same schema at every scale
+        expr("cast(coalesce(c, cast(0 as bigint)) as decimal(38,0))" +
+          " * 1000000000 div t")
+          .as("w"))
+    val dg = (if (scoreHoldoutOnly)
+        grams.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      else grams)
+      .groupBy(col("doc_id"), col("lang"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    val sc = dg.join(broadcast(w), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("n") * col("w")).as("score"))
+    sc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"))
+  }
 
   // --- URL-layer synthesis + canonicalization (x50/x51 shared) ----------
 

@@ -29,6 +29,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "onto the vocabulary-scale gram table to mint the dense "
       + "(gram × lang) weight matrix; corpus-scale joins are hash "
       + "only and the model ships as a vocabulary-scale broadcast"),
+    "x53_langid_drift_census" -> ("x49's dataflow (same 5-row "
+      + "language-list cross onto the vocabulary-scale gram table) "
+      + "plus a 1-row corpus-total broadcast crossed onto the two "
+      + "5-row mixture-plan frames"),
     "q09_cross_join" -> "cross join by definition (dim×dim, 25 rows)",
     "q10_theta_join" -> "non-equi theta join (dim×dim by design rule)",
     "q26_scalar_subquery" -> "uncorrelated scalar broadcast (1 row)",

@@ -67,7 +67,9 @@ class QueriesSpec extends SparkFunSuite {
         "p06_token_budget_pack", "e35_mv_rewrite",
         "d25_index_deletion", "x49_langid_train",
         "x51_url_gate_dedup", "q88_merge_into",
-        "q89_update_delete")) {
+        "q89_update_delete",
+        // round-13 additions
+        "x53_langid_drift_census")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
