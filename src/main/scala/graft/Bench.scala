@@ -138,20 +138,8 @@ object Bench {
     // and re-measure; keep the best of the two attempts and stamp the
     // retry in the artifact so a still-sick session is EXPLICITLY
     // double-flagged rather than silently noisy.
-    val calPre0 = calibrate()
-    val calShufPre0 = calibrateShuffle()
-    val preSick = ref.exists(r =>
-      calPre0 > 1.5 * r.cal || calShufPre0 > 1.5 * r.calShuf)
     val cooldownSec =
       sys.env.getOrElse("SPARK_GRAFT_CAL_COOLDOWN_SEC", "60").toInt
-    val (calPre, calShufPre) =
-      if (!preSick) (calPre0, calShufPre0)
-      else {
-        Thread.sleep(cooldownSec * 1000L)
-        System.gc()
-        (math.min(calPre0, calibrate()),
-          math.min(calShufPre0, calibrateShuffle()))
-      }
     // 3 timed runs per query; the MIN is the headline (the stable
     // estimate of the plan's actual cost), and min/median/max ride
     // along in "spread" so a round-over-round blip is classifiable
@@ -187,25 +175,109 @@ object Bench {
         } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-    val firstPass = names.map(name => name -> timeQuery(name, runs))
-    // Confirmation re-runs: a query whose min exceeds 2× its stored
-    // healthy min is either a plan regression or a transient stall —
-    // one more batch of runs disambiguates inside the artifact (a
-    // regression reproduces; a stall posts a normal min the second
-    // time). Only meaningful when this run's sf matches the one the
-    // reference was recorded at.
-    val sfComparable = ref.exists(r => sfDir.endsWith(r.sfSuffix))
-    val flagged: Seq[String] =
-      if (!sfComparable) Seq.empty
-      else firstPass.collect {
+    // One full measurement SESSION: pre-calibration (with the bounded
+    // cooldown retry on a sick pre-leg), 3 timed runs per query,
+    // per-query confirmation re-runs for >2×-reference mins, post-
+    // calibration.
+    case class Session(results: Seq[(String, Seq[Double])],
+        calPre: Double, calShufPre: Double,
+        calPost: Double, calShufPost: Double,
+        preSick: Boolean, preBefore: Double, shufPreBefore: Double) {
+      def legs: (Double, Double) =
+        (math.min(calPre, calPost), math.min(calShufPre, calShufPost))
+    }
+    def runSession(): Session = {
+      val calPre0 = calibrate()
+      val calShufPre0 = calibrateShuffle()
+      val preSick = ref.exists(r =>
+        calPre0 > 1.5 * r.cal || calShufPre0 > 1.5 * r.calShuf)
+      val (calPre, calShufPre) =
+        if (!preSick) (calPre0, calShufPre0)
+        else {
+          Thread.sleep(cooldownSec * 1000L)
+          System.gc()
+          (math.min(calPre0, calibrate()),
+            math.min(calShufPre0, calibrateShuffle()))
+        }
+      val firstPass = names.map(name => name -> timeQuery(name, runs))
+      // Confirmation re-runs: a query whose min exceeds 2× its stored
+      // healthy min is either a plan regression or a transient stall —
+      // one more batch of runs disambiguates inside the artifact (a
+      // regression reproduces; a stall posts a normal min the second
+      // time). Only meaningful when this run's sf matches the one the
+      // reference was recorded at.
+      val sfComparable = ref.exists(r => sfDir.endsWith(r.sfSuffix))
+      val flagged: Seq[String] =
+        if (!sfComparable) Seq.empty
+        else firstPass.collect {
+          case (name, ts) if ref.get.mins.get(name).exists(ts.min > 2 * _) =>
+            name
+        }
+      val results = firstPass.map { case (name, ts) =>
+        val all = if (flagged.contains(name)) ts ++ timeQuery(name, runs)
+          else ts
+        name -> all.sorted
+      }
+      Session(results, calPre, calShufPre, calibrate(),
+        calibrateShuffle(), preSick, calPre0, calShufPre0)
+    }
+    // sick = EITHER calibration leg's min(pre, post) >1.5× its
+    // committed healthy value (CPU leg catches a loaded machine,
+    // shuffle leg catches sick disk/TRIM — r6's failure mode passed
+    // the CPU leg alone). min of the two ends, not ANY single reading:
+    // on a short BENCH_ONLY run the pre-leg still carries residual JIT
+    // cold-start (measured 0.131 vs 0.055 healthy even after a
+    // discarded warm-up execution), while a genuinely sick session —
+    // the thing this flag exists for — reads high at BOTH ends.
+    def statusOf(cpu: Double, shuf: Double): String = ref match {
+      case None => "no_reference"
+      case Some(r) =>
+        if (cpu > 1.5 * r.cal || shuf > 1.5 * r.calShuf) "sick" else "ok"
+    }
+    // Whole-session repeat (r12 lesson): the cooldown retry recovered
+    // the PRE leg but the session stayed sick through the query runs,
+    // shipping a round with 4 flagged re-runs and no usable perf
+    // record. When the END-OF-SESSION verdict is still sick, repeat
+    // the ENTIRE measurement once (bounded: one repeat, after a
+    // longer cooldown) and take each query's min across both
+    // sessions — mins only improve with samples, so if the repeat
+    // runs healthy the merged numbers are a healthy session's. Status
+    // is judged on the best calibration legs observed across
+    // attempts: "sick" now means the machine never offered a healthy
+    // window, which is the honest residual case.
+    val s1 = runSession()
+    val sessionRepeated =
+      statusOf(s1.legs._1, s1.legs._2) == "sick" && ref.nonEmpty
+    val s2: Option[Session] =
+      if (!sessionRepeated) None
+      else {
+        Thread.sleep(2L * cooldownSec * 1000L)
+        System.gc()
+        Some(runSession())
+      }
+    val results: Seq[(String, Seq[Double])] = s2 match {
+      case None => s1.results
+      case Some(b) =>
+        val m2 = b.results.toMap
+        s1.results.map { case (name, ts) =>
+          name -> (ts ++ m2.getOrElse(name, Seq.empty)).sorted
+        }
+    }
+    val (cpuLeg, shufLeg) = s2 match {
+      case None => s1.legs
+      case Some(b) => (math.min(s1.legs._1, b.legs._1),
+        math.min(s1.legs._2, b.legs._2))
+    }
+    val calStatus = statusOf(cpuLeg, shufLeg)
+    // flagged_reruns reports what is STILL >2× reference after every
+    // attempt — with a healthy repeat these are genuine regressions,
+    // not session noise.
+    val flaggedFinal: Seq[String] =
+      if (!ref.exists(r => sfDir.endsWith(r.sfSuffix))) Seq.empty
+      else results.collect {
         case (name, ts) if ref.get.mins.get(name).exists(ts.min > 2 * _) =>
           name
       }
-    val results = firstPass.map { case (name, ts) =>
-      val all = if (flagged.contains(name)) ts ++ timeQuery(name, runs)
-        else ts
-      name -> all.sorted
-    }
     def f3(v: Double) = f"$v%.3f"
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(ts.min) }
       .mkString("{", ",", "}")
@@ -215,30 +287,20 @@ object Bench {
         ",\"max\":" + f3(ts.last) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    val calPost = calibrate()
-    val calShufPost = calibrateShuffle()
-    // sick = EITHER calibration leg's min(pre, post) >1.5× its
-    // committed healthy value (CPU leg catches a loaded machine,
-    // shuffle leg catches sick disk/TRIM — r6's failure mode passed
-    // the CPU leg alone). min of the two ends, not ANY single reading:
-    // on a short BENCH_ONLY run the pre-leg still carries residual JIT
-    // cold-start (measured 0.131 vs 0.055 healthy even after a
-    // discarded warm-up execution), while a genuinely sick session —
-    // the thing this flag exists for — reads high at BOTH ends.
-    val calStatus = ref match {
-      case None => "no_reference"
-      case Some(r) =>
-        val sick = math.min(calPre, calPost) > 1.5 * r.cal ||
-          math.min(calShufPre, calShufPost) > 1.5 * r.calShuf
-        if (sick) "sick" else "ok"
-    }
-    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // retry stamp: absent on a clean pre-leg; when the pre-leg read
+    val flaggedJson =
+      flaggedFinal.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // retry stamp: absent on a clean pre-leg; when any pre-leg read
     // sick, records the cooldown and the ORIGINAL readings so a
     // still-sick session is double-flagged (retried AND status=sick)
     val retryJson =
-      if (!preSick) ""
-      else s""","calibration_retry":{"cooldown_sec":$cooldownSec,"pre_before":${f3(calPre0)},"shuffle_pre_before":${f3(calShufPre0)}}"""
+      if (!s1.preSick) ""
+      else s""","calibration_retry":{"cooldown_sec":$cooldownSec,"pre_before":${f3(s1.preBefore)},"shuffle_pre_before":${f3(s1.shufPreBefore)}}"""
+    val repeatJson =
+      if (!sessionRepeated) ""
+      else {
+        val b = s2.get
+        s""","session_repeat":{"first_cal":{"cpu":${f3(s1.legs._1)},"shuffle":${f3(s1.legs._2)}},"second_cal":{"cpu":${f3(b.legs._1)},"shuffle":${f3(b.legs._2)}}}"""
+      }
     // Two lines, diagnostic first, canonical LAST: the driver archives
     // only a 2000-char tail of stdout, and the full min/med/max spread
     // map alone exceeds that — r11's artifact lost the first ~3
@@ -246,9 +308,9 @@ object Bench {
     // line is the complete spec-shape JSON without the spread, sized to
     // always fit the tail whole.
     println(
-      s"""{"metric":"spread_detail","spread":$spread,"runs":$runs$retryJson,"sf":"$sfDir"}""")
+      s"""{"metric":"spread_detail","spread":$spread,"runs":$runs$retryJson$repeatJson,"sf":"$sfDir"}""")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":{"pre":${f3(calPre)},"post":${f3(calPost)}},"calibration_shuffle_sec":{"pre":${f3(calShufPre)},"post":${f3(calShufPost)}},"calibration_status":"$calStatus","flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":{"pre":${f3(s1.calPre)},"post":${f3(s1.calPost)}},"calibration_shuffle_sec":{"pre":${f3(s1.calShufPre)},"post":${f3(s1.calShufPost)}},"calibration_status":"$calStatus","session_repeated":$sessionRepeated,"flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
