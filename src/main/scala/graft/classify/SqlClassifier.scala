@@ -68,6 +68,17 @@ object SqlClassifier {
     * recommends classifies as what it is, not as an opaque command.
     */
   final case class ValidateConstraint(name: String) extends AlterCmd
+  /** `ATTACH PARTITION part FOR VALUES …` — SHARE UPDATE EXCLUSIVE on
+    * the parent plus a full validation scan of the attached table
+    * unless a pre-existing CHECK constraint proves the bound (R17).
+    */
+  final case class AttachPartition(partition: String) extends AlterCmd
+  /** `DETACH PARTITION part [CONCURRENTLY | FINALIZE]` — the
+    * non-concurrent form takes ACCESS EXCLUSIVE on the partitioned
+    * parent (R16); CONCURRENTLY (PG≥14) detaches without blocking.
+    */
+  final case class DetachPartition(partition: String,
+      concurrent: Boolean) extends AlterCmd
   final case class OtherAlterCmd(text: String) extends AlterCmd
 
   sealed trait RenameKind
@@ -136,6 +147,17 @@ object SqlClassifier {
     */
   final case class RefreshMatViewStmt(concurrent: Boolean,
       view: QualifiedName, sql: String) extends Stmt
+  /** `CREATE [OR REPLACE] [CONSTRAINT] TRIGGER name … ON table …` —
+    * takes SHARE ROW EXCLUSIVE on the table: brief, but it blocks
+    * writes while held and queues behind long transactions (R18).
+    */
+  final case class CreateTriggerStmt(name: String, table: QualifiedName,
+      sql: String) extends Stmt
+  /** `COMMENT ON …` — typed (not OtherStmt) so the classifier's
+    * known-safe surface matches the reference parser's node
+    * coverage; takes no lock that matters.
+    */
+  final case class CommentStmt(sql: String) extends Stmt
   final case class OtherStmt(head: String, sql: String) extends Stmt
 
   // ---------------------------------------------------------------------
@@ -360,6 +382,7 @@ object SqlClassifier {
       case "CLUSTER" => classifyCluster(t, stmtSql)
       case "REFRESH" if t.peekKw(1, "MATERIALIZED") && t.peekKw(2, "VIEW") =>
         classifyRefresh(t, stmtSql)
+      case "COMMENT" => CommentStmt(stmtSql)
       case _ => OtherStmt(head, stmtSql)
     }
   }
@@ -412,7 +435,8 @@ object SqlClassifier {
   private def classifyCreate(t: Cursor, sql: String): Stmt = {
     t.next() // CREATE
     if (t.curIsKw("OR") && t.peekKw(1, "REPLACE") &&
-        (t.peekKw(2, "FUNCTION") || t.peekKw(2, "PROCEDURE"))) {
+        (t.peekKw(2, "FUNCTION") || t.peekKw(2, "PROCEDURE") ||
+          t.peekKw(2, "TRIGGER"))) {
       t.next(); t.next() // OR REPLACE
     }
     if (t.curIsKw("FUNCTION") || t.curIsKw("PROCEDURE")) {
@@ -421,6 +445,21 @@ object SqlClassifier {
         if (!t.eof && t.peek.get.kind == Tok.Word) t.qualifiedName()
         else QualifiedName(None, "<unknown>")
       return CreateRoutineStmt(name, routine, sql)
+    }
+    if (t.curIsKw("TRIGGER") ||
+        (t.curIsKw("CONSTRAINT") && t.peekKw(1, "TRIGGER"))) {
+      t.skipKw("CONSTRAINT")
+      t.next() // TRIGGER
+      val name =
+        if (!t.eof && t.peek.get.kind == Tok.Word) t.next().text else ""
+      // events are INSERT/UPDATE [OF col]/DELETE/TRUNCATE — the first
+      // bare ON introduces the table (INSTEAD OF tokenizes as OF)
+      while (!t.eof && !t.curIsKw("ON")) t.next()
+      val tbl =
+        if (t.skipKw("ON") && !t.eof && t.peek.get.kind == Tok.Word)
+          t.qualifiedName()
+        else QualifiedName(None, "<unknown>")
+      return CreateTriggerStmt(name, tbl, sql)
     }
     val unique = t.skipKw("UNIQUE")
     if (t.skipKw("INDEX")) {
@@ -729,6 +768,19 @@ object SqlClassifier {
       t.pos += 2
       val name = if (!t.eof) t.next().text else ""
       ValidateConstraint(name)
+    } else if (t.curIsKw("ATTACH") && t.peekKw(1, "PARTITION")) {
+      t.pos += 2
+      val part = if (!t.eof) t.qualifiedName().render else ""
+      // consume the FOR VALUES …/DEFAULT bound spec to the next comma
+      while (!t.eof && !(t.peek.get.kind == Tok.Punct && t.peek.get.text == ","))
+        t.next()
+      AttachPartition(part)
+    } else if (t.curIsKw("DETACH") && t.peekKw(1, "PARTITION")) {
+      t.pos += 2
+      val part = if (!t.eof) t.qualifiedName().render else ""
+      val concurrent = t.skipKw("CONCURRENTLY")
+      t.skipKw("FINALIZE")
+      DetachPartition(part, concurrent)
     } else OtherAlterCmd(restText())
   }
 

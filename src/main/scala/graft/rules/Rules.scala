@@ -334,10 +334,74 @@ object AddPrimaryKeyRule extends Rule {
   }
 }
 
+/** R16 — DETACH PARTITION without CONCURRENTLY takes ACCESS EXCLUSIVE
+  * on the partitioned PARENT: every query on the whole partitioned
+  * table blocks for the detach. CONCURRENTLY (PG≥14) detaches in two
+  * transactions without blocking readers.
+  */
+object DetachPartitionNotConcurrentRule extends Rule {
+  val id = "detach-partition-not-concurrent"
+  val pgVersionDetachConcurrently = 14
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case DetachPartition(part, false) =>
+          val fix =
+            if (ctx.targetPgVersion >= pgVersionDetachConcurrently)
+              "Use DETACH PARTITION ... CONCURRENTLY (outside a transaction)"
+            else
+              "DETACH PARTITION CONCURRENTLY requires PostgreSQL >= 14; schedule the detach in a low-traffic window with lock_timeout set"
+          finding(Severity.High, s.table.render, s, ctx,
+            s"DETACH PARTITION $part without CONCURRENTLY takes ACCESS EXCLUSIVE on the partitioned table, blocking every query on it",
+            fix, "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R17 — ATTACH PARTITION holds SHARE UPDATE EXCLUSIVE on the parent
+  * while it SCANS the attached table to validate the partition bound
+  * — unless a pre-existing CHECK constraint already proves it, which
+  * static analysis cannot see; flagged MEDIUM with the skip-the-scan
+  * recipe.
+  */
+object AttachPartitionValidationRule extends Rule {
+  val id = "attach-partition-validation"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case AttachPartition(part) =>
+          finding(Severity.Medium, s.table.render, s, ctx,
+            s"ATTACH PARTITION $part scans the attached table to validate the bound while holding SHARE UPDATE EXCLUSIVE on the parent",
+            "Add a CHECK constraint matching the partition bound to the table BEFORE attaching (the scan is skipped), then drop it after",
+            "SHARE UPDATE EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R18 — CREATE TRIGGER takes SHARE ROW EXCLUSIVE on the table:
+  * brief, but it blocks writes while held and queues behind any
+  * long-running transaction touching the table. LOW (reviewable,
+  * never blocking the gate).
+  */
+object CreateTriggerRule extends Rule {
+  val id = "create-trigger"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: CreateTriggerStmt =>
+      Seq(finding(Severity.Low, s.table.render, s, ctx,
+        s"CREATE TRIGGER ${s.name} takes SHARE ROW EXCLUSIVE on ${s.table.render} — writes block while it is held and the DDL queues behind long transactions",
+        "Set lock_timeout and create the trigger in a low-traffic window; for volume triggers consider batching the backfill separately",
+        "SHARE ROW EXCLUSIVE"))
+    case _ => Nil
+  }
+}
+
 /** Default registry — the nine reference rules, the two opaque-
-  * container rules (do-block, routine-body), and the four extended
+  * container rules (do-block, routine-body), the four extended
   * lock-hazard rules (reindex, cluster, refresh-matview, add-primary-
-  * key), unique IDs (reference:
+  * key), and the three partition/trigger rules (detach, attach,
+  * create-trigger), unique IDs (reference:
   * `internal/analyzer/rules/registry.go:6-19`).
   */
 object Registry {
@@ -356,5 +420,8 @@ object Registry {
     ReindexNotConcurrentRule,
     ClusterRule,
     RefreshMatViewNotConcurrentRule,
-    AddPrimaryKeyRule)
+    AddPrimaryKeyRule,
+    DetachPartitionNotConcurrentRule,
+    AttachPartitionValidationRule,
+    CreateTriggerRule)
 }

@@ -259,7 +259,7 @@ class ClassifierPropSpec extends AnyFunSuite {
     val genWord: Gen[String] = genBare
     checkProp(Prop.forAll(
       Gen.oneOf("SELECT", "INSERT", "UPDATE", "DELETE", "GRANT",
-        "COMMENT", "EXPLAIN", "WITH", "ANALYZE", "SECURITY"),
+        "REVOKE", "EXPLAIN", "WITH", "ANALYZE", "SECURITY"),
       Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, genWord))) {
       (head, tail) =>
         SqlClassifier.classify(s"$head ${tail.mkString(" ")}") match {

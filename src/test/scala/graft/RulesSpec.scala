@@ -143,10 +143,71 @@ class RulesSpec extends AnyFunSuite {
   }
 
   test("registry: the reference's nine rules + the two opaque-" +
-      "container rules + the four extended lock-hazard rules, " +
-      "unique ids") {
-    assert(Registry.defaultRules.length == 15)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 15)
+      "container rules + the four extended lock-hazard rules + the " +
+      "three partition/trigger rules, unique ids") {
+    assert(Registry.defaultRules.length == 18)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 18)
+  }
+
+  test("R16: DETACH PARTITION non-concurrent is HIGH (ACCESS " +
+      "EXCLUSIVE on the parent); CONCURRENTLY and FINALIZE-after-" +
+      "concurrent are safe; suggestion is version-aware across the " +
+      "PG-14 boundary") {
+    val r = analyze(
+      "ALTER TABLE measurements DETACH PARTITION measurements_2023;")
+    assert(r.findings.map(_.rule) ==
+      Seq("detach-partition-not-concurrent"))
+    assert(r.maxSeverity == Severity.High)
+    assert(r.findings.head.table == "measurements")
+    assert(r.findings.head.lockType == "ACCESS EXCLUSIVE")
+    assert(analyze("ALTER TABLE m DETACH PARTITION p CONCURRENTLY;")
+      .maxSeverity == Severity.Safe)
+    val pre = analyze("ALTER TABLE m DETACH PARTITION p;", pg = 13)
+    val post = analyze("ALTER TABLE m DETACH PARTITION p;", pg = 14)
+    assert(pre.maxSeverity == Severity.High &&
+      post.maxSeverity == Severity.High)
+    assert(pre.findings.head.suggestion.contains("requires PostgreSQL >= 14"))
+    assert(post.findings.head.suggestion.contains("CONCURRENTLY"))
+  }
+
+  test("R17: ATTACH PARTITION is MEDIUM (validation scan under SHARE " +
+      "UPDATE EXCLUSIVE) with the pre-declared-CHECK recipe") {
+    val r = analyze("ALTER TABLE measurements ATTACH PARTITION " +
+      "measurements_2024 FOR VALUES FROM ('2024-01-01') TO ('2025-01-01');")
+    assert(r.findings.map(_.rule) == Seq("attach-partition-validation"))
+    assert(r.maxSeverity == Severity.Medium)
+    assert(r.findings.head.lockType == "SHARE UPDATE EXCLUSIVE")
+    assert(r.findings.head.suggestion.contains("CHECK constraint"))
+    assert(!r.hasHighOrCritical) // never blocks the gate
+  }
+
+  test("R18: CREATE [OR REPLACE] [CONSTRAINT] TRIGGER flags LOW with " +
+      "the table extracted past the event list (INSTEAD OF / UPDATE " +
+      "OF col don't confuse the ON scan)") {
+    val r = analyze("CREATE TRIGGER audit_trg AFTER INSERT OR " +
+      "UPDATE OF email ON app.users FOR EACH ROW EXECUTE FUNCTION " +
+      "audit();")
+    assert(r.findings.map(_.rule) == Seq("create-trigger"))
+    assert(r.maxSeverity == Severity.Low)
+    assert(r.findings.head.table == "app.users")
+    assert(r.findings.head.lockType == "SHARE ROW EXCLUSIVE")
+    val r2 = analyze("CREATE OR REPLACE TRIGGER t INSTEAD OF DELETE " +
+      "ON v FOR EACH ROW EXECUTE FUNCTION f();")
+    assert(r2.findings.head.table == "v")
+    val r3 = analyze("CREATE CONSTRAINT TRIGGER ct AFTER UPDATE ON " +
+      "orders DEFERRABLE FOR EACH ROW EXECUTE FUNCTION chk();")
+    assert(r3.findings.head.table == "orders")
+    assert(!r.hasHighOrCritical)
+  }
+
+  test("COMMENT ON is typed (CommentStmt) and safe — not an " +
+      "anonymous OtherStmt") {
+    import graft.classify.SqlClassifier
+    assert(SqlClassifier.classify(
+      "COMMENT ON TABLE users IS 'core accounts'")
+      .isInstanceOf[SqlClassifier.CommentStmt])
+    assert(analyze("COMMENT ON COLUMN users.email IS 'pii';")
+      .maxSeverity == Severity.Safe)
   }
 
   test("R12: REINDEX non-concurrent is HIGH for every target form; " +
