@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -2273,23 +2273,10 @@ object Relational2 {
     // ------------------------------------------------------------------
     "q90_variant_ingest" -> Q(
       (s, d) => {
-        val k = get_json_object(col("props"), "$.k").cast("long")
-        val doc = concat(
-          lit("{\"k\":"), k,
-          lit(",\"et\":\""), col("event_type"),
-          lit("\",\"nested\":{\"uid\":"), col("user_id"),
-          lit(",\"mod\":"), pmod(col("user_id"), lit(7L)),
-          lit("},\"tags\":["),
-          concat_ws(",", transform(
-            sequence(lit(1), (pmod(col("user_id"), lit(3L)) + 1).cast("int")),
-            i => concat(lit("\"t"), i, lit("\"")))),
-          lit("]"),
-          when(pmod(k, lit(3L)) === 0, concat(lit(",\"maybe\":"), k))
-            .otherwise(lit("")),
-          lit("}"))
+        val k = eventJsonK
         t(s, d, "events")
           .filter(k >= 10) // cheap prefilter: pushes to the scan,
-          .select(parse_json(doc).as("v")) // parse survivors only
+          .select(parse_json(eventJsonDoc).as("v")) // parse survivors only
           .select(
             variant_get(col("v"), "$.et", "string").as("et"),
             variant_get(col("v"), "$.nested.mod", "bigint").as("mod"),
@@ -2303,25 +2290,13 @@ object Relational2 {
             count(col("tag2")).as("n_tag2"))
           .orderBy(col("et"), col("mod"))
       },
-      Some("""WITH e AS (
-          SELECT event_type, user_id,
-            cast(json_extract_string(props, '$.k') as bigint) AS k
-          FROM events),
-        doc AS (
-          SELECT '{"k":' || k || ',"et":"' || event_type ||
-            '","nested":{"uid":' || user_id ||
-            ',"mod":' || (user_id % 7) || '},"tags":[' ||
-            array_to_string(list_transform(range(1, user_id % 3 + 2),
-              i -> '"t' || i || '"'), ',') || ']' ||
-            CASE WHEN k % 3 = 0 THEN ',"maybe":' || k ELSE '' END ||
-            '}' AS j
-          FROM e WHERE k >= 10),
+      Some(s"""${eventDocOracleCtes("WHERE k >= 10")},
         x AS (
-          SELECT json_extract_string(j, '$.et') AS et,
-            cast(json_extract(j, '$.nested.mod') as bigint) AS mod,
-            cast(json_extract(j, '$.k') as bigint) AS k,
-            cast(json_extract(j, '$.maybe') as bigint) AS maybe,
-            json_extract_string(j, '$.tags[1]') AS tag2
+          SELECT json_extract_string(j, '$$.et') AS et,
+            cast(json_extract(j, '$$.nested.mod') as bigint) AS mod,
+            cast(json_extract(j, '$$.k') as bigint) AS k,
+            cast(json_extract(j, '$$.maybe') as bigint) AS maybe,
+            json_extract_string(j, '$$.tags[1]') AS tag2
           FROM doc)
         SELECT et, mod, cast(count(*) as bigint) AS n,
           cast(sum(k) as bigint) AS k_sum,
@@ -2329,8 +2304,106 @@ object Relational2 {
           cast(count(tag2) as bigint) AS n_tag2
         FROM x
         GROUP BY et, mod
-        ORDER BY et, mod"""))
+        ORDER BY et, mod""")),
+
+    // ------------------------------------------------------------------
+    // VARIANT STORAGE round-trip — q90 exercises the in-query VARIANT
+    // path; this writes the VariantType column to PARQUET (Spark 4's
+    // binary metadata+value encoding), reads it back, and proves
+    // typed access survives storage: five variant_get extractions
+    // over the round-tripped column plus a per-row schema_of_variant
+    // census (the heterogeneity witness: docs with the optional field
+    // infer a different schema than docs without — surfaced as
+    // has_maybe and cross-checked against the value-level NULL count,
+    // n_maybe == n exactly on the has_maybe=true rows). The oracle
+    // recomputes from the source JSON: storage must be lossless, so
+    // round-tripped answers must equal never-stored answers.
+    // Scale: the write is one linear pass (VARIANT encodes row-local);
+    // the read-back scan prunes to the single variant column; census
+    // exchange carries ≤10 groups.
+    // ------------------------------------------------------------------
+    "q91_variant_storage_roundtrip" -> Q(
+      (s, d) => {
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_variant_" +
+            new java.io.File(d).getName
+        t(s, d, "events")
+          .select(col("event_id"), parse_json(eventJsonDoc).as("v"))
+          .write.mode("overwrite").parquet(path)
+        val rt = s.read.parquet(path)
+        rt.select(
+            variant_get(col("v"), "$.et", "string").as("et"),
+            variant_get(col("v"), "$.nested.mod", "bigint").as("mod"),
+            variant_get(col("v"), "$.k", "bigint").as("k"),
+            variant_get(col("v"), "$.maybe", "bigint").as("maybe"),
+            schema_of_variant(col("v")).contains("maybe").as("has_maybe"))
+          .groupBy(col("et"), col("has_maybe"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("k_sum"),
+            count(col("maybe")).as("n_maybe"),
+            max(col("mod")).as("max_mod"))
+          .orderBy(col("et"), col("has_maybe"))
+      },
+      Some(s"""${eventDocOracleCtes("")},
+        x AS (
+          SELECT json_extract_string(j, '$$.et') AS et,
+            cast(json_extract(j, '$$.nested.mod') as bigint) AS mod,
+            k,
+            cast(json_extract(j, '$$.maybe') as bigint) AS maybe,
+            k % 3 = 0 AS has_maybe
+          FROM doc)
+        SELECT et, has_maybe, cast(count(*) as bigint) AS n,
+          cast(sum(k) as bigint) AS k_sum,
+          cast(count(maybe) as bigint) AS n_maybe,
+          cast(max(mod) as bigint) AS max_mod
+        FROM x
+        GROUP BY et, has_maybe
+        ORDER BY et, has_maybe"""))
   )
+
+  /** q90/q91's shared event-JSON synthesis: the extracted `k` and the
+    * heterogeneous per-event document (nested object, variable-length
+    * tags array, optional `maybe` field on k%3==0) — byte-identical
+    * to [[eventDocOracleCtes]]'s DuckDB construction.
+    */
+  private def eventJsonK: Column =
+    get_json_object(col("props"), "$.k").cast("long")
+
+  private def eventJsonDoc: Column = {
+    val k = eventJsonK
+    concat(
+      lit("{\"k\":"), k,
+      lit(",\"et\":\""), col("event_type"),
+      lit("\",\"nested\":{\"uid\":"), col("user_id"),
+      lit(",\"mod\":"), pmod(col("user_id"), lit(7L)),
+      lit("},\"tags\":["),
+      concat_ws(",", transform(
+        sequence(lit(1), (pmod(col("user_id"), lit(3L)) + 1).cast("int")),
+        i => concat(lit("\"t"), i, lit("\"")))),
+      lit("]"),
+      when(pmod(k, lit(3L)) === 0, concat(lit(",\"maybe\":"), k))
+        .otherwise(lit("")),
+      lit("}"))
+  }
+
+  /** DuckDB twin of [[eventJsonDoc]]: CTEs `e` (with k) and `doc`
+    * (with k and the JSON string `j`); `where` filters e (e.g.
+    * "WHERE k >= 10" for q90, "" for q91).
+    */
+  private def eventDocOracleCtes(where: String): String =
+    s"""WITH e AS (
+          SELECT event_type, user_id,
+            cast(json_extract_string(props, '$$.k') as bigint) AS k
+          FROM events),
+        doc AS (
+          SELECT k, '{"k":' || k || ',"et":"' || event_type ||
+            '","nested":{"uid":' || user_id ||
+            ',"mod":' || (user_id % 7) || '},"tags":[' ||
+            array_to_string(list_transform(range(1, user_id % 3 + 2),
+              i -> '"t' || i || '"'), ',') || ']' ||
+            CASE WHEN k % 3 = 0 THEN ',"maybe":' || k ELSE '' END ||
+            '}' AS j
+          FROM e $where)"""
 
   /** q87's shared text — the SAME string runs in Spark and DuckDB. */
   private val LateralChainSql: String =
