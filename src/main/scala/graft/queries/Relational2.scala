@@ -2358,8 +2358,100 @@ object Relational2 {
           cast(max(mod) as bigint) AS max_mod
         FROM x
         GROUP BY et, has_maybe
-        ORDER BY et, has_maybe"""))
+        ORDER BY et, has_maybe""")),
+
+    // ------------------------------------------------------------------
+    // Dataset.observe — the pipeline-OBSERVABILITY surface: named
+    // metrics (count / sum / max) are collected DURING the real
+    // query's single pass via a CollectMetrics plan node, then
+    // compared against a from-scratch recomputation by the oracle.
+    // This is how a 100 TB pipeline self-audits (row counts,
+    // checksums, freshness watermarks) without a second scan: the
+    // metrics ride the scan the query pays for anyway.
+    // ------------------------------------------------------------------
+    "q92_observe_metrics" -> Q(
+      (s, d) => observeMetricsQuery(s, d),
+      Some("""WITH metrics AS (
+          SELECT cast(count(*) as bigint) AS n_rows,
+            cast(sum(l_orderkey) as bigint) AS key_sum,
+            strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+          FROM lineitem),
+        answer AS (
+          SELECT l_returnflag, cast(count(*) as bigint) AS n_heavy
+          FROM lineitem WHERE l_quantity >= 25
+          GROUP BY l_returnflag)
+        SELECT a.l_returnflag, a.n_heavy, m.n_rows, m.key_sum, m.max_ship
+        FROM answer a CROSS JOIN metrics m
+        ORDER BY a.l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Spark 4 SQL SCRIPTING — procedural control flow (BEGIN/END,
+    // DECLARE, WHILE, scalar-subquery SET) executed entirely by the
+    // SQL engine: the script accumulates a data-dependent value across
+    // loop iterations (count of orders divisible by each i in 1..5),
+    // the last statement's frame is the script's result. The oracle
+    // computes the same fold with a closed-form range join. Control
+    // flow runs on the driver; every iteration's subquery is a full
+    // distributed plan — the scripting surface adds sequencing, not a
+    // data-scale choke point.
+    // ------------------------------------------------------------------
+    "q93_sql_scripting" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        t(s, d, "orders").createOrReplaceTempView("q93_orders")
+        s.sql("""BEGIN
+            DECLARE i BIGINT DEFAULT 1;
+            DECLARE acc BIGINT DEFAULT 0;
+            WHILE i <= 5 DO
+              SET acc = acc +
+                (SELECT count(*) FROM q93_orders WHERE o_orderkey % i = 0);
+              SET i = i + 1;
+            END WHILE;
+            SELECT acc AS total_matches, i - 1 AS n_iters;
+          END""")
+      },
+      Some("""SELECT cast(sum(c) as bigint) AS total_matches,
+          cast(count(*) as bigint) AS n_iters
+        FROM (
+          SELECT i, (SELECT count(*) FROM orders
+                     WHERE o_orderkey % i = 0) AS c
+          FROM range(1, 6) t(i)) u"""))
   )
+
+  /** q92's body: `observe` metrics collected DURING the real query's
+    * single pass (a CollectMetrics plan node over the scan) must
+    * equal their after-the-fact recomputation — the oracle recomputes
+    * both the answer and the metrics from SQL. The observation read
+    * and the 4-row answer collect are driver-side metadata (the
+    * pipeline-observability contract: no second scan, no data-scale
+    * driver transfer).
+    */
+  private def observeMetricsQuery(s: SparkSession, d: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation("q92_metrics")
+    // max_ship as a formatted string: the raw metric value arrives as
+    // whatever JVM object the column's type maps to (LocalDateTime
+    // for the µs-NTZ l_shipdate) — formatting inside the metric keeps
+    // the observation API's driver-side value engine-portable
+    val base = t(s, d, "lineitem").observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey")).as("key_sum"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+    val answer = base.filter(col("l_quantity") >= 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_heavy"))
+    val collected = answer.orderBy(col("l_returnflag")).collect()
+    import s.implicits._
+    val m = obs.get // 1-row metrics map, filled by the pass above
+    val metrics = Seq((m("n_rows").asInstanceOf[Long],
+      m("key_sum").asInstanceOf[Long],
+      m("max_ship").asInstanceOf[String]))
+      .toDF("n_rows", "key_sum", "max_ship")
+    val ans = s.createDataFrame(
+      s.sparkContext.parallelize(collected.toIndexedSeq, 1),
+      answer.schema)
+    ans.crossJoin(broadcast(metrics))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** q90/q91's shared event-JSON synthesis: the extracted `k` and the
     * heterogeneous per-event document (nested object, variable-length

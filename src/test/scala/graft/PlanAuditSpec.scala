@@ -33,6 +33,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "language-list cross onto the vocabulary-scale gram table) "
       + "plus a 1-row corpus-total broadcast crossed onto the two "
       + "5-row mixture-plan frames"),
+    "q92_observe_metrics" -> ("1-row observed-metrics frame crossed "
+      + "onto the 3-row answer (pipeline-observability join; both "
+      + "sides driver-side metadata by construction)"),
     "q09_cross_join" -> "cross join by definition (dim×dim, 25 rows)",
     "q10_theta_join" -> "non-equi theta join (dim×dim by design rule)",
     "q26_scalar_subquery" -> "uncorrelated scalar broadcast (1 row)",
