@@ -52,8 +52,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {SF} token → this run's sf dir: lets an oracle read a parquet
+    // FILE with DuckDB options no registered view can carry
+    // (filename/file_row_number for q94's metadata-column census)
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF}", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Self-diagnosis for the driver-red/judge-green class (g01 r5+r6,
     // x22 r6): re-run the iterative/window suspects TWICE in this same

@@ -2415,7 +2415,45 @@ object Relational2 {
         FROM (
           SELECT i, (SELECT count(*) FROM orders
                      WHERE o_orderkey % i = 0) AS c
-          FROM range(1, 6) t(i)) u"""))
+          FROM range(1, 6) t(i)) u""")),
+
+    // ------------------------------------------------------------------
+    // FILE METADATA columns — the hidden `_metadata` struct every file
+    // source exposes (file_name, row_index, …): the row-level LINEAGE
+    // surface a 100 TB pipeline needs for compliance deletes and
+    // incremental reprocessing ("which file and which position did
+    // this row come from"). The census pins the semantics hard: a
+    // positional checksum sum(row_index · (l_orderkey mod 97)) ties
+    // Spark's _metadata.row_index to DuckDB's file_row_number — any
+    // off-by-one or reorder between the engines' notions of physical
+    // file position breaks the hash. Metadata columns are generated
+    // at the scan (constant-folded per split), never materialized in
+    // storage — free at any scale.
+    // ------------------------------------------------------------------
+    "q94_metadata_columns" -> Q(
+      (s, d) => {
+        val ri = col("_metadata.row_index")
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("_metadata.file_name").as("file_name"),
+            ri.as("ri"), col("l_orderkey"))
+          .groupBy(col("file_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("ri")).as("min_ri"),
+            max(col("ri")).as("max_ri"),
+            sum(col("ri") * pmod(col("l_orderkey"), lit(97L)))
+              .as("pos_checksum"))
+          .orderBy(col("file_name"))
+      },
+      Some("""SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+          cast(count(*) as bigint) AS n_rows,
+          cast(min(file_row_number) as bigint) AS min_ri,
+          cast(max(file_row_number) as bigint) AS max_ri,
+          cast(sum(file_row_number * (l_orderkey % 97)) as bigint)
+            AS pos_checksum
+        FROM read_parquet('{SF}/lineitem.parquet',
+          filename = true, file_row_number = true)
+        GROUP BY 1
+        ORDER BY file_name"""))
   )
 
   /** q92's body: `observe` metrics collected DURING the real query's
