@@ -79,6 +79,11 @@ object SqlClassifier {
     */
   final case class DetachPartition(partition: String,
       concurrent: Boolean) extends AlterCmd
+  /** `SET TABLESPACE ts` / `SET LOGGED` / `SET UNLOGGED` — each is a
+    * FULL table rewrite under ACCESS EXCLUSIVE (R20). `kind` is the
+    * uppercased discriminator: TABLESPACE | LOGGED | UNLOGGED.
+    */
+  final case class SetTableStorage(kind: String) extends AlterCmd
   final case class OtherAlterCmd(text: String) extends AlterCmd
 
   sealed trait RenameKind
@@ -96,8 +101,8 @@ object SqlClassifier {
   final case class CreateIndexStmt(table: QualifiedName,
       indexName: Option[String], unique: Boolean, concurrent: Boolean,
       sql: String) extends Stmt
-  final case class DropIndexStmt(concurrent: Boolean, sql: String)
-      extends Stmt
+  final case class DropIndexStmt(concurrent: Boolean,
+      indexes: Seq[QualifiedName], sql: String) extends Stmt
   final case class AlterTableStmt(table: QualifiedName, cmds: Seq[AlterCmd],
       sql: String) extends Stmt
   final case class RenameStmt(kind: RenameKind, table: QualifiedName,
@@ -496,7 +501,13 @@ object SqlClassifier {
       DropTableStmt(tables.reverse, ifExists, sql)
     } else if (t.skipKw("INDEX")) {
       val concurrent = t.skipKw("CONCURRENTLY")
-      DropIndexStmt(concurrent, sql)
+      t.skipIfExists()
+      var idx = List.empty[QualifiedName]
+      if (!t.eof && t.peek.get.kind == Tok.Word) {
+        idx = List(t.qualifiedName())
+        while (t.skipPunct(",")) idx = t.qualifiedName() :: idx
+      }
+      DropIndexStmt(concurrent, idx.reverse, sql)
     } else OtherStmt("DROP", sql)
   }
 
@@ -768,6 +779,13 @@ object SqlClassifier {
       t.pos += 2
       val name = if (!t.eof) t.next().text else ""
       ValidateConstraint(name)
+    } else if (t.curIsKw("SET") && (t.peekKw(1, "TABLESPACE") ||
+        t.peekKw(1, "LOGGED") || t.peekKw(1, "UNLOGGED"))) {
+      t.next() // SET
+      val kind = t.next().text.toUpperCase
+      if (kind == "TABLESPACE" && !t.eof &&
+          t.peek.get.kind == Tok.Word) t.next() // tablespace name
+      SetTableStorage(kind)
     } else if (t.curIsKw("ATTACH") && t.peekKw(1, "PARTITION")) {
       t.pos += 2
       val part = if (!t.eof) t.qualifiedName().render else ""

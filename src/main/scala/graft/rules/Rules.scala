@@ -397,11 +397,49 @@ object CreateTriggerRule extends Rule {
   }
 }
 
+/** R19 — DROP INDEX without CONCURRENTLY takes ACCESS EXCLUSIVE on
+  * the table: brief, but every query on the table blocks behind it
+  * and it queues behind long transactions. MEDIUM (the lock window is
+  * metadata-short, unlike a rebuild).
+  */
+object DropIndexNotConcurrentRule extends Rule {
+  val id = "drop-index-not-concurrent"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: DropIndexStmt if !s.concurrent =>
+      val tgt = s.indexes.map(_.render).mkString(", ")
+      Seq(finding(Severity.Medium, tgt, s, ctx,
+        s"DROP INDEX $tgt without CONCURRENTLY takes ACCESS EXCLUSIVE on the table while the index is removed",
+        "Use DROP INDEX CONCURRENTLY (outside a transaction) with lock_timeout set",
+        "ACCESS EXCLUSIVE"))
+    case _ => Nil
+  }
+}
+
+/** R20 — `ALTER TABLE … SET TABLESPACE | SET LOGGED | SET UNLOGGED`:
+  * each physically REWRITES the whole table (and, for TABLESPACE,
+  * copies every byte to the new volume) under ACCESS EXCLUSIVE.
+  */
+object TableStorageRewriteRule extends Rule {
+  val id = "table-storage-rewrite"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case SetTableStorage(kind) =>
+          finding(Severity.High, s.table.render, s, ctx,
+            s"SET $kind rewrites the entire table under ACCESS EXCLUSIVE lock",
+            "Stage the move: create a new table in the target state, backfill in batches, swap with a rename",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
 /** Default registry — the nine reference rules, the two opaque-
   * container rules (do-block, routine-body), the four extended
   * lock-hazard rules (reindex, cluster, refresh-matview, add-primary-
-  * key), and the three partition/trigger rules (detach, attach,
-  * create-trigger), unique IDs (reference:
+  * key), the three partition/trigger rules (detach, attach,
+  * create-trigger), and the two storage rules (drop-index,
+  * table-storage-rewrite), unique IDs (reference:
   * `internal/analyzer/rules/registry.go:6-19`).
   */
 object Registry {
@@ -423,5 +461,7 @@ object Registry {
     AddPrimaryKeyRule,
     DetachPartitionNotConcurrentRule,
     AttachPartitionValidationRule,
-    CreateTriggerRule)
+    CreateTriggerRule,
+    DropIndexNotConcurrentRule,
+    TableStorageRewriteRule)
 }

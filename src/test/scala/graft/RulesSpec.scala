@@ -144,9 +144,36 @@ class RulesSpec extends AnyFunSuite {
 
   test("registry: the reference's nine rules + the two opaque-" +
       "container rules + the four extended lock-hazard rules + the " +
-      "three partition/trigger rules, unique ids") {
-    assert(Registry.defaultRules.length == 18)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 18)
+      "three partition/trigger rules + the two storage rules, " +
+      "unique ids") {
+    assert(Registry.defaultRules.length == 20)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 20)
+  }
+
+  test("R19: DROP INDEX non-concurrent is MEDIUM (brief ACCESS " +
+      "EXCLUSIVE); CONCURRENTLY is safe") {
+    val r = analyze("DROP INDEX idx_users_email;")
+    assert(r.findings.map(_.rule) == Seq("drop-index-not-concurrent"))
+    assert(r.maxSeverity == Severity.Medium)
+    assert(!r.hasHighOrCritical)
+    assert(analyze("DROP INDEX CONCURRENTLY idx_users_email;")
+      .maxSeverity == Severity.Safe)
+  }
+
+  test("R20: SET TABLESPACE / SET LOGGED / SET UNLOGGED each flag a " +
+      "HIGH full-rewrite; plain storage-parameter SET (...) stays " +
+      "unflagged") {
+    for (cmd <- Seq("SET TABLESPACE fast_ssd", "SET LOGGED",
+        "SET UNLOGGED")) {
+      val r = analyze(s"ALTER TABLE events $cmd;")
+      assert(r.findings.map(_.rule) == Seq("table-storage-rewrite"),
+        s"$cmd → ${r.findings}")
+      assert(r.maxSeverity == Severity.High)
+      assert(r.findings.head.table == "events")
+    }
+    // reloptions SET (fillfactor=70) is metadata-only — not a rewrite
+    assert(analyze("ALTER TABLE events SET (fillfactor = 70);")
+      .maxSeverity == Severity.Safe)
   }
 
   test("R16: DETACH PARTITION non-concurrent is HIGH (ACCESS " +
