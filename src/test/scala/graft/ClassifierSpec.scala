@@ -134,6 +134,40 @@ class ClassifierSpec extends AnyFunSuite {
     assert(s.cmds(2) == AddConstraint("c", CheckConstraint, notValid = false))
   }
 
+  test("multi-command ALTER TABLE across ALL typed command kinds in " +
+      "one list: each parses to its own cmd in order (the mixed " +
+      "matrix the per-kind tests don't cover)") {
+    val s = one("ALTER TABLE m ADD COLUMN a INT, " +
+      "SET TABLESPACE fast_ssd, " +
+      "DETACH PARTITION p2023 CONCURRENTLY, " +
+      "ATTACH PARTITION p2024 FOR VALUES FROM (1) TO (10), " +
+      "VALIDATE CONSTRAINT chk, " +
+      "ADD CONSTRAINT pk PRIMARY KEY USING INDEX pk_idx, " +
+      "SET LOGGED, " +
+      "ALTER COLUMN b SET NOT NULL")
+      .asInstanceOf[AlterTableStmt]
+    assert(s.cmds.length == 8, s.cmds)
+    assert(s.cmds(0).isInstanceOf[AddColumn])
+    assert(s.cmds(1) == SetTableStorage("TABLESPACE"))
+    assert(s.cmds(2) == DetachPartition("p2023", concurrent = true))
+    assert(s.cmds(3) == AttachPartition("p2024"))
+    assert(s.cmds(4) == ValidateConstraint("chk"))
+    assert(s.cmds(5) == AddConstraint("pk", PrimaryKeyConstraint,
+      notValid = false, usingIndex = true))
+    assert(s.cmds(6) == SetTableStorage("LOGGED"))
+    assert(s.cmds(7) == SetNotNull("b"))
+    // and the rules see through the list: storage rewrite (HIGH, ×2)
+    // + non-concurrent detach absent (it was concurrent) + safe
+    // USING INDEX attach of the PK
+    val findings = new graft.analyzer.Analyzer(targetPgVersion = 14)
+      .analyze(graft.model.Migration("001", "t", s.sql + ";", "", "f.sql"))
+      .findings
+    assert(findings.count(_.rule == "table-storage-rewrite") == 2)
+    assert(!findings.exists(_.rule == "detach-partition-not-concurrent"))
+    assert(!findings.exists(_.rule == "add-primary-key"))
+    assert(findings.exists(_.rule == "attach-partition-validation"))
+  }
+
   test("RENAME statements") {
     val s1 = one("ALTER TABLE users RENAME TO people").asInstanceOf[RenameStmt]
     assert(s1.kind == RenameTable && s1.to == "people")
