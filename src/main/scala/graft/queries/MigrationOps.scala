@@ -168,7 +168,42 @@ object MigrationOps {
         FROM stmts
         WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
           AND regexp_matches(s, '(?i)\\bADD\\s+(CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\b')
-          AND NOT regexp_matches(s, '(?i)\\bUSING\\s+INDEX\\b'))"""
+          AND NOT regexp_matches(s, '(?i)\\bUSING\\s+INDEX\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'detach-partition-not-concurrent', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND regexp_matches(s, '(?i)\\bDETACH\\s+PARTITION\\b')
+          AND NOT regexp_matches(s, '(?i)\\bCONCURRENTLY\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'attach-partition-validation', 2,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'SHARE UPDATE EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND regexp_matches(s, '(?i)\\bATTACH\\s+PARTITION\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'create-trigger', 1,
+          regexp_extract(s, '(?i)\\bON\\s+(?:ONLY\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'SHARE ROW EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(CONSTRAINT\\s+)?TRIGGER\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'drop-index-not-concurrent', 2,
+          regexp_extract(s, '(?i)^\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*DROP\\s+INDEX\\b')
+          AND NOT regexp_matches(s, '(?i)\\bCONCURRENTLY\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'table-storage-rewrite', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND regexp_matches(s, '(?i)\\bSET\\s+(TABLESPACE|LOGGED|UNLOGGED)\\b'))"""
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -251,6 +286,8 @@ object MigrationOps {
             WHEN regexp_matches(s, '(?i)^\\s*TRUNCATE\\b') THEN 'TruncateStmt'
             WHEN regexp_matches(s, '(?i)^\\s*VACUUM\\b') THEN 'VacuumStmt'
             WHEN regexp_matches(s, '(?i)^\\s*LOCK\\b') THEN 'LockStmt'
+            WHEN regexp_matches(s, '(?i)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(CONSTRAINT\\s+)?TRIGGER\\b')
+              THEN 'CreateTriggerStmt'
             WHEN regexp_matches(s, '(?i)^\\s*REINDEX\\b') THEN 'ReindexStmt'
             WHEN regexp_matches(s, '(?i)^\\s*CLUSTER\\b') THEN 'ClusterStmt'
             WHEN regexp_matches(s, '(?i)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\b')

@@ -46,7 +46,19 @@ class RulesSpec extends AnyFunSuite {
     ("V015", "REFRESH MATERIALIZED VIEW user_stats;", Severity.High,
       Seq("refresh-matview-not-concurrent")),
     ("V016", "ALTER TABLE users ADD CONSTRAINT users_pkey PRIMARY KEY (id);",
-      Severity.High, Seq("add-primary-key")))
+      Severity.High, Seq("add-primary-key")),
+    ("V017", "ALTER TABLE measurements DETACH PARTITION measurements_2023;",
+      Severity.High, Seq("detach-partition-not-concurrent")),
+    ("V018", "ALTER TABLE measurements ATTACH PARTITION measurements_2024 " +
+      "FOR VALUES FROM ('2024-01-01') TO ('2025-01-01');",
+      Severity.Medium, Seq("attach-partition-validation")),
+    ("V019", "CREATE TRIGGER audit_trg AFTER INSERT ON users " +
+      "FOR EACH ROW EXECUTE FUNCTION audit();",
+      Severity.Low, Seq("create-trigger")),
+    ("V020", "DROP INDEX idx_users_email;",
+      Severity.Medium, Seq("drop-index-not-concurrent")),
+    ("V021", "ALTER TABLE users SET UNLOGGED;",
+      Severity.High, Seq("table-storage-rewrite")))
 
   for ((v, sql, expSev, expRules) <- fixtureExpectations)
     test(s"fixture $v → ${Severity.label(expSev)}") {
