@@ -41,6 +41,18 @@ object SqlClassifier {
     val volatile = true
   }
 
+  /** Column-generation clause on ADD COLUMN. Both server-computed forms
+    * force a FULL table rewrite when the column is added to an existing
+    * table (R21): STORED computes the expression for every row;
+    * IDENTITY assigns a sequence value to every row (the PG 11
+    * fast-default path covers constant defaults only). VIRTUAL
+    * generated columns (PG 18+) are computed on read — metadata-only —
+    * and classify with `generated = None`.
+    */
+  sealed trait GeneratedKind
+  case object StoredGenerated extends GeneratedKind
+  case object IdentityGenerated extends GeneratedKind
+
   sealed trait ConstraintKind
   case object CheckConstraint extends ConstraintKind
   case object ForeignKeyConstraint extends ConstraintKind
@@ -51,7 +63,14 @@ object SqlClassifier {
   /** One command inside ALTER TABLE (PG allows a comma-separated list). */
   sealed trait AlterCmd
   final case class AddColumn(column: String, typeName: String,
-      default: Option[DefaultExpr], notNull: Boolean) extends AlterCmd
+      default: Option[DefaultExpr], notNull: Boolean,
+      generated: Option[GeneratedKind] = None) extends AlterCmd
+  /** `DROP [COLUMN] [IF EXISTS] name [CASCADE|RESTRICT]` — metadata-
+    * fast but irreversible, and it breaks running application versions
+    * still reading the column (R22). `DROP CONSTRAINT` stays
+    * [[OtherAlterCmd]] (safe).
+    */
+  final case class DropColumn(column: String) extends AlterCmd
   /** `usingIndex` = the `ADD CONSTRAINT … PRIMARY KEY/UNIQUE USING
     * INDEX idx` form, the safe second half of the
     * build-index-CONCURRENTLY-then-attach recipe (R15 skips it).
@@ -734,19 +753,50 @@ object SqlClassifier {
           if (typeSb.nonEmpty) typeSb += ' '
           typeSb ++= tk.text
         }
-        // options
+        // options — depth-tracked so a comma INSIDE a paren group
+        // (CHECK (f(a, b)), GENERATED ... AS (coalesce(a, b)) STORED)
+        // never terminates the sub-command early
         var default: Option[DefaultExpr] = None
         var notNull = false
-        var more = true
-        while (more && !t.eof &&
-            !(t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
-          if (t.skipKw("DEFAULT")) default = Some(parseDefaultExpr(t))
-          else if (t.curIsKw("NOT") && t.peekKw(1, "NULL")) { t.pos += 2; notNull = true }
-          else if (t.skipKw("NULL")) ()
-          else { t.next() } // skip other option tokens (incl. paren groups one token at a time is fine at top level)
-          more = true
+        var generated: Option[GeneratedKind] = None
+        var odepth = 0
+        while (!t.eof &&
+            !(odepth == 0 && t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+          if (odepth == 0 && t.skipKw("DEFAULT")) default = Some(parseDefaultExpr(t))
+          else if (odepth == 0 && t.curIsKw("NOT") && t.peekKw(1, "NULL")) { t.pos += 2; notNull = true }
+          else if (odepth == 0 && t.curIsKw("GENERATED")) {
+            // GENERATED ALWAYS AS ( expr ) [STORED | VIRTUAL]
+            // GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY [( seq opts )]
+            t.next() // GENERATED
+            t.skipKw("ALWAYS")
+            if (t.skipKw("BY")) t.skipKw("DEFAULT")
+            t.skipKw("AS")
+            if (t.skipKw("IDENTITY")) generated = Some(IdentityGenerated)
+            else {
+              var gd = 0
+              if (!t.eof && t.peek.get.kind == Tok.Punct && t.peek.get.text == "(") {
+                var started = false
+                while (!t.eof && (!started || gd > 0)) {
+                  val tk = t.next()
+                  if (tk.kind == Tok.Punct && tk.text == "(") { gd += 1; started = true }
+                  else if (tk.kind == Tok.Punct && tk.text == ")") gd -= 1
+                }
+              }
+              // VIRTUAL (PG 18+) is computed on read — no rewrite;
+              // STORED (and the pre-18 grammar where STORED is the
+              // only legal spelling) rewrites
+              if (t.skipKw("VIRTUAL")) ()
+              else { t.skipKw("STORED"); generated = Some(StoredGenerated) }
+            }
+          }
+          else if (odepth == 0 && t.skipKw("NULL")) ()
+          else {
+            val tk = t.next()
+            if (tk.kind == Tok.Punct && tk.text == "(") odepth += 1
+            else if (tk.kind == Tok.Punct && tk.text == ")") odepth -= 1
+          }
         }
-        AddColumn(col, typeSb.toString, default, notNull)
+        AddColumn(col, typeSb.toString, default, notNull, generated)
       }
     } else if (t.skipKw("ALTER")) {
       t.skipKw("COLUMN")
@@ -775,6 +825,16 @@ object SqlClassifier {
         t.pos += 3
         DropNotNull(col)
       } else OtherAlterCmd(restText())
+    } else if (t.curIsKw("DROP") && !t.peekKw(1, "CONSTRAINT")) {
+      // DROP [COLUMN] [IF EXISTS] name [CASCADE|RESTRICT] (R22);
+      // DROP CONSTRAINT stays OtherAlterCmd (metadata, safe)
+      t.next() // DROP
+      t.skipKw("COLUMN")
+      t.skipIfExists()
+      val col = if (!t.eof) t.next().text else ""
+      while (!t.eof && !(t.peek.get.kind == Tok.Punct && t.peek.get.text == ","))
+        t.next() // CASCADE | RESTRICT
+      DropColumn(col)
     } else if (t.curIsKw("VALIDATE") && t.peekKw(1, "CONSTRAINT")) {
       t.pos += 2
       val name = if (!t.eof) t.next().text else ""

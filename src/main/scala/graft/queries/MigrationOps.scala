@@ -59,7 +59,8 @@ object MigrationOps {
 
   /** Oracle mini-rule-engine: DuckDB re-derives the analyzer findings
     * independently — regexp classification of each fixture statement plus
-    * the nine danger rules (R1-R9) expressed as SQL predicates at
+    * the statement-triggered danger rules (all 21 with a fixture
+    * in the corpus) expressed as SQL predicates at
     * targetPgVersion=14 (so R2 fires only on volatile defaults and R5 is
     * MEDIUM, matching `alter_add_column.go:74-76` /
     * `alter_set_not_null.go:47-50`). The fixture corpus is one statement
@@ -203,7 +204,31 @@ object MigrationOps {
           'ACCESS EXCLUSIVE'
         FROM stmts
         WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
-          AND regexp_matches(s, '(?i)\\bSET\\s+(TABLESPACE|LOGGED|UNLOGGED)\\b'))"""
+          AND regexp_matches(s, '(?i)\\bSET\\s+(TABLESPACE|LOGGED|UNLOGGED)\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'add-generated-column', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND regexp_matches(s, '(?i)\\bADD\\s+COLUMN\\b')
+          AND (regexp_matches(s, '(?i)\\bGENERATED\\s+ALWAYS\\s+AS\\s*\\(.*\\)\\s*STORED\\b')
+               OR regexp_matches(s, '(?i)\\bGENERATED\\s+(ALWAYS|BY\\s+DEFAULT)\\s+AS\\s+IDENTITY\\b'))
+        UNION ALL
+        SELECT version, name, stmt_index, 'drop-column', 2,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND regexp_matches(s, '(?i)\\bDROP\\s+COLUMN\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'add-unique-constraint', 3,
+          regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1),
+          'ACCESS EXCLUSIVE'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND regexp_matches(s, '(?i)\\bADD\\s+(CONSTRAINT\\s+\\S+\\s+)?UNIQUE\\b')
+          AND NOT regexp_matches(s, '(?i)\\bUSING\\s+INDEX\\b'))"""
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -1150,7 +1175,7 @@ object MigrationOps {
     // the reference's pg_query parser types but its registry ignores,
     // `internal/analyzer/rules/registry.go:6-19`) against an
     // independent DuckDB re-derivation, m05's census shape. The oracle
-    // mini-rule-engine (`findingsCte`) carries all 13 statement-
+    // mini-rule-engine (`findingsCte`) carries all 21 statement-
     // triggered rules, so a rule firing on the wrong fixture or with
     // the wrong lock type hash-fails here even if m02's per-finding
     // listing drifted in the same way.

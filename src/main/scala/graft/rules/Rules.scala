@@ -52,7 +52,7 @@ object AddColumnVolatileDefault extends Rule {
   def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
     case s: AlterTableStmt =>
       s.cmds.collect {
-        case AddColumn(col, _, Some(d), _)
+        case AddColumn(col, _, Some(d), _, _)
             if d.volatile || ctx.targetPgVersion < pgVersionSafeNonVolatileDefault =>
           val why =
             if (d.volatile)
@@ -434,13 +434,83 @@ object TableStorageRewriteRule extends Rule {
   }
 }
 
+/** R21 — ADD COLUMN ... GENERATED: both server-computed forms force a
+  * FULL table rewrite when added to an existing table under ACCESS
+  * EXCLUSIVE — STORED computes the expression for every row, IDENTITY
+  * assigns a sequence value to every row (PG 11's fast-default path
+  * covers constant defaults only). VIRTUAL generated columns (PG 18+)
+  * are computed on read and classify with `generated = None` — safe.
+  */
+object AddGeneratedColumnRule extends Rule {
+  val id = "add-generated-column"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case AddColumn(col, _, _, _, Some(kind)) =>
+          val why = kind match {
+            case StoredGenerated =>
+              s"ADD COLUMN $col GENERATED ALWAYS AS (...) STORED computes the expression for every existing row — a full table rewrite"
+            case IdentityGenerated =>
+              s"ADD COLUMN $col GENERATED AS IDENTITY assigns a sequence value to every existing row — a full table rewrite"
+          }
+          finding(Severity.High, s.table.render, s, ctx, why,
+            "Add a plain column, backfill in batches, then attach the generation afterwards (or keep the computation in queries/views)",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R22 — DROP COLUMN is metadata-fast but irreversibly discards the
+  * column's data AND breaks any running application version still
+  * reading it (squawk's ban-drop-column / strong_migrations'
+  * remove_column class — the reference registry ignores it). MEDIUM:
+  * reviewable, never gate-blocking; the lock window itself is short.
+  */
+object DropColumnRule extends Rule {
+  val id = "drop-column"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case DropColumn(col) =>
+          finding(Severity.Medium, s.table.render, s, ctx,
+            s"DROP COLUMN $col irreversibly discards the column's data and breaks running application versions that still read it",
+            "Deploy application code that no longer references the column first; drop it in a later migration once no running version reads it",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
+/** R23 — ADD CONSTRAINT ... UNIQUE (without USING INDEX) builds the
+  * unique index inside ALTER TABLE's ACCESS EXCLUSIVE lock — R15's
+  * sibling for UNIQUE constraints. Safe recipe: CREATE UNIQUE INDEX
+  * CONCURRENTLY, then ADD CONSTRAINT ... UNIQUE USING INDEX (a
+  * metadata-only attach) — the USING INDEX form is not flagged.
+  */
+object AddUniqueConstraintRule extends Rule {
+  val id = "add-unique-constraint"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: AlterTableStmt =>
+      s.cmds.collect {
+        case AddConstraint(name, UniqueConstraint, _, false) =>
+          finding(Severity.High, s.table.render, s, ctx,
+            s"ADD UNIQUE constraint ${if (name.nonEmpty) name + " " else ""}builds the unique index over the whole table under ACCESS EXCLUSIVE lock",
+            "CREATE UNIQUE INDEX CONCURRENTLY first, then ADD CONSTRAINT ... UNIQUE USING INDEX",
+            "ACCESS EXCLUSIVE")
+      }
+    case _ => Nil
+  }
+}
+
 /** Default registry — the nine reference rules, the two opaque-
   * container rules (do-block, routine-body), the four extended
   * lock-hazard rules (reindex, cluster, refresh-matview, add-primary-
   * key), the three partition/trigger rules (detach, attach,
-  * create-trigger), and the two storage rules (drop-index,
-  * table-storage-rewrite), unique IDs (reference:
-  * `internal/analyzer/rules/registry.go:6-19`).
+  * create-trigger), the two storage rules (drop-index,
+  * table-storage-rewrite), and the three column/constraint rules
+  * (add-generated-column, drop-column, add-unique-constraint), unique
+  * IDs (reference: `internal/analyzer/rules/registry.go:6-19`).
   */
 object Registry {
   val defaultRules: Seq[Rule] = Seq(
@@ -463,5 +533,8 @@ object Registry {
     AttachPartitionValidationRule,
     CreateTriggerRule,
     DropIndexNotConcurrentRule,
-    TableStorageRewriteRule)
+    TableStorageRewriteRule,
+    AddGeneratedColumnRule,
+    DropColumnRule,
+    AddUniqueConstraintRule)
 }

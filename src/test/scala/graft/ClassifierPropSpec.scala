@@ -199,7 +199,7 @@ class ClassifierPropSpec extends AnyFunSuite {
       def render = s"ADD COLUMN $col bigint" +
         (if (notNull) " NOT NULL" else "")
       def matches(c: AlterCmd) = c match {
-        case AddColumn(n, tpe, None, nn) =>
+        case AddColumn(n, tpe, None, nn, None) =>
           n == col && tpe.equalsIgnoreCase("bigint") && nn == notNull
         case _ => false
       }

@@ -6,7 +6,7 @@ import graft.rules._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Per-rule tests — the case matrix from the reference's rule tests
-  * (`internal/analyzer/rules/` per-rule test files) plus the 12-fixture acceptance
+  * (`internal/analyzer/rules/` per-rule test files) plus the 24-fixture acceptance
   * set (FIXTURES.md §1).
   */
 class RulesSpec extends AnyFunSuite {
@@ -58,7 +58,15 @@ class RulesSpec extends AnyFunSuite {
     ("V020", "DROP INDEX idx_users_email;",
       Severity.Medium, Seq("drop-index-not-concurrent")),
     ("V021", "ALTER TABLE users SET UNLOGGED;",
-      Severity.High, Seq("table-storage-rewrite")))
+      Severity.High, Seq("table-storage-rewrite")),
+    ("V022", "ALTER TABLE users ADD COLUMN display_name text " +
+      "GENERATED ALWAYS AS (coalesce(nickname, full_name)) STORED;",
+      Severity.High, Seq("add-generated-column")),
+    ("V023", "ALTER TABLE users DROP COLUMN legacy_flags;",
+      Severity.Medium, Seq("drop-column")),
+    ("V024", "ALTER TABLE users ADD CONSTRAINT users_email_key " +
+      "UNIQUE (email);",
+      Severity.High, Seq("add-unique-constraint")))
 
   for ((v, sql, expSev, expRules) <- fixtureExpectations)
     test(s"fixture $v → ${Severity.label(expSev)}") {
@@ -108,8 +116,10 @@ class RulesSpec extends AnyFunSuite {
   }
 
   test("R3: UNIQUE/PRIMARY KEY constraints are ignored by R3 " +
-      "(PRIMARY KEY is R15's finding, not a not-valid one)") {
-    assert(analyze("ALTER TABLE t ADD CONSTRAINT u UNIQUE (a);").maxSeverity == Severity.Safe)
+      "(UNIQUE is R23's finding and PRIMARY KEY R15's — neither is a " +
+      "not-valid one)") {
+    val u = analyze("ALTER TABLE t ADD CONSTRAINT u UNIQUE (a);")
+    assert(u.findings.map(_.rule) == Seq("add-unique-constraint"), u.findings)
     val pk = analyze("ALTER TABLE t ADD CONSTRAINT p PRIMARY KEY (a);")
     assert(pk.findings.map(_.rule) == Seq("add-primary-key"), pk.findings)
   }
@@ -156,10 +166,10 @@ class RulesSpec extends AnyFunSuite {
 
   test("registry: the reference's nine rules + the two opaque-" +
       "container rules + the four extended lock-hazard rules + the " +
-      "three partition/trigger rules + the two storage rules, " +
-      "unique ids") {
-    assert(Registry.defaultRules.length == 20)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 20)
+      "three partition/trigger rules + the two storage rules + the " +
+      "three column/constraint rules, unique ids") {
+    assert(Registry.defaultRules.length == 23)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 23)
   }
 
   test("R19: DROP INDEX non-concurrent is MEDIUM (brief ACCESS " +
@@ -186,6 +196,67 @@ class RulesSpec extends AnyFunSuite {
     // reloptions SET (fillfactor=70) is metadata-only — not a rewrite
     assert(analyze("ALTER TABLE events SET (fillfactor = 70);")
       .maxSeverity == Severity.Safe)
+  }
+
+  test("R21: ADD COLUMN GENERATED ... STORED and GENERATED AS " +
+      "IDENTITY are HIGH full rewrites; VIRTUAL (PG 18) and a plain " +
+      "ADD COLUMN are safe; commas inside the generation expression " +
+      "do not split the command") {
+    val stored = analyze("ALTER TABLE users ADD COLUMN display_name " +
+      "text GENERATED ALWAYS AS (coalesce(nickname, full_name)) STORED;")
+    assert(stored.findings.map(_.rule) == Seq("add-generated-column"),
+      s"got ${stored.findings}")
+    assert(stored.maxSeverity == Severity.High)
+    assert(stored.findings.head.table == "users")
+    assert(stored.findings.head.lockType == "ACCESS EXCLUSIVE")
+    for (idForm <- Seq("GENERATED ALWAYS AS IDENTITY",
+        "GENERATED BY DEFAULT AS IDENTITY (START WITH 10)")) {
+      val r = analyze(s"ALTER TABLE users ADD COLUMN uid bigint $idForm;")
+      assert(r.findings.map(_.rule) == Seq("add-generated-column"),
+        s"$idForm → ${r.findings}")
+      assert(r.maxSeverity == Severity.High)
+    }
+    assert(analyze("ALTER TABLE users ADD COLUMN v int " +
+      "GENERATED ALWAYS AS (a + b) VIRTUAL;").maxSeverity == Severity.Safe)
+    assert(analyze("ALTER TABLE users ADD COLUMN bio text;")
+      .maxSeverity == Severity.Safe)
+    // the comma inside coalesce(...) must not terminate the ADD
+    // COLUMN sub-command: exactly ONE finding, and a trailing second
+    // command is still parsed
+    val multi = analyze("ALTER TABLE users ADD COLUMN d text " +
+      "GENERATED ALWAYS AS (coalesce(a, b)) STORED, " +
+      "ALTER COLUMN e TYPE bigint;")
+    assert(multi.findings.map(_.rule).sorted ==
+      Seq("add-generated-column", "alter-column-type"))
+  }
+
+  test("R22: DROP COLUMN is MEDIUM (irreversible + app-breaking) in " +
+      "every spelling; DROP CONSTRAINT stays safe") {
+    for (form <- Seq("DROP COLUMN legacy_flags",
+        "DROP legacy_flags", "DROP COLUMN IF EXISTS legacy_flags CASCADE")) {
+      val r = analyze(s"ALTER TABLE users $form;")
+      assert(r.findings.map(_.rule) == Seq("drop-column"),
+        s"$form → ${r.findings}")
+      assert(r.maxSeverity == Severity.Medium)
+      assert(!r.hasHighOrCritical)
+      assert(r.findings.head.table == "users")
+    }
+    assert(analyze("ALTER TABLE users DROP CONSTRAINT users_email_key;")
+      .maxSeverity == Severity.Safe)
+  }
+
+  test("R23: ADD UNIQUE constraint is HIGH (index build under ACCESS " +
+      "EXCLUSIVE); the USING INDEX attach form — the rule's own " +
+      "recipe — is safe; unnamed ADD UNIQUE also flags") {
+    val named = analyze("ALTER TABLE users ADD CONSTRAINT " +
+      "users_email_key UNIQUE (email);")
+    assert(named.findings.map(_.rule) == Seq("add-unique-constraint"))
+    assert(named.maxSeverity == Severity.High)
+    assert(named.findings.head.table == "users")
+    val unnamed = analyze("ALTER TABLE users ADD UNIQUE (email);")
+    assert(unnamed.findings.map(_.rule) == Seq("add-unique-constraint"))
+    assert(analyze("ALTER TABLE users ADD CONSTRAINT users_email_key " +
+      "UNIQUE USING INDEX users_email_idx;").maxSeverity == Severity.Safe)
   }
 
   test("R16: DETACH PARTITION non-concurrent is HIGH (ACCESS " +
