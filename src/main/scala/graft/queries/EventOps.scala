@@ -2317,6 +2317,66 @@ object EventOps {
           cast(cast(ts as timestamp) as date) AS day,
           cast(count(*) as bigint) AS n
         FROM events GROUP BY 1, 2
-        ORDER BY event_type, day"""))
+        ORDER BY event_type, day""")),
+
+    // ------------------------------------------------------------------
+    // e36: MATCH_RECOGNIZE-lite — regex pattern matching over per-user
+    // event-type sequences (the complex-event-processing operator in
+    // batch form). Each user's history collapses to a string of
+    // event-type initials ordered by (ts, event_id); a 4-row pattern
+    // frame is broadcast-crossed on and NON-OVERLAPPING matches counted
+    // per user (Java Matcher.find and DuckDB RE2 both scan leftmost,
+    // resuming after each match — same count). Census per pattern.
+    // Scale: the per-user string is bounded by that user's event count
+    // (the sessionize/funnel class); corpus-scale work is ONE hash
+    // aggregation — no global ordering, no all-pairs.
+    // ------------------------------------------------------------------
+    "e36_pattern_match" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val pats = Seq(
+          ("browse_buy", "v[ce]*p"), // view, detours, purchase
+          ("direct_buy", "vp"), // purchase right after a view
+          ("error_burst", "ee+"), // >=2 consecutive errors
+          ("signup_journey", "s[^p]*p") // signup to first purchase
+        ).toDF("pattern_name", "pat")
+        val seqs = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ini"))
+          .groupBy(col("user_id"))
+          .agg(concat_ws("",
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("ini")))),
+              x => x.getField("ini"))).as("seq"))
+        seqs.join(broadcast(pats))
+          .select(col("pattern_name"),
+            regexp_count(col("seq"), col("pat")).cast("long").as("m"))
+          .groupBy(col("pattern_name"))
+          .agg(sum(col("m")).as("total_matches"),
+            count(when(col("m") > 0, 1)).as("users_matched"),
+            max(col("m")).as("max_user_matches"))
+          .orderBy(col("pattern_name"))
+      },
+      Some("""WITH seqs AS (
+          SELECT user_id,
+            string_agg(substr(event_type, 1, 1), ''
+              ORDER BY cast(ts as timestamp), event_id) AS seq
+          FROM events GROUP BY user_id),
+        pats AS (
+          SELECT * FROM (VALUES
+            ('browse_buy', 'v[ce]*p'), ('direct_buy', 'vp'),
+            ('error_burst', 'ee+'), ('signup_journey', 's[^p]*p'))
+            AS t(pattern_name, pat)),
+        m AS (
+          SELECT pattern_name,
+            len(regexp_extract_all(seq, pat)) AS m
+          FROM seqs, pats)
+        SELECT pattern_name,
+          cast(sum(m) as bigint) AS total_matches,
+          cast(count(*) FILTER (WHERE m > 0) as bigint) AS users_matched,
+          cast(max(m) as bigint) AS max_user_matches
+        FROM m GROUP BY 1
+        ORDER BY pattern_name"""))
   )
 }

@@ -2453,7 +2453,74 @@ object Relational2 {
         FROM read_parquet('{SF}/lineitem.parquet',
           filename = true, file_row_number = true)
         GROUP BY 1
-        ORDER BY file_name"""))
+        ORDER BY file_name""")),
+
+    // ------------------------------------------------------------------
+    // q95: small-file COMPACTION PLANNER — the OPTIMIZE file-grouping
+    // step every 100 TB table needs (e34 plans the z-order clustering;
+    // this plans which files merge into which compaction group).
+    // Spark writes lineitem Hive-partitioned by pc = l_orderkey % 16
+    // (one file per directory: the frame is hash-repartitioned on pc
+    // first, so each pc lands in exactly one write task), reads the
+    // tree back, and censuses per-partition rows + file count from the
+    // hidden _metadata column — the plan math then packs partitions
+    // into 4 equal-row compaction groups with pure-integer binning
+    // (bin = 4·(cum-n) div total), deterministic at any sf. The oracle
+    // never sees the written files: it re-derives per-pc counts from
+    // the SOURCE table, so equality proves the partitioned write is
+    // lossless AND one-file-per-partition AND the planner math. Scale:
+    // file census is metadata-scale (one row per file); the window
+    // over it is a 16-row frame.
+    // ------------------------------------------------------------------
+    "q95_compaction_plan" -> Q(
+      (s, d) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q95_" +
+          new java.io.File(d).getName
+        t(s, d, "lineitem")
+          .withColumn("pc", pmod(col("l_orderkey"), lit(16L)))
+          .repartition(col("pc"))
+          .write.mode("overwrite").partitionBy("pc").parquet(path)
+        val census = s.read.parquet(path)
+          .select(col("pc").cast("long").as("pc"),
+            col("_metadata.file_path").as("fp"))
+          .groupBy(col("pc"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("fp")).as("n_files"))
+        // 16-row metadata frame: the single-partition window is fine
+        val wCum = Window.orderBy(col("pc"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wTot = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        census
+          .withColumn("cum", sum(col("n_rows")).over(wCum))
+          .withColumn("tot", sum(col("n_rows")).over(wTot))
+          .withColumn("bin_id",
+            expr("(4 * (cum - n_rows)) div tot"))
+          .groupBy(col("bin_id"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("n_files")).as("n_files"),
+            sum(col("n_rows")).as("total_rows"),
+            min(col("pc")).as("min_pc"),
+            max(col("pc")).as("max_pc"))
+          .orderBy(col("bin_id"))
+      },
+      Some("""WITH per AS (
+          SELECT l_orderkey % 16 AS pc,
+            cast(count(*) as bigint) AS n_rows,
+            cast(1 as bigint) AS n_files
+          FROM lineitem GROUP BY 1),
+        b AS (
+          SELECT pc, n_rows, n_files,
+            cast(sum(n_rows) OVER (ORDER BY pc) as bigint) AS cum,
+            cast(sum(n_rows) OVER () as bigint) AS tot
+          FROM per)
+        SELECT cast((4 * (cum - n_rows)) // tot as bigint) AS bin_id,
+          cast(count(*) as bigint) AS n_parts,
+          cast(sum(n_files) as bigint) AS n_files,
+          cast(sum(n_rows) as bigint) AS total_rows,
+          min(pc) AS min_pc, max(pc) AS max_pc
+        FROM b GROUP BY 1
+        ORDER BY bin_id"""))
   )
 
   /** q92's body: `observe` metrics collected DURING the real query's

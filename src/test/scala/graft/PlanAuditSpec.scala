@@ -36,6 +36,9 @@ class PlanAuditSpec extends SparkFunSuite {
     "q92_observe_metrics" -> ("1-row observed-metrics frame crossed "
       + "onto the 3-row answer (pipeline-observability join; both "
       + "sides driver-side metadata by construction)"),
+    "e36_pattern_match" -> ("4-row pattern-frame broadcast crossed "
+      + "onto the per-user sequence census; the corpus-scale side ends "
+      + "at the per-user groupBy — hash aggregation only"),
     "q09_cross_join" -> "cross join by definition (dim×dim, 25 rows)",
     "q10_theta_join" -> "non-equi theta join (dim×dim by design rule)",
     "q26_scalar_subquery" -> "uncorrelated scalar broadcast (1 row)",
