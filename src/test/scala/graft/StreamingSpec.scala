@@ -1023,4 +1023,40 @@ class StreamingSpec extends SparkFunSuite {
       s"stream-only=${streamed.toSet -- batch.toSet}, " +
         s"batch-only=${batch.toSet -- streamed.toSet}")
   }
+
+  test("state-store introspection: the statestore batch source reads a " +
+      "streaming aggregation's keyed state out of the checkpoint and it " +
+      "equals the batch aggregate; state-metadata lists the operator — " +
+      "the ops surface for debugging 100 TB streams without replay") {
+    val ckpt = Files.createTempDirectory("graft-ss-ck").toString
+    val agg = EventStreams.readEventStream(spark, stagedDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("ssagg").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // the state rows ARE the aggregation buffers: key struct + value
+    // struct (one long buffer field for count) + partition_id
+    val state = spark.read.format("statestore").load(ckpt)
+    val valueField = state.select(col("value.*")).schema.fields
+      .find(_.dataType == org.apache.spark.sql.types.LongType)
+      .getOrElse(fail("no long buffer field in state value")).name
+    val fromState = state
+      .select(col("key.event_type").as("event_type"),
+        col(s"value.`$valueField`").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(stagedDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromState == batch,
+      s"state=$fromState\nbatch=$batch")
+    // the companion state-metadata source names the stateful operator
+    // and its partition layout
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    val ops = meta.select(col("operatorName")).collect().map(_.getString(0))
+    assert(ops.nonEmpty && ops.exists(_.contains("stateStoreSave")),
+      s"unexpected operators: ${ops.mkString(",")}")
+  }
 }
