@@ -2520,7 +2520,55 @@ object Relational2 {
           cast(sum(n_rows) as bigint) AS total_rows,
           min(pc) AS min_pc, max(pc) AS max_pc
         FROM b GROUP BY 1
-        ORDER BY bin_id"""))
+        ORDER BY bin_id""")),
+
+    // ------------------------------------------------------------------
+    // q96: parquet FOOTER census — the storage-audit surface behind
+    // every layout/encoding decision (per-column compression ratio,
+    // chunk sizes, codec). Two INDEPENDENT parquet footer readers must
+    // agree byte-for-byte: Spark's side reads the footer with
+    // parquet-java (ParquetFileReader — KB-scale driver read, the
+    // same metadata class as block offsets; a multi-file 100 TB table
+    // distributes footer reads with mapPartitions over the file list),
+    // the oracle uses DuckDB's native parquet_metadata(). Agreement is
+    // a storage-format conformance proof, not a recomputation — no
+    // shared code path exists between the two readers.
+    // ------------------------------------------------------------------
+    "q96_footer_census" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val conf = s.sparkContext.hadoopConfiguration
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet"), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val chunks = try {
+          reader.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala.map { c =>
+              (c.getPath.toDotString, c.getValueCount, c.getTotalSize,
+                c.getTotalUncompressedSize, c.getCodec.name)
+            }
+          }.toSeq
+        } finally reader.close()
+        chunks.toDF("column_name", "nv", "cb", "ub", "cc")
+          .groupBy(col("column_name"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("nv")).as("n_values"),
+            sum(col("cb")).as("compressed_bytes"),
+            sum(col("ub")).as("uncompressed_bytes"),
+            min(col("cc")).as("codec"))
+          .orderBy(col("column_name"))
+      },
+      Some("""SELECT path_in_schema AS column_name,
+          cast(count(*) as bigint) AS n_chunks,
+          cast(sum(num_values) as bigint) AS n_values,
+          cast(sum(total_compressed_size) as bigint) AS compressed_bytes,
+          cast(sum(total_uncompressed_size) as bigint)
+            AS uncompressed_bytes,
+          min(compression) AS codec
+        FROM parquet_metadata('{SF}/lineitem.parquet')
+        GROUP BY 1
+        ORDER BY column_name"""))
   )
 
   /** q92's body: `observe` metrics collected DURING the real query's
