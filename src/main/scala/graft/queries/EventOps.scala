@@ -2507,6 +2507,69 @@ object EventOps {
           cast(sum(maxy - miny + 1) as bigint) AS minute_span
         FROM buckets GROUP BY 1
         ORDER BY layout"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // e38: CONVERSATION ASSEMBLY — the SFT-data step that turns raw
+    // interaction logs into chat-format training examples: sessionize
+    // (the shared 30-min-gap definition), order turns by (ts,
+    // event_id), render each through a chat template, and budget
+    // tokens per conversation BEFORE packing (p06's input shape).
+    // Turn content is the integer event_id — deterministic template
+    // rendering in both engines (a double field would not round-trip
+    // string formatting identically). Census: conversations, chars,
+    // and chars/4 token estimates per turn-count. Scale: one window
+    // pass for sessionization (key-partitioned by user), one hash agg
+    // per conversation, one per turn-count bucket — no global order.
+    // ------------------------------------------------------------------
+    "e38_conversation_assembly" -> Q(
+      (s, d) => {
+        val n = sessionized(t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts")))
+        val conv = n
+          .select(col("user_id"), col("sid"), col("ts"), col("event_id"),
+            concat(lit("<|"), col("event_type"), lit("|>e"),
+              col("event_id").cast("string")).as("turn"))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_turns"),
+            length(concat_ws("", transform(array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("turn")))),
+              x => x.getField("turn")))).cast("long").as("n_chars"))
+        conv.groupBy(col("n_turns"))
+          .agg(count(lit(1)).as("n_convs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(expr("n_chars div 4")).as("tokens_est"))
+          .orderBy(col("n_turns"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, event_type,
+            cast(ts as timestamp) AS tts
+          FROM events),
+        o AS (
+          SELECT *, CASE WHEN lag(tts) OVER w IS NULL
+              OR epoch_us(tts) - epoch_us(lag(tts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)),
+        n AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        conv AS (
+          SELECT user_id, sid,
+            cast(count(*) as bigint) AS n_turns,
+            cast(length(string_agg(
+              concat('<|', event_type, '|>e', event_id), ''
+              ORDER BY tts, event_id)) as bigint)
+              AS n_chars
+          FROM n GROUP BY 1, 2)
+        SELECT n_turns,
+          cast(count(*) as bigint) AS n_convs,
+          cast(sum(n_chars) as bigint) AS total_chars,
+          cast(sum(n_chars // 4) as bigint) AS tokens_est
+        FROM conv GROUP BY 1
+        ORDER BY n_turns"""))
   )
 }

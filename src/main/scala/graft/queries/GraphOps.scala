@@ -1692,6 +1692,99 @@ object GraphOps {
             cast(d.deg * (d.deg - 1) as double) AS clustering
         FROM deg d LEFT JOIN tric t ON t.id = d.id
         WHERE d.deg >= 2
-        ORDER BY clustering DESC, d.deg DESC, d.id LIMIT 20"""))
+        ORDER BY clustering DESC, d.deg DESC, d.id LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // g19: NEIGHBORHOOD FUNCTION via KMV sketches — the HyperBall/ANF
+    // class: N(t) = Σ_v |ball(v, t)| estimated for EVERY node at once
+    // by iterating tiny per-node sketches instead of materializing
+    // balls. Sketch(v, t) = the k smallest h60-mod-P hashes over
+    // ball(v, t); one union round per hop: each node folds its own
+    // sketch with its out-neighbors' (k·(deg+1) values through a hash
+    // agg — edge-linear, node-state k·8 B, NO ball materialization,
+    // which is what makes the curve computable at 100 TB where exact
+    // balls are quadratic). Estimate per node: exact size below k,
+    // else (k−1)·P div kth-min — pure INTEGER math so the census sums
+    // deterministically (a double estimate sum would be
+    // partition-order-dependent). The oracle pays the quadratic price
+    // the sketch avoids: recursive ball expansion (g12's CTE), k-th
+    // smallest per (t, node) by window rank, same integer formula —
+    // exact at every t where balls stay under k, estimate-identical
+    // above it (same hashes, same kth-min). 32212254705 = (k−1)·P =
+    // 15 · (2^31 − 1).
+    // ------------------------------------------------------------------
+    "g19_neighborhood_kmv" -> Q(
+      (s, d) => {
+        val k = 16
+        val hops = 3
+        val p = 2147483647L
+        val edges = materialize(
+          weightedEdges(s, d).select(col("src"), col("dst")))
+        val nodes = edges.select(col("src").as("id")).distinct()
+        var sk = materialize(nodes.select(col("id"),
+          array(pmod(graft.functions.PortableHash.h60col(
+            concat(lit("nf_"), col("id"))), lit(p))).as("sk")))
+        def census(t: Int, skT: DataFrame): DataFrame = skT
+          .select(expr(s"case when size(sk) < $k then " +
+            s"cast(size(sk) as bigint) else " +
+            s"32212254705 div element_at(sk, $k) end").as("est"),
+            (size(col("sk")) === k).as("sat"))
+          .agg(lit(t).as("t"), count(lit(1)).as("n_nodes"),
+            count(when(col("sat"), 1)).as("n_saturated"),
+            sum(col("est")).as("nf_est"))
+        var out = census(0, sk)
+        for (t <- 1 to hops) {
+          val neighbor = edges.join(sk, edges("dst") === sk("id"))
+            .select(edges("src").as("id"), col("sk"))
+          sk = materialize(neighbor.unionAll(sk)
+            .select(col("id"), explode(col("sk")).as("h"))
+            .groupBy(col("id"))
+            .agg(slice(array_sort(collect_set(col("h"))), 1, k)
+              .as("sk")))
+          out = out.unionAll(census(t, sk))
+        }
+        out.orderBy(col("t"))
+      },
+      Some(s"""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        r AS MATERIALIZED (
+          WITH RECURSIVE r(v, id, dd) AS (
+            SELECT id, id, 0 FROM nodes
+            UNION
+            SELECT r.v, e.dst, r.dd + 1 FROM r JOIN edges e
+              ON e.src = r.id WHERE r.dd < 3)
+          SELECT v, id, min(dd) AS dd FROM r GROUP BY 1, 2),
+        hashes AS (
+          SELECT v, dd,
+            ${graft.functions.PortableHash.h60Sql("'nf_' || id")}
+              % 2147483647 AS h
+          FROM r),
+        exp AS (
+          SELECT t.t, b.v, b.h
+          FROM hashes b JOIN (VALUES (0), (1), (2), (3)) t(t)
+            ON b.dd <= t.t),
+        rk AS (
+          SELECT t, v, h,
+            row_number() OVER (PARTITION BY t, v ORDER BY h) AS rn,
+            count(*) OVER (PARTITION BY t, v) AS nb
+          FROM (SELECT DISTINCT t, v, h FROM exp)),
+        est AS (
+          SELECT t, v, max(nb) AS nb,
+            max(CASE WHEN rn = 16 THEN h END) AS hk
+          FROM rk GROUP BY 1, 2)
+        SELECT cast(t as int) AS t,
+          cast(count(*) as bigint) AS n_nodes,
+          cast(count(*) FILTER (WHERE nb >= 16) as bigint)
+            AS n_saturated,
+          cast(sum(CASE WHEN nb < 16 THEN nb
+            ELSE 32212254705 // hk END) as bigint) AS nf_est
+        FROM est GROUP BY 1
+        ORDER BY t"""))
   )
 }

@@ -2568,7 +2568,68 @@ object Relational2 {
           min(compression) AS codec
         FROM parquet_metadata('{SF}/lineitem.parquet')
         GROUP BY 1
-        ORDER BY column_name"""))
+        ORDER BY column_name""")),
+
+    // ------------------------------------------------------------------
+    // q97: modern ANSI sugar as ONE shared text (q86's convention —
+    // the same string runs verbatim in Spark and DuckDB): GROUP BY ALL
+    // (group on every non-aggregate select item), ORDER BY ALL
+    // (deterministic full-row ordering), FILTER aggregates, and
+    // LATERAL COLUMN ALIASES chained two deep (n_heavy references n's
+    // row, heavy_milli references n_heavy — resolved left-to-right in
+    // the same SELECT, no subquery nesting). Sugar, but sugar a query
+    // author migrating off the reference will type on day one.
+    // ------------------------------------------------------------------
+    "q97_sql_sugar" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(SqlSugarText)
+      },
+      Some(SqlSugarText)),
+
+    // ------------------------------------------------------------------
+    // q98: K-ANONYMITY census — the release-governance gate (p05's
+    // scrubbed-release sibling): before customer-derived data ships,
+    // how re-identifiable is it? Quasi-identifier classes =
+    // (nation, segment, balance-thousand bucket); per nation the
+    // census reports class count, k (the smallest class), the rows
+    // sitting in classes below the k=5 publication threshold, and
+    // l-diversity (min distinct sensitive values per class — here the
+    // exact balance). Two hash aggregations, linear at any scale.
+    // ------------------------------------------------------------------
+    "q98_k_anonymity" -> Q(
+      (s, d) => {
+        val classes = t(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).as("bal_k"),
+            col("c_acctbal"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_k"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("c_acctbal")).as("l"))
+        classes.groupBy(col("c_nationkey"))
+          .agg(sum(col("n")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            min(col("n")).as("k_min"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L))
+              .as("rows_at_risk"),
+            min(col("l")).as("l_min"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH classes AS (
+          SELECT c_nationkey, c_mktsegment,
+            floor(c_acctbal / 1000) AS bal_k,
+            cast(count(*) as bigint) AS n,
+            cast(count(distinct c_acctbal) as bigint) AS l
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT c_nationkey,
+          cast(sum(n) as bigint) AS n_rows,
+          cast(count(*) as bigint) AS n_classes,
+          min(n) AS k_min,
+          cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) as bigint)
+            AS rows_at_risk,
+          min(l) AS l_min
+        FROM classes GROUP BY 1
+        ORDER BY c_nationkey"""))
   )
 
   /** q92's body: `observe` metrics collected DURING the real query's
@@ -2670,6 +2731,28 @@ object Relational2 {
       ORDER BY n.n_name"""
 
   /** q86's shared text — the SAME string runs in Spark and DuckDB. */
+  /** q97's shared text — the SAME string runs in Spark and DuckDB.
+    * Integer-over-integer `/` is FLOAT division in both engines (the
+    * operands are exact ints < 2^53, so the double results are
+    * bit-identical). The lateral-alias chain lives in the OUTER
+    * projection: Spark does not (yet) allow a lateral column alias
+    * inside a GROUP BY ALL aggregate
+    * (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY — probed),
+    * while both engines accept the chain over a grouped subquery.
+    */
+  private val SqlSugarText: String =
+    """SELECT l_returnflag, l_linestatus, n, n_heavy,
+        n_heavy * 1000 / n AS heavy_milli,
+        heavy_milli / 10 AS heavy_pct
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+          cast(count(*) AS bigint) AS n,
+          cast(count(*) FILTER (WHERE l_quantity >= 25) AS bigint)
+            AS n_heavy
+        FROM lineitem
+        GROUP BY ALL)
+      ORDER BY ALL"""
+
   private val CommonSql: String =
     """WITH ranked AS (
         SELECT o_orderpriority AS pri, o_orderkey, o_totalprice,
