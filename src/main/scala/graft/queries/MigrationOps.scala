@@ -1154,7 +1154,7 @@ object MigrationOps {
           UNION ALL
           SELECT 'drop_column', name, t, CAST(NULL AS VARCHAR),
             'ALTER TABLE orders DROP COLUMN ' || name,
-            cast(0 as bigint), ''
+            cast(2 as bigint), 'drop-column'
           FROM s0 WHERE name NOT IN (SELECT name FROM tgt)
           UNION ALL
           SELECT 'retype', s0.name, s0.t, tgt.t,

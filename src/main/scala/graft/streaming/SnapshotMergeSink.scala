@@ -24,9 +24,15 @@ import scala.jdk.CollectionConverters._
   *   - The snapshot is written PARTITIONED (no `coalesce(1)`): the
   *     per-batch rewrite is O(state) bytes but parallel across the
   *     cluster, the same copy-on-write cost profile as a group-based
-  *     DSv2 MERGE. State that outgrows full-rewrite economics moves
-  *     to per-file grouping — the pointer/commit contract above is
-  *     unchanged by that refinement.
+  *     DSv2 MERGE. State that outgrows full-rewrite economics uses
+  *     the BUCKETED mode (`numBuckets > 0`): keys hash into
+  *     `numBuckets` groups, the pointer carries a per-bucket manifest
+  *     (bucket → generation dir), and a batch rewrites ONLY the
+  *     buckets it touches — per-batch write cost drops from O(state)
+  *     to O(state · touched/numBuckets) while untouched buckets'
+  *     files are never opened. The pointer/commit contract is
+  *     unchanged (manifest + applied ids in one atomic swap); pointer
+  *     size is O(numBuckets), still O(1) in batches.
   *   - Applied batchIds are stored COMPACTED as a high-watermark plus
   *     a sparse out-of-order tail (`hw` = every id ≤ hw is applied;
   *     tail = applied ids > hw). Structured Streaming delivers
@@ -119,11 +125,114 @@ object SnapshotMergeSink {
 
   def read(spark: SparkSession, base: String): DataFrame =
     state(base)._1 match {
+      case Some(snap) if snap.startsWith("B:") =>
+        val paths = parseManifest(snap).values.toSeq.sorted
+          .map(rel => Paths.get(base).resolve(rel).toString)
+        spark.read.parquet(paths: _*).drop(BucketCol)
       case Some(snap) =>
         spark.read.parquet(Paths.get(base).resolve(snap).toString)
       case None =>
         throw new IllegalStateException(s"no snapshot committed at $base")
     }
+
+  // --- bucketed (per-file-group) mode ----------------------------------
+
+  /** The hash-bucket column stored IN the data (the partition dir uses
+    * a twin column so parquet keeps this one readable per-dir).
+    */
+  private val BucketCol = "graft_kb"
+
+  private def parseManifest(s: String): Map[Int, String] =
+    s.stripPrefix("B:").split(',').iterator.filter(_.nonEmpty).map { e =>
+      val i = e.indexOf('=')
+      e.substring(0, i).toInt -> e.substring(i + 1)
+    }.toMap
+
+  private def renderManifest(m: Map[Int, String]): String =
+    "B:" + m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** Per-bucket manifest of the committed state (test observable for
+    * the untouched-bucket property). Empty before the first bucketed
+    * commit.
+    */
+  def manifest(base: String): Map[Int, String] = state(base)._1 match {
+    case Some(s) if s.startsWith("B:") => parseManifest(s)
+    case _                             => Map.empty
+  }
+
+  /** Bucketed merge: apply `batch` under `batchId` exactly once,
+    * rewriting ONLY the key-hash buckets the batch touches. Same
+    * pointer contract as [[merge]] (manifest + applied ids swap
+    * atomically); a base committed in whole-snapshot mode cannot be
+    * switched mid-stream (the formats are distinct on purpose — the
+    * mode is a create-time layout decision, like a table's bucketing).
+    */
+  def mergeBucketed(base: String, keyCols: Seq[String], numBuckets: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    Files.createDirectories(Paths.get(base))
+    val (cur, applied) = state(base)
+    require(cur.forall(_.startsWith("B:")),
+      s"$base is a whole-snapshot sink; bucketed merge would strand its state")
+    val spark = batch.sparkSession
+    if (applied.contains(batchId)) return // idempotent re-delivery
+    val man = cur.map(parseManifest).getOrElse(Map.empty)
+    val incoming = batch.dropDuplicates(keyCols)
+      .withColumn(BucketCol,
+        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+    val touched = incoming.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // ≤ numBuckets ints
+    val gen = s"gen_${batchId}_${System.nanoTime()}"
+    val newMan =
+      if (touched.isEmpty) man
+      else {
+        val toReread = touched.filter(man.contains)
+          .map(k => Paths.get(base).resolve(man(k)).toString)
+        val next =
+          if (toReread.isEmpty) incoming
+          else {
+            val curRows = spark.read.parquet(toReread: _*)
+            curRows.unionByName(incoming.join(
+              curRows.select(keyCols.map(col): _*), keyCols, "left_anti"))
+          }
+        // dir column twin keeps BucketCol in the data files
+        next.withColumn(s"${BucketCol}_part", col(BucketCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(s"${BucketCol}_part")
+          .parquet(Paths.get(base).resolve(gen).toString)
+        man ++ touched.map(k => k -> s"$gen/${BucketCol}_part=$k")
+      }
+    val ids = applied.add(batchId).serialize
+    val tmp = Paths.get(base).resolve(s"_CURRENT.tmp.${System.nanoTime()}")
+    Files.write(tmp, s"${renderManifest(newMan)}|$ids".getBytes("UTF-8"))
+    Files.move(tmp, pointer(base), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    gcBucketed(base, newMan)
+  }
+
+  /** Remove every gen_* dir the manifest no longer references at all,
+    * and every unreferenced bucket subdir inside still-live gens.
+    * Runs after the swap — a crash in here leaves orphans the next
+    * commit re-sweeps.
+    */
+  private def gcBucketed(base: String, man: Map[Int, String]): Unit = {
+    val live = man.values.toSet
+    val dir = Paths.get(base)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p))
+      .filter(p => p.getFileName.toString.startsWith("gen_"))
+      .foreach { genDir =>
+        val genName = genDir.getFileName.toString
+        Files.list(genDir).iterator().asScala
+          .filter(p => Files.isDirectory(p))
+          .filter(p => !live.contains(s"$genName/${p.getFileName}"))
+          .foreach(deleteRecursively)
+        if (!Files.list(genDir).iterator().asScala.exists(p =>
+            Files.isDirectory(p)))
+          deleteRecursively(genDir)
+      }
+  }
 
   /** The foreachBatch body: apply `batch` under `batchId` exactly
     * once. Re-delivery of an already-applied batchId is a no-op.
@@ -132,6 +241,8 @@ object SnapshotMergeSink {
       batch: DataFrame, batchId: Long): Unit = {
     Files.createDirectories(Paths.get(base))
     val (curSnap, applied) = state(base)
+    require(curSnap.forall(!_.startsWith("B:")),
+      s"$base is a bucketed sink; use mergeBucketed")
     if (applied.contains(batchId)) return // idempotent re-delivery
     val spark = batch.sparkSession
     val incoming = batch.dropDuplicates(keyCols) // intra-batch keys

@@ -400,6 +400,53 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.select("event_id").distinct().count() == 120)
   }
 
+  test("bucketed exactly-once sink: a batch rewrites ONLY the key-hash " +
+      "buckets it touches — untouched buckets' manifest entries (and " +
+      "files) survive verbatim, re-delivery is a no-op, read ≡ union") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-eo-bucketed").toString
+    val nb = 8
+    def m(df: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.SnapshotMergeSink
+        .mergeBucketed(sink, Seq("event_id"), nb)(df, id)
+    // batch 0: 64 keys spanning every bucket
+    m((0L until 64L).map(i => (i, s"v$i")).toDF("event_id", "payload"), 0L)
+    val man0 = graft.streaming.SnapshotMergeSink.manifest(sink)
+    assert(man0.keySet == (0 until nb).toSet,
+      s"expected all $nb buckets populated: $man0")
+    def files(rel: String) = new java.io.File(s"$sink/$rel")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val files0 = man0.map { case (k, rel) => k -> files(rel) }
+    // batch 1: ONE key → exactly one bucket rewritten
+    m(Seq((1000L, "new")).toDF("event_id", "payload"), 1L)
+    val man1 = graft.streaming.SnapshotMergeSink.manifest(sink)
+    val touched = man1.count { case (k, rel) => man0(k) != rel }
+    assert(touched == 1, s"expected 1 rewritten bucket:\n$man0\n$man1")
+    man1.filter { case (k, rel) => man0(k) == rel }.foreach {
+      case (k, rel) => assert(files(rel) == files0(k),
+        s"untouched bucket $k files changed")
+    }
+    // update on an EXISTING key: insert-if-absent keeps the first row
+    m(Seq((5L, "dup")).toDF("event_id", "payload"), 2L)
+    // re-delivery of batch 1 is a no-op (manifest byte-identical)
+    val manBefore = graft.streaming.SnapshotMergeSink.manifest(sink)
+    m(Seq((1000L, "again")).toDF("event_id", "payload"), 1L)
+    assert(graft.streaming.SnapshotMergeSink.manifest(sink) == manBefore)
+    assert(graft.streaming.SnapshotMergeSink.appliedBatches(sink)
+      == Set(0L, 1L, 2L))
+    val got = graft.streaming.SnapshotMergeSink.read(spark, sink)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 65)
+    assert(got(1000L) == "new" && got(5L) == "v5",
+      "first-delivery-wins violated")
+    // whole-snapshot merge on a bucketed base must refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.SnapshotMergeSink.merge(sink, Seq("event_id"))(
+        Seq((1L, "x")).toDF("event_id", "payload"), 9L)
+    }
+  }
+
   test("foreachBatch URL admission maintains seen-URL state (x51 " +
       "funnel's kappa twin: per-batch canonicalize + blocklist gate + " +
       "URL-exact dedup, stream ≡ batch)") {
