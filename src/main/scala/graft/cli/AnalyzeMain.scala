@@ -10,13 +10,13 @@ import org.apache.spark.sql.SparkSession
   * by version, run the rule analyzer, print severity-ranked findings.
   *
   * Usage: runMain graft.cli.AnalyzeMain <migrationsDir> [--pg-version N]
-  *        [--fail-on-high] [--format text|json|github-actions]
+  *        [--fail-on-high] [--format text|json|github-actions|sarif]
   */
 object AnalyzeMain {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: AnalyzeMain <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json|github-actions] [--verbose]")
+        "usage: AnalyzeMain <migrationsDir> [--pg-version N] [--fail-on-high] [--format text|json|github-actions|sarif] [--verbose]")
       sys.exit(2)
     }
     val dir = args(0)
@@ -110,6 +110,42 @@ object AnalyzeMain {
                 escData(s"${f.message} -> ${f.suggestion}"))
             }
           }
+        case "sarif" =>
+          // SARIF 2.1.0 — the OASIS static-analysis interchange format
+          // (one `run`, rule metadata from the live Registry, one
+          // `result` per finding; severity map: HIGH/CRITICAL → error,
+          // MEDIUM → warning, LOW → note). GitHub code scanning,
+          // VS Code SARIF viewers, and policy engines ingest this
+          // directly — the modern sibling of the reference's
+          // github-actions format value.
+          def q(s: String) = "\"" + s.replace("\\", "\\\\")
+            .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+          val pathOf = migrations.collect()
+            .map(m => m.version -> m.filePath).toMap
+          val ruleIds = graft.rules.Registry.defaultRules.map(_.id)
+          val rules = ruleIds.map(id =>
+            s"""{"id":${q(id)},"shortDescription":{"text":${q(id)}}}""")
+            .mkString("[", ",", "]")
+          val sarifResults = results.flatMap { r =>
+            r.findings.map { f =>
+              val level =
+                if (f.severity >= Severity.High) "error"
+                else if (f.severity == Severity.Medium) "warning"
+                else "note"
+              val uri = pathOf.getOrElse(r.version, r.version)
+              s"""{"ruleId":${q(f.rule)},"level":${q(level)},""" +
+                s""""message":{"text":${
+                  q(s"${f.message} -> ${f.suggestion}")}},""" +
+                s""""locations":[{"physicalLocation":{""" +
+                s""""artifactLocation":{"uri":${q(uri)}}}}],""" +
+                s""""properties":{"table":${q(f.table)},""" +
+                s""""lock_type":${q(f.lockType)},""" +
+                s""""stmt_index":${f.stmtIndex},""" +
+                s""""severity":${q(Severity.label(f.severity))}}}"""
+            }
+          }.mkString("[", ",", "]")
+          println(
+            s"""{"$$schema":"https://raw.githubusercontent.com/oasis-tcs/sarif-spec/master/Schemata/sarif-schema-2.1.0.json","version":"2.1.0","runs":[{"tool":{"driver":{"name":"graft","informationUri":"","rules":$rules}},"results":$sarifResults}]}""")
         case _ =>
           println(s"Analyzed ${results.length} migration(s) (target PostgreSQL $pgVersion)\n")
           results.foreach { r =>

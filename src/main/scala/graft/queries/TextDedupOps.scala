@@ -2111,5 +2111,115 @@ object TextDedupOps {
           SELECT cast(1 as bigint), n_total - n_clustered,
             n_total - n_clustered
           FROM tot, cls)
-        ORDER BY size""")))
+        ORDER BY size""")),
+
+    // ------------------------------------------------------------------
+    // d28: FUZZY ENTITY-RESOLUTION JOIN — blocked edit-distance
+    // matching of dirty records against a clean dimension (the
+    // record-linkage step an ingestion pipeline runs before dedup can
+    // key on an entity). The dirty side is synthesized
+    // deterministically (x44's synthesize→detect discipline): every
+    // lineitem row carries its part's name with ONE h60-positioned
+    // adjacent-character swap. Matching: block on (first character,
+    // |length diff| ≤ 1) — an EQUI-join on the block key with cheap
+    // residuals, never all-pairs — then verify levenshtein ≤ 3 inside
+    // the block (at ≤ 2 the 64-name universe never multi-matches —
+    // measured; 3 admits sibling names one word-edit away, so all
+    // three census classes are live). The census classifies records unique/multi/none and
+    // counts how often the TRUE entity is among the matches —
+    // including the honest blocking-recall loss (a swap at position 1
+    // changes the first character and escapes the block entirely).
+    // Scale: the dirty side is fact-scale but every block is
+    // entity-scale; cost = fact rows × block width, broadcast clean
+    // dim, one hash agg.
+    // ------------------------------------------------------------------
+    "d28_fuzzy_er_join" -> Q(
+      (s, d) => {
+        import graft.functions.PortableHash
+        val clean = t(s, d, "part").select(col("p_name")).distinct()
+          .withColumn("cb", substring(col("p_name"), 1, 1))
+        // record key = the DISTINCT (orderkey, linenumber, partkey)
+        // triple: the synthetic lineitem repeats (orderkey, linenumber)
+        // pairs across partkeys, so no two-column key is unique
+        val rk = Seq("l_orderkey", "l_linenumber", "l_partkey")
+        val dirty = t(s, d, "lineitem")
+          .select(rk.map(col): _*).distinct()
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_name").as("true_name"))),
+            col("l_partkey") === col("p_partkey"))
+          .withColumn("p",
+            pmod(PortableHash.h60col(concat(lit("typo_"),
+              col("l_orderkey"), lit("_"), col("l_linenumber"),
+              lit("_"), col("l_partkey"))),
+              length(col("true_name")) - 1) + 1)
+          .select(rk.map(col) :+ col("true_name") :+
+            concat(
+              col("true_name").substr(lit(1), col("p") - 1),
+              col("true_name").substr(col("p") + 1, lit(1)),
+              col("true_name").substr(col("p"), lit(1)),
+              col("true_name").substr(col("p") + 2, lit(100)))
+              .as("dirty"): _*)
+        val per = dirty
+          .withColumn("db", substring(col("dirty"), 1, 1))
+          .join(broadcast(clean), col("db") === col("cb") &&
+            abs(length(col("dirty")) - length(col("p_name"))) <= 1)
+          .filter(levenshtein(col("dirty"), col("p_name")) <= 3)
+          .groupBy(rk.map(col): _*)
+          .agg(count(lit(1)).as("n_cand"),
+            max(when(col("p_name") === col("true_name"), 1L)
+              .otherwise(0L)).as("hit"))
+        val classes = per
+          .select(when(col("n_cand") === 1, "unique").otherwise("multi")
+            .as("match_class"), col("hit"))
+          .groupBy(col("match_class"))
+          .agg(count(lit(1)).as("n_records"),
+            sum(col("hit")).as("n_true_hit"))
+        val none = dirty
+          .join(per.select(rk.map(col): _*), rk, "left_anti")
+          .agg(count(lit(1)).as("n_records"))
+          .select(lit("none").as("match_class"), col("n_records"),
+            lit(0L).as("n_true_hit"))
+        classes.unionByName(none).orderBy(col("match_class"))
+      },
+      Some(s"""WITH cb AS (
+          SELECT p_name, substr(p_name, 1, 1) AS cb
+          FROM (SELECT DISTINCT p_name FROM part)),
+        recs AS (
+          SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+          FROM lineitem),
+        dirty0 AS (
+          SELECT r.l_orderkey, r.l_linenumber, r.l_partkey,
+            p.p_name AS true_name,
+            1 + (${graft.functions.PortableHash.h60Sql(
+              "'typo_' || r.l_orderkey || '_' || r.l_linenumber || " +
+                "'_' || r.l_partkey")}
+              % (length(p.p_name) - 1)) AS p
+          FROM recs r JOIN part p ON r.l_partkey = p.p_partkey),
+        dirty AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, true_name,
+            substr(true_name, 1, p - 1) || substr(true_name, p + 1, 1) ||
+            substr(true_name, p, 1) || substr(true_name, p + 2, 100)
+              AS dirty
+          FROM dirty0),
+        per AS (
+          SELECT l_orderkey, l_linenumber, l_partkey,
+            cast(count(*) as bigint) AS n_cand,
+            max(CASE WHEN c.p_name = d.true_name THEN 1 ELSE 0 END)
+              AS hit
+          FROM dirty d JOIN cb c ON substr(d.dirty, 1, 1) = c.cb
+            AND abs(length(d.dirty) - length(c.p_name)) <= 1
+          WHERE levenshtein(d.dirty, c.p_name) <= 3
+          GROUP BY 1, 2, 3)
+        SELECT * FROM (
+          SELECT CASE WHEN n_cand = 1 THEN 'unique' ELSE 'multi' END
+              AS match_class,
+            cast(count(*) as bigint) AS n_records,
+            cast(sum(hit) as bigint) AS n_true_hit
+          FROM per GROUP BY 1
+          UNION ALL
+          SELECT 'none', cast(count(*) as bigint), cast(0 as bigint)
+          FROM dirty d LEFT JOIN per USING
+            (l_orderkey, l_linenumber, l_partkey)
+          WHERE per.n_cand IS NULL)
+        ORDER BY match_class""")))
 }

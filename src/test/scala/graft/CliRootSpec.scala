@@ -133,6 +133,43 @@ class CliRootSpec extends AnyFunSuite {
       !lines.exists(_.contains("011_safe_concurrent_index")))
   }
 
+  test("graft analyze --format sarif emits valid SARIF 2.1.0: one run, " +
+      "the full rule registry as tool metadata, severity-mapped levels, " +
+      "file locations") {
+    val (code, out) = graft("analyze", "/root/repo/fixtures/migrations",
+      "--format", "sarif")
+    assert(code == 0, s"analyze failed:\n$out")
+    val json = out.linesIterator.find(_.startsWith("{")).getOrElse(
+      fail(s"no JSON line in:\n$out"))
+    // parse with the JDK-adjacent toolchain available here: jackson
+    // rides in with Spark — a real parser, not regex poking
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    assert(root.get("version").asText() == "2.1.0")
+    val runs = root.get("runs")
+    assert(runs.size() == 1)
+    val driver = runs.get(0).get("tool").get("driver")
+    assert(driver.get("name").asText() == "graft")
+    val ruleIds = (0 until driver.get("rules").size())
+      .map(i => driver.get("rules").get(i).get("id").asText()).toSet
+    assert(ruleIds ==
+      _root_.graft.rules.Registry.defaultRules.map(_.id).toSet,
+      s"registry drift: $ruleIds")
+    val rs = runs.get(0).get("results")
+    assert(rs.size() > 0)
+    val byRule = (0 until rs.size()).map(rs.get)
+      .groupBy(_.get("ruleId").asText())
+    // severity map spot checks on known fixture verdicts
+    assert(byRule("drop-table").head.get("level").asText() == "error")
+    assert(byRule("set-not-null").head.get("level").asText() == "warning")
+    assert(byRule("drop-column").head.get("level").asText() == "warning")
+    (0 until rs.size()).map(rs.get).foreach { r =>
+      val uri = r.get("locations").get(0).get("physicalLocation")
+        .get("artifactLocation").get("uri").asText()
+      assert(uri.endsWith(".sql"), s"bad location uri: $uri")
+    }
+  }
+
   test("graft plan: default lists applied rows, --pending-only restricts " +
       "(plan.go:19's registered flag, implemented)") {
     val tracker = java.nio.file.Files
