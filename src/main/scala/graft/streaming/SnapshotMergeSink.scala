@@ -166,8 +166,16 @@ object SnapshotMergeSink {
     * atomically); a base committed in whole-snapshot mode cannot be
     * switched mid-stream (the formats are distinct on purpose — the
     * mode is a create-time layout decision, like a table's bucketing).
+    *
+    * `upsert = false` (default) keeps the dedup-sink contract
+    * (insert-if-absent, first delivery wins); `upsert = true` is the
+    * CDC-apply contract (WHEN MATCHED UPDATE: the incoming row
+    * replaces the stored row for its key — last committed batch
+    * wins). Exactly-once makes upsert re-delivery safe: a re-applied
+    * batch is skipped, so "last batch" is well-defined.
     */
-  def mergeBucketed(base: String, keyCols: Seq[String], numBuckets: Int)(
+  def mergeBucketed(base: String, keyCols: Seq[String], numBuckets: Int,
+      upsert: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
     import org.apache.spark.sql.functions.{col, hash, pmod, lit}
@@ -193,8 +201,14 @@ object SnapshotMergeSink {
           if (toReread.isEmpty) incoming
           else {
             val curRows = spark.read.parquet(toReread: _*)
-            curRows.unionByName(incoming.join(
-              curRows.select(keyCols.map(col): _*), keyCols, "left_anti"))
+            if (upsert) // WHEN MATCHED UPDATE: incoming replaces stored
+              incoming.unionByName(curRows.join(
+                incoming.select(keyCols.map(col): _*), keyCols,
+                "left_anti"))
+            else // insert-if-absent: stored row wins
+              curRows.unionByName(incoming.join(
+                curRows.select(keyCols.map(col): _*), keyCols,
+                "left_anti"))
           }
         // dir column twin keeps BucketCol in the data files
         next.withColumn(s"${BucketCol}_part", col(BucketCol))

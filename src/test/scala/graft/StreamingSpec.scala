@@ -447,6 +447,29 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("bucketed sink in upsert mode applies a CDC stream exactly " +
+      "once: last committed batch wins per key, re-delivery of an old " +
+      "batch cannot resurrect stale values") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-eo-cdc").toString
+    def upd(b: Long) = (0L until 40L).filter(k => (k + b) % 3 == 0)
+      .map(k => (k, s"v${b}_$k")).toDF("event_id", "payload")
+    def m(df: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.SnapshotMergeSink.mergeBucketed(
+        sink, Seq("event_id"), 4, upsert = true)(df, id)
+    for (b <- 0L until 5L) m(upd(b), b)
+    // at-least-once re-delivery of batch 1 — stale values must NOT win
+    m(upd(1L), 1L)
+    val got = graft.streaming.SnapshotMergeSink.read(spark, sink)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 40L).map { k =>
+      val lastB = (0L until 5L).filter(b => (k + b) % 3 == 0).max
+      k -> s"v${lastB}_$k"
+    }.toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   test("foreachBatch URL admission maintains seen-URL state (x51 " +
       "funnel's kappa twin: per-batch canonicalize + blocklist gate + " +
       "URL-exact dedup, stream ≡ batch)") {
