@@ -2597,6 +2597,27 @@ object Relational2 {
     // l-diversity (min distinct sensitive values per class — here the
     // exact balance). Two hash aggregations, linear at any scale.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // q99: the NOT IN null trap as a first-class semantics matrix —
+    // one shared ANSI text (q86's convention). Against a probe set
+    // whose key column contains NULLs, the four anti-membership
+    // spellings give THREE different answers: NOT IN returns ZERO
+    // rows (x <> NULL is UNKNOWN, so no row ever satisfies the
+    // predicate — the classic silent-data-loss bug at any scale),
+    // NOT EXISTS gives the true anti count, EXCEPT gives the distinct
+    // set difference, and NOT IN over the null-filtered probe — the
+    // fix — matches NOT EXISTS. Both engines agree on every leg,
+    // which is the point: this is ANSI semantics, not an engine
+    // quirk.
+    // ------------------------------------------------------------------
+    "q99_not_in_null_matrix" -> Q(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(NotInNullText)
+      },
+      Some(NotInNullText)),
+
     "q98_k_anonymity" -> Q(
       (s, d) => {
         val classes = t(s, d, "customer")
@@ -2752,6 +2773,29 @@ object Relational2 {
         FROM lineitem
         GROUP BY ALL)
       ORDER BY ALL"""
+
+  /** q99's shared text — the SAME string runs in Spark and DuckDB. */
+  private val NotInNullText: String =
+    """WITH probe AS (
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+          ELSE o_custkey END AS ck
+        FROM orders WHERE o_orderkey % 40 < 3)
+      SELECT
+        (SELECT cast(count(*) as bigint) FROM customer
+          WHERE c_custkey NOT IN (SELECT ck FROM probe))
+          AS not_in_rows,
+        (SELECT cast(count(*) as bigint) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM probe p
+            WHERE p.ck = c.c_custkey))
+          AS not_exists_rows,
+        (SELECT cast(count(*) as bigint) FROM
+          (SELECT c_custkey FROM customer
+           EXCEPT SELECT ck FROM probe))
+          AS except_rows,
+        (SELECT cast(count(*) as bigint) FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT ck FROM probe WHERE ck IS NOT NULL))
+          AS not_in_fixed_rows"""
 
   private val CommonSql: String =
     """WITH ranked AS (

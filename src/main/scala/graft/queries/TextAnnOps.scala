@@ -2651,6 +2651,85 @@ object TextAnnOps {
           SELECT 'c_adc50_refined', cast(50 as bigint),
             (SELECT cast(count(*) as bigint) FROM ref10
              WHERE vec_id IN (SELECT vec_id FROM truth10))
-        ) ORDER BY method"""))
+        ) ORDER BY method""")),
+
+    // ------------------------------------------------------------------
+    // s23: MIPS → cosine REDUCTION — maximum-inner-product search is
+    // not cosine search (norms vary), but the classic augmentation
+    // (append sqrt(M² − |x|²) to every data vector, 0 to the query,
+    // M = max norm) makes cosine over the augmented space rank by
+    // inner product EXACTLY: cos(va, qa) = (q·x) / (|q|·M), monotone
+    // in q·x. The census ranks candidates both ways — exact dot
+    // top-10 vs augmented-cosine top-10 — and reports per-rank
+    // agreement; the transform is MATERIALIZED (real augmented
+    // arrays through the cosine expression), not algebraically
+    // shortcut, so the reduction itself is what's verified. M² is a
+    // 1-row metadata scalar (s02's head() precedent). This is the
+    // bridge that lets every cosine-only ANN structure in the family
+    // (LSH s02, IVF s03, SQ8 s12) serve inner-product queries —
+    // recommender retrieval — unchanged.
+    // ------------------------------------------------------------------
+    "s23_mips_transform" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorDot.dot
+        val base = emb(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val m2 = base.agg(max(dot(col("v"), col("v"))))
+          .head().getDouble(0)
+        val aug = base.select(col("vec_id"), col("v"),
+          concat(col("v"),
+            array(sqrt(lit(m2) - dot(col("v"), col("v"))))).as("va"))
+        val q = aug.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"),
+            concat(col("v"), array(lit(0.0))).as("qa"))
+        val scored = aug.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            dot(col("v"), col("qv")).as("ip"),
+            cosine(col("va"), col("qa")).as("ac"))
+          .localCheckpoint() // two top-k consumers
+        def ranked(sc: Column, idAlias: String) = {
+          val top = scored.orderBy(sc.desc, col("vec_id")).limit(10)
+          // the window runs over the 10 surviving rows only
+          top.withColumn("rank",
+            row_number().over(Window.orderBy(sc.desc, col("vec_id"))))
+            .select(col("rank"), col("vec_id").as(idAlias))
+        }
+        ranked(col("ip"), "ip_id")
+          .join(ranked(col("ac"), "aug_id"), Seq("rank"))
+          .withColumn("agree", col("ip_id") === col("aug_id"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+        aug AS (
+          SELECT vec_id, v,
+            list_append(v, sqrt(m.m2 - list_dot_product(v, v))) AS va
+          FROM e, m),
+        q AS (
+          SELECT v AS qv, list_append(v, cast(0.0 as double)) AS qa
+          FROM e WHERE vec_id = 0),
+        sc AS (
+          SELECT a.vec_id,
+            list_dot_product(a.v, q.qv) AS ip,
+            list_dot_product(a.va, q.qa)
+              / sqrt(list_dot_product(a.va, a.va))
+              / sqrt(list_dot_product(q.qa, q.qa)) AS ac
+          FROM aug a, q WHERE a.vec_id <> 0),
+        ri AS (SELECT vec_id AS ip_id,
+            row_number() OVER (ORDER BY ip DESC, vec_id) AS rank
+          FROM sc),
+        ra AS (SELECT vec_id AS aug_id,
+            row_number() OVER (ORDER BY ac DESC, vec_id) AS rank
+          FROM sc)
+        SELECT cast(rank as int) AS rank, ip_id, aug_id,
+          (ip_id = aug_id) AS agree
+        FROM ri JOIN ra USING (rank)
+        WHERE rank <= 10
+        ORDER BY rank"""))
   )
 }

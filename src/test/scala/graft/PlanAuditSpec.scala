@@ -50,6 +50,9 @@ class PlanAuditSpec extends SparkFunSuite {
     "d09_dedup_keeplist" -> ("same bounded pair-gen as d07; keep-list "
       + "join + CC loop are the scale path"),
     "s01_cosine_topk" -> "1-row query vector broadcast",
+    "s23_mips_transform" -> ("1-row query-vector broadcast (s01's "
+      + "shape) on the scored frame; the M² scalar is a 1-row "
+      + "metadata head()"),
     "s17_sq_int8" -> ("1-row query vector broadcast on both the "
       + "reconstructed and full-precision legs (s01's shape)"),
     "s18_ann_harness" -> ("1-row query-vector broadcasts (one per "
