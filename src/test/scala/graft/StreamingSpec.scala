@@ -470,6 +470,68 @@ class StreamingSpec extends SparkFunSuite {
       s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
+  test("streaming CEP (e36's kappa twin): the four hand-compiled " +
+      "automata equal java.util.regex on randomized sequences, and the " +
+      "cross-batch GroupState counts equal the batch regexp_count " +
+      "census on the real stream") {
+    import spark.implicits._
+    import graft.streaming.CepStream
+    // property leg: deterministic randomized sequences vs java regex
+    val pats = Seq("v[ce]*p", "vp", "ee+", "s[^p]*p")
+      .map(java.util.regex.Pattern.compile)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val seq = (1 to rnd.nextInt(40)).map(_ => "vcpse"(rnd.nextInt(5)))
+        .mkString
+      val got = CepStream.countAll(seq)
+      def rx(p: java.util.regex.Pattern): Long = {
+        val m = p.matcher(seq); var n = 0L; while (m.find()) n += 1; n
+      }
+      assert((got.browse_buy, got.direct_buy, got.error_burst,
+        got.signup_journey) == (rx(pats(0)), rx(pats(1)), rx(pats(2)),
+        rx(pats(3))), s"automata diverge from regex on '$seq'")
+    }
+    // kappa leg: cross-batch state ≡ batch census on the real events
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = spark.read.parquet(stagedDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.UserEvent].collect()
+      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000,
+        e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.UserEvent]
+    val q = CepStream.patternCounts(ms.toDS())
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("cepstream").start()
+    all.grouped(math.max(1, all.length / 5 + 1)).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits per batch — the LAST row per user is final
+    val streamed = spark.table("cepstream").collect()
+      .zipWithIndex
+      .groupBy(_._1.getLong(0)).view
+      .mapValues(_.maxBy(_._2)._1)
+      .map { case (uid, r) =>
+        uid -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toMap
+    val batchTruth = all.groupBy(_.user_id).map { case (uid, es) =>
+      val seq = es.sortBy(e => (e.ts.getTime * 1000L +
+        (e.ts.getNanos / 1000) % 1000, e.event_id))
+        .map(_.event_type.charAt(0)).mkString
+      def rx(p: java.util.regex.Pattern): Long = {
+        val m = p.matcher(seq); var n = 0L; while (m.find()) n += 1; n
+      }
+      uid -> (rx(pats(0)), rx(pats(1)), rx(pats(2)), rx(pats(3)))
+    }
+    assert(streamed.keySet == batchTruth.keySet)
+    streamed.foreach { case (uid, got) =>
+      assert(got == batchTruth(uid), s"user $uid: $got vs ${batchTruth(uid)}")
+    }
+  }
+
   test("foreachBatch URL admission maintains seen-URL state (x51 " +
       "funnel's kappa twin: per-batch canonicalize + blocklist gate + " +
       "URL-exact dedup, stream ≡ batch)") {
