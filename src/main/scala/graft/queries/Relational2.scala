@@ -2598,6 +2598,73 @@ object Relational2 {
     // exact balance). Two hash aggregations, linear at any scale.
     // ------------------------------------------------------------------
     // ------------------------------------------------------------------
+    // q100: Spark 4 SQL PIPE syntax — the linear `FROM … |> WHERE …
+    // |> AGGREGATE … |> …` form (operators apply top-to-bottom, the
+    // order the optimizer actually reasons in). Semantics are plain
+    // relational algebra, so the oracle is the classic
+    // WHERE/GROUP BY/HAVING/ORDER BY spelling — the driver's
+    // name-keyed compare proves the two forms equivalent. DuckDB has
+    // no pipe syntax, which is exactly why this entry exists: the
+    // surface is Spark's, the answer is engine-independent.
+    // ------------------------------------------------------------------
+    "q100_pipe_syntax" -> Q(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""FROM lineitem
+          |> WHERE l_quantity >= 30
+          |> AGGREGATE cast(count(*) as bigint) AS n,
+               cast(sum(cast(l_quantity as bigint)) as bigint) AS qty
+             GROUP BY l_returnflag, l_linestatus
+          |> WHERE n > 100
+          |> ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+          cast(count(*) as bigint) AS n,
+          cast(sum(cast(l_quantity as bigint)) as bigint) AS qty
+        FROM lineitem
+        WHERE l_quantity >= 30
+        GROUP BY l_returnflag, l_linestatus
+        HAVING count(*) > 100
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // q101: COLLATION-aware semantics (Spark 4 collated strings) —
+    // distinct-counting under UTF8_LCASE collapses the three
+    // deterministically synthesized case forms of each priority into
+    // one value, where binary (default) collation keeps all 15. The
+    // oracle expresses the same semantics with lower(): collation is
+    // declarative case-insensitivity, the lower()-rewrite is what it
+    // replaces (and what a pre-collation engine must do by hand).
+    // ------------------------------------------------------------------
+    "q101_collation" -> Q(
+      (s, d) => {
+        val mixed = when(pmod(col("o_orderkey"), lit(3)) === 0,
+          upper(col("o_orderpriority")))
+          .when(pmod(col("o_orderkey"), lit(3)) === 1,
+            concat(upper(substring(col("o_orderpriority"), 1, 3)),
+              lower(substring(col("o_orderpriority"), 4, 100))))
+          .otherwise(lower(col("o_orderpriority")))
+        t(s, d, "orders").select(mixed.as("pri_mixed"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("pri_mixed")).as("n_raw_distinct"),
+            countDistinct(expr("collate(pri_mixed, 'UTF8_LCASE')"))
+              .as("n_ci_distinct"))
+      },
+      Some("""WITH m AS (
+          SELECT CASE
+            WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+            WHEN o_orderkey % 3 = 1 THEN
+              concat(upper(substr(o_orderpriority, 1, 3)),
+                lower(substr(o_orderpriority, 4, 100)))
+            ELSE lower(o_orderpriority) END AS pri_mixed
+          FROM orders)
+        SELECT cast(count(*) as bigint) AS n_rows,
+          cast(count(distinct pri_mixed) as bigint) AS n_raw_distinct,
+          cast(count(distinct lower(pri_mixed)) as bigint)
+            AS n_ci_distinct
+        FROM m""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership
