@@ -67,4 +67,21 @@ class ScalingSpec extends SparkFunSuite {
     // copies are disjoint: key cardinality scales with rows
     assert(orders.select("o_orderkey").distinct().count() == cnt("orders"))
   }
+
+  test("continuation-session censuses are partitioning-invariant: " +
+      "bit-identical results under an adversarial shuffle-partition " +
+      "count (the 32-threads-vs-1000-executors stability property; " +
+      "all five are pure-integer censuses by construction)") {
+    val qs = Seq("g19_neighborhood_kmv", "e37_hilbert_layout",
+      "e36_pattern_match", "d28_fuzzy_er_join", "q95_compaction_plan")
+    val catalog = Catalog.all.toMap
+    for (q <- qs) {
+      def run(parts: String): Seq[Seq[Any]] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try catalog(q).fn(spark, sf0001).collect().map(_.toSeq).toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(run("4") == run("13"), s"$q drifted under repartitioning")
+    }
+  }
 }
