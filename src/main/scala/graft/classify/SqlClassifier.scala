@@ -52,6 +52,14 @@ object SqlClassifier {
   sealed trait GeneratedKind
   case object StoredGenerated extends GeneratedKind
   case object IdentityGenerated extends GeneratedKind
+  /** GENERATED ALWAYS AS (expr) with NEITHER STORED nor VIRTUAL: the
+    * default flipped across PG major versions (< 18: STORED is the
+    * only legal spelling and the implied one; >= 18: the omitted
+    * keyword means VIRTUAL, metadata-only). Classification is
+    * version-independent, so the kind records the ambiguity and the
+    * rule layer resolves it against the target version.
+    */
+  case object DefaultGenerated extends GeneratedKind
 
   sealed trait ConstraintKind
   case object CheckConstraint extends ConstraintKind
@@ -783,10 +791,12 @@ object SqlClassifier {
                 }
               }
               // VIRTUAL (PG 18+) is computed on read — no rewrite;
-              // STORED (and the pre-18 grammar where STORED is the
-              // only legal spelling) rewrites
+              // STORED rewrites; an OMITTED keyword is version-
+              // dependent (pre-18: implies STORED; 18+: defaults to
+              // VIRTUAL) — typed DefaultGenerated for the rule layer
               if (t.skipKw("VIRTUAL")) ()
-              else { t.skipKw("STORED"); generated = Some(StoredGenerated) }
+              else if (t.skipKw("STORED")) generated = Some(StoredGenerated)
+              else generated = Some(DefaultGenerated)
             }
           }
           else if (odepth == 0 && t.skipKw("NULL")) ()

@@ -2401,25 +2401,29 @@ object EventOps {
     // Hilbert transform is the classic per-level flip+swap fold — each
     // level materialized behind its OWN projection (multi-referenced
     // non-cheap exprs must not inline, the CLAUDE.md invariant; also
-    // keeps the codegen tree linear in levels). One shuffle per layout
-    // (the bucket agg); the oracle re-derives both curves bit-for-bit
-    // in SQL via the same generated level chain.
+    // keeps the codegen tree linear in levels). Both curves ride ONE
+    // scan and ONE (layout, bucket) shuffle via a 2-element explode;
+    // the oracle re-derives both curves bit-for-bit in SQL via the
+    // same generated level chain.
     // ------------------------------------------------------------------
     "e37_hilbert_layout" -> Q(
       (s, d) => {
         val bits = 8
+        // ONE pass, no fact-scale checkpoint (a checkpointed
+        // one-row-per-event frame OOMs downstream hash aggs at sf10
+        // under QProf's small JVM — the d28 lesson): the Hilbert fold
+        // threads (ux, my) through its level projections, the Morton
+        // index is added in the same final projection, and a 2-element
+        // explode routes every row into both layouts for a single
+        // (layout, bucket) aggregation.
         val ev = t(s, d, "events")
           .select(pmod(col("user_id"), lit(256L)).as("ux"),
             pmod(expr("unix_seconds(ts) div 60"), lit(256L)).as("my"))
-          .localCheckpoint() // two consumers (one per layout)
         // Morton: interleave 8 bits of each dim
         def interleave(c: Column, offset: Int): Column =
           (0 until bits).map { i =>
             shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + offset)
           }.reduce(_ bitwiseOR _)
-        val zIdx = ev.select(col("ux"), col("my"),
-          interleave(col("ux"), 0).bitwiseOR(interleave(col("my"), 1))
-            .as("idx"))
         // Hilbert: top-down flip+swap fold (s = 128, 64, ..., 1);
         // rx/ry from the CURRENT level's coords, d += s²·((3rx)⊻ry),
         // then rotate the frame for the next level
@@ -2443,23 +2447,31 @@ object EventOps {
             .select(col("ux"), col("my"), col("nx").as("hx"),
               col("ny").as("hy"), col("hd"))
         }
-        val hIdx = h.select(col("ux"), col("my"), col("hd").as("idx"))
-        def envelope(df: org.apache.spark.sql.DataFrame,
-            layout: String): org.apache.spark.sql.DataFrame = df
-          .groupBy(expr("idx div 96").as("bucket"))
+        // both indexes in one projection (hd is a cheap column ref by
+        // now; the interleave is row-local bit math), then a 2-element
+        // explode over the once-aliased input — both layouts flow
+        // through ONE (layout, bucket) aggregation
+        val both = h.select(col("ux"), col("my"), col("hd").as("hidx"),
+          interleave(col("ux"), 0).bitwiseOR(interleave(col("my"), 1))
+            .as("zidx"))
+        both
+          .select(col("ux"), col("my"), explode(array(
+            struct(lit("hilbert").as("layout"), col("hidx").as("idx")),
+            struct(lit("zorder").as("layout"), col("zidx").as("idx"))))
+            .as("li"))
+          .select(col("ux"), col("my"),
+            col("li.layout").as("layout"), col("li.idx").as("idx"))
+          .groupBy(col("layout"), expr("idx div 96").as("bucket"))
           .agg(count(lit(1)).as("n"),
             min(col("ux")).as("minx"), max(col("ux")).as("maxx"),
             min(col("my")).as("miny"), max(col("my")).as("maxy"))
+          .groupBy(col("layout"))
           .agg(count(lit(1)).as("n_buckets"),
             sum(col("n")).as("n_events"),
             sum((col("maxx") - col("minx") + 1) *
               (col("maxy") - col("miny") + 1)).as("envelope_area"),
             sum(col("maxx") - col("minx") + 1).as("user_span"),
             sum(col("maxy") - col("miny") + 1).as("minute_span"))
-          .select(lit(layout).as("layout"), col("n_buckets"),
-            col("n_events"), col("envelope_area"), col("user_span"),
-            col("minute_span"))
-        envelope(hIdx, "hilbert").unionByName(envelope(zIdx, "zorder"))
           .orderBy(col("layout"))
       },
       Some {

@@ -1698,8 +1698,9 @@ object GraphOps {
     // g19: NEIGHBORHOOD FUNCTION via KMV sketches — the HyperBall/ANF
     // class: N(t) = Σ_v |ball(v, t)| estimated for EVERY node at once
     // by iterating tiny per-node sketches instead of materializing
-    // balls. Sketch(v, t) = the k smallest h60-mod-P hashes over
-    // ball(v, t); one union round per hop: each node folds its own
+    // balls. Sketch(v, t) = the k smallest 1+(h60 mod (P-1)) hashes
+    // (range [1, P-1] — never 0, so the estimator's div is total)
+    // over ball(v, t); one union round per hop: each node folds its own
     // sketch with its out-neighbors' (k·(deg+1) values through a hash
     // agg — edge-linear, node-state k·8 B, NO ball materialization,
     // which is what makes the curve computable at 100 TB where exact
@@ -1721,9 +1722,13 @@ object GraphOps {
         val edges = materialize(
           weightedEdges(s, d).select(col("src"), col("dst")))
         val nodes = edges.select(col("src").as("id")).distinct()
+        // hashes live in [1, P-1]: 1 + (h60 mod (P-1)) — a raw
+        // h60 mod P could be 0, and a zero kth-min would make the
+        // estimator's integer div NULL in Spark (non-ANSI) but ERROR
+        // in DuckDB, a latent engine divergence
         var sk = materialize(nodes.select(col("id"),
-          array(pmod(graft.functions.PortableHash.h60col(
-            concat(lit("nf_"), col("id"))), lit(p))).as("sk")))
+          array(lit(1L) + pmod(graft.functions.PortableHash.h60col(
+            concat(lit("nf_"), col("id"))), lit(p - 1))).as("sk")))
         def census(t: Int, skT: DataFrame): DataFrame = skT
           .select(expr(s"case when size(sk) < $k then " +
             s"cast(size(sk) as bigint) else " +
@@ -1762,8 +1767,8 @@ object GraphOps {
           SELECT v, id, min(dd) AS dd FROM r GROUP BY 1, 2),
         hashes AS (
           SELECT v, dd,
-            ${graft.functions.PortableHash.h60Sql("'nf_' || id")}
-              % 2147483647 AS h
+            1 + ${graft.functions.PortableHash.h60Sql("'nf_' || id")}
+              % 2147483646 AS h
           FROM r),
         exp AS (
           SELECT t.t, b.v, b.h

@@ -2474,8 +2474,10 @@ object Relational2 {
     // ------------------------------------------------------------------
     "q95_compaction_plan" -> Q(
       (s, d) => {
+        // application-id keyed path: concurrent runs against the same
+        // dataset (Verify + QProf) must not race on overwrite/read-back
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_q95_" +
-          new java.io.File(d).getName
+          new java.io.File(d).getName + "_" + s.sparkContext.applicationId
         t(s, d, "lineitem")
           .withColumn("pc", pmod(col("l_orderkey"), lit(16L)))
           .repartition(col("pc"))
@@ -2491,7 +2493,7 @@ object Relational2 {
           .rowsBetween(Window.unboundedPreceding, 0)
         val wTot = Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        census
+        val plan = census
           .withColumn("cum", sum(col("n_rows")).over(wCum))
           .withColumn("tot", sum(col("n_rows")).over(wTot))
           .withColumn("bin_id",
@@ -2503,6 +2505,12 @@ object Relational2 {
             min(col("pc")).as("min_pc"),
             max(col("pc")).as("max_pc"))
           .orderBy(col("bin_id"))
+          // 4-row metadata frame: eager-checkpoint so the parquet tree
+          // can be deleted before the caller consumes the result
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(path))
+        plan
       },
       Some("""WITH per AS (
           SELECT l_orderkey % 16 AS pc,

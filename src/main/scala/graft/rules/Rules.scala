@@ -443,13 +443,22 @@ object TableStorageRewriteRule extends Rule {
   */
 object AddGeneratedColumnRule extends Rule {
   val id = "add-generated-column"
+  /** PG 18 flipped the default for an omitted STORED/VIRTUAL keyword:
+    * pre-18 the grammar only accepts (and implies) STORED — a full
+    * rewrite; 18+ the omitted keyword means VIRTUAL — metadata-only.
+    */
+  val pgVersionVirtualGeneratedDefault = 18
   def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
     case s: AlterTableStmt =>
       s.cmds.collect {
-        case AddColumn(col, _, _, _, Some(kind)) =>
+        case AddColumn(col, _, _, _, Some(kind))
+            if kind != DefaultGenerated ||
+              ctx.targetPgVersion < pgVersionVirtualGeneratedDefault =>
           val why = kind match {
             case StoredGenerated =>
               s"ADD COLUMN $col GENERATED ALWAYS AS (...) STORED computes the expression for every existing row — a full table rewrite"
+            case DefaultGenerated =>
+              s"ADD COLUMN $col GENERATED ALWAYS AS (...) without STORED/VIRTUAL implies STORED on PostgreSQL < $pgVersionVirtualGeneratedDefault — a full table rewrite (on $pgVersionVirtualGeneratedDefault+ the omitted keyword defaults to VIRTUAL and is safe)"
             case IdentityGenerated =>
               s"ADD COLUMN $col GENERATED AS IDENTITY assigns a sequence value to every existing row — a full table rewrite"
           }

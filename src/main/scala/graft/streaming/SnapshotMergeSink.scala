@@ -230,20 +230,28 @@ object SnapshotMergeSink {
     * Runs after the swap — a crash in here leaves orphans the next
     * commit re-sweeps.
     */
+  /** Files.list holds an OS directory handle until closed — a
+    * long-running stream committing many batches would leak fds if
+    * the stream were left to GC. Materialize + close eagerly.
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   private def gcBucketed(base: String, man: Map[Int, String]): Unit = {
     val live = man.values.toSet
     val dir = Paths.get(base)
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => Files.isDirectory(p))
       .filter(p => p.getFileName.toString.startsWith("gen_"))
       .foreach { genDir =>
         val genName = genDir.getFileName.toString
-        Files.list(genDir).iterator().asScala
+        listDir(genDir)
           .filter(p => Files.isDirectory(p))
           .filter(p => !live.contains(s"$genName/${p.getFileName}"))
           .foreach(deleteRecursively)
-        if (!Files.list(genDir).iterator().asScala.exists(p =>
-            Files.isDirectory(p)))
+        if (!listDir(genDir).exists(p => Files.isDirectory(p)))
           deleteRecursively(genDir)
       }
   }
@@ -289,7 +297,7 @@ object SnapshotMergeSink {
     */
   private def gc(base: String, keep: String): Unit = {
     val dir = Paths.get(base)
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => Files.isDirectory(p))
       .filter(p => p.getFileName.toString.startsWith("snap_"))
       .filter(p => p.getFileName.toString != keep)
@@ -298,7 +306,7 @@ object SnapshotMergeSink {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -228,6 +228,19 @@ class RulesSpec extends AnyFunSuite {
       "ALTER COLUMN e TYPE bigint;")
     assert(multi.findings.map(_.rule).sorted ==
       Seq("add-generated-column", "alter-column-type"))
+    // omitted STORED/VIRTUAL keyword: implies STORED (HIGH) below
+    // PG 18, defaults VIRTUAL (safe) from 18 on
+    val bare = "ALTER TABLE users ADD COLUMN d int " +
+      "GENERATED ALWAYS AS (a + b);"
+    for (pg <- Seq(14, 17)) {
+      val r = analyze(bare, pg)
+      assert(r.findings.map(_.rule) == Seq("add-generated-column"),
+        s"pg$pg → ${r.findings}")
+      assert(r.maxSeverity == Severity.High)
+    }
+    for (pg <- Seq(18, 19))
+      assert(analyze(bare, pg).maxSeverity == Severity.Safe,
+        s"pg$pg should treat omitted keyword as VIRTUAL")
   }
 
   test("R22: DROP COLUMN is MEDIUM (irreversible + app-breaking) in " +
