@@ -2,7 +2,7 @@ package graft.analyzer
 
 import graft.classify.SqlClassifier
 import graft.model.{AnalysisResult, Finding, Migration, Severity}
-import graft.rules.{Registry, Rule, RuleContext}
+import graft.rules.{FileRule, Registry, Rule, RuleContext}
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Migration danger analyzer.
@@ -18,7 +18,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 final class Analyzer(
     rules: Seq[Rule] = Registry.defaultRules,
-    targetPgVersion: Int = 14) extends Serializable {
+    targetPgVersion: Int = 14,
+    fileRules: Seq[FileRule] = Registry.defaultFileRules)
+    extends Serializable {
 
   /** Analyze one migration (pure; runs on executors inside `map`). */
   def analyze(m: Migration): AnalysisResult = {
@@ -26,7 +28,7 @@ final class Analyzer(
     val findings = stmts.zipWithIndex.flatMap { case (stmt, idx) =>
       val ctx = RuleContext(targetPgVersion, idx)
       rules.flatMap(_.check(stmt, ctx))
-    }
+    } ++ fileRules.flatMap(_.checkFile(stmts, targetPgVersion))
     val maxSev =
       if (findings.isEmpty) Severity.Safe else findings.map(_.severity).max
     AnalysisResult(m.version, m.name, findings, maxSev)

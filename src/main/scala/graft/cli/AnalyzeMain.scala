@@ -122,7 +122,8 @@ object AnalyzeMain {
             .replace("\"", "\\\"").replace("\n", "\\n") + "\""
           val pathOf = migrations.collect()
             .map(m => m.version -> m.filePath).toMap
-          val ruleIds = graft.rules.Registry.defaultRules.map(_.id)
+          val ruleIds = graft.rules.Registry.defaultRules.map(_.id) ++
+            graft.rules.Registry.defaultFileRules.map(_.id)
           val rules = ruleIds.map(id =>
             s"""{"id":${q(id)},"shortDescription":{"text":${q(id)}}}""")
             .mkString("[", ",", "]")

@@ -63,16 +63,25 @@ object MigrationOps {
     * in the corpus) expressed as SQL predicates at
     * targetPgVersion=14 (so R2 fires only on volatile defaults and R5 is
     * MEDIUM, matching `alter_add_column.go:74-76` /
-    * `alter_set_not_null.go:47-50`). The fixture corpus is one statement
-    * per file, so stmt_index is 0; multi-table DROP/TRUNCATE/LOCK still
-    * unnest a split table list like the reference's name extraction
+    * `alter_set_not_null.go:47-50`). Statements are split on ';' — valid
+    * for this corpus, which contains no semicolons inside literals or
+    * dollar-quoted bodies — so multi-statement fixtures (V025) carry
+    * real stmt_index values and the file-level R24 leg can count a
+    * file's statements; multi-table DROP/TRUNCATE/LOCK still unnest a
+    * split table list like the reference's name extraction
     * (`drop_table.go:60-69`).
     */
   private val findingsCte: String = s"""$loaderCte,
-      stmts AS (
-        SELECT version, name, 0 AS stmt_index,
-          regexp_replace(regexp_replace(up_sql, ';\\s*$$', ''), '\\s+', ' ', 'g') AS s
+      stmtsx AS (
+        SELECT version, name,
+          unnest(string_split(up_sql, ';')) AS stmt,
+          generate_subscripts(string_split(up_sql, ';'), 1) AS ordpos
         FROM piv WHERE up_sql IS NOT NULL),
+      stmts AS (
+        SELECT version, name, cast(ordpos - 1 as int) AS stmt_index,
+          trim(regexp_replace(stmt, '\\s+', ' ', 'g')) AS s
+        FROM stmtsx
+        WHERE trim(regexp_replace(stmt, '\\s+', ' ', 'g')) <> ''),
       findings AS (
         SELECT version, name, stmt_index,
           'create-index-not-concurrent' AS rule, 3 AS severity,
@@ -228,7 +237,29 @@ object MigrationOps {
         FROM stmts
         WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
           AND regexp_matches(s, '(?i)\\bADD\\s+(CONSTRAINT\\s+\\S+\\s+)?UNIQUE\\b')
-          AND NOT regexp_matches(s, '(?i)\\bUSING\\s+INDEX\\b'))"""
+          AND NOT regexp_matches(s, '(?i)\\bUSING\\s+INDEX\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'mixed-concurrent-atomicity', 2,
+          CASE
+            WHEN regexp_matches(s, '(?i)^\\s*CREATE\\b')
+              THEN regexp_extract(s, '(?i)\\bON\\s+(?:ONLY\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)
+            WHEN regexp_matches(s, '(?i)^\\s*DROP\\s+INDEX\\b')
+              THEN regexp_extract(s, '(?i)^\\s*DROP\\s+INDEX\\s+CONCURRENTLY\\s+(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)
+            WHEN regexp_matches(s, '(?i)^\\s*REINDEX\\b')
+              THEN coalesce(nullif(regexp_extract(s,
+                '(?i)(?:INDEX|TABLE|SCHEMA|DATABASE|SYSTEM)\\s+(?:CONCURRENTLY\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1), ''), '<index>')
+            WHEN regexp_matches(s, '(?i)^\\s*REFRESH\\b')
+              THEN regexp_extract(s, '(?i)\\bVIEW\\s+CONCURRENTLY\\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+            ELSE regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)
+          END,
+          'NONE'
+        FROM stmts st
+        WHERE regexp_matches(s, '(?i)\\bCONCURRENTLY\\b')
+          AND regexp_matches(s, '(?i)^\\s*(CREATE\\s+(UNIQUE\\s+)?INDEX|DROP\\s+INDEX|REINDEX|REFRESH\\s+MATERIALIZED\\s+VIEW|ALTER\\s+TABLE)\\b')
+          AND (NOT regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+               OR regexp_matches(s, '(?i)\\bDETACH\\s+PARTITION\\b'))
+          AND (SELECT count(*) FROM stmts st2
+               WHERE st2.version = st.version) >= 2)"""
 
   def queries: Seq[(String, Q)] = Seq(
 

@@ -512,6 +512,55 @@ object AddUniqueConstraintRule extends Rule {
   }
 }
 
+/** File-level rule: sees the WHOLE migration's classified statement
+  * list at once. Per-statement rules cannot express cross-statement
+  * hazards — R24's atomicity loss is a property of the file, not of
+  * any one statement.
+  */
+trait FileRule extends Serializable {
+  def id: String
+  def checkFile(stmts: Seq[Stmt], targetPgVersion: Int): Seq[Finding]
+}
+
+/** R24 — mixing a CONCURRENTLY statement with anything else in one
+  * migration file silently costs the other statements their
+  * atomicity: CONCURRENTLY DDL cannot run inside a transaction block,
+  * so the executor runs the WHOLE file in autocommit mode (reference
+  * `internal/executor/executor.go:280-309` +
+  * `internal/executor/concurrent.go:15-40`, mirrored by
+  * `exec/Executor.scala`) — a failure mid-file then leaves a
+  * partially-applied migration with no rollback. Neither engine's
+  * registry flags this today. MEDIUM on each CONCURRENTLY statement
+  * of a multi-statement file; a single-statement CONCURRENTLY file
+  * (the recommended shape) is safe.
+  */
+object MixedConcurrentAtomicityRule extends FileRule {
+  val id = "mixed-concurrent-atomicity"
+  private def concurrentTable(s: Stmt): Option[String] = s match {
+    case c: CreateIndexStmt if c.concurrent => Some(c.table.render)
+    case c: DropIndexStmt if c.concurrent =>
+      Some(c.indexes.headOption.map(_.render).getOrElse("<index>"))
+    case c: ReindexStmt if c.concurrent =>
+      Some(c.target.map(_.render).getOrElse("<index>"))
+    case c: RefreshMatViewStmt if c.concurrent => Some(c.view.render)
+    case a: AlterTableStmt if a.cmds.exists {
+          case DetachPartition(_, true) => true
+          case _ => false
+        } => Some(a.table.render)
+    case _ => None
+  }
+  def checkFile(stmts: Seq[Stmt], targetPgVersion: Int): Seq[Finding] =
+    if (stmts.length < 2) Nil
+    else stmts.zipWithIndex.flatMap { case (s, idx) =>
+      concurrentTable(s).map { tbl =>
+        Finding(id, Severity.Medium, tbl, truncateSql(s.sql), idx,
+          s"a CONCURRENTLY statement cannot run inside a transaction, so the executor runs this ENTIRE ${stmts.length}-statement file in autocommit mode — the other ${stmts.length - 1} statement(s) lose atomicity and a mid-file failure leaves a partial migration with no rollback",
+          "Move the CONCURRENTLY statement into its own migration file so the remaining statements keep transactional atomicity",
+          "NONE")
+      }
+    }
+}
+
 /** Default registry — the nine reference rules, the two opaque-
   * container rules (do-block, routine-body), the four extended
   * lock-hazard rules (reindex, cluster, refresh-matview, add-primary-
@@ -546,4 +595,9 @@ object Registry {
     AddGeneratedColumnRule,
     DropColumnRule,
     AddUniqueConstraintRule)
+
+  /** File-level rules (run once per migration over the whole
+    * statement list) — R24 mixed-CONCURRENTLY atomicity.
+    */
+  val defaultFileRules: Seq[FileRule] = Seq(MixedConcurrentAtomicityRule)
 }

@@ -66,7 +66,10 @@ class RulesSpec extends AnyFunSuite {
       Severity.Medium, Seq("drop-column")),
     ("V024", "ALTER TABLE users ADD CONSTRAINT users_email_key " +
       "UNIQUE (email);",
-      Severity.High, Seq("add-unique-constraint")))
+      Severity.High, Seq("add-unique-constraint")),
+    ("V025", "CREATE INDEX CONCURRENTLY idx_users_flags ON users (flags);\n" +
+      "UPDATE users SET flags = 0 WHERE flags IS NULL;",
+      Severity.Medium, Seq("mixed-concurrent-atomicity")))
 
   for ((v, sql, expSev, expRules) <- fixtureExpectations)
     test(s"fixture $v → ${Severity.label(expSev)}") {
@@ -272,6 +275,45 @@ class RulesSpec extends AnyFunSuite {
       "UNIQUE USING INDEX users_email_idx;").maxSeverity == Severity.Safe)
   }
 
+  test("R24: a CONCURRENTLY statement mixed with anything else in one " +
+      "file is MEDIUM on the concurrent statement (the whole file runs " +
+      "autocommit — siblings lose atomicity); a single-statement " +
+      "CONCURRENTLY file and an all-plain file are safe; every " +
+      "concurrent spelling triggers; composes with per-statement rules") {
+    // single-statement CONCURRENTLY file: the recommended shape — safe
+    assert(analyze("CREATE INDEX CONCURRENTLY i ON users (a);")
+      .maxSeverity == Severity.Safe)
+    // multi-statement, no CONCURRENTLY: per-statement rules only
+    assert(!analyze("UPDATE a SET x = 1;\nUPDATE b SET y = 2;")
+      .findings.map(_.rule).contains("mixed-concurrent-atomicity"))
+    // create index concurrently + backfill: MEDIUM on stmt 0
+    val r = analyze("CREATE INDEX CONCURRENTLY idx_users_flags ON " +
+      "users (flags);\nUPDATE users SET flags = 0;")
+    assert(r.findings.map(_.rule) == Seq("mixed-concurrent-atomicity"),
+      s"got ${r.findings}")
+    assert(r.maxSeverity == Severity.Medium)
+    assert(r.findings.head.table == "users")
+    assert(r.findings.head.stmtIndex == 0)
+    assert(r.findings.head.lockType == "NONE")
+    // concurrent statement second: stmtIndex follows it
+    val r2 = analyze("UPDATE users SET flags = 0;\n" +
+      "DROP INDEX CONCURRENTLY idx_users_flags;")
+    assert(r2.findings.map(f => (f.rule, f.stmtIndex)) ==
+      Seq(("mixed-concurrent-atomicity", 1)))
+    // every concurrent spelling triggers when mixed
+    for (c <- Seq("REINDEX TABLE CONCURRENTLY users",
+        "REFRESH MATERIALIZED VIEW CONCURRENTLY user_stats",
+        "ALTER TABLE m DETACH PARTITION p CONCURRENTLY"))
+      assert(analyze(s"$c;\nUPDATE t SET x = 1;").findings
+        .map(_.rule).contains("mixed-concurrent-atomicity"), c)
+    // composes: the sibling's own rule still fires alongside R24
+    val both = analyze("CREATE INDEX CONCURRENTLY i ON users (a);\n" +
+      "DROP TABLE legacy;")
+    assert(both.findings.map(_.rule).sorted ==
+      Seq("drop-table", "mixed-concurrent-atomicity"))
+    assert(both.maxSeverity == Severity.Critical)
+  }
+
   test("R16: DETACH PARTITION non-concurrent is HIGH (ACCESS " +
       "EXCLUSIVE on the parent); CONCURRENTLY and FINALIZE-after-" +
       "concurrent are safe; suggestion is version-aware across the " +
@@ -399,13 +441,23 @@ class RulesSpec extends AnyFunSuite {
     assert(r.findings.head.table == "users")
     assert(analyze("ALTER TABLE users ADD PRIMARY KEY (id);")
       .findings.map(_.rule) == Seq("add-primary-key"))
-    // the safe recipe end-to-end: concurrent unique index, then attach
+    // the recipe's two halves: neither triggers add-primary-key. As a
+    // SINGLE file the pair now (correctly) draws R24 — the CONCURRENTLY
+    // build forces the whole file to autocommit, so the attach loses
+    // atomicity; the real recipe is two migration files.
     val recipe = analyze(
       "CREATE UNIQUE INDEX CONCURRENTLY users_pkey_idx ON users (id);\n" +
         "ALTER TABLE users ADD CONSTRAINT users_pkey PRIMARY KEY " +
         "USING INDEX users_pkey_idx;")
-    assert(recipe.maxSeverity == Severity.Safe, recipe.findings)
-    assert(recipe.findings.isEmpty, recipe.findings)
+    assert(recipe.findings.map(_.rule) ==
+      Seq("mixed-concurrent-atomicity"), recipe.findings)
+    assert(recipe.maxSeverity == Severity.Medium)
+    // split into its own file, each half is finding-free
+    assert(analyze("CREATE UNIQUE INDEX CONCURRENTLY users_pkey_idx " +
+      "ON users (id);").maxSeverity == Severity.Safe)
+    assert(analyze("ALTER TABLE users ADD CONSTRAINT users_pkey " +
+      "PRIMARY KEY USING INDEX users_pkey_idx;")
+      .maxSeverity == Severity.Safe)
   }
 
   test("R10: DO block flags LOW opaque-procedural (reviewable, never " +
@@ -444,7 +496,8 @@ class RulesSpec extends AnyFunSuite {
       "CREATE PROCEDURE fixup() LANGUAGE sql AS $p$ SELECT 1 $p$;\n" +
       "CREATE INDEX CONCURRENTLY idx_t ON t (id);")
     assert(r2.findings.map(f => (f.rule, f.stmtIndex)) ==
-      Seq(("opaque-routine-body", 1)), r2.findings)
+      Seq(("opaque-routine-body", 1),
+        ("mixed-concurrent-atomicity", 2)), r2.findings)
   }
 
   test("R3 recipe end-to-end: ADD CONSTRAINT ... NOT VALID then " +
