@@ -4,6 +4,7 @@ import graft.model.{AppliedMigration, MigrationNotFound, MigrationStatus}
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** The `schema_migrations` state store (reference:
   * `internal/tracker/tracker.go`, DDL `internal/tracker/schema.go:4-11`).
@@ -36,8 +37,18 @@ trait Tracker {
   * a Delta/Iceberg table with real MERGE — the trait boundary is where
   * that swaps in.
   *
-  * The tracker is metadata-scale (one row per migration), so
-  * snapshot-rewrite-on-upsert is O(migrations), not O(data).
+  * Write path is append + compact (the Delta-log shape): each
+  * `recordApplied`/`recordRolledBack` appends ONE tiny delta file
+  * (atomic tmp-write + rename — no Spark job, no snapshot rewrite), and
+  * once `compactThreshold` deltas accumulate they are folded into a
+  * fresh parquet snapshot and removed. An n-migration apply run is
+  * O(n) total tracker work instead of the O(n²)
+  * collect-and-rewrite-per-migration it replaces, while keeping the
+  * per-migration durability the executor's crash contract needs (a
+  * failure at migration k must leave 1..k-1 recorded). A crash between
+  * the snapshot swap and the delta sweep is safe: re-folding an
+  * already-absorbed delta is idempotent (last-writer-wins by delta
+  * sequence, and the absorbed snapshot row is identical).
   */
 final class ParquetTracker(spark: SparkSession, basePath: String)
     extends Tracker {
@@ -45,6 +56,7 @@ final class ParquetTracker(spark: SparkSession, basePath: String)
 
   private def base: Path = Paths.get(basePath)
   private def pointer: Path = base.resolve("_CURRENT")
+  private val compactThreshold = 64
 
   def ensureTable(): Unit = {
     Files.createDirectories(base)
@@ -56,11 +68,14 @@ final class ParquetTracker(spark: SparkSession, basePath: String)
       Some(new String(Files.readAllBytes(pointer), "UTF-8").trim)
     else None
 
-  def table(): Dataset[AppliedMigration] = currentSnapshot match {
-    case Some(snap) =>
-      spark.read.parquet(base.resolve(snap).toString).as[AppliedMigration]
-    case None => spark.emptyDataset[AppliedMigration]
-  }
+  def table(): Dataset[AppliedMigration] =
+    if (deltaFiles.isEmpty) currentSnapshot match {
+      case Some(snap) =>
+        spark.read.parquet(base.resolve(snap).toString)
+          .as[AppliedMigration]
+      case None => spark.emptyDataset[AppliedMigration]
+    }
+    else fold().toDS()
 
   private def writeSnapshot(rows: Seq[AppliedMigration]): Unit = {
     val snapName = s"snap_${System.currentTimeMillis()}_${rows.length}"
@@ -71,6 +86,100 @@ final class ParquetTracker(spark: SparkSession, basePath: String)
     Files.write(tmp, snapName.getBytes("UTF-8"))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // --- delta WAL ---------------------------------------------------------
+
+  /** Sorted delta files (`delta_<19-digit seq>`) — lexicographic order
+    * IS sequence order. Listings materialize + close (no leaked fds).
+    */
+  private def deltaFiles: Seq[Path] =
+    if (!Files.exists(base)) Nil
+    else {
+      val s = Files.list(base)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("delta_"))
+        .toVector.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+
+  /** Next sequence = max existing + 1 — monotonic across process
+    * restarts regardless of clock (the executor lock serializes
+    * writers).
+    */
+  private def nextDeltaName: String = {
+    val last = deltaFiles.lastOption
+      .map(_.getFileName.toString.stripPrefix("delta_").toLong)
+      .getOrElse(0L)
+    f"delta_${last + 1}%019d"
+  }
+
+  private def esc(s: String): String = s.replace("\\", "\\\\")
+    .replace("\t", "\\t").replace("\n", "\\n")
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb += '\t'; case 'n' => sb += '\n'
+          case c => sb += c
+        }
+        i += 2
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def renderRow(r: AppliedMigration): String = Seq(
+    esc(r.version), esc(r.filename), esc(r.checksum),
+    r.appliedAt.getTime.toString, r.durationMs.toString,
+    esc(r.status)).mkString("\t")
+
+  private def parseRow(line: String): AppliedMigration = {
+    // split on unescaped tabs (esc turned literal tabs into \t)
+    val f = line.split('\t')
+    AppliedMigration(unesc(f(0)), unesc(f(1)), unesc(f(2)),
+      new java.sql.Timestamp(f(3).toLong), f(4).toInt, unesc(f(5)))
+  }
+
+  /** One atomic append: tmp-write + same-dir rename. O(rows), no
+    * Spark job, no snapshot rewrite.
+    */
+  private def appendDelta(rows: Seq[AppliedMigration]): Unit = {
+    val name = nextDeltaName
+    val tmp = base.resolve(s"._tmp_$name")
+    Files.write(tmp,
+      rows.map(renderRow).mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, base.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    if (deltaFiles.length >= compactThreshold) compact()
+  }
+
+  /** Snapshot rows + deltas folded last-writer-wins per version. */
+  private def fold(): Seq[AppliedMigration] = {
+    val snap: Seq[AppliedMigration] = currentSnapshot match {
+      case Some(s) => spark.read.parquet(base.resolve(s).toString)
+        .as[AppliedMigration].collect().toSeq
+      case None => Nil
+    }
+    deltaFiles.foldLeft(snap) { (acc, d) =>
+      val rows = new String(Files.readAllBytes(d), "UTF-8")
+        .split("\n").filter(_.nonEmpty).map(parseRow).toSeq
+      val versions = rows.map(_.version).toSet
+      acc.filterNot(r => versions.contains(r.version)) ++ rows
+    }.sortBy(_.version)
+  }
+
+  /** Fold everything into a fresh snapshot, then sweep the absorbed
+    * deltas. Crash after the swap and before the sweep is safe:
+    * re-folding absorbed deltas reproduces the same rows.
+    */
+  def compact(): Unit = {
+    val absorbed = deltaFiles
+    if (absorbed.nonEmpty) {
+      writeSnapshot(fold())
+      absorbed.foreach(Files.deleteIfExists(_))
+    }
   }
 
   def isApplied(version: String): Boolean =
@@ -88,22 +197,14 @@ final class ParquetTracker(spark: SparkSession, basePath: String)
     rows.head.getString(0)
   }
 
-  def recordApplied(row: AppliedMigration): Unit = {
-    val existing = table().collect().toSeq
-    val merged = existing.filterNot(_.version == row.version) :+
-      row.copy(status = MigrationStatus.Applied)
-    writeSnapshot(merged.sortBy(_.version))
-  }
+  def recordApplied(row: AppliedMigration): Unit =
+    appendDelta(Seq(row.copy(status = MigrationStatus.Applied)))
 
   def recordRolledBack(version: String): Unit = {
-    val existing = table().collect().toSeq
-    if (!existing.exists(_.version == version))
-      throw MigrationNotFound(version)
-    val merged = existing.map { r =>
-      if (r.version == version) r.copy(status = MigrationStatus.RolledBack)
-      else r
-    }
-    writeSnapshot(merged)
+    val existing = fold()
+    val row = existing.find(_.version == version)
+      .getOrElse(throw MigrationNotFound(version))
+    appendDelta(Seq(row.copy(status = MigrationStatus.RolledBack)))
   }
 }
 
