@@ -746,18 +746,83 @@ object Relational {
         ORDER BY n_regionkey""")),
 
     // ------------------------------------------------------------------
-    // approx_count_distinct (HLL++): sketch cardinalities are
-    // engine-specific → rows-only check; the test suite bounds the
-    // relative error against exact counts instead.
+    // approx_count_distinct (HLL++) — now fully hash-checkable. The
+    // raw HLL estimate is engine-specific (DuckDB's HLL would never
+    // match bit-for-bit), so it is excluded from the hash BY
+    // CONSTRUCTION: what reaches the output is its validation gate
+    // (|hll/exact - 1| <= 0.25 — 12.5 sigma at rsd=0.02, so the
+    // boolean is deterministically true on any fixed dataset; the
+    // tight 5% bound stays in QueriesSpec), riding beside columns both
+    // engines derive exactly: exact distincts and the KMV estimates
+    // (q67's machinery — kth-smallest h60, (k-1)*2^60/h_k in plain
+    // double arithmetic DuckDB reproduces bit-for-bit). One pass, one
+    // aggregation; HLL and KMV sketches are both O(k) state with
+    // map-side partials.
     // ------------------------------------------------------------------
     "q32_approx_distinct" -> Q(
-      (s, d) =>
-        t(s, d, "lineitem").agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders")),
-      None),
+      (s, d) => {
+        val k = 256
+        val kmv = udaf(new graft.functions.KmvKthMin(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val two60 = 1152921504606846976.0 // 2^60, exact as a double
+        t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_orderkey"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("q32p_"), col("l_partkey"))).as("hp"),
+            graft.functions.PortableHash.h60col(
+              concat(lit("q32o_"), col("l_orderkey"))).as("ho"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("hllp"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("hllo"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            kmv(col("hp")).as("hkp"),
+            kmv(col("ho")).as("hko"))
+          .select(col("exact_parts"), col("exact_orders"),
+            // standard KMV: below k distinct values the sketch holds
+            // them all and the estimate IS the (exact) buffer size
+            when(col("exact_parts") < k,
+              col("exact_parts").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(two60) /
+                col("hkp").cast("double")).as("kmv_parts"),
+            when(col("exact_orders") < k,
+              col("exact_orders").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(two60) /
+                col("hko").cast("double")).as("kmv_orders"),
+            (abs(col("hllp").cast("double") /
+              col("exact_parts").cast("double") - 1) <= 0.25)
+              .as("hll_parts_ok"),
+            (abs(col("hllo").cast("double") /
+              col("exact_orders").cast("double") - 1) <= 0.25)
+              .as("hll_orders_ok"))
+      },
+      Some(s"""WITH hp AS (
+          SELECT DISTINCT
+            ${graft.functions.PortableHash.h60Sql("'q32p_' || l_partkey")} AS h
+          FROM lineitem),
+        ho AS (
+          SELECT DISTINCT
+            ${graft.functions.PortableHash.h60Sql("'q32o_' || l_orderkey")} AS h
+          FROM lineitem),
+        kp AS (SELECT max(h) AS hk
+          FROM (SELECT h FROM hp ORDER BY h LIMIT 256)),
+        ko AS (SELECT max(h) AS hk
+          FROM (SELECT h FROM ho ORDER BY h LIMIT 256)),
+        ex AS (
+          SELECT cast(count(DISTINCT l_partkey) as bigint) AS exact_parts,
+            cast(count(DISTINCT l_orderkey) as bigint) AS exact_orders
+          FROM lineitem)
+        SELECT ex.exact_parts, ex.exact_orders,
+          CASE WHEN ex.exact_parts < 256
+            THEN cast(ex.exact_parts as double)
+            ELSE 255.0 * 1152921504606846976.0 / cast(kp.hk as double)
+          END AS kmv_parts,
+          CASE WHEN ex.exact_orders < 256
+            THEN cast(ex.exact_orders as double)
+            ELSE 255.0 * 1152921504606846976.0 / cast(ko.hk as double)
+          END AS kmv_orders,
+          true AS hll_parts_ok, true AS hll_orders_ok
+        FROM ex, kp, ko""")),
 
     // ------------------------------------------------------------------
     // Right outer join (the left join's mirror; Catalyst plans either
