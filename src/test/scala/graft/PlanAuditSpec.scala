@@ -202,6 +202,65 @@ class PlanAuditSpec extends SparkFunSuite {
       s"queries with unlisted nested-loop plans: ${offenders.mkString(", ")}")
   }
 
+  /** Queries allowed to plan a Window/WindowGroupLimit with NO
+    * partition spec (single-partition global sort — the other
+    * scale-killer class beside nested loops), and why each is safe:
+    * metadata-scale input by construction, or a documented sequential
+    * twin whose scale path is elsewhere. Caveat: a query returning a
+    * localCheckpoint (q95) truncates its lineage before the lint sees
+    * it — q95's window is a manually-audited 16-row frame.
+    */
+  val globalWindowAllowlist: Map[String, String] = Map(
+    "q72_kmv_quantiles" -> ("cumulative window over the merged KMV "
+      + "sketch's value list — bounded at k=256 rows by the sketch "
+      + "itself; the data-sized work is the KmvMinSet aggregation"),
+    "q80_skyline" -> ("block-level sweep window over the per-BLOCK max "
+      + "frame (one row per price-decade block); the per-price leg is "
+      + "block-PARTITIONED — the documented two-level skyline sweep"),
+    "s23_mips_transform" -> ("row_number over the 10 surviving rows of "
+      + "an orderBy+limit(10) TakeOrdered — the rank census input is "
+      + "bounded by construction"),
+    "x08_len_histogram" -> ("share-of-total window over histogram "
+      + "buckets (n_chars div 200 — the bucket domain, dozens of "
+      + "rows); the corpus reduces in the groupBy below it"),
+    "x22_vocab_growth" -> ("streamOffsets two-level block prefix sum: "
+      + "the only SinglePartition window runs over ONE ROW PER BLOCK "
+      + "(docs/512); within-block prefixes are blk-partitioned. The "
+      + "curve census window is per-bucket (curve resolution)"),
+    "x23_sequence_pack" -> ("streamOffsets block prefix sum — same "
+      + "one-row-per-block SinglePartition step as x22"),
+    "x38_curriculum_schedule" -> ("cumulative token budget over the "
+      + "curriculum PHASE frame (a handful of phases); corpus work "
+      + "ends at the phase aggregation"),
+    "x45_vocab_coverage" -> ("rank window over the 64-row global "
+      + "top-k frame (orderBy+limit upstream — TakeOrdered)"),
+    "x47_bpe_corpus_encode" -> ("dense-id assignment rank over the "
+      + "DISTINCT token vocabulary — metadata-sized by Heaps' law; "
+      + "ids then apply as one broadcast map, never a corpus window"),
+    "p06_token_budget_pack" -> ("streamOffsets block prefix sum (x23's "
+      + "pattern) — SinglePartition only over one row per block"),
+    "e08_late_data" -> ("global arrival-order audit window — the "
+      + "documented sequential batch twin (same entry as the NL "
+      + "allowlist); the streaming watermark path is the scale plan"))
+
+  test("no query plans an unlisted un-partitioned Window (global sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
+    val offenders = Catalog.all.flatMap { case (name, q) =>
+      try {
+        val bad = q.fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty && !globalWindowAllowlist.contains(name)) Some(name)
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name (plan failed: ${e.getMessage})")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries with unlisted global windows: ${offenders.mkString(", ")}")
+  }
+
   test("every fact-table scan prunes its read schema (no SELECT *)") {
     // lineitem has 11 columns; a query that reads it must not scan all
     // of them unless it genuinely projects the full row (q51-q53
