@@ -173,11 +173,24 @@ object SnapshotMergeSink {
     * replaces the stored row for its key — last committed batch
     * wins). Exactly-once makes upsert re-delivery safe: a re-applied
     * batch is skipped, so "last batch" is well-defined.
+    *
+    * `filesPerBucket > 1` adds PER-FILE GROUPING inside buckets: keys
+    * hash into `numBuckets · filesPerBucket` manifest slots (group g
+    * of bucket b is slot `b + g·numBuckets`, so `slot mod numBuckets`
+    * stays the bucket), and a batch rewrites only the file groups its
+    * keys land in — per-batch write cost drops again, from
+    * O(state · touchedBuckets/numBuckets) to O(keys-touched) for
+    * sparse batches, and a touched bucket's OTHER groups keep their
+    * files byte-identical (asserted on listings + checksums in
+    * StreamingSpec). Layout parameters (`numBuckets`,
+    * `filesPerBucket`) are a create-time decision the caller must
+    * keep stable for a base — same contract as a table's bucketing.
     */
   def mergeBucketed(base: String, keyCols: Seq[String], numBuckets: Int,
-      upsert: Boolean = false)(
+      upsert: Boolean = false, filesPerBucket: Int = 1)(
       batch: DataFrame, batchId: Long): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    require(filesPerBucket > 0, "filesPerBucket must be positive")
     import org.apache.spark.sql.functions.{col, hash, pmod, lit}
     Files.createDirectories(Paths.get(base))
     val (cur, applied) = state(base)
@@ -188,7 +201,8 @@ object SnapshotMergeSink {
     val man = cur.map(parseManifest).getOrElse(Map.empty)
     val incoming = batch.dropDuplicates(keyCols)
       .withColumn(BucketCol,
-        pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+        pmod(hash(keyCols.map(col): _*),
+          lit(numBuckets * filesPerBucket)))
     val touched = incoming.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // ≤ numBuckets ints
     val gen = s"gen_${batchId}_${System.nanoTime()}"

@@ -470,6 +470,63 @@ class StreamingSpec extends SparkFunSuite {
       s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
+  test("per-file grouping inside buckets (filesPerBucket > 1): a batch " +
+      "rewrites only the file GROUPS its keys hash into — every other " +
+      "group, including the touched bucket's own siblings, keeps its " +
+      "files byte-identical (listing + sha256); re-delivery stays a " +
+      "no-op and the upsert contract holds at group granularity") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft-eo-grouped").toString
+    val nb = 4
+    val fpb = 8 // 32 manifest slots; slot mod nb = bucket
+    def m(df: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.SnapshotMergeSink.mergeBucketed(
+        sink, Seq("event_id"), nb, upsert = true,
+        filesPerBucket = fpb)(df, id)
+    m((0L until 256L).map(i => (i, s"v$i")).toDF("event_id", "payload"), 0L)
+    val man0 = graft.streaming.SnapshotMergeSink.manifest(sink)
+    assert(man0.keySet == (0 until nb * fpb).toSet,
+      s"expected all ${nb * fpb} slots populated: ${man0.keySet}")
+    def sha(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      java.util.Base64.getEncoder.encodeToString(
+        d.digest(Files.readAllBytes(f.toPath)))
+    }
+    def filesOf(rel: String) = new java.io.File(s"$sink/$rel")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, sha(f))).toSet
+    val c0 = man0.map { case (k, rel) => k -> filesOf(rel) }
+    // batch 1: ONE key → exactly one SLOT (file group) rewritten
+    m(Seq((77L, "new77")).toDF("event_id", "payload"), 1L)
+    val man1 = graft.streaming.SnapshotMergeSink.manifest(sink)
+    val rewritten = man1.filter { case (k, rel) => man0(k) != rel }.keySet
+    assert(rewritten.size == 1,
+      s"expected 1 rewritten file group:\n$man0\n$man1")
+    // every untouched slot's files are byte-identical — including the
+    // rewritten slot's sibling groups INSIDE the same bucket (the
+    // whole point of per-file grouping: pre-grouping, the entire
+    // bucket generation would have been rewritten)
+    val bucketOfRewritten = rewritten.head % nb
+    val siblings = man1.keySet.filter(k =>
+      k % nb == bucketOfRewritten && !rewritten.contains(k))
+    assert(siblings.nonEmpty)
+    man1.filter { case (k, _) => !rewritten.contains(k) }.foreach {
+      case (k, rel) => assert(filesOf(rel) == c0(k),
+        s"untouched file group $k changed (sibling-of-touched=" +
+          s"${siblings.contains(k)})")
+    }
+    // upsert semantics at group granularity + re-delivery no-op
+    val got = graft.streaming.SnapshotMergeSink.read(spark, sink)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 256 && got(77L) == "new77" && got(5L) == "v5")
+    val manBefore = graft.streaming.SnapshotMergeSink.manifest(sink)
+    m(Seq((77L, "stale")).toDF("event_id", "payload"), 1L)
+    assert(graft.streaming.SnapshotMergeSink.manifest(sink) == manBefore)
+    assert(graft.streaming.SnapshotMergeSink.read(spark, sink)
+      .filter(col("event_id") === 77L).collect()
+      .head.getString(1) == "new77")
+  }
+
   test("streaming CEP (e36's kappa twin): the four hand-compiled " +
       "automata equal java.util.regex on randomized sequences, and the " +
       "cross-batch GroupState counts equal the batch regexp_count " +
