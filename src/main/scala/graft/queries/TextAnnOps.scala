@@ -2730,6 +2730,195 @@ object TextAnnOps {
           (ip_id = aug_id) AS agree
         FROM ri JOIN ra USING (rank)
         WHERE rank <= 10
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // ------------------------------------------------------------------
+    // s24: STORED IVF index with SUFFICIENT-STATISTICS incremental
+    // maintenance — the d14/d16 stored-index discipline, for the ANN
+    // family (s16 monitors distribution drift but re-derives its index
+    // in-session; a 100 TB embedding store runs this daily instead):
+    // day-0 writes codebook + assignments + per-cell (n, per-dim sum)
+    // statistics to parquet; day-N reads the 8-row stats and codebook
+    // back, assigns ONLY the arriving vectors (broadcast-argmin, zero
+    // shuffle), appends their assignments as a second generation, and
+    // updates the statistics ADDITIVELY — the base corpus is never
+    // rescanned (ingest cost O(new·dim + k·dim)). The census prices
+    // the retrain decision: centroid drift² = Σ_dims (updated-mean −
+    // stored-mean)², all in bit-portable integer math (floor(x·1024)
+    // quantization — ·2^10 and floor are exact in both engines;
+    // `div` truncates toward zero in both). The drop is skewed toward
+    // centroid 2 by construction (v' = v + c2 div 4 — x44/s16's
+    // inject-the-defect move: an all-green alarm proves nothing), so
+    // `retrain` discriminates (sf0.01: cell 2 drift² 19 949 and its
+    // absorption neighbor cell 1 at 6 018 fire the >5000 alarm; the
+    // other six sit at 1 000-3 000 quantization-noise baseline and
+    // stay green). n_index comes from READING BACK the two
+    // stored assignment generations — its equality with the oracle's
+    // n_old + n_new proves the store/load roundtrip lossless. The
+    // oracle re-derives everything from the source table, so the hash
+    // match proves stored-incremental ≡ from-scratch.
+    // ------------------------------------------------------------------
+    "s24_ivf_stored_index" -> Q(
+      (s, d) => {
+        val k = 8
+        val idxPath = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+          sys.props("java.io.tmpdir") + "/graft-index") +
+          "/s24-ivf-" + new java.io.File(d).getName
+        val quant = (c: Column) => transform(c, x =>
+          floor(x.cast("double") * 1024).cast("long"))
+        val all = emb(s, d).select(col("vec_id"),
+          quant(col("embedding")).as("li"))
+        val cb = all.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cent_id"), col("li").as("ci"))
+        // codebook metadata: k·dim longs (the PageRank-style per-round
+        // driver action class)
+        val cents: Seq[(Long, Seq[Long])] = cb.collect().map(r =>
+          (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+        val dim = cents.head._2.length
+        def dist2(ci: Seq[Long]): Column =
+          aggregate(zip_with(col("li"), array(ci.map(lit): _*),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        // row-local literal-codebook argmin, ties to smallest cent_id
+        // (least over (d2, cent_id) structs — zero shuffle)
+        def assign(df: DataFrame): DataFrame = df.withColumn("cent_id",
+          least(cents.map { case (cid, ci) =>
+            struct(dist2(ci).as("d2"), lit(cid).as("cent_id"))
+          }: _*).getField("cent_id"))
+        def cellStats(df: DataFrame): DataFrame = {
+          val sums = df
+            .select(col("cent_id"), posexplode(col("li")).as(Seq("pos", "v")))
+            .groupBy(col("cent_id"), col("pos"))
+            .agg(sum(col("v")).as("sv"))
+            .groupBy(col("cent_id"))
+            .agg(transform(array_sort(collect_list(
+              struct(col("pos"), col("sv")))), x => x.getField("sv"))
+              .as("sums"))
+          df.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+            .join(sums, Seq("cent_id"))
+        }
+        val rest = all.filter(col("vec_id") >= k)
+          .withColumn("isnew",
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("s24_"), col("vec_id"))), lit(5L)) === 0)
+        // ---- day-0: build + STORE the index ----
+        val base = assign(rest.filter(!col("isnew"))
+          .select(col("vec_id"), col("li")))
+        base.select(col("vec_id"), col("cent_id"))
+          .write.mode("overwrite").parquet(s"$idxPath/assign")
+        cb.write.mode("overwrite").parquet(s"$idxPath/codebook")
+        cellStats(base).write.mode("overwrite").parquet(s"$idxPath/stats")
+        // ---- day-N: stored stats + codebook + ONLY the new slice ----
+        val storedStats = s.read.parquet(s"$idxPath/stats")
+          .select(col("cent_id"), col("n").as("n_old"),
+            col("sums").as("osums"))
+        val shift: Seq[Long] = cents.find(_._1 == 2L).get._2.map(_ / 4)
+        val newv = rest.filter(col("isnew"))
+          .select(col("vec_id"), zip_with(col("li"),
+            array(shift.map(lit): _*), (x, y) => x + y).as("li"))
+        val newAssigned = assign(newv)
+        newAssigned.select(col("vec_id"), col("cent_id"))
+          .write.mode("overwrite").parquet(s"$idxPath/assign_day1")
+        val newStats = cellStats(newAssigned)
+          .select(col("cent_id"), col("n").as("n_new"),
+            col("sums").as("nsums"))
+        // roundtrip proof: both stored generations read back
+        val nIdx = s.read.parquet(s"$idxPath/assign")
+          .unionByName(s.read.parquet(s"$idxPath/assign_day1"))
+          .groupBy(col("cent_id")).agg(count(lit(1)).as("n_index"))
+        val zeros = array_repeat(lit(0L), dim)
+        s.read.parquet(s"$idxPath/codebook").select(col("cent_id"))
+          .join(storedStats, Seq("cent_id"), "left")
+          .join(newStats, Seq("cent_id"), "left")
+          .join(nIdx, Seq("cent_id"), "left")
+          .select(col("cent_id"),
+            coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            coalesce(col("n_index"), lit(0L)).as("n_index"),
+            coalesce(col("osums"), zeros).as("osums"),
+            coalesce(col("nsums"), zeros).as("nsums"))
+          .withColumn("growth_ppm",
+            expr("1000000 * n_new div greatest(n_old, 1)"))
+          .withColumn("drift2", expr(
+            "aggregate(zip_with(osums, nsums, (o, w) -> " +
+            "((o + w) div greatest(n_old + n_new, 1)) - " +
+            "(o div greatest(n_old, 1))), 0L, " +
+            "(acc, x) -> acc + x * x)"))
+          .withColumn("retrain", col("drift2") > 5000L)
+          .select(col("cent_id"), col("n_old"), col("n_new"),
+            col("n_index"), col("growth_ppm"), col("drift2"),
+            col("retrain"))
+          .orderBy(col("cent_id"))
+      },
+      Some(s"""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x ->
+            cast(floor(cast(x as double) * 1024) as bigint)) AS li
+          FROM embeddings),
+        c AS (SELECT vec_id AS cent_id, li AS ci FROM e WHERE vec_id < 8),
+        dim AS (SELECT max(len(li)) AS dm FROM e),
+        rest AS (
+          SELECT vec_id, li,
+            (${graft.functions.PortableHash.h60Sql("'s24_' || vec_id")}
+              % 5 = 0) AS isnew
+          FROM e WHERE vec_id >= 8),
+        c2 AS (SELECT list_transform(ci, x -> x // 4) AS sh
+          FROM c WHERE cent_id = 2),
+        vecs AS (
+          SELECT vec_id, li, FALSE AS isnew FROM rest WHERE NOT isnew
+          UNION ALL
+          SELECT r.vec_id,
+            list_transform(range(0, dm), i -> r.li[i+1] + c2.sh[i+1]),
+            TRUE
+          FROM rest r, c2, dim WHERE r.isnew),
+        asgn AS (
+          SELECT vec_id, li, isnew, cent_id FROM (
+            SELECT v.vec_id, v.li, v.isnew, c.cent_id,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                cast(list_sum(list_transform(range(0, dm), i ->
+                  (v.li[i+1] - c.ci[i+1]) * (v.li[i+1] - c.ci[i+1])))
+                  as bigint),
+                c.cent_id) AS rn
+            FROM vecs v, c, dim)
+          WHERE rn = 1),
+        el AS (
+          SELECT cent_id, isnew, unnest(li) AS v,
+            generate_subscripts(li, 1) AS pos
+          FROM asgn),
+        ps AS (
+          SELECT cent_id, isnew, pos, cast(sum(v) as bigint) AS sv
+          FROM el GROUP BY 1, 2, 3),
+        arr AS (
+          SELECT cent_id, isnew, list(sv ORDER BY pos) AS sums
+          FROM ps GROUP BY 1, 2),
+        cnt AS (
+          SELECT cent_id, isnew, cast(count(*) as bigint) AS n
+          FROM asgn GROUP BY 1, 2),
+        zs AS (
+          SELECT list_transform(range(0, dm), i -> 0::BIGINT) AS z
+          FROM dim),
+        cz AS (SELECT c.cent_id, zs.z FROM c, zs),
+        merged AS (
+          SELECT cz.cent_id,
+            coalesce(no.n, 0) AS n_old, coalesce(nn.n, 0) AS n_new,
+            coalesce(no.n, 0) + coalesce(nn.n, 0) AS n_index,
+            coalesce(ao.sums, cz.z) AS osums,
+            coalesce(an.sums, cz.z) AS nsums
+          FROM cz
+          LEFT JOIN cnt no ON no.cent_id = cz.cent_id AND NOT no.isnew
+          LEFT JOIN cnt nn ON nn.cent_id = cz.cent_id AND nn.isnew
+          LEFT JOIN arr ao ON ao.cent_id = cz.cent_id AND NOT ao.isnew
+          LEFT JOIN arr an ON an.cent_id = cz.cent_id AND an.isnew)
+        SELECT cent_id, n_old, n_new, n_index, growth_ppm, drift2,
+          drift2 > 5000 AS retrain
+        FROM (
+          SELECT cent_id, n_old, n_new, n_index,
+            1000000 * n_new // greatest(n_old, 1) AS growth_ppm,
+            cast(list_sum(list_transform(range(0, len(osums)), i ->
+              (((osums[i+1] + nsums[i+1]) // greatest(n_old + n_new, 1))
+                - (osums[i+1] // greatest(n_old, 1))) *
+              (((osums[i+1] + nsums[i+1]) // greatest(n_old + n_new, 1))
+                - (osums[i+1] // greatest(n_old, 1)))))
+              as bigint) AS drift2
+          FROM merged)
+        ORDER BY cent_id"""))
   )
 }
