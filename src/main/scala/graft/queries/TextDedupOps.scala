@@ -2236,5 +2236,70 @@ object TextDedupOps {
           FROM dirty d LEFT JOIN per USING
             (l_orderkey, l_linenumber, l_partkey)
           WHERE per.n_cand IS NULL)
-        ORDER BY match_class""")))
+        ORDER BY match_class""")),
+
+    // ------------------------------------------------------------------
+    // d29: MAXIMAL duplicated-span LENGTH census — the second input to
+    // the Lee et al. substring-dedup decision. d13 thresholds on
+    // coverage FRACTION; equally load-bearing is the LONGEST shared
+    // run: a doc that is 5% duplicated in one 400-char block is a
+    // template-boilerplate case (cut the span), while 5% spread over
+    // twenty 20-gram hits is natural phrase reuse (keep). The census
+    // consolidates the cross-doc 20-gram hits into maximal runs via
+    // the shared dupSpans islands pass (gaps-and-islands over start
+    // positions — ONE definition with d22's rewrite, so the census
+    // can never disagree with what the cut would remove) and reports
+    // the span-length distribution twice: over ALL spans and over
+    // each doc's LONGEST span (the per-doc decision variable).
+    // Scale: the islands pass stays gram-linear — char-scale explode,
+    // one gram-keyed df shuffle, one gram-keyed join back, then
+    // doc-keyed windows; the census itself aggregates the
+    // islands-scale spans frame. No all-pairs anywhere.
+    // ------------------------------------------------------------------
+    "d29_span_length_census" -> Q(
+      (s, d) => {
+        val spans = graft.queries.TextOps.dupSpans(
+          graft.queries.TextOps.normDocs(s, d))
+        val sl = spans.select(col("doc_id"),
+          (col("e") - col("s") + 1).as("len"))
+        val alls = sl.groupBy(expr("len div 20").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("len")).as("chars_total"),
+            max(col("len")).as("max_len"))
+          .select(lit("all_spans").as("kind"), col("bucket"), col("n"),
+            col("n_docs"), col("chars_total"), col("max_len"))
+        val longest = sl.groupBy(col("doc_id"))
+          .agg(max(col("len")).as("mlen"))
+          .groupBy(expr("mlen div 20").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("mlen")).as("chars_total"),
+            max(col("mlen")).as("max_len"))
+          .select(lit("doc_longest").as("kind"), col("bucket"),
+            col("n"), col("n").as("n_docs"), col("chars_total"),
+            col("max_len"))
+        alls.unionByName(longest).orderBy(col("kind"), col("bucket"))
+      },
+      Some(graft.queries.TextOps.spanCleanedSqlCtes + """,
+        sl AS (SELECT doc_id, e - s + 1 AS len FROM spans),
+        alls AS (
+          SELECT 'all_spans' AS kind,
+            cast(len // 20 as bigint) AS bucket,
+            cast(count(*) as bigint) AS n,
+            cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+            cast(sum(len) as bigint) AS chars_total,
+            cast(max(len) as bigint) AS max_len
+          FROM sl GROUP BY 2),
+        dl AS (SELECT doc_id, max(len) AS mlen FROM sl GROUP BY 1),
+        longest AS (
+          SELECT 'doc_longest' AS kind,
+            cast(mlen // 20 as bigint) AS bucket,
+            cast(count(*) as bigint) AS n,
+            cast(count(*) as bigint) AS n_docs,
+            cast(sum(mlen) as bigint) AS chars_total,
+            cast(max(mlen) as bigint) AS max_len
+          FROM dl GROUP BY 2)
+        SELECT * FROM (
+          SELECT * FROM alls UNION ALL SELECT * FROM longest)
+        ORDER BY kind, bucket""")))
 }

@@ -713,16 +713,20 @@ object TextOps {
     * The rebuild concatenates doc-scale segment arrays row-locally —
     * per-doc state is bounded by document length, never corpus size.
     */
-  private[queries] def spanCleanedDocs(s: SparkSession, d: String): DataFrame = {
+  /** The maximal cross-doc duplicated spans (doc_id, isl, s, e) over a
+    * materialized normalized-docs frame — the islands step of
+    * [[spanCleanedDocs]], factored out so d29's span-length census
+    * shares the one definition (spans cannot drift between the
+    * rewrite and the census). Returns a MATERIALIZED frame: it is
+    * consumed multiple times by every caller, and unmaterialized the
+    * whole gram-posting pipeline (explode + two shuffles + windows)
+    * re-executes per consumer (measured 3× in the r10 drain-semantics
+    * plan read). Islands-per-doc scale (≪ corpus), so the
+    * materialization is cheap at any sf; Catalog.mat honors the
+    * DISK_ONLY dial.
+    */
+  private[queries] def dupSpans(norm: DataFrame, L: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = 20
-    // norm is consumed FOUR times (posts source + two segment joins +
-    // the final join): unmaterialized, the lower+regex normalization
-    // re-runs over the full corpus per consumer. Materialized it is
-    // one normalized-corpus-sized frame (DISK_ONLY dial applies at
-    // cluster scale via Catalog.mat).
-    val norm = Catalog.mat(docs(s, d).select(col("doc_id"),
-      regexp_replace(lower(col("text")), "\\s+", " ").as("t")))
     val posts = norm
       .select(col("doc_id"), col("t"),
         posexplode(graft.functions.Winnow.gramHashes(col("t"), L)))
@@ -735,19 +739,27 @@ object TextOps {
       .select(col("doc_id"), col("pos")).distinct()
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(wDoc)
-    // spans is consumed THREE times (spanAgg, segBefore, segTail via
-    // spanAgg) — without materialization the whole gram-posting
-    // pipeline (explode + two shuffles + windows) re-executes per
-    // consumer (measured 3× in the r10 drain-semantics plan read).
-    // The frame is islands-per-doc scale (≪ corpus), so the
-    // materialization is cheap at any sf; Catalog.mat honors the
-    // DISK_ONLY dial.
-    val spans = Catalog.mat(dup
+    Catalog.mat(dup
       .withColumn("brk",
         when(prev.isNull || col("pos") - prev > L, 1).otherwise(0))
       .withColumn("isl", sum(col("brk")).over(wDoc))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (L - 1)).as("e")))
+  }
+
+  /** The normalized-docs frame [[dupSpans]] and [[spanCleanedDocs]]
+    * run over, materialized (consumed by posts + segment joins +
+    * the final join — four consumers in the rewrite).
+    */
+  private[queries] def normDocs(s: SparkSession, d: String): DataFrame =
+    Catalog.mat(docs(s, d).select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", " ").as("t")))
+
+  private[queries] def spanCleanedDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 20
+    val norm = normDocs(s, d)
+    val spans = dupSpans(norm, L)
     val spanAgg = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("removed_chars"),
