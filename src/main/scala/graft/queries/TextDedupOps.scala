@@ -2301,5 +2301,101 @@ object TextDedupOps {
           FROM dl GROUP BY 2)
         SELECT * FROM (
           SELECT * FROM alls UNION ALL SELECT * FROM longest)
-        ORDER BY kind, bucket""")))
+        ORDER BY kind, bucket""")),
+
+    // ------------------------------------------------------------------
+    // d30: longest shared span PER PAIR — d29 censuses per-doc spans
+    // against "anywhere else in the corpus"; the attribution question
+    // ("which two docs share the 400-char block, and how long is it
+    // exactly") needs the pair. Matched gram positions (pa, pb) of a
+    // pair lie on DIAGONALS (dg = pa − pb): two matches on one
+    // diagonal with start gap ≤ L overlap/abut into one common
+    // substring, so the maximal shared span is a gaps-and-islands pass
+    // over pa within (doc_a, doc_b, dg) — d22's island move rotated
+    // 45°. Pair generation is df-capped (2 ≤ distinct-doc df ≤ 8, the
+    // d08 posting-list discipline): ultra-common boilerplate grams
+    // never generate pairs (their spans surface via rarer anchor grams
+    // or d29's corpus-level census), which bounds the per-gram join
+    // fan-out at 28 pairs — gram-linear, no all-pairs. Output: top-20
+    // offending pairs by exact longest-common-span length (full
+    // tiebreak), the actionable artifact a dedup operator inspects.
+    // ------------------------------------------------------------------
+    "d30_pair_max_span" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 20
+        val norm = graft.queries.TextOps.normDocs(s, d)
+        val posts = norm
+          .select(col("doc_id"),
+            posexplode(graft.functions.Winnow.gramHashes(col("t"), L)))
+          .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+            col("col").as("g"))
+        val rare = posts.select(col("doc_id"), col("g")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 8).select(col("g"))
+        val hits = Catalog.mat(posts.join(rare, "g"))
+        val matched = hits.select(col("doc_id").as("doc_a"),
+            col("pos").as("pa"), col("g"))
+          .join(hits.select(col("doc_id").as("doc_b"),
+            col("pos").as("pb"), col("g")), Seq("g"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+            (col("pa") - col("pb")).as("dg"))
+          .distinct()
+        val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"),
+          col("dg")).orderBy(col("pa"))
+        val prev = lag(col("pa"), 1).over(wDiag)
+        val runs = matched
+          .withColumn("brk",
+            when(prev.isNull || col("pa") - prev > L, 1).otherwise(0))
+          .withColumn("isl", sum(col("brk")).over(wDiag))
+          .groupBy(col("doc_a"), col("doc_b"), col("dg"), col("isl"))
+          .agg((max(col("pa")) - min(col("pa")) + L).as("run_len"))
+        runs.groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("run_len")).as("max_span"),
+            count(lit(1)).as("n_runs"),
+            sum(col("run_len")).as("shared_chars"))
+          .orderBy(col("max_span").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some("""WITH norm AS (
+          SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+          FROM documents),
+        posts AS (
+          SELECT doc_id, i AS pos,
+            ('0x' || substr(md5(substr(t, i, 20)), 1, 15))::BIGINT AS g
+          FROM norm, LATERAL (
+            SELECT unnest(range(1, length(t) - 20 + 2)) AS i) r
+          WHERE length(t) >= 20),
+        rare AS (
+          SELECT g FROM (SELECT DISTINCT doc_id, g FROM posts)
+          GROUP BY g HAVING count(*) BETWEEN 2 AND 8),
+        hits AS (SELECT doc_id, pos, g FROM posts JOIN rare USING (g)),
+        matched AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.pos AS pa, b.pos AS pb, a.pos - b.pos AS dg
+          FROM hits a JOIN hits b USING (g)
+          WHERE a.doc_id < b.doc_id),
+        isl0 AS (
+          SELECT doc_a, doc_b, dg, pa,
+            CASE WHEN lag(pa) OVER w IS NULL
+                   OR pa - lag(pa) OVER w > 20 THEN 1 ELSE 0 END AS brk
+          FROM matched
+          WINDOW w AS (PARTITION BY doc_a, doc_b, dg ORDER BY pa)),
+        isl1 AS (
+          SELECT doc_a, doc_b, dg, pa,
+            sum(brk) OVER (PARTITION BY doc_a, doc_b, dg
+              ORDER BY pa) AS isl
+          FROM isl0),
+        runs AS (
+          SELECT doc_a, doc_b, dg, isl,
+            max(pa) - min(pa) + 20 AS run_len
+          FROM isl1 GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+          cast(max(run_len) as bigint) AS max_span,
+          cast(count(*) as bigint) AS n_runs,
+          cast(sum(run_len) as bigint) AS shared_chars
+        FROM runs GROUP BY 1, 2
+        ORDER BY max_span DESC, doc_a, doc_b
+        LIMIT 20""")))
 }

@@ -589,6 +589,54 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("streaming IVF stats maintenance (s24's kappa twin, the 14th): " +
+      "per-cell (n, per-dim sums) GroupState across micro-batches " +
+      "equals the one-shot batch aggregation — O(k*dim) state forever") {
+    import spark.implicits._
+    import graft.streaming.IvfStatsStream
+    import graft.streaming.IvfStatsStream.{CellStats, VecRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the s24 quantization + codebook over the sf0.001 embeddings
+    val quant = transform(col("embedding"), x =>
+      floor(x.cast("double") * 1024).cast("long"))
+    val all = graft.queries.Catalog.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), quant.as("li")).as[VecRow].collect().toSeq
+    val cents = all.filter(_.vec_id < 8)
+      .map(v => (v.vec_id, v.li)).sortBy(_._1)
+    val arriving = all.filter(_.vec_id >= 8)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[VecRow]
+    val q = IvfStatsStream.cellStats(ms.toDS(), cents)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("ivfstats").start()
+    arriving.grouped(math.max(1, arriving.length / 4 + 1)).foreach { c =>
+      ms.addData(c)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits per batch — last row per cell is final
+    val streamed = spark.table("ivfstats").as[CellStats].collect()
+      .zipWithIndex
+      .groupBy(_._1.cent_id).view.mapValues(_.maxBy(_._2)._1)
+      .map { case (cid, st) => cid -> (st.n, st.sums) }.toMap
+    // batch truth: plain fold over the same vectors
+    val truth = arriving
+      .groupBy(v => IvfStatsStream.assign(v.li, cents))
+      .map { case (cid, vs) =>
+        cid -> (vs.length.toLong,
+          vs.map(_.li).reduce((a, b) =>
+            a.lazyZip(b).map(_ + _).toVector: Seq[Long]))
+      }
+    assert(streamed.keySet == truth.keySet)
+    streamed.foreach { case (cid, got) =>
+      assert(got == truth(cid), s"cell $cid diverged")
+    }
+    // drift derivability from state alone: means are sums div n
+    streamed.foreach { case (_, (n, sums)) =>
+      assert(n > 0 && sums.length == cents.head._2.length)
+    }
+  }
+
   test("foreachBatch URL admission maintains seen-URL state (x51 " +
       "funnel's kappa twin: per-batch canonicalize + blocklist gate + " +
       "URL-exact dedup, stream ≡ batch)") {
