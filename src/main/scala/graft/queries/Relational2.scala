@@ -2673,6 +2673,63 @@ object Relational2 {
         FROM m""")),
 
     // ------------------------------------------------------------------
+    // q102: DYNAMIC partition overwrite — the lakehouse correction
+    // pattern (recompute ONE day/priority and INSERT OVERWRITE it)
+    // whose semantics decide whether a 100 TB table survives the fix:
+    // static overwrite mode would DELETE every partition and write
+    // only the incoming one; dynamic mode
+    // (spark.sql.sources.partitionOverwriteMode=dynamic, set on the
+    // WRITER, not the session — no global state) replaces exactly the
+    // partitions present in the incoming frame and leaves the other
+    // four untouched on disk. Day-0 writes orders partitioned by
+    // priority; day-1 re-derives the URGENT partition with a
+    // correction (totalprice doubled — a visible, oracle-derivable
+    // change) and overwrites dynamically. The read-back census
+    // hash-matches the oracle's expected end state (corrected URGENT +
+    // original others, re-derived from source), proving both the
+    // partition isolation and the correction; n_files per partition
+    // stays 1 (each write coalesces per partition via repartition on
+    // the partition column). Tmp tree is application-id keyed (the
+    // q95 lesson) and deleted after an eager checkpoint.
+    // ------------------------------------------------------------------
+    "q102_dynamic_overwrite" -> Q(
+      (s, d) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q102_" +
+          new java.io.File(d).getName + "_" + s.sparkContext.applicationId
+        val src = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority").as("pri"))
+        src.repartition(col("pri"))
+          .write.mode("overwrite").partitionBy("pri").parquet(path)
+        // day-1 correction: URGENT re-derived with doubled totalprice,
+        // dynamic overwrite touches ONLY that partition
+        src.filter(col("pri") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .repartition(col("pri"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pri").parquet(path)
+        val out = s.read.parquet(path)
+          .groupBy(col("pri"))
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("o_totalprice")).as("total"),
+            countDistinct(col("_metadata.file_path")).as("n_files"))
+          .orderBy(col("pri"))
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(path))
+        out
+      },
+      Some(s"""SELECT o_orderpriority AS pri,
+          cast(count(*) as bigint) AS n_rows,
+          ${Catalog.sqlDsum(
+            "CASE WHEN o_orderpriority = '1-URGENT' " +
+            "THEN o_totalprice * 2 ELSE o_totalprice END")} AS total,
+          cast(1 as bigint) AS n_files
+        FROM orders
+        GROUP BY 1
+        ORDER BY pri""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

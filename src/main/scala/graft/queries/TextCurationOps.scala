@@ -5155,6 +5155,85 @@ object TextCurationOps {
     // scale broadcast model, doc_id-partitioned argmax window) plus
     // two 5-row plan frames joined on lang.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // x54: TEMPERATURE-weighted mixture (T = 2) — the multilingual /
+    // multi-source sampling law LLM training actually uses (weight
+    // count^(1/T) flattens the distribution: high-resource languages
+    // downsample, low-resource languages REPEAT), where x16/x20 take
+    // hand-set target shares. All math is bit-portable: the only
+    // transcendental is sqrt (IEEE correctly-rounded in both engines),
+    // immediately frozen to an integer weight floor(sqrt(n)·2^20) —
+    // shares, quotas, and epochs are then pure integer div. Admission
+    // is a ROW-LOCAL h60 rate gate (h60 mod n < quota), not a per-lang
+    // rank window (5 language partitions at 100 TB would be 5 giant
+    // sort tasks): quota div n full epochs of every doc plus a gated
+    // tail — the with-repetition sampling plan a data loader executes.
+    // At budget = corpus size the plan genuinely exercises both
+    // directions (sf0.01: en 218 docs → quota 157 downsample; fr 64 →
+    // quota 85 = 1 full epoch + 21-doc tail). Two hash aggregations,
+    // one broadcast totals row; the gate scan is one pass.
+    // ------------------------------------------------------------------
+    "x54_temperature_mixture" -> Q(
+      (s, d) => {
+        val counts = docs(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", floor(sqrt(col("n_docs").cast("double")) *
+            lit(1048576.0)).cast("long"))
+        val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+          sum(col("w")).as("w_total"))
+        val plan = counts.crossJoin(broadcast(tot))
+          .withColumn("prop_share_ppm",
+            expr("1000000 * n_docs div n_total"))
+          .withColumn("temp_share_ppm", expr("1000000 * w div w_total"))
+          .withColumn("quota", expr("n_total * w div w_total"))
+          .withColumn("full_epochs", expr("quota div n_docs"))
+          .withColumn("tail_quota", expr("quota % n_docs"))
+        val gated = docs(s, d).select(col("lang"), col("doc_id"))
+          .join(broadcast(plan.select(col("lang"), col("n_docs"),
+            col("tail_quota"))), "lang")
+          .filter(pmod(graft.functions.PortableHash.h60col(
+            concat(lit("x54_"), col("doc_id"))), col("n_docs"))
+            < col("tail_quota"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("tail_admitted"))
+        plan.join(gated, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("prop_share_ppm"),
+            col("temp_share_ppm"), col("quota"), col("full_epochs"),
+            coalesce(col("tail_admitted"), lit(0L)).as("tail_admitted"))
+          .withColumn("total_admitted",
+            expr("n_docs * full_epochs") + col("tail_admitted"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH counts AS (
+          SELECT lang, cast(count(*) as bigint) AS n_docs,
+            cast(floor(sqrt(cast(count(*) as double)) * 1048576.0)
+              as bigint) AS w
+          FROM documents GROUP BY lang),
+        tot AS (
+          SELECT cast(sum(n_docs) as bigint) AS n_total,
+            cast(sum(w) as bigint) AS w_total
+          FROM counts),
+        plan AS (
+          SELECT lang, n_docs,
+            1000000 * n_docs // n_total AS prop_share_ppm,
+            1000000 * w // w_total AS temp_share_ppm,
+            n_total * w // w_total AS quota,
+            (n_total * w // w_total) // n_docs AS full_epochs,
+            (n_total * w // w_total) % n_docs AS tail_quota
+          FROM counts, tot),
+        gated AS (
+          SELECT d.lang, cast(count(*) as bigint) AS tail_admitted
+          FROM documents d JOIN plan p USING (lang)
+          WHERE ${graft.functions.PortableHash.h60Sql("'x54_' || doc_id")}
+            % p.n_docs < p.tail_quota
+          GROUP BY d.lang)
+        SELECT p.lang, p.n_docs, p.prop_share_ppm, p.temp_share_ppm,
+          p.quota, p.full_epochs,
+          coalesce(g.tail_admitted, 0) AS tail_admitted,
+          p.n_docs * p.full_epochs + coalesce(g.tail_admitted, 0)
+            AS total_admitted
+        FROM plan p LEFT JOIN gated g USING (lang)
+        ORDER BY p.lang""")),
+
     "x53_langid_drift_census" -> Q(
       (s, d) => {
         import s.implicits._
