@@ -5168,10 +5168,14 @@ object TextCurationOps {
     // rank window (5 language partitions at 100 TB would be 5 giant
     // sort tasks): quota div n full epochs of every doc plus a gated
     // tail — the with-repetition sampling plan a data loader executes.
-    // At budget = corpus size the plan genuinely exercises both
-    // directions (sf0.01: en 218 docs → quota 157 downsample; fr 64 →
-    // quota 85 = 1 full epoch + 21-doc tail). Two hash aggregations,
-    // one broadcast totals row; the gate scan is one pass.
+    // The gate hits its tail quota in EXPECTATION (sf0.01: en tail
+    // 173 admitted vs 152 planned — binomial variance; exact-quota
+    // selection would need the per-lang rank this shape deliberately
+    // avoids, the x17/x20 trade). At budget = corpus size both
+    // directions exercise: en (218 docs, quota 152) downsamples,
+    // fr/de/es/zh repeat (1 full epoch + a gated tail). Two hash
+    // aggregations, one broadcast totals row; the gate scan is one
+    // pass.
     // ------------------------------------------------------------------
     "x54_temperature_mixture" -> Q(
       (s, d) => {
