@@ -1790,6 +1790,75 @@ object GraphOps {
           cast(sum(CASE WHEN nb < 16 THEN nb
             ELSE 32212254705 // hk END) as bigint) AS nf_est
         FROM est GROUP BY 1
-        ORDER BY t"""))
+        ORDER BY t""")),
+
+    // ------------------------------------------------------------------
+    // g20: common-neighbor RECOMMENDATION ("customers who bought this
+    // also bought") — for part pairs NOT directly co-purchased, count
+    // shared co-purchase neighbors; the top pairs are the classic
+    // link-prediction recommendations. The naive form is all-2-hop-
+    // pairs (quadratic in hub degree — the scale killer); the shipped
+    // shape caps each node's adjacency to its TOP-8 neighbors by
+    // (weight desc, dst) BEFORE wedge generation, so the wedge count
+    // is ≤ 64·nodes (edge-linear) and hub fan-out is bounded by
+    // construction — the degree-capped candidate generation every
+    // production item-to-item recommender runs (Amazon's item-CF
+    // paper's shape). Wedges (a —m— b) group to common-neighbor
+    // counts, an anti-join drops already-connected pairs, and the
+    // top-20 by (cn desc, a, b) is the deterministic answer frame.
+    // TopKPerKey's window rewrite handles the per-node cap (rank ≤ 8
+    // over a node-partitioned window — key-partitioned, never
+    // global).
+    // ------------------------------------------------------------------
+    "g20_common_neighbor_recs" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val M = 8
+        val edges = materialize(
+          weightedEdges(s, d).select(col("src"), col("dst"), col("w")))
+        val capped = edges
+          .withColumn("rk", row_number().over(Window
+            .partitionBy(col("src"))
+            .orderBy(col("w").desc, col("dst"))))
+          .filter(col("rk") <= M)
+          .select(col("src"), col("dst"))
+        val wedges = capped.select(col("src").as("a"), col("dst").as("m"))
+          .join(capped.select(col("src").as("m"), col("dst").as("b")),
+            Seq("m"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("cn"))
+        wedges
+          .join(edges.select(col("src").as("a"), col("dst").as("b")),
+            Seq("a", "b"), "left_anti")
+          .orderBy(col("cn").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+            cast(count(*) as bigint) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        capped AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+              row_number() OVER (PARTITION BY src
+                ORDER BY w DESC, dst) AS rk
+            FROM edges)
+          WHERE rk <= 8),
+        wedges AS (
+          SELECT x.src AS a, y.dst AS b, cast(count(*) as bigint) AS cn
+          FROM capped x JOIN capped y ON x.dst = y.src
+          WHERE x.src < y.dst
+          GROUP BY 1, 2)
+        SELECT w.a, w.b, w.cn
+        FROM wedges w
+        WHERE NOT EXISTS (
+          SELECT 1 FROM edges e WHERE e.src = w.a AND e.dst = w.b)
+        ORDER BY w.cn DESC, w.a, w.b
+        LIMIT 20"""))
   )
 }
