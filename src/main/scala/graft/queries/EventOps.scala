@@ -2582,6 +2582,99 @@ object EventOps {
           cast(sum(n_chars) as bigint) AS total_chars,
           cast(sum(n_chars // 4) as bigint) AS tokens_est
         FROM conv GROUP BY 1
-        ORDER BY n_turns"""))
+        ORDER BY n_turns""")),
+
+    // ------------------------------------------------------------------
+    // e39: PREFERENCE-PAIR assembly (DPO/RLHF data prep) — the step
+    // after e38's SFT rendering: turn interaction logs into (chosen,
+    // rejected) trajectory pairs. Consecutive sessions of one user are
+    // alternative trajectories from comparable context; the one with
+    // the higher reward is chosen (tie → the EARLIER session, a full
+    // tiebreak). Reward is bit-portable integer: per-event
+    // floor(value·64) (·2^6 exact, floor exact) summed per session —
+    // a double sum would drift per partitioning; this is the
+    // CLAUDE.md decimal/integer-aggregate rule applied to reward
+    // shaping. Census per reward-gap bucket: pairs, how often the
+    // LATER session won (the drift a reward-model trainer watches —
+    // preferring recency means the pairs teach staleness), and
+    // chosen/rejected char masses (budgeting, e38's role). Scale: one
+    // user-keyed sessionize window, one hash agg per session, one
+    // user-keyed self-join on adjacent sids — no global order.
+    // ------------------------------------------------------------------
+    "e39_preference_pairs" -> Q(
+      (s, d) => {
+        val n = sessionized(t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"), col("value")))
+        val conv = n
+          .select(col("user_id"), col("sid"), col("ts"), col("event_id"),
+            floor(col("value") * 64).cast("long").as("rw"),
+            concat(lit("<|"), col("event_type"), lit("|>e"),
+              col("event_id").cast("string")).as("turn"))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(sum(col("rw")).as("reward"),
+            length(concat_ws("", transform(array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("turn")))),
+              x => x.getField("turn")))).cast("long").as("n_chars"))
+        val pairs = conv.as("l")
+          .join(conv.as("r"),
+            col("l.user_id") === col("r.user_id") &&
+              col("r.sid") === col("l.sid") + 1)
+          .select(col("l.user_id").as("user_id"),
+            (col("r.reward") > col("l.reward")).as("later_won"),
+            abs(col("l.reward") - col("r.reward")).as("gap"),
+            when(col("r.reward") > col("l.reward"), col("r.n_chars"))
+              .otherwise(col("l.n_chars")).as("chosen_chars"),
+            when(col("r.reward") > col("l.reward"), col("l.n_chars"))
+              .otherwise(col("r.n_chars")).as("rejected_chars"))
+        pairs
+          .groupBy(expr("gap div 4096").as("gap_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("later_won"), 1)).as("n_later_chosen"),
+            sum(col("chosen_chars")).as("chosen_chars"),
+            sum(col("rejected_chars")).as("rejected_chars"))
+          .orderBy(col("gap_bucket"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id, event_type,
+            cast(ts as timestamp) AS tts,
+            cast(floor(value * 64) as bigint) AS rw
+          FROM events),
+        o AS (
+          SELECT *, CASE WHEN lag(tts) OVER w IS NULL
+              OR epoch_us(tts) - epoch_us(lag(tts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)),
+        n AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        conv AS (
+          SELECT user_id, sid,
+            cast(sum(rw) as bigint) AS reward,
+            cast(length(string_agg(
+              concat('<|', event_type, '|>e', event_id), ''
+              ORDER BY tts, event_id)) as bigint) AS n_chars
+          FROM n GROUP BY 1, 2),
+        pairs AS (
+          SELECT l.user_id,
+            r.reward > l.reward AS later_won,
+            abs(l.reward - r.reward) AS gap,
+            CASE WHEN r.reward > l.reward THEN r.n_chars
+              ELSE l.n_chars END AS chosen_chars,
+            CASE WHEN r.reward > l.reward THEN l.n_chars
+              ELSE r.n_chars END AS rejected_chars
+          FROM conv l JOIN conv r
+            ON l.user_id = r.user_id AND r.sid = l.sid + 1)
+        SELECT cast(gap // 4096 as bigint) AS gap_bucket,
+          cast(count(*) as bigint) AS n_pairs,
+          cast(count(*) FILTER (WHERE later_won) as bigint)
+            AS n_later_chosen,
+          cast(sum(chosen_chars) as bigint) AS chosen_chars,
+          cast(sum(rejected_chars) as bigint) AS rejected_chars
+        FROM pairs GROUP BY 1
+        ORDER BY gap_bucket"""))
   )
 }

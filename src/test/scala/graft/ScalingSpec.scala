@@ -73,7 +73,11 @@ class ScalingSpec extends SparkFunSuite {
       "count (the 32-threads-vs-1000-executors stability property; " +
       "all five are pure-integer censuses by construction)") {
     val qs = Seq("g19_neighborhood_kmv", "e37_hilbert_layout",
-      "e36_pattern_match", "d28_fuzzy_er_join", "q95_compaction_plan")
+      "e36_pattern_match", "d28_fuzzy_er_join", "q95_compaction_plan",
+      // round-14 additions: integer censuses + the sqrt-frozen x54
+      "s24_ivf_stored_index", "d29_span_length_census",
+      "d30_pair_max_span", "x54_temperature_mixture",
+      "g20_common_neighbor_recs")
     val catalog = Catalog.all.toMap
     for (q <- qs) {
       def run(parts: String): Seq[Seq[Any]] = {
