@@ -5177,6 +5177,88 @@ object TextCurationOps {
     // aggregations, one broadcast totals row; the gate scan is one
     // pass.
     // ------------------------------------------------------------------
+    // ------------------------------------------------------------------
+    // x55: LM-style quality filter — the CCNet/Gopher "perplexity
+    // against a reference LM" stage, re-expressed portably: a doc's
+    // score is the mean CONDITIONAL BIGRAM PROBABILITY of its word
+    // sequence under the corpus's own bigram model, in integer ppm
+    // (p(w2|w1) = 1e6·c(w1w2) div c(w1·) — log/perplexity itself is
+    // libm and not bit-portable; the ppm mean ranks docs the same
+    // direction: boilerplate text scores HIGH (predictable
+    // transitions), garbled or rare text scores LOW — the two tails a
+    // curation run clips). One tokenize pass feeds both the model
+    // counts and the scoring (the bigram explode is the x22 shape:
+    // explode over a once-aliased input); model joins are
+    // bigram-/word-keyed hash joins, corpus-linear. Census: docs per
+    // score decile-bucket with char mass and the score extremes.
+    // c(w1·) counts bigram STARTS (not raw unigrams), so Σp(·|w1) is
+    // exactly 1e6 per w1 and the mean is a true probability mean.
+    // ------------------------------------------------------------------
+    "x55_lm_quality_filter" -> Q(
+      (s, d) => {
+        val toked = mat(docs(s, d)
+          .select(col("doc_id"), col("n_chars"), words(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2))
+        val bigrams = toked
+          .select(col("doc_id"), col("n_chars"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => struct(element_at(col("toks"), i).as("w1"),
+                element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+          .select(col("doc_id"), col("n_chars"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val big = Catalog.mat(bigrams)
+        val cW1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val cBg = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val scored = big
+          .join(cBg, Seq("w1", "w2")).join(cW1, Seq("w1"))
+          .withColumn("p_ppm", expr("1000000 * c12 div c1"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            max(col("n_chars")).as("n_chars"),
+            expr("sum(p_ppm) div count(1)").as("mean_ppm"))
+        scored
+          .groupBy(expr("mean_ppm div 2000").as("score_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"),
+            min(col("mean_ppm")).as("min_ppm"),
+            max(col("mean_ppm")).as("max_ppm"))
+          .orderBy(col("score_bucket"))
+      },
+      Some("""WITH toked AS (
+          SELECT doc_id, n_chars,
+            string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) >= 2),
+        bigrams AS (
+          SELECT doc_id, n_chars,
+            toks[i] AS w1, toks[i + 1] AS w2
+          FROM toked, LATERAL (
+            SELECT unnest(range(1, len(toks))) AS i) r),
+        c1 AS (SELECT w1, cast(count(*) as bigint) AS c1
+          FROM bigrams GROUP BY 1),
+        c12 AS (SELECT w1, w2, cast(count(*) as bigint) AS c12
+          FROM bigrams GROUP BY 1, 2),
+        scored AS (
+          SELECT b.doc_id,
+            cast(count(*) as bigint) AS n_bigrams,
+            max(b.n_chars) AS n_chars,
+            cast(sum(1000000 * c.c12 // u.c1) // count(*) as bigint)
+              AS mean_ppm
+          FROM bigrams b
+          JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+          JOIN c1 u ON b.w1 = u.w1
+          GROUP BY b.doc_id)
+        SELECT cast(mean_ppm // 2000 as bigint) AS score_bucket,
+          cast(count(*) as bigint) AS n_docs,
+          cast(sum(n_chars) as bigint) AS chars_total,
+          cast(min(mean_ppm) as bigint) AS min_ppm,
+          cast(max(mean_ppm) as bigint) AS max_ppm
+        FROM scored GROUP BY 1
+        ORDER BY score_bucket""")),
+
     "x54_temperature_mixture" -> Q(
       (s, d) => {
         val counts = docs(s, d).groupBy(col("lang"))
