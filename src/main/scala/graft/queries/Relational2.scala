@@ -2730,6 +2730,60 @@ object Relational2 {
         ORDER BY pri""")),
 
     // ------------------------------------------------------------------
+    // q103: SCHEMA EVOLUTION across file generations — the other half
+    // of q102's lakehouse-maintenance story: a table whose oldest
+    // files predate a column. Generation 1 writes orders WITHOUT o_channel;
+    // generation 2 adds it (derived deterministically). A plain read
+    // takes ONE file's schema and silently drops or fails the other —
+    // `mergeSchema` unions the schemas and nulls the missing column in
+    // old files, which is exactly the semantics a 100 TB table with
+    // years of generations depends on (and why the default is OFF: the
+    // footer-merge costs one pass over every file's footer). Census per
+    // channel (null = pre-evolution rows): rows, key checksum, price
+    // mass — oracle re-derives the expected union from source, so the
+    // hash proves no row was dropped and the null-fill is exact.
+    // ------------------------------------------------------------------
+    "q103_schema_evolution" -> Q(
+      (s, d) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q103_" +
+          new java.io.File(d).getName + "_" + s.sparkContext.applicationId
+        val src = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        // generation 1: the pre-evolution files (no o_channel)
+        src.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .coalesce(2).write.mode("overwrite").parquet(s"$path/g1")
+        // generation 2: schema adds o_channel
+        src.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .withColumn("o_channel",
+            when(pmod(col("o_orderkey"), lit(3)) === 0, lit("web"))
+              .otherwise(lit("store")))
+          .coalesce(2).write.mode("overwrite").parquet(s"$path/g2")
+        val out = s.read.option("mergeSchema", "true")
+          .parquet(s"$path/g1", s"$path/g2")
+          .groupBy(col("o_channel"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(pmod(col("o_orderkey"), lit(9973L))).as("key_checksum"),
+            dsum(col("o_totalprice")).as("price_mass"))
+          .orderBy(col("o_channel").asc_nulls_first)
+          .localCheckpoint()
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(path))
+        out
+      },
+      Some(s"""SELECT o_channel,
+          cast(count(*) as bigint) AS n_rows,
+          cast(sum(o_orderkey % 9973) as bigint) AS key_checksum,
+          ${Catalog.sqlDsum("o_totalprice")} AS price_mass
+        FROM (
+          SELECT o_orderkey, o_totalprice,
+            CASE WHEN o_orderkey % 2 = 0 THEN NULL
+              WHEN o_orderkey % 3 = 0 THEN 'web'
+              ELSE 'store' END AS o_channel
+          FROM orders)
+        GROUP BY 1
+        ORDER BY o_channel NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

@@ -5259,6 +5259,148 @@ object TextCurationOps {
         FROM scored GROUP BY 1
         ORDER BY score_bucket""")),
 
+    // ------------------------------------------------------------------
+    // x56: LEAKAGE-FREE train/val/test split — x17 assigns by document
+    // hash, which puts near-duplicate docs on OPPOSITE sides of the
+    // split and silently inflates eval scores (the benchmark-leakage
+    // failure x15 decontaminates against, self-inflicted). The fix:
+    // split by DUP-CLUSTER representative — every member of a
+    // connected near-dup component (d08's df-capped posting pairs →
+    // d07's CC loop) inherits its cluster-min doc's h60 assignment, so
+    // a cluster can never straddle splits. The census PROVES it (0
+    // cross-split near-dup pairs per split) and keeps the alarm
+    // non-vacuous by reporting the naive doc-hash split's leakage
+    // beside it (>0 — the m10 all-green-proves-nothing convention).
+    // Scale: pair gen is the df-capped posting pipeline (no
+    // all-pairs), CC is the doc-keyed iterative loop, assignment is
+    // row-local h60, the audit two hash joins.
+    // ------------------------------------------------------------------
+    "x56_leakage_free_split" -> Q(
+      (s, d) => {
+        val pairs = mat(postingJaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b")))
+        val comps = graft.operators.ConnectedComponents.components(pairs)
+          .select(col("id").as("doc_id"), col("cluster"))
+        def splitOf(c: Column): Column = {
+          val h = pmod(graft.functions.PortableHash.h60col(
+            concat(lit("x56_"), c)), lit(100L))
+          when(h < 90, "train").when(h < 95, "val").otherwise("test")
+        }
+        val assigned = mat(docs(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .join(comps, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("split", splitOf(col("rep")))
+          .withColumn("naive_split", splitOf(col("doc_id"))))
+        val sd = assigned.select(col("doc_id"), col("split"),
+          col("naive_split"))
+        val audited = pairs
+          .join(sd.select(col("doc_id").as("doc_a"),
+            col("split").as("sa"), col("naive_split").as("na")), Seq("doc_a"))
+          .join(sd.select(col("doc_id").as("doc_b"),
+            col("split").as("sb"), col("naive_split").as("nb")), Seq("doc_b"))
+        val leakC = audited.groupBy(col("sa").as("split"))
+          .agg(count(when(col("sa") =!= col("sb"), 1)).as("leak_pairs"))
+        val leakN = audited.groupBy(col("na").as("split"))
+          .agg(count(when(col("na") =!= col("nb"), 1))
+            .as("naive_leak_pairs"))
+        assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("rep")).as("n_clusters"),
+            sum(col("n_chars")).as("chars_total"))
+          .join(leakC, Seq("split"), "left")
+          .join(leakN, Seq("split"), "left")
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            col("chars_total"),
+            coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"),
+            coalesce(col("naive_leak_pairs"), lit(0L))
+              .as("naive_leak_pairs"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH RECURSIVE t0 AS (
+          SELECT doc_id,
+            string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM t0 WHERE len(w) >= 3),
+        posts AS (SELECT doc_id, unnest(w) AS fp FROM sh),
+        dfc AS (SELECT fp, count(*) AS df FROM posts GROUP BY fp),
+        okposts AS (
+          SELECT p.doc_id, p.fp FROM posts p
+          JOIN dfc ON dfc.fp = p.fp AND dfc.df <= 50),
+        sizes AS (
+          SELECT doc_id, cast(count(*) as bigint) AS sz
+          FROM okposts GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM okposts a
+          JOIN okposts b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        prs AS (
+          SELECT s.doc_a, s.doc_b
+          FROM shared s
+          JOIN sizes x ON x.doc_id = s.doc_a
+          JOIN sizes y ON y.doc_id = s.doc_b
+          WHERE cast(s.shared_fps as double) /
+                cast(x.sz + y.sz - s.shared_fps as double) >= 0.4),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src),
+        assigned AS (
+          SELECT d.doc_id, d.n_chars,
+            coalesce(c.cluster, d.doc_id) AS rep,
+            CASE WHEN ('0x' || substr(md5('x56_' ||
+                coalesce(c.cluster, d.doc_id)), 1, 15))::BIGINT
+                % 100 < 90 THEN 'train'
+              WHEN ('0x' || substr(md5('x56_' ||
+                coalesce(c.cluster, d.doc_id)), 1, 15))::BIGINT
+                % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+            CASE WHEN ('0x' || substr(md5('x56_' || d.doc_id), 1, 15))
+                ::BIGINT % 100 < 90 THEN 'train'
+              WHEN ('0x' || substr(md5('x56_' || d.doc_id), 1, 15))
+                ::BIGINT % 100 < 95 THEN 'val'
+              ELSE 'test' END AS naive_split
+          FROM documents d LEFT JOIN comp c USING (doc_id)),
+        audited AS (
+          SELECT a.split AS sa, b.split AS sb,
+            a.naive_split AS na, b.naive_split AS nb
+          FROM prs
+          JOIN assigned a ON a.doc_id = prs.doc_a
+          JOIN assigned b ON b.doc_id = prs.doc_b),
+        leakc AS (
+          SELECT sa AS split,
+            cast(count(*) FILTER (WHERE sa <> sb) as bigint)
+              AS leak_pairs
+          FROM audited GROUP BY 1),
+        leakn AS (
+          SELECT na AS split,
+            cast(count(*) FILTER (WHERE na <> nb) as bigint)
+              AS naive_leak_pairs
+          FROM audited GROUP BY 1)
+        SELECT g.split, g.n_docs, g.n_clusters, g.chars_total,
+          coalesce(lc.leak_pairs, 0) AS leak_pairs,
+          coalesce(ln.naive_leak_pairs, 0) AS naive_leak_pairs
+        FROM (
+          SELECT split, cast(count(*) as bigint) AS n_docs,
+            cast(count(DISTINCT rep) as bigint) AS n_clusters,
+            cast(sum(n_chars) as bigint) AS chars_total
+          FROM assigned GROUP BY 1) g
+        LEFT JOIN leakc lc USING (split)
+        LEFT JOIN leakn ln USING (split)
+        ORDER BY split""")),
+
     "x54_temperature_mixture" -> Q(
       (s, d) => {
         val counts = docs(s, d).groupBy(col("lang"))

@@ -77,7 +77,9 @@ class ScalingSpec extends SparkFunSuite {
       // round-14 additions: integer censuses + the sqrt-frozen x54
       "s24_ivf_stored_index", "d29_span_length_census",
       "d30_pair_max_span", "x54_temperature_mixture",
-      "g20_common_neighbor_recs")
+      "g20_common_neighbor_recs", "e39_preference_pairs",
+      "x55_lm_quality_filter", "x56_leakage_free_split",
+      "q102_dynamic_overwrite", "q103_schema_evolution")
     val catalog = Catalog.all.toMap
     for (q <- qs) {
       def run(parts: String): Seq[Seq[Any]] = {
