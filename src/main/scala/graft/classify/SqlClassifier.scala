@@ -123,8 +123,14 @@ object SqlClassifier {
     * (trimmed, no trailing semicolon).
     */
   sealed trait Stmt { def sql: String }
-  final case class CreateTableStmt(table: QualifiedName, sql: String)
-      extends Stmt
+  /** `columns` carries the parsed (name, type) list of the column
+    * definitions (table-level constraints skipped) — the surface the
+    * column-type advisory rules (R25-R27) inspect. Type strings
+    * preserve parameter parens and multi-word types
+    * ("varchar(255)", "timestamp with time zone").
+    */
+  final case class CreateTableStmt(table: QualifiedName, sql: String,
+      columns: Seq[(String, String)] = Nil) extends Stmt
   final case class CreateIndexStmt(table: QualifiedName,
       indexName: Option[String], unique: Boolean, concurrent: Boolean,
       sql: String) extends Stmt
@@ -515,7 +521,54 @@ object SqlClassifier {
       t.next() // TABLE
       t.skipIfExists()
       val tbl = t.qualifiedName()
-      CreateTableStmt(tbl, sql)
+      // column-definition list: (name type ..., ..., <table constraints>)
+      val cols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      if (!t.eof && t.peek.get.kind == Tok.Punct && t.peek.get.text == "(") {
+        t.next() // (
+        var depth = 1
+        var itemStart = true
+        val tableLevel = Set("CONSTRAINT", "PRIMARY", "UNIQUE", "CHECK",
+          "FOREIGN", "EXCLUDE", "LIKE")
+        val colStop = Set("NOT", "NULL", "DEFAULT", "PRIMARY", "UNIQUE",
+          "REFERENCES", "CHECK", "GENERATED", "CONSTRAINT", "COLLATE")
+        while (!t.eof && depth > 0) {
+          if (itemStart && t.peek.get.kind != Tok.Punct &&
+              !tableLevel.contains(t.peek.get.text.toUpperCase)) {
+            val name = t.next().text
+            val typeSb = new StringBuilder
+            var tdepth = 0
+            var prevWord = false
+            var done = false
+            while (!t.eof && !done) {
+              val p = t.peek.get
+              if (p.kind == Tok.Punct && p.text == "(") {
+                tdepth += 1; typeSb ++= t.next().text; prevWord = false
+              } else if (p.kind == Tok.Punct && p.text == ")") {
+                if (tdepth == 0) done = true
+                else { tdepth -= 1; typeSb ++= t.next().text; prevWord = false }
+              } else if (tdepth == 0 && p.kind == Tok.Punct &&
+                  p.text == ",") done = true
+              else if (tdepth == 0 &&
+                  colStop.contains(p.text.toUpperCase)) done = true
+              else {
+                if (prevWord && p.kind != Tok.Punct) typeSb += ' '
+                typeSb ++= t.next().text
+                prevWord = p.kind != Tok.Punct
+              }
+            }
+            if (typeSb.nonEmpty) cols += name -> typeSb.toString
+            itemStart = false
+          } else {
+            val tk = t.next()
+            if (tk.kind == Tok.Punct && tk.text == "(") depth += 1
+            else if (tk.kind == Tok.Punct && tk.text == ")") depth -= 1
+            else if (tk.kind == Tok.Punct && tk.text == "," && depth == 1)
+              itemStart = true
+            else if (tk.kind != Tok.Punct) itemStart = false
+          }
+        }
+      }
+      CreateTableStmt(tbl, sql, cols.toSeq)
     } else OtherStmt("CREATE", sql)
   }
 

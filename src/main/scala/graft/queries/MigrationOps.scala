@@ -239,6 +239,39 @@ object MigrationOps {
           AND regexp_matches(s, '(?i)\\bADD\\s+(CONSTRAINT\\s+\\S+\\s+)?UNIQUE\\b')
           AND NOT regexp_matches(s, '(?i)\\bUSING\\s+INDEX\\b')
         UNION ALL
+        SELECT version, name, stmt_index, 'prefer-bigint-key', 1,
+          coalesce(nullif(regexp_extract(s,
+            '(?i)^\\s*CREATE\\s+(?:TEMP\\s+|TEMPORARY\\s+|UNLOGGED\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1), ''),
+            regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)),
+          'NONE'
+        FROM stmts
+        WHERE (regexp_matches(s, '(?i)^\\s*CREATE\\s+(TEMP\\s+|TEMPORARY\\s+|UNLOGGED\\s+)?TABLE\\b')
+               OR (regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+                   AND regexp_matches(s, '(?i)\\bADD\\s+COLUMN\\b')))
+          AND regexp_matches(s, '(?i)[(,\\s]\\s*(id|[a-z_]+_id)\\s+(int|integer|int4|serial)\\b')
+        UNION ALL
+        SELECT version, name, stmt_index, 'prefer-timestamptz', 1,
+          coalesce(nullif(regexp_extract(s,
+            '(?i)^\\s*CREATE\\s+(?:TEMP\\s+|TEMPORARY\\s+|UNLOGGED\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1), ''),
+            regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)),
+          'NONE'
+        FROM stmts
+        WHERE (regexp_matches(s, '(?i)^\\s*CREATE\\s+(TEMP\\s+|TEMPORARY\\s+|UNLOGGED\\s+)?TABLE\\b')
+               OR (regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+                   AND regexp_matches(s, '(?i)\\bADD\\s+COLUMN\\b')))
+          AND regexp_matches(s, '(?i)\\stimestamp\\s*(\\(\\d+\\))?\\s*[,)]')
+        UNION ALL
+        SELECT version, name, stmt_index, 'ban-char-field', 1,
+          coalesce(nullif(regexp_extract(s,
+            '(?i)^\\s*CREATE\\s+(?:TEMP\\s+|TEMPORARY\\s+|UNLOGGED\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1), ''),
+            regexp_extract(s, '(?i)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)', 1)),
+          'NONE'
+        FROM stmts
+        WHERE (regexp_matches(s, '(?i)^\\s*CREATE\\s+(TEMP\\s+|TEMPORARY\\s+|UNLOGGED\\s+)?TABLE\\b')
+               OR (regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+                   AND regexp_matches(s, '(?i)\\bADD\\s+COLUMN\\b')))
+          AND regexp_matches(s, '(?i)\\schar(acter)?\\s*\\(\\s*\\d+\\s*\\)')
+        UNION ALL
         SELECT version, name, stmt_index, 'mixed-concurrent-atomicity', 2,
           CASE
             WHEN regexp_matches(s, '(?i)^\\s*CREATE\\b')

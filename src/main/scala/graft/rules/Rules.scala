@@ -512,6 +512,78 @@ object AddUniqueConstraintRule extends Rule {
   }
 }
 
+/** Shared scan for the column-type advisory rules (R25-R27): every
+  * (table, column, type) a statement introduces — CREATE TABLE's
+  * parsed column list plus ALTER TABLE ADD COLUMN.
+  */
+private[rules] object TypedColumns {
+  def of(stmt: Stmt): Seq[(String, String, String)] = stmt match {
+    case c: CreateTableStmt =>
+      c.columns.map { case (n, t) => (c.table.render, n, t) }
+    case a: AlterTableStmt => a.cmds.collect {
+      case AddColumn(n, tpe, _, _, _) => (a.table.render, n, tpe)
+    }
+    case _ => Nil
+  }
+}
+
+/** R25 — 32-bit integer keys (id / *_id typed int/serial) exhaust at
+  * 2.1B rows, and the later int→bigint fix is R4's full-rewrite
+  * ACCESS EXCLUSIVE migration on what is by then the biggest table
+  * (squawk's prefer-big-int / prefer-identity class). LOW: advisory,
+  * the cheapest moment to fix this is the CREATE TABLE.
+  */
+object PreferBigintKeyRule extends Rule {
+  val id = "prefer-bigint-key"
+  private val narrow = Set("int", "integer", "int4", "serial")
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] =
+    TypedColumns.of(stmt).collectFirst {
+      case (tbl, col, tpe)
+          if (col.equalsIgnoreCase("id") ||
+            col.toLowerCase.endsWith("_id")) &&
+            narrow.contains(tpe.toLowerCase) =>
+        finding(Severity.Low, tbl, stmt, ctx,
+          s"key column $col is 32-bit ($tpe): it exhausts at 2.1 billion rows and the later widening is a full-table-rewrite migration",
+          "Use bigint / bigserial (or GENERATED AS IDENTITY on bigint) for key columns from the start",
+          "NONE")
+    }.toSeq
+}
+
+/** R26 — `timestamp` WITHOUT time zone stores wall-clock values whose
+  * meaning depends on an ambient timezone; cross-region readers and
+  * DST transitions corrupt silently (squawk prefer-timestamptz). LOW.
+  */
+object PreferTimestamptzRule extends Rule {
+  val id = "prefer-timestamptz"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] =
+    TypedColumns.of(stmt).collectFirst {
+      case (tbl, col, tpe)
+          if tpe.toLowerCase.matches("timestamp(\\(\\d+\\))?") =>
+        finding(Severity.Low, tbl, stmt, ctx,
+          s"column $col is `timestamp` without time zone — its values mean different instants in different timezones and DST transitions corrupt silently",
+          "Use timestamptz (timestamp with time zone); it stores an unambiguous instant",
+          "NONE")
+    }.toSeq
+}
+
+/** R27 — char(n) is blank-PADDED: comparisons and lengths behave
+  * unexpectedly, and the padding wastes storage (squawk
+  * ban-char-field). `character varying` / varchar is NOT this type.
+  * LOW.
+  */
+object BanCharFieldRule extends Rule {
+  val id = "ban-char-field"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] =
+    TypedColumns.of(stmt).collectFirst {
+      case (tbl, col, tpe)
+          if tpe.toLowerCase.matches("char(acter)?(\\(\\d+\\))?") =>
+        finding(Severity.Low, tbl, stmt, ctx,
+          s"column $col is blank-padded $tpe — equality and length semantics surprise, and the padding costs storage",
+          "Use text (or varchar(n) if a length bound is genuinely required)",
+          "NONE")
+    }.toSeq
+}
+
 /** File-level rule: sees the WHOLE migration's classified statement
   * list at once. Per-statement rules cannot express cross-statement
   * hazards — R24's atomicity loss is a property of the file, not of
@@ -594,7 +666,10 @@ object Registry {
     TableStorageRewriteRule,
     AddGeneratedColumnRule,
     DropColumnRule,
-    AddUniqueConstraintRule)
+    AddUniqueConstraintRule,
+    PreferBigintKeyRule,
+    PreferTimestamptzRule,
+    BanCharFieldRule)
 
   /** File-level rules (run once per migration over the whole
     * statement list) — R24 mixed-CONCURRENTLY atomicity.

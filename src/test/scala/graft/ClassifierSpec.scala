@@ -92,6 +92,24 @@ class ClassifierSpec extends AnyFunSuite {
       .contains(ConstantDefault))
   }
 
+  test("CREATE TABLE column list parses (name, type) pairs: parameter " +
+      "parens, multi-word types, table-level constraints skipped, " +
+      "commas inside CHECK don't split") {
+    val ct = one("CREATE TABLE t (id integer PRIMARY KEY, " +
+      "code char(8), happened_at timestamp with time zone, " +
+      "note varchar(40) NOT NULL DEFAULT 'x', " +
+      "PRIMARY KEY (id), CONSTRAINT c CHECK (id > 0 AND id < 10), " +
+      "FOREIGN KEY (code) REFERENCES codes (c))")
+      .asInstanceOf[CreateTableStmt]
+    assert(ct.columns == Seq(
+      "id" -> "integer", "code" -> "char(8)",
+      "happened_at" -> "timestamp with time zone",
+      "note" -> "varchar(40)"), ct.columns)
+    // no column list (CREATE TABLE AS / LIKE shells): empty, no crash
+    assert(one("CREATE TABLE t2 (LIKE t INCLUDING ALL)")
+      .asInstanceOf[CreateTableStmt].columns.isEmpty)
+  }
+
   test("ALTER TABLE ADD COLUMN GENERATED: STORED/IDENTITY typed, " +
       "VIRTUAL untyped; commas inside the expression don't split the " +
       "command; DROP COLUMN in every spelling") {

@@ -69,7 +69,11 @@ class RulesSpec extends AnyFunSuite {
       Severity.High, Seq("add-unique-constraint")),
     ("V025", "CREATE INDEX CONCURRENTLY idx_users_flags ON users (flags);\n" +
       "UPDATE users SET flags = 0 WHERE flags IS NULL;",
-      Severity.Medium, Seq("mixed-concurrent-atomicity")))
+      Severity.Medium, Seq("mixed-concurrent-atomicity")),
+    ("V026", "CREATE TABLE legacy_events (id integer PRIMARY KEY, " +
+      "code char(8), happened_at timestamp, note varchar(40));",
+      Severity.Low, Seq("prefer-bigint-key", "prefer-timestamptz",
+        "ban-char-field")))
 
   for ((v, sql, expSev, expRules) <- fixtureExpectations)
     test(s"fixture $v → ${Severity.label(expSev)}") {
@@ -170,9 +174,10 @@ class RulesSpec extends AnyFunSuite {
   test("registry: the reference's nine rules + the two opaque-" +
       "container rules + the four extended lock-hazard rules + the " +
       "three partition/trigger rules + the two storage rules + the " +
-      "three column/constraint rules, unique ids") {
-    assert(Registry.defaultRules.length == 23)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 23)
+      "three column/constraint rules + the three column-type " +
+      "advisories, unique ids") {
+    assert(Registry.defaultRules.length == 26)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 26)
   }
 
   test("R19: DROP INDEX non-concurrent is MEDIUM (brief ACCESS " +
@@ -460,6 +465,48 @@ class RulesSpec extends AnyFunSuite {
       .maxSeverity == Severity.Safe)
   }
 
+  test("R25-R27: column-type advisories — 32-bit keys, naive " +
+      "timestamp, and blank-padded char flag LOW on both CREATE TABLE " +
+      "and ADD COLUMN; bigserial/timestamptz/varchar/text are silent") {
+    // the well-designed table from V001's class: no findings
+    assert(analyze("CREATE TABLE ok (id bigserial PRIMARY KEY, " +
+      "name text, created_at timestamptz, tag varchar(20));")
+      .maxSeverity == Severity.Safe)
+    // R25: id/_id with 32-bit types, both statement forms
+    for (sql <- Seq(
+        "CREATE TABLE t (id integer PRIMARY KEY);",
+        "CREATE TABLE t (user_id serial);",
+        "ALTER TABLE t ADD COLUMN account_id int;")) {
+      val r = analyze(sql)
+      assert(r.findings.map(_.rule) == Seq("prefer-bigint-key"), sql)
+      assert(r.maxSeverity == Severity.Low)
+    }
+    // a non-key int column is NOT flagged
+    assert(analyze("CREATE TABLE t (retries integer);")
+      .maxSeverity == Severity.Safe)
+    // R26: bare timestamp (incl. precision); timestamptz and
+    // `timestamp with time zone` are silent
+    for (sql <- Seq("CREATE TABLE t (at timestamp);",
+        "CREATE TABLE t (at timestamp(3));",
+        "ALTER TABLE t ADD COLUMN at timestamp;"))
+      assert(analyze(sql).findings.map(_.rule) ==
+        Seq("prefer-timestamptz"), sql)
+    assert(analyze("CREATE TABLE t (at timestamp with time zone);")
+      .maxSeverity == Severity.Safe)
+    // R27: char(n)/character(n); varchar and character varying silent
+    for (sql <- Seq("CREATE TABLE t (code char(8));",
+        "CREATE TABLE t (code character(8));"))
+      assert(analyze(sql).findings.map(_.rule) ==
+        Seq("ban-char-field"), sql)
+    assert(analyze("CREATE TABLE t (code character varying(8));")
+      .maxSeverity == Severity.Safe)
+    // table-level constraints don't confuse the column parse
+    val multi = analyze("CREATE TABLE t (id integer, code char(3), " +
+      "PRIMARY KEY (id), CONSTRAINT c CHECK (id > 0));")
+    assert(multi.findings.map(_.rule).sorted ==
+      Seq("ban-char-field", "prefer-bigint-key"))
+  }
+
   test("R10: DO block flags LOW opaque-procedural (reviewable, never " +
       "blocking) — DDL hidden in the body no longer passes as " +
       "silent-safe") {
@@ -470,7 +517,7 @@ class RulesSpec extends AnyFunSuite {
     assert(!r.hasHighOrCritical) // the gate trips at HIGH, not LOW
     // the tagged form ($tag$) and a DO mixed into a multi-statement
     // migration both classify
-    val r2 = analyze("CREATE TABLE t (id INT);\n" +
+    val r2 = analyze("CREATE TABLE t (n INT);\n" +
       "DO $body$ BEGIN PERFORM 1; END $body$;")
     assert(r2.findings.map(f => (f.rule, f.stmtIndex)) ==
       Seq(("opaque-do-block", 1)), r2.findings)
@@ -492,7 +539,7 @@ class RulesSpec extends AnyFunSuite {
     assert(!r.hasHighOrCritical)
     // PROCEDURE form, mixed into a migration; CREATE TABLE/INDEX
     // classification is untouched by the new branch
-    val r2 = analyze("CREATE TABLE t (id INT);\n" +
+    val r2 = analyze("CREATE TABLE t (n INT);\n" +
       "CREATE PROCEDURE fixup() LANGUAGE sql AS $p$ SELECT 1 $p$;\n" +
       "CREATE INDEX CONCURRENTLY idx_t ON t (id);")
     assert(r2.findings.map(f => (f.rule, f.stmtIndex)) ==
