@@ -2784,6 +2784,78 @@ object Relational2 {
         ORDER BY o_channel NULLS FIRST""")),
 
     // ------------------------------------------------------------------
+    // q104: TIME TRAVEL (`VERSION AS OF`) over the DSv2 catalog — the
+    // audit/debug/rollback read every lakehouse table keeps: MemCatalog
+    // now versions every commit (the snapshot vector Iceberg/Delta
+    // keep as manifests), and `loadTable(ident, version)` returns a
+    // PINNED table whose scans read the frozen snapshot. The query
+    // builds three versions (v0 CREATE-empty, v1 seeded append, v2
+    // q88's three-action MERGE) and censuses each via `VERSION AS OF`
+    // — crucially reading v1 AFTER the merge has rewritten the head,
+    // so the hash match proves snapshot isolation, not just replay.
+    // The oracle re-derives every version's state from source modular
+    // arithmetic.
+    // ------------------------------------------------------------------
+    "q104_time_travel" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val tbl = "graftmem.ns.tt_orders_" + new java.io.File(d)
+          .getName.replaceAll("[^A-Za-z0-9_]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, status STRING)")
+        t(s, d, "orders").filter(expr("o_orderkey % 3 = 0"))
+          .selectExpr("o_orderkey", "'seed' AS status")
+          .writeTo(tbl).append() // commit -> version 1
+        t(s, d, "orders").filter(expr("o_orderkey % 2 = 0"))
+          .selectExpr("o_orderkey", "'merged' AS status")
+          .createOrReplaceTempView("q104_src")
+        s.sql(s"""MERGE INTO $tbl t USING q104_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_orderkey % 30 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET status = s.status
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, status)
+            VALUES (s.o_orderkey, s.status)""") // commit -> version 2
+        def census(v: Int) =
+          s.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
+            .agg(count(lit(1)).as("n_rows"),
+              count(when(col("status") === "seed", 1)).as("n_seed"),
+              count(when(col("status") === "merged", 1)).as("n_merged"),
+              coalesce(sum(pmod(col("o_orderkey"), lit(9973L))), lit(0L))
+                .as("key_checksum"))
+            .select(lit(v).as("version"), col("n_rows"), col("n_seed"),
+              col("n_merged"), col("key_checksum"))
+        census(0).unionByName(census(1)).unionByName(census(2))
+          .orderBy(col("version"))
+      },
+      Some("""WITH st AS (
+          SELECT o_orderkey,
+            CASE
+              WHEN o_orderkey % 6 = 0 AND o_orderkey % 30 = 0 THEN NULL
+              WHEN o_orderkey % 6 = 0 THEN 'merged'
+              WHEN o_orderkey % 3 = 0 THEN 'seed'
+              WHEN o_orderkey % 2 = 0 THEN 'merged'
+              ELSE NULL END AS status
+          FROM orders)
+        SELECT * FROM (
+          SELECT cast(0 as int) AS version, cast(0 as bigint) AS n_rows,
+            cast(0 as bigint) AS n_seed, cast(0 as bigint) AS n_merged,
+            cast(0 as bigint) AS key_checksum
+          UNION ALL
+          SELECT 1, cast(count(*) as bigint), cast(count(*) as bigint),
+            cast(0 as bigint),
+            cast(coalesce(sum(o_orderkey % 9973), 0) as bigint)
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT 2, cast(count(*) as bigint),
+            cast(count(CASE WHEN status = 'seed' THEN 1 END) as bigint),
+            cast(count(CASE WHEN status = 'merged' THEN 1 END) as bigint),
+            cast(coalesce(sum(o_orderkey % 9973), 0) as bigint)
+          FROM st WHERE status IS NOT NULL)
+        ORDER BY version""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

@@ -59,6 +59,27 @@ class MemCatalog extends TableCatalog {
     new MemTable(key(ident), st.schema)
   }
 
+  /** TIME TRAVEL (`VERSION AS OF n`): every commit appends a snapshot
+    * to the table's history; version n is the state after the n-th
+    * commit (0 = the empty table CREATE installs). The returned table
+    * is PINNED — its scans read the frozen snapshot, not the head —
+    * which is exactly Iceberg/Delta's snapshot-isolation contract
+    * re-expressed over the memory-backed store.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val st = MemTableStore.tables.get(key(ident))
+    if (st == null) throw new NoSuchTableException(ident)
+    val v =
+      try version.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"non-integer version '$version' for ${ident.name()}")
+      }
+    require(v >= 0 && v < st.history.length,
+      s"version $v out of range [0, ${st.history.length}) for ${ident.name()}")
+    new MemTable(key(ident), st.schema, pinned = Some(st.history(v)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -91,9 +112,19 @@ object MemTableStore {
 
 final class MemTableState(val schema: StructType) {
   @volatile var rows: Array[UnsafeRow] = Array.empty
+  /** snapshot after each commit; the INDEX is the version number
+    * (history(0) = the empty state the CREATE installs). Appends are
+    * synchronized with the head swap so version numbering is gapless.
+    */
+  @volatile var history: Vector[Array[UnsafeRow]] = Vector(Array.empty)
+  def commit(newRows: Array[UnsafeRow]): Unit = synchronized {
+    rows = newRows
+    history = history :+ newRows
+  }
 }
 
-final class MemTable(key: String, tschema: StructType) extends Table
+final class MemTable(key: String, tschema: StructType,
+    pinned: Option[Array[UnsafeRow]] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
   override def name(): String = key.split('\u0000').mkString(".")
   override def schema(): StructType = tschema
@@ -103,7 +134,7 @@ final class MemTable(key: String, tschema: StructType) extends Table
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(key, tschema)
+    new MemScanBuilder(key, tschema, pinned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(key, tschema, info.schema(),
@@ -126,18 +157,19 @@ final class MemRowLevelOperation(key: String, tschema: StructType,
       truncateFirst = true)
 }
 
-final class MemScanBuilder(key: String, tschema: StructType)
-    extends ScanBuilder {
-  override def build(): Scan = new MemScan(key, tschema)
+final class MemScanBuilder(key: String, tschema: StructType,
+    pinned: Option[Array[UnsafeRow]] = None) extends ScanBuilder {
+  override def build(): Scan = new MemScan(key, tschema, pinned)
 }
 
-final class MemScan(key: String, tschema: StructType)
-    extends Scan with Batch {
+final class MemScan(key: String, tschema: StructType,
+    pinned: Option[Array[UnsafeRow]] = None) extends Scan with Batch {
   override def readSchema(): StructType = tschema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    // rows ride inside the serialized partitions — executor-correct
-    val rows = MemTableStore.tables.get(key).rows
+    // rows ride inside the serialized partitions — executor-correct;
+    // a version-pinned table reads its frozen snapshot, never the head
+    val rows = pinned.getOrElse(MemTableStore.tables.get(key).rows)
     val chunks = if (rows.isEmpty) Array(Array.empty[UnsafeRow])
       else rows.grouped(math.max(1, rows.length / 8)).toArray
     chunks.map(c => MemPartition(c): InputPartition)
@@ -184,8 +216,9 @@ final class MemBatchWrite(key: String, tschema: StructType,
       case _ => Array.empty[UnsafeRow]
     }
     val st = MemTableStore.tables.get(key)
-    // atomic version swap — readers see old or new, never a mix
-    st.rows = if (replace) incoming else st.rows ++ incoming
+    // atomic version swap — readers see old or new, never a mix; the
+    // commit also appends the snapshot to the version history
+    st.commit(if (replace) incoming else st.rows ++ incoming)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
