@@ -85,6 +85,10 @@ class PlanAuditSpec extends SparkFunSuite {
       + "generation is the df-capped posting pipeline and CC is the "
       + "d07 loop — hash joins only at corpus scale"),
     "x16_mixture_plan" -> "1-row corpus-total broadcast",
+    "x54_temperature_mixture" -> ("1-row (n_total, w_total) totals "
+      + "broadcast crossed onto the 5-row per-language plan frame "
+      + "(x16's pattern); the corpus-scale side is two hash "
+      + "aggregations and the row-local h60 rate-gate scan"),
     "g01_pagerank_parts" -> "1-row graph-size (N) broadcast per iteration",
     "x20_mixture_apply" -> "1-row corpus-total broadcast (x16's plan, applied)",
     "s02_ann_lsh" -> "1-row query vector broadcast",
