@@ -2817,16 +2817,23 @@ object Relational2 {
           WHEN NOT MATCHED THEN
             INSERT (o_orderkey, status)
             VALUES (s.o_orderkey, s.status)""") // commit -> version 2
-        def census(v: Int) =
-          s.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
+        def census(label: Int, travel: String) =
+          s.sql(s"SELECT * FROM $tbl $travel")
             .agg(count(lit(1)).as("n_rows"),
               count(when(col("status") === "seed", 1)).as("n_seed"),
               count(when(col("status") === "merged", 1)).as("n_merged"),
               coalesce(sum(pmod(col("o_orderkey"), lit(9973L))), lit(0L))
                 .as("key_checksum"))
-            .select(lit(v).as("version"), col("n_rows"), col("n_seed"),
-              col("n_merged"), col("key_checksum"))
-        census(0).unionByName(census(1)).unionByName(census(2))
+            .select(lit(label).as("version"), col("n_rows"),
+              col("n_seed"), col("n_merged"), col("key_checksum"))
+        census(0, "VERSION AS OF 0")
+          .unionByName(census(1, "VERSION AS OF 1"))
+          .unionByName(census(2, "VERSION AS OF 2"))
+          // TIMESTAMP AS OF between commits 1 and 2 (the synthetic
+          // commit clock: version v at 2000-01-01 + v s) resolves to
+          // the LATEST at-or-before snapshot — v1, labeled 101
+          .unionByName(census(101,
+            "TIMESTAMP AS OF '2000-01-01 00:00:01.5'"))
           .orderBy(col("version"))
       },
       Some("""WITH st AS (
@@ -2852,7 +2859,12 @@ object Relational2 {
             cast(count(CASE WHEN status = 'seed' THEN 1 END) as bigint),
             cast(count(CASE WHEN status = 'merged' THEN 1 END) as bigint),
             cast(coalesce(sum(o_orderkey % 9973), 0) as bigint)
-          FROM st WHERE status IS NOT NULL)
+          FROM st WHERE status IS NOT NULL
+          UNION ALL
+          SELECT 101, cast(count(*) as bigint), cast(count(*) as bigint),
+            cast(0 as bigint),
+            cast(coalesce(sum(o_orderkey % 9973), 0) as bigint)
+          FROM orders WHERE o_orderkey % 3 = 0)
         ORDER BY version""")),
 
     // ------------------------------------------------------------------

@@ -80,6 +80,25 @@ class MemCatalog extends TableCatalog {
     new MemTable(key(ident), st.schema, pinned = Some(st.history(v)))
   }
 
+  /** `TIMESTAMP AS OF`: commits carry a DETERMINISTIC synthetic clock
+    * — version v committed at 2000-01-01T00:00:00Z + v seconds — so
+    * timestamp travel is reproducible (a wall clock would make every
+    * oracle hash flaky; a real deployment records real commit times
+    * and the resolution rule below is unchanged). Spark hands micros;
+    * the snapshot is the LATEST version committed at or before it.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val st = MemTableStore.tables.get(key(ident))
+    if (st == null) throw new NoSuchTableException(ident)
+    val v = ((timestampMicros / 1000000L) -
+      MemTableStore.SyntheticEpochSeconds).toInt
+    val pinnedV = math.min(math.max(v, -1), st.history.length - 1)
+    require(pinnedV >= 0,
+      s"timestamp predates every commit of ${ident.name()}")
+    new MemTable(key(ident), st.schema,
+      pinned = Some(st.history(pinnedV)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -108,6 +127,10 @@ class MemCatalog extends TableCatalog {
 /** Driver-side versioned store: commit swaps the row array atomically. */
 object MemTableStore {
   val tables = new ConcurrentHashMap[String, MemTableState]()
+  /** 2000-01-01T00:00:00Z — the synthetic commit clock's epoch
+    * (version v "commits" v seconds after it).
+    */
+  val SyntheticEpochSeconds: Long = 946684800L
 }
 
 final class MemTableState(val schema: StructType) {
