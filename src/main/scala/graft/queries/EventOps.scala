@@ -58,6 +58,41 @@ object EventOps {
         wU.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Shared e39/p07 frame: (chosen, rejected) trajectory pairs from
+    * consecutive sessions of one user, with integer rewards
+    * (floor(value·64) summed — bit-portable, no double-sum drift) and
+    * rendered char lengths. One sessionize window + one hash agg +
+    * one adjacent-sid self-join.
+    */
+  private[queries] def preferencePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val n = sessionized(t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value")))
+    val conv = n
+      .select(col("user_id"), col("sid"), col("ts"), col("event_id"),
+        floor(col("value") * 64).cast("long").as("rw"),
+        concat(lit("<|"), col("event_type"), lit("|>e"),
+          col("event_id").cast("string")).as("turn"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sum(col("rw")).as("reward"),
+        length(concat_ws("", transform(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("turn")))),
+          x => x.getField("turn")))).cast("long").as("n_chars"))
+    conv.as("l")
+      .join(conv.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.sid") === col("l.sid") + 1)
+      .select(col("l.user_id").as("user_id"),
+        col("l.sid").as("pair_sid"),
+        (col("r.reward") > col("l.reward")).as("later_won"),
+        abs(col("l.reward") - col("r.reward")).as("gap"),
+        when(col("r.reward") > col("l.reward"), col("r.n_chars"))
+          .otherwise(col("l.n_chars")).as("chosen_chars"),
+        when(col("r.reward") > col("l.reward"), col("l.n_chars"))
+          .otherwise(col("r.n_chars")).as("rejected_chars"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -2603,31 +2638,7 @@ object EventOps {
     // ------------------------------------------------------------------
     "e39_preference_pairs" -> Q(
       (s, d) => {
-        val n = sessionized(t(s, d, "events")
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            col("ts"), col("value")))
-        val conv = n
-          .select(col("user_id"), col("sid"), col("ts"), col("event_id"),
-            floor(col("value") * 64).cast("long").as("rw"),
-            concat(lit("<|"), col("event_type"), lit("|>e"),
-              col("event_id").cast("string")).as("turn"))
-          .groupBy(col("user_id"), col("sid"))
-          .agg(sum(col("rw")).as("reward"),
-            length(concat_ws("", transform(array_sort(collect_list(
-              struct(col("ts"), col("event_id"), col("turn")))),
-              x => x.getField("turn")))).cast("long").as("n_chars"))
-        val pairs = conv.as("l")
-          .join(conv.as("r"),
-            col("l.user_id") === col("r.user_id") &&
-              col("r.sid") === col("l.sid") + 1)
-          .select(col("l.user_id").as("user_id"),
-            (col("r.reward") > col("l.reward")).as("later_won"),
-            abs(col("l.reward") - col("r.reward")).as("gap"),
-            when(col("r.reward") > col("l.reward"), col("r.n_chars"))
-              .otherwise(col("l.n_chars")).as("chosen_chars"),
-            when(col("r.reward") > col("l.reward"), col("l.n_chars"))
-              .otherwise(col("r.n_chars")).as("rejected_chars"))
-        pairs
+        preferencePairs(s, d)
           .groupBy(expr("gap div 4096").as("gap_bucket"))
           .agg(count(lit(1)).as("n_pairs"),
             count(when(col("later_won"), 1)).as("n_later_chosen"),
@@ -2675,6 +2686,135 @@ object EventOps {
           cast(sum(chosen_chars) as bigint) AS chosen_chars,
           cast(sum(rejected_chars) as bigint) AS rejected_chars
         FROM pairs GROUP BY 1
-        ORDER BY gap_bucket"""))
+        ORDER BY gap_bucket""")),
+
+    // ------------------------------------------------------------------
+    // p07: PREFERENCE-DATA PIPELINE — e39's pairs driven through the
+    // gates a DPO training run applies before the loader sees them,
+    // each stage a row in the audit census: (a) all assembled pairs
+    // with their token mass (chars div 4, e38's estimate); (b) the
+    // EVAL-HOLDOUT gate — pairs from held-out users (h60 mod 100 ≥ 90,
+    // x17's split convention) are dropped so the eval population never
+    // leaks into training (x56's leakage discipline applied to
+    // preference data); (c) the length budget — pairs over 10 tokens
+    // dropped (the truncation-vs-drop decision priced before
+    // training); (d) the surviving pairs packed into 64-token windows
+    // via the two-level block prefix sum (p06's billing machinery;
+    // items_spanning = pairs crossing a window boundary, the
+    // attention-bleed statistic). Every stage reduces its input; the
+    // offsets pass is streamOffsets' one-row-per-block shape — no
+    // corpus-wide window.
+    // ------------------------------------------------------------------
+    "p07_preference_pipeline" -> Q(
+      (s, d) => {
+        val L = 64L
+        val maxToks = 10L
+        val pairs = preferencePairs(s, d)
+          .select(
+            (col("user_id") * 100000 + col("pair_sid")).as("doc_id"),
+            col("user_id"),
+            expr("(chosen_chars + rejected_chars) div 4").as("n"))
+          .localCheckpoint() // three stage consumers + offsets
+        val train = pairs.filter(
+          pmod(graft.functions.PortableHash.h60col(
+            concat(lit("p07_"), col("user_id"))), lit(100L)) < 90)
+        val sized = train.filter(col("n") <= maxToks && col("n") > 0)
+        def stageRow(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_items"), sum(col("n")).as("mass"))
+            .select(lit(name).as("stage"), col("n_items"),
+              coalesce(col("mass"), lit(0L)).as("token_mass"),
+              lit(0L).as("n_windows"), lit(0L).as("items_spanning"))
+        val packed = sized
+          .join(graft.queries.TextOps.streamOffsets(
+            sized.select(col("doc_id"), col("n")).localCheckpoint()),
+            Seq("doc_id"))
+          .select(col("n"), col("off"),
+            expr(s"off div $L").as("sf"),
+            expr(s"(off + n - 1) div $L").as("sl"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n")).as("token_mass"),
+            (max(col("sl")) + 1).as("n_windows"),
+            count(when(col("sf") =!= col("sl"), 1))
+              .as("items_spanning"))
+          .select(lit("d_packed").as("stage"), col("n_items"),
+            col("token_mass"), col("n_windows"), col("items_spanning"))
+        stageRow(pairs, "a_pairs")
+          .unionByName(stageRow(train, "b_train"))
+          .unionByName(stageRow(sized, "c_sized"))
+          .unionByName(packed)
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH ev AS (
+          SELECT user_id, event_id, event_type,
+            cast(ts as timestamp) AS tts,
+            cast(floor(value * 64) as bigint) AS rw
+          FROM events),
+        o AS (
+          SELECT *, CASE WHEN lag(tts) OVER w IS NULL
+              OR epoch_us(tts) - epoch_us(lag(tts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)),
+        n AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+        conv AS (
+          SELECT user_id, sid,
+            cast(sum(rw) as bigint) AS reward,
+            cast(length(string_agg(
+              concat('<|', event_type, '|>e', event_id), ''
+              ORDER BY tts, event_id)) as bigint) AS n_chars
+          FROM n GROUP BY 1, 2),
+        pairs AS (
+          SELECT l.user_id * 100000 + l.sid AS doc_id, l.user_id,
+            (CASE WHEN r.reward > l.reward THEN r.n_chars
+               ELSE l.n_chars END +
+             CASE WHEN r.reward > l.reward THEN l.n_chars
+               ELSE r.n_chars END) // 4 AS tk
+          FROM conv l JOIN conv r
+            ON l.user_id = r.user_id AND r.sid = l.sid + 1),
+        train AS (
+          SELECT * FROM pairs
+          WHERE ${graft.functions.PortableHash.h60Sql("'p07_' || user_id")}
+            % 100 < 90),
+        sized AS (SELECT * FROM train WHERE tk <= 10 AND tk > 0),
+        offs AS (
+          SELECT doc_id, tk,
+            coalesce(sum(tk) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS off
+          FROM sized),
+        packed AS (
+          SELECT cast(count(*) as bigint) AS n_items,
+            cast(sum(tk) as bigint) AS token_mass,
+            cast(max((off + tk - 1) // 64) + 1 as bigint) AS n_windows,
+            cast(count(*) FILTER (
+              WHERE off // 64 <> (off + tk - 1) // 64) as bigint)
+              AS items_spanning
+          FROM offs)
+        SELECT * FROM (
+          SELECT 'a_pairs' AS stage,
+            cast(count(*) as bigint) AS n_items,
+            cast(coalesce(sum(tk), 0) as bigint) AS token_mass,
+            cast(0 as bigint) AS n_windows,
+            cast(0 as bigint) AS items_spanning
+          FROM pairs
+          UNION ALL
+          SELECT 'b_train', cast(count(*) as bigint),
+            cast(coalesce(sum(tk), 0) as bigint),
+            cast(0 as bigint), cast(0 as bigint)
+          FROM train
+          UNION ALL
+          SELECT 'c_sized', cast(count(*) as bigint),
+            cast(coalesce(sum(tk), 0) as bigint),
+            cast(0 as bigint), cast(0 as bigint)
+          FROM sized
+          UNION ALL
+          SELECT 'd_packed', n_items, token_mass, n_windows,
+            items_spanning
+          FROM packed)
+        ORDER BY stage"""))
   )
 }
