@@ -243,6 +243,9 @@ class PlanAuditSpec extends SparkFunSuite {
       + "ids then apply as one broadcast map, never a corpus window"),
     "p06_token_budget_pack" -> ("streamOffsets block prefix sum (x23's "
       + "pattern) — SinglePartition only over one row per block"),
+    "p07_preference_pipeline" -> ("streamOffsets block prefix sum over "
+      + "the surviving PAIR frame (p06's billing machinery) — "
+      + "SinglePartition only over one row per 512-pair block"),
     "e08_late_data" -> ("global arrival-order audit window — the "
       + "documented sequential batch twin (same entry as the NL "
       + "allowlist); the streaming watermark path is the scale plan"))
