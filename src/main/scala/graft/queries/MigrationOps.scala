@@ -259,7 +259,7 @@ object MigrationOps {
         WHERE (regexp_matches(s, '(?i)^\\s*CREATE\\s+(TEMP\\s+|TEMPORARY\\s+|UNLOGGED\\s+)?TABLE\\b')
                OR (regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
                    AND regexp_matches(s, '(?i)\\bADD\\s+COLUMN\\b')))
-          AND regexp_matches(s, '(?i)\\stimestamp\\s*(\\(\\d+\\))?\\s*[,)]')
+          AND regexp_matches(s, '(?i)\\stimestamp\\s*(\\(\\s*\\d+\\s*\\))?(\\s+without\\s+time\\s+zone)?(\\s*[,)]|\\s+(not|null|default|primary|unique|references|check|constraint|generated|collate)\\b|\\s*$$)')
         UNION ALL
         SELECT version, name, stmt_index, 'ban-char-field', 1,
           coalesce(nullif(regexp_extract(s,

@@ -517,6 +517,16 @@ object AddUniqueConstraintRule extends Rule {
   * parsed column list plus ALTER TABLE ADD COLUMN.
   */
 private[rules] object TypedColumns {
+  /** Canonical type spelling for the advisory rules: lowercase, paren
+    * groups tightened, runs of whitespace collapsed — so the ADD
+    * COLUMN parser's space-joined tokens ("timestamp ( 3 )") and the
+    * CREATE TABLE parser's tight form ("timestamp(3)") match the same
+    * rule regex.
+    */
+  def norm(tpe: String): String = tpe.toLowerCase
+    .replaceAll("\\s*\\(\\s*", "(").replaceAll("\\s*\\)", ")")
+    .replaceAll("\\s+", " ").trim
+
   def of(stmt: Stmt): Seq[(String, String, String)] = stmt match {
     case c: CreateTableStmt =>
       c.columns.map { case (n, t) => (c.table.render, n, t) }
@@ -558,7 +568,11 @@ object PreferTimestamptzRule extends Rule {
   def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] =
     TypedColumns.of(stmt).collectFirst {
       case (tbl, col, tpe)
-          if tpe.toLowerCase.matches("timestamp(\\(\\d+\\))?") =>
+          // bare `timestamp` AND the explicit `timestamp without time
+          // zone` spelling are the same (hazardous) type; `timestamp
+          // with time zone` / timestamptz stay safe
+          if TypedColumns.norm(tpe)
+            .matches("timestamp(\\(\\d+\\))?( without time zone)?") =>
         finding(Severity.Low, tbl, stmt, ctx,
           s"column $col is `timestamp` without time zone — its values mean different instants in different timezones and DST transitions corrupt silently",
           "Use timestamptz (timestamp with time zone); it stores an unambiguous instant",
@@ -576,7 +590,7 @@ object BanCharFieldRule extends Rule {
   def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] =
     TypedColumns.of(stmt).collectFirst {
       case (tbl, col, tpe)
-          if tpe.toLowerCase.matches("char(acter)?(\\(\\d+\\))?") =>
+          if TypedColumns.norm(tpe).matches("char(acter)?(\\(\\d+\\))?") =>
         finding(Severity.Low, tbl, stmt, ctx,
           s"column $col is blank-padded $tpe — equality and length semantics surprise, and the padding costs storage",
           "Use text (or varchar(n) if a length bound is genuinely required)",

@@ -30,7 +30,9 @@ object IvfStatsStream {
     * cent_id (the (d2, cent_id) tuple min).
     */
   private[graft] def assign(li: Seq[Long],
-      cents: Seq[(Long, Seq[Long])]): Long =
+      cents: Seq[(Long, Seq[Long])]): Long = {
+    require(li.length == cents.head._2.length,
+      s"vector dim ${li.length} != codebook dim ${cents.head._2.length}")
     cents.map { case (cid, ci) =>
       var d2 = 0L
       var i = 0
@@ -39,6 +41,7 @@ object IvfStatsStream {
       }
       (d2, cid)
     }.min._2
+  }
 
   /** The streaming operator: per-cell (n, sums) updated each
     * micro-batch (mapGroupsWithState, update mode — each batch emits
@@ -48,7 +51,13 @@ object IvfStatsStream {
       cents: Seq[(Long, Seq[Long])]): Dataset[CellStats] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // fail fast on the DRIVER for a malformed codebook: an empty one
+    // would NoSuchElement inside a task; a ragged one would silently
+    // compute partial distances (or IndexOutOfBounds) per row
+    require(cents.nonEmpty, "empty codebook")
     val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"ragged codebook: expected every centroid at dim $dim")
     vecs
       .groupByKey(v => assign(v.li, cents))
       .mapGroupsWithState[CellStats, CellStats](

@@ -131,16 +131,28 @@ final class ParquetTracker(spark: SparkSession, basePath: String)
     sb.toString
   }
 
-  private def renderRow(r: AppliedMigration): String = Seq(
-    esc(r.version), esc(r.filename), esc(r.checksum),
-    r.appliedAt.getTime.toString, r.durationMs.toString,
-    esc(r.status)).mkString("\t")
+  // appliedAt transits the WAL as epoch MICROS, not millis: parquet
+  // snapshots store microseconds, so a row that rode a delta file must
+  // come back bit-identical to one written straight into a snapshot
+  // (millis serialization made stored precision path-dependent and
+  // silently shifted a rolled-back row's appliedAt).
+  private def renderRow(r: AppliedMigration): String = {
+    val micros = Math.multiplyExact(
+      Math.floorDiv(r.appliedAt.getTime, 1000L), 1000000L) +
+      (r.appliedAt.getNanos / 1000L)
+    Seq(esc(r.version), esc(r.filename), esc(r.checksum),
+      micros.toString, r.durationMs.toString,
+      esc(r.status)).mkString("\t")
+  }
 
   private def parseRow(line: String): AppliedMigration = {
     // split on unescaped tabs (esc turned literal tabs into \t)
     val f = line.split('\t')
+    val micros = f(3).toLong
+    val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
     AppliedMigration(unesc(f(0)), unesc(f(1)), unesc(f(2)),
-      new java.sql.Timestamp(f(3).toLong), f(4).toInt, unesc(f(5)))
+      ts, f(4).toInt, unesc(f(5)))
   }
 
   /** One atomic append: tmp-write + same-dir rename. O(rows), no

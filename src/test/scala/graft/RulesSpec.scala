@@ -71,7 +71,9 @@ class RulesSpec extends AnyFunSuite {
       "UPDATE users SET flags = 0 WHERE flags IS NULL;",
       Severity.Medium, Seq("mixed-concurrent-atomicity")),
     ("V026", "CREATE TABLE legacy_events (id integer PRIMARY KEY, " +
-      "code char(8), happened_at timestamp, note varchar(40));",
+      "code char(8), happened_at timestamp NOT NULL, " +
+      "recorded_at timestamp without time zone, " +
+      "archived_at timestamptz, note varchar(40));",
       Severity.Low, Seq("prefer-bigint-key", "prefer-timestamptz",
         "ban-char-field")))
 
@@ -484,14 +486,21 @@ class RulesSpec extends AnyFunSuite {
     // a non-key int column is NOT flagged
     assert(analyze("CREATE TABLE t (retries integer);")
       .maxSeverity == Severity.Safe)
-    // R26: bare timestamp (incl. precision); timestamptz and
+    // R26: bare timestamp (incl. precision), trailing column options,
+    // and the explicit `without time zone` spelling; timestamptz and
     // `timestamp with time zone` are silent
     for (sql <- Seq("CREATE TABLE t (at timestamp);",
         "CREATE TABLE t (at timestamp(3));",
-        "ALTER TABLE t ADD COLUMN at timestamp;"))
+        "ALTER TABLE t ADD COLUMN at timestamp;",
+        "CREATE TABLE t (at timestamp NOT NULL);",
+        "CREATE TABLE t (at timestamp without time zone);",
+        "ALTER TABLE t ADD COLUMN at timestamp(6) without time zone " +
+          "DEFAULT '2020-01-01';"))
       assert(analyze(sql).findings.map(_.rule) ==
         Seq("prefer-timestamptz"), sql)
     assert(analyze("CREATE TABLE t (at timestamp with time zone);")
+      .maxSeverity == Severity.Safe)
+    assert(analyze("ALTER TABLE t ADD COLUMN at timestamp with time zone;")
       .maxSeverity == Severity.Safe)
     // R27: char(n)/character(n); varchar and character varying silent
     for (sql <- Seq("CREATE TABLE t (code char(8));",
