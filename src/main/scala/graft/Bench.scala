@@ -25,6 +25,11 @@ object Bench {
       // maxPartitionBytes to the cluster's core count.
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "256k")
+      // scan-metadata strings (DataFilters/Location) are CHAR-truncated
+      // at 100 by default, and expression-id digit width shifts the cut
+      // point run-over-run — the plan fingerprint needs the full string
+      // so its id normalization can make runs identical
+      .config("spark.sql.maxMetadataStringLength", "100000")
       // shuffle/spill files on tmpfs: /tmp is ext4 mounted with
       // `discard`, so the constant create/delete of shuffle blocks
       // across 16 queries × 4 executions triggers synchronous TRIM
@@ -109,7 +114,8 @@ object Bench {
     // (recorded at sf0.1, the driver's bench sf) additionally select
     // which queries get a confirmation re-run below.
     case class BenchRef(cal: Double, calShuf: Double, sfSuffix: String,
-        mins: Map[String, Double])
+        mins: Map[String, Double], fps: Map[String, String],
+        shufBytes: Map[String, Long])
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       "bench_reference.json")
     val ref: Option[BenchRef] = try {
@@ -123,9 +129,26 @@ object Bench {
         while (it.hasNext) {
           val e = it.next(); mins(e.getKey) = e.getValue.asDouble()
         }
+        // plan fingerprints + shuffle bytes of the committed healthy
+        // session (optional nodes — absent on a pre-telemetry file)
+        val fps = scala.collection.mutable.Map[String, String]()
+        if (node.has("plan_fp")) {
+          val fit = node.get("plan_fp").fields()
+          while (fit.hasNext) {
+            val e = fit.next(); fps(e.getKey) = e.getValue.asText()
+          }
+        }
+        val sbm = scala.collection.mutable.Map[String, Long]()
+        if (node.has("shuffle_bytes")) {
+          val sit = node.get("shuffle_bytes").fields()
+          while (sit.hasNext) {
+            val e = sit.next(); sbm(e.getKey) = e.getValue.asLong()
+          }
+        }
         Some(BenchRef(node.get("calibration_sec").asDouble(),
           node.get("calibration_shuffle_sec").asDouble(),
-          node.get("sf_suffix").asText(), mins.toMap))
+          node.get("sf_suffix").asText(), mins.toMap, fps.toMap,
+          sbm.toMap))
       }
     } catch { case _: Throwable => None }
     // Sick-session auto-recovery: rounds 9 and 10 BOTH shipped
@@ -146,6 +169,52 @@ object Bench {
     // from the artifact alone: plans regress in the min, machine load
     // shows as a fat max over an unchanged min.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Per-query plan telemetry from the LAST successful execution:
+    // canonical fingerprint of the final adaptive plan + the shuffle
+    // bytes/records it wrote (PlanTelemetry — computed OUTSIDE the
+    // timed region, from the already-final metric accumulators). A
+    // round-over-round slow min now classifies itself: fingerprint and
+    // shuffle bytes unchanged ⇒ session noise; changed ⇒ a real plan
+    // change to go read.
+    val telemetry =
+      scala.collection.mutable.Map[String, PlanTelemetry.Stats]()
+    // Session-level shuffle counter (SparkListener): the plan-level
+    // metrics above only see the RETURNED dataframe's final plan — a
+    // query that localCheckpoints its iterative rounds (g01) or writes
+    // an index during construction (d16) does its real shuffle work in
+    // jobs the final plan never shows. The listener counts every stage
+    // the timed region ran, so `job_shuffle_bytes` is the complete
+    // shuffle volume behind the measured seconds.
+    val jobShuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val jobShuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            ev: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = ev.stageInfo.taskMetrics
+          if (m != null) {
+            jobShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            jobShuffleRecords.addAndGet(
+              m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      })
+    // listener events are async — wait for the counter to go quiet
+    // (two stable reads) before snapshotting around a timed run
+    def settleListener(): Unit = {
+      var prev = -1L
+      var same = 0
+      var i = 0
+      while (same < 2 && i < 100) {
+        val v = jobShuffleBytes.get + jobShuffleRecords.get
+        if (v == prev) same += 1 else same = 0
+        prev = v
+        if (same < 2) Thread.sleep(10)
+        i += 1
+      }
+    }
+    val jobTelemetry = scala.collection.mutable.Map[String, (Long, Long)]()
     def timeQuery(name: String, n: Int): Seq[Double] =
       (1 to n).map { _ =>
         // queries may persist intermediates (d08): every iteration
@@ -157,6 +226,9 @@ object Bench {
         // manager still holding every dead checkpoint of the session
         // (r8's g01 med 18 s over an unchanged min-5.9 s plan)
         System.gc()
+        settleListener()
+        val preBytes = jobShuffleBytes.get
+        val preRecords = jobShuffleRecords.get
         val t0 = System.nanoTime()
         // Drain every output row instead of count(): count() lets
         // Catalyst prune computed columns (and collapse 1-row
@@ -169,11 +241,25 @@ object Bench {
         // recorded under count() are unchanged for agg/join-shaped
         // queries (their work was already forced; the delta is the
         // few-row final projection) — d22's reference is drain-based.
+        var qeDone: Option[org.apache.spark.sql.execution.QueryExecution] =
+          None
         try {
-          qmap(name)(spark, sfDir).queryExecution.executedPlan
+          val qe = qmap(name)(spark, sfDir).queryExecution
+          qe.executedPlan
             .execute().foreachPartition(it => while (it.hasNext) it.next())
+          qeDone = Some(qe)
         } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // fingerprint/metrics read AFTER the clock stops (driver-side
+        // string work must not ride in the measurement)
+        qeDone.foreach { qe =>
+          try telemetry(name) = PlanTelemetry.stats(qe)
+          catch { case _: Throwable => () }
+          settleListener()
+          jobTelemetry(name) = (jobShuffleBytes.get - preBytes,
+            jobShuffleRecords.get - preRecords)
+        }
+        dt
       }
     // One full measurement SESSION: pre-calibration (with the bounded
     // cooldown retry on a sick pre-leg), 3 timed runs per query,
@@ -279,6 +365,43 @@ object Bench {
           name
       }
     def f3(v: Double) = f"$v%.3f"
+    // Self-classification against the committed healthy reference:
+    // plan_changed = fingerprint differs (a REAL plan change — go read
+    // it); shuffle_changed = same plan shape but the shuffle volume
+    // moved >25% (and >4 MB absolute, so KB-scale shuffles don't flap)
+    // — data or stats drift. A slow min in NEITHER list over an
+    // unchanged fingerprint is session noise by construction.
+    val sfComparableFinal = ref.exists(r => sfDir.endsWith(r.sfSuffix))
+    val planChanged: Seq[String] =
+      if (!sfComparableFinal) Seq.empty
+      else telemetry.keys.toSeq.sorted.filter { name =>
+        ref.get.fps.get(name).exists(_ != telemetry(name).fingerprint)
+      }
+    // compared on the LISTENER bytes (the complete count — plan-level
+    // bytes miss checkpointed rounds and construction-time writes)
+    val shuffleChanged: Seq[String] =
+      if (!sfComparableFinal) Seq.empty
+      else jobTelemetry.keys.toSeq.sorted.filter { name =>
+        ref.get.shufBytes.get(name).exists { b =>
+          val d = math.abs(jobTelemetry(name)._1 - b)
+          d > math.max(b / 4, 4L << 20)
+        }
+      }
+    // Full per-query telemetry goes to a FILE (the stdout artifact
+    // archives only a bounded tail; 31 queries of fingerprints would
+    // push the canonical line out of it) — same dir the reference
+    // lives in, committed with the round.
+    val teleFile = sys.env.getOrElse("SPARK_GRAFT_TELEMETRY_FILE",
+      "bench_telemetry.json")
+    try {
+      val body = telemetry.keys.toSeq.sorted.map { name =>
+        val t = telemetry(name)
+        val (jb, jr) = jobTelemetry.getOrElse(name, (0L, 0L))
+        s""""$name":{"plan_fp":"${t.fingerprint}","shuffle_bytes":$jb,"shuffle_records":$jr,"plan_shuffle_bytes":${t.shuffleBytes},"plan_shuffle_records":${t.shuffleRecords},"exchanges":${t.exchanges},"min_sec":${f3(results.toMap.apply(name).min)}}"""
+      }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(teleFile),
+        s"""{"sf":"$sfDir","runs":$runs,"queries":$body}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(ts.min) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>
@@ -307,10 +430,21 @@ object Bench {
     // headline queries (q01/q03/q04 invisible, parsed:null). The final
     // line is the complete spec-shape JSON without the spread, sized to
     // always fit the tail whole.
+    val planChangedJson =
+      planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val shuffleChangedJson =
+      shuffleChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // fp map rides in the middle (diagnostic) line — it may be cut by
+    // the tail archive; the full record is in the telemetry file
+    val fpJson = telemetry.keys.toSeq.sorted.map { name =>
+      "\"" + name + "\":\"" + telemetry(name).fingerprint + "\""
+    }.mkString("{", ",", "}")
     println(
       s"""{"metric":"spread_detail","spread":$spread,"runs":$runs$retryJson$repeatJson,"sf":"$sfDir"}""")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":{"pre":${f3(s1.calPre)},"post":${f3(s1.calPost)}},"calibration_shuffle_sec":{"pre":${f3(s1.calShufPre)},"post":${f3(s1.calShufPost)}},"calibration_status":"$calStatus","session_repeated":$sessionRepeated,"flagged_reruns":$flaggedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"plan_telemetry","file":"$teleFile","plan_fp":$fpJson}""")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":$runs,"calibration_sec":{"pre":${f3(s1.calPre)},"post":${f3(s1.calPost)}},"calibration_shuffle_sec":{"pre":${f3(s1.calShufPre)},"post":${f3(s1.calShufPost)}},"calibration_status":"$calStatus","session_repeated":$sessionRepeated,"flagged_reruns":$flaggedJson,"plan_changed":$planChangedJson,"shuffle_changed":$shuffleChangedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,9 @@ object QProf {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("QPROF_SPLIT", "2m"))
       .config("spark.sql.files.openCostInBytes", "256k")
+      // match Bench: full scan-metadata strings so the fingerprint
+      // printed below is comparable with bench_telemetry.json
+      .config("spark.sql.maxMetadataStringLength", "100000")
       // match Bench: per-run tmpfs shuffle dir (see Bench/LocalDirs)
       .config("spark.local.dir", LocalDirs.scratch())
       .getOrCreate()
@@ -49,6 +52,20 @@ object QProf {
       df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
       println("=== final adaptive plan (post-execution) ===")
       println(df.queryExecution.executedPlan.toString)
+    }
+    // canonical fingerprint + shuffle stats of the final plan — the
+    // same values Bench writes to bench_telemetry.json, so a QProf
+    // session can confirm/deny a bench plan_changed flag directly
+    val st = PlanTelemetry.stats(df.queryExecution)
+    println(s"QPROF $name plan_fp=${st.fingerprint} " +
+      s"plan_shuffle_bytes=${st.shuffleBytes} exchanges=${st.exchanges}")
+    // QPROF_FP_DUMP=<file>: write the canonical plan text the
+    // fingerprint hashes — diffing two dumps names the exact node a
+    // bench plan_changed flag is about
+    sys.env.get("QPROF_FP_DUMP").foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        PlanTelemetry.canonicalText(
+          PlanTelemetry.finalPlan(df.queryExecution)).getBytes("UTF-8"))
     }
     spark.stop()
   }

@@ -436,6 +436,88 @@ object Multimodal {
     }
   }
 
+  final case class BlockBandPower(media_id: Long, blk: Int, bidx: Int,
+      power: Long)
+
+  /** Per-BLOCK integer Goertzel band powers over channel 0 — mm09's
+    * five integer-coefficient bands (2cos ω ∈ {2,1,0,−1,−2}: DC,
+    * fs/6, fs/4, fs/3, Nyquist) evaluated per 8-frame block instead
+    * of per VAD segment: the (time × band) energy GRID a
+    * constellation fingerprinter (mm14) picks its landmarks from.
+    * Exact integer recurrence s_k = x_k + c·s_{k-1} − s_{k-2};
+    * power = s₁² + s₂² − c·s₁·s₂ ≥ 0. The fold runs inside the
+    * batched decode, so only grid-scale rows (≤ nblocks·5 per clip)
+    * leave the partition.
+    */
+  def audioBlockGoertzel(media: Dataset[MediaRecord],
+      blockFrames: Int = 8,
+      batchSize: Int = 64): Dataset[BlockBandPower] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val cs = Array(2L, 1L, 0L, -1L, -2L)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          val (_, ch, samples) = WavCodec.decode(rec.content)
+          val frames = samples.length / ch
+          val nb = (frames + blockFrames - 1) / blockFrames
+          (0 until nb).flatMap { b =>
+            val lo = b * blockFrames
+            val hi = math.min(lo + blockFrames, frames)
+            cs.indices.map { bi =>
+              val c = cs(bi)
+              var s1 = 0L
+              var s2 = 0L
+              var f = lo
+              while (f < hi) {
+                val s0 = samples(f * ch).toLong + c * s1 - s2
+                s2 = s1; s1 = s0
+                f += 1
+              }
+              BlockBandPower(rec.media_id, b, bi,
+                s1 * s1 + s2 * s2 - c * s1 * s2)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Plant near-duplicate clips for mm14's detector to find (x44's
+    * synthesize→detect discipline: an all-green dedup proves
+    * nothing): for every clip with media_id % everyMod == 0 and at
+    * least minFrames frames, emit a SECOND clip — id + idOffset —
+    * whose content is the original decoded, the first `shiftFrames`
+    * frames dropped, re-encoded. A pure time shift: exactly what a
+    * re-upload with a trimmed lead-in looks like, and exactly the
+    * transformation constellation (time-DELTA) fingerprints are
+    * invariant to where absolute-time hashes are not.
+    */
+  def plantShiftedDups(media: Dataset[MediaRecord],
+      everyMod: Long = 29, shiftFrames: Int = 16, minFrames: Int = 48,
+      idOffset: Long = 1000000L,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.media_id % everyMod == 0).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          val (sr, ch, samples) = WavCodec.decode(rec.content)
+          val frames = samples.length / ch
+          if (frames < minFrames) None
+          else {
+            val out = new Array[Short]((frames - shiftFrames) * ch)
+            System.arraycopy(samples, shiftFrames * ch, out, 0,
+              out.length)
+            Some(rec.copy(media_id = rec.media_id + idOffset,
+              uri = rec.uri + "#shifted",
+              content = WavCodec.encode(sr, ch, out)))
+          }
+        }
+      }
+    }
+  }
+
   final case class SegmentBandPower(media_id: Long, seg_start: Int,
       seg_end: Int, band: String, power: Long)
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.mm.Multimodal
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: the binary-payload plumbing (synthesize →
@@ -844,6 +845,438 @@ object MediaOps {
         FROM p
         LEFT JOIN th ON th.doc_id = p.doc_id
         LEFT JOIN mm ON mm.doc_id = p.doc_id
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // AUDIO constellation near-dup fingerprinting — the dedup consumer
+    // the audio side lacked (images have mm06's pHash): Shazam-style
+    // landmark hashes over mm09's band energies, run through d04's
+    // band-bucket candidate discipline. Per clip: the (block × band)
+    // integer Goertzel grid (audioBlockGoertzel), one LANDMARK per
+    // 8-frame block (argmax band, ties to the lowest band index, plus
+    // a bit-length magnitude bucket — log2 via length(bin(x)), exact
+    // integers in both engines), then constellation fingerprints
+    // (band₁, mag₁, band₂, mag₂, Δblk ≤ 3) over landmark pairs. The
+    // fingerprint carries TIME DELTAS only, never absolute time — so
+    // a re-upload with a trimmed lead-in (the planted dups:
+    // plantShiftedDups drops exactly 2 blocks) keeps its hashes, the
+    // invariance absolute-position hashes (mm06's) don't have.
+    // Candidates come from the shared-fingerprint posting index
+    // (winnowCandidatePairs — df-capped, NEVER clip×clip); the census
+    // proves the detector both FIRES (every planted dup found,
+    // min_planted_shared) and DISCRIMINATES (max_other_shared below
+    // it). At 100 TB: fingerprints are the stored index, a new clip
+    // probes by its own ≤3·nblocks hashes — d14/d16's incremental
+    // posture applies unchanged.
+    // ------------------------------------------------------------------
+    "mm14_audio_constellation" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Multimodal.synthesizeWav(s, d)
+        val dups = Multimodal.plantShiftedDups(base)
+        val nPlanted = dups.toDF().select(col("media_id"))
+        val grid = Multimodal
+          .audioBlockGoertzel(base.union(dups)).toDF()
+        val wPeak = Window.partitionBy(col("media_id"), col("blk"))
+          .orderBy(col("power").desc, col("bidx"))
+        // landmark magnitude = bit length PLUS the top-5-bit mantissa
+        // of the exact integer power (a bare log2 bucket left ~75
+        // effective fingerprint values — measured 131k random
+        // candidate pairs at sf0.01; the mantissa lifts landmark
+        // entropy ~30× and random collisions collapse). All integer,
+        // engine-portable: length(bin(x)) and a variable right-shift.
+        val peaks = grid
+          .withColumn("rn", row_number().over(wPeak))
+          .filter(col("rn") === 1)
+          .withColumn("pw", greatest(col("power"), lit(1L)))
+          .withColumn("bl", length(bin(col("pw"))).cast("long"))
+          .withColumn("q", col("bl") * 1024 +
+            expr("shiftright(pw, cast(greatest(bl - 10, 0) as int))"))
+          .select(col("media_id"), col("blk"), col("bidx"), col("q"))
+        val a = peaks.select(col("media_id"), col("blk").as("ablk"),
+          col("bidx").as("b1"), col("q").as("q1"))
+        val tgt = peaks.select(col("media_id"), col("blk").as("tblk"),
+          col("bidx").as("b2"), col("q").as("q2"))
+        val dt = col("tblk") - col("ablk")
+        val fps = a.join(tgt, Seq("media_id"))
+          .filter(dt >= 1 && dt <= 3)
+          .select(col("media_id").as("doc_id"),
+            ((((col("b1") * 131072L + col("q1")) * 5 + col("b2")) *
+              131072L + col("q2")) * 4 +
+              (col("tblk") - col("ablk"))).as("fp"))
+          .distinct()
+        val pairs = TextOps.winnowCandidatePairs(fps, minShared = 3,
+          maxDf = 1000)
+        val planted = col("doc_b") === col("doc_a") + 1000000L
+        val plantedLeg = nPlanted.agg(count(lit(1)).cast("long")
+            .as("value"))
+          .select(lit("1_planted_clips").as("metric"), col("value"))
+        def pairLeg(metric: String, v: Column): DataFrame =
+          pairs.agg(coalesce(v.cast("long"), lit(0L)).as("value"))
+            .select(lit(metric).as("metric"), col("value"))
+        plantedLeg
+          .unionByName(pairLeg("2_planted_found",
+            count(when(planted, 1))))
+          .unionByName(pairLeg("3_min_planted_shared",
+            min(when(planted, col("shared_fps")))))
+          .unionByName(pairLeg("4_other_pairs",
+            count(when(!planted, 1))))
+          .unionByName(pairLeg("5_max_other_shared",
+            max(when(!planted, col("shared_fps")))))
+          .orderBy(col("metric"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, cast(1 + doc_id % 2 as int) AS ch,
+            cast(32 + doc_id % 96 as int) AS fr,
+            length(text) AS n, text
+          FROM documents),
+        m AS (
+          SELECT doc_id AS media_id, doc_id AS src_id, ch, fr, n, text,
+            0 AS shift
+          FROM p
+          UNION ALL
+          SELECT doc_id + 1000000, doc_id, ch, fr - 16, n, text, 16
+          FROM p WHERE doc_id % 29 = 0 AND fr >= 48),
+        blocks AS (
+          SELECT media_id, src_id, ch, n, text, shift, fr,
+            unnest(range(0, (fr + 7) // 8)) AS blk
+          FROM m),
+        bands AS (SELECT * FROM (VALUES (0, 2), (1, 1), (2, 0),
+          (3, -1), (4, -2)) b(bidx, c)),
+        gp AS (
+          SELECT media_id, blk, bidx, c,
+            list_reduce(
+              list_prepend([cast(0 as bigint), cast(0 as bigint)],
+                list_transform(range(blk * 8, least(blk * 8 + 8, fr)),
+                  f ->
+                  [cast(((CASE WHEN n = 0 THEN 0
+                      ELSE unicode(substr(text,
+                        cast(((f + shift) * ch) % n as int) + 1, 1))
+                        % 256 END
+                    * 131 + ((f + shift) * ch) * 7 + src_id) % 65536)
+                    - 32768 as bigint), cast(0 as bigint)])),
+              (acc, x) -> [x[1] + c * acc[1] - acc[2], acc[1]]) AS st
+          FROM blocks, bands),
+        pw AS (
+          SELECT media_id, blk, bidx,
+            cast(st[1] * st[1] + st[2] * st[2] - c * st[1] * st[2]
+              as bigint) AS power
+          FROM gp),
+        peaks AS (
+          SELECT media_id, blk, bidx,
+            cast(length(bin(greatest(power, 1))) as bigint) * 1024 +
+              (greatest(power, 1) >>
+               greatest(length(bin(greatest(power, 1))) - 10, 0)) AS q
+          FROM (SELECT media_id, blk, bidx, power,
+              row_number() OVER (PARTITION BY media_id, blk
+                ORDER BY power DESC, bidx) AS rn
+            FROM pw) t
+          WHERE rn = 1),
+        fp AS (
+          SELECT DISTINCT a.media_id AS doc_id,
+            (((a.bidx * 131072 + a.q) * 5 + t.bidx) * 131072 + t.q)
+              * 4 + (t.blk - a.blk) AS fp
+          FROM peaks a JOIN peaks t ON t.media_id = a.media_id
+            AND t.blk - a.blk BETWEEN 1 AND 3),
+        fpok AS (
+          SELECT fp FROM fp GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 1000),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            cast(count(*) as bigint) AS shared_fps
+          FROM fp a JOIN fpok f ON f.fp = a.fp
+          JOIN fp b ON b.fp = a.fp AND b.doc_id > a.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 3),
+        planted AS (SELECT count(*) AS n FROM m WHERE shift = 16)
+        SELECT * FROM (
+          SELECT '1_planted_clips' AS metric,
+            cast(n as bigint) AS value FROM planted
+          UNION ALL
+          SELECT '2_planted_found', cast(coalesce(count(*), 0) as bigint)
+          FROM cand WHERE doc_b = doc_a + 1000000
+          UNION ALL
+          SELECT '3_min_planted_shared',
+            cast(coalesce(min(shared_fps), 0) as bigint)
+          FROM cand WHERE doc_b = doc_a + 1000000
+          UNION ALL
+          SELECT '4_other_pairs', cast(coalesce(count(*), 0) as bigint)
+          FROM cand WHERE doc_b <> doc_a + 1000000
+          UNION ALL
+          SELECT '5_max_other_shared',
+            cast(coalesce(max(shared_fps), 0) as bigint)
+          FROM cand WHERE doc_b <> doc_a + 1000000
+        ) u ORDER BY metric""")),
+
+    // ------------------------------------------------------------------
+    // MULTIMODAL end-to-end pipeline — the mm family's composition
+    // entry (text has p01-p07; this is the funnel on BINARY columns):
+    // image leg = real-codec pHash near-dup keep-list (mm06's
+    // machinery — drop the larger id of every hamming ≤ 12 pair);
+    // audio leg = VAD activity gate (mm07's adaptive
+    // above-the-clip's-own-mean blocks; clips under 50% active are
+    // dropped as silence-dominated — 98 of 500 at sf0.01, measured)
+    // THEN constellation near-dup dedup ON THE GATE'S SURVIVORS
+    // (mm14's fingerprints — composition order matters, p01's
+    // discipline: dedup what you'd actually admit). The census is
+    // p02's per-source admission funnel: every stage's drop count by
+    // source, so a data-buying decision ("which crawl source ships
+    // duplicate-heavy, silence-heavy media") reads straight off the
+    // output. Corpus includes the planted shifted dups, so the audio
+    // dedup stage is PROVEN to fire, not assumed. Each decode pass is
+    // one batched mapPartitions; only block/hash-scale rows leave the
+    // partitions; candidate generation is posting-index (never
+    // clip×clip).
+    // ------------------------------------------------------------------
+    "p08_multimodal_pipeline" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val srcs = Catalog.t(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        // ---- image leg: pHash near-dup keep-list (mm06)
+        val hashes = Multimodal.aHash64(Multimodal.synthesizeBmp(s, d))
+          .toDF()
+        val bandsI = hashes.select(col("media_id").as("doc_id"),
+          explode(array((0 until 4).map { j =>
+            (shiftright(col("ahash"), 16 * j).bitwiseAND(lit(65535L)) +
+              lit(j * 65536L)).cast("long")
+          }: _*)).as("fp"))
+        val candI = TextOps.winnowCandidatePairs(bandsI, minShared = 1,
+            maxDf = 1000)
+          .select(col("doc_a"), col("doc_b"))
+        val imgDrop = candI
+          .join(hashes.select(col("media_id").as("doc_a"),
+            col("ahash").as("ha")), "doc_a")
+          .join(hashes.select(col("media_id").as("doc_b"),
+            col("ahash").as("hb")), "doc_b")
+          .filter(expr("bit_count(ha ^ hb)") <= 12)
+          .select(col("doc_b").as("media_id")).distinct()
+          .withColumn("img_dup", lit(1L))
+        // ---- audio leg 1: VAD activity gate (mm07's block energies)
+        val baseWav = Multimodal.synthesizeWav(s, d)
+        val allWav = baseWav.union(Multimodal.plantShiftedDups(baseWav))
+        val be = Multimodal.audioBlockEnergies(allWav).toDF()
+        val tot = be.groupBy(col("media_id"))
+          .agg(count(lit(1)).as("nb"), sum(col("energy")).as("te"))
+        val act = be.join(tot, "media_id")
+          .filter(col("energy") * col("nb") > col("te"))
+          .groupBy(col("media_id")).agg(count(lit(1)).as("na"))
+        val vadKeep = tot.join(act, Seq("media_id"), "left")
+          .select(col("media_id"),
+            (coalesce(col("na"), lit(0L)) * 2 >= col("nb")).as("keep"))
+        // ---- audio leg 2: constellation dedup on VAD survivors (mm14)
+        val grid = Multimodal.audioBlockGoertzel(allWav).toDF()
+          .join(vadKeep.filter(col("keep")).select(col("media_id")),
+            Seq("media_id"))
+        val wPeak = Window.partitionBy(col("media_id"), col("blk"))
+          .orderBy(col("power").desc, col("bidx"))
+        val peaks = grid
+          .withColumn("rn", row_number().over(wPeak))
+          .filter(col("rn") === 1)
+          .withColumn("pw", greatest(col("power"), lit(1L)))
+          .withColumn("bl", length(bin(col("pw"))).cast("long"))
+          .withColumn("q", col("bl") * 1024 +
+            expr("shiftright(pw, cast(greatest(bl - 10, 0) as int))"))
+          .select(col("media_id"), col("blk"), col("bidx"), col("q"))
+        val pa = peaks.select(col("media_id"), col("blk").as("ablk"),
+          col("bidx").as("b1"), col("q").as("q1"))
+        val pt = peaks.select(col("media_id"), col("blk").as("tblk"),
+          col("bidx").as("b2"), col("q").as("q2"))
+        val dtc = col("tblk") - col("ablk")
+        val fpsA = pa.join(pt, Seq("media_id"))
+          .filter(dtc >= 1 && dtc <= 3)
+          .select(col("media_id").as("doc_id"),
+            ((((col("b1") * 131072L + col("q1")) * 5 + col("b2")) *
+              131072L + col("q2")) * 4 +
+              (col("tblk") - col("ablk"))).as("fp"))
+          .distinct()
+        val audDrop = TextOps.winnowCandidatePairs(fpsA, minShared = 3,
+            maxDf = 1000)
+          .select(col("doc_b").as("media_id")).distinct()
+          .withColumn("aud_dup", lit(1L))
+        // ---- per-source admission census (p02's funnel)
+        val imgCensus = srcs.select(col("doc_id").as("media_id"),
+            col("source"))
+          .join(imgDrop, Seq("media_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("img_in"),
+            coalesce(sum(col("img_dup")), lit(0L)).as("img_dup_dropped"))
+          .withColumn("img_kept", col("img_in") - col("img_dup_dropped"))
+        val audCensus = allWav.toDF()
+          .select(col("media_id"),
+            (col("media_id") % lit(1000000L)).as("doc_id"))
+          .join(srcs, "doc_id")
+          .join(vadKeep, "media_id")
+          .join(audDrop, Seq("media_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("aud_in"),
+            count(when(!col("keep"), 1)).as("aud_vad_dropped"),
+            coalesce(sum(when(col("keep"), col("aud_dup"))), lit(0L))
+              .as("aud_dup_dropped"))
+          .withColumn("aud_kept", col("aud_in") - col("aud_vad_dropped")
+            - col("aud_dup_dropped"))
+        imgCensus.join(audCensus, Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH p AS (
+          SELECT doc_id, source, length(text) AS n, text,
+            cast(8 + doc_id % 24 as bigint) AS w,
+            cast(8 + (doc_id * 7) % 24 as bigint) AS h,
+            cast(1 + doc_id % 2 as int) AS ch,
+            cast(32 + doc_id % 96 as int) AS fr
+          FROM documents),
+        -- image leg: mm06's ahash chain
+        si AS (
+          SELECT doc_id, n, text,
+            list_transform(range(0, 64), i ->
+              ((i % 8) * w // 8) + (((i // 8) * h // 8) * w)) AS src
+          FROM p),
+        g AS (
+          SELECT doc_id,
+            list_transform(src, sx ->
+              ((CASE WHEN n = 0 THEN 0
+                  ELSE unicode(substr(text, cast(sx % n as int) + 1, 1))
+                    % 256 END)
+               + ((sx * 31 + doc_id) % 256)
+               + ((sx + (CASE WHEN n = 0 THEN 0
+                    ELSE unicode(substr(text, cast(sx % n as int) + 1, 1))
+                      % 256 END)) % 256)) // 3) AS grays
+          FROM si),
+        mmm AS (SELECT doc_id, grays,
+            cast(list_sum(grays) as bigint) // 64 AS mean FROM g),
+        hsh AS (SELECT doc_id,
+            cast(list_sum(list_transform(range(0, 64), i ->
+              CASE WHEN grays[cast(i as int) + 1] > mean
+                THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                     ELSE 1::BIGINT << cast(i as int) END
+                ELSE 0 END)) as bigint) AS ahash
+          FROM mmm),
+        ibands AS (
+          SELECT doc_id,
+            j * 65536 + ((ahash >> cast(16 * j as int)) & 65535) AS fp
+          FROM hsh, (SELECT unnest(range(0, 4)) AS j) jj),
+        ifpok AS (
+          SELECT fp FROM ibands GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 1000),
+        icand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ibands a
+          JOIN ifpok f ON f.fp = a.fp
+          JOIN ibands b ON b.fp = a.fp AND a.doc_id < b.doc_id),
+        img_drop AS (
+          SELECT DISTINCT c.doc_b AS media_id
+          FROM icand c
+          JOIN hsh x ON x.doc_id = c.doc_a
+          JOIN hsh y ON y.doc_id = c.doc_b
+          WHERE bit_count(xor(x.ahash, y.ahash)) <= 12),
+        img_census AS (
+          SELECT p.source, cast(count(*) as bigint) AS img_in,
+            cast(count(d.media_id) as bigint) AS img_dup_dropped
+          FROM p LEFT JOIN img_drop d ON d.media_id = p.doc_id
+          GROUP BY p.source),
+        -- audio corpus incl. planted shifted dups (mm14's m)
+        m AS (
+          SELECT doc_id AS media_id, doc_id AS src_id, source, ch, fr,
+            n, text, 0 AS shift
+          FROM p
+          UNION ALL
+          SELECT doc_id + 1000000, doc_id, source, ch, fr - 16, n,
+            text, 16
+          FROM p WHERE doc_id % 29 = 0 AND fr >= 48),
+        -- VAD gate: mm07's adaptive active blocks, full-clip energy
+        sv AS (
+          SELECT media_id, ch, n, text, shift,
+            unnest(range(0, fr * ch)) AS j
+          FROM m),
+        vals AS (
+          SELECT media_id, cast((j // ch) // 8 as int) AS blk,
+            ((CASE WHEN n = 0 THEN 0
+               ELSE unicode(substr(text,
+                 cast((j + shift * ch) % n as int) + 1, 1)) % 256
+              END * 131 + (j + shift * ch) * 7
+              + (media_id % 1000000)) % 65536) - 32768 AS v
+          FROM sv),
+        be AS (SELECT media_id, blk, cast(sum(v * v) as bigint)
+            AS energy
+          FROM vals GROUP BY 1, 2),
+        tot AS (SELECT media_id, cast(sum(energy) as bigint) AS te,
+            cast(count(*) as bigint) AS nb
+          FROM be GROUP BY 1),
+        act AS (SELECT be.media_id, cast(count(*) as bigint) AS na
+          FROM be JOIN tot USING (media_id)
+          WHERE be.energy * tot.nb > tot.te GROUP BY 1),
+        vad AS (
+          SELECT tot.media_id,
+            coalesce(act.na, 0) * 2 >= tot.nb AS keep
+          FROM tot LEFT JOIN act USING (media_id)),
+        -- constellation dedup on VAD survivors (mm14's chain)
+        blocks AS (
+          SELECT m.media_id, m.src_id, m.ch, m.n, m.text, m.shift, m.fr,
+            unnest(range(0, (m.fr + 7) // 8)) AS blk
+          FROM m JOIN vad ON vad.media_id = m.media_id AND vad.keep),
+        bands AS (SELECT * FROM (VALUES (0, 2), (1, 1), (2, 0),
+          (3, -1), (4, -2)) b(bidx, c)),
+        gp AS (
+          SELECT media_id, blk, bidx, c,
+            list_reduce(
+              list_prepend([cast(0 as bigint), cast(0 as bigint)],
+                list_transform(range(blk * 8, least(blk * 8 + 8, fr)),
+                  f ->
+                  [cast(((CASE WHEN n = 0 THEN 0
+                      ELSE unicode(substr(text,
+                        cast(((f + shift) * ch) % n as int) + 1, 1))
+                        % 256 END
+                    * 131 + ((f + shift) * ch) * 7 + src_id) % 65536)
+                    - 32768 as bigint), cast(0 as bigint)])),
+              (acc, x) -> [x[1] + c * acc[1] - acc[2], acc[1]]) AS st
+          FROM blocks, bands),
+        pw AS (
+          SELECT media_id, blk, bidx,
+            cast(st[1] * st[1] + st[2] * st[2] - c * st[1] * st[2]
+              as bigint) AS power
+          FROM gp),
+        peaks AS (
+          SELECT media_id, blk, bidx,
+            cast(length(bin(greatest(power, 1))) as bigint) * 1024 +
+              (greatest(power, 1) >>
+               greatest(length(bin(greatest(power, 1))) - 10, 0)) AS q
+          FROM (SELECT media_id, blk, bidx, power,
+              row_number() OVER (PARTITION BY media_id, blk
+                ORDER BY power DESC, bidx) AS rn
+            FROM pw) t
+          WHERE rn = 1),
+        afp AS (
+          SELECT DISTINCT a.media_id AS doc_id,
+            (((a.bidx * 131072 + a.q) * 5 + t.bidx) * 131072 + t.q)
+              * 4 + (t.blk - a.blk) AS fp
+          FROM peaks a JOIN peaks t ON t.media_id = a.media_id
+            AND t.blk - a.blk BETWEEN 1 AND 3),
+        afpok AS (
+          SELECT fp FROM afp GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 1000),
+        aud_drop AS (
+          SELECT doc_b AS media_id FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              count(*) AS shared
+            FROM afp a JOIN afpok f ON f.fp = a.fp
+            JOIN afp b ON b.fp = a.fp AND b.doc_id > a.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3) z
+          GROUP BY 1),
+        aud_census AS (
+          SELECT m.source, cast(count(*) as bigint) AS aud_in,
+            cast(count(*) FILTER (WHERE NOT vad.keep) as bigint)
+              AS aud_vad_dropped,
+            cast(count(ad.media_id) FILTER (WHERE vad.keep) as bigint)
+              AS aud_dup_dropped
+          FROM m
+          JOIN vad ON vad.media_id = m.media_id
+          LEFT JOIN aud_drop ad ON ad.media_id = m.media_id
+          GROUP BY m.source)
+        SELECT i.source, i.img_in, i.img_dup_dropped,
+          i.img_in - i.img_dup_dropped AS img_kept,
+          a.aud_in, a.aud_vad_dropped, a.aud_dup_dropped,
+          a.aud_in - a.aud_vad_dropped - a.aud_dup_dropped AS aud_kept
+        FROM img_census i JOIN aud_census a ON a.source = i.source
+        ORDER BY i.source"""))
   )
 }

@@ -2868,6 +2868,237 @@ object Relational2 {
         ORDER BY version""")),
 
     // ------------------------------------------------------------------
+    // CHANGE DATA FEED read (q104's missing half): q104 gave the
+    // catalog versioned snapshots; this READS THE DIFF between two of
+    // them — the Delta CDF / Iceberg incremental-read shape that turns
+    // a lakehouse table into a change stream (downstream incremental
+    // consumers process v1→v2's changes, never re-scan v2). Seed →
+    // version 1, q88's three-action MERGE → version 2, then the
+    // change set is computed from the two PINNED snapshots by a
+    // key-partitioned FULL OUTER join (m09's reconciliation
+    // machinery): pre-only → delete, post-only → insert, both-with-
+    // different-values → update_preimage + update_postimage rows. At
+    // 100 TB this join shuffles both snapshots by the table key once
+    // — a real CDF implementation reads stored change files instead,
+    // but the SEMANTICS pinned here (exactly these four row kinds,
+    // exactly these values) is the contract those files must meet.
+    // The oracle re-derives both snapshots relationally and diffs
+    // them the same way.
+    // ------------------------------------------------------------------
+    "q105_change_data_feed" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val tbl = "graftmem.ns.cdf_orders_" + new java.io.File(d)
+          .getName.replaceAll("[^A-Za-z0-9_]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(o_orderkey BIGINT, status STRING, total DOUBLE)")
+        t(s, d, "orders").filter(expr("o_orderkey % 3 = 0"))
+          .selectExpr("o_orderkey", "'seed' AS status",
+            "o_totalprice AS total")
+          .writeTo(tbl).append() // -> version 1
+        t(s, d, "orders").filter(expr("o_orderkey % 2 = 0"))
+          .selectExpr("o_orderkey", "'merged' AS status",
+            "o_totalprice * 1.25 AS total")
+          .createOrReplaceTempView("q105_src")
+        s.sql(s"""MERGE INTO $tbl t USING q105_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_orderkey % 30 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET status = s.status, total = s.total
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, status, total)
+            VALUES (s.o_orderkey, s.status, s.total)""") // -> version 2
+        val pre = s.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+          .select(col("o_orderkey"), col("status").as("pre_status"),
+            col("total").as("pre_total"))
+        val post = s.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+          .select(col("o_orderkey"), col("status").as("post_status"),
+            col("total").as("post_total"))
+        val j = pre.join(post, Seq("o_orderkey"), "full_outer")
+        val changed = col("pre_status").isNotNull &&
+          col("post_status").isNotNull &&
+          (col("pre_status") =!= col("post_status") ||
+            col("pre_total") =!= col("post_total"))
+        j.filter(col("post_status").isNull)
+          .select(col("o_orderkey"), col("pre_status").as("status"),
+            col("pre_total").as("total"),
+            lit("delete").as("change_type"))
+          .unionByName(j.filter(col("pre_status").isNull)
+            .select(col("o_orderkey"), col("post_status").as("status"),
+              col("post_total").as("total"),
+              lit("insert").as("change_type")))
+          .unionByName(j.filter(changed)
+            .select(col("o_orderkey"), col("pre_status").as("status"),
+              col("pre_total").as("total"),
+              lit("update_preimage").as("change_type")))
+          .unionByName(j.filter(changed)
+            .select(col("o_orderkey"), col("post_status").as("status"),
+              col("post_total").as("total"),
+              lit("update_postimage").as("change_type")))
+          .orderBy(col("o_orderkey"), col("change_type"))
+      },
+      Some("""WITH v1 AS (
+          SELECT o_orderkey, 'seed' AS status, o_totalprice AS total
+          FROM orders WHERE o_orderkey % 3 = 0),
+        v2 AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 6 = 0 THEN 'merged'
+              WHEN o_orderkey % 3 = 0 THEN 'seed'
+              ELSE 'merged' END AS status,
+            CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 1.25
+              WHEN o_orderkey % 3 = 0 THEN o_totalprice
+              ELSE o_totalprice * 1.25 END AS total
+          FROM orders
+          WHERE (o_orderkey % 3 = 0 OR o_orderkey % 2 = 0)
+            AND o_orderkey % 30 <> 0),
+        j AS (
+          SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+            v1.status AS pre_status, v1.total AS pre_total,
+            v2.status AS post_status, v2.total AS post_total
+          FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        SELECT * FROM (
+          SELECT o_orderkey, pre_status AS status, pre_total AS total,
+            'delete' AS change_type
+          FROM j WHERE post_status IS NULL
+          UNION ALL
+          SELECT o_orderkey, post_status, post_total, 'insert'
+          FROM j WHERE pre_status IS NULL
+          UNION ALL
+          SELECT o_orderkey, pre_status, pre_total, 'update_preimage'
+          FROM j WHERE pre_status IS NOT NULL AND post_status IS NOT NULL
+            AND (pre_status <> post_status OR pre_total <> post_total)
+          UNION ALL
+          SELECT o_orderkey, post_status, post_total, 'update_postimage'
+          FROM j WHERE pre_status IS NOT NULL AND post_status IS NOT NULL
+            AND (pre_status <> post_status OR pre_total <> post_total)
+        ) u ORDER BY o_orderkey, change_type""")),
+
+    // ------------------------------------------------------------------
+    // MERGE-ON-READ row-level operations (q88's other production
+    // posture): the SAME three-action MERGE, but through
+    // MemDeltaCatalog's SupportsDelta operation, so Catalyst plans the
+    // delta-based WriteDelta — the write ships ONLY typed (insert /
+    // update / delete) change rows keyed by rowId and never rewrites
+    // unmatched rows — instead of group-based ReplaceData's full
+    // rewrite. At 100 TB this is the write-amplification dial:
+    // copy-on-write pays O(table) per MERGE for cheap reads,
+    // merge-on-read pays O(changes) per MERGE (Iceberg v2 delete
+    // files / Delta DVs) and defers the merge to readers. The oracle
+    // is q88's oracle VERBATIM — the hash proves the two postures
+    // converge to the identical table; PlanGateSpec pins WriteDelta
+    // (not ReplaceData) in this query's plan.
+    // ------------------------------------------------------------------
+    "q106_merge_on_read" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftdelta",
+          "graft.sources.MemDeltaCatalog")
+        val tbl = "graftdelta.ns.mor_orders_" + new java.io.File(d)
+          .getName.replaceAll("[^A-Za-z0-9_]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // rowId columns must be non-nullable (Catalyst rejects a
+        // nullable row identity for delta writes — correctly: a NULL
+        // key can't address the row it should update/delete)
+        s.sql(s"CREATE TABLE $tbl " +
+          "(o_orderkey BIGINT NOT NULL, status STRING, total DOUBLE)")
+        t(s, d, "orders").filter(expr("o_orderkey % 3 = 0"))
+          .selectExpr("o_orderkey", "'seed' AS status",
+            "o_totalprice AS total")
+          .writeTo(tbl).append()
+        t(s, d, "orders").filter(expr("o_orderkey % 2 = 0"))
+          .selectExpr("o_orderkey", "'merged' AS status",
+            "o_totalprice * 1.25 AS total")
+          .createOrReplaceTempView("q106_src")
+        s.sql(s"""MERGE INTO $tbl t USING q106_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_orderkey % 30 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET status = s.status, total = s.total
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, status, total)
+            VALUES (s.o_orderkey, s.status, s.total)""")
+        s.table(tbl).orderBy(col("o_orderkey"))
+      },
+      Some("""WITH seed AS (
+          SELECT o_orderkey, 'seed' AS status, o_totalprice AS total
+          FROM orders WHERE o_orderkey % 3 = 0),
+        src AS (
+          SELECT o_orderkey, 'merged' AS status,
+            o_totalprice * 1.25 AS total
+          FROM orders WHERE o_orderkey % 2 = 0),
+        merged AS (
+          SELECT t.o_orderkey, src.status, src.total
+          FROM seed t JOIN src ON src.o_orderkey = t.o_orderkey
+          WHERE t.o_orderkey % 30 <> 0
+          UNION ALL
+          SELECT t.o_orderkey, t.status, t.total FROM seed t
+          WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+          UNION ALL
+          SELECT src.o_orderkey, src.status, src.total FROM src
+          WHERE src.o_orderkey NOT IN (SELECT o_orderkey FROM seed))
+        SELECT o_orderkey, status, total FROM merged
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // V2 FunctionCatalog (the one extension surface the repo hadn't
+    // exercised): the engine's portable primitives registered as
+    // CATALOG functions — graftfn.ns.h60 / graftfn.ns.cosinef — and
+    // called from BARE SQL TEXT, the way Iceberg ships its
+    // bucket/truncate transforms. Both implement the magic-method
+    // contract, so the calls compile to codegen'd Invoke, not the
+    // row-boxing produceResult fallback (PlanGateSpec pins the plan).
+    // Two legs: an h60 bucket census over documents (the x17 split
+    // gate, now spelled in SQL), and cosinef(embedding,
+    // reverse(embedding)) per probe vector (a non-trivial row-local
+    // float-array computation). The oracle re-derives h60 as the
+    // md5-prefix arithmetic and the cosine over cast double lists.
+    // ------------------------------------------------------------------
+    "q107_v2_catalog_functions" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftfn",
+          "graft.sources.GraftFunctionCatalog")
+        t(s, d, "documents").createOrReplaceTempView("q107_docs")
+        t(s, d, "embeddings").createOrReplaceTempView("q107_emb")
+        s.sql("""WITH hb AS (
+            SELECT graftfn.ns.h60(concat('q107_', cast(doc_id as string)))
+              % 16 AS b
+            FROM q107_docs),
+          hc AS (SELECT b, count(*) AS n FROM hb GROUP BY b),
+          cs AS (
+            SELECT vec_id,
+              graftfn.ns.cosinef(embedding, reverse(embedding)) AS c
+            FROM q107_emb WHERE vec_id < 20)
+          SELECT fn, k, n, val FROM (
+            SELECT 'h60' AS fn, b AS k, n, cast(0.0 as double) AS val
+            FROM hc
+            UNION ALL
+            SELECT 'cosinef', vec_id, cast(0 as bigint), c FROM cs) u
+          ORDER BY fn, k""")
+      },
+      Some(s"""WITH hb AS (
+          SELECT ${graft.functions.PortableHash.h60Sql(
+            "'q107_' || doc_id")} % 16 AS b
+          FROM documents),
+        hc AS (SELECT b, cast(count(*) as bigint) AS n FROM hb
+          GROUP BY b),
+        e AS (SELECT vec_id,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings WHERE vec_id < 20),
+        cs AS (SELECT vec_id,
+            list_dot_product(v, list_reverse(v))
+              / sqrt(list_dot_product(v, v))
+              / sqrt(list_dot_product(list_reverse(v), list_reverse(v)))
+              AS c
+          FROM e)
+        SELECT * FROM (
+          SELECT 'h60' AS fn, cast(b as bigint) AS k, n,
+            cast(0.0 as double) AS val
+          FROM hc
+          UNION ALL
+          SELECT 'cosinef', cast(vec_id as bigint), cast(0 as bigint), c
+          FROM cs) u
+        ORDER BY fn, k""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

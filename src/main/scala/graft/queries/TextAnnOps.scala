@@ -1987,6 +1987,16 @@ object TextAnnOps {
           .withColumn("cos", cosine(col("embedding"), col("qe")))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10).select(col("vec_id"))
+        // e_graph — s25's beam search over the s15 k-NN graph (shared
+        // graphBeamSearch machinery): candidates = every node the
+        // search SCORED (the honest rows-scanned bill of the
+        // navigate-don't-scan posture); its top-10 ranks by the same
+        // cosine the other legs use
+        val (snaps, _) = graphBeamSearch(base)
+        val graphScored = snaps.last._2
+        val graphTop = graphScored.filter(col("vec_id") =!= 0)
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10).select(col("vec_id"))
         legRow("a_exact", nAll, truth)
           .unionAll(legRow("b_lsh6",
             lshCand.agg(count(lit(1)).as("n_candidates")),
@@ -1995,6 +2005,9 @@ object TextAnnOps {
             ivfCand.agg(count(lit(1)).as("n_candidates")),
             top10(ivfCand)))
           .unionAll(legRow("d_sq8", nAll, sqTop))
+          .unionAll(legRow("e_graph",
+            graphScored.agg(count(lit(1)).as("n_candidates")),
+            graphTop))
           .orderBy(col("method"))
       },
       Some("""WITH e AS (
@@ -2080,6 +2093,122 @@ object TextAnnOps {
           SELECT rn2.vec_id FROM rn2, rq WHERE rn2.vec_id <> 0
           ORDER BY list_dot_product(rn2.rv, rq.qrv) / rn2.nrm / rq.qnrm
             DESC, rn2.vec_id LIMIT 10),
+        -- e_graph: s25's beam search over the s15 k-NN graph (the 'g'
+        -- CTEs mirror s25's oracle; kCells-sized codebook, NOT the
+        -- 8-cent probe codebook above)
+        nv AS (SELECT count(*) AS cnt FROM n),
+        cg AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n, nv WHERE vec_id < greatest(8, least(
+            (nv.cnt + 63) // 64,
+            cast(ceil(sqrt(4 * nv.cnt)) as bigint)))),
+        asgng AS (
+          SELECT vec_id, v, nrm, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC,
+                cent_id) AS rn
+          FROM n, cg),
+        assignedg AS (SELECT vec_id, v, nrm, cent_id
+          FROM asgng WHERE rn = 1),
+        cellpairsg AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM assignedg x JOIN assignedg y ON x.cent_id = y.cent_id
+            AND x.vec_id <> y.vec_id),
+        rnd0g AS (
+          SELECT x.vec_id AS a,
+            (x.vec_id + 1 +
+             (('0x' || substr(md5('nn_init_' || x.vec_id || '_' || j),
+               1, 15))::BIGINT % (nv.cnt - 1))) % nv.cnt AS b
+          FROM n x, nv, (SELECT unnest([0, 1, 2]) AS j)),
+        rndscg AS (
+          SELECT r.a, r.b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM (SELECT DISTINCT a, b FROM rnd0g WHERE a <> b) r
+          JOIN n x ON x.vec_id = r.a
+          JOIN n y ON y.vec_id = r.b),
+        cellknng AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM cellpairsg) t WHERE rn <= 5),
+        poolg AS (SELECT a, b FROM cellknng
+          UNION SELECT a, b FROM rndscg),
+        undg AS (SELECT a AS m, b AS x FROM poolg
+          UNION SELECT b, a FROM poolg),
+        knn0g AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM (SELECT * FROM cellpairsg UNION ALL
+                  SELECT * FROM rndscg) u0) t WHERE rn <= 5),
+        propsg AS (
+          SELECT DISTINCT p.x AS a, w.x AS b
+          FROM undg p JOIN undg w ON p.m = w.m AND p.x <> w.x
+          JOIN assignedg ax ON ax.vec_id = p.x
+          JOIN assignedg ay ON ay.vec_id = w.x
+          WHERE ax.cent_id <> ay.cent_id
+            AND NOT EXISTS (SELECT 1 FROM rndscg k
+              WHERE k.a = p.x AND k.b = w.x)),
+        nonscoredg AS (
+          SELECT p.a, p.b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM propsg p
+          JOIN n x ON x.vec_id = p.a
+          JOIN n y ON y.vec_id = p.b),
+        knn1g AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM (SELECT * FROM knn0g UNION ALL
+                  SELECT * FROM nonscoredg) u) t
+          WHERE rn <= 5),
+        und2g AS (SELECT a AS m, b AS x FROM knn1g
+          UNION SELECT b, a FROM knn1g),
+        sc0g AS MATERIALIZED (
+          SELECT cg.cent_id AS vec_id,
+            list_dot_product(cg.cv, q.qv) / cg.cnrm / q.qnrm AS cos
+          FROM cg, q),
+        f1g AS (SELECT vec_id FROM sc0g
+          ORDER BY cos DESC, vec_id LIMIT 4),
+        nb1g AS (SELECT DISTINCT u.x AS vec_id
+          FROM und2g u JOIN f1g ON u.m = f1g.vec_id),
+        new1g AS (
+          SELECT x.vec_id,
+            list_dot_product(x.v, q.qv) / x.nrm / q.qnrm AS cos
+          FROM nb1g nb JOIN n x ON x.vec_id = nb.vec_id, q
+          WHERE nb.vec_id NOT IN (SELECT vec_id FROM sc0g)),
+        sc1g AS MATERIALIZED (
+          SELECT * FROM sc0g UNION ALL SELECT * FROM new1g),
+        exp1g AS (SELECT vec_id FROM f1g),
+        f2g AS (SELECT vec_id FROM sc1g
+          WHERE vec_id NOT IN (SELECT vec_id FROM exp1g)
+          ORDER BY cos DESC, vec_id LIMIT 4),
+        nb2g AS (SELECT DISTINCT u.x AS vec_id
+          FROM und2g u JOIN f2g ON u.m = f2g.vec_id),
+        new2g AS (
+          SELECT x.vec_id,
+            list_dot_product(x.v, q.qv) / x.nrm / q.qnrm AS cos
+          FROM nb2g nb JOIN n x ON x.vec_id = nb.vec_id, q
+          WHERE nb.vec_id NOT IN (SELECT vec_id FROM sc1g)),
+        sc2g AS MATERIALIZED (
+          SELECT * FROM sc1g UNION ALL SELECT * FROM new2g),
+        exp2g AS (SELECT vec_id FROM exp1g
+          UNION SELECT vec_id FROM f2g),
+        f3g AS (SELECT vec_id FROM sc2g
+          WHERE vec_id NOT IN (SELECT vec_id FROM exp2g)
+          ORDER BY cos DESC, vec_id LIMIT 4),
+        nb3g AS (SELECT DISTINCT u.x AS vec_id
+          FROM und2g u JOIN f3g ON u.m = f3g.vec_id),
+        new3g AS (
+          SELECT x.vec_id,
+            list_dot_product(x.v, q.qv) / x.nrm / q.qnrm AS cos
+          FROM nb3g nb JOIN n x ON x.vec_id = nb.vec_id, q
+          WHERE nb.vec_id NOT IN (SELECT vec_id FROM sc2g)),
+        sc3g AS MATERIALIZED (
+          SELECT * FROM sc2g UNION ALL SELECT * FROM new3g),
+        gr_top AS MATERIALIZED (
+          SELECT vec_id FROM sc3g WHERE vec_id <> 0
+          ORDER BY cos DESC, vec_id LIMIT 10),
         tot AS (SELECT cast(count(*) as bigint) - 1 AS nall FROM e)
         SELECT * FROM (
           SELECT 'a_exact' AS method,
@@ -2098,6 +2227,11 @@ object TextAnnOps {
           UNION ALL
           SELECT 'd_sq8', (SELECT nall FROM tot),
             (SELECT cast(count(*) as bigint) FROM sq_top
+             WHERE vec_id IN (SELECT vec_id FROM truth))
+          UNION ALL
+          SELECT 'e_graph',
+            (SELECT cast(count(*) as bigint) FROM sc3g),
+            (SELECT cast(count(*) as bigint) FROM gr_top
              WHERE vec_id IN (SELECT vec_id FROM truth))
         ) ORDER BY method""")),
 
@@ -2924,6 +3058,199 @@ object TextAnnOps {
                 - (osums[i+1] // greatest(n_old, 1)))))
               as bigint) AS drift2
           FROM merged)
-        ORDER BY cent_id"""))
+        ORDER BY cent_id""")),
+
+    // ------------------------------------------------------------------
+    // GRAPH-BASED ANN SEARCH (s25) — the family's retrieval gap
+    // closed: s15 BUILDS a k-NN graph, this SEARCHES one. Greedy beam
+    // search in the HNSW/DiskANN style over the stored s15 NN-descent
+    // graph (same nnDescentGraph machinery — knn1's directed top-5
+    // edges, traversed undirected): entry = score the kCells IVF
+    // centroids (the fixed, deterministic entry probe HNSW's top
+    // layer plays), then R=3 rounds of: pick the beam (top-4 scored-
+    // but-unexpanded, ties by vec_id), expand their graph neighbors,
+    // score only NEVER-SCORED arrivals against the query. Everything
+    // is deterministic — fixed entry, bounded frontier, fixed rounds,
+    // total tie-breaks — so the oracle replays the rounds as unrolled
+    // CTEs (g12's delta-frontier discipline, query-side). The census
+    // prices the posture per round: n_scored is the cumulative cosine
+    // bill (the rows-scanned leg), recall10 the quality leg vs the
+    // exact top-10 — the beam reaches recall comparable to scanning
+    // the corpus while scoring ~a tenth of it. At 100 TB the graph is
+    // the stored artifact (s15 built it once); a query's search
+    // touches O(beam·k·rounds) vectors via point lookups — the
+    // navigate-don't-scan posture production vector stores ship.
+    // ------------------------------------------------------------------
+    "s25_graph_beam_search" -> Q(
+      (s, d) => {
+        val (snaps, truth) = graphBeamSearch(emb(s, d))
+        def censusRow(r: Int, sc: DataFrame): DataFrame = {
+          // the query node rides the WALK (its neighbors are the
+          // target region) but never the ANSWER
+          val top10 = sc.filter(col("vec_id") =!= 0)
+            .orderBy(col("cos").desc, col("vec_id"))
+            .limit(10).select(col("vec_id"))
+          sc.agg(count(lit(1)).as("n_scored")).crossJoin(
+            top10.join(truth, Seq("vec_id"), "left_semi")
+              .agg(count(lit(1)).as("recall10")))
+            .select(lit(r).as("step"), col("n_scored"), col("recall10"))
+        }
+        snaps.map { case (r, sc) => censusRow(r, sc) }
+          .reduce(_ unionByName _)
+          .orderBy(col("step"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> cast(x as double)) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        nv AS (SELECT count(*) AS cnt FROM n),
+        c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+          FROM n, nv WHERE vec_id < greatest(8, least(
+            (nv.cnt + 63) // 64,
+            cast(ceil(sqrt(4 * nv.cnt)) as bigint)))),
+        asgn AS (
+          SELECT vec_id, v, nrm, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_dot_product(v, cv) / nrm / cnrm DESC,
+                cent_id) AS rn
+          FROM n, c),
+        assigned AS (SELECT vec_id, v, nrm, cent_id
+          FROM asgn WHERE rn = 1),
+        cellpairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM assigned x JOIN assigned y ON x.cent_id = y.cent_id
+            AND x.vec_id <> y.vec_id),
+        rnd0 AS (
+          SELECT x.vec_id AS a,
+            (x.vec_id + 1 +
+             (('0x' || substr(md5('nn_init_' || x.vec_id || '_' || j),
+               1, 15))::BIGINT % (nv.cnt - 1))) % nv.cnt AS b
+          FROM n x, nv, (SELECT unnest([0, 1, 2]) AS j)),
+        rndsc AS (
+          SELECT r.a, r.b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM (SELECT DISTINCT a, b FROM rnd0 WHERE a <> b) r
+          JOIN n x ON x.vec_id = r.a
+          JOIN n y ON y.vec_id = r.b),
+        cellknn AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM cellpairs) t WHERE rn <= 5),
+        pool AS (SELECT a, b FROM cellknn
+          UNION SELECT a, b FROM rndsc),
+        und AS (SELECT a AS m, b AS x FROM pool
+          UNION SELECT b, a FROM pool),
+        knn0 AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM (SELECT * FROM cellpairs UNION ALL
+                  SELECT * FROM rndsc) u0) t WHERE rn <= 5),
+        props AS (
+          SELECT DISTINCT p.x AS a, q.x AS b
+          FROM und p JOIN und q ON p.m = q.m AND p.x <> q.x
+          JOIN assigned ax ON ax.vec_id = p.x
+          JOIN assigned ay ON ay.vec_id = q.x
+          WHERE ax.cent_id <> ay.cent_id
+            AND NOT EXISTS (SELECT 1 FROM rndsc k
+              WHERE k.a = p.x AND k.b = q.x)),
+        nonscored AS (
+          SELECT p.a, p.b,
+            list_dot_product(x.v, y.v) / x.nrm / y.nrm AS cos
+          FROM props p
+          JOIN n x ON x.vec_id = p.a
+          JOIN n y ON y.vec_id = p.b),
+        knn1 AS (
+          SELECT a, b, cos FROM (
+            SELECT a, b, cos, row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b) AS rn
+            FROM (SELECT * FROM knn0 UNION ALL
+                  SELECT * FROM nonscored) u) t
+          WHERE rn <= 5),
+        -- the stored graph, traversed undirected
+        und2 AS (SELECT a AS m, b AS x FROM knn1
+          UNION SELECT b, a FROM knn1),
+        qv AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        -- round 0: score ALL kCells centroids (the entry probe);
+        -- the query node stays traversable, excluded from RESULTS only
+        sc0 AS MATERIALIZED (
+          SELECT c.cent_id AS vec_id,
+            list_dot_product(c.cv, q.qv) / c.cnrm / q.qnrm AS cos
+          FROM c, qv q),
+        f1 AS (SELECT vec_id FROM sc0
+          ORDER BY cos DESC, vec_id LIMIT 4),
+        nb1 AS (SELECT DISTINCT u.x AS vec_id
+          FROM und2 u JOIN f1 ON u.m = f1.vec_id),
+        new1 AS (
+          SELECT x.vec_id,
+            list_dot_product(x.v, q.qv) / x.nrm / q.qnrm AS cos
+          FROM nb1 b JOIN n x ON x.vec_id = b.vec_id, qv q
+          WHERE b.vec_id NOT IN (SELECT vec_id FROM sc0)),
+        sc1 AS MATERIALIZED (
+          SELECT * FROM sc0 UNION ALL SELECT * FROM new1),
+        exp1 AS (SELECT vec_id FROM f1),
+        f2 AS (SELECT vec_id FROM sc1
+          WHERE vec_id NOT IN (SELECT vec_id FROM exp1)
+          ORDER BY cos DESC, vec_id LIMIT 4),
+        nb2 AS (SELECT DISTINCT u.x AS vec_id
+          FROM und2 u JOIN f2 ON u.m = f2.vec_id),
+        new2 AS (
+          SELECT x.vec_id,
+            list_dot_product(x.v, q.qv) / x.nrm / q.qnrm AS cos
+          FROM nb2 b JOIN n x ON x.vec_id = b.vec_id, qv q
+          WHERE b.vec_id NOT IN (SELECT vec_id FROM sc1)),
+        sc2 AS MATERIALIZED (
+          SELECT * FROM sc1 UNION ALL SELECT * FROM new2),
+        exp2 AS (SELECT vec_id FROM exp1
+          UNION SELECT vec_id FROM f2),
+        f3 AS (SELECT vec_id FROM sc2
+          WHERE vec_id NOT IN (SELECT vec_id FROM exp2)
+          ORDER BY cos DESC, vec_id LIMIT 4),
+        nb3 AS (SELECT DISTINCT u.x AS vec_id
+          FROM und2 u JOIN f3 ON u.m = f3.vec_id),
+        new3 AS (
+          SELECT x.vec_id,
+            list_dot_product(x.v, q.qv) / x.nrm / q.qnrm AS cos
+          FROM nb3 b JOIN n x ON x.vec_id = b.vec_id, qv q
+          WHERE b.vec_id NOT IN (SELECT vec_id FROM sc2)),
+        sc3 AS MATERIALIZED (
+          SELECT * FROM sc2 UNION ALL SELECT * FROM new3),
+        truth AS MATERIALIZED (
+          SELECT x.vec_id FROM n x, qv q WHERE x.vec_id <> 0
+          ORDER BY list_dot_product(x.v, q.qv) / x.nrm / q.qnrm DESC,
+            x.vec_id LIMIT 10),
+        t0 AS (SELECT vec_id FROM sc0 WHERE vec_id <> 0
+          ORDER BY cos DESC, vec_id LIMIT 10),
+        t1 AS (SELECT vec_id FROM sc1 WHERE vec_id <> 0
+          ORDER BY cos DESC, vec_id LIMIT 10),
+        t2 AS (SELECT vec_id FROM sc2 WHERE vec_id <> 0
+          ORDER BY cos DESC, vec_id LIMIT 10),
+        t3 AS (SELECT vec_id FROM sc3 WHERE vec_id <> 0
+          ORDER BY cos DESC, vec_id LIMIT 10)
+        SELECT * FROM (
+          SELECT cast(0 as int) AS step,
+            (SELECT cast(count(*) as bigint) FROM sc0) AS n_scored,
+            (SELECT cast(count(*) as bigint) FROM t0
+              WHERE vec_id IN (SELECT vec_id FROM truth)) AS recall10
+          UNION ALL
+          SELECT cast(1 as int),
+            (SELECT cast(count(*) as bigint) FROM sc1),
+            (SELECT cast(count(*) as bigint) FROM t1
+              WHERE vec_id IN (SELECT vec_id FROM truth))
+          UNION ALL
+          SELECT cast(2 as int),
+            (SELECT cast(count(*) as bigint) FROM sc2),
+            (SELECT cast(count(*) as bigint) FROM t2
+              WHERE vec_id IN (SELECT vec_id FROM truth))
+          UNION ALL
+          SELECT cast(3 as int),
+            (SELECT cast(count(*) as bigint) FROM sc3),
+            (SELECT cast(count(*) as bigint) FROM t3
+              WHERE vec_id IN (SELECT vec_id FROM truth))
+        ) u ORDER BY step"""))
   )
 }

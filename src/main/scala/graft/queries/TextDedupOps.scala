@@ -2283,9 +2283,57 @@ object TextDedupOps {
           .select(lit("doc_longest").as("kind"), col("bucket"),
             col("n"), col("n").as("n_docs"), col("chars_total"),
             col("max_len"))
-        alls.unionByName(longest).orderBy(col("kind"), col("bucket"))
+        // the df-cap knob (d30's posting discipline as an OPTION): the
+        // same census with grams capped at df ≤ 8, plus one coverage
+        // row pricing what the cap costs — zz_coverage carries
+        // (bucket=the cap, n=uncapped spans, n_docs=capped spans,
+        // chars_total=span chars LOST to the cap, max_len=loss ppm).
+        // Uncapped d29 ran char-bound ×140 on the clone corpus's
+        // worst case; the capped plan is bounded by construction —
+        // this row is the price tag for choosing it.
+        val slC = graft.queries.TextOps.dupSpans(
+            graft.queries.TextOps.normDocs(s, d), 20, maxDf = 8L)
+          .select(col("doc_id"), (col("e") - col("s") + 1).as("len"))
+        val capped = slC.groupBy(expr("len div 20").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("len")).as("chars_total"),
+            max(col("len")).as("max_len"))
+          .select(lit("capped_spans").as("kind"), col("bucket"),
+            col("n"), col("n_docs"), col("chars_total"), col("max_len"))
+        val coverage = sl
+          .agg(count(lit(1)).as("nu"),
+            coalesce(sum(col("len")), lit(0L)).as("cu"))
+          .crossJoin(slC.agg(count(lit(1)).as("nc"),
+            coalesce(sum(col("len")), lit(0L)).as("cc")))
+          .select(lit("zz_coverage").as("kind"), lit(8L).as("bucket"),
+            col("nu").as("n"), col("nc").as("n_docs"),
+            (col("cu") - col("cc")).as("chars_total"),
+            expr("1000000 * (cu - cc) div greatest(cu, 1)")
+              .as("max_len"))
+        alls.unionByName(longest).unionByName(capped)
+          .unionByName(coverage)
+          .orderBy(col("kind"), col("bucket"))
       },
       Some(graft.queries.TextOps.spanCleanedSqlCtes + """,
+        crossg_c AS (
+          SELECT g FROM (SELECT DISTINCT doc_id, g FROM posts)
+          GROUP BY g HAVING count(*) BETWEEN 2 AND 8),
+        dup_c AS (SELECT DISTINCT p.doc_id, p.pos
+          FROM posts p JOIN crossg_c USING (g)),
+        isl0_c AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+          FROM dup_c WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl1_c AS (
+          SELECT doc_id, pos,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM isl0_c),
+        spans_c AS (
+          SELECT doc_id, isl, min(pos) AS s, max(pos) + 19 AS e
+          FROM isl1_c GROUP BY doc_id, isl),
+        sl_c AS (SELECT doc_id, e - s + 1 AS len FROM spans_c),
         sl AS (SELECT doc_id, e - s + 1 AS len FROM spans),
         alls AS (
           SELECT 'all_spans' AS kind,
@@ -2303,9 +2351,27 @@ object TextDedupOps {
             cast(count(*) as bigint) AS n_docs,
             cast(sum(mlen) as bigint) AS chars_total,
             cast(max(mlen) as bigint) AS max_len
-          FROM dl GROUP BY 2)
+          FROM dl GROUP BY 2),
+        capped AS (
+          SELECT 'capped_spans' AS kind,
+            cast(len // 20 as bigint) AS bucket,
+            cast(count(*) as bigint) AS n,
+            cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+            cast(sum(len) as bigint) AS chars_total,
+            cast(max(len) as bigint) AS max_len
+          FROM sl_c GROUP BY 2),
+        cova AS (SELECT cast(count(*) as bigint) AS nu,
+            cast(coalesce(sum(len), 0) as bigint) AS cu FROM sl),
+        covb AS (SELECT cast(count(*) as bigint) AS nc,
+            cast(coalesce(sum(len), 0) as bigint) AS cc FROM sl_c),
+        cov AS (
+          SELECT 'zz_coverage' AS kind, cast(8 as bigint) AS bucket,
+            nu AS n, nc AS n_docs, cu - cc AS chars_total,
+            1000000 * (cu - cc) // greatest(cu, 1) AS max_len
+          FROM cova, covb)
         SELECT * FROM (
-          SELECT * FROM alls UNION ALL SELECT * FROM longest)
+          SELECT * FROM alls UNION ALL SELECT * FROM longest
+          UNION ALL SELECT * FROM capped UNION ALL SELECT * FROM cov)
         ORDER BY kind, bucket""")),
 
     // ------------------------------------------------------------------

@@ -321,8 +321,18 @@ object TextOps {
     * Requires contiguous vec_ids 0..n-1 (the random-edge modulus); at
     * scale an id-assignment pass (zipWithIndex) provides this.
     */
-  private[graft] def nnDescentReport(base: DataFrame, nCents: Int,
-      nRand: Int = 3, k: Int = 5, nProbes: Int = 20): DataFrame = {
+  /** The NN-descent graph stages, factored from [[nnDescentReport]] so
+    * the graph-SEARCH operator (s25) traverses the same k-NN graph the
+    * report grades: `knn1` is the post-descent directed top-k edge
+    * list (a, b, cos); the earlier stages ride along for the report's
+    * scoring bill.
+    */
+  private[graft] final case class NnGraph(asg: DataFrame,
+      cellPairs: DataFrame, rndScored: DataFrame, knn0: DataFrame,
+      nonScored: DataFrame, knn1: DataFrame, kCells: Int, k: Int)
+
+  private[graft] def nnDescentGraph(base: DataFrame, nCents: Int,
+      nRand: Int = 3, k: Int = 5): NnGraph = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.PortableHash.h60col
     // metadata-scale driver scalar (g01's iterative-action convention)
@@ -411,6 +421,17 @@ object TextOps {
         "left_anti")
     val nonScored = score(proposals).localCheckpoint()
     val knn1 = topK(fresh(knn0).union(fresh(nonScored)))
+    NnGraph(asg, cellPairs, rndScored, knn0, nonScored, knn1,
+      kCells, k)
+  }
+
+  private[graft] def nnDescentReport(base: DataFrame, nCents: Int,
+      nRand: Int = 3, k: Int = 5, nProbes: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = nnDescentGraph(base, nCents, nRand, k)
+    val emb2 = g.asg.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cos").desc, col("b"))
     val probes = emb2.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("a"), col("embedding").as("va"))
     val exactK = emb2.select(col("vec_id").as("b"),
@@ -434,9 +455,81 @@ object TextOps {
             .agg(count(lit(1)).as("hits5")))
         .select(lit(stage).as("stage"), col("n_scored"), col("hits5"))
     }
-    stageRow("1_init", knn0, cellPairs, Some(rndScored))
-      .unionByName(stageRow("2_descent", knn1, nonScored, None))
+    stageRow("1_init", g.knn0, g.cellPairs, Some(g.rndScored))
+      .unionByName(stageRow("2_descent", g.knn1, g.nonScored, None))
       .orderBy(col("stage"))
+  }
+
+  /** Greedy beam search over the [[nnDescentGraph]] k-NN graph (s25;
+    * the HNSW/DiskANN retrieval posture — navigate the stored graph,
+    * don't scan the corpus). Query = vec_id 0. Round 0 scores the
+    * kCells IVF centroids (the fixed deterministic entry probe); each
+    * of `rounds` rounds picks the beam — the top-`beamW`
+    * scored-but-unexpanded nodes (ties by vec_id) — expands their
+    * undirected graph neighbors, and scores only never-scored
+    * arrivals against the query. Returns the per-round CUMULATIVE
+    * scored sets ((round, (vec_id, cos)) — round r's count is the
+    * cosine bill so far) plus the exact top-10 ids for recall.
+    *
+    * Every frame in the loop is beam-scale (≤ beamW·k rows/round):
+    * the corpus-scale work is the one-time graph build; the search
+    * itself touches O(beamW·k·rounds) vectors via point joins — at
+    * 100 TB that is the difference between a query costing an index
+    * probe and a query costing a scan.
+    */
+  private[graft] def graphBeamSearch(base: DataFrame, beamW: Int = 4,
+      rounds: Int = 3): (Seq[(Int, DataFrame)], DataFrame) = {
+    val g = nnDescentGraph(base, nCents = 8)
+    def fresh(df: DataFrame): DataFrame = df.select(
+      df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    // undirected adjacency of the stored graph (both directions of
+    // every knn1 edge), checkpointed once — rounds probe it by
+    // broadcast-joining a ≤beamW-row frontier, never rescanning corpus
+    val und = fresh(g.knn1.select(col("a").as("m"), col("b").as("x")))
+      .union(fresh(g.knn1.select(col("b").as("m"), col("a").as("x"))))
+      .distinct().localCheckpoint()
+    val emb2 = g.asg.select(col("vec_id"), col("embedding"))
+    val q1 = emb2.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    def scoreIds(ids: DataFrame): DataFrame = ids
+      .join(emb2, Seq("vec_id"))
+      .crossJoin(broadcast(q1))
+      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .select(col("vec_id"), col("cos"))
+    // round 0: the entry probe — ALL kCells centroids scored (the
+    // honest bill: they ARE cosine evaluations). The query node
+    // itself stays TRAVERSABLE (its graph neighbors are exactly the
+    // region the search must reach — excluding it from the probe sent
+    // the beam into the wrong cluster, recall 0 on the clustered
+    // fixture); it is excluded from the RESULTS, never the walk.
+    var scored = scoreIds(emb2
+      .filter(col("vec_id") < g.kCells)
+      .select(col("vec_id"))).localCheckpoint()
+    var expanded = emb2.select(col("vec_id")).filter(lit(false))
+      .localCheckpoint()
+    val snaps =
+      scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((0, scored))
+    for (r <- 1 to rounds) {
+      val frontier = scored
+        .join(expanded, Seq("vec_id"), "left_anti")
+        .orderBy(col("cos").desc, col("vec_id")).limit(beamW)
+        .select(col("vec_id")).localCheckpoint()
+      val neigh = und
+        .join(broadcast(frontier), col("m") === col("vec_id"))
+        .select(col("x").as("vec_id")).distinct()
+      val arrivals = neigh
+        .join(scored.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      scored = fresh(scored).union(fresh(scoreIds(arrivals)))
+        .localCheckpoint()
+      expanded = fresh(expanded).union(fresh(frontier))
+        .localCheckpoint()
+      snaps += ((r, scored))
+    }
+    val truth = scoreIds(emb2.filter(col("vec_id") =!= 0)
+      .select(col("vec_id")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id")).localCheckpoint()
+    (snaps.toSeq, truth)
   }
 
   /** Fingerprint-sharing candidate pairs from exploded (doc_id, fp)
@@ -725,7 +818,17 @@ object TextOps {
     * materialization is cheap at any sf; Catalog.mat honors the
     * DISK_ONLY dial.
     */
-  private[queries] def dupSpans(norm: DataFrame, L: Int = 20): DataFrame = {
+  /** `maxDf` (default unbounded) is d30's posting-list cap applied to
+    * the span census: a gram shared by more than maxDf docs stops
+    * admitting positions. Uncapped, a clone-saturated corpus admits
+    * essentially every gram (d29's measured century leg ran char-bound
+    * ×140); capped, the census is bounded by construction at the cost
+    * of missing spans whose EVERY gram is ultra-common — d29 reports
+    * that coverage loss beside the capped census so a 100 TB run
+    * chooses with open eyes.
+    */
+  private[queries] def dupSpans(norm: DataFrame, L: Int = 20,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val posts = norm
       .select(col("doc_id"), col("t"),
@@ -734,7 +837,7 @@ object TextOps {
         col("col").as("g"))
     val crossg = posts.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("g"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select(col("g"))
     val dup = posts.join(crossg, "g")
       .select(col("doc_id"), col("pos")).distinct()
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

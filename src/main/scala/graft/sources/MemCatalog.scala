@@ -37,6 +37,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class MemCatalog extends TableCatalog {
   private var catalogName: String = _
 
+  /** When true, tables hand Catalyst a [[SupportsDelta]] row-level
+    * operation, so MERGE/UPDATE/DELETE plan as delta-based WriteDelta
+    * (merge-on-read) instead of group-based ReplaceData
+    * (copy-on-write) — see [[MemDeltaCatalog]].
+    */
+  protected def deltaRowOps: Boolean = false
+
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = catalogName = name
   override def name(): String = catalogName
@@ -56,7 +63,7 @@ class MemCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val st = MemTableStore.tables.get(key(ident))
     if (st == null) throw new NoSuchTableException(ident)
-    new MemTable(key(ident), st.schema)
+    new MemTable(key(ident), st.schema, deltaOps = deltaRowOps)
   }
 
   /** TIME TRAVEL (`VERSION AS OF n`): every commit appends a snapshot
@@ -110,7 +117,7 @@ class MemCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           Seq(ident.namespace().mkString("."), ident.name()))
-    new MemTable(key(ident), schema)
+    new MemTable(key(ident), schema, deltaOps = deltaRowOps)
   }
 
   override def alterTable(ident: Identifier,
@@ -147,7 +154,8 @@ final class MemTableState(val schema: StructType) {
 }
 
 final class MemTable(key: String, tschema: StructType,
-    pinned: Option[Array[UnsafeRow]] = None) extends Table
+    pinned: Option[Array[UnsafeRow]] = None, deltaOps: Boolean = false)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
   override def name(): String = key.split('\u0000').mkString(".")
   override def schema(): StructType = tschema
@@ -165,7 +173,10 @@ final class MemTable(key: String, tschema: StructType,
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new MemRowLevelOperation(key, tschema, info.command())
+    if (deltaOps)
+      () => new MemDeltaRowLevelOperation(key, tschema, info.command())
+    else
+      () => new MemRowLevelOperation(key, tschema, info.command())
 }
 
 /** Whole-table group: scan everything, write replaces everything. */
@@ -248,6 +259,168 @@ final class MemBatchWrite(key: String, tschema: StructType,
 
 final case class MemCommit(rows: Array[UnsafeRow])
     extends WriterCommitMessage
+
+/** Delta-flavored [[MemCatalog]]: identical store, but row-level
+  * operations advertise [[SupportsDelta]], so Catalyst's
+  * RewriteMergeIntoTable / RewriteUpdateTable / RewriteDeleteFromTable
+  * plan the DELTA-BASED `WriteDelta` (merge-on-read) instead of the
+  * group-based `ReplaceData` (copy-on-write) MemCatalog runs. The
+  * difference is the whole point at 100 TB: copy-on-write REWRITES
+  * every row of every touched group (q88's posture — simple reads,
+  * expensive writes), while merge-on-read ships only the CHANGED rows
+  * as typed (insert / update / delete) deltas and leaves unmatched
+  * rows untouched (cheap writes; a real lakehouse pays at read time by
+  * merging delete files). q106 runs q88's exact MERGE through this
+  * catalog and hash-proves the two postures converge to the same
+  * table; PlanGateSpec pins WriteDelta (not ReplaceData) in its plan.
+  *
+  * Row identity is the table's FIRST column (`rowId`), the mem-store
+  * analogue of Iceberg's identifier fields — q88/q89-shaped tables key
+  * on their leading bigint.
+  */
+class MemDeltaCatalog extends MemCatalog {
+  override protected def deltaRowOps: Boolean = true
+}
+
+/** Delta (merge-on-read) row-level operation: same whole-table scan,
+  * but the write receives typed per-row actions instead of a full
+  * replacement image.
+  */
+final class MemDeltaRowLevelOperation(key: String, tschema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(key, tschema)
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new MemDeltaWrite(key, tschema, info.schema())
+    }
+  override def rowId(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(tschema.fields(0).name))
+}
+
+final class MemDeltaWrite(key: String, tschema: StructType,
+    writeSchema: StructType) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new MemDeltaBatchWrite(key, tschema, writeSchema)
+}
+
+/** Commit applies the typed deltas to the head snapshot: deletes and
+  * updates resolve by rowId against a position map (O(state) build,
+  * O(1) per delta — the mem analogue of a positional delete file
+  * merge), inserts append. Untouched rows are NEVER rewritten — the
+  * merge-on-read contract the group-based path can't make.
+  */
+final class MemDeltaBatchWrite(key: String, tschema: StructType,
+    writeSchema: StructType) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new MemDeltaWriterFactory(tschema, writeSchema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val st = MemTableStore.tables.get(key)
+    val idType = tschema.fields(0).dataType
+    val rows = st.rows
+    // position map by row id (first column); boxed Integer so an
+    // absent key reads as null, not an unboxed 0
+    val pos = new java.util.HashMap[Any, Integer](rows.length * 2)
+    var i = 0
+    while (i < rows.length) {
+      pos.put(rows(i).get(0, idType), Integer.valueOf(i)); i += 1
+    }
+    val out: Array[UnsafeRow] = rows.clone()
+    val deleted = new java.util.HashSet[Integer]()
+    val inserts = scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+    messages.foreach {
+      case MemDeltaCommit(dels, upds, ins) =>
+        dels.foreach { idRow =>
+          val p = pos.get(idRow.get(0, idType))
+          if (p != null) deleted.add(p)
+        }
+        upds.foreach { case (idRow, dataRow) =>
+          val p = pos.get(idRow.get(0, idType))
+          if (p != null) out(p.intValue()) = dataRow
+        }
+        inserts ++= ins
+      case _ => ()
+    }
+    val kept = out.zipWithIndex.collect {
+      case (r, idx) if !deleted.contains(Integer.valueOf(idx)) => r
+    }
+    st.commit(kept ++ inserts)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Typed per-task delta payload: deleted ids, (id → new row) updates,
+  * inserted rows — the only bytes a merge-on-read write ships.
+  */
+final case class MemDeltaCommit(deletes: Array[UnsafeRow],
+    updates: Array[(UnsafeRow, UnsafeRow)], inserts: Array[UnsafeRow])
+    extends WriterCommitMessage
+
+final class MemDeltaWriterFactory(tschema: StructType,
+    writeSchema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      // id rows arrive in rowId layout (one leading-column field);
+      // data rows arrive POSITIONALLY in table-column order
+      // (WriteDeltaExec's rowProjection binds the table attributes by
+      // ordinal; LogicalWriteInfo.schema() is EMPTY on the delta path,
+      // so MemWriterFactory's by-name reprojection has nothing to bind
+      // against). Re-project by name only when the write schema
+      // actually carries the table's fields.
+      private val idProj = UnsafeProjection.create(Array(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, tschema.fields(0).dataType, tschema.fields(0).nullable)
+          : org.apache.spark.sql.catalyst.expressions.Expression))
+      private val dataProj = {
+        val namesMatch = tschema.forall(f =>
+          writeSchema.exists(_.name == f.name))
+        val exprs =
+          if (namesMatch) tschema.map { f =>
+            val i = writeSchema.fieldIndex(f.name)
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i, writeSchema(i).dataType,
+                writeSchema(i).nullable)
+          }
+          else tschema.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i, f.dataType, f.nullable)
+          }
+        UnsafeProjection.create(exprs)
+      }
+      private val dels = scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+      private val upds =
+        scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]()
+      private val ins = scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += idProj(id).copy()
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        require(row.numFields >= tschema.length,
+          s"delta update row has ${row.numFields} fields for a " +
+            s"${tschema.length}-column table")
+        upds += ((idProj(id).copy(), dataProj(row).copy()))
+      }
+      override def insert(row: InternalRow): Unit = {
+        require(row.numFields >= tschema.length,
+          s"delta insert row has ${row.numFields} fields for a " +
+            s"${tschema.length}-column table")
+        ins += dataProj(row).copy()
+      }
+      override def commit(): WriterCommitMessage =
+        MemDeltaCommit(dels.toArray, upds.toArray, ins.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
 
 final class MemWriterFactory(tschema: StructType,
     writeSchema: StructType) extends DataWriterFactory {

@@ -57,7 +57,19 @@ class PlanAuditSpec extends SparkFunSuite {
       + "reconstructed and full-precision legs (s01's shape)"),
     "s18_ann_harness" -> ("1-row query-vector broadcasts (one per "
       + "leg, s01/s02/s03/s17's shapes) + 1-row scalar count frames "
-      + "cross-joined into the 4-row comparison table"),
+      + "cross-joined into the 5-row comparison table (incl. the "
+      + "e_graph beam-search leg's entry-probe/arrival scoring)"),
+    "d29_span_length_census" -> ("1-row uncapped-census totals "
+      + "crossed with 1-row capped totals for the zz_coverage "
+      + "price-tag row; span generation is dupSpans both times "
+      + "(gram-keyed shuffles + doc-keyed island windows, no "
+      + "all-pairs)"),
+    "s25_graph_beam_search" -> ("1-row query-vector broadcast "
+      + "(s01's shape) crossed onto each beam-scale scoring frame "
+      + "(entry probe + ≤beamW·k arrivals per round) and the 1-row "
+      + "census count frames; the corpus-scale work is the one-time "
+      + "s15 graph build — the search itself never rescans the "
+      + "corpus (that's the point)"),
     "x11_tfidf_topterms" -> "1-row corpus-size (N) broadcast",
     "s20_hybrid_rrf" -> ("5-row query-vector-batch broadcast on the "
       + "vector leg (s04's pattern) + s19's 1-row corpus-totals "

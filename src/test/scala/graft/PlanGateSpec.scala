@@ -31,6 +31,77 @@ class PlanGateSpec extends SparkFunSuite {
     Seq((1L, "a"), (2L, "b")).toDF("id", "name")
   }
 
+  test("row-level ops: MemDeltaCatalog plans delta-based WriteDelta, " +
+      "MemCatalog plans group-based ReplaceData, and the two MERGE " +
+      "postures converge to the identical table") {
+    import org.apache.spark.sql.catalyst.plans.logical.CommandResult
+    spark.conf.set("spark.sql.catalog.pgate_mem",
+      "graft.sources.MemCatalog")
+    spark.conf.set("spark.sql.catalog.pgate_delta",
+      "graft.sources.MemDeltaCatalog")
+    import spark.implicits._
+    Seq((1L, "upd1"), (2L, "ins2"), (4L, "upd4"))
+      .toDF("id", "v").createOrReplaceTempView("pgate_src")
+    def runMerge(tbl: String) = {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v STRING)")
+      Seq((1L, "a"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v")
+        .writeTo(tbl).append()
+      spark.sql(s"""MERGE INTO $tbl t USING pgate_src s ON t.id = s.id
+        WHEN MATCHED AND s.id = 4 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    }
+    def physical(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.commandExecuted.collectFirst {
+        case c: CommandResult => c.commandPhysicalPlan.toString
+      }.getOrElse(fail("no CommandResult in the executed command plan"))
+    val cow = physical(runMerge("pgate_mem.ns.t1"))
+    val mor = physical(runMerge("pgate_delta.ns.t2"))
+    assert(cow.contains("ReplaceData"), s"expected copy-on-write:\n$cow")
+    assert(mor.contains("WriteDelta"), s"expected merge-on-read:\n$mor")
+    assert(!mor.contains("ReplaceData"), mor)
+    // identical final state: update applied, id=4 deleted, id=2
+    // inserted, unmatched 3/5 untouched
+    val a = spark.table("pgate_mem.ns.t1").orderBy("id")
+      .collect().toSeq
+    val b = spark.table("pgate_delta.ns.t2").orderBy("id")
+      .collect().toSeq
+    assert(a == b)
+    assert(a.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "upd1"), (2L, "ins2"), (3L, "c"), (5L, "e")))
+    // UPDATE and DELETE ride the same delta machinery
+    spark.sql("UPDATE pgate_delta.ns.t2 SET v = 'vip' WHERE id = 3")
+    spark.sql("DELETE FROM pgate_delta.ns.t2 WHERE id = 5")
+    assert(spark.table("pgate_delta.ns.t2").orderBy("id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "upd1"), (2L, "ins2"), (3L, "vip")))
+  }
+
+  test("V2 catalog functions resolve through GraftFunctionCatalog and " +
+      "compile to the codegen'd Invoke path (magic method), not the " +
+      "row-boxing ApplyFunctionExpression fallback") {
+    spark.conf.set("spark.sql.catalog.pgate_fn",
+      "graft.sources.GraftFunctionCatalog")
+    // non-foldable inputs (a range column) — literal arguments would
+    // be constant-folded and the call node would vanish from the plan
+    val df = spark.sql(
+      "SELECT pgate_fn.ns.h60(cast(id as string)) AS h, " +
+        "pgate_fn.ns.cosinef(array(cast(id as float), " +
+        "cast(1.0 as float)), array(cast(id as float), " +
+        "cast(1.0 as float))) AS c " +
+        "FROM range(3)")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("invoke") || plan.contains("Invoke"), plan)
+    assert(!plan.contains("ApplyFunctionExpression"), plan)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 3).map(i => graft.functions.PortableHash.h60(i.toString))
+        .sorted.toSeq)
+    // self-cosine ≈ 1 up to the sqrt·sqrt double rounding (x/√x/√x is
+    // NOT exactly 1 in IEEE arithmetic)
+    assert(df.collect().forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
   test("overwrite under a protected root is blocked at plan time") {
     withGate { dir =>
       val e = intercept[DangerousWrite] {

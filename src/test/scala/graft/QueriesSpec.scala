@@ -69,7 +69,11 @@ class QueriesSpec extends SparkFunSuite {
         "x51_url_gate_dedup", "q88_merge_into",
         "q89_update_delete",
         // round-13 additions
-        "x53_langid_drift_census")) {
+        "x53_langid_drift_census",
+        // round-15 additions
+        "s25_graph_beam_search", "q105_change_data_feed",
+        "q106_merge_on_read", "q107_v2_catalog_functions",
+        "mm14_audio_constellation", "p08_multimodal_pipeline")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
@@ -166,6 +170,41 @@ class QueriesSpec extends SparkFunSuite {
     assert(initScored + descScored < 176L * 175,
       s"total bill ${initScored + descScored} must undercut " +
         "brute force 30800")
+  }
+
+  test("s25 graph beam search: on the s15 clustered fixture the beam " +
+      "navigates to the query's cluster — high recall at a fraction " +
+      "of the scan bill (the catalog entry's near-uniform corpus is " +
+      "the honest floor, s06/s15's precedent)") {
+    // same fixture as the s15 test: 16 clusters × 11 members; the
+    // query (vec 0) is a cluster-0 member, so its exact top-10 IS the
+    // rest of cluster 0 — reachable over same-cell knn1 edges from
+    // the centroid entry probe
+    val dim = 64
+    def anchor(c: Int, j: Int): Double =
+      (((c * 37 + j * 11) % 16) - 8) / 10.0
+    def center(c: Int, j: Int): Double =
+      if (c < 8) anchor(c, j)
+      else (anchor(c - 8, j) + anchor((c - 7) % 8, j)) / 2.0
+    def noise(i: Int, j: Int): Double =
+      (((i * 131 + j * 17) % 21) - 10) / 200.0
+    val rows = (0 until 176).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (center(i % 16, j) + noise(i, j)).toFloat).toArray)
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val (snaps, truth) = TextOps.graphBeamSearch(df)
+    val finalScored = snaps.last._2
+    val nScored = finalScored.count()
+    val top10 = finalScored
+      .orderBy(org.apache.spark.sql.functions.col("cos").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(10)
+    val recall = top10.join(truth, Seq("vec_id"), "left_semi").count()
+    assert(recall >= 8, s"beam recall $recall/10 on clustered fixture")
+    assert(nScored < 90, s"beam scored $nScored of 175 — must stay " +
+      "well under the scan bill")
   }
 
   test("assignToCodebookOf: the broadcast-relation codebook (k above " +
