@@ -3099,6 +3099,260 @@ object Relational2 {
         ORDER BY fn, k""")),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL VIEW MAINTENANCE from the change feed — what q105's
+    // diff is FOR: a downstream per-status aggregate is maintained
+    // from snapshot v1 plus the signed CDF deltas (insert /
+    // update_postimage weigh +1, delete / update_preimage −1) and
+    // must equal the aggregate recomputed directly on v2. All sums
+    // ride DECIMAL(24,6) until one final double cast, so
+    // maintained ≡ direct holds EXACTLY (decimal addition is
+    // associative where early double casts are not) — the query's
+    // third leg counts mismatching statuses and reads 0, the
+    // self-proving row. At 100 TB this is the materialized-view
+    // story: the view updates at O(changes) cost, never O(table),
+    // and the CDF is the contract that makes it correct.
+    // ------------------------------------------------------------------
+    "q108_incremental_view_maintenance" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val tbl = "graftmem.ns.ivm_orders_" + new java.io.File(d)
+          .getName.replaceAll("[^A-Za-z0-9_]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(o_orderkey BIGINT, status STRING, total DOUBLE)")
+        t(s, d, "orders").filter(expr("o_orderkey % 3 = 0"))
+          .selectExpr("o_orderkey", "'seed' AS status",
+            "o_totalprice AS total")
+          .writeTo(tbl).append() // -> version 1
+        t(s, d, "orders").filter(expr("o_orderkey % 2 = 0"))
+          .selectExpr("o_orderkey", "'merged' AS status",
+            "o_totalprice * 1.25 AS total")
+          .createOrReplaceTempView("q108_src")
+        s.sql(s"""MERGE INTO $tbl t USING q108_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.o_orderkey % 30 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET status = s.status, total = s.total
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, status, total)
+            VALUES (s.o_orderkey, s.status, s.total)""") // -> version 2
+        val dec = col("total").cast("decimal(24,6)")
+        val v1 = s.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+        val v2 = s.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+        // CDF deltas (q105's diff) with signed weights
+        val pre = v1.select(col("o_orderkey"),
+          col("status").as("pre_status"), col("total").as("pre_total"))
+        val post = v2.select(col("o_orderkey"),
+          col("status").as("post_status"), col("total").as("post_total"))
+        val j = pre.join(post, Seq("o_orderkey"), "full_outer")
+        val changed = col("pre_status").isNotNull &&
+          col("post_status").isNotNull &&
+          (col("pre_status") =!= col("post_status") ||
+            col("pre_total") =!= col("post_total"))
+        val changes =
+          j.filter(col("post_status").isNull)
+            .select(col("pre_status").as("status"),
+              col("pre_total").as("total"), lit(-1L).as("w"))
+          .unionByName(j.filter(col("pre_status").isNull)
+            .select(col("post_status").as("status"),
+              col("post_total").as("total"), lit(1L).as("w")))
+          .unionByName(j.filter(changed)
+            .select(col("pre_status").as("status"),
+              col("pre_total").as("total"), lit(-1L).as("w")))
+          .unionByName(j.filter(changed)
+            .select(col("post_status").as("status"),
+              col("post_total").as("total"), lit(1L).as("w")))
+        val v1agg = v1.groupBy(col("status"))
+          .agg(count(lit(1)).as("n1"), sum(dec).as("t1"))
+        val dagg = changes.groupBy(col("status"))
+          .agg(sum(col("w")).as("dn"),
+            sum(col("total").cast("decimal(24,6)") * col("w"))
+              .as("dt"))
+        val zero = lit(BigDecimal(0)).cast("decimal(24,6)")
+        val maintained = v1agg.join(dagg, Seq("status"), "full_outer")
+          .select(col("status"),
+            (coalesce(col("n1"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_rows"),
+            (coalesce(col("t1"), zero) + coalesce(col("dt"), zero))
+              .cast("double").as("total_sum"))
+          .filter(col("n_rows") > 0)
+        val direct = v2.groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec).cast("double").as("total_sum"))
+        val mism = direct.select(col("status"), col("n_rows").as("na"),
+            col("total_sum").as("ta"))
+          .join(maintained.select(col("status"),
+            col("n_rows").as("nb"), col("total_sum").as("tb")),
+            Seq("status"), "full_outer")
+          .filter(col("na").isNull || col("nb").isNull ||
+            col("na") =!= col("nb") || col("ta") =!= col("tb"))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("3_match").as("leg"), lit("mismatches").as("status"),
+            col("n_rows"), lit(0.0).as("total_sum"))
+        direct.select(lit("1_direct").as("leg"), col("status"),
+            col("n_rows"), col("total_sum"))
+          .unionByName(maintained.select(lit("2_maintained").as("leg"),
+            col("status"), col("n_rows"), col("total_sum")))
+          .unionByName(mism)
+          .orderBy(col("leg"), col("status"))
+      },
+      Some("""WITH v1 AS (
+          SELECT o_orderkey, 'seed' AS status, o_totalprice AS total
+          FROM orders WHERE o_orderkey % 3 = 0),
+        v2 AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 6 = 0 THEN 'merged'
+              WHEN o_orderkey % 3 = 0 THEN 'seed'
+              ELSE 'merged' END AS status,
+            CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 1.25
+              WHEN o_orderkey % 3 = 0 THEN o_totalprice
+              ELSE o_totalprice * 1.25 END AS total
+          FROM orders
+          WHERE (o_orderkey % 3 = 0 OR o_orderkey % 2 = 0)
+            AND o_orderkey % 30 <> 0),
+        j AS (
+          SELECT v1.status AS pre_status, v1.total AS pre_total,
+            v2.status AS post_status, v2.total AS post_total
+          FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+        changes AS (
+          SELECT pre_status AS status, pre_total AS total, -1 AS w
+          FROM j WHERE post_status IS NULL
+          UNION ALL
+          SELECT post_status, post_total, 1 FROM j
+          WHERE pre_status IS NULL
+          UNION ALL
+          SELECT pre_status, pre_total, -1 FROM j
+          WHERE pre_status IS NOT NULL AND post_status IS NOT NULL
+            AND (pre_status <> post_status OR pre_total <> post_total)
+          UNION ALL
+          SELECT post_status, post_total, 1 FROM j
+          WHERE pre_status IS NOT NULL AND post_status IS NOT NULL
+            AND (pre_status <> post_status OR pre_total <> post_total)),
+        v1agg AS (
+          SELECT status, cast(count(*) as bigint) AS n1,
+            sum(cast(total as decimal(24,6))) AS t1
+          FROM v1 GROUP BY status),
+        dagg AS (
+          SELECT status, cast(sum(w) as bigint) AS dn,
+            sum(cast(total as decimal(24,6)) * w) AS dt
+          FROM changes GROUP BY status),
+        maintained AS (
+          SELECT coalesce(v.status, g.status) AS status,
+            coalesce(v.n1, 0) + coalesce(g.dn, 0) AS n_rows,
+            cast(coalesce(v.t1, 0) + coalesce(g.dt, 0) as double)
+              AS total_sum
+          FROM v1agg v FULL OUTER JOIN dagg g ON g.status = v.status
+          WHERE coalesce(v.n1, 0) + coalesce(g.dn, 0) > 0),
+        direct AS (
+          SELECT status, cast(count(*) as bigint) AS n_rows,
+            cast(sum(cast(total as decimal(24,6))) as double)
+              AS total_sum
+          FROM v2 GROUP BY status),
+        mism AS (
+          SELECT cast(count(*) as bigint) AS n FROM direct a
+          FULL OUTER JOIN maintained b ON b.status = a.status
+          WHERE a.status IS NULL OR b.status IS NULL
+            OR a.n_rows <> b.n_rows OR a.total_sum <> b.total_sum)
+        SELECT * FROM (
+          SELECT '1_direct' AS leg, status, n_rows, total_sum
+          FROM direct
+          UNION ALL
+          SELECT '2_maintained', status, n_rows, total_sum
+          FROM maintained
+          UNION ALL
+          SELECT '3_match', 'mismatches', n, cast(0.0 as double)
+          FROM mism) u
+        ORDER BY leg, status""")),
+
+    // ------------------------------------------------------------------
+    // COMMIT-LOG read (DESCRIBE HISTORY): the versioned catalog's
+    // metadata surface — per version, the synthetic commit timestamp
+    // (q104's deterministic clock), the operation kind the store
+    // recorded (create / append / replace for group-based rewrites /
+    // delta for merge-on-read), and the snapshot's row count. The
+    // history is versions-scale DRIVER metadata (the class of read
+    // DESCRIBE HISTORY is — KB against a 100 TB table); the oracle
+    // re-derives every field from the known commit sequence. Runs the
+    // same commits through BOTH catalogs so the kind column proves
+    // the copy-on-write vs merge-on-read postures are distinguishable
+    // from the log alone.
+    // ------------------------------------------------------------------
+    "q109_table_history" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        s.conf.set("spark.sql.catalog.graftdelta",
+          "graft.sources.MemDeltaCatalog")
+        val sfx = new java.io.File(d).getName
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        def runCommits(catalog: String, name: String): Unit = {
+          val tbl = s"$catalog.ns.$name"
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          s.sql(s"CREATE TABLE $tbl " +
+            "(o_orderkey BIGINT NOT NULL, status STRING)")
+          t(s, d, "orders").filter(expr("o_orderkey % 3 = 0"))
+            .selectExpr("o_orderkey", "'seed' AS status")
+            .writeTo(tbl).append()
+          t(s, d, "orders").filter(expr("o_orderkey % 2 = 0"))
+            .selectExpr("o_orderkey", "'merged' AS status")
+            .createOrReplaceTempView(s"q109_src_$name")
+          s.sql(s"""MERGE INTO $tbl t USING q109_src_$name s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_orderkey % 30 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET status = s.status
+            WHEN NOT MATCHED THEN
+              INSERT (o_orderkey, status)
+              VALUES (s.o_orderkey, s.status)""")
+        }
+        runCommits("graftmem", s"hist_cow_$sfx")
+        runCommits("graftdelta", s"hist_mor_$sfx")
+        def history(catalog: String, name: String,
+            label: String): DataFrame = {
+          val st = graft.sources.MemTableStore
+            .lookup(catalog, "ns", name)
+            .getOrElse(sys.error(s"no history for $catalog.ns.$name"))
+          import s.implicits._
+          st.history.indices.map { v =>
+            (label, v, st.kinds(v), st.history(v).length.toLong)
+          }.toDF("posture", "version", "operation", "n_rows")
+        }
+        history("graftmem", s"hist_cow_$sfx", "cow")
+          .unionByName(history("graftdelta", s"hist_mor_$sfx", "mor"))
+          .withColumn("commit_ts", expr(
+            s"timestamp_seconds(${graft.sources.MemTableStore
+              .SyntheticEpochSeconds} + version)"))
+          .select(col("posture"), col("version"), col("commit_ts"),
+            col("operation"), col("n_rows"))
+          .orderBy(col("posture"), col("version"))
+      },
+      Some("""WITH n1 AS (
+          SELECT cast(count(*) as bigint) AS c FROM orders
+          WHERE o_orderkey % 3 = 0),
+        n2 AS (
+          SELECT cast(count(*) as bigint) AS c FROM orders
+          WHERE (o_orderkey % 3 = 0 OR o_orderkey % 2 = 0)
+            AND o_orderkey % 30 <> 0),
+        hist AS (
+          SELECT 'cow' AS posture, cast(0 as int) AS version,
+            'create' AS operation, cast(0 as bigint) AS n_rows
+          UNION ALL
+          SELECT 'cow', 1, 'append', (SELECT c FROM n1)
+          UNION ALL
+          SELECT 'cow', 2, 'replace', (SELECT c FROM n2)
+          UNION ALL
+          SELECT 'mor', 0, 'create', 0
+          UNION ALL
+          SELECT 'mor', 1, 'append', (SELECT c FROM n1)
+          UNION ALL
+          SELECT 'mor', 2, 'delta', (SELECT c FROM n2))
+        SELECT posture, version,
+          cast(TIMESTAMP '2000-01-01 00:00:00' +
+            to_seconds(version) as timestamp) AS commit_ts,
+          operation, n_rows
+        FROM hist
+        ORDER BY posture, version""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

@@ -134,6 +134,12 @@ class MemCatalog extends TableCatalog {
 /** Driver-side versioned store: commit swaps the row array atomically. */
 object MemTableStore {
   val tables = new ConcurrentHashMap[String, MemTableState]()
+  /** Driver-side history lookup for the commit-log surface (q109):
+    * versions-scale metadata, the class of read DESCRIBE HISTORY does.
+    */
+  def lookup(catalog: String, ns: String,
+      name: String): Option[MemTableState] =
+    Option(tables.get(catalog + "\u0000" + ns + "\u0000" + name))
   /** 2000-01-01T00:00:00Z — the synthetic commit clock's epoch
     * (version v "commits" v seconds after it).
     */
@@ -147,9 +153,17 @@ final class MemTableState(val schema: StructType) {
     * synchronized with the head swap so version numbering is gapless.
     */
   @volatile var history: Vector[Array[UnsafeRow]] = Vector(Array.empty)
-  def commit(newRows: Array[UnsafeRow]): Unit = synchronized {
+  /** operation kind per version, parallel to `history` — the commit
+    * log DESCRIBE HISTORY reads (q109): "create" for version 0, then
+    * "append" / "replace" (group-based row-level rewrite) / "delta"
+    * (merge-on-read write) per commit.
+    */
+  @volatile var kinds: Vector[String] = Vector("create")
+  def commit(newRows: Array[UnsafeRow],
+      kind: String = "append"): Unit = synchronized {
     rows = newRows
     history = history :+ newRows
+    kinds = kinds :+ kind
   }
 }
 
@@ -252,7 +266,8 @@ final class MemBatchWrite(key: String, tschema: StructType,
     val st = MemTableStore.tables.get(key)
     // atomic version swap — readers see old or new, never a mix; the
     // commit also appends the snapshot to the version history
-    st.commit(if (replace) incoming else st.rows ++ incoming)
+    st.commit(if (replace) incoming else st.rows ++ incoming,
+      if (replace) "replace" else "append")
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -352,7 +367,7 @@ final class MemDeltaBatchWrite(key: String, tschema: StructType,
     val kept = out.zipWithIndex.collect {
       case (r, idx) if !deleted.contains(Integer.valueOf(idx)) => r
     }
-    st.commit(kept ++ inserts)
+    st.commit(kept ++ inserts, "delta")
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

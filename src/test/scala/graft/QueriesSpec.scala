@@ -73,7 +73,8 @@ class QueriesSpec extends SparkFunSuite {
         // round-15 additions
         "s25_graph_beam_search", "q105_change_data_feed",
         "q106_merge_on_read", "q107_v2_catalog_functions",
-        "mm14_audio_constellation", "p08_multimodal_pipeline")) {
+        "mm14_audio_constellation", "p08_multimodal_pipeline",
+        "q108_incremental_view_maintenance", "q109_table_history")) {
       def run(): Seq[Seq[Any]] = {
         spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sf0001).collect()
