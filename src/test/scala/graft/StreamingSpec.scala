@@ -637,6 +637,68 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("CDF view-maintenance stream (q108's kappa twin, the 15th): " +
+      "initial state from v1 + streamed signed deltas across " +
+      "micro-batches == the direct v2 aggregate") {
+    import spark.implicits._
+    import graft.streaming.CdfViewStream
+    import graft.streaming.CdfViewStream.{Change, ViewState}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val orders = graft.queries.Catalog.t(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // q105's change rules over the q88/q104 commit pair: %30 matched
+    // DELETE; %6 (not %30) matched UPDATE (pre seed, post merged);
+    // %2-and-not-%3 NOT MATCHED INSERT
+    val changes = scala.collection.mutable.ArrayBuffer[Change]()
+    orders.foreach { case (k, tp) =>
+      val m = CdfViewStream.micros(tp * 1.25)
+      if (k % 30 == 0)
+        changes += Change("seed", CdfViewStream.micros(tp), -1)
+      else if (k % 6 == 0) {
+        changes += Change("seed", CdfViewStream.micros(tp), -1)
+        changes += Change("merged", m, 1)
+      } else if (k % 2 == 0 && k % 3 != 0)
+        changes += Change("merged", m, 1)
+    }
+    val seed = orders.filter(_._1 % 3 == 0)
+    val v1 = Seq(ViewState("seed", seed.length.toLong,
+      seed.map(x => CdfViewStream.micros(x._2)).sum))
+    // v2 truth: the post-merge table aggregated directly
+    val v2rows = orders.flatMap { case (k, tp) =>
+      if (k % 30 == 0) None
+      else if (k % 6 == 0)
+        Some(("merged", CdfViewStream.micros(tp * 1.25)))
+      else if (k % 3 == 0) Some(("seed", CdfViewStream.micros(tp)))
+      else if (k % 2 == 0)
+        Some(("merged", CdfViewStream.micros(tp * 1.25)))
+      else None
+    }
+    val truth = v2rows.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Change]
+    val q = CdfViewStream.maintain(ms.toDS(), v1.toDS())
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("cdfview").start()
+    changes.toSeq.grouped(math.max(1, changes.length / 3 + 1))
+      .foreach { c => ms.addData(c); q.processAllAvailable() }
+    q.stop()
+    // update mode re-emits per batch — last row per status is final
+    val streamed = spark.table("cdfview").as[ViewState].collect()
+      .zipWithIndex
+      .groupBy(_._1.status).view.mapValues(_.maxBy(_._2)._1)
+      .map { case (s0, st) => s0 -> (st.n, st.totMicros) }.toMap
+    assert(streamed.keySet == truth.keySet)
+    truth.foreach { case (s0, t) =>
+      assert(streamed(s0) == t, s"status $s0 diverged: " +
+        s"streamed ${streamed(s0)} vs direct $t")
+    }
+    // the O(statuses) state bound: two statuses, ever
+    assert(streamed.size == 2)
+  }
+
   test("foreachBatch URL admission maintains seen-URL state (x51 " +
       "funnel's kappa twin: per-batch canonicalize + blocklist gate + " +
       "URL-exact dedup, stream ≡ batch)") {
