@@ -204,24 +204,52 @@ object SqlClassifier {
 
   /** Split a multi-statement SQL string on top-level semicolons, honoring
     * single-quoted strings (with '' escapes and E'\' escapes), double-
-    * quoted identifiers, line comments, nested block comments, and
-    * dollar-quoted bodies ($tag$ ... $tag$). Empty/whitespace-only input
-    * yields zero statements (parser.go:24-26 behavior).
+    * quoted identifiers, line comments, nested block comments,
+    * dollar-quoted bodies ($tag$ ... $tag$), and PG 14+ SQL-standard
+    * routine bodies (`BEGIN ATOMIC stmt; stmt; END` — the semicolons
+    * inside are NOT statement separators and the body is not
+    * dollar-quoted; `CASE ... END` expressions inside the body are
+    * depth-tracked so their END does not close it).
+    * Empty/whitespace-only input yields zero statements
+    * (parser.go:24-26 behavior).
     */
   def splitStatements(sql: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
     val n = sql.length
+    // BEGIN ATOMIC body tracking: prevWord is the last bare word seen
+    // (uppercased) — quotes/dollar-quotes reset it, comments and
+    // whitespace are transparent (`BEGIN /*c*/ ATOMIC` is valid).
+    var prevWord = ""
+    var atomicDepth = 0
+    var caseDepth = 0
     def flush(): Unit = {
       val s = cur.toString.trim
       if (s.nonEmpty) out += s
       cur.clear()
+      prevWord = ""; atomicDepth = 0; caseDepth = 0
     }
     while (i < n) {
       val c = sql.charAt(i)
       c match {
+        case ';' if atomicDepth > 0 => cur += c; i += 1; prevWord = ""
         case ';' => flush(); i += 1
+        case w if w.isLetter || w == '_' =>
+          val j0 = i
+          while (i < n && (sql.charAt(i).isLetterOrDigit ||
+              sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
+          val word = sql.substring(j0, i)
+          cur ++= word
+          val up = word.toUpperCase
+          if (up == "ATOMIC" && prevWord == "BEGIN") atomicDepth += 1
+          else if (atomicDepth > 0) {
+            if (up == "CASE") caseDepth += 1
+            else if (up == "END") {
+              if (caseDepth > 0) caseDepth -= 1 else atomicDepth -= 1
+            }
+          }
+          prevWord = up
         case '\'' =>
           // single-quoted literal; handle '' escape. (E'' backslash
           // escapes: a backslash before ' also escapes inside E-strings;
@@ -238,6 +266,7 @@ object SqlClassifier {
               else { done = true; i += 1 }
             } else i += 1
           }
+          prevWord = ""
         case '"' =>
           cur += c; i += 1
           var done = false
@@ -248,6 +277,7 @@ object SqlClassifier {
               else done = true
             }
           }
+          prevWord = ""
         case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
           while (i < n && sql.charAt(i) != '\n') i += 1
         case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
@@ -270,6 +300,7 @@ object SqlClassifier {
             val stop = if (end < 0) n else end + tag.length
             cur ++= sql.substring(i, stop)
             i = stop
+            prevWord = ""
           } else { cur += c; i += 1 }
         case _ => cur += c; i += 1
       }
@@ -380,10 +411,14 @@ object SqlClassifier {
           }
           if (depth > 0) return true
         case '\'' =>
+          // same conservative backslash-escape policy as
+          // splitStatements — the two scanners must agree or a valid
+          // E'\'' string is rejected as unterminated
           i += 1
           var closed = false
           while (i < n && !closed) {
-            if (sql.charAt(i) == '\'') {
+            if (sql.charAt(i) == '\\' && i + 1 < n) i += 2
+            else if (sql.charAt(i) == '\'') {
               if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
               else { closed = true; i += 1 }
             } else i += 1
@@ -397,6 +432,17 @@ object SqlClassifier {
             i += 1
           }
           if (!closed) return true
+        case '$' =>
+          // skip dollar-quoted bodies whole: an apostrophe inside
+          // $$ it's fine $$ is not a quote open
+          var j = i + 1
+          while (j < n && (sql.charAt(j).isLetterOrDigit ||
+              sql.charAt(j) == '_')) j += 1
+          if (j < n && sql.charAt(j) == '$') {
+            val tag = sql.substring(i, j + 1)
+            val end = sql.indexOf(tag, j + 1)
+            i = if (end < 0) n else end + tag.length
+          } else i += 1
         case _ => i += 1
       }
     }
@@ -411,6 +457,7 @@ object SqlClassifier {
     head match {
       case "CREATE" => classifyCreate(t, stmtSql)
       case "ALTER" if t.peekKw(1, "TABLE") => classifyAlterTable(t, stmtSql)
+      case "ALTER" if t.peekKw(1, "INDEX") => classifyAlterIndex(t, stmtSql)
       case "DROP" => classifyDrop(t, stmtSql)
       case "TRUNCATE" => classifyTruncate(t, stmtSql)
       case "VACUUM" => classifyVacuum(t, stmtSql)
@@ -608,7 +655,16 @@ object SqlClassifier {
       val start = t.pos
       t.skipParens()
       val opts = t.toks.slice(start, t.pos)
-      full = opts.exists(o => o.kind == Tok.Word && o.text.equalsIgnoreCase("FULL"))
+      // an option may carry an explicit boolean: (FULL false) / (FULL 0)
+      // must NOT count as full (PG boolean option grammar)
+      val fi = opts.indexWhere(o =>
+        o.kind == Tok.Word && o.text.equalsIgnoreCase("FULL"))
+      full = fi >= 0 && !(fi + 1 < opts.length && {
+        val v = opts(fi + 1)
+        (v.kind == Tok.Word && (v.text.equalsIgnoreCase("FALSE") ||
+          v.text.equalsIgnoreCase("OFF"))) ||
+          (v.kind == Tok.Num && v.text == "0")
+      })
     } else {
       // bare keyword options: VACUUM FULL [FREEZE] [VERBOSE] [ANALYZE]
       var more = true
@@ -686,6 +742,26 @@ object SqlClassifier {
       if (!t.eof && t.peek.get.kind == Tok.Word) t.qualifiedName()
       else QualifiedName(None, "<unknown>")
     RefreshMatViewStmt(concurrent, view, sql)
+  }
+
+  /** ALTER INDEX: only the RENAME form is typed (RenameIndex — the
+    * rule layer's safe fallthrough, matching the reference's
+    * RenameStmt classification); every other ALTER INDEX form (SET
+    * TABLESPACE copies the index under ACCESS EXCLUSIVE, SET
+    * storage parameters, ATTACH PARTITION) stays OtherStmt and draws
+    * the unclassified-alter opaque warning.
+    */
+  private def classifyAlterIndex(t: Cursor, sql: String): Stmt = {
+    t.next(); t.next() // ALTER INDEX
+    t.skipIfExists()
+    val idx =
+      if (!t.eof && t.peek.get.kind == Tok.Word) t.qualifiedName()
+      else QualifiedName(None, "<unknown>")
+    if (t.skipKw("RENAME")) {
+      t.skipKw("TO")
+      val to = if (!t.eof) t.next().text else ""
+      RenameStmt(RenameIndex, idx, idx.name, to, sql)
+    } else OtherStmt("ALTER", sql)
   }
 
   private def classifyAlterTable(t: Cursor, sql: String): Stmt = {
@@ -878,8 +954,15 @@ object SqlClassifier {
           if (typeSb.nonEmpty) typeSb += ' '
           typeSb ++= tk.text
         }
-        // skip USING clause if present
-        while (!t.eof && !(t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) t.next()
+        // skip USING clause if present — depth-tracked: the expression
+        // may contain commas inside calls (USING coalesce(a, b))
+        var udepth = 0
+        while (!t.eof && !(udepth == 0 &&
+            t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+          val tk = t.next()
+          if (tk.kind == Tok.Punct && tk.text == "(") udepth += 1
+          else if (tk.kind == Tok.Punct && tk.text == ")") udepth -= 1
+        }
         AlterColumnType(col, typeSb.toString)
       } else if (t.curIsKw("SET") && t.peekKw(1, "NOT") && t.peekKw(2, "NULL")) {
         t.pos += 3
@@ -909,19 +992,36 @@ object SqlClassifier {
       if (kind == "TABLESPACE" && !t.eof &&
           t.peek.get.kind == Tok.Word) t.next() // tablespace name
       SetTableStorage(kind)
+    } else if (t.curIsKw("SET") && t.peekKw(1, "ACCESS") &&
+        t.peekKw(2, "METHOD")) {
+      // PG 15+: SET ACCESS METHOD <am> rewrites the whole table —
+      // same storage-rewrite class as SET TABLESPACE/LOGGED/UNLOGGED
+      t.pos += 3
+      if (!t.eof && t.peek.get.kind == Tok.Word) t.next() // am name
+      SetTableStorage("ACCESS METHOD")
     } else if (t.curIsKw("ATTACH") && t.peekKw(1, "PARTITION")) {
       t.pos += 2
       val part = if (!t.eof) t.qualifiedName().render else ""
-      // consume the FOR VALUES …/DEFAULT bound spec to the next comma
-      while (!t.eof && !(t.peek.get.kind == Tok.Punct && t.peek.get.text == ","))
-        t.next()
+      // consume the FOR VALUES …/DEFAULT bound spec to the next
+      // TOP-LEVEL comma — list/hash bounds carry commas inside parens
+      // (FOR VALUES IN ('a', 'b') / WITH (MODULUS 4, REMAINDER 0))
+      var bdepth = 0
+      while (!t.eof && !(bdepth == 0 &&
+          t.peek.get.kind == Tok.Punct && t.peek.get.text == ",")) {
+        val tk = t.next()
+        if (tk.kind == Tok.Punct && tk.text == "(") bdepth += 1
+        else if (tk.kind == Tok.Punct && tk.text == ")") bdepth -= 1
+      }
       AttachPartition(part)
     } else if (t.curIsKw("DETACH") && t.peekKw(1, "PARTITION")) {
       t.pos += 2
       val part = if (!t.eof) t.qualifiedName().render else ""
       val concurrent = t.skipKw("CONCURRENTLY")
-      t.skipKw("FINALIZE")
-      DetachPartition(part, concurrent)
+      // FINALIZE completes an interrupted CONCURRENTLY detach — it is
+      // the concurrent protocol's second transaction, not a blocking
+      // whole-table detach, so it must not trip the detach rule
+      val finalize = t.skipKw("FINALIZE")
+      DetachPartition(part, concurrent || finalize)
     } else OtherAlterCmd(restText())
   }
 
@@ -931,6 +1031,13 @@ object SqlClassifier {
     * anything else (function call like NOW(), expressions) → volatile.
     */
   private def parseDefaultExpr(t: Cursor): DefaultExpr = {
+    // DEFAULT NULL is a constant — consume it here, because collect()
+    // must otherwise stop BEFORE a bare NULL/NOT NULL column option
+    // (leaving the token list empty, which misread as volatile)
+    if (t.curIsKw("NULL") && !t.peekKw(1, "NOT")) {
+      t.next()
+      return ConstantDefault
+    }
     val start = t.pos
     def collect(): String = {
       var depth = 0

@@ -2263,8 +2263,11 @@ object TextDedupOps {
     // ------------------------------------------------------------------
     "d29_span_length_census" -> Q(
       (s, d) => {
-        val spans = graft.queries.TextOps.dupSpans(
-          graft.queries.TextOps.normDocs(s, d))
+        // ONE gram-df census feeds both legs (dupSpansBoth): running
+        // dupSpans twice re-paid the char-scale explode + census
+        // shuffle for the capped leg (priced at 2.4× in SCALE.md r15)
+        val (spans, spansC) = graft.queries.TextOps.dupSpansBoth(
+          graft.queries.TextOps.normDocs(s, d), 20, maxDf = 8L)
         val sl = spans.select(col("doc_id"),
           (col("e") - col("s") + 1).as("len"))
         val alls = sl.groupBy(expr("len div 20").as("bucket"))
@@ -2291,8 +2294,7 @@ object TextDedupOps {
         // Uncapped d29 ran char-bound ×140 on the clone corpus's
         // worst case; the capped plan is bounded by construction —
         // this row is the price tag for choosing it.
-        val slC = graft.queries.TextOps.dupSpans(
-            graft.queries.TextOps.normDocs(s, d), 20, maxDf = 8L)
+        val slC = spansC
           .select(col("doc_id"), (col("e") - col("s") + 1).as("len"))
         val capped = slC.groupBy(expr("len div 20").as("bucket"))
           .agg(count(lit(1)).as("n"),

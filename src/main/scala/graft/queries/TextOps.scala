@@ -850,6 +850,47 @@ object TextOps {
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (L - 1)).as("e")))
   }
 
+  /** d29's two span sets (uncapped, df-capped) from ONE gram-df
+    * census: the char-scale posting explode feeds a single
+    * distinct+count census (materialized at duplicate-gram scale —
+    * only df ≥ 2 grams survive the filter, so the cached frame is the
+    * duplicate-gram set, not the corpus vocabulary), and both legs
+    * derive their admitted-gram list from it. [[dupSpans]] run twice
+    * paid the census shuffle twice (SCALE.md priced the second pass
+    * at 2.4×); here only the cheap dup-join + per-doc islands differ
+    * per leg. The islands logic is dupSpans's verbatim (same L-gap
+    * break, same [min, max+L−1] merge), so the uncapped leg stays
+    * hash-identical to a plain dupSpans call.
+    */
+  private[queries] def dupSpansBoth(norm: DataFrame, L: Int,
+      maxDf: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = norm
+      .select(col("doc_id"), col("t"),
+        posexplode(graft.functions.Winnow.gramHashes(col("t"), L)))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+        col("col").as("g"))
+    val census = Catalog.mat(posts.select(col("doc_id"), col("g"))
+      .distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2))
+    def spansOf(crossg: DataFrame): DataFrame = {
+      val dup = posts.join(crossg, "g")
+        .select(col("doc_id"), col("pos")).distinct()
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val prev = lag(col("pos"), 1).over(wDoc)
+      Catalog.mat(dup
+        .withColumn("brk",
+          when(prev.isNull || col("pos") - prev > L, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(wDoc))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).as("s"),
+          (max(col("pos")) + (L - 1)).as("e")))
+    }
+    (spansOf(census.select(col("g"))),
+      spansOf(census.filter(col("df") <= maxDf).select(col("g"))))
+  }
+
   /** The normalized-docs frame [[dupSpans]] and [[spanCleanedDocs]]
     * run over, materialized (consumed by posts + segment joins +
     * the final join — four consumers in the rewrite).

@@ -250,6 +250,30 @@ object OpaqueRoutineBodyRule extends Rule {
   }
 }
 
+/** R28 (R10/R11's third sibling) — an `ALTER <non-TABLE object>`
+  * statement the classifier cannot type lands in OtherStmt and would
+  * otherwise pass SILENTLY — but ALTER forms are exactly where lock
+  * and rewrite hazards live (ALTER INDEX ... SET TABLESPACE copies
+  * the index under ACCESS EXCLUSIVE; ALTER MATERIALIZED VIEW forms
+  * take strong locks). pg_query (the reference's parser,
+  * `internal/parser/parser.go:18-33`) would type these; our subset
+  * grammar cannot, so the honest posture is the opaque-container
+  * warning, not silence: LOW, reviewable, never blocking the gate.
+  * DML / DCL / SELECT heads stay silent — those are genuinely outside
+  * every danger rule's scope, same as the reference registry.
+  */
+object UnclassifiedAlterRule extends Rule {
+  val id = "unclassified-alter"
+  def check(stmt: Stmt, ctx: RuleContext): Seq[Finding] = stmt match {
+    case s: OtherStmt if s.head == "ALTER" =>
+      Seq(finding(Severity.Low, "", s, ctx,
+        "ALTER statement form is outside the analyzer's grammar — its lock/rewrite behavior was NOT analyzed",
+        "Review manually: ALTER INDEX/MATERIALIZED VIEW/TYPE forms can rewrite storage or take ACCESS EXCLUSIVE locks",
+        "UNKNOWN"))
+    case _ => Nil
+  }
+}
+
 /** R12 — REINDEX without CONCURRENTLY rebuilds the index under an
   * ACCESS EXCLUSIVE lock on the index (and a write-blocking lock on
   * its table) for the whole rebuild. The reference's pg_query types
@@ -669,6 +693,7 @@ object Registry {
     RenameRule,
     OpaqueDoBlockRule,
     OpaqueRoutineBodyRule,
+    UnclassifiedAlterRule,
     ReindexNotConcurrentRule,
     ClusterRule,
     RefreshMatViewNotConcurrentRule,

@@ -94,7 +94,13 @@ final class CosineFBound extends ScalarFunction[java.lang.Double] {
   override def canonicalName(): String = "graft.cosinef"
   /** the magic method — Catalyst binds it via Invoke (codegen) */
   def invoke(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // fail-fast on ragged pairs: a partial cosine over the common
+    // prefix is plausible-but-wrong, and the DuckDB oracle's
+    // list_dot_product errors on unequal lengths
+    require(a.numElements() == b.numElements(),
+      s"cosinef: dimension mismatch ${a.numElements()} vs " +
+        s"${b.numElements()}")
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

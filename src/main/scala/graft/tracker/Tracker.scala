@@ -135,20 +135,28 @@ final class ParquetTracker(spark: SparkSession, basePath: String)
   // snapshots store microseconds, so a row that rode a delta file must
   // come back bit-identical to one written straight into a snapshot
   // (millis serialization made stored precision path-dependent and
-  // silently shifted a rolled-back row's appliedAt).
+  // silently shifted a rolled-back row's appliedAt). The field carries
+  // a "us:" format marker: a delta written by the earlier millis
+  // format must FAIL the fold loudly rather than be read as micros
+  // (which would silently collapse appliedAt toward 1970).
   private def renderRow(r: AppliedMigration): String = {
     val micros = Math.multiplyExact(
       Math.floorDiv(r.appliedAt.getTime, 1000L), 1000000L) +
       (r.appliedAt.getNanos / 1000L)
     Seq(esc(r.version), esc(r.filename), esc(r.checksum),
-      micros.toString, r.durationMs.toString,
+      "us:" + micros.toString, r.durationMs.toString,
       esc(r.status)).mkString("\t")
   }
 
   private def parseRow(line: String): AppliedMigration = {
     // split on unescaped tabs (esc turned literal tabs into \t)
     val f = line.split('\t')
-    val micros = f(3).toLong
+    if (!f(3).startsWith("us:"))
+      throw new IllegalStateException(
+        "tracker delta file uses an unrecognized appliedAt format " +
+          s"(expected 'us:<epoch-micros>', got '${f(3)}'): refusing " +
+          "to fold a WAL written by an incompatible version")
+    val micros = f(3).stripPrefix("us:").toLong
     val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
     ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
     AppliedMigration(unesc(f(0)), unesc(f(1)), unesc(f(2)),

@@ -198,12 +198,16 @@ class QueriesSpec extends SparkFunSuite {
     val (snaps, truth) = TextOps.graphBeamSearch(df)
     val finalScored = snaps.last._2
     val nScored = finalScored.count()
+    // exclude the query node itself (self-cosine 1.0) before the
+    // top-10 cut — graphBeamSearch's truth already excludes it, so
+    // leaving it in caps measurable recall at 9/10
     val top10 = finalScored
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0L)
       .orderBy(org.apache.spark.sql.functions.col("cos").desc,
         org.apache.spark.sql.functions.col("vec_id"))
       .limit(10)
     val recall = top10.join(truth, Seq("vec_id"), "left_semi").count()
-    assert(recall >= 8, s"beam recall $recall/10 on clustered fixture")
+    assert(recall >= 9, s"beam recall $recall/10 on clustered fixture")
     assert(nScored < 90, s"beam scored $nScored of 175 — must stay " +
       "well under the scan bill")
   }

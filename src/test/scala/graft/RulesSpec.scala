@@ -178,8 +178,8 @@ class RulesSpec extends AnyFunSuite {
       "three partition/trigger rules + the two storage rules + the " +
       "three column/constraint rules + the three column-type " +
       "advisories, unique ids") {
-    assert(Registry.defaultRules.length == 26)
-    assert(Registry.defaultRules.map(_.id).distinct.length == 26)
+    assert(Registry.defaultRules.length == 27)
+    assert(Registry.defaultRules.map(_.id).distinct.length == 27)
   }
 
   test("R19: DROP INDEX non-concurrent is MEDIUM (brief ACCESS " +
