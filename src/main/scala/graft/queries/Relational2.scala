@@ -3313,7 +3313,9 @@ object Relational2 {
             .getOrElse(sys.error(s"no history for $catalog.ns.$name"))
           import s.implicits._
           st.history.indices.map { v =>
-            (label, v, st.kinds(v), st.history(v).length.toLong)
+            // rowCounts, not history(v).length: the metadata row count
+            // survives snapshot expiry (q110's retention)
+            (label, v, st.kinds(v), st.rowCounts(v))
           }.toDF("posture", "version", "operation", "n_rows")
         }
         history("graftmem", s"hist_cow_$sfx", "cow")
@@ -3351,6 +3353,154 @@ object Relational2 {
           operation, n_rows
         FROM hist
         ORDER BY posture, version""")),
+
+    // ------------------------------------------------------------------
+    // q110: OPTIMIZE (small-file compaction) + snapshot expiry — the
+    // lakehouse maintenance rung after q101-q109 (VERDICT r15 #4).
+    // Twelve bucket-ordered single-file appends accrete a small-file
+    // table (one data file per non-empty writer task, the way parquet
+    // appends accrete); MemMaintenance.optimize bin-packs the layout
+    // to total/4 rows per file WITHOUT touching row content (a new
+    // "optimize" commit — time travel across it still works), and
+    // expireSnapshots(keepLast=3) drops the old snapshots' data while
+    // the commit-log metadata (kind / row count / file count) stays
+    // consistent (q109's history contract survives retention). The
+    // census proves all of it: per-version history with expiry flags,
+    // the packed head layout file by file, a read-back aggregate
+    // through the catalog scan (row invariance across compaction +
+    // expiry), and the head scan's partition count — which equals the
+    // packed file count because head reads plan one InputPartition
+    // per file, exactly why small files hurt and OPTIMIZE pays at
+    // 100 TB. The oracle re-derives every row from `documents` plus
+    // the deterministic greedy pack (a 12-row recursive CTE).
+    // PlanGateSpec pins the failure mode: VERSION AS OF an expired
+    // snapshot errors cleanly instead of reading freed data.
+    // ------------------------------------------------------------------
+    "q110_optimize_expire" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val sfx = new java.io.File(d).getName
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        val name = s"opt_$sfx"
+        val tbl = s"graftmem.ns.$name"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl (doc_id BIGINT NOT NULL, nchars BIGINT)")
+        val docsB = t(s, d, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("nchars"),
+          expr("least(cast(length(text) as bigint) div 200, 11)")
+            .as("bucket"))
+        // bucket-ordered appends; coalesce(1) makes each commit ONE
+        // writer task = ONE data file (empty buckets commit a version
+        // with no file — the metadata row still appears)
+        (0 until 12).foreach { bkt =>
+          docsB.filter(col("bucket") === bkt.toLong)
+            .select("doc_id", "nchars")
+            .coalesce(1).writeTo(tbl).append()
+        }
+        val store = graft.sources.MemTableStore
+        val pre = store.lookup("graftmem", "ns", name).get
+        val tgt = math.max((pre.rowCounts.last / 4L).toInt, 1)
+        graft.sources.MemMaintenance.optimize("graftmem", "ns", name, tgt)
+        graft.sources.MemMaintenance
+          .expireSnapshots("graftmem", "ns", name, keepLast = 3)
+        val st = store.lookup("graftmem", "ns", name).get
+        val hist = st.history.indices.map { v =>
+          ("history", v.toLong, st.kinds(v), st.rowCounts(v),
+            st.fileSizes(v).length.toLong,
+            if (v < st.expiredBelow) 1L else 0L, 0L)
+        }
+        val headFiles = st.fileSizes.last.zipWithIndex.map {
+          case (sz, i) =>
+            ("head_file", i.toLong, "file", sz.toLong, 1L, 0L, 0L)
+        }
+        val rb = s.table(tbl)
+          .agg(count(lit(1)).cast("long").as("c"),
+            coalesce(sum(col("nchars")), lit(0L)).cast("long").as("sc"))
+          .head()
+        val nParts = s.table(tbl).rdd.getNumPartitions.toLong
+        val extra = Seq(
+          ("readback", 0L, "agg", rb.getLong(0),
+            headFiles.length.toLong, 0L, rb.getLong(1)),
+          ("scan_parts", 0L, "plan", nParts,
+            headFiles.length.toLong, 0L, 0L))
+        import s.implicits._
+        (hist ++ headFiles ++ extra)
+          .toDF("kind", "seq", "op", "n_rows", "n_files", "expired",
+            "sum_chars")
+          .orderBy(col("kind"), col("seq"))
+      },
+      Some("""WITH RECURSIVE b AS (
+          SELECT least(length(text) // 200, 11) AS bucket,
+            cast(count(*) as bigint) AS n,
+            cast(sum(length(text)) as bigint) AS chars
+          FROM documents GROUP BY 1),
+        buckets AS (
+          SELECT g.bucket, coalesce(b.n, 0) AS n
+          FROM (SELECT * FROM generate_series(0, 11) t(bucket)) g
+          LEFT JOIN b USING (bucket)),
+        total AS (
+          SELECT cast(sum(n) as bigint) AS t,
+            greatest(cast(sum(n) // 4 as bigint), 1) AS tgt
+          FROM buckets),
+        files AS (
+          SELECT row_number() OVER (ORDER BY bucket) AS rn, n
+          FROM buckets WHERE n > 0),
+        nf AS (SELECT cast(count(*) as bigint) AS k FROM files),
+        walk(rn, acc, closed) AS (
+          SELECT cast(0 as bigint), cast(0 as bigint),
+            cast(NULL as bigint)
+          UNION ALL
+          SELECT f.rn,
+            CASE WHEN w.acc + f.n >= (SELECT tgt FROM total)
+              THEN 0 ELSE w.acc + f.n END,
+            CASE WHEN w.acc + f.n >= (SELECT tgt FROM total)
+              THEN w.acc + f.n ELSE NULL END
+          FROM walk w JOIN files f ON f.rn = w.rn + 1),
+        closed_bins AS (
+          SELECT row_number() OVER (ORDER BY rn) - 1 AS seq,
+            closed AS sz
+          FROM walk WHERE closed IS NOT NULL),
+        packed AS (
+          SELECT seq, sz FROM closed_bins
+          UNION ALL
+          SELECT (SELECT count(*) FROM closed_bins), acc
+          FROM walk WHERE rn = (SELECT k FROM nf) AND acc > 0),
+        np AS (SELECT cast(count(*) as bigint) AS hf FROM packed),
+        hist AS (
+          SELECT cast(v as bigint) AS seq,
+            CASE WHEN v = 0 THEN 'create'
+              WHEN v <= 12 THEN 'append' ELSE 'optimize' END AS op,
+            CASE WHEN v = 0 THEN 0
+              WHEN v <= 12 THEN (SELECT coalesce(sum(n), 0)
+                FROM buckets WHERE bucket <= v - 1)
+              ELSE (SELECT t FROM total) END AS n_rows,
+            CASE WHEN v = 0 THEN 0
+              WHEN v <= 12 THEN (SELECT count(*) FROM buckets
+                WHERE bucket <= v - 1 AND n > 0)
+              ELSE (SELECT hf FROM np) END AS n_files,
+            CASE WHEN v < 11 THEN 1 ELSE 0 END AS expired
+          FROM generate_series(0, 13) s(v))
+        SELECT kind, seq, op, n_rows, n_files, expired, sum_chars
+        FROM (
+          SELECT 'history' AS kind, seq, op,
+            cast(n_rows as bigint) AS n_rows,
+            cast(n_files as bigint) AS n_files,
+            cast(expired as bigint) AS expired,
+            cast(0 as bigint) AS sum_chars
+          FROM hist
+          UNION ALL
+          SELECT 'head_file', cast(seq as bigint), 'file',
+            cast(sz as bigint), 1, 0, 0
+          FROM packed
+          UNION ALL
+          SELECT 'readback', 0, 'agg', (SELECT t FROM total),
+            (SELECT hf FROM np), 0,
+            (SELECT cast(coalesce(sum(chars), 0) as bigint) FROM b)
+          UNION ALL
+          SELECT 'scan_parts', 0, 'plan', (SELECT hf FROM np),
+            (SELECT hf FROM np), 0, 0)
+        ORDER BY kind, seq""")),
 
     // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —

@@ -84,6 +84,10 @@ class MemCatalog extends TableCatalog {
       }
     require(v >= 0 && v < st.history.length,
       s"version $v out of range [0, ${st.history.length}) for ${ident.name()}")
+    require(v >= st.expiredBelow,
+      s"version $v of ${ident.name()} is EXPIRED (snapshot retention " +
+        s"watermark ${st.expiredBelow}): its data files were removed " +
+        "by expireSnapshots; only the commit-log metadata remains")
     new MemTable(key(ident), st.schema, pinned = Some(st.history(v)))
   }
 
@@ -102,6 +106,9 @@ class MemCatalog extends TableCatalog {
     val pinnedV = math.min(math.max(v, -1), st.history.length - 1)
     require(pinnedV >= 0,
       s"timestamp predates every commit of ${ident.name()}")
+    require(pinnedV >= st.expiredBelow,
+      s"version $pinnedV of ${ident.name()} is EXPIRED (snapshot " +
+        s"retention watermark ${st.expiredBelow})")
     new MemTable(key(ident), st.schema,
       pinned = Some(st.history(pinnedV)))
   }
@@ -146,24 +153,133 @@ object MemTableStore {
   val SyntheticEpochSeconds: Long = 946684800L
 }
 
+/** Table-maintenance actions — the lakehouse OPTIMIZE / VACUUM rung
+  * (q110). Both are driver-coordinated metadata operations, exactly
+  * the class Iceberg's actions and Delta's OPTIMIZE/VACUUM are: the
+  * work is O(files) + O(rows moved), never a query-plan concern, and
+  * at 100 TB they run as background jobs against the commit log.
+  */
+object MemMaintenance {
+  private def state(catalog: String, ns: String,
+      name: String): MemTableState =
+    MemTableStore.lookup(catalog, ns, name).getOrElse(
+      throw new NoSuchElementException(s"no table $catalog.$ns.$name"))
+
+  /** Greedy in-order bin-packing: accumulate consecutive files until
+    * the bin reaches `targetRows`, then close it. A file already at or
+    * above the target stays alone; runs of small files coalesce. The
+    * rule is order-preserving and deterministic, so an oracle can
+    * re-derive the packed layout from the input sizes alone.
+    */
+  def binPack(layout: Vector[Int], targetRows: Int): Vector[Int] = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val packed = Vector.newBuilder[Int]
+    var acc = 0
+    layout.foreach { f =>
+      acc += f
+      if (acc >= targetRows) { packed += acc; acc = 0 }
+    }
+    if (acc > 0) packed += acc
+    packed.result()
+  }
+
+  /** OPTIMIZE (small-file compaction): commit a new version whose ROWS
+    * are identical to the head's and whose file layout is the head's
+    * bin-packed to `targetRows`. Returns (filesBefore, filesAfter).
+    * Row content is invariant BY CONSTRUCTION — the commit re-installs
+    * the same row array; only the layout metadata (and therefore scan
+    * partitioning) changes, which is precisely parquet small-file
+    * compaction's contract.
+    */
+  def optimize(catalog: String, ns: String, name: String,
+      targetRows: Int): (Int, Int) = {
+    val st = state(catalog, ns, name)
+    st.synchronized {
+      val before = st.fileSizes.last
+      val packed = binPack(before, targetRows)
+      st.commit(st.rows, "optimize", Some(packed))
+      (before.length, packed.length)
+    }
+  }
+
+  /** Snapshot expiry (retention): drop the data arrays of every
+    * version older than the newest `keepLast`, keeping the commit-log
+    * METADATA (kind, row count, file count) so DESCRIBE HISTORY stays
+    * consistent — Iceberg's expire_snapshots contract. Time-travel to
+    * an expired version fails with a clear error instead of reading
+    * freed data. Returns the number of versions newly expired.
+    */
+  def expireSnapshots(catalog: String, ns: String, name: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val st = state(catalog, ns, name)
+    st.synchronized {
+      val cut = math.max(st.history.length - keepLast, 0)
+      val newlyExpired = math.max(cut - st.expiredBelow, 0)
+      if (newlyExpired > 0) {
+        st.history = st.history.zipWithIndex.map { case (h, v) =>
+          if (v < cut) null else h
+        }
+        st.expiredBelow = cut
+      }
+      newlyExpired
+    }
+  }
+}
+
 final class MemTableState(val schema: StructType) {
   @volatile var rows: Array[UnsafeRow] = Array.empty
   /** snapshot after each commit; the INDEX is the version number
     * (history(0) = the empty state the CREATE installs). Appends are
     * synchronized with the head swap so version numbering is gapless.
+    * Entries below [[expiredBelow]] are nulled out by snapshot expiry
+    * (data dropped, metadata retained) — guard with the watermark
+    * before dereferencing.
     */
   @volatile var history: Vector[Array[UnsafeRow]] = Vector(Array.empty)
   /** operation kind per version, parallel to `history` — the commit
     * log DESCRIBE HISTORY reads (q109): "create" for version 0, then
     * "append" / "replace" (group-based row-level rewrite) / "delta"
-    * (merge-on-read write) per commit.
+    * (merge-on-read write) / "optimize" (bin-packing compaction,
+    * rows unchanged) per commit.
     */
   @volatile var kinds: Vector[String] = Vector("create")
+  /** row count per version — METADATA, parallel to `history`, and the
+    * only row-count source that survives snapshot expiry (the commit
+    * log stays consistent after the data arrays are dropped).
+    */
+  @volatile var rowCounts: Vector[Long] = Vector(0L)
+  /** file layout per version: the row counts of the version's data
+    * files in order (they sum to rowCounts(v)). Appends ADD files —
+    * one per writer task — which is how a real lakehouse accretes
+    * small files; OPTIMIZE coarsens the layout without touching rows.
+    * Head scans plan ONE InputPartition per file, so compaction
+    * visibly changes read parallelism the way file-level compaction
+    * does on parquet.
+    */
+  @volatile var fileSizes: Vector[Vector[Int]] = Vector(Vector.empty)
+  /** retention watermark: versions < expiredBelow are expired — their
+    * history entries are nulled, time-travel to them fails cleanly,
+    * their commit-log metadata (kind, row count, file count) remains.
+    */
+  @volatile var expiredBelow: Int = 0
   def commit(newRows: Array[UnsafeRow],
-      kind: String = "append"): Unit = synchronized {
+      kind: String = "append",
+      layout: Option[Vector[Int]] = None): Unit = synchronized {
+    val lay = layout.getOrElse {
+      if (kind == "append") {
+        val added = newRows.length - rows.length
+        fileSizes.last ++ (if (added > 0) Vector(added) else Vector.empty)
+      } else if (newRows.nonEmpty) Vector(newRows.length)
+      else Vector.empty[Int]
+    }
+    require(lay.map(_.toLong).sum == newRows.length,
+      s"file layout ${lay.sum} rows != committed ${newRows.length}")
     rows = newRows
     history = history :+ newRows
     kinds = kinds :+ kind
+    rowCounts = rowCounts :+ newRows.length.toLong
+    fileSizes = fileSizes :+ lay
   }
 }
 
@@ -217,10 +333,29 @@ final class MemScan(key: String, tschema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     // rows ride inside the serialized partitions — executor-correct;
     // a version-pinned table reads its frozen snapshot, never the head
-    val rows = pinned.getOrElse(MemTableStore.tables.get(key).rows)
-    val chunks = if (rows.isEmpty) Array(Array.empty[UnsafeRow])
-      else rows.grouped(math.max(1, rows.length / 8)).toArray
-    chunks.map(c => MemPartition(c): InputPartition)
+    pinned match {
+      case Some(rows) =>
+        val chunks = if (rows.isEmpty) Array(Array.empty[UnsafeRow])
+          else rows.grouped(math.max(1, rows.length / 8)).toArray
+        chunks.map(c => MemPartition(c): InputPartition)
+      case None =>
+        // head read: ONE InputPartition per data FILE (the layout the
+        // last commit recorded), so small-file accretion degrades scan
+        // parallelism the way it does on parquet and OPTIMIZE (q110)
+        // visibly restores it
+        val st = MemTableStore.tables.get(key)
+        val (rows, layout) = st.synchronized((st.rows, st.fileSizes.last))
+        if (rows.isEmpty || layout.isEmpty)
+          Array(MemPartition(Array.empty[UnsafeRow]): InputPartition)
+        else {
+          val out = Array.newBuilder[InputPartition]
+          var off = 0
+          layout.foreach { f =>
+            out += MemPartition(rows.slice(off, off + f)); off += f
+          }
+          out.result()
+        }
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory
@@ -264,10 +399,19 @@ final class MemBatchWrite(key: String, tschema: StructType,
       case _ => Array.empty[UnsafeRow]
     }
     val st = MemTableStore.tables.get(key)
-    // atomic version swap — readers see old or new, never a mix; the
-    // commit also appends the snapshot to the version history
-    st.commit(if (replace) incoming else st.rows ++ incoming,
-      if (replace) "replace" else "append")
+    // read-modify-swap under the state's own lock: two concurrent
+    // appends must both land (st.commit alone only made the swap
+    // atomic, not the `st.rows ++` read feeding it). Each non-empty
+    // writer task's payload becomes ONE data file in the layout —
+    // exactly how a parquet append accretes task-grain files.
+    val msgSizes = messages.collect {
+      case MemCommit(r) if r.nonEmpty => r.length
+    }.toVector
+    st.synchronized {
+      if (replace) st.commit(incoming, "replace", Some(msgSizes))
+      else st.commit(st.rows ++ incoming, "append",
+        Some(st.fileSizes.last ++ msgSizes))
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -340,6 +484,11 @@ final class MemDeltaBatchWrite(key: String, tschema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = MemTableStore.tables.get(key)
     val idType = tschema.fields(0).dataType
+    // the whole read-apply-swap holds the state's lock: reading
+    // st.rows, building the position map, and committing the result
+    // must be atomic against a concurrent row-level commit to the
+    // same table, or one commit's deltas are silently lost
+    st.synchronized {
     val rows = st.rows
     // position map by row id (first column); boxed Integer so an
     // absent key reads as null, not an unboxed 0
@@ -368,6 +517,7 @@ final class MemDeltaBatchWrite(key: String, tschema: StructType,
       case (r, idx) if !deleted.contains(Integer.valueOf(idx)) => r
     }
     st.commit(kept ++ inserts, "delta")
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

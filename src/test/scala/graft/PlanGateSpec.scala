@@ -78,6 +78,68 @@ class PlanGateSpec extends SparkFunSuite {
       Seq((1L, "upd1"), (2L, "ins2"), (3L, "vip")))
   }
 
+  test("q110 machinery: OPTIMIZE bin-packs the head layout without " +
+      "touching rows (scan partitions drop to the packed file count, " +
+      "time travel across the optimize commit still works); snapshot " +
+      "expiry drops old data, keeps commit-log metadata, and VERSION " +
+      "AS OF an expired snapshot fails cleanly") {
+    import graft.sources.{MemMaintenance, MemTableStore}
+    spark.conf.set("spark.sql.catalog.pgate_opt",
+      "graft.sources.MemCatalog")
+    import spark.implicits._
+    val tbl = "pgate_opt.ns.t3"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v STRING)")
+    // 6 single-task appends of 2 rows each -> 6 small files
+    (0 until 6).foreach { i =>
+      Seq((i * 2L, s"a$i"), (i * 2L + 1, s"b$i")).toDF("id", "v")
+        .coalesce(1).writeTo(tbl).append()
+    }
+    val st = MemTableStore.lookup("pgate_opt", "ns", "t3").get
+    assert(st.fileSizes.last == Vector.fill(6)(2))
+    assert(spark.table(tbl).rdd.getNumPartitions == 6)
+    // pure bin-pack contract: totals preserved, big files stay alone
+    assert(MemMaintenance.binPack(Vector(2, 2, 2, 2, 2, 2), 5) ==
+      Vector(6, 6))
+    assert(MemMaintenance.binPack(Vector(10, 1, 1, 10, 1), 5) ==
+      Vector(10, 12, 1))
+    val (before, after) =
+      MemMaintenance.optimize("pgate_opt", "ns", "t3", targetRows = 5)
+    assert(before == 6 && after == 2)
+    assert(st.kinds.last == "optimize")
+    assert(spark.table(tbl).rdd.getNumPartitions == 2)
+    val rowsAfter = spark.table(tbl).orderBy("id").collect().toSeq
+    assert(rowsAfter.length == 12 &&
+      rowsAfter.map(_.getLong(0)) == (0L until 12L))
+    // time travel across the optimize commit: version 3 (after the
+    // 3rd append) still reads its 6 rows
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 3").count() == 6)
+    // expire: 8 versions (create + 6 appends + optimize), keep last 2
+    val expired =
+      MemMaintenance.expireSnapshots("pgate_opt", "ns", "t3", keepLast = 2)
+    assert(expired == 6 && st.expiredBelow == 6)
+    // head + retained versions still read
+    assert(spark.table(tbl).count() == 12)
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 7").count() == 12)
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 6").count() == 12)
+    // an expired version fails CLEANLY with the retention message
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 3").count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("EXPIRED")),
+      s"expected a clean EXPIRED error, got: ${chain(ex).mkString(" | ")}")
+    // commit-log metadata survives expiry for EVERY version
+    assert(st.kinds.length == 8 && st.rowCounts.length == 8 &&
+      st.fileSizes.length == 8)
+    assert(st.rowCounts == Vector(0L, 2L, 4L, 6L, 8L, 10L, 12L, 12L))
+    assert(st.fileSizes.last == Vector(6, 6))
+    // expired data arrays really are dropped
+    assert(st.history(3) == null && st.history(7) != null)
+  }
+
   test("V2 catalog functions resolve through GraftFunctionCatalog and " +
       "compile to the codegen'd Invoke path (magic method), not the " +
       "row-boxing ApplyFunctionExpression fallback") {
