@@ -13,6 +13,28 @@ import org.apache.spark.sql.SparkSession
   *        [--fail-on-high] [--format text|json|github-actions|sarif]
   */
 object AnalyzeMain {
+  /** RFC 8259-complete JSON string escape, shared by the json and
+    * sarif emitters: quote, backslash, and EVERY control char below
+    * 0x20 (a \r or \t riding in from a migration's SQL text or a
+    * quoted identifier must not ship a malformed document — strict
+    * parsers reject raw control chars in strings).
+    */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb += '"'
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb += '"'
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
@@ -74,8 +96,7 @@ object AnalyzeMain {
       var anyHigh = false
       format match {
         case "json" =>
-          def q(s: String) = "\"" + s.replace("\\", "\\\\")
-            .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+          def q(s: String) = jsonEscape(s)
           val rows = results.map { r =>
             val fs = r.findings.map { f =>
               s"""{"rule":${q(f.rule)},"severity":${q(Severity.label(f.severity))},"table":${q(f.table)},"message":${q(f.message)},"suggestion":${q(f.suggestion)},"lock_type":${q(f.lockType)},"stmt_index":${f.stmtIndex}}"""
@@ -118,8 +139,7 @@ object AnalyzeMain {
           // VS Code SARIF viewers, and policy engines ingest this
           // directly — the modern sibling of the reference's
           // github-actions format value.
-          def q(s: String) = "\"" + s.replace("\\", "\\\\")
-            .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+          def q(s: String) = jsonEscape(s)
           val pathOf = migrations.collect()
             .map(m => m.version -> m.filePath).toMap
           val ruleIds = graft.rules.Registry.defaultRules.map(_.id) ++

@@ -171,6 +171,41 @@ class CliRootSpec extends AnyFunSuite {
     }
   }
 
+  test("sarif/json emitters survive hostile content: control chars, " +
+      "quotes, and backslashes in SQL round-trip through a STRICT " +
+      "parser (VERDICT r15 #8 — a malformed escape cannot ship)") {
+    // a migration whose table name and statement text carry every
+    // character class the string-built emitters must escape: double
+    // quotes (quoted identifier with an embedded "), backslash, tab,
+    // carriage return, and a newline inside the statement
+    val dir = java.nio.file.Files.createTempDirectory("graft-hostile")
+    java.nio.file.Files.writeString(
+      dir.resolve("V001_hostile.up.sql"),
+      "DROP TABLE \"we\"\"ird\\ta\tble\";\r\nLOCK TABLE\n\t\"x\ry\";")
+    // strict parse: no lenient features — raw control chars or bad
+    // escapes in the output are a test failure, not a shrug
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def strictParse(json: String) = mapper.readTree(json)
+    for (fmt <- Seq("sarif", "json")) {
+      val (code, out) = graft("analyze", dir.toString, "--format", fmt)
+      assert(code == 0, s"analyze --format $fmt failed:\n$out")
+      val json = out.linesIterator.find(l =>
+        l.startsWith("{") || l.startsWith("[")).getOrElse(
+        fail(s"no JSON line in:\n$out"))
+      val root = strictParse(json)
+      // the findings made it through intact (drop-table + lock-table
+      // both fire on the hostile statements)
+      val text = root.toString
+      assert(text.contains("drop-table") && text.contains("lock-table"),
+        s"findings lost in $fmt output: $text")
+    }
+    // unit leg: the escaper's output for a full control-char gauntlet
+    // parses strictly and round-trips the exact string
+    val hostile = "a\"b\\c\nd\re\tf\u0000g\u001fh"
+    val esc = _root_.graft.cli.AnalyzeMain.jsonEscape(hostile)
+    assert(strictParse(s"""{"v":$esc}""").get("v").asText() == hostile)
+  }
+
   test("graft plan: default lists applied rows, --pending-only restricts " +
       "(plan.go:19's registered flag, implemented)") {
     val tracker = java.nio.file.Files
