@@ -3503,6 +3503,93 @@ object Relational2 {
         ORDER BY kind, seq""")),
 
     // ------------------------------------------------------------------
+    // q111: zone-map FILE SKIPPING — the data-skipping rung that makes
+    // q110's file layout pay at read time. Commits record each file's
+    // (min, max) of the leading bigint column (parquet footer stats,
+    // re-expressed); the DSv2 scan folds pushed range/equality filters
+    // into one [lo, hi] window and PRUNES whole files that cannot
+    // intersect it, while returning every filter as residual so Spark
+    // still applies them row-by-row — pruning is performance, never
+    // correctness. Eight key-range appends give disjoint per-file zone
+    // maps (a clustered write); the probe window covers ~1.5 buckets,
+    // so the filtered scan plans 2 of 8 partitions — at 100 TB this is
+    // the difference between touching 2 files and 8. The census pins
+    // total/pruned partition counts AND the filtered aggregate, which
+    // the oracle re-derives from orders (per-bucket min/max intersect
+    // arithmetic — the same decision the scan makes).
+    // ------------------------------------------------------------------
+    "q111_zone_map_skipping" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val sfx = new java.io.File(d).getName
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        val name = s"zmap_$sfx"
+        val tbl = s"graftmem.ns.$name"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(o_orderkey BIGINT NOT NULL, o_total BIGINT)")
+        val ord = t(s, d, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("o_total"))
+        val mx = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+        val k = mx / 8 + 1
+        // key-range appends in bucket order: each commit is one file
+        // whose zone map spans exactly its bucket's key range
+        (0 until 8).foreach { b =>
+          ord.filter(col("o_orderkey") >= b * k &&
+              col("o_orderkey") < (b + 1) * k)
+            .coalesce(1).writeTo(tbl).append()
+        }
+        val lo = 3 * k
+        val hi = 4 * k + k / 2
+        val filtered = s.table(tbl)
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        val scanAll = s.table(tbl).rdd.getNumPartitions.toLong
+        val scanPruned = filtered.rdd.getNumPartitions.toLong
+        val st = graft.sources.MemTableStore
+          .lookup("graftmem", "ns", name).get
+        val agg = filtered
+          .agg(count(lit(1)).cast("long").as("c"),
+            coalesce(sum(col("o_total")), lit(0L)).cast("long").as("t"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("files_total", st.fileSizes.last.length.toLong,
+            st.rowCounts.last),
+          ("probe_agg", agg.getLong(0), agg.getLong(1)),
+          ("scan_partitions", scanAll, scanPruned))
+          .toDF("kind", "n1", "n2")
+          .orderBy(col("kind"))
+      },
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        kk AS (SELECT m // 8 + 1 AS k FROM mx),
+        b AS (
+          SELECT o_orderkey // (SELECT k FROM kk) AS bucket,
+            cast(count(*) as bigint) AS n,
+            min(o_orderkey) AS mn, max(o_orderkey) AS mxk
+          FROM orders GROUP BY 1),
+        win AS (
+          SELECT 3 * (SELECT k FROM kk) AS lo,
+            4 * (SELECT k FROM kk) + (SELECT k FROM kk) // 2 AS hi),
+        probe AS (
+          SELECT cast(count(*) as bigint) AS c,
+            cast(coalesce(sum(cast(floor(o_totalprice) as bigint)), 0)
+              as bigint) AS t
+          FROM orders, win WHERE o_orderkey >= lo AND o_orderkey <= hi)
+        SELECT kind, n1, n2 FROM (
+          SELECT 'files_total' AS kind,
+            (SELECT cast(count(*) as bigint) FROM b) AS n1,
+            (SELECT cast(sum(n) as bigint) FROM b) AS n2
+          UNION ALL
+          SELECT 'probe_agg', (SELECT c FROM probe), (SELECT t FROM probe)
+          UNION ALL
+          SELECT 'scan_partitions',
+            (SELECT cast(count(*) as bigint) FROM b),
+            (SELECT cast(count(*) as bigint) FROM b, win
+             WHERE mxk >= lo AND mn <= hi))
+        ORDER BY kind""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

@@ -263,6 +263,14 @@ final class MemTableState(val schema: StructType) {
     * their commit-log metadata (kind, row count, file count) remains.
     */
   @volatile var expiredBelow: Int = 0
+  /** per-file (min, max) of the LEADING column for the HEAD version,
+    * parallel to fileSizes.last — the zone map parquet footers carry,
+    * recorded at write time (commit computes them from the slices it
+    * lays out). Only maintained when the leading column is bigint; a
+    * file containing a null gets (MinValue, MaxValue) so it can never
+    * be skipped.
+    */
+  @volatile var fileStats: Vector[(Long, Long)] = Vector.empty
   def commit(newRows: Array[UnsafeRow],
       kind: String = "append",
       layout: Option[Vector[Int]] = None): Unit = synchronized {
@@ -280,6 +288,33 @@ final class MemTableState(val schema: StructType) {
     kinds = kinds :+ kind
     rowCounts = rowCounts :+ newRows.length.toLong
     fileSizes = fileSizes :+ lay
+    fileStats =
+      if (schema.isEmpty ||
+          schema.fields(0).dataType !=
+            org.apache.spark.sql.types.LongType) Vector.empty
+      else {
+        val out = Vector.newBuilder[(Long, Long)]
+        var off = 0
+        lay.foreach { f =>
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var hasNull = false
+          var i = off
+          while (i < off + f) {
+            if (newRows(i).isNullAt(0)) hasNull = true
+            else {
+              val v = newRows(i).getLong(0)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            i += 1
+          }
+          out += (if (hasNull || f == 0) (Long.MinValue, Long.MaxValue)
+            else (mn, mx))
+          off += f
+        }
+        out.result()
+      }
   }
 }
 
@@ -295,7 +330,10 @@ final class MemTable(key: String, tschema: StructType,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(key, tschema, pinned)
+    // plain reads may zone-map-skip files; row-level-operation scans
+    // (below) build their own MemScanBuilder with skipping OFF — the
+    // group-based rewrite contract must see every row of the table
+    new MemScanBuilder(key, tschema, pinned, skipping = pinned.isEmpty)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(key, tschema, info.schema(),
@@ -321,15 +359,67 @@ final class MemRowLevelOperation(key: String, tschema: StructType,
       truncateFirst = true)
 }
 
+/** Scan builder with zone-map FILE SKIPPING (q111): when `skipping`
+  * is on (plain table reads — never row-level-operation scans, whose
+  * group contract must see every row), range/equality filters on the
+  * leading bigint column are folded into one conjunctive [lo, hi]
+  * window and the scan PRUNES whole files whose recorded (min, max)
+  * cannot intersect it — parquet footer-stats skipping re-expressed
+  * over the mem store. EVERY filter is also returned as residual, so
+  * Spark re-applies them row-by-row: pruning is a performance
+  * contract, never a correctness dependency.
+  */
 final class MemScanBuilder(key: String, tschema: StructType,
-    pinned: Option[Array[UnsafeRow]] = None) extends ScanBuilder {
-  override def build(): Scan = new MemScan(key, tschema, pinned)
+    pinned: Option[Array[UnsafeRow]] = None, skipping: Boolean = false)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+  private var zone: Option[(Long, Long)] = None
+  private var accepted: Array[Filter] = Array.empty
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (skipping && tschema.nonEmpty &&
+        tschema.fields(0).dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val lead = tschema.fields(0).name
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      val used = filters.filter {
+        case EqualTo(a, v) if a == lead => asLong(v).exists { l =>
+          lo = math.max(lo, l); hi = math.min(hi, l); true
+        }
+        case GreaterThan(a, v) if a == lead => asLong(v).exists { l =>
+          lo = math.max(lo, if (l == Long.MaxValue) l else l + 1); true
+        }
+        case GreaterThanOrEqual(a, v) if a == lead =>
+          asLong(v).exists { l => lo = math.max(lo, l); true }
+        case LessThan(a, v) if a == lead => asLong(v).exists { l =>
+          hi = math.min(hi, if (l == Long.MinValue) l else l - 1); true
+        }
+        case LessThanOrEqual(a, v) if a == lead =>
+          asLong(v).exists { l => hi = math.min(hi, l); true }
+        case _ => false
+      }
+      if (used.nonEmpty) { zone = Some((lo, hi)); accepted = used }
+    }
+    filters // all residual: Spark re-applies every predicate
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan = new MemScan(key, tschema, pinned, zone)
 }
 
 final class MemScan(key: String, tschema: StructType,
-    pinned: Option[Array[UnsafeRow]] = None) extends Scan with Batch {
+    pinned: Option[Array[UnsafeRow]] = None,
+    zone: Option[(Long, Long)] = None) extends Scan with Batch {
   override def readSchema(): StructType = tschema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"MemScan${zone.map(z => s" zone=[${z._1},${z._2}]").getOrElse("")}"
   override def planInputPartitions(): Array[InputPartition] = {
     // rows ride inside the serialized partitions — executor-correct;
     // a version-pinned table reads its frozen snapshot, never the head
@@ -342,18 +432,30 @@ final class MemScan(key: String, tschema: StructType,
         // head read: ONE InputPartition per data FILE (the layout the
         // last commit recorded), so small-file accretion degrades scan
         // parallelism the way it does on parquet and OPTIMIZE (q110)
-        // visibly restores it
+        // visibly restores it. With a pushed zone window, files whose
+        // recorded (min, max) cannot intersect it are SKIPPED whole.
         val st = MemTableStore.tables.get(key)
-        val (rows, layout) = st.synchronized((st.rows, st.fileSizes.last))
+        val (rows, layout, stats) = st.synchronized(
+          (st.rows, st.fileSizes.last, st.fileStats))
         if (rows.isEmpty || layout.isEmpty)
           Array(MemPartition(Array.empty[UnsafeRow]): InputPartition)
         else {
           val out = Array.newBuilder[InputPartition]
           var off = 0
-          layout.foreach { f =>
-            out += MemPartition(rows.slice(off, off + f)); off += f
+          var kept = 0
+          layout.zipWithIndex.foreach { case (f, i) =>
+            val keep = zone match {
+              case Some((lo, hi)) if stats.length == layout.length =>
+                val (mn, mx) = stats(i)
+                mx >= lo && mn <= hi
+              case _ => true
+            }
+            if (keep) { out += MemPartition(rows.slice(off, off + f)); kept += 1 }
+            off += f
           }
-          out.result()
+          if (kept == 0)
+            Array(MemPartition(Array.empty[UnsafeRow]): InputPartition)
+          else out.result()
         }
     }
   }
