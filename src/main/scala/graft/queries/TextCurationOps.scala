@@ -5404,6 +5404,121 @@ object TextCurationOps {
         LEFT JOIN leakn ln USING (split)
         ORDER BY split""")),
 
+    // ------------------------------------------------------------------
+    // x57: benchmark DECONTAMINATION — the pre-training hygiene step
+    // every published pipeline runs (GPT-3 appendix C / PaLM / Llama:
+    // drop a training document that shares an n-gram with an eval
+    // example). The eval set is a deterministic 10% doc-hash holdout
+    // (h60, DuckDB-rederivable); contamination = sharing any distinct
+    // 8-word-gram with ANY eval doc. Scale shape: eval grams are a
+    // DISTINCT probe set bounded by eval-set bytes (2% of corpus), the
+    // train side joins GRAM-KEYED against it — one tokenize pass, one
+    // hash join, no all-pairs, no corpus-scale broadcast (at 100 TB
+    // the probe set shards like any dimension). Non-vacuous by
+    // measurement: the corpus's organic clone structure contaminates
+    // 5 train docs at sf0.01 / 37 at sf0.1 under the canonical 8-gram
+    // rule. Census: corpus split
+    // sizes, probe-set size, the per-doc hit distribution (bucketed),
+    // and the removal decision priced in docs + chars + ppm.
+    // ------------------------------------------------------------------
+    "x57_eval_decontamination" -> Q(
+      (s, d) => {
+        val base = mat(docs(s, d)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("nchars"),
+            graft.queries.TextOps.words(col("text")).as("toks"))
+          .withColumn("is_eval",
+            pmod(graft.functions.PortableHash.h60col(
+              concat(lit("x57_"), col("doc_id"))), lit(100L)) >= 90))
+        val grams = base.filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), col("is_eval"), col("nchars"),
+            explode(array_distinct(transform(
+              sequence(lit(1), size(col("toks")) - 7),
+              i => concat_ws(" ", slice(col("toks"), i, lit(8))))))
+              .as("g"))
+        val evalGrams = mat(grams.filter(col("is_eval"))
+          .select(col("g")).distinct())
+        val hitsC = mat(grams.filter(!col("is_eval"))
+          .join(evalGrams, "g")
+          .groupBy(col("doc_id"), col("nchars"))
+          .agg(count(lit(1)).as("hits")))
+        val trainTot = base.filter(!col("is_eval"))
+          .agg(count(lit(1)).as("tn"),
+            coalesce(sum(col("nchars")), lit(0L)).as("tc"))
+        val aRow = trainTot
+          .crossJoin(base.filter(col("is_eval"))
+            .agg(count(lit(1)).as("en")))
+          .select(lit("a_corpus").as("kind"), lit(0L).as("bucket"),
+            col("tn").as("n_docs"), col("en").as("n2"),
+            col("tc").as("chars"), lit(0L).as("ppm"))
+        val bRow = evalGrams.agg(count(lit(1)).as("ng"))
+          .select(lit("b_eval_grams").as("kind"), lit(0L).as("bucket"),
+            col("ng").as("n_docs"), lit(0L).as("n2"),
+            lit(0L).as("chars"), lit(0L).as("ppm"))
+        val cRows = hitsC
+          .groupBy(expr("cast(least(hits div 10, 10) as bigint)")
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n2"),
+            sum(col("nchars")).as("chars"))
+          .select(lit("c_hits").as("kind"), col("bucket"),
+            col("n_docs"), col("n2"), col("chars"), lit(0L).as("ppm"))
+        val dRow = hitsC
+          .agg(count(lit(1)).as("cd"),
+            coalesce(sum(col("hits")), lit(0L)).as("th"),
+            coalesce(sum(col("nchars")), lit(0L)).as("cc"))
+          .crossJoin(trainTot)
+          .select(lit("d_decision").as("kind"), lit(0L).as("bucket"),
+            col("cd").as("n_docs"), col("th").as("n2"),
+            col("cc").as("chars"),
+            expr("1000000 * cd div greatest(tn, 1)").as("ppm"))
+        aRow.unionByName(bRow).unionByName(cRows).unionByName(dRow)
+          .orderBy(col("kind"), col("bucket"))
+      },
+      Some("""WITH t0 AS (
+          SELECT doc_id, cast(length(text) as bigint) AS nchars,
+            string_split_regex(
+              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w,
+            ('0x' || substr(md5('x57_' || doc_id), 1, 15))::BIGINT
+              % 100 >= 90 AS is_eval
+          FROM documents),
+        g8 AS (
+          SELECT doc_id, is_eval, nchars,
+            unnest(list_distinct(list_transform(range(1, len(w) - 6),
+              i -> array_to_string(w[i:i+7], ' ')))) AS g
+          FROM t0 WHERE len(w) >= 8),
+        eg AS (SELECT DISTINCT g FROM g8 WHERE is_eval),
+        hc AS (
+          SELECT doc_id, any_value(nchars) AS nchars,
+            cast(count(*) as bigint) AS hits
+          FROM g8 JOIN eg USING (g) WHERE NOT is_eval
+          GROUP BY doc_id),
+        tt AS (
+          SELECT cast(count(*) as bigint) AS tn,
+            cast(coalesce(sum(nchars), 0) as bigint) AS tc
+          FROM t0 WHERE NOT is_eval),
+        et AS (SELECT cast(count(*) as bigint) AS en
+          FROM t0 WHERE is_eval),
+        ngc AS (SELECT cast(count(*) as bigint) AS ng FROM eg)
+        SELECT kind, bucket, n_docs, n2, chars, ppm FROM (
+          SELECT 'a_corpus' AS kind, cast(0 as bigint) AS bucket,
+            tn AS n_docs, en AS n2, tc AS chars, cast(0 as bigint) AS ppm
+          FROM tt, et
+          UNION ALL
+          SELECT 'b_eval_grams', 0, ng, 0, 0, 0 FROM ngc
+          UNION ALL
+          SELECT 'c_hits', cast(least(hits // 10, 10) as bigint),
+            cast(count(*) as bigint), cast(sum(hits) as bigint),
+            cast(sum(nchars) as bigint), 0
+          FROM hc GROUP BY 2
+          UNION ALL
+          SELECT 'd_decision', 0, cast(count(*) as bigint),
+            cast(coalesce(sum(hits), 0) as bigint),
+            cast(coalesce(sum(nchars), 0) as bigint),
+            1000000 * cast(count(*) as bigint)
+              // greatest((SELECT tn FROM tt), 1)
+          FROM hc)
+        ORDER BY kind, bucket""")),
+
     "x54_temperature_mixture" -> Q(
       (s, d) => {
         val counts = docs(s, d).groupBy(col("lang"))

@@ -89,6 +89,11 @@ class PlanAuditSpec extends SparkFunSuite {
     "x45_vocab_coverage" -> ("7-row k-ladder theta-joined onto the "
       + "64-row global top-k frame + 1-row totals broadcast; the "
       + "corpus-scale side ends at the vocab census groupBy"),
+    "x57_eval_decontamination" -> ("1-row train-total × 1-row "
+      + "eval-count crosses minting the census header/decision rows; "
+      + "the corpus-scale work is one tokenize pass + a gram-keyed "
+      + "hash join against the distinct eval probe set (2% of corpus "
+      + "bytes), never all-pairs"),
     "x46_source_divergence" -> ("1-row corpus-token-total broadcast "
       + "(x11's pattern) onto the 20-row per-source fold frame; the "
       + "corpus-scale side ends at the (source, word) census"),
