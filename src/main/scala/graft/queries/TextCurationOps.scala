@@ -5428,14 +5428,10 @@ object TextCurationOps {
             length(col("text")).cast("long").as("nchars"),
             graft.queries.TextOps.words(col("text")).as("toks"))
           .withColumn("is_eval",
-            pmod(graft.functions.PortableHash.h60col(
-              concat(lit("x57_"), col("doc_id"))), lit(100L)) >= 90))
+            graft.queries.TextOps.evalHoldout(col("doc_id"))))
         val grams = base.filter(size(col("toks")) >= 8)
           .select(col("doc_id"), col("is_eval"), col("nchars"),
-            explode(array_distinct(transform(
-              sequence(lit(1), size(col("toks")) - 7),
-              i => concat_ws(" ", slice(col("toks"), i, lit(8))))))
-              .as("g"))
+            explode(graft.queries.TextOps.grams8(col("toks"))).as("g"))
         val evalGrams = mat(grams.filter(col("is_eval"))
           .select(col("g")).distinct())
         val hitsC = mat(grams.filter(!col("is_eval"))

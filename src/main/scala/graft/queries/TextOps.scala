@@ -20,7 +20,7 @@ import Catalog._
 object TextOps {
 
   /** Whitespace-token array (both-engine-reproducible normalization). */
-  private[queries] def words(c: Column): Column =
+  private[graft] def words(c: Column): Column =
     split(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+")
 
   /** Distinct 3-word shingles — the dedup feature set. Word *sets* are
@@ -39,6 +39,25 @@ object TextOps {
 
   private[queries] def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+
+  /** x57's deterministic 10% eval holdout over a doc-id column — ONE
+    * definition shared by the batch census and
+    * [[graft.streaming.DecontamStream]] (h60 doc-hash,
+    * DuckDB-rederivable).
+    */
+  private[graft] def evalHoldout(docId: Column): Column =
+    pmod(graft.functions.PortableHash.h60col(
+      concat(lit("x57_"), docId)), lit(100L)) >= 90
+
+  /** x57's contamination fingerprints: the DISTINCT 8-word-grams of a
+    * pre-tokenized word array (pass an ALIASED toks column — the
+    * expression references it repeatedly). Same sharing contract as
+    * [[evalHoldout]].
+    */
+  private[graft] def grams8(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 7),
+      i => concat_ws(" ", slice(toks, i, lit(8)))))
 
   /** documents with the shingle set materialized as a column.
     *

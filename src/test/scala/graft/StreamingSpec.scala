@@ -1361,4 +1361,88 @@ class StreamingSpec extends SparkFunSuite {
     assert(ops.nonEmpty && ops.exists(_.contains("stateStoreSave")),
       s"unexpected operators: ${ops.mkString(",")}")
   }
+
+  test("streaming contamination gate (x57's kappa twin, the 16th): " +
+      "the eval probe set grows across micro-batches — a benchmark " +
+      "registered in an early batch flags a leaked training doc " +
+      "arriving two batches later; every day's verdicts equal the " +
+      "batch replay bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.queries.TextOps
+    val incomingSrcs = Seq("src16", "src17", "src18", "src19")
+    val docs = Catalog.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint()
+    // planted benchmark + leak (x44's synthesize→detect): ids chosen
+    // BY the holdout rule itself so the benchmark is eval and the
+    // leak is train; the benchmark arrives day 2, its verbatim leak
+    // day 4 — only cross-batch probe-set state can connect them
+    def pct(id: Long) = Math.floorMod(
+      graft.functions.PortableHash.h60(s"x57_$id"), 100L)
+    val evalId = (1000000L to 1000200L).find(pct(_) >= 90).get
+    val leakId = (1000000L to 1000200L).find(pct(_) < 90).get
+    val bench = "the quick brown fox jumps over the lazy dog while " +
+      "reciting benchmark answers verbatim"
+    val nGrams = bench.split("\\s+").length - 7
+    val all = docs.unionByName(Seq(
+        (evalId, bench, "src17"), (leakId, bench, "src19"))
+      .toDF("doc_id", "text", "source")).localCheckpoint()
+    val history = all.filter(!col("source").isin(incomingSrcs: _*))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap[
+      Long, Array[(Long, Long, Boolean)]]()
+    val q = graft.streaming.DecontamStream.contaminationGate(
+      history, ms.toDF().toDF("doc_id", "text"),
+      onVerdicts = (id, v) => got(id) = v.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))))
+    incomingSrcs.foreach { src =>
+      ms.addData(all.filter(col("source") === src)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.size == incomingSrcs.size,
+      s"expected ${incomingSrcs.size} micro-batches, saw ${got.keys}")
+    val orderedIds = got.keys.toSeq.sorted
+    // the planted leak is flagged on day 4 with EXACTLY the planted
+    // gram count — the day-2 benchmark did the flagging
+    val day4 = got(orderedIds(3)).find(_._1 == leakId)
+      .getOrElse(fail(s"no verdict row for planted leak $leakId"))
+    assert(day4._2 == nGrams && day4._3,
+      s"planted leak verdict $day4, expected ($leakId, $nGrams, true)")
+    // batch replay: day i's verdicts recomputed from scratch against
+    // the probe set of history + days <= i
+    def gramsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), TextOps.words(col("text")).as("toks"))
+      .withColumn("is_eval", TextOps.evalHoldout(col("doc_id")))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("is_eval"),
+        explode(TextOps.grams8(col("toks"))).as("g"))
+    incomingSrcs.zipWithIndex.foreach { case (src, i) =>
+      val visible = all.filter(!col("source").isin(incomingSrcs: _*) ||
+        col("source").isin(incomingSrcs.take(i + 1): _*))
+      val probe = gramsOf(visible).filter(col("is_eval"))
+        .select(col("g")).distinct()
+      val dayDocs = all.filter(col("source") === src)
+      val hits = gramsOf(dayDocs).filter(!col("is_eval"))
+        .join(probe, "g").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+      val expect = dayDocs
+        .withColumn("is_eval", TextOps.evalHoldout(col("doc_id")))
+        .filter(!col("is_eval")).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      val streamed = got(orderedIds(i)).sortBy(_._1).toSeq
+      assert(streamed == expect,
+        s"day $i ($src): streamed verdicts != batch replay")
+    }
+  }
 }
