@@ -3590,6 +3590,91 @@ object Relational2 {
         ORDER BY kind""")),
 
     // ------------------------------------------------------------------
+    // q112: METADATA-ONLY aggregates — the stats rung above q111's
+    // file skipping. A global count(*)/count(k)/min(k)/max(k) over
+    // the mem table is answered ENTIRELY from the commit's per-file
+    // stats via DSv2 complete aggregate pushdown (SupportsPushDown
+    // Aggregates): one partition, one row, zero data read — at 100 TB
+    // this is a footer read instead of a full pass, exactly what
+    // Iceberg/parquet metadata queries do. Spark only attempts the
+    // pushdown when no post-scan filters remain, and this source
+    // keeps every filter residual, so a filtered aggregate can never
+    // be served stale. The after-delete leg proves the stats FOLLOW
+    // row-level writes: a DELETE rewrites the table (group-based
+    // replace), the commit recomputes file stats, and the metadata
+    // answers move with it (min jumps past the deleted range).
+    // PlanGateSpec pins the plan: MemAggScan(metadata-only) for the
+    // global aggregate, a real row scan for grouped/filtered shapes.
+    // ------------------------------------------------------------------
+    "q112_metadata_agg" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val sfx = new java.io.File(d).getName
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        val name = s"magg_$sfx"
+        val tbl = s"graftmem.ns.$name"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(o_orderkey BIGINT NOT NULL, o_total BIGINT)")
+        val ord = t(s, d, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("o_total"))
+        val mx = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+        val k = mx / 8 + 1
+        (0 until 8).foreach { b =>
+          ord.filter(col("o_orderkey") >= b * k &&
+              col("o_orderkey") < (b + 1) * k)
+            .coalesce(1).writeTo(tbl).append()
+        }
+        def mdAgg(): org.apache.spark.sql.Row =
+          s.sql(s"SELECT count(*) AS c, min(o_orderkey) AS mn, " +
+            s"max(o_orderkey) AS mxk FROM $tbl").head()
+        val r1 = mdAgg()
+        val st = graft.sources.MemTableStore
+          .lookup("graftmem", "ns", name).get
+        val filesBefore = st.fileSizes.last.length.toLong
+        val rowsBefore = st.rowCounts.last
+        // the correction: drop the two lowest key buckets; the
+        // group-based replace recommits and the stats move with it
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey < ${2 * k}")
+        val r2 = mdAgg()
+        import s.implicits._
+        Seq(
+          ("a_before", r1.getLong(0), r1.getLong(1), r1.getLong(2)),
+          ("b_files", filesBefore, rowsBefore, 0L),
+          ("c_after_delete", r2.getLong(0), r2.getLong(1),
+            r2.getLong(2)))
+          .toDF("kind", "c1", "c2", "c3")
+          .orderBy(col("kind"))
+      },
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        kk AS (SELECT m // 8 + 1 AS k FROM mx),
+        b AS (
+          SELECT o_orderkey // (SELECT k FROM kk) AS bucket,
+            count(*) AS n
+          FROM orders GROUP BY 1),
+        a AS (
+          SELECT cast(count(*) as bigint) AS c,
+            cast(min(o_orderkey) as bigint) AS mn,
+            cast(max(o_orderkey) as bigint) AS mxk
+          FROM orders),
+        cdel AS (
+          SELECT cast(count(*) as bigint) AS c,
+            cast(min(o_orderkey) as bigint) AS mn,
+            cast(max(o_orderkey) as bigint) AS mxk
+          FROM orders WHERE o_orderkey >= 2 * (SELECT k FROM kk))
+        SELECT kind, c1, c2, c3 FROM (
+          SELECT 'a_before' AS kind, c AS c1, mn AS c2, mxk AS c3 FROM a
+          UNION ALL
+          SELECT 'b_files',
+            (SELECT cast(count(*) as bigint) FROM b),
+            (SELECT cast(sum(n) as bigint) FROM b),
+            cast(0 as bigint)
+          UNION ALL
+          SELECT 'c_after_delete', c, mn, mxk FROM cdel)
+        ORDER BY kind""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

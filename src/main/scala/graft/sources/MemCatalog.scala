@@ -227,6 +227,12 @@ object MemMaintenance {
   }
 }
 
+/** Per-file leading-column stats: non-null (min, max) + non-null
+  * count — the footer stats zone-map skipping (q111) and metadata
+  * aggregate answering (q112) read.
+  */
+final case class MemFileStat(mn: Long, mx: Long, nonNull: Long)
+
 final class MemTableState(val schema: StructType) {
   @volatile var rows: Array[UnsafeRow] = Array.empty
   /** snapshot after each commit; the INDEX is the version number
@@ -263,14 +269,18 @@ final class MemTableState(val schema: StructType) {
     * their commit-log metadata (kind, row count, file count) remains.
     */
   @volatile var expiredBelow: Int = 0
-  /** per-file (min, max) of the LEADING column for the HEAD version,
-    * parallel to fileSizes.last — the zone map parquet footers carry,
-    * recorded at write time (commit computes them from the slices it
-    * lays out). Only maintained when the leading column is bigint; a
-    * file containing a null gets (MinValue, MaxValue) so it can never
-    * be skipped.
+  /** per-file stats of the LEADING column for the HEAD version,
+    * parallel to fileSizes.last — the zone map + value counts parquet
+    * footers carry, recorded at write time (commit computes them from
+    * the slices it lays out). Only maintained when the leading column
+    * is bigint. (mn, mx) cover the NON-NULL values (SQL min/max
+    * semantics, and range predicates never match null rows so
+    * skipping on the non-null range stays correct); nonNull is the
+    * file's non-null value count. A file with nonNull == 0 has no
+    * valid range — (MaxValue, MinValue), which every intersect test
+    * rejects.
     */
-  @volatile var fileStats: Vector[(Long, Long)] = Vector.empty
+  @volatile var fileStats: Vector[MemFileStat] = Vector.empty
   def commit(newRows: Array[UnsafeRow],
       kind: String = "append",
       layout: Option[Vector[Int]] = None): Unit = synchronized {
@@ -293,24 +303,24 @@ final class MemTableState(val schema: StructType) {
           schema.fields(0).dataType !=
             org.apache.spark.sql.types.LongType) Vector.empty
       else {
-        val out = Vector.newBuilder[(Long, Long)]
+        val out = Vector.newBuilder[MemFileStat]
         var off = 0
         lay.foreach { f =>
           var mn = Long.MaxValue
           var mx = Long.MinValue
-          var hasNull = false
+          var nn = 0L
           var i = off
           while (i < off + f) {
-            if (newRows(i).isNullAt(0)) hasNull = true
-            else {
+            if (!newRows(i).isNullAt(0)) {
               val v = newRows(i).getLong(0)
               if (v < mn) mn = v
               if (v > mx) mx = v
+              nn += 1
             }
             i += 1
           }
-          out += (if (hasNull || f == 0) (Long.MinValue, Long.MaxValue)
-            else (mn, mx))
+          out += (if (nn == 0) MemFileStat(Long.MaxValue, Long.MinValue, 0L)
+            else MemFileStat(mn, mx, nn))
           off += f
         }
         out.result()
@@ -372,10 +382,78 @@ final class MemRowLevelOperation(key: String, tschema: StructType,
 final class MemScanBuilder(key: String, tschema: StructType,
     pinned: Option[Array[UnsafeRow]] = None, skipping: Boolean = false)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var zone: Option[(Long, Long)] = None
   private var accepted: Array[Filter] = Array.empty
+  private var aggPushed: Option[(StructType, Array[Any])] = None
+
+  /** q112 METADATA-ONLY aggregate answering: a global (ungrouped)
+    * count(star)/count(lead)/min(lead)/max(lead) over a plain head
+    * read is answered entirely from the commit's file stats — the
+    * table's rows are never scanned, which at 100 TB is the
+    * difference between a footer read and a full pass. Spark only
+    * attempts aggregate pushdown when no post-scan filters remain,
+    * and this source keeps every filter residual, so the metadata
+    * path can never serve a filtered query. Complete pushdown: the
+    * single returned row IS the final answer.
+    */
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (!skipping || zone.isDefined) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (tschema.isEmpty || tschema.fields(0).dataType != LongType)
+      return None
+    val st = MemTableStore.tables.get(key)
+    if (st == null) return None
+    val (layout, stats, total) = st.synchronized(
+      (st.fileSizes.last, st.fileStats, st.rowCounts.last))
+    if (stats.length != layout.length) return None
+    val lead = tschema.fields(0).name
+    def isLead(
+        e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions
+            .NamedReference =>
+          nr.fieldNames().length == 1 && nr.fieldNames()(0) == lead
+        case _ => false
+      }
+    val withVals = stats.filter(_.nonNull > 0)
+    val nonNullTotal = stats.map(_.nonNull).sum
+    val mnAll: Any =
+      if (withVals.isEmpty) null else Long.box(withVals.map(_.mn).min)
+    val mxAll: Any =
+      if (withVals.isEmpty) null else Long.box(withVals.map(_.mx).max)
+    val resolved = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          Long.box(total): Any))
+      case c: Count if !c.isDistinct && isLead(c.column()) =>
+        Some((StructField("count_lead", LongType, nullable = false),
+          Long.box(nonNullTotal): Any))
+      case m: Min if isLead(m.column()) =>
+        Some((StructField("min_lead", LongType, nullable = true), mnAll))
+      case m: Max if isLead(m.column()) =>
+        Some((StructField("max_lead", LongType, nullable = true), mxAll))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else Some((StructType(resolved.map(_.get._1)),
+      resolved.map(_.get._2).toArray))
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = computeAgg(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggPushed = computeAgg(agg)
+    aggPushed.isDefined
+  }
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
     case i: Int => Some(i.toLong)
@@ -410,8 +488,42 @@ final class MemScanBuilder(key: String, tschema: StructType,
     filters // all residual: Spark re-applies every predicate
   }
   override def pushedFilters(): Array[Filter] = accepted
-  override def build(): Scan = new MemScan(key, tschema, pinned, zone)
+  override def build(): Scan = aggPushed match {
+    case Some((sch, vals)) => new MemAggScan(sch, vals)
+    case None => new MemScan(key, tschema, pinned, zone)
+  }
 }
+
+/** The metadata-answered aggregate scan (q112): one partition, one
+  * row, zero data read — the values were resolved from file stats at
+  * pushdown time.
+  */
+final class MemAggScan(sch: StructType, vals: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = sch
+  override def toBatch: Batch = this
+  override def description(): String = "MemAggScan(metadata-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MemAggPartition(vals))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val values = p.asInstanceOf[MemAggPartition].vals
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(values.clone())
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class MemAggPartition(vals: Array[Any])
+    extends InputPartition
 
 final class MemScan(key: String, tschema: StructType,
     pinned: Option[Array[UnsafeRow]] = None,
@@ -446,8 +558,7 @@ final class MemScan(key: String, tschema: StructType,
           layout.zipWithIndex.foreach { case (f, i) =>
             val keep = zone match {
               case Some((lo, hi)) if stats.length == layout.length =>
-                val (mn, mx) = stats(i)
-                mx >= lo && mn <= hi
+                stats(i).mx >= lo && stats(i).mn <= hi
               case _ => true
             }
             if (keep) { out += MemPartition(rows.slice(off, off + f)); kept += 1 }

@@ -140,6 +140,54 @@ class PlanGateSpec extends SparkFunSuite {
     assert(st.history(3) == null && st.history(7) != null)
   }
 
+  test("q112 machinery: global count/min/max over a mem table plan " +
+      "the metadata-only MemAggScan (zero data read); filtered, " +
+      "grouped, and unsupported-function shapes fall back to the row " +
+      "scan; stats follow a row-level DELETE") {
+    spark.conf.set("spark.sql.catalog.pgate_magg",
+      "graft.sources.MemCatalog")
+    import spark.implicits._
+    val tbl = "pgate_magg.ns.t4"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT)")
+    (0 until 3).foreach { i =>
+      Seq((i * 10L, 1L), (i * 10L + 5, 2L)).toDF("id", "v")
+        .coalesce(1).writeTo(tbl).append()
+    }
+    def planOf(sql: String): (String, Seq[org.apache.spark.sql.Row]) = {
+      val df = spark.sql(sql)
+      (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+    }
+    val (p1, r1) = planOf(
+      s"SELECT count(*), count(id), min(id), max(id) FROM $tbl")
+    assert(p1.contains("MemAggScan"), s"expected metadata scan:\n$p1")
+    assert(r1.head.getLong(0) == 6 && r1.head.getLong(1) == 6 &&
+      r1.head.getLong(2) == 0 && r1.head.getLong(3) == 25, r1.toString)
+    // filtered: every filter is residual, so Spark must NOT push the
+    // aggregate — a stale metadata answer can never serve it
+    val (p2, r2) = planOf(
+      s"SELECT count(*) FROM $tbl WHERE id >= 10")
+    assert(!p2.contains("MemAggScan"), p2)
+    assert(r2.head.getLong(0) == 4)
+    // grouped: not answerable from global stats
+    val (p3, r3) = planOf(
+      s"SELECT v, count(*) FROM $tbl GROUP BY v ORDER BY v")
+    assert(!p3.contains("MemAggScan"), p3)
+    assert(r3.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 3L), (2L, 3L)))
+    // unsupported function: falls back whole (all-or-nothing)
+    val (p4, r4) = planOf(s"SELECT sum(id), count(*) FROM $tbl")
+    assert(!p4.contains("MemAggScan"), p4)
+    assert(r4.head.getLong(0) == 75 && r4.head.getLong(1) == 6)
+    // stats follow row-level writes: delete the low keys, metadata
+    // min moves past the deleted range
+    spark.sql(s"DELETE FROM $tbl WHERE id < 10")
+    val (p5, r5) = planOf(s"SELECT count(*), min(id), max(id) FROM $tbl")
+    assert(p5.contains("MemAggScan"), p5)
+    assert(r5.head.getLong(0) == 4 && r5.head.getLong(1) == 10 &&
+      r5.head.getLong(2) == 25, r5.toString)
+  }
+
   test("V2 catalog functions resolve through GraftFunctionCatalog and " +
       "compile to the codegen'd Invoke path (magic method), not the " +
       "row-boxing ApplyFunctionExpression fallback") {
