@@ -3675,6 +3675,113 @@ object Relational2 {
         ORDER BY kind""")),
 
     // ------------------------------------------------------------------
+    // q113: RUNTIME file pruning from join keys — Iceberg's
+    // SupportsRuntimeFiltering mechanism on the mem catalog, the
+    // dynamic sibling of q111's static zone maps. The dimension side
+    // of a broadcast join executes FIRST; Spark hands its (filtered)
+    // join keys to the fact scan as an In filter, and files whose
+    // (min, max) range contains none of them are dropped at EXECUTION
+    // time — pruning that planning could never do because the key set
+    // only exists after the dim filter runs. At 100 TB this is the
+    // star-join pattern: a selective dim predicate prunes fact files
+    // without any fact-side predicate. The dim carries DECOY rows in
+    // other key ranges behind flag=0, so the pruned file count proves
+    // the runtime filter reflects the FILTERED build side, not the
+    // whole dim. Observed via driver-side scan-planning telemetry
+    // (planInputPartitions runs on the driver — exact, not inferred);
+    // correctness is join-verified against the oracle as always.
+    // ------------------------------------------------------------------
+    "q113_runtime_file_pruning" -> Q(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        val sfx = new java.io.File(d).getName
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        val name = s"rf_$sfx"
+        val tbl = s"graftmem.ns.$name"
+        val dimName = s"rfdim_$sfx"
+        val dimTbl = s"graftmem.ns.$dimName"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"DROP TABLE IF EXISTS $dimTbl")
+        s.sql(s"CREATE TABLE $tbl " +
+          "(o_orderkey BIGINT NOT NULL, o_total BIGINT)")
+        s.sql(s"CREATE TABLE $dimTbl (k BIGINT NOT NULL, flag BIGINT)")
+        val ord = t(s, d, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("o_total"))
+        val mx = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+        val k = mx / 8 + 1
+        (0 until 8).foreach { b =>
+          ord.filter(col("o_orderkey") >= b * k &&
+              col("o_orderkey") < (b + 1) * k)
+            .coalesce(1).writeTo(tbl).append()
+        }
+        // dim: sparse keys in buckets 3 and 5 (flag 1 — the real
+        // build side) plus decoys in buckets 0 and 7 (flag 0)
+        val dimDf = ord
+          .filter(expr(s"o_orderkey div $k").isin(3L, 5L) &&
+            col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("k"), lit(1L).as("flag"))
+          .unionByName(ord
+            .filter(expr(s"o_orderkey div $k").isin(0L, 7L) &&
+              col("o_orderkey") % 97 === 0)
+            .select(col("o_orderkey").as("k"), lit(0L).as("flag")))
+        dimDf.coalesce(1).writeTo(dimTbl).append()
+        val joined = s.sql(
+          s"""SELECT /*+ BROADCAST(d) */ f.o_total
+             FROM $tbl f JOIN $dimTbl d ON f.o_orderkey = d.k
+             WHERE d.flag = 1""")
+        val agg = joined
+          .agg(count(lit(1)).cast("long").as("c"),
+            coalesce(sum(col("o_total")), lit(0L)).cast("long").as("t"))
+          .head()
+        val (filesTotal, filesPlanned) = graft.sources.MemScanTelemetry
+          .lastScan("graftmem", "ns", name)
+          .getOrElse(sys.error(s"no scan telemetry for $name"))
+        val st = graft.sources.MemTableStore
+          .lookup("graftmem", "ns", dimName).get
+        import s.implicits._
+        Seq(
+          ("a_join", agg.getLong(0), agg.getLong(1)),
+          ("b_files", filesTotal.toLong, filesPlanned.toLong),
+          ("c_dim", st.rowCounts.last, 0L))
+          .toDF("kind", "n1", "n2")
+          .orderBy(col("kind"))
+      },
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        kk AS (SELECT m // 8 + 1 AS k FROM mx),
+        b AS (
+          SELECT o_orderkey // (SELECT k FROM kk) AS bucket,
+            count(*) AS n
+          FROM orders GROUP BY 1),
+        dimk AS (
+          SELECT o_orderkey AS kkey,
+            CASE WHEN o_orderkey // (SELECT k FROM kk) IN (3, 5)
+              THEN 1 ELSE 0 END AS flag
+          FROM orders
+          WHERE o_orderkey // (SELECT k FROM kk) IN (0, 3, 5, 7)
+            AND o_orderkey % 97 = 0),
+        j AS (
+          SELECT cast(count(*) as bigint) AS c,
+            cast(coalesce(sum(cast(floor(o_totalprice) as bigint)), 0)
+              as bigint) AS s
+          FROM orders JOIN dimk ON o_orderkey = kkey AND flag = 1),
+        pb AS (
+          SELECT cast(count(DISTINCT kkey // (SELECT k FROM kk))
+              as bigint) AS nb
+          FROM dimk WHERE flag = 1)
+        SELECT kind, n1, n2 FROM (
+          SELECT 'a_join' AS kind, c AS n1, s AS n2 FROM j
+          UNION ALL
+          SELECT 'b_files',
+            (SELECT cast(count(*) as bigint) FROM b),
+            (SELECT nb FROM pb)
+          UNION ALL
+          SELECT 'c_dim',
+            (SELECT cast(count(*) as bigint) FROM dimk),
+            cast(0 as bigint))
+        ORDER BY kind""")),
+
+    // ------------------------------------------------------------------
     // q99: the NOT IN null trap as a first-class semantics matrix —
     // one shared ANSI text (q86's convention). Against a probe set
     // whose key column contains NULLs, the four anti-membership

@@ -490,7 +490,8 @@ final class MemScanBuilder(key: String, tschema: StructType,
   override def pushedFilters(): Array[Filter] = accepted
   override def build(): Scan = aggPushed match {
     case Some((sch, vals)) => new MemAggScan(sch, vals)
-    case None => new MemScan(key, tschema, pinned, zone)
+    case None =>
+      new MemScan(key, tschema, pinned, zone, runtimeFilterable = skipping)
   }
 }
 
@@ -527,7 +528,46 @@ final case class MemAggPartition(vals: Array[Any])
 
 final class MemScan(key: String, tschema: StructType,
     pinned: Option[Array[UnsafeRow]] = None,
-    zone: Option[(Long, Long)] = None) extends Scan with Batch {
+    zone: Option[(Long, Long)] = None,
+    runtimeFilterable: Boolean = false) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  /** q113 RUNTIME file pruning (Iceberg's DPP mechanism): after the
+    * build side of a join executes, Spark hands this scan the join
+    * keys as an `In` filter on the leading column; files whose
+    * (min, max) range contains none of them are dropped at EXECUTION
+    * time — pruning planning could never do, because the key set only
+    * exists at runtime. Correctness is free: the join itself still
+    * filters row-by-row; skipping a file that cannot contain any
+    * build-side key removes only rows the join would discard.
+    */
+  @volatile private var runtimeKeys: Option[Array[Long]] = None
+  /** NEVER advertised for row-level-operation scans (runtimeFilterable
+    * is only set on plain head reads): the group here is the WHOLE
+    * table, so the replace write rewrites exactly what the scan
+    * produced — a runtime-pruned MERGE/DELETE target scan would
+    * silently DROP every row of the pruned files at commit.
+    */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (runtimeFilterable && pinned.isEmpty && tschema.nonEmpty &&
+        tschema.fields(0).dataType ==
+          org.apache.spark.sql.types.LongType)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(tschema.fields(0).name))
+    else Array.empty
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val lead = tschema.fields(0).name
+    filters.foreach {
+      case org.apache.spark.sql.sources.In(a, vs) if a == lead =>
+        runtimeKeys = Some(vs.collect {
+          case l: Long => l
+          case i: Int => i.toLong
+          case n: java.lang.Number => n.longValue()
+        }.sorted)
+      case _ => ()
+    }
+  }
   override def readSchema(): StructType = tschema
   override def toBatch: Batch = this
   override def description(): String =
@@ -552,18 +592,28 @@ final class MemScan(key: String, tschema: StructType,
         if (rows.isEmpty || layout.isEmpty)
           Array(MemPartition(Array.empty[UnsafeRow]): InputPartition)
         else {
+          val statsOk = stats.length == layout.length
+          val keys = runtimeKeys
+          def anyKeyIn(mn: Long, mx: Long): Boolean = keys match {
+            case None => true
+            case Some(ks) =>
+              val idx = java.util.Arrays.binarySearch(ks, mn)
+              val at = if (idx >= 0) idx else -idx - 1
+              at < ks.length && ks(at) <= mx
+          }
           val out = Array.newBuilder[InputPartition]
           var off = 0
           var kept = 0
           layout.zipWithIndex.foreach { case (f, i) =>
-            val keep = zone match {
-              case Some((lo, hi)) if stats.length == layout.length =>
+            val keep = (zone match {
+              case Some((lo, hi)) if statsOk =>
                 stats(i).mx >= lo && stats(i).mn <= hi
               case _ => true
-            }
+            }) && (!statsOk || anyKeyIn(stats(i).mn, stats(i).mx))
             if (keep) { out += MemPartition(rows.slice(off, off + f)); kept += 1 }
             off += f
           }
+          MemScanTelemetry.record(key, layout.length, kept)
           if (kept == 0)
             Array(MemPartition(Array.empty[UnsafeRow]): InputPartition)
           else out.result()
@@ -576,6 +626,22 @@ final class MemScan(key: String, tschema: StructType,
 
 final case class MemPartition(rows: Array[UnsafeRow])
     extends InputPartition
+
+/** Driver-side scan-planning telemetry: the last head-read's
+  * (files in layout, files actually planned) per table. Partition
+  * planning runs on the driver, so this is exact — it is how q113's
+  * census OBSERVES runtime file pruning (the executed plan's
+  * partition count is fixed at compile time for everything except
+  * the scan, and runtime filtering changes it after planning).
+  */
+object MemScanTelemetry {
+  private val last = new ConcurrentHashMap[String, (Int, Int)]()
+  def record(key: String, total: Int, planned: Int): Unit =
+    last.put(key, (total, planned))
+  def lastScan(catalog: String, ns: String,
+      name: String): Option[(Int, Int)] =
+    Option(last.get(catalog + "\u0000" + ns + "\u0000" + name))
+}
 
 final class MemReaderFactory extends PartitionReaderFactory {
   override def createReader(

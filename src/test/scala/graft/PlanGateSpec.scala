@@ -188,6 +188,62 @@ class PlanGateSpec extends SparkFunSuite {
       r5.head.getLong(2) == 25, r5.toString)
   }
 
+  test("q113 machinery: runtime file pruning — the build side of a " +
+      "join hands its keys to the scan (SupportsRuntimeFiltering) and " +
+      "files outside the key set are dropped at EXECUTION time; " +
+      "without the join the scan plans every file") {
+    spark.conf.set("spark.sql.catalog.pgate_rf",
+      "graft.sources.MemCatalog")
+    import spark.implicits._
+    val tbl = "pgate_rf.ns.t5"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT)")
+    // 8 key-range files: file b covers ids [b*10, b*10+9]
+    (0 until 8).foreach { b =>
+      (0 until 10).map(j => (b * 10L + j, j.toLong)).toDF("id", "v")
+        .coalesce(1).writeTo(tbl).append()
+    }
+    // baseline: a full ROW scan plans all 8 files (collect, not
+    // count() — count() is answered by q112's metadata path and never
+    // touches the row scan)
+    assert(spark.table(tbl).collect().length == 80)
+    assert(graft.sources.MemScanTelemetry
+      .lastScan("pgate_rf", "ns", "t5").contains((8, 8)))
+    // build side: 3 selected keys, all inside two files (buckets 2
+    // and 5). A real table, not a LocalRelation — ConvertToLocal
+    // Relation would fold the selective filter away before the DPP
+    // rule looks for it
+    val dim = "pgate_rf.ns.d5"
+    spark.sql(s"DROP TABLE IF EXISTS $dim")
+    spark.sql(s"CREATE TABLE $dim (k BIGINT NOT NULL, cat STRING)")
+    Seq((25L, "x"), (27L, "x"), (51L, "x"), (99L, "y"))
+      .toDF("k", "cat").coalesce(1).writeTo(dim).append()
+    val joined = spark.sql(
+      s"""SELECT /*+ BROADCAST(d) */ f.id, f.v FROM $tbl f
+         JOIN $dim d ON f.id = d.k
+         WHERE d.cat = 'x'""")
+    val rows = joined.collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(25L, 27L, 51L))
+    val planStr = joined.queryExecution.executedPlan.toString
+    val scanned = graft.sources.MemScanTelemetry
+      .lastScan("pgate_rf", "ns", "t5")
+    // runtime filtering fired: the scan planned only the files whose
+    // (min, max) range can contain a build-side key — 2 of 8
+    assert(scanned.contains((8, 2)),
+      s"expected runtime pruning to 2 of 8 files, telemetry=$scanned;" +
+        s" plan:\n$planStr")
+    // row-level safety: the MERGE target scan must NEVER be
+    // runtime-pruned — the group here is the whole table, so the
+    // replace write rewrites exactly what the scan produced, and a
+    // pruned scan would silently drop the other files' rows at commit
+    spark.sql(s"""MERGE INTO $tbl t USING (SELECT CAST(25 AS BIGINT)
+      AS k) s ON t.id = s.k WHEN MATCHED THEN UPDATE SET v = 999""")
+    val after = spark.table(tbl).collect()
+    assert(after.length == 80,
+      s"rows lost through a runtime-pruned row-level scan: ${after.length}")
+    assert(after.find(_.getLong(0) == 25L).get.getLong(1) == 999L)
+  }
+
   test("V2 catalog functions resolve through GraftFunctionCatalog and " +
       "compile to the codegen'd Invoke path (magic method), not the " +
       "row-boxing ApplyFunctionExpression fallback") {
