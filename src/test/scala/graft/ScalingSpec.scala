@@ -79,7 +79,13 @@ class ScalingSpec extends SparkFunSuite {
       "d30_pair_max_span", "x54_temperature_mixture",
       "g20_common_neighbor_recs", "e39_preference_pairs",
       "x55_lm_quality_filter", "x56_leakage_free_split",
-      "q102_dynamic_overwrite", "q103_schema_evolution")
+      "q102_dynamic_overwrite", "q103_schema_evolution",
+      // round-16 additions: the metadata/file-stats censuses (q110
+      // commits task-count-many files, so the layout itself must not
+      // depend on shuffle partitioning) + x57's gram census
+      "q110_optimize_expire", "q111_zone_map_skipping",
+      "q112_metadata_agg", "q113_runtime_file_pruning",
+      "x57_eval_decontamination")
     val catalog = Catalog.all.toMap
     for (q <- qs) {
       def run(parts: String): Seq[Seq[Any]] = {
