@@ -272,6 +272,14 @@ object MigrationOps {
                    AND regexp_matches(s, '(?i)\\bADD\\s+COLUMN\\b')))
           AND regexp_matches(s, '(?i)\\schar(acter)?\\s*\\(\\s*\\d+\\s*\\)')
         UNION ALL
+        SELECT version, name, stmt_index, 'unclassified-alter', 1,
+          '', 'UNKNOWN'
+        FROM stmts
+        WHERE regexp_matches(s, '(?i)^\\s*ALTER\\s+')
+          AND NOT regexp_matches(s, '(?i)^\\s*ALTER\\s+TABLE\\b')
+          AND NOT regexp_matches(s,
+            '(?i)^\\s*ALTER\\s+INDEX\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s+RENAME\\s+TO\\b')
+        UNION ALL
         SELECT version, name, stmt_index, 'mixed-concurrent-atomicity', 2,
           CASE
             WHEN regexp_matches(s, '(?i)^\\s*CREATE\\b')

@@ -210,17 +210,17 @@ class CliRootSpec extends AnyFunSuite {
       "(plan.go:19's registered flag, implemented)") {
     val tracker = java.nio.file.Files
       .createTempDirectory("graft-cli-plan").toString
-    // empty tracker: all 26 fixtures pending either way, but the flag
+    // empty tracker: all 27 fixtures pending either way, but the flag
     // must parse and the header must report the applied count
     val (code, out) = graft("plan", "/root/repo/fixtures/migrations",
       tracker)
     assert(code == 0, s"plan failed:\n$out")
-    assert(out.contains("26 pending migration(s)") &&
+    assert(out.contains("27 pending migration(s)") &&
       out.contains("(0 already applied"))
     val (code2, out2) = graft("plan", "/root/repo/fixtures/migrations",
       tracker, "--pending-only")
     assert(code2 == 0, s"plan --pending-only failed:\n$out2")
-    assert(out2.contains("26 pending migration(s)"))
+    assert(out2.contains("27 pending migration(s)"))
     assert(!out2.contains("already applied\n001"),
       "pending-only must not emit applied status rows")
   }

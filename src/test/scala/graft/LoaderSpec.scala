@@ -11,10 +11,10 @@ class LoaderSpec extends SparkFunSuite {
 
   val fixturesDir = "/root/repo/fixtures/migrations"
 
-  test("Spark load: 26 fixture migrations, sorted, stripped V prefix") {
+  test("Spark load: 27 fixture migrations, sorted, stripped V prefix") {
     val ms = MigrationLoader.loadSorted(spark, fixturesDir).collect().toSeq
-    assert(ms.length == 26)
-    assert(ms.map(_.version) == (1 to 26).map(i => f"$i%03d"))
+    assert(ms.length == 27)
+    assert(ms.map(_.version) == (1 to 27).map(i => f"$i%03d"))
     assert(ms.head.name == "create_users")
     assert(ms.head.upSql.startsWith("CREATE TABLE users"))
     assert(ms.head.downSql.startsWith("DROP TABLE users"))

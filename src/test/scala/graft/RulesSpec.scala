@@ -75,7 +75,9 @@ class RulesSpec extends AnyFunSuite {
       "recorded_at timestamp without time zone, " +
       "archived_at timestamptz, note varchar(40));",
       Severity.Low, Seq("prefer-bigint-key", "prefer-timestamptz",
-        "ban-char-field")))
+        "ban-char-field")),
+    ("V027", "ALTER INDEX idx_users_email SET TABLESPACE fastspace;",
+      Severity.Low, Seq("unclassified-alter")))
 
   for ((v, sql, expSev, expRules) <- fixtureExpectations)
     test(s"fixture $v → ${Severity.label(expSev)}") {
