@@ -28,36 +28,34 @@ object TextCurationOps {
     */
   private[graft] def bpeTrain(census: DataFrame, nMerges: Int)
       : (Seq[(Int, String, String)], DataFrame) = {
-    var seqs = census.select(col("word"), col("cnt"),
-      rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
-    val merges =
-      scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
-    var exhausted = false
-    for (rank <- 1 to nMerges if !exhausted) {
-      val arrs = seqs
-        .select(col("cnt"), split(col("seq"), " ").as("t"))
-        .select(col("cnt"),
-          slice(col("t"), lit(1), size(col("t")) - 1).as("la"),
-          slice(col("t"), lit(2), size(col("t")) - 1).as("ra"))
-      val bestRow = arrs
-        .select(col("cnt"),
-          explode(arrays_zip(col("la"), col("ra"))).as("p"))
-        .select(col("p.la").as("l"), col("p.ra").as("r"), col("cnt"))
-        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect().headOption
-      bestRow match {
-        case None => exhausted = true
-        case Some(best) =>
-          val (bl, br) = (best.getString(0), best.getString(1))
-          merges += ((rank, bl, br))
-          seqs = seqs.select(col("word"), col("cnt"),
-            replace(col("seq"), lit(bl + " " + br), lit(bl + br))
-              .as("seq"))
-            .localCheckpoint()
-      }
-    }
-    (merges.toSeq, seqs)
+    // Round-16 optimization (guide §1.2 step 1 — fix the distributed
+    // algorithm): the merge loop is inherently sequential and the
+    // census is vocabulary-scale, so the 50-round Spark loop (2
+    // vocabulary-scale jobs per round: pair-census collect +
+    // localCheckpoint — ~100 jobs of pure scheduling overhead) is
+    // replaced by ONE task running graft.text.BpeTrainer, bit-exact to
+    // the old dataflow (parity asserted in QueriesSpec; semantics
+    // documented on the kernel). repartition(1) — not coalesce(1) —
+    // so the corpus-scale census computation upstream stays parallel.
+    val spark = census.sparkSession
+    import spark.implicits._
+    val one = census
+      .select(col("word").as("_1"), col("cnt").cast("long").as("_2"))
+      .repartition(1)
+      .as[(String, Long)]
+    val trained = one
+      .mapPartitions(it => graft.text.BpeTrainer.train(it, nMerges))
+      .toDF()
+      .localCheckpoint()
+    val merges = trained.filter(col("kind") === 1)
+      .select(col("rank"), col("word"), col("seq"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+      .toSeq
+    val seqs = trained.filter(col("kind") === 0)
+      .select(col("word"), col("cnt"), col("seq"))
+    (merges, seqs)
   }
 
   /** x48's day-N encode against a FROZEN tokenizer, frame-agnostic:

@@ -846,7 +846,7 @@ object TextOps {
     * that coverage loss beside the capped census so a 100 TB run
     * chooses with open eyes.
     */
-  private[queries] def dupSpans(norm: DataFrame, L: Int = 20,
+  private[graft] def dupSpans(norm: DataFrame, L: Int = 20,
       maxDf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val posts = norm
@@ -854,11 +854,37 @@ object TextOps {
         posexplode(graft.functions.Winnow.gramHashes(col("t"), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
         col("col").as("g"))
-    val crossg = posts.select(col("doc_id"), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf).select(col("g"))
-    val dup = posts.join(crossg, "g")
-      .select(col("doc_id"), col("pos")).distinct()
+    // Round-16 optimization (guide §2.4 — remove shuffles outright).
+    // The old shape paid THREE char-scale passes over `posts`: a
+    // (doc_id, g) distinct exchange feeding the df census, then a
+    // second full exchange of posts by g for the dup-join back. For
+    // the default uncapped call (d13/d22/d23), "gram appears in ≥ 2
+    // distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over the gram's
+    // postings — computable in ONE window over ONE exchange of posts
+    // by g (the d08 window-over-fp discipline: both census and filter
+    // ride the same exchange, so the gram explode runs exactly once
+    // and nothing is joined back). The df-capped path (d29/d30's
+    // maxDf) still needs the true distinct-doc count, so it keeps the
+    // census + join shape. Both shapes emit identical (doc_id, pos)
+    // sets; plan-only change, hashes unchanged (d13/d22/d23 re-⊕).
+    // A (doc_id, pos) distinct also vanished from both branches:
+    // posexplode emits each position exactly once and the g-census
+    // join matches each post row at most once, so the distinct was a
+    // pure dedup-of-nothing exchange.
+    val dup =
+      if (maxDf == Long.MaxValue) {
+        val wG = Window.partitionBy(col("g"))
+        posts
+          .withColumn("mn", min(col("doc_id")).over(wG))
+          .withColumn("mx", max(col("doc_id")).over(wG))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("doc_id"), col("pos"))
+      } else {
+        val crossg = posts.select(col("doc_id"), col("g")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= maxDf).select(col("g"))
+        posts.join(crossg, "g").select(col("doc_id"), col("pos"))
+      }
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(wDoc)
     Catalog.mat(dup
