@@ -17,6 +17,16 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // round 16 (guide §3.1): let AQE rewrite a sort-merge join to a
+      // shuffled-hash join when every post-shuffle partition of the
+      // build side is under this threshold — gated on ACTUAL runtime
+      // sizes (not estimates, which are garbage for checkpointed
+      // frames), so it is safe at any scale: a partition that would
+      // not fit keeps the sort-merge plan. Default is 0 (off); 64m per
+      // partition is modest on any executor sized for 128m-1g shuffle
+      // partitions (guide §2.2). Overridable per session.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // test tables are single parquet files; the default 128 MB split

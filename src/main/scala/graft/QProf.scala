@@ -14,6 +14,9 @@ object QProf {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench: runtime SMJ→SHJ rewrite under the same threshold
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("QPROF_SPLIT", "2m"))

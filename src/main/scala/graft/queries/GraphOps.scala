@@ -93,7 +93,19 @@ object GraphOps {
     * of the node table — valid at any scale, measured at parity with
     * the broadcast variant locally (2.00 vs 2.03 s warm, 3 rounds).
     */
-  private def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+  private def labelProp(edges0: DataFrame, rounds: Int): DataFrame = {
+    // round 16 (guide §2.4 — remove shuffles outright): the per-round
+    // shuffle_hash join is keyed on dst, so partition the edge list by
+    // dst ONCE and persist — ConnectedComponents' edge-cache
+    // discipline. persist(), NOT localCheckpoint: a checkpoint rewrites
+    // the plan to a LogicalRDD whose outputPartitioning Catalyst no
+    // longer knows, so every round re-exchanged the edge-scale side
+    // anyway (measured: an upfront repartition BEFORE the caller's
+    // checkpoint left the 3-round listener shuffle at 160 MB; through
+    // the persisted plan the rounds exchange only the node-scale label
+    // side). Safe to unpersist before returning: every round ends in
+    // an EAGER materialize, so the loop has already consumed the cache.
+    val edges = edges0.repartition(col("dst")).persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -108,6 +120,7 @@ object GraphOps {
         .select(col("src").as("id"), col("lbl"))
         .pipe(materialize)
     }
+    edges.unpersist()
     labels
   }
 

@@ -3792,12 +3792,21 @@ object TextCurationOps {
           x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
         val avgWordLen =
           length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
-        val q1 = tokd.withColumn("quality",
+        // round 16: stage-1 survivors MATERIALIZED (Catalog.mat) — q1
+        // feeds the posting-index detector (via CC's edge cache fill),
+        // q2's keep-list join, and transitively every later stage;
+        // those consumers sit behind non-identical exchanges, so
+        // unmaterialized the URL-gate + tokenize + quality subtree
+        // (two corpus-scale regexp_replace + split + filter lambda)
+        // re-executed once per consumer (guide §5 caching rule:
+        // reused AND expensive to recompute). Measured 8.10 → ~5.4 s
+        // at sf0.1 together with the one-pass decontam below.
+        val q1 = mat(tokd.withColumn("quality",
           (stops / nTok) * 0.4 +
             (lit(1.0) - punct / nChars) * 0.3 +
             when(avgWordLen >= 3 && avgWordLen <= 8, 0.3).otherwise(0.0))
           .filter(col("quality") >= 0.62)
-          .select(col("doc_id"), col("lang"), col("w"))
+          .select(col("doc_id"), col("lang"), col("w")))
 
         // stage 2: dedup keep-list on stage-1 survivors, candidates
         // from d08's df-capped posting index (no all-pairs, no window)
@@ -3823,15 +3832,22 @@ object TextCurationOps {
           .select(words(col("text")).as("toks"))
           .select(explode(grams8(col("toks"))).as("ng"))
           .distinct()
+        // round 16: ONE pass instead of two — the old shape aggregated
+        // posts twice (per-doc total, and per-doc contaminated after an
+        // inner join), so the gram-8 explode ran once per consumer. A
+        // LEFT join against the distinct benchmark-gram set marks hits
+        // in-line; count(1) vs count(hit) of the SAME aggregation give
+        // both totals (count of a null-on-miss column ≡ the old inner-
+        // join count because benchNg is distinct — multiplicity 1).
         val posts = q2.select(col("doc_id"),
           explode(grams8(col("w"))).as("ng"))
-        val perDoc = posts.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_ngrams"))
-        val contam = posts.join(benchNg, "ng").groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_contaminated"))
+        val perDoc = posts
+          .join(benchNg.withColumn("hit", lit(1)), Seq("ng"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"),
+            count(col("hit")).as("n_contaminated"))
         val q3 = q2.select(col("doc_id"), col("lang"))
           .join(perDoc, Seq("doc_id"), "left")
-          .join(contam, Seq("doc_id"), "left")
           .withColumn("ngc", coalesce(col("n_ngrams"), lit(0L)))
           .withColumn("cnc", coalesce(col("n_contaminated"), lit(0L)))
           .filter(!(col("cnc") >= 5 ||

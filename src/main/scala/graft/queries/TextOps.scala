@@ -584,7 +584,13 @@ object TextOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
-      .orderBy(col("doc_a"), col("doc_b"))
+  // round 16: the trailing .orderBy(doc_a, doc_b) was dropped — every
+  // catalog query ends in its OWN deterministic ORDER BY (the repo
+  // invariant), so the helper's sort was a pure range-exchange + sort
+  // paid by all 10+ callers and then re-sorted (or ignored by CC /
+  // keep-list aggregation) downstream. No consumer is order-sensitive:
+  // collect_list callers all array_sort (grep-audited), the rest are
+  // joins/aggregates. Full-catalog oracle sweep re-verified.
 
   /** d08's inverted-index exact near-dup pipeline, factored for reuse
     * (d08 = these pairs ordered; d11 = these pairs joined with the x17
