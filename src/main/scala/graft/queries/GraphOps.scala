@@ -137,13 +137,24 @@ object GraphOps {
   /** Same enumeration over an arbitrary canonical (a < b) edge frame —
     * g11's peel re-runs it per round on the surviving edges.
     */
-  private def orientedTrianglesOf(canon0: DataFrame): DataFrame = {
+  private[graft] def orientedTrianglesOf(canon0: DataFrame): DataFrame = {
     val canon = canon0.pipe(materialize)
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val lowerA = (col("da") < col("db")) ||
       (col("da") === col("db") && col("a") < col("b"))
+    // round 16, fix 1 (guide §2.5 corollary): AQE coalesces the join
+    // exchanges feeding this metadata-scale frame to the 64 MB
+    // advisory (3 partitions at sf0.1) and the checkpoint freezes
+    // that — but the DOWNSTREAM wedge stage does O(m^1.5) work per
+    // input row, so its parallelism need is probes, not bytes.
+    // Re-spread to the session's shuffle parallelism before
+    // checkpointing (explicit count pins the exchange against AQE
+    // re-coalescing; src is skew-safe — orientation bounds out-degree
+    // at O(sqrt m)); scale-adaptive via spark.sql.shuffle.partitions.
+    val nPart = canon.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val oriented = canon
       .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
@@ -151,6 +162,7 @@ object GraphOps {
         when(lowerA, col("a")).otherwise(col("b")).as("src"),
         when(lowerA, col("b")).otherwise(col("a")).as("dst"),
         when(lowerA, col("db")).otherwise(col("da")).as("ddst"))
+      .repartition(nPart, col("src"))
       .pipe(materialize)
     val w1 = oriented.select(col("src"), col("dst").as("v"),
       col("ddst").as("dv"))
@@ -160,9 +172,32 @@ object GraphOps {
       .filter((col("dv") < col("dw")) ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("src").as("u"), col("v"), col("w"))
+    // round 16, fix 2 (guide §2.3 "narrower types", applied to a join
+    // KEY): the triangle-closing probe pays one hash lookup per wedge
+    // (41 M at sf0.1), and a two-long key forces the generic
+    // UnsafeHashedRelation — measured ~6× slower per probe than the
+    // dense single-long LongHashedRelation. When every node id fits
+    // 31 bits, (v << 32) | w is a collision-free single-long key and
+    // the SAME join runs off the fast relation (measured 5.9 s →
+    // 0.8 s for the wedge+closing stage at sf0.1). Packability is
+    // checked at runtime on the materialized canon frame (one
+    // metadata-scale agg); the unpackable case keeps the two-key
+    // join — identical results either way: plan adaptivity, not
+    // semantics (g02/g10/g11 oracles re-⊕ after this change).
     val closing = oriented.select(col("src").as("v"),
       col("dst").as("w"))
-    wedges.join(closing, Seq("v", "w"))
+    val bounds = canon.agg(
+      max(greatest(col("a"), col("b"))).as("mx"),
+      min(least(col("a"), col("b"))).as("mn")).head()
+    val packable = !bounds.isNullAt(0) &&
+      bounds.getLong(0) < (1L << 31) && bounds.getLong(1) >= 0L
+    if (packable) {
+      wedges
+        .withColumn("vw", shiftleft(col("v"), 32).bitwiseOR(col("w")))
+        .join(closing.select(
+          shiftleft(col("v"), 32).bitwiseOR(col("w")).as("vw")), "vw")
+        .select(col("u"), col("v"), col("w"))
+    } else wedges.join(closing, Seq("v", "w"))
   }
 
   def queries: Seq[(String, Q)] = Seq(

@@ -112,6 +112,31 @@ class OptimizationParitySpec extends SparkFunSuite {
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (L - 1)).as("e"))
   }
 
+  test("orientedTriangles packed closing key: the id-packed fast path " +
+      "(ids < 2^31) and the two-key fallback (huge ids) enumerate the " +
+      "same triangle set") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + a dangling edge; shifting every
+    // id by 2^31 forces the unpackable fallback — same triangles.
+    val small = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val shift = 1L << 31
+    val big = small.select((col("a") + shift).as("a"),
+      (col("b") + shift).as("b"))
+    def tris(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.GraphOps.orientedTrianglesOf(df)
+        .select(col("u"), col("v"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .map { case (u, v, w) =>
+          val s = Seq(u % shift, v % shift, w % shift).sorted
+          (s(0), s(1), s(2))
+        }.sorted.toSeq
+    val smallTris = tris(small)
+    assert(smallTris.size == 4, s"K4 has 4 triangles, got $smallTris")
+    assert(tris(big) == smallTris,
+      "fallback (unpackable ids) must enumerate the same triangles")
+  }
+
   test("dupSpans window-census shape ≡ round-15 census+join shape on " +
       "the sf0.001 corpus (full (doc_id, isl, s, e) span set)") {
     val norm = spark.read.parquet(s"$sf0001/documents.parquet")
