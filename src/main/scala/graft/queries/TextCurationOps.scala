@@ -3810,9 +3810,14 @@ object TextCurationOps {
 
         // stage 2: dedup keep-list on stage-1 survivors, candidates
         // from d08's df-capped posting index (no all-pairs, no window)
-        val dupPairs = postingJaccardPairsFrom(
+        // round 16: candidate pairs materialized (pair-scale — tiny)
+        // before CC: CC's edge build unions the pair frame with its
+        // mirror, and the two union branches re-ran the posting
+        // pipeline's post-exchange half (pair aggregation + size
+        // joins + jaccard) once each during the edge-cache fill.
+        val dupPairs = mat(postingJaccardPairsFrom(
           q1.select(col("doc_id"), col("w").as("toks")))
-          .select(col("doc_a"), col("doc_b"))
+          .select(col("doc_a"), col("doc_b")))
         val cc = graft.operators.ConnectedComponents.components(dupPairs)
         val q2 = q1.join(cc, col("doc_id") === col("id"), "left")
           .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
