@@ -56,7 +56,16 @@ object PageRank {
     val e = edges.select(col("src"), col("dst")).persist()
     val nodes = e.select(col("src").as("id")).distinct().persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src").persist()
+    // round 16: pin the cached per-round join input to the session's
+    // shuffle parallelism, keyed by the round join's key. AQE
+    // coalesces the join exchanges to the 64 MB advisory (1-3
+    // partitions at sf0.1) and persist freezes that, starving every
+    // round's join + partial aggregation of cores. The explicit count
+    // (REPARTITION_BY_NUM) is exempt from AQE coalescing; src is the
+    // round key, so the rounds stay exchange-free on the edge side.
+    val nPart = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val eDeg = e.join(deg, "src").repartition(nPart, col("src")).persist()
     val n = nodes.count() // materializes the caches; N is a scalar
     require(n > 0, "PageRank needs a non-empty edge list (0 nodes)")
     val rInit = scale / n
@@ -96,7 +105,10 @@ object PageRank {
     val e = edges.select(col("src"), col("dst")).persist()
     val nodes = e.select(col("src").as("id")).distinct().persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src").persist()
+    // round 16: same pinned-parallelism spread as run() — see there.
+    val nPart = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val eDeg = e.join(deg, "src").repartition(nPart, col("src")).persist()
     val n = nodes.count() // materializes the caches
     require(n > 0, "PageRank needs a non-empty edge list (0 nodes)")
     val tele = (15L * scale) / 100L

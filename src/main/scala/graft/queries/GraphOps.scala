@@ -105,7 +105,12 @@ object GraphOps {
     // the persisted plan the rounds exchange only the node-scale label
     // side). Safe to unpersist before returning: every round ends in
     // an EAGER materialize, so the loop has already consumed the cache.
-    val edges = edges0.repartition(col("dst")).persist()
+    // explicit count: REPARTITION_BY_COL alone is still subject to
+    // AQE partition coalescing (1-3 partitions for this frame at
+    // sf0.1), which would starve the per-round join of cores.
+    val nPart = edges0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val edges = edges0.repartition(nPart, col("dst")).persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to rounds) {
