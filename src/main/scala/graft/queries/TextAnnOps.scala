@@ -42,14 +42,12 @@ object TextAnnOps {
           concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1))))
         .otherwise(array().cast("array<string>"))
-    // round 16: when the index is materialized (s21 — three index
-    // consumers), materialize the tokenize pass too: the mat(tf) and
-    // mat(dlf) fills below are SEPARATE eager jobs, so an
-    // unmaterialized `based` re-ran words() once per fill. One
-    // tokenize, both fills read the checkpoint.
-    val based0 = docs(s, d)
-      .select(col("doc_id"), words(col("text")).as("toks"))
-    val based = if (matIndex) mat(based0) else based0
+    // round 16: materialize the tokenize pass — its four consumers
+    // (tf, dlf, tot, qterms) sit on narrow no-exchange lineages from
+    // the scan, so nothing reused and words() ran once per consumer
+    // (and once per mat fill under matIndex). One tokenize for all.
+    val based = mat(docs(s, d)
+      .select(col("doc_id"), words(col("text")).as("toks")))
     val posts = based.select(col("doc_id"), explode(bigrams).as("term"))
     val tfRaw = posts.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
